@@ -1,13 +1,33 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+
+import graft.ops.Lww
+import graft.queries.{CdcQueries, TpchQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator inventory (SURVEY.md §2), one entry per
+  * operator, each delegating to the library modules (`graft.ops`,
+  * `graft.recon`, `graft.llm`, `graft.queries`). `oracleSql` carries the
+  * DuckDB-equivalent SQL the driver uses as correctness oracle.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: the replication-path core — LWW-compact the sf0.001 event
+    * stream to final per-key state (reference semantics of
+    * `timestamp_conflict_resolver.py`). Driver smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    Lww.latestPerKey(
+      ev.select("user_id", "event_id", "ts_us", "event_type", "value"),
+      Seq("user_id"), Seq(col("ts_us"), col("event_id")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CdcQueries.queries ++ TpchQueries.queries
+
+  def oracleSql: Map[String, String] =
+    CdcQueries.oracleSql ++ TpchQueries.oracleSql
 }

@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational analytics pack over the TPC-H-ish fixture tables —
+  * aggregation, multi-way join, broadcast join, window top-k, rollup,
+  * percentile, min_by/max_by (SURVEY.md §2.3-2.5 shapes at scale).
+  *
+  * Numeric-parity strategy: every floating aggregate is computed as an
+  * exact DECIMAL sum (order-independent, so Spark's parallel partial
+  * aggregation and DuckDB's sequential scan agree bit-for-bit) and only
+  * then cast to DOUBLE; per-row double arithmetic (e.g. price*(1-disc))
+  * is written with identical operation order in both engines, so IEEE 754
+  * guarantees identical inputs to the decimal cast.
+  *
+  * Scale notes are per-query below; the common ones: filters sit directly
+  * on scans (pushed into parquet), dimension joins are broadcast, fact
+  * joins shuffle on the join key once, and AQE is left to re-plan skew.
+  */
+object TpchQueries {
+
+  private val Revenue = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1-shape pricing summary: single scan + hash agg; partial aggs
+    // map-side, 6 rows out. Decimal sums → exact at any SF.
+    "q1_pricing_summary" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(expr("l_shipdate < timestamp'1998-09-01'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sum_qty"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").as("sum_base_price"),
+          expr(s"CAST(sum($Revenue) AS DOUBLE)").as("sum_revenue"),
+          count(lit(1)).as("count_order"))),
+
+    // Q3-shape shipping priority: two fact joins; customer is small →
+    // broadcast; orders⋈lineitem shuffles once on the order key.
+    "q3_shipping_priority" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir).filter(expr("o_orderdate < timestamp'1995-03-15'"))
+      val l = Tables.lineitem(s, dir).filter(expr("l_shipdate > timestamp'1995-03-15'"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("orderdate_us"),
+          col("o_orderpriority"))
+        .agg(expr(s"CAST(sum($Revenue) AS DOUBLE)").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Q5-shape local-supplier volume: snowflake join; all dimensions
+    // (region/nation/supplier/customer) broadcast, facts shuffle once.
+    "q5_local_supplier" -> ((s, dir) => {
+      val r = Tables.region(s, dir)
+      val n = Tables.nation(s, dir)
+      val su = Tables.supplier(s, dir)
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(c),
+          o("o_custkey") === c("c_custkey") && c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(expr(s"CAST(sum($Revenue) AS DOUBLE)").as("revenue"))
+    }),
+
+    // Broadcast dimension-enrich: part is tiny at every SF relative to
+    // lineitem; the explicit broadcast() keeps the fact table unshuffled.
+    "join_part_brand_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sum_qty"),
+          expr(s"CAST(sum($Revenue) AS DOUBLE)").as("revenue"))),
+
+    // Window top-k: revenue rank of suppliers within nation. One shuffle
+    // for the supplier agg, one tiny window over the 10-row result.
+    "window_topk_suppliers" -> ((s, dir) => {
+      val perSupp = Tables.lineitem(s, dir)
+        .groupBy("l_suppkey")
+        .agg(expr(s"CAST(sum($Revenue) AS DOUBLE)").as("revenue"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("revenue").desc, col("s_suppkey"))
+      perSupp.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("s_nationkey", "s_suppkey", "s_name", "revenue", "rank")
+    }),
+
+    // Rollup: hierarchical totals (status → priority → grand total).
+    "rollup_orders" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("sum_price"))),
+
+    // Exact percentiles (reference A7 latency histogram shape):
+    // P50/P95/P99 of event value per type. Spark `percentile` and DuckDB
+    // `quantile_cont` both do linear interpolation on the sorted set.
+    "percentile_event_value" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          expr("round(percentile(value, 0.5), 6)").as("p50"),
+          expr("round(percentile(value, 0.95), 6)").as("p95"),
+          expr("round(percentile(value, 0.99), 6)").as("p99"))),
+
+    // min_by/max_by (reference U2 oldest-event eviction / O4 latest-job).
+    "minmax_by_event" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          max_by(col("event_id"), struct(col("ts_us"), col("event_id"))).as("latest_event_id"),
+          min_by(col("event_id"), struct(col("ts_us"), col("event_id"))).as("oldest_event_id"),
+          count(lit(1)).as("n")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_revenue,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " "),
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, epoch_us(o_orderdate) AS orderdate_us, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, epoch_us(o_orderdate), o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin.replace("\n", " "),
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name""".stripMargin.replace("\n", " "),
+
+    "join_part_brand_agg" ->
+      """SELECT p_brand, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin.replace("\n", " "),
+
+    "window_topk_suppliers" ->
+      """SELECT s_nationkey, s_suppkey, s_name, revenue, rank FROM (
+        |  SELECT s_nationkey, s_suppkey, s_name, revenue,
+        |    row_number() OVER (PARTITION BY s_nationkey ORDER BY revenue DESC, s_suppkey) AS rank
+        |  FROM (
+        |    SELECT s_nationkey, s_suppkey, s_name,
+        |      CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |    GROUP BY s_nationkey, s_suppkey, s_name))
+        |WHERE rank <= 3""".stripMargin.replace("\n", " "),
+
+    "rollup_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin.replace("\n", " "),
+
+    "percentile_event_value" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type""".stripMargin.replace("\n", " "),
+
+    "minmax_by_event" ->
+      """WITH r AS (SELECT event_type, event_id,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY epoch_us(ts) DESC, event_id DESC) AS rmax,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY epoch_us(ts) ASC, event_id ASC) AS rmin
+        |  FROM events)
+        |SELECT event_type,
+        |  max(CASE WHEN rmax = 1 THEN event_id END) AS latest_event_id,
+        |  max(CASE WHEN rmin = 1 THEN event_id END) AS oldest_event_id,
+        |  count(*) AS n
+        |FROM r GROUP BY event_type""".stripMargin.replace("\n", " ")
+  )
+}
