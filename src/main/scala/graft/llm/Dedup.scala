@@ -1,0 +1,165 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale document deduplication: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash, and winnowing fingerprints.
+  *
+  * Design for 100 TB:
+  *  - Never all-pairs. Candidate pairs always come from an equi-join on a
+  *    posting key (shingle, LSH band, fingerprint) so Spark executes them
+  *    as one shuffle join; the quadratic blowup is bounded per posting
+  *    list, and `maxShingleDocFreq` drops degenerate hot postings the way
+  *    a text pipeline drops stopword shingles.
+  *  - All hashing is expression-level (md5-prefix → int64), codegen'd, no
+  *    UDFs, and engine-portable (the DuckDB oracle computes the identical
+  *    signature).
+  */
+object Dedup {
+
+  /** Deterministic 32-bit token hash shared with the DuckDB oracle:
+    * first 8 hex chars of md5, as a long in [0, 2^32).
+    */
+  def tokenHash(tok: Column): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
+
+  /** MinHash parameters: h_i(x) = (a_i * x + b_i) mod p over the token
+    * hash. 8 hashes, 4 bands of 2 → Jaccard ~0.7+ pairs collide w.h.p.
+    */
+  val MinhashP: Long = 2147483647L
+  val MinhashA: Seq[Long] = Seq(1103515245L, 1299709L, 15485863L, 32452843L,
+    49979687L, 67867967L, 86028121L, 104395301L)
+  val MinhashB: Seq[Long] = Seq(12345L, 7919L, 104729L, 1299721L,
+    611953L, 919393L, 15487469L, 2750159L)
+  val BandSize = 2
+
+  /** Exact dedup (hash-groupBy): one row per distinct text with the
+    * canonical (minimum) doc id and the duplicate count. Single shuffle
+    * on the text hash; at scale group on `md5(text)` not the text itself
+    * to keep shuffle keys small.
+    */
+  def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct word-n-gram shingles per doc: (id, sh). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val sh = when(size(toks) >= n,
+      expr(s"transform(sequence(1, size(split($textCol, ' ')) - ${n - 1}), " +
+           s"i -> concat_ws(' ', slice(split($textCol, ' '), i, $n)))"))
+      .otherwise(array())
+    docs.select(col(idCol).as("doc_id"), explode(sh).as("sh")).distinct()
+  }
+
+  /** N-gram Jaccard near-duplicate pairs via inverted-index join:
+    * shingle → postings → per-pair intersection counts → integer
+    * cross-multiplied threshold (inter/union ≥ num/den, no float).
+    * `maxShingleDocFreq`: drop shingles appearing in more docs (hot-key
+    * guard; 0 = keep all — the fixture oracle uses 0).
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
+      thresholdNum: Int, thresholdDen: Int, maxShingleDocFreq: Long = 0): DataFrame = {
+    val sh0 = shingles(docs, idCol, textCol, n)
+    val sh =
+      if (maxShingleDocFreq <= 0) sh0
+      else {
+        val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDocFreq).select("sh")
+        sh0.join(hot, Seq("sh"), "left_anti")
+      }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .filter(col("inter") * thresholdDen >= col("uni") * thresholdNum)
+      .select("doc_a", "doc_b", "inter", "uni")
+  }
+
+  /** Distinct (doc_id, token-hash) pairs — the MinHash input. */
+  private def tokenHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
+      .distinct()
+      .select(col("doc_id"), tokenHash(col("tok")).as("h"))
+
+  /** MinHash signatures: (doc_id, mh_0 .. mh_{k-1}). One explode + one
+    * hash agg (k min() aggregates) — map-side partial mins keep the
+    * shuffle tiny at any SF.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val th = tokenHashes(docs, idCol, textCol)
+    val mins = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % MinhashP).as(s"mh_$i")
+    }
+    th.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing at least one band of their MinHash
+    * signature. Band values become join keys → a single shuffle join on
+    * (band_idx, band_val); no pairwise scan ever happens.
+    */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sig = minhashSignatures(docs, idCol, textCol)
+    val nBands = MinhashA.length / BandSize
+    val bands = (0 until nBands).map { j =>
+      val cols = (0 until BandSize).map(k => col(s"mh_${j * BandSize + k}"))
+      struct(lit(j).as("band_idx"), concat_ws("_", cols: _*).as("band_val"))
+    }
+    val exploded = sig.select(col("doc_id"), explode(array(bands: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
+    exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** 16-bit SimHash over token hashes: bit j of the signature is the sign
+    * of Σ_tokens (±1 by bit j of the token hash). Pure aggregation — one
+    * explode + one groupBy.
+    */
+  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val th = tokenHashes(docs, idCol, textCol)
+    val bitSums = (0 until 16).map { j =>
+      sum(when((col("h") / (1L << j)).cast("long") % 2 === 1, 1).otherwise(-1)).as(s"s_$j")
+    }
+    val agg = th.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 16).map { j =>
+      when(col(s"s_$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), sig.as("simhash16"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    * standard rolling-hash fingerprint the reference's checksum validation
+    * approximates per-row): hash every positional n-gram, keep the min of
+    * each sliding window of `w` consecutive hashes, emit distinct mins.
+    * Window function over (doc, position) — no state beyond the window.
+    */
+  def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val posSh = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(when(size(split(col(textCol), " ")) >= n,
+          expr(s"transform(sequence(1, size(split($textCol, ' ')) - ${n - 1}), " +
+               s"i -> concat_ws(' ', slice(split($textCol, ' '), i, $n)))"))
+          .otherwise(array())))
+      .select(col("doc_id"), col("pos"), tokenHash(col("col")).as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    val nsh = Window.partitionBy("doc_id")
+    posSh
+      .withColumn("fp", min("h").over(win))
+      .withColumn("maxpos", max("pos").over(nsh))
+      .filter(col("pos") <= col("maxpos") - (w - 1))
+      .select("doc_id", "fp").distinct()
+  }
+}

@@ -1,0 +1,76 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: opaque `binary` payloads + typed metadata, with the
+  * decode / feature-extract step stubbed deterministically (image/audio
+  * codecs aren't in this container — the Spark-side plumbing is the real
+  * deliverable: schema, batched per-partition execution, partitioning).
+  *
+  * Two execution shapes:
+  *  1. Expression-level metadata extraction (`metadata`) — codegen'd, used
+  *     by the oracle-checked query.
+  *  2. `decodeBatched` — the mapPartitions shape a real decoder plugs into
+  *     (the Scala analogue of a Pandas-UDF-over-mapInPandas pipeline):
+  *     rows stream through per partition, the decoder sees a whole
+  *     iterator so it can amortize codec init, and output is a typed
+  *     Dataset. The stub "decode" derives deterministic fake
+  *     width/height/frames from the payload bytes.
+  */
+object Multimodal {
+
+  /** Payload column: the fixture documents' text as binary (stand-in for
+    * real image/audio bytes).
+    */
+  def withPayload(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("payload", col(textCol).cast("binary"))
+
+  /** Expression-level metadata: byte length, lowercase-hex header preview,
+    * deterministic fake decode dims. Everything integer/string-exact.
+    */
+  def metadata(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    withPayload(docs, textCol).select(
+      col(idCol).as("doc_id"),
+      octet_length(col("payload")).as("n_bytes"),
+      lower(hex(substring(col("payload"), 1, 8))).as("header_hex"),
+      (octet_length(col("payload")) % 640 + 1).as("width"),
+      (octet_length(col("payload")) * 7 % 480 + 1).as("height"),
+      (octet_length(col("payload")) % 30 + 1).as("n_frames"),
+      when(octet_length(col("payload")) % 3 === 0, "img")
+        .when(octet_length(col("payload")) % 3 === 1, "audio")
+        .otherwise("video").as("media_type"))
+
+  final case class DecodedMedia(
+      doc_id: Long, n_bytes: Int, width: Int, height: Int,
+      n_frames: Int, checksum: Long)
+
+  /** Batched per-partition decode plumbing. `decodeOne` is the pluggable
+    * codec; the default stub derives deterministic values from the bytes
+    * (a real impl would decode pixels/samples here). Repartition upstream
+    * by size/key if payloads are skewed; each partition is one codec
+    * session.
+    */
+  def decodeBatched(
+      spark: SparkSession, withPayloadDf: DataFrame, idCol: String,
+      decodeOne: Array[Byte] => (Int, Int, Int) = stubDecode): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    withPayloadDf.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition "codec init" happens once here
+        rows.map { case (id, bytes) =>
+          val (w, h, f) = decodeOne(bytes)
+          DecodedMedia(id, bytes.length, w, h, f,
+            bytes.foldLeft(0L)((a, b) => a * 31 + (b & 0xff)))
+        }
+      }
+  }
+
+  /** Deterministic fake decoder: dims from byte stats (no codec libs in
+    * the container; marks the seam where a real decoder goes).
+    */
+  def stubDecode(bytes: Array[Byte]): (Int, Int, Int) =
+    (bytes.length % 640 + 1, bytes.length * 7 % 480 + 1, bytes.length % 30 + 1)
+}

@@ -1,0 +1,116 @@
+package graft.llm
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: brute-force cosine top-k (the correctness
+  * baseline) and a random-hyperplane-LSH bucketed variant (the 100 TB
+  * path — candidates come from an equi-join on the bucket id, so the
+  * quadratic scan shrinks to per-bucket blocks).
+  *
+  * Exactness strategy: embeddings are quantized to int64 (×1e5, round) so
+  * dot products and norms are exact integers — order-independent, hence
+  * bit-identical between Spark's parallel execution and the sequential
+  * DuckDB oracle; the final cosine is one double division over identical
+  * integer inputs. LSH planes use ±1 weights derived from md5 so both
+  * engines share the same literal plane constants.
+  */
+object Similarity {
+
+  val Scale = 100000L
+  val Dim = 64
+  val NumPlanes = 8
+
+  /** Quantized int64 vector from a float-array embedding column. */
+  def quantize(embedding: Column): Column =
+    transform(embedding, x => round(x.cast("double") * Scale, 0).cast("long"))
+
+  val quantizeSqlDuck: String =
+    s"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Scale, 0) AS BIGINT))"
+
+  /** Exact integer dot product of two quantized vectors (Spark side). */
+  def dotQ(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+
+  def dotQSqlDuck(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), s -> s[1] * s[2])) AS BIGINT)"
+
+  /** cos = dot / (|a|·|b|), computed as double over exact ints — identical
+    * operation sequence in both engines.
+    */
+  def cosineFromInts(dot: Column, normA: Column, normB: Column): Column =
+    dot.cast("double") / (sqrt(normA.cast("double")) * sqrt(normB.cast("double")))
+
+  /** ±1 plane weights, deterministic from md5 — shared with the oracle. */
+  lazy val planeWeights: Array[Array[Int]] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(NumPlanes, Dim) { (j, d) =>
+      val h = md.digest(s"plane:$j:$d".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 1 else -1
+    }
+  }
+
+  /** Signed projection of a quantized vector column onto plane j, as a SQL
+    * string — `mk(d)` renders the 1-based element access for the target
+    * engine (Spark `element_at(qv, d)`, DuckDB `qv[d]`).
+    */
+  private def planeExpr(j: Int, mk: Int => String): String =
+    planeWeights(j).zipWithIndex.map { case (w, d) =>
+      (if (w > 0) " + " else " - ") + mk(d + 1)
+    }.mkString("(", "", ")")
+
+  /** LSH bucket id (bit j set iff projection on plane j is positive). */
+  def bucketSql(vecExpr: String, spark: Boolean): String = {
+    val mk: Int => String =
+      if (spark) d => s"element_at($vecExpr, $d)" else d => s"$vecExpr[$d]"
+    (0 until NumPlanes).map { j =>
+      s"(CASE WHEN ${planeExpr(j, mk)} > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** Brute-force cosine top-k: every query vector against the whole corpus.
+    * Correctness baseline — O(|Q|·|C|); keep |Q| bounded. The join is a
+    * broadcast of the (small) query side against a single corpus scan, no
+    * shuffle of the corpus; top-k is a per-query window over |Q|·k rows.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("qid"), quantize(col("embedding")).as("qv"))
+      .withColumn("nq", dotQ("qv", "qv"))
+    val c = corpus.select(col("vec_id").as("cid"), quantize(col("embedding")).as("cv"))
+      .withColumn("nc", dotQ("cv", "cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("dot", dotQ("qv", "cv"))
+      .withColumn("cos_sim", cosineFromInts(col("dot"), col("nq"), col("nc")))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "rank", "cos_sim")
+  }
+
+  /** LSH-bucketed ANN: corpus and queries bucketed by the sign pattern of
+    * `NumPlanes` random-hyperplane projections; candidates = same-bucket
+    * pairs (equi-join on bucket, the scale path), ranked by exact cosine
+    * within bucket.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def prep(df: DataFrame, id: String, v: String, n: String) =
+      df.select(col("vec_id").as(id), quantize(col("embedding")).as(v))
+        .withColumn(n, dotQ(v, v))
+        .withColumn("bucket", expr(bucketSql(v, spark = true)))
+    val q = prep(queries, "qid", "qv", "nq")
+    val c = prep(corpus, "cid", "cv", "nc")
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("dot", dotQ("qv", "cv"))
+      .withColumn("cos_sim", cosineFromInts(col("dot"), col("nq"), col("nc")))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "bucket", "rank", "cos_sim")
+  }
+}

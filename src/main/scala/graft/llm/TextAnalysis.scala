@@ -1,0 +1,49 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality features, heuristic language ID. All integer-exact expression
+  * arithmetic (no floats, no UDFs) — portable to the DuckDB oracle and
+  * fully codegen'd per row, so throughput is scan-bound at any SF.
+  */
+object TextAnalysis {
+
+  /** English-ish stopword markers for the heuristic language scorer. */
+  val StopWords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  def tokens(textCol: Column): Column = split(textCol, " ")
+
+  def tokenCount(textCol: Column): Column = size(tokens(textCol))
+
+  /** Quality features, all exact ints:
+    * n_chars, n_tokens, n_unique tokens, stopword count, avg token length
+    * ×100 (integer division; token chars = n_chars − (n_tokens−1) spaces).
+    */
+  def qualityFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val stopList = StopWords.map(s => s"'$s'").mkString(", ")
+    docs.select(
+      col(idCol).as("doc_id"),
+      length(t).as("n_chars"),
+      tokenCount(t).as("n_tokens"),
+      size(array_distinct(tokens(t))).as("n_unique"),
+      expr(s"size(filter(split($textCol, ' '), x -> x IN ($stopList)))").as("n_stop"))
+      .withColumn("avg_token_len_x100",
+        expr("(n_chars - (n_tokens - 1)) * 100 div n_tokens"))
+  }
+
+  /** Heuristic language ID: stopword-density score in per-mille; 'en'
+    * when density ≥ threshold else 'und'. (An n-gram-profile classifier
+    * reduces to the same shape: per-marker-set counts → argmax; kept to
+    * one set here so the oracle stays a single CASE.)
+    */
+  def languageId(docs: DataFrame, idCol: String, textCol: String,
+      thresholdPerMille: Int = 50): DataFrame =
+    qualityFeatures(docs, idCol, textCol)
+      .withColumn("stop_per_mille", expr("n_stop * 1000 div n_tokens"))
+      .withColumn("predicted_lang",
+        when(col("stop_per_mille") >= thresholdPerMille, lit("en")).otherwise(lit("und")))
+      .select("doc_id", "stop_per_mille", "predicted_lang")
+}

@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline operators (builder brief §"beyond the
+  * reference") over `documents`/`embeddings`: dedup (exact / n-gram
+  * Jaccard / MinHash-LSH / SimHash / winnowing), text analysis, embedding
+  * similarity search, multimodal metadata.
+  *
+  * Oracles are generated from the same constants as the Spark
+  * implementations (MinHash coefficients, LSH plane signs), so both
+  * engines compute bit-identical integer signatures.
+  */
+object LlmQueries {
+
+  /** Shared oracle fragments. */
+  private val tokHashDuck = "CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)"
+  private val thCte =
+    """th AS (SELECT DISTINCT doc_id, tok FROM
+      |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+      |h AS (SELECT doc_id, HASHEXPR AS h FROM th)"""
+      .stripMargin.replace("\n", " ").replace("HASHEXPR", tokHashDuck)
+
+  private val shingleCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS sh
+      |  FROM toks, UNNEST(range(1, len(t)-1)) AS r(i) WHERE len(t) >= 3)"""
+      .stripMargin.replace("\n", " ")
+
+  private val minhashSigSelect: String = {
+    val mins = Dedup.MinhashA.zip(Dedup.MinhashB).zipWithIndex.map { case ((a, b), i) =>
+      s"min((h*$a + $b) % ${Dedup.MinhashP}) AS mh_$i"
+    }.mkString(", ")
+    s"SELECT doc_id, $mins FROM h GROUP BY doc_id"
+  }
+
+  private val quantDuck = Similarity.quantizeSqlDuck
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactDuplicates(Tables.documents(s, dir), "doc_id", "text")),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, thresholdNum = 7, thresholdDen = 10)),
+
+    "dedup_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text")),
+
+    "dedup_lsh_pairs" -> ((s, dir) =>
+      Dedup.lshCandidatePairs(Tables.documents(s, dir), "doc_id", "text")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash16(Tables.documents(s, dir), "doc_id", "text")),
+
+    "doc_fingerprint" -> ((s, dir) =>
+      Dedup.winnowingFingerprints(Tables.documents(s, dir), "doc_id", "text", n = 3, w = 4)),
+
+    "text_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars"))),
+
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityFeatures(Tables.documents(s, dir), "doc_id", "text")),
+
+    "text_lang_id" -> ((s, dir) =>
+      TextAnalysis.languageId(Tables.documents(s, dir), "doc_id", "text")),
+
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 10 === 0), k = 5)
+    }),
+
+    "ann_lsh_bucketed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") % 10 === 0), k = 5)
+    }),
+
+    "emb_label_stats" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), Similarity.quantize(col("embedding")).as("qv"))
+        .withColumn("vsum", expr("aggregate(qv, 0L, (a, v) -> a + v)"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), sum("vsum").as("sum_q"))),
+
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.metadata(Tables.documents(s, dir), "doc_id", "text"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_dups
+        |FROM documents GROUP BY md5(text)""".stripMargin.replace("\n", " "),
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, inter, sa.n_sh + sb.n_sh - inter AS uni
+         |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE inter * 10 >= (sa.n_sh + sb.n_sh - inter) * 7""".stripMargin.replace("\n", " "),
+
+    "dedup_minhash_sig" -> s"WITH $thCte $minhashSigSelect",
+
+    "dedup_lsh_pairs" -> {
+      val nBands = Dedup.MinhashA.length / Dedup.BandSize
+      val bandSelects = (0 until nBands).map { j =>
+        val cols = (0 until Dedup.BandSize).map(k => s"mh_${j * Dedup.BandSize + k}")
+        s"SELECT doc_id, $j AS band_idx, concat_ws('_', ${cols.mkString(", ")}) AS band_val FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH $thCte, sig AS ($minhashSigSelect), bands AS ($bandSelects)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+         |  AND a.band_val = b.band_val AND a.doc_id < b.doc_id""".stripMargin.replace("\n", " ")
+    },
+
+    "dedup_simhash" -> {
+      val sums = (0 until 16).map { j =>
+        s"sum(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s_$j"
+      }.mkString(", ")
+      val sig = (0 until 16).map { j =>
+        s"(CASE WHEN s_$j > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH $thCte, agg AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+         |SELECT doc_id, $sig AS simhash16 FROM agg""".stripMargin.replace("\n", " ")
+    },
+
+    "doc_fingerprint" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, i AS pos,
+        |    CAST(concat('0x', substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 8)) AS BIGINT) AS h
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS r(i) WHERE len(t) >= 3),
+        |win AS (SELECT doc_id, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    max(pos) OVER (PARTITION BY doc_id) AS maxpos FROM sh)
+        |SELECT DISTINCT doc_id, fp FROM win WHERE pos <= maxpos - 3""".stripMargin.replace("\n", " "),
+
+    "text_token_count" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, length(text) AS n_chars
+        |FROM documents""".stripMargin.replace("\n", " "),
+
+    "text_quality" -> {
+      val stopList = TextAnalysis.StopWords.map(s => s"'$s'").mkString(", ")
+      s"""SELECT doc_id, length(text) AS n_chars,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  len(list_distinct(string_split(text, ' '))) AS n_unique,
+         |  len(list_filter(string_split(text, ' '), x -> x IN ($stopList))) AS n_stop,
+         |  (length(text) - (len(string_split(text, ' ')) - 1)) * 100 // len(string_split(text, ' ')) AS avg_token_len_x100
+         |FROM documents""".stripMargin.replace("\n", " ")
+    },
+
+    "text_lang_id" -> {
+      val stopList = TextAnalysis.StopWords.map(s => s"'$s'").mkString(", ")
+      s"""WITH f AS (SELECT doc_id,
+         |  len(list_filter(string_split(text, ' '), x -> x IN ($stopList))) * 1000
+         |    // len(string_split(text, ' ')) AS stop_per_mille FROM documents)
+         |SELECT doc_id, stop_per_mille,
+         |  CASE WHEN stop_per_mille >= 50 THEN 'en' ELSE 'und' END AS predicted_lang
+         |FROM f""".stripMargin.replace("\n", " ")
+    },
+
+    "ann_cosine_topk" ->
+      s"""WITH v AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv, ${Similarity.dotQSqlDuck("qv", "qv")} AS nrm FROM v),
+         |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    ${Similarity.dotQSqlDuck("q.qv", "c.qv")} AS dot, q.nrm AS nq, c.nrm AS nc
+         |  FROM n q, n c WHERE q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id),
+         |s AS (SELECT qid, cid,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) AS cos_sim FROM p),
+         |r AS (SELECT qid, cid, cos_sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank FROM s)
+         |SELECT qid, cid, rank, cos_sim FROM r WHERE rank <= 5""".stripMargin.replace("\n", " "),
+
+    "ann_lsh_bucketed" ->
+      s"""WITH v AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv, ${Similarity.dotQSqlDuck("qv", "qv")} AS nrm,
+         |    ${Similarity.bucketSql("qv", spark = false)} AS bucket FROM v),
+         |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, q.bucket AS bucket,
+         |    ${Similarity.dotQSqlDuck("q.qv", "c.qv")} AS dot, q.nrm AS nq, c.nrm AS nc
+         |  FROM n q JOIN n c ON q.bucket = c.bucket
+         |  WHERE q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id),
+         |s AS (SELECT qid, cid, bucket,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) AS cos_sim FROM p),
+         |r AS (SELECT qid, cid, bucket, cos_sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank FROM s)
+         |SELECT qid, cid, bucket, rank, cos_sim FROM r WHERE rank <= 5""".stripMargin.replace("\n", " "),
+
+    "emb_label_stats" ->
+      s"""SELECT label, count(*) AS n,
+         |  CAST(sum(CAST(list_sum($quantDuck) AS BIGINT)) AS BIGINT) AS sum_q
+         |FROM embeddings GROUP BY label""".stripMargin.replace("\n", " "),
+
+    "multimodal_meta" ->
+      """SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
+        |  lower(hex(substr(text, 1, 8)::BLOB)) AS header_hex,
+        |  octet_length(text::BLOB) % 640 + 1 AS width,
+        |  octet_length(text::BLOB) * 7 % 480 + 1 AS height,
+        |  octet_length(text::BLOB) % 30 + 1 AS n_frames,
+        |  CASE WHEN octet_length(text::BLOB) % 3 = 0 THEN 'img'
+        |       WHEN octet_length(text::BLOB) % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS media_type
+        |FROM documents""".stripMargin.replace("\n", " ")
+  )
+}
