@@ -21,7 +21,11 @@ object Similarity {
 
   val Scale = 100000L
   val Dim = 64
+  /** Planes for the single-table (oracle-checked) bucket id. */
   val NumPlanes = 8
+  /** Multi-table LSH (the recall knob): L tables × k bits each. */
+  val TablesL = 8
+  val BitsK = 4
 
   /** Quantized int64 vector from a float-array embedding column. */
   def quantize(embedding: Column): Column =
@@ -43,10 +47,13 @@ object Similarity {
   def cosineFromInts(dot: Column, normA: Column, normB: Column): Column =
     dot.cast("double") / (sqrt(normA.cast("double")) * sqrt(normB.cast("double")))
 
-  /** ±1 plane weights, deterministic from md5 — shared with the oracle. */
+  /** ±1 plane weights, deterministic from md5 — shared with the oracle.
+    * Sized for both the single-table bucket (first `NumPlanes`) and the
+    * multi-table variant (`TablesL * BitsK`).
+    */
   lazy val planeWeights: Array[Array[Int]] = {
     val md = MessageDigest.getInstance("MD5")
-    Array.tabulate(NumPlanes, Dim) { (j, d) =>
+    Array.tabulate(math.max(NumPlanes, TablesL * BitsK), Dim) { (j, d) =>
       val h = md.digest(s"plane:$j:$d".getBytes("UTF-8"))
       if ((h(0) & 1) == 1) 1 else -1
     }
@@ -91,10 +98,8 @@ object Similarity {
       .select("qid", "cid", "rank", "cos_sim")
   }
 
-  /** LSH-bucketed ANN: corpus and queries bucketed by the sign pattern of
-    * `NumPlanes` random-hyperplane projections; candidates = same-bucket
-    * pairs (equi-join on bucket, the scale path), ranked by exact cosine
-    * within bucket.
+  /** Single-table LSH bucket join (oracle-checked shape): candidates =
+    * same 8-bit bucket, ranked by exact cosine within bucket.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -112,5 +117,47 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "cid", "bucket", "rank", "cos_sim")
+  }
+
+  /** Bucket id for multi-table LSH: table `t` uses planes
+    * [t*BitsK, (t+1)*BitsK).
+    */
+  private def tableBucketSql(vecExpr: String, t: Int): String = {
+    val mk: Int => String = d => s"element_at($vecExpr, $d)"
+    (0 until BitsK).map { j =>
+      s"(CASE WHEN ${planeExpr(t * BitsK + j, mk)} > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** Multi-table LSH ANN (standard L×k construction — the production
+    * recall/selectivity knob): a vector lands in one bucket per table;
+    * candidates = pairs sharing any (table, bucket); distinct candidates
+    * are scored once by exact cosine. Still strictly equi-join driven:
+    * the explode multiplies rows by L (cheap ids, not payloads), the join
+    * key is (table, bucket), and payload vectors are re-attached only for
+    * surviving candidates.
+    */
+  def lshMultiTableTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def prep(df: DataFrame, id: String, v: String, n: String) =
+      df.select(col("vec_id").as(id), quantize(col("embedding")).as(v))
+        .withColumn(n, dotQ(v, v))
+    def bucketed(df: DataFrame, id: String, v: String) =
+      df.select(col(id), explode(array((0 until TablesL).map(t =>
+        struct(lit(t).as("t"), expr(tableBucketSql(v, t)).as("b"))): _*)).as("tb"))
+        .select(col(id), col("tb.t").as("t"), col("tb.b").as("b"))
+    val q = prep(queries, "qid", "qv", "nq")
+    val c = prep(corpus, "cid", "cv", "nc")
+    val cand = bucketed(q, "qid", "qv")
+      .join(bucketed(c, "cid", "cv"), Seq("t", "b"))
+      .filter(col("cid") =!= col("qid"))
+      .select("qid", "cid").distinct()
+    val scored = cand.join(q, "qid").join(c, "cid")
+      .withColumn("dot", dotQ("qv", "cv"))
+      .withColumn("cos_sim", cosineFromInts(col("dot"), col("nq"), col("nc")))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "rank", "cos_sim")
   }
 }

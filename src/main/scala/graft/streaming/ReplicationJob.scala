@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.ops.{EventOps, Lww}
+import graft.sink.ParquetStateStore
+
+/** The always-on replication path (reference lifecycle SURVEY.md §3.1):
+  *
+  *   readStream → normalize → validate/split → per-key LWW compaction →
+  *   foreachBatch { DLQ append; LWW upsert into target state }
+  *
+  * with `checkpointLocation` for resume. Exactly-once delivery is the
+  * checkpoint + idempotent-upsert construction (ST4/ST5): foreachBatch is
+  * at-least-once, but the LWW merge is a commutative/idempotent fold, so
+  * replayed batches converge to the same state — the same argument the
+  * reference makes for Kafka-offset replays against its ON CONFLICT sink.
+  *
+  * Unbounded lateness (ST2): deliberately NO watermark/dropDuplicates —
+  * the reference accepts arbitrarily late events and rejects them
+  * individually against persisted target state. State lives in the target
+  * table, not in Spark's state store, so streaming state stays O(batch).
+  *
+  * Scale: the only shuffle per micro-batch is the per-key compaction
+  * (map-side partial max_by first); DLQ and upsert writes are
+  * append/merge. Kafka sources swap in for the file source unchanged
+  * (`readStream.format("kafka")` + the same transform chain).
+  */
+object ReplicationJob {
+
+  /** Fixture event-stream schema (TESTDATA `events`, ns timestamps read
+    * as long per Tables' convention).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  final case class Config(
+      sourceDir: String,
+      targetDir: String,
+      dlqDir: String,
+      checkpointDir: String,
+      validTypes: Seq[String] = Seq("signup", "purchase", "view", "click", "error"),
+      maxValue: Double = 150.0,
+      deleteType: String = "error")
+
+  /** One micro-batch of the sink side: validation split → DLQ append →
+    * LWW compaction → idempotent upsert. Exposed for batch tests and
+    * reused verbatim by the stream.
+    */
+  def processBatch(spark: SparkSession, batch: DataFrame, cfg: Config): Unit = {
+    val err = EventOps.errorType(col("event_type"), col("value"), col("user_id"),
+      cfg.validTypes, cfg.maxValue)
+    val (valid, dlq) = EventOps.validationSplit(batch, err)
+    if (!dlq.isEmpty) {
+      dlq.withColumn("failed_at_us", lit(System.currentTimeMillis() * 1000))
+        .withColumn("resolution_status", lit("PENDING"))
+        .write.mode("append").parquet(cfg.dlqDir)
+    }
+    val enriched = valid
+      .withColumn("_cdc_deleted", col("event_type") === cfg.deleteType)
+      .withColumn("_cdc_timestamp_micros", col("ts_us"))
+      .withColumn("_last_event_id", col("event_id"))
+    val compacted = Lww.latestPerKey(enriched, Seq("user_id"),
+      Seq(col("_cdc_timestamp_micros"), col("_last_event_id")))
+    new ParquetStateStore(spark, cfg.targetDir, "user_id",
+      "_cdc_timestamp_micros", "_last_event_id").upsert(compacted)
+  }
+
+  /** Start the streaming replication job over a parquet directory source
+    * (`Trigger.AvailableNow` drains what's there and stops — the
+    * snapshot-then-stream S2 shape; pass `continuous = true` for an
+    * always-on micro-batch trigger).
+    */
+  def start(spark: SparkSession, cfg: Config, continuous: Boolean = false): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", 1) // bounded batches ≈ ST6 backpressure
+      .parquet(cfg.sourceDir)
+      .withColumn("ts_us", expr("ts div 1000"))
+    val writer = stream.writeStream
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(spark, batch, cfg)
+      }
+    (if (continuous) writer.trigger(Trigger.ProcessingTime("1 second"))
+     else writer.trigger(Trigger.AvailableNow())).start()
+  }
+
+  /** Read current target state, optionally hiding soft-deleted rows (the
+    * reference's `_cdc_deleted` filter views).
+    */
+  def targetState(spark: SparkSession, cfg: Config, includeDeleted: Boolean = true): DataFrame = {
+    val df = spark.read.parquet(cfg.targetDir)
+    if (includeDeleted) df else df.filter(!col("_cdc_deleted"))
+  }
+}

