@@ -1,0 +1,94 @@
+package graft.types
+
+import org.apache.spark.sql.types._
+
+/** Cassandra-type-universe mapping (reference
+  * `src/services/type_mapper.py:19-81`): CQL DDL type string → Catalyst
+  * DataType (+ the PostgreSQL type the JDBC sink DDL emits). Handles the
+  * recursive cases (`list<>`, `set<>`, `map<>`, `frozen<>`, `tuple<>`).
+  *
+  * Deviations from the reference (deliberate, documented in SURVEY.md
+  * §1.2): maps stay structured `MapType` instead of JSONB text; sets keep
+  * element type with distinct-on-write semantics.
+  */
+object TypeMapper {
+
+  final case class Mapped(catalyst: DataType, pg: String)
+
+  private val scalar: Map[String, Mapped] = Map(
+    "text" -> Mapped(StringType, "VARCHAR"),
+    "varchar" -> Mapped(StringType, "VARCHAR"),
+    "ascii" -> Mapped(StringType, "VARCHAR"),
+    "int" -> Mapped(IntegerType, "INTEGER"),
+    "bigint" -> Mapped(LongType, "BIGINT"),
+    "smallint" -> Mapped(ShortType, "SMALLINT"),
+    "tinyint" -> Mapped(ByteType, "SMALLINT"),
+    "varint" -> Mapped(DecimalType(38, 0), "NUMERIC"),
+    "float" -> Mapped(FloatType, "REAL"),
+    "double" -> Mapped(DoubleType, "DOUBLE PRECISION"),
+    "decimal" -> Mapped(DecimalType(38, 18), "DECIMAL"),
+    "boolean" -> Mapped(BooleanType, "BOOLEAN"),
+    "uuid" -> Mapped(StringType, "UUID"),
+    "timeuuid" -> Mapped(StringType, "UUID"),
+    "timestamp" -> Mapped(TimestampType, "TIMESTAMPTZ"),
+    "date" -> Mapped(DateType, "DATE"),
+    "time" -> Mapped(LongType, "TIME"), // ns-of-day; Spark has no TIME type
+    "blob" -> Mapped(BinaryType, "BYTEA"),
+    "inet" -> Mapped(StringType, "INET"),
+    "counter" -> Mapped(LongType, "BIGINT"))
+
+  /** Parse a CQL type string. Unknown types fall back to text
+    * (`type_mapper.py:81`).
+    */
+  def map(cql: String): Mapped = {
+    val t = cql.trim.toLowerCase
+    def inner(prefix: String): String =
+      t.stripPrefix(prefix + "<").stripSuffix(">")
+    if (t.startsWith("frozen<")) map(inner("frozen"))
+    else if (t.startsWith("list<")) {
+      val e = map(inner("list"))
+      Mapped(ArrayType(e.catalyst), s"${e.pg}[]")
+    } else if (t.startsWith("set<")) {
+      val e = map(inner("set"))
+      Mapped(ArrayType(e.catalyst), s"${e.pg}[]") // distinct enforced on write
+    } else if (t.startsWith("map<")) {
+      val Array(k, v) = splitTopLevel(inner("map"))
+      Mapped(MapType(map(k).catalyst, map(v).catalyst), "JSONB")
+    } else if (t.startsWith("tuple<")) {
+      val parts = splitTopLevel(inner("tuple"))
+      val fields = parts.zipWithIndex.map { case (p, i) =>
+        StructField(s"_$i", map(p).catalyst)
+      }
+      Mapped(StructType(fields.toIndexedSeq), "JSONB")
+    } else scalar.getOrElse(t, Mapped(StringType, "TEXT"))
+  }
+
+  /** Split "k, v" / "a, b, c" respecting nested angle brackets. */
+  private def splitTopLevel(s: String): Array[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    val cur = new StringBuilder
+    s.foreach {
+      case '<' => depth += 1; cur += '<'
+      case '>' => depth -= 1; cur += '>'
+      case ',' if depth == 0 => out += cur.result().trim; cur.clear()
+      case c => cur += c
+    }
+    out += cur.result().trim
+    out.result().toArray
+  }
+
+  /** Build a table StructType from (name, cqlType, kind) rows — the shape
+    * `system_schema.columns` returns (`cassandra_repository.py:110-168`).
+    * Nullability: everything nullable except partition keys
+    * (`type_mapper.py:225`).
+    */
+  def structFor(columns: Seq[(String, String, String)]): StructType =
+    StructType(columns.map { case (name, cql, kind) =>
+      StructField(name, map(cql).catalyst, nullable = kind != "partition_key")
+    })
+
+  /** PG DDL column list for the sink auto-create (S13). */
+  def pgColumns(columns: Seq[(String, String, String)]): Seq[(String, String)] =
+    columns.map { case (name, cql, _) => name -> map(cql).pg }
+}
