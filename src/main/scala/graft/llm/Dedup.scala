@@ -43,14 +43,18 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct word-n-gram shingles per doc: (id, sh). */
+  /** Distinct word-n-gram shingles per doc: (id, sh). The token array is
+    * bound to a column BEFORE the lambda — inlining `split(text)` inside
+    * the transform re-splits the text once per element (O(len²) per doc;
+    * measured as the dominant cost of the Jaccard join).
+    */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val sh = when(size(toks) >= n,
-      expr(s"transform(sequence(1, size(split($textCol, ' ')) - ${n - 1}), " +
-           s"i -> concat_ws(' ', slice(split($textCol, ' '), i, $n)))"))
+    val sh = when(size(col("_toks")) >= n,
+      expr(s"transform(sequence(1, size(_toks) - ${n - 1}), " +
+           s"i -> concat_ws(' ', slice(_toks, i, $n)))"))
       .otherwise(array())
-    docs.select(col(idCol).as("doc_id"), explode(sh).as("sh")).distinct()
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks"))
+      .select(col("doc_id"), explode(sh).as("sh")).distinct()
   }
 
   /** N-gram Jaccard near-duplicate pairs via inverted-index join:
@@ -61,17 +65,29 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
       thresholdNum: Int, thresholdDen: Int, maxShingleDocFreq: Long = 0): DataFrame = {
+    // Postings keyed by the int64 shingle hash, not the shingle string:
+    // an 8-byte shuffle key instead of ~20 bytes, and the oracle hashes
+    // identically so collision effects (negligible) are shared.
     val sh0 = shingles(docs, idCol, textCol, n)
-    val sh =
-      if (maxShingleDocFreq <= 0) sh0
-      else {
-        val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxShingleDocFreq).select("sh")
-        sh0.join(hot, Seq("sh"), "left_anti")
-      }
+      .select(col("doc_id"), tokenHash(col("sh")).as("h"))
+    val sh = {
+      val base =
+        if (maxShingleDocFreq <= 0) sh0
+        else {
+          val hot = sh0.groupBy("h").agg(count(lit(1)).as("df"))
+            .filter(col("df") > maxShingleDocFreq).select("h")
+          sh0.join(hot, Seq("h"), "left_anti")
+        }
+      // The postings feed four plan branches (join sides + sizes×2);
+      // lazy persist() races when AQE launches the branches concurrently
+      // against a cold cache (measured ~6× recompute). Eager
+      // localCheckpoint materializes exactly once — at cluster scale this
+      // is the checkpointed postings table.
+      base.localCheckpoint()
+    }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
@@ -82,18 +98,31 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "uni")
   }
 
-  /** Distinct (doc_id, token-hash) pairs — the MinHash input. */
+  /** Distinct (doc_id, token-hash) pairs — SimHash input. */
   private def tokenHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
       .distinct()
       .select(col("doc_id"), tokenHash(col("tok")).as("h"))
 
+  /** MinHash feature set: distinct word-3-gram SHINGLE hashes, not bare
+    * tokens. On small vocabularies token sets are near-identical across
+    * unrelated docs (measured: token-level bands collided into 9.3M
+    * candidate pairs on the 5k-doc fixture — effectively all-pairs);
+    * shingles restore a sparse feature space, which is also the standard
+    * MinHash construction.
+    */
+  private val MinhashShingleN = 3
+  private def shingleHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    shingles(docs, idCol, textCol, MinhashShingleN)
+      .select(col("doc_id"), tokenHash(col("sh")).as("h"))
+
   /** MinHash signatures: (doc_id, mh_0 .. mh_{k-1}). One explode + one
     * hash agg (k min() aggregates) — map-side partial mins keep the
-    * shuffle tiny at any SF.
+    * shuffle tiny at any SF. Docs shorter than the shingle width have no
+    * signature (no features), matching the oracle.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val th = tokenHashes(docs, idCol, textCol)
+    val th = shingleHashes(docs, idCol, textCol)
     val mins = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % MinhashP).as(s"mh_$i")
     }
@@ -105,7 +134,8 @@ object Dedup {
     * (band_idx, band_val); no pairwise scan ever happens.
     */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sig = minhashSignatures(docs, idCol, textCol)
+    // signatures feed both sides of the band self-join — materialize once
+    val sig = minhashSignatures(docs, idCol, textCol).localCheckpoint()
     val nBands = MinhashA.length / BandSize
     val bands = (0 until nBands).map { j =>
       val cols = (0 until BandSize).map(k => col(s"mh_${j * BandSize + k}"))
@@ -148,10 +178,11 @@ object Dedup {
       n: Int, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val posSh = docs
-      .select(col(idCol).as("doc_id"),
-        posexplode(when(size(split(col(textCol), " ")) >= n,
-          expr(s"transform(sequence(1, size(split($textCol, ' ')) - ${n - 1}), " +
-               s"i -> concat_ws(' ', slice(split($textCol, ' '), i, $n)))"))
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks"))
+      .select(col("doc_id"),
+        posexplode(when(size(col("_toks")) >= n,
+          expr(s"transform(sequence(1, size(_toks) - ${n - 1}), " +
+               s"i -> concat_ws(' ', slice(_toks, i, $n)))"))
           .otherwise(array())))
       .select(col("doc_id"), col("pos"), tokenHash(col("col")).as("h"))
     val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)

@@ -19,6 +19,7 @@ object LlmQueries {
 
   /** Shared oracle fragments. */
   private val tokHashDuck = "CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)"
+  /** Token-hash CTE (SimHash input). */
   private val thCte =
     """th AS (SELECT DISTINCT doc_id, tok FROM
       |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
@@ -30,6 +31,11 @@ object LlmQueries {
       |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS sh
       |  FROM toks, UNNEST(range(1, len(t)-1)) AS r(i) WHERE len(t) >= 3)"""
       .stripMargin.replace("\n", " ")
+
+  /** Shingle-hash CTE (MinHash input + Jaccard postings key). */
+  private val shingleHashCte =
+    shingleCte +
+      ", shh AS (SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h FROM sh)"
 
   private val minhashSigSelect: String = {
     val mins = Dedup.MinhashA.zip(Dedup.MinhashB).zipWithIndex.map { case ((a, b), i) =>
@@ -44,9 +50,11 @@ object LlmQueries {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactDuplicates(Tables.documents(s, dir), "doc_id", "text")),
 
+    // maxShingleDocFreq=50: hot-posting guard (the production knob against
+    // quadratic blowup on stopword-like shingles), mirrored in the oracle.
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, thresholdNum = 7, thresholdDen = 10)),
+        n = 3, thresholdNum = 7, thresholdDen = 10, maxShingleDocFreq = 50)),
 
     "dedup_minhash_sig" -> ((s, dir) =>
       Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text")),
@@ -99,16 +107,18 @@ object LlmQueries {
         |FROM documents GROUP BY md5(text)""".stripMargin.replace("\n", " "),
 
     "dedup_ngram_jaccard" ->
-      s"""WITH $shingleCte,
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      s"""WITH $shingleHashCte,
+         |kept AS (SELECT doc_id, h FROM shh WHERE h IN
+         |  (SELECT h FROM shh GROUP BY h HAVING count(*) <= 50)),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
          |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT doc_a, doc_b, inter, sa.n_sh + sb.n_sh - inter AS uni
          |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE inter * 10 >= (sa.n_sh + sb.n_sh - inter) * 7""".stripMargin.replace("\n", " "),
 
-    "dedup_minhash_sig" -> s"WITH $thCte $minhashSigSelect",
+    "dedup_minhash_sig" -> s"WITH $shingleHashCte, h AS (SELECT doc_id, h FROM shh) $minhashSigSelect",
 
     "dedup_lsh_pairs" -> {
       val nBands = Dedup.MinhashA.length / Dedup.BandSize
@@ -116,7 +126,8 @@ object LlmQueries {
         val cols = (0 until Dedup.BandSize).map(k => s"mh_${j * Dedup.BandSize + k}")
         s"SELECT doc_id, $j AS band_idx, concat_ws('_', ${cols.mkString(", ")}) AS band_val FROM sig"
       }.mkString(" UNION ALL ")
-      s"""WITH $thCte, sig AS ($minhashSigSelect), bands AS ($bandSelects)
+      s"""WITH $shingleHashCte, h AS (SELECT doc_id, h FROM shh),
+         |sig AS ($minhashSigSelect), bands AS ($bandSelects)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b ON a.band_idx = b.band_idx
          |  AND a.band_val = b.band_val AND a.doc_id < b.doc_id""".stripMargin.replace("\n", " ")

@@ -8,6 +8,8 @@ object SparkTestSession {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
+      .config("spark.driver.host", "127.0.0.1")
+      .config("spark.driver.bindAddress", "127.0.0.1")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
