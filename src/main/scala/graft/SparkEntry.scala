@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Lww
-import graft.queries.{CdcQueries, LlmQueries, TpchQueries}
+import graft.queries.{Cdc2Queries, CdcQueries, LlmQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,8 +26,10 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CdcQueries.queries ++ TpchQueries.queries ++ LlmQueries.queries
+    CdcQueries.queries ++ Cdc2Queries.queries ++
+      TpchQueries.queries ++ LlmQueries.queries
 
   def oracleSql: Map[String, String] =
-    CdcQueries.oracleSql ++ TpchQueries.oracleSql ++ LlmQueries.oracleSql
+    CdcQueries.oracleSql ++ Cdc2Queries.oracleSql ++
+      TpchQueries.oracleSql ++ LlmQueries.oracleSql
 }
