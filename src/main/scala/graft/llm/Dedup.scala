@@ -168,6 +168,36 @@ object Dedup {
     agg.select(col("doc_id"), sig.as("simhash16"))
   }
 
+  /** SimHash near-duplicate pairs with Hamming distance ≤ `maxHd`, found
+    * by pigeonhole blocking: split the 16-bit signature into `maxHd + 1`
+    * chunks — any pair within distance maxHd must agree on at least one
+    * chunk, so candidates come from an equi-join on (chunk_idx, chunk_val)
+    * and only candidates pay the exact bit_count rerank. Never all-pairs;
+    * the scale path for signature-space dedup.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxHd: Int = 2): DataFrame = {
+    val sig = simhash16(docs, idCol, textCol).localCheckpoint()
+    val nChunks = maxHd + 1
+    val bitsPer = 16 / nChunks
+    val chunks = (0 until nChunks).map { c =>
+      val width = if (c == nChunks - 1) 16 - bitsPer * (nChunks - 1) else bitsPer
+      struct(lit(c).as("ci"),
+        ((col("simhash16") / (1L << (c * bitsPer))).cast("long") % (1L << width)).as("cv"))
+    }
+    val blocked = sig.select(col("doc_id"), col("simhash16"),
+      explode(array(chunks: _*)).as("ch"))
+      .select(col("doc_id"), col("simhash16"), col("ch.ci"), col("ch.cv"))
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash16").as("sig_a"), col("b.simhash16").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= maxHd)
+  }
+
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
     * standard rolling-hash fingerprint the reference's checksum validation
     * approximates per-row): hash every positional n-gram, keep the min of

@@ -65,6 +65,9 @@ object LlmQueries {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash16(Tables.documents(s, dir), "doc_id", "text")),
 
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHd = 2)),
+
     "doc_fingerprint" -> ((s, dir) =>
       Dedup.winnowingFingerprints(Tables.documents(s, dir), "doc_id", "text", n = 3, w = 4)),
 
@@ -142,6 +145,27 @@ object LlmQueries {
       }.mkString(" + ")
       s"""WITH $thCte, agg AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
          |SELECT doc_id, $sig AS simhash16 FROM agg""".stripMargin.replace("\n", " ")
+    },
+
+    "dedup_simhash_pairs" -> {
+      val sums = (0 until 16).map { j =>
+        s"sum(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s_$j"
+      }.mkString(", ")
+      val sig = (0 until 16).map { j =>
+        s"(CASE WHEN s_$j > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH $thCte, agg AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $sig AS simhash16 FROM agg),
+         |blocked AS (
+         |  SELECT doc_id, simhash16, 0 AS ci, simhash16 % 32 AS cv FROM sig
+         |  UNION ALL SELECT doc_id, simhash16, 1, (simhash16 // 32) % 32 FROM sig
+         |  UNION ALL SELECT doc_id, simhash16, 2, (simhash16 // 1024) % 64 FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash16 AS sig_a, b.simhash16 AS sig_b
+         |  FROM blocked a JOIN blocked b
+         |    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, sig_a, sig_b, bit_count(xor(sig_a, sig_b)) AS hamming
+         |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 2""".stripMargin.replace("\n", " ")
     },
 
     "doc_fingerprint" ->
