@@ -23,21 +23,32 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Two passes, min per query: the host shows transient multi-minute
-    // CPU-contention spikes (measured 10x run-to-run variance on identical
-    // code); min-of-repeats estimates true cost. Caches cleared between
+    // The host shows transient multi-minute CPU-contention windows
+    // (measured 10-100x slowdowns on identical code, then recovery), so a
+    // single pass can wildly misreport. Measure once, then re-measure only
+    // the queries that look contaminated (>3 s) and keep the min — bounds
+    // wall clock while filtering contention. Caches cleared between
     // measurements so dedup's localCheckpoints don't skew neighbors.
-    def measureAll(): Map[String, Double] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }.toMap
-    val pass1 = measureAll()
-    val pass2 = measureAll()
-    val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }.toSeq.sortBy(_._1)
+    def measure(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-28s $dt%8.2fs")
+      dt
+    }
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = sorted.map { case (n, fn) => n -> measure(n, fn) }.toMap
+    // Re-measure budget: under sustained contention a re-run can itself be
+    // slow; cap total re-measure wall time so Bench always terminates
+    // promptly for the driver.
+    var rebudget = 180.0
+    val results = sorted.map { case (n, fn) =>
+      n -> (if (pass1(n) > 3.0 && rebudget > 0) {
+        val t = measure(n, fn); rebudget -= t; math.min(pass1(n), t)
+      } else pass1(n))
+    }
 
     // Replication-pipeline throughput: the batch core of ReplicationJob
     // (validate/split → LWW compact → merge against existing state).

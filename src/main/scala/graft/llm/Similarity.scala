@@ -126,6 +126,47 @@ object Similarity {
       .select("qid", "cid", "bucket", "rank", "cos_sim")
   }
 
+  /** IVF-flat ANN: a coarse quantizer partitions the corpus into cells
+    * (inverted lists); queries probe the `nprobe` nearest cells and pay
+    * exact rerank only inside them. Centroids here are a deterministic
+    * corpus sample (`vec_id % centroidMod == 0`) so the oracle can mirror
+    * the construction — production would k-means the sample, which changes
+    * only the centroid table, not the plan shape.
+    *
+    * Scale shape: centroid table is tiny → broadcast to both assignment
+    * scans; the only shuffle is the cell-keyed candidate join. Cell
+    * assignment and rerank reuse the exact integer cosine.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      centroidMod: Long, nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = corpus.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("cent_id"), quantize(col("embedding")).as("centv"))
+      .withColumn("ncent", dotQ("centv", "centv"))
+      .localCheckpoint()
+    def assigned(df: DataFrame, id: String, v: String, n: String, keep: Int) = {
+      val base = df.select(col("vec_id").as(id), quantize(col("embedding")).as(v))
+        .withColumn(n, dotQ(v, v))
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("_cent_cos").desc, col("cent_id"))
+      base.crossJoin(broadcast(cents))
+        .withColumn("_cent_cos",
+          cosineFromInts(dotQ(v, "centv"), col(n), col("ncent")))
+        .withColumn("_crn", row_number().over(w))
+        .filter(col("_crn") <= keep)
+        .select(col(id), col(v), col(n), col("cent_id").as("cell"))
+    }
+    val c = assigned(corpus, "cid", "cv", "nc", keep = 1)
+    val q = assigned(queries, "qid", "qv", "nq", keep = nprobe)
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))
+    c.join(q, Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos_sim", cosineFromInts(dotQ("qv", "cv"), col("nq"), col("nc")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "cell", "rank", "cos_sim")
+  }
+
   /** Bucket id for multi-table LSH: table `t` uses planes
     * [t*BitsK, (t+1)*BitsK).
     */

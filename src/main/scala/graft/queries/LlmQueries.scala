@@ -93,6 +93,12 @@ object LlmQueries {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") % 10 === 0), k = 5)
     }),
 
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 10 === 0),
+        centroidMod = 50, nprobe = 3, k = 5)
+    }),
+
     "emb_label_stats" -> ((s, dir) =>
       Tables.embeddings(s, dir)
         .select(col("label"), Similarity.quantize(col("embedding")).as("qv"))
@@ -227,6 +233,32 @@ object LlmQueries {
          |r AS (SELECT qid, cid, bucket, cos_sim,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank FROM s)
          |SELECT qid, cid, bucket, rank, cos_sim FROM r WHERE rank <= 5""".stripMargin.replace("\n", " "),
+
+    "ann_ivf_topk" -> {
+      def cos(dot: String, n1: String, n2: String) =
+        s"CAST($dot AS DOUBLE) / (sqrt(CAST($n1 AS DOUBLE)) * sqrt(CAST($n2 AS DOUBLE)))"
+      s"""WITH v AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv, ${Similarity.dotQSqlDuck("qv", "qv")} AS nrm FROM v),
+         |cents AS (SELECT vec_id AS cent_id, qv AS centv, nrm AS ncent FROM n WHERE vec_id % 50 = 0),
+         |ca AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM (
+         |  SELECT n.vec_id, n.qv, n.nrm, c.cent_id,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ${cos(Similarity.dotQSqlDuck("n.qv", "c.centv"), "n.nrm", "c.ncent")} DESC,
+         |      c.cent_id) AS crn
+         |  FROM n, cents c) WHERE crn = 1),
+         |qa AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM (
+         |  SELECT nq.vec_id, nq.qv, nq.nrm, c.cent_id,
+         |    row_number() OVER (PARTITION BY nq.vec_id ORDER BY
+         |      ${cos(Similarity.dotQSqlDuck("nq.qv", "c.centv"), "nq.nrm", "c.ncent")} DESC,
+         |      c.cent_id) AS crn
+         |  FROM (SELECT * FROM n WHERE vec_id % 10 = 0) nq, cents c) WHERE crn <= 3),
+         |p AS (SELECT qa.vec_id AS qid, ca.vec_id AS cid, ca.cell,
+         |    ${cos(Similarity.dotQSqlDuck("qa.qv", "ca.qv"), "qa.nrm", "ca.nrm")} AS cos_sim
+         |  FROM qa JOIN ca ON qa.cell = ca.cell AND ca.vec_id <> qa.vec_id),
+         |r AS (SELECT qid, cid, cell, cos_sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank FROM p)
+         |SELECT qid, cid, cell, rank, cos_sim FROM r WHERE rank <= 5""".stripMargin.replace("\n", " ")
+    },
 
     "emb_label_stats" ->
       s"""SELECT label, count(*) AS n,

@@ -96,6 +96,17 @@ class DedupSimilaritySpec extends SparkSpecBase {
       s"LSH recall@1 too low: $hits/${bf.size}")
   }
 
+  test("IVF ANN recall vs brute force on fixture embeddings") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val bf = Similarity.bruteForceTopK(emb, q, 5)
+      .filter(col("rank") === 1).select("qid", "cid").as[(Long, Long)].collect().toMap
+    val ivf = Similarity.ivfTopK(emb, q, centroidMod = 50, nprobe = 3, k = 5)
+      .filter(col("rank") === 1).select("qid", "cid").as[(Long, Long)].collect().toMap
+    val hits = bf.count { case (qid, cid) => ivf.get(qid).contains(cid) }
+    assert(hits.toDouble / bf.size >= 0.5, s"IVF recall@1 too low: $hits/${bf.size}")
+  }
+
   test("multimodal decodeBatched produces deterministic metadata") {
     val decoded = Multimodal.decodeBatched(
       spark, Multimodal.withPayload(docs, "text"), "doc_id").collect()
