@@ -59,14 +59,38 @@ object EventOps {
   def ttlLive(expiryUs: Column, nowUs: Long): Column =
     expiryUs.isNull || expiryUs > nowUs
 
-  /** Canonical row checksum: SHA-256 over a '|'-joined canonical string of
-    * the given columns, in the caller-fixed order. The reference hashes
-    * `json.dumps(record, sort_keys=True)` (`reconciliation_engine.py:420`);
-    * our canonical form is engine-portable instead (identical in Spark and
-    * DuckDB) — callers pass columns pre-cast to exact (int/string) types.
+  /** Canonical field encoding for checksums: `<len>:<value>`, or the
+    * marker `N` for NULL. The length prefix makes the encoding
+    * prefix-free, so values containing the field delimiter cannot collide
+    * ((a,'b|c') vs (a|b,c)), and NULL is distinct from every value
+    * ((a,NULL,b) vs (a,b,NULL)) — the ambiguities a bare
+    * `concat_ws('|',...)` has, because it silently SKIPS nulls. The
+    * reference avoids both by hashing sort_keys JSON
+    * (`reconciliation_engine.py:420`); this form is the engine-portable
+    * equivalent (see [[canonicalFieldSqlDuck]]).
+    */
+  def canonicalField(c: Column): Column = {
+    val s = c.cast("string")
+    coalesce(concat(length(s).cast("string"), lit(":"), s), lit("N"))
+  }
+
+  /** DuckDB mirror of [[canonicalField]] for oracle SQL generation
+    * (`||` not `concat`: DuckDB's concat skips NULLs too).
+    */
+  def canonicalFieldSqlDuck(c: String): String =
+    s"coalesce(CAST(length(CAST($c AS VARCHAR)) AS VARCHAR) || ':' || CAST($c AS VARCHAR), 'N')"
+
+  /** Canonical row checksum: SHA-256 over '|'-joined [[canonicalField]]
+    * encodings of the given columns, in the caller-fixed order. Callers
+    * pass columns pre-cast to exact (int/string) types so the string
+    * rendering is engine-identical.
     */
   def canonicalChecksum(cols: Seq[Column]): Column =
-    sha2(concat_ws("|", cols.toIndexedSeq: _*), 256)
+    sha2(concat_ws("|", cols.map(canonicalField).toIndexedSeq: _*), 256)
+
+  /** DuckDB mirror of [[canonicalChecksum]]. */
+  def checksumSqlDuck(cols: Seq[String]): String =
+    s"sha256(concat_ws('|', ${cols.map(canonicalFieldSqlDuck).mkString(", ")}))"
 
   /** Exact cents from a 2-decimal double — `round` then cast, identical in
     * Spark and DuckDB (both round positive halves up/away).

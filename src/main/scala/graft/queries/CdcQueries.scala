@@ -141,11 +141,16 @@ object CdcQueries {
         .offset(50).limit(100)),
 
     // A4: multi-dimension cube over the event stream (DLQ-stats shape).
+    // `grouping_id` disambiguates subtotal rows from data-NULL groups (the
+    // DLQ seed rows have NULL event_type/user_id): without it a subtotal
+    // (NULL, x) and the NULL-group (NULL, x) are indistinguishable to the
+    // row comparator and the output is not well-defined.
     "cdc_events_cube" -> ((s, dir) =>
       ev(s, dir)
         .withColumn("bucket", col("user_id") % 3)
         .cube(col("event_type"), col("bucket"))
-        .agg(count(lit(1)).as("n"),
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
           sum(EventOps.cents(col("value"))).as("sum_cents"))),
 
     // U1: set difference of key populations (reconciliation primitive).
@@ -164,8 +169,9 @@ object CdcQueries {
       val jobs = srcC.join(tgtC, Seq("tbl"), "left_outer")
         .withColumn("target_count", coalesce(col("target_count"), lit(0L)))
         .withColumn("mismatch_count", abs(col("source_count") - col("target_count")))
+        // same op order as the oracle: (long * 100.0) / long — one double op
         .withColumn("drift_percentage",
-          round(col("mismatch_count").cast("double") / col("source_count") * 100, 2))
+          round(col("mismatch_count") * lit(100.0) / col("source_count"), 2))
         .withColumn("alert_fired", col("drift_percentage") >= 1.0)
       Reconciler.jobStatistics(jobs)
     }),
@@ -204,9 +210,10 @@ object CdcQueries {
          |FROM events""".stripMargin.replace("\n", " "),
 
     "cdc_checksum" ->
-      """SELECT event_id, sha256(concat_ws('|', event_id, user_id, event_type,
-        |  CAST(round(value*100, 0) AS BIGINT), epoch_us(ts))) AS row_checksum
-        |FROM events""".stripMargin.replace("\n", " "),
+      s"""SELECT event_id, ${EventOps.checksumSqlDuck(Seq(
+             "event_id", "user_id", "event_type",
+             "CAST(round(value*100, 0) AS BIGINT)", "epoch_us(ts)"))} AS row_checksum
+         |FROM events""".stripMargin.replace("\n", " "),
 
     "cdc_recon_rowcount" ->
       """SELECT s.source_count, t.target_count,
@@ -235,7 +242,8 @@ object CdcQueries {
         |ORDER BY epoch_us(ts) DESC, event_id LIMIT 100 OFFSET 50""".stripMargin.replace("\n", " "),
 
     "cdc_events_cube" ->
-      """SELECT event_type, bucket, count(*) AS n,
+      """SELECT event_type, bucket, CAST(grouping(event_type, bucket) AS BIGINT) AS gid,
+        |  count(*) AS n,
         |  sum(CAST(round(value*100, 0) AS BIGINT)) AS sum_cents
         |FROM (SELECT event_type, user_id % 3 AS bucket, value FROM events)
         |GROUP BY CUBE(event_type, bucket)""".stripMargin.replace("\n", " "),
@@ -253,7 +261,8 @@ object CdcQueries {
         |  abs(source_count - coalesce(target_count, 0)) AS mismatch_count,
         |  round(abs(source_count - coalesce(target_count, 0)) * 100.0 / source_count, 2) AS drift_percentage
         |  FROM src LEFT JOIN tgt ON src.tbl = tgt.tbl)
-        |SELECT count(*) AS total_jobs, round(avg(drift_percentage), 4) AS avg_drift,
+        |SELECT count(*) AS total_jobs,
+        |  round(sum(CAST(round(drift_percentage*100, 0) AS BIGINT)) / (count(*) * 100.0), 4) AS avg_drift,
         |  max(drift_percentage) AS max_drift, sum(mismatch_count) AS total_mismatches,
         |  sum(CASE WHEN drift_percentage >= 1.0 THEN 1 ELSE 0 END) AS alerts_fired
         |FROM jobs""".stripMargin.replace("\n", " "),
@@ -267,10 +276,11 @@ object CdcQueries {
   )
 
   private def reconMismatchSql(statsOnly: Boolean): String = {
+    val cks = EventOps.checksumSqlDuck(Seq("event_id", "event_type", "value_cents", "ts_us"))
     val core =
-      s"""WITH s AS (SELECT user_id, sha256(concat_ws('|', event_id, event_type, value_cents, ts_us)) AS source_checksum
+      s"""WITH s AS (SELECT user_id, $cks AS source_checksum
          |          FROM ${lwwStateSql(Some(101L))} ss),
-         |t AS (SELECT user_id, sha256(concat_ws('|', event_id, event_type, value_cents, ts_us)) AS target_checksum
+         |t AS (SELECT user_id, $cks AS target_checksum
          |          FROM ${lwwStateSql(Some(97L))} tt),
          |m AS (SELECT coalesce(s.user_id, t.user_id) AS user_id, source_checksum, target_checksum,
          |  CASE WHEN target_checksum IS NULL THEN 'MISSING_IN_POSTGRES'

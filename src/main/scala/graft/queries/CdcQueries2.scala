@@ -56,17 +56,25 @@ object Cdc2Queries {
         .groupBy("tbl").agg(count(lit(1)).as("target_count"))
       val jobs = srcC.join(tgtC, Seq("tbl"), "left_outer")
         .withColumn("target_count", coalesce(col("target_count"), lit(0L)))
+        // (long * 100.0) / long — same op order as the oracle
         .withColumn("drift_percentage", round(
-          abs(col("source_count") - col("target_count")).cast("double") /
-            col("source_count") * 100, 2))
+          abs(col("source_count") - col("target_count")) * lit(100.0) /
+            col("source_count"), 2))
+      // Mismatch keys serialized to a sorted comma-joined string: the
+      // oracle harness hashes scalar cells only (array cells are
+      // unhashable in its comparator), and the string form is the same
+      // information.
       val mism = Reconciler.checksumMismatches(
           lwwState(s, dir, lit(true)),
           lwwState(s, dir, col("event_id") % 97 =!= 0),
           "user_id", Seq("event_id", "event_type", "value_cents", "ts_us"))
         .withColumn("tbl", col("user_id") % 10)
         .groupBy("tbl")
-        .agg(sort_array(collect_list(col("user_id"))).as("mismatch_user_ids"))
+        .agg(concat_ws(",",
+          transform(sort_array(collect_list(col("user_id"))), _.cast("string")))
+          .as("mismatch_user_ids"))
       jobs.join(mism, Seq("tbl"), "left_outer")
+        .withColumn("mismatch_user_ids", coalesce(col("mismatch_user_ids"), lit("")))
         .select("tbl", "source_count", "target_count", "drift_percentage", "mismatch_user_ids")
     }),
 
@@ -78,13 +86,15 @@ object Cdc2Queries {
         df.groupBy("user_id").agg(sort_array(collect_set(col("event_type"))).as(as))
       val src = typeSets(e, "src_types")
       val tgt = typeSets(e.filter(col("event_id") % 7 =!= 0), "tgt_types")
+      // Set-diff results serialized to sorted comma-joined strings so every
+      // output cell is scalar (the oracle comparator can't hash arrays).
       src.join(tgt, Seq("user_id"), "left_outer")
         .withColumn("tgt_types", coalesce(col("tgt_types"), array()))
         .select(
           col("user_id"),
-          sort_array(array_except(col("src_types"), col("tgt_types"))).as("source_only"),
-          sort_array(array_except(col("tgt_types"), col("src_types"))).as("target_only"),
-          sort_array(array_intersect(col("src_types"), col("tgt_types"))).as("common"))
+          concat_ws(",", sort_array(array_except(col("src_types"), col("tgt_types")))).as("source_only"),
+          concat_ws(",", sort_array(array_except(col("tgt_types"), col("src_types")))).as("target_only"),
+          concat_ws(",", sort_array(array_intersect(col("src_types"), col("tgt_types")))).as("common"))
     }),
 
     // Session windows, batch form (the flatMapGroupsWithState semantics as
@@ -132,16 +142,18 @@ object Cdc2Queries {
          |jobs AS (SELECT src.tbl, source_count, coalesce(target_count, 0) AS target_count,
          |  round(abs(source_count - coalesce(target_count, 0)) * 100.0 / source_count, 2) AS drift_percentage
          |  FROM src LEFT JOIN tgt ON src.tbl = tgt.tbl),
-         |s AS (SELECT user_id, sha256(concat_ws('|', event_id, event_type, value_cents, ts_us)) AS cks
+         |s AS (SELECT user_id, ${EventOps.checksumSqlDuck(Seq("event_id", "event_type", "value_cents", "ts_us"))} AS cks
          |      FROM ${lwwSql("TRUE")} ss),
-         |t AS (SELECT user_id, sha256(concat_ws('|', event_id, event_type, value_cents, ts_us)) AS cks
+         |t AS (SELECT user_id, ${EventOps.checksumSqlDuck(Seq("event_id", "event_type", "value_cents", "ts_us"))} AS cks
          |      FROM ${lwwSql("event_id % 97 <> 0")} tt),
          |m AS (SELECT coalesce(s.user_id, t.user_id) AS user_id
          |      FROM s FULL OUTER JOIN t ON s.user_id = t.user_id
          |      WHERE s.cks IS NULL OR t.cks IS NULL OR s.cks <> t.cks),
-         |hyd AS (SELECT user_id % 10 AS tbl, list_sort(list(user_id)) AS mismatch_user_ids
+         |hyd AS (SELECT user_id % 10 AS tbl,
+         |        array_to_string(list_sort(list(user_id)), ',') AS mismatch_user_ids
          |        FROM m GROUP BY 1)
-         |SELECT jobs.tbl, source_count, target_count, drift_percentage, mismatch_user_ids
+         |SELECT jobs.tbl, source_count, target_count, drift_percentage,
+         |  coalesce(mismatch_user_ids, '') AS mismatch_user_ids
          |FROM jobs LEFT JOIN hyd ON jobs.tbl = hyd.tbl""".stripMargin.replace("\n", " "),
 
     "cdc_dict_diff" ->
@@ -150,9 +162,9 @@ object Cdc2Queries {
         |        WHERE event_id % 7 <> 0 GROUP BY 1),
         |j AS (SELECT src.user_id, s, coalesce(t, []) AS t FROM src LEFT JOIN tgt ON src.user_id = tgt.user_id)
         |SELECT user_id,
-        |  list_sort(list_filter(s, x -> NOT list_contains(t, x))) AS source_only,
-        |  list_sort(list_filter(t, x -> NOT list_contains(s, x))) AS target_only,
-        |  list_sort(list_filter(s, x -> list_contains(t, x))) AS common
+        |  coalesce(array_to_string(list_sort(list_filter(s, x -> NOT list_contains(t, x))), ','), '') AS source_only,
+        |  coalesce(array_to_string(list_sort(list_filter(t, x -> NOT list_contains(s, x))), ','), '') AS target_only,
+        |  coalesce(array_to_string(list_sort(list_filter(s, x -> list_contains(t, x))), ','), '') AS common
         |FROM j""".stripMargin.replace("\n", " "),
 
     "events_sessionize" ->

@@ -32,8 +32,10 @@ object Reconciler {
     val t = target.agg(count(lit(1)).as("target_count"))
     s.crossJoin(t)
       .withColumn("mismatch_count", abs(col("source_count") - col("target_count")))
+      // (long * 100.0) / long — matches the oracle's literal op order so the
+      // single double division is bit-identical across engines
       .withColumn("drift_percentage",
-        round(col("mismatch_count").cast("double") / col("source_count") * 100, 2))
+        round(col("mismatch_count") * lit(100.0) / col("source_count"), 2))
   }
 
   /** Checksum validation (A2/A3 + J2): full-outer join on `key`, classify
@@ -46,7 +48,7 @@ object Reconciler {
       hashCols: Seq[String]): DataFrame = {
     def withSum(df: DataFrame, as: String): DataFrame =
       df.select(col(key),
-        sha2(concat_ws("|", hashCols.map(col).toIndexedSeq: _*), 256).as(as))
+        graft.ops.EventOps.canonicalChecksum(hashCols.map(col)).as(as))
     val s = withSum(source, "source_checksum")
     val t = withSum(target, "target_checksum")
     s.join(t, Seq(key), "full_outer")
@@ -88,11 +90,19 @@ object Reconciler {
   /** Job statistics (A5, `reconciliation_repository.py:402-411`):
     * COUNT / AVG / MAX drift, SUM mismatches, alert count — over a jobs
     * DataFrame with (drift_percentage, mismatch_count, alert_fired).
+    *
+    * `drift_percentage` is quantized to 0.01 upstream (the reference's
+    * `Decimal.quantize`), so the average is computed over exact integer
+    * basis points: `sum(round(drift*100)) / (count*100)`. A float `avg`
+    * is order-dependent in the last ulp (parallel partial sums), which is
+    * visible through `round(_, 4)` — integer summation is associative, so
+    * the single trailing double division is bit-stable on any partitioning.
     */
   def jobStatistics(jobs: DataFrame): DataFrame =
     jobs.agg(
       count(lit(1)).as("total_jobs"),
-      round(avg("drift_percentage"), 4).as("avg_drift"),
+      round(sum(round(col("drift_percentage") * 100, 0).cast("long")).cast("double") /
+        (count(lit(1)) * 100), 4).as("avg_drift"),
       max("drift_percentage").as("max_drift"),
       sum("mismatch_count").as("total_mismatches"),
       sum(when(col("alert_fired"), 1).otherwise(0)).as("alerts_fired"))
