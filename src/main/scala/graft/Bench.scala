@@ -1,11 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Driver benchmark: per-query wall clock over SPARK_GRAFT_SF_DIR plus a
   * replication-pipeline throughput metric (events/s through
   * validate→compact→merge, the BASELINE.md headline number). One JSON
   * line on stdout.
+  *
+  * Measurement discipline (the host shows transient multi-minute CPU
+  * contention windows — identical code measured 10-100x apart minutes
+  * apart):
+  *   1. The headline `events_per_sec` is measured FIRST, before the long
+  *      query tail can push it into a contention window: 3 trials,
+  *      best-of kept (contention only ever slows a trial down).
+  *   2. Each query is timed once; entries that look contaminated (>3 s)
+  *      are re-measured min-of-up-to-3, cheapest first, under a global
+  *      re-measure budget — so one slow outlier can't starve the others'
+  *      retries.
+  *   3. A query that throws is recorded in `failed` with value -1, never
+  *      as its (tiny) time-to-throw.
+  *   4. `contention_ratio` = max over all multi-trial measurements of
+  *      (slowest trial / fastest trial); >3 means the round very likely
+  *      hit a contention window and the numbers should be read with that.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,55 +38,84 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // The host shows transient multi-minute CPU-contention windows
-    // (measured 10-100x slowdowns on identical code, then recovery), so a
-    // single pass can wildly misreport. Measure once, then re-measure only
-    // the queries that look contaminated (>3 s) and keep the min — bounds
-    // wall clock while filtering contention. Caches cleared between
-    // measurements so dedup's localCheckpoints don't skew neighbors.
-    def measure(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    var contentionRatio = 1.0
+    def noteSpread(trials: Seq[Double]): Unit = {
+      val pos = trials.filter(_ > 0)
+      if (pos.size >= 2 && pos.min > 0)
+        contentionRatio = math.max(contentionRatio, pos.max / pos.min)
+    }
+
+    def clearCaches(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
+    }
+
+    /** Wall-clock one action; Left(error) on throw (never a fake time). */
+    def timeOnce(label: String)(body: => Unit): Either[String, Double] = {
+      clearCaches()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s $dt%8.2fs")
-      dt
+      val r = try { body; Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable => Left(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+      r match {
+        case Right(dt) => System.err.println(f"[bench] $label%-28s $dt%8.2fs")
+        case Left(m)   => System.err.println(s"[bench] $label FAILED: ${m.take(200)}")
+      }
+      r
     }
+
+    // ---- 1. Headline replication throughput, measured before anything else.
+    val ev = Tables.events(spark, sfDir)
+    val nEvents = ev.count()
+    val replTrials: Seq[Double] = (1 to 3).map { i =>
+      val base = java.nio.file.Files.createTempDirectory("bench_repl").toString
+      val cfg = graft.streaming.ReplicationJob.Config(
+        sourceDir = sfDir, targetDir = s"$base/target",
+        dlqDir = s"$base/dlq", checkpointDir = s"$base/ckpt")
+      timeOnce(s"replication_trial_$i") {
+        graft.streaming.ReplicationJob.processBatch(spark, ev, cfg)
+      }.fold(_ => -1.0, dt => nEvents / dt)
+    }
+    noteSpread(replTrials.map(eps => if (eps > 0) 1.0 / eps else -1.0))
+    val eventsPerSec = if (replTrials.exists(_ > 0)) replTrials.max else -1.0
+
+    // ---- 2. Per-query pass, then min-of-up-to-3 re-measure of slow entries,
+    // cheapest first so the budget reaches every candidate.
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-    val pass1 = sorted.map { case (n, fn) => n -> measure(n, fn) }.toMap
-    // Re-measure budget: under sustained contention a re-run can itself be
-    // slow; cap total re-measure wall time so Bench always terminates
-    // promptly for the driver.
-    var rebudget = 180.0
-    val results = sorted.map { case (n, fn) =>
-      n -> (if (pass1(n) > 3.0 && rebudget > 0) {
-        val t = measure(n, fn); rebudget -= t; math.min(pass1(n), t)
-      } else pass1(n))
+    val pass1: Map[String, Either[String, Double]] = sorted.map { case (n, fn) =>
+      n -> timeOnce(n) { fn(spark, sfDir).count(): Unit }
+    }.toMap
+
+    var rebudget = 240.0
+    val results: Map[String, Either[String, Double]] = {
+      val slow = sorted.collect {
+        case (n, fn) if pass1(n).exists(_ > 3.0) => (n, fn, pass1(n).getOrElse(0.0))
+      }.sortBy(_._3)
+      val retried = slow.map { case (n, fn, t1) =>
+        var trials = List(t1)
+        var k = 0
+        while (k < 2 && rebudget > 0 && trials.min > 3.0) {
+          timeOnce(s"$n (retry)") { fn(spark, sfDir).count(): Unit }.foreach { t =>
+            rebudget -= t; trials ::= t
+          }
+          k += 1
+        }
+        noteSpread(trials)
+        n -> Right(trials.min).withLeft[String]
+      }.toMap
+      pass1 ++ retried
     }
 
-    // Replication-pipeline throughput: the batch core of ReplicationJob
-    // (validate/split → LWW compact → merge against existing state).
-    val eventsPerSec =
-      try {
-        (1 to 2).map { _ =>
-          val ev = Tables.events(spark, sfDir)
-          val n = ev.count()
-          val base = java.nio.file.Files.createTempDirectory("bench_repl").toString
-          val cfg = graft.streaming.ReplicationJob.Config(
-            sourceDir = sfDir, targetDir = s"$base/target",
-            dlqDir = s"$base/dlq", checkpointDir = s"$base/ckpt")
-          val t0 = System.nanoTime()
-          graft.streaming.ReplicationJob.processBatch(spark, ev, cfg)
-          n / ((System.nanoTime() - t0) / 1e9)
-        }.max
-      } catch { case _: Throwable => -1.0 }
-
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val qs = results.toSeq.sortBy(_._1).map {
+      case (k, Right(v)) => "\"" + k + "\":" + v
+      case (k, Left(_))  => "\"" + k + "\":-1"
+    }.mkString("{", ",", "}")
+    val failed = results.toSeq.collect { case (k, Left(_)) => "\"" + k + "\"" }
+      .sorted.mkString("[", ",", "]")
+    val total = results.values.collect { case Right(v) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""events_per_sec":$eventsPerSec,"sf":"$sfDir"}""")
+      s""""events_per_sec":$eventsPerSec,"failed":$failed,""" +
+      s""""contention_ratio":${math.round(contentionRatio * 100) / 100.0},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }
