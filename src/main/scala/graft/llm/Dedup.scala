@@ -79,11 +79,9 @@ object Dedup {
           sh0.join(hot, Seq("h"), "left_anti")
         }
       // The postings feed four plan branches (join sides + sizes×2);
-      // lazy persist() races when AQE launches the branches concurrently
-      // against a cold cache (measured ~6× recompute). Eager
-      // localCheckpoint materializes exactly once — at cluster scale this
-      // is the checkpointed postings table.
-      base.localCheckpoint()
+      // materialize exactly once — mode per spark.graft.materialize
+      // (local[n] fast path vs cluster-durable persist/checkpoint).
+      graft.util.Materialize.stable(base)
     }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
@@ -135,7 +133,7 @@ object Dedup {
     */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // signatures feed both sides of the band self-join — materialize once
-    val sig = minhashSignatures(docs, idCol, textCol).localCheckpoint()
+    val sig = graft.util.Materialize.stable(minhashSignatures(docs, idCol, textCol))
     val nBands = MinhashA.length / BandSize
     val bands = (0 until nBands).map { j =>
       val cols = (0 until BandSize).map(k => col(s"mh_${j * BandSize + k}"))
@@ -176,7 +174,7 @@ object Dedup {
     * the scale path for signature-space dedup.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxHd: Int = 2): DataFrame = {
-    val sig = simhash16(docs, idCol, textCol).localCheckpoint()
+    val sig = graft.util.Materialize.stable(simhash16(docs, idCol, textCol))
     val nChunks = maxHd + 1
     val bitsPer = 16 / nChunks
     val chunks = (0 until nChunks).map { c =>
@@ -196,6 +194,70 @@ object Dedup {
       .distinct()
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
       .filter(col("hamming") <= maxHd)
+  }
+
+  /** 64-bit SimHash kept as four independent 16-bit chunk columns
+    * (c0..c3): bit j of chunk c is the sign of Σ_tokens(±1 by bit
+    * (16c + j) of the token's 64-bit hash, drawn from two 32-bit md5
+    * words). Why chunks instead of one 64-bit column: (a) no signed-64
+    * overflow anywhere (bit 63 would be the sign bit, and the two engines
+    * disagree on negative `%`/`//`), and (b) the chunks ARE the
+    * pigeonhole blocking key, so the pair join needs no re-splitting.
+    *
+    * This replaces the 16-bit pair path, whose chunk domains of 32/64
+    * values gave a CONSTANT ~1/32 blocking selectivity — candidates
+    * ≈ N²/32, quadratic at scale, and 48% of all pairs "near-duplicate"
+    * at sf0.01 (the signature carried almost no information). A 2^16
+    * chunk domain scales blocking selectivity with corpus entropy.
+    */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val th = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
+      .distinct()
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long").as("h2"))
+    val bitSums = (0 until 64).map { g =>
+      val (src, j) = if (g < 32) (col("h1"), g) else (col("h2"), g - 32)
+      sum(when(shiftright(src, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s_$g")
+    }
+    val agg = th.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val chunkCols = (0 until 4).map { c =>
+      (0 until 16).map { j =>
+        when(col(s"s_${c * 16 + j}") > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"c$c")
+    }
+    agg.select(col("doc_id") +: chunkCols: _*)
+  }
+
+  /** Near-duplicate pairs over the 64-bit SimHash, Hamming ≤ `maxHd` ≤ 3:
+    * a pair within distance 3 must agree exactly on at least one of the 4
+    * chunks (pigeonhole), so candidates come from one equi-join on
+    * (chunk_idx, chunk_val) and only candidates pay the bit_count rerank.
+    * Candidate volume stays ~linear in N as long as chunk values spread
+    * over their 2^16 domain.
+    */
+  def simhash64Pairs(docs: DataFrame, idCol: String, textCol: String, maxHd: Int = 3): DataFrame = {
+    require(maxHd >= 1 && maxHd <= 3, "4-chunk pigeonhole guarantees recall only for 1 <= maxHd <= 3")
+    val sig = graft.util.Materialize.stable(simhash64(docs, idCol, textCol))
+    val chunkStructs = (0 until 4).map(c => struct(lit(c).as("ci"), col(s"c$c").as("cv")))
+    val sigCols = (0 until 4).map(c => col(s"c$c"))
+    val blocked = sig
+      .select(col("doc_id") +: sigCols :+ explode(array(chunkStructs: _*)).as("ch"): _*)
+      .select(col("doc_id") +: sigCols :+ col("ch.ci") :+ col("ch.cv"): _*)
+    val cand = blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(Seq(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")) ++
+        (0 until 4).map(c => col(s"a.c$c").as(s"a_c$c")) ++
+        (0 until 4).map(c => col(s"b.c$c").as(s"b_c$c")): _*)
+      .distinct()
+    cand
+      .withColumn("hamming",
+        (0 until 4).map(c => expr(s"bit_count(a_c$c ^ b_c$c)")).reduce(_ + _))
+      .filter(col("hamming") <= maxHd)
+      .select("doc_a", "doc_b", "hamming")
   }
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the

@@ -75,14 +75,29 @@ object Similarity {
       (if (w > 0) " + " else " - ") + mk(d + 1)
     }.mkString("(", "", ")")
 
-  /** LSH bucket id (bit j set iff projection on plane j is positive). */
-  def bucketSql(vecExpr: String, spark: Boolean): String = {
+  /** LSH bucket id (bit j set iff projection on plane j is positive).
+    *
+    * `nPlanes` must scale with the corpus: expected bucket occupancy is
+    * N / 2^nPlanes, so a constant plane count makes per-bucket work
+    * N²/2^nPlanes — quadratic at scale. Size it ~log₂(N / targetOccupancy)
+    * via [[planesForCorpus]]; the oracle-checked queries pin `NumPlanes`
+    * only so both engines share literal constants at one SF.
+    */
+  def bucketSql(vecExpr: String, spark: Boolean, nPlanes: Int = NumPlanes): String = {
+    require(nPlanes <= planeWeights.length, s"only ${planeWeights.length} planes generated")
     val mk: Int => String =
       if (spark) d => s"element_at($vecExpr, $d)" else d => s"$vecExpr[$d]"
-    (0 until NumPlanes).map { j =>
+    (0 until nPlanes).map { j =>
       s"(CASE WHEN ${planeExpr(j, mk)} > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
   }
+
+  /** Plane count keeping expected bucket occupancy ≤ `targetOccupancy`
+    * for an N-vector corpus: ceil(log₂(N / targetOccupancy)).
+    */
+  def planesForCorpus(n: Long, targetOccupancy: Long = 256L): Int =
+    math.max(NumPlanes,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2)).toInt)
 
   /** Brute-force cosine top-k: every query vector against the whole corpus.
     * Correctness baseline — O(|Q|·|C|); keep |Q| bounded. The join is a
@@ -106,14 +121,16 @@ object Similarity {
   }
 
   /** Single-table LSH bucket join (oracle-checked shape): candidates =
-    * same 8-bit bucket, ranked by exact cosine within bucket.
+    * same bucket, ranked by exact cosine within bucket. Pass
+    * `nPlanes = planesForCorpus(N)` at scale (see [[bucketSql]]).
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int = NumPlanes): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def prep(df: DataFrame, id: String, v: String, n: String) =
       df.select(col("vec_id").as(id), quantize(col("embedding")).as(v))
         .withColumn(n, dotQ(v, v))
-        .withColumn("bucket", expr(bucketSql(v, spark = true)))
+        .withColumn("bucket", expr(bucketSql(v, spark = true, nPlanes)))
     val q = prep(queries, "qid", "qv", "nq")
     val c = prep(corpus, "cid", "cv", "nc")
     val scored = c.join(q, Seq("bucket"))
@@ -128,22 +145,31 @@ object Similarity {
 
   /** IVF-flat ANN: a coarse quantizer partitions the corpus into cells
     * (inverted lists); queries probe the `nprobe` nearest cells and pay
-    * exact rerank only inside them. Centroids here are a deterministic
-    * corpus sample (`vec_id % centroidMod == 0`) so the oracle can mirror
-    * the construction — production would k-means the sample, which changes
-    * only the centroid table, not the plan shape.
+    * exact rerank only inside them.
+    *
+    * The centroid count is FIXED (`numCentroids`), independent of corpus
+    * size: centroids are the `numCentroids` vectors minimizing a
+    * deterministic hash of their id (md5 order — a uniform random sample
+    * both engines can reproduce; Spark plans the orderBy+limit as a
+    * linear TakeOrdered, not a full sort). A fractional sample
+    * (`vec_id % m`) would make assignment O(N·N/m) = quadratic and grow
+    * the broadcast with N; a fixed count keeps assignment O(N·C) and the
+    * broadcast constant. Production would k-means this same bounded
+    * sample — that changes only the centroid VALUES, not the plan shape.
     *
     * Scale shape: centroid table is tiny → broadcast to both assignment
     * scans; the only shuffle is the cell-keyed candidate join. Cell
     * assignment and rerank reuse the exact integer cosine.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
-      centroidMod: Long, nprobe: Int, k: Int): DataFrame = {
+      numCentroids: Int, nprobe: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = corpus.filter(col("vec_id") % centroidMod === 0)
-      .select(col("vec_id").as("cent_id"), quantize(col("embedding")).as("centv"))
-      .withColumn("ncent", dotQ("centv", "centv"))
-      .localCheckpoint()
+    val cents = graft.util.Materialize.stable(
+      corpus.select(col("vec_id"), quantize(col("embedding")).as("centv"))
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(numCentroids)
+        .select(col("vec_id").as("cent_id"), col("centv"))
+        .withColumn("ncent", dotQ("centv", "centv")))
     def assigned(df: DataFrame, id: String, v: String, n: String, keep: Int) = {
       val base = df.select(col("vec_id").as(id), quantize(col("embedding")).as(v))
         .withColumn(n, dotQ(v, v))

@@ -35,12 +35,18 @@ object DlqService {
     val outbound = selected.select(
       col("event_id").cast("string").as("key"),
       to_json(struct(selected.columns.map(col).toIndexedSeq: _*)).as("value"))
+    // Prior resolutions are preserved: only the selected ids get the new
+    // resolved_at (reference updates only WHERE id = ANY(%s),
+    // dlq_service.py:246-255). Older DLQ fixtures may predate the column.
+    val prior =
+      if (dlq.columns.contains("resolved_at_us")) col("resolved_at_us")
+      else lit(null).cast("long")
     val updated = dlq.withColumn("resolution_status",
         when(col("event_id").isin(ids.map(Long.box): _*), lit("MANUAL_RESOLVED"))
           .otherwise(col("resolution_status")))
       .withColumn("resolved_at_us",
         when(col("event_id").isin(ids.map(Long.box): _*), lit(nowUs))
-          .otherwise(lit(null).cast("long")))
+          .otherwise(prior))
     (outbound, updated)
   }
 }

@@ -65,8 +65,10 @@ object LlmQueries {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash16(Tables.documents(s, dir), "doc_id", "text")),
 
-    "dedup_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHd = 2)),
+    // 64-bit/4×16-chunk pair path (replaces the 16-bit variant whose
+    // constant 1/32 blocking selectivity went quadratic at scale).
+    "dedup_simhash64_pairs" -> ((s, dir) =>
+      Dedup.simhash64Pairs(Tables.documents(s, dir), "doc_id", "text", maxHd = 2)),
 
     "doc_fingerprint" -> ((s, dir) =>
       Dedup.winnowingFingerprints(Tables.documents(s, dir), "doc_id", "text", n = 3, w = 4)),
@@ -83,20 +85,23 @@ object LlmQueries {
     "text_lang_id" -> ((s, dir) =>
       TextAnalysis.languageId(Tables.documents(s, dir), "doc_id", "text")),
 
+    // Query sets are bounded ABSOLUTELY (`vec_id < 50` — 50 queries at any
+    // SF), not proportionally: a fractional query set (`% 10`) makes even
+    // the baseline O(N²/10).
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 10 === 0), k = 5)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 50), k = 5)
     }),
 
     "ann_lsh_bucketed" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") % 10 === 0), k = 5)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 50), k = 5)
     }),
 
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 10 === 0),
-        centroidMod = 50, nprobe = 3, k = 5)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 50),
+        numCentroids = 16, nprobe = 3, k = 5)
     }),
 
     "emb_label_stats" -> ((s, dir) =>
@@ -153,25 +158,38 @@ object LlmQueries {
          |SELECT doc_id, $sig AS simhash16 FROM agg""".stripMargin.replace("\n", " ")
     },
 
-    "dedup_simhash_pairs" -> {
-      val sums = (0 until 16).map { j =>
-        s"sum(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s_$j"
+    "dedup_simhash64_pairs" -> {
+      // Same construction as Dedup.simhash64Pairs, generated from the same
+      // loop bounds: 64 signed bit-sums over two 32-bit md5 words, four
+      // 16-bit chunk values, chunk-equality blocking, bit_count rerank.
+      val sums = (0 until 64).map { g =>
+        val (src, j) = if (g < 32) ("h1", g) else ("h2", g - 32)
+        s"sum(CASE WHEN ($src // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s_$g"
       }.mkString(", ")
-      val sig = (0 until 16).map { j =>
-        s"(CASE WHEN s_$j > 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH $thCte, agg AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
-         |sig AS (SELECT doc_id, $sig AS simhash16 FROM agg),
-         |blocked AS (
-         |  SELECT doc_id, simhash16, 0 AS ci, simhash16 % 32 AS cv FROM sig
-         |  UNION ALL SELECT doc_id, simhash16, 1, (simhash16 // 32) % 32 FROM sig
-         |  UNION ALL SELECT doc_id, simhash16, 2, (simhash16 // 1024) % 64 FROM sig),
+      val chunkExprs = (0 until 4).map { c =>
+        (0 until 16).map { j =>
+          s"(CASE WHEN s_${c * 16 + j} > 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ") + s" AS c$c"
+      }.mkString(", ")
+      val blocks = (0 until 4).map { c =>
+        s"SELECT doc_id, c0, c1, c2, c3, $c AS ci, c$c AS cv FROM sig"
+      }.mkString(" UNION ALL ")
+      val ham = (0 until 4).map(c => s"bit_count(xor(a_c$c, b_c$c))").mkString(" + ")
+      s"""WITH th AS (SELECT DISTINCT doc_id, tok FROM
+         |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+         |h AS (SELECT doc_id,
+         |  CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h1,
+         |  CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS h2 FROM th),
+         |agg AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $chunkExprs FROM agg),
+         |blocked AS ($blocks),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    a.simhash16 AS sig_a, b.simhash16 AS sig_b
+         |    a.c0 AS a_c0, a.c1 AS a_c1, a.c2 AS a_c2, a.c3 AS a_c3,
+         |    b.c0 AS b_c0, b.c1 AS b_c1, b.c2 AS b_c2, b.c3 AS b_c3
          |  FROM blocked a JOIN blocked b
          |    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, sig_a, sig_b, bit_count(xor(sig_a, sig_b)) AS hamming
-         |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 2""".stripMargin.replace("\n", " ")
+         |SELECT doc_a, doc_b, $ham AS hamming
+         |FROM cand WHERE $ham <= 2""".stripMargin.replace("\n", " ")
     },
 
     "doc_fingerprint" ->
@@ -213,7 +231,7 @@ object LlmQueries {
          |n AS (SELECT vec_id, qv, ${Similarity.dotQSqlDuck("qv", "qv")} AS nrm FROM v),
          |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
          |    ${Similarity.dotQSqlDuck("q.qv", "c.qv")} AS dot, q.nrm AS nq, c.nrm AS nc
-         |  FROM n q, n c WHERE q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id),
+         |  FROM n q, n c WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id),
          |s AS (SELECT qid, cid,
          |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) AS cos_sim FROM p),
          |r AS (SELECT qid, cid, cos_sim,
@@ -227,7 +245,7 @@ object LlmQueries {
          |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, q.bucket AS bucket,
          |    ${Similarity.dotQSqlDuck("q.qv", "c.qv")} AS dot, q.nrm AS nq, c.nrm AS nc
          |  FROM n q JOIN n c ON q.bucket = c.bucket
-         |  WHERE q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id),
+         |  WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id),
          |s AS (SELECT qid, cid, bucket,
          |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) AS cos_sim FROM p),
          |r AS (SELECT qid, cid, bucket, cos_sim,
@@ -239,7 +257,8 @@ object LlmQueries {
         s"CAST($dot AS DOUBLE) / (sqrt(CAST($n1 AS DOUBLE)) * sqrt(CAST($n2 AS DOUBLE)))"
       s"""WITH v AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
          |n AS (SELECT vec_id, qv, ${Similarity.dotQSqlDuck("qv", "qv")} AS nrm FROM v),
-         |cents AS (SELECT vec_id AS cent_id, qv AS centv, nrm AS ncent FROM n WHERE vec_id % 50 = 0),
+         |cents AS (SELECT vec_id AS cent_id, qv AS centv, nrm AS ncent FROM
+         |  (SELECT vec_id, qv, nrm FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
          |ca AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM (
          |  SELECT n.vec_id, n.qv, n.nrm, c.cent_id,
          |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
@@ -251,7 +270,7 @@ object LlmQueries {
          |    row_number() OVER (PARTITION BY nq.vec_id ORDER BY
          |      ${cos(Similarity.dotQSqlDuck("nq.qv", "c.centv"), "nq.nrm", "c.ncent")} DESC,
          |      c.cent_id) AS crn
-         |  FROM (SELECT * FROM n WHERE vec_id % 10 = 0) nq, cents c) WHERE crn <= 3),
+         |  FROM (SELECT * FROM n WHERE vec_id < 50) nq, cents c) WHERE crn <= 3),
          |p AS (SELECT qa.vec_id AS qid, ca.vec_id AS cid, ca.cell,
          |    ${cos(Similarity.dotQSqlDuck("qa.qv", "ca.qv"), "qa.nrm", "ca.nrm")} AS cos_sim
          |  FROM qa JOIN ca ON qa.cell = ca.cell AND ca.vec_id <> qa.vec_id),

@@ -18,11 +18,17 @@ object Evolution {
   case object Compatible extends Compatibility
   final case class Incompatible(reasons: Seq[String]) extends Compatibility
 
-  /** Compat mode semantics (`schema_metadata.py:28-101`):
-    * BACKWARD — new readers read old data (drops forbidden… reference
-    * semantics: adds OK, drops/narrowing break);
-    * FORWARD — old readers read new data (adds of non-nullable break);
-    * FULL — both.
+  /** Compat mode semantics per the reference's schema service
+    * (`schema_service.py:299-360`, modes declared `schema_metadata.py`):
+    * BACKWARD (the reference default) — consumers on the NEW schema must
+    * read OLD-schema data: drops are fine (new reader ignores the absent
+    * column), but an added column that is non-nullable/no-default cannot
+    * be filled from old rows → incompatible;
+    * FORWARD — consumers on the OLD schema must read NEW-schema data:
+    * any add is fine (old reader ignores it), drops of columns the old
+    * reader requires... the reference treats drops as graceful in both
+    * modes (target columns are never dropped, `evolve` keeps them);
+    * FULL — both constraints.
     */
   sealed trait Mode
   case object Backward extends Mode
@@ -62,11 +68,11 @@ object Evolution {
     val reasons = changes.flatMap {
       case TypeChange(c, f, t) if !isWidening(f, t) =>
         Some(s"column $c: incompatible type change $f -> $t")
-      case AddColumn(c, _) if (mode == Forward || mode == Full) &&
+      case AddColumn(c, _) if (mode == Backward || mode == Full) &&
           !to.fields.find(_.name == c).forall(_.nullable) =>
-        Some(s"column $c: non-nullable add breaks old readers")
-      case DropColumn(c, _) if mode == Backward || mode == Full =>
-        Some(s"column $c: drop breaks new readers on old data")
+        Some(s"column $c: non-nullable add without default cannot be read over old-schema data")
+      // DropColumn: graceful in every mode (schema_service.py:299-360 —
+      // the target keeps the column, readers ignore it)
       case _ => None
     }
     if (reasons.isEmpty) Compatible else Incompatible(reasons)

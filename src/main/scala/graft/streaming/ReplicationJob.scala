@@ -49,20 +49,49 @@ object ReplicationJob {
       checkpointDir: String,
       validTypes: Seq[String] = Seq("signup", "purchase", "view", "click", "error"),
       maxValue: Double = 150.0,
-      deleteType: String = "error")
+      deleteType: String = "error",
+      /** When set, ingest from Kafka (`readStream.format("kafka")` +
+        * envelope decode) instead of the parquet directory — the S1/S3
+        * production boundary; the file source is its offline double.
+        */
+      kafka: Option[KafkaCdc.KafkaConfig] = None,
+      /** When set, the sink executes the LWW upsert against a live JDBC
+        * target (per-partition connections, statement batching, retry +
+        * breaker — S9/S10) instead of the parquet state store.
+        */
+      jdbcTarget: Option[graft.sink.JdbcLwwExecutor.Target] = None,
+      /** When set, the parquet state store is hash-bucketed with this many
+        * buckets and each micro-batch rewrites only the buckets it
+        * touches (the 100 TB state shape); None = the simple whole-table
+        * store.
+        */
+      stateBuckets: Option[Int] = None)
 
   /** One micro-batch of the sink side: validation split → DLQ append →
     * LWW compaction → idempotent upsert. Exposed for batch tests and
     * reused verbatim by the stream.
     */
-  def processBatch(spark: SparkSession, batch: DataFrame, cfg: Config): Unit = {
+  def processBatch(spark: SparkSession, batch: DataFrame, cfg: Config,
+      batchId: Long = 0L): Unit = {
     val err = EventOps.errorType(col("event_type"), col("value"), col("user_id"),
       cfg.validTypes, cfg.maxValue)
     val (valid, dlq) = EventOps.validationSplit(batch, err)
-    if (!dlq.isEmpty) {
-      dlq.withColumn("failed_at_us", lit(System.currentTimeMillis() * 1000))
+    // DLQ write must be idempotent under at-least-once foreachBatch: a
+    // replayed micro-batch overwrites its own `_batch_id` partition rather
+    // than blind-appending (which would duplicate DLQ rows and break the
+    // dlqCount == invalidCount invariant). `failed_at_us` is derived from
+    // batch content (max event ts), not wall clock, so a replay writes
+    // byte-identical rows.
+    val dlqAgg = dlq.agg(count(lit(1)).as("n"), max("ts_us").as("max_ts")).head()
+    if (dlqAgg.getLong(0) > 0) {
+      dlq.withColumn("failed_at_us", lit(dlqAgg.getLong(1)))
         .withColumn("resolution_status", lit("PENDING"))
-        .write.mode("append").parquet(cfg.dlqDir)
+        .withColumn("resolved_at_us", lit(null).cast("long"))
+        .withColumn("_batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(cfg.dlqDir)
     }
     val enriched = valid
       .withColumn("_cdc_deleted", col("event_type") === cfg.deleteType)
@@ -70,8 +99,19 @@ object ReplicationJob {
       .withColumn("_last_event_id", col("event_id"))
     val compacted = Lww.latestPerKey(enriched, Seq("user_id"),
       Seq(col("_cdc_timestamp_micros"), col("_last_event_id")))
-    new ParquetStateStore(spark, cfg.targetDir, "user_id",
-      "_cdc_timestamp_micros", "_last_event_id").upsert(compacted)
+    cfg.jdbcTarget match {
+      case Some(t) =>
+        graft.sink.JdbcLwwExecutor.writeBatch(
+          compacted.select(t.cols.map(col).toIndexedSeq: _*), t)
+      case None => cfg.stateBuckets match {
+        case Some(nb) =>
+          new graft.sink.BucketedParquetStateStore(spark, cfg.targetDir, "user_id",
+            "_cdc_timestamp_micros", "_last_event_id", nb).upsert(compacted)
+        case None =>
+          new ParquetStateStore(spark, cfg.targetDir, "user_id",
+            "_cdc_timestamp_micros", "_last_event_id").upsert(compacted)
+      }
+    }
   }
 
   /** Start the streaming replication job over a parquet directory source
@@ -81,15 +121,18 @@ object ReplicationJob {
     */
   def start(spark: SparkSession, cfg: Config, continuous: Boolean = false): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(eventSchema)
-      .option("maxFilesPerTrigger", 1) // bounded batches ≈ ST6 backpressure
-      .parquet(cfg.sourceDir)
-      .withColumn("ts_us", expr("ts div 1000"))
+    val stream = cfg.kafka match {
+      case Some(k) => KafkaCdc.readStream(spark, k, eventSchema)
+      case None => spark.readStream
+        .schema(eventSchema)
+        .option("maxFilesPerTrigger", 1) // bounded batches ≈ ST6 backpressure
+        .parquet(cfg.sourceDir)
+        .withColumn("ts_us", expr("ts div 1000"))
+    }
     val writer = stream.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(spark, batch, cfg)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(spark, batch, cfg, batchId)
       }
     (if (continuous) writer.trigger(Trigger.ProcessingTime("1 second"))
      else writer.trigger(Trigger.AvailableNow())).start()
@@ -99,7 +142,8 @@ object ReplicationJob {
     * reference's `_cdc_deleted` filter views).
     */
   def targetState(spark: SparkSession, cfg: Config, includeDeleted: Boolean = true): DataFrame = {
-    val df = spark.read.parquet(cfg.targetDir)
+    val raw = spark.read.parquet(cfg.targetDir)
+    val df = if (raw.columns.contains("_bucket")) raw.drop("_bucket") else raw
     if (includeDeleted) df else df.filter(!col("_cdc_deleted"))
   }
 }

@@ -48,7 +48,12 @@ object StreamOps {
           sorted.foreach { e =>
             cur match {
               case Some(st) if e.ts_us - st.last_us <= gapUs =>
-                cur = Some(st.copy(last_us = e.ts_us, n = st.n + 1))
+                // A late event (ts < last_us, e.g. carried over from a prior
+                // batch) must not rewind the session clock — last_us stays
+                // monotone, and an event earlier than the recorded start
+                // extends the session backwards instead.
+                cur = Some(SessionState(math.min(st.start_us, e.ts_us),
+                  math.max(st.last_us, e.ts_us), st.n + 1))
               case Some(st) =>
                 out += SessionOut(userId, st.start_us, st.last_us, st.n, st.last_us - st.start_us)
                 cur = Some(SessionState(e.ts_us, e.ts_us, 1))

@@ -1,0 +1,33 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Materialization of a DataFrame that feeds multiple plan branches
+  * (self-joins, size lookups): a LAZY `persist()` races when AQE launches
+  * the branches concurrently against a cold cache (measured ~6× recompute
+  * of the postings table in the Jaccard join), so every mode here is
+  * EAGER.
+  *
+  * Mode is `spark.graft.materialize`:
+  *  - `local` (default): `localCheckpoint(eager)` — fastest on local[n],
+  *    but non-replicated and lineage-truncating: on a real cluster an
+  *    executor loss kills the job. Test/bench default only.
+  *  - `persist`: eager `persist(MEMORY_AND_DISK)` — keeps lineage, so an
+  *    executor loss recomputes the lost partitions; the cluster default.
+  *  - `checkpoint`: reliable `checkpoint()` into
+  *    `sparkContext.setCheckpointDir` (HDFS/object store) — survives any
+  *    executor loss without recompute; for very expensive upstreams.
+  */
+object Materialize {
+  def stable(df: DataFrame): DataFrame = {
+    df.sparkSession.conf.get("spark.graft.materialize", "local") match {
+      case "persist" =>
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        p.count() // eager: populate the cache before any branch races on it
+        p
+      case "checkpoint" => df.checkpoint(eager = true)
+      case _            => df.localCheckpoint(eager = true)
+    }
+  }
+}

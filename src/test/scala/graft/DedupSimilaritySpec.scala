@@ -53,6 +53,19 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(sh(0L) != sh(3L))
   }
 
+  test("simhash64 pairs: exact dup at hamming 0, unrelated docs absent") {
+    val sig = Dedup.simhash64(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(sig(0L) == sig(1L), "identical docs must share the 64-bit signature")
+    sig.values.foreach { case (c0, c1, c2, c3) =>
+      Seq(c0, c1, c2, c3).foreach(c => assert(c >= 0L && c < 65536L, "chunk out of 16-bit range"))
+    }
+    val pairs = Dedup.simhash64Pairs(docs, "doc_id", "text", maxHd = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0L), "exact dup pair missing")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc matched at hd<=3")
+  }
+
   test("winnowing fingerprints overlap heavily for near-dups") {
     val fp = Dedup.winnowingFingerprints(docs, "doc_id", "text", 3, 4)
       .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
@@ -101,7 +114,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
     val q = emb.filter(col("vec_id") % 50 === 0)
     val bf = Similarity.bruteForceTopK(emb, q, 5)
       .filter(col("rank") === 1).select("qid", "cid").as[(Long, Long)].collect().toMap
-    val ivf = Similarity.ivfTopK(emb, q, centroidMod = 50, nprobe = 3, k = 5)
+    val ivf = Similarity.ivfTopK(emb, q, numCentroids = 16, nprobe = 3, k = 5)
       .filter(col("rank") === 1).select("qid", "cid").as[(Long, Long)].collect().toMap
     val hits = bf.count { case (qid, cid) => ivf.get(qid).contains(cid) }
     assert(hits.toDouble / bf.size >= 0.5, s"IVF recall@1 too low: $hits/${bf.size}")

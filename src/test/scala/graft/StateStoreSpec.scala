@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.sink.BucketedParquetStateStore
+
+/** The hash-bucketed state store: LWW correctness under merge + replay,
+  * and the scale invariant — a micro-batch rewrites only the buckets it
+  * touches, so write volume tracks batch size, not state size.
+  */
+class StateStoreSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def store(dir: String, buckets: Int = 16) =
+    new BucketedParquetStateStore(spark, dir, "user_id", "ts_us", "event_id", buckets)
+
+  private def df(rows: (Long, Long, Long, String)*) =
+    rows.toSeq.toDF("user_id", "ts_us", "event_id", "payload")
+
+  /** Data files per bucket partition dir: name → size (parquet part files
+    * get fresh UUID names on rewrite, so an untouched bucket keeps an
+    * identical map).
+    */
+  private def bucketFiles(dir: String): Map[String, Map[String, Long]] = {
+    val p = Paths.get(dir)
+    Files.list(p).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("_bucket="))
+      .map { b: Path =>
+        b.getFileName.toString ->
+          Files.list(b).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(f => f.getFileName.toString -> Files.size(f)).toMap
+      }.toMap
+  }
+
+  test("bucketed upsert is an LWW merge; replay is idempotent") {
+    val dir = tmpDir("bstate")
+    val s = store(dir)
+    s.upsert(df((1L, 100L, 1L, "a"), (2L, 200L, 2L, "b")))
+    s.upsert(df((1L, 150L, 3L, "newer"), (2L, 50L, 4L, "older"), (3L, 300L, 5L, "new")))
+    val state1 = s.read().as[(Long, Long, Long, String)].collect().toSet
+    assert(state1 == Set(
+      (1L, 150L, 3L, "newer"),   // newer ts accepted
+      (2L, 200L, 2L, "b"),       // older ts rejected
+      (3L, 300L, 5L, "new")))
+    // replay the same batch — at-least-once convergence
+    s.upsert(df((1L, 150L, 3L, "newer"), (2L, 50L, 4L, "older"), (3L, 300L, 5L, "new")))
+    assert(s.read().as[(Long, Long, Long, String)].collect().toSet == state1)
+  }
+
+  test("a small batch rewrites only its own buckets, not the whole state") {
+    val dir = tmpDir("bstate_incr")
+    val s = store(dir, buckets = 16)
+    // large initial state spread over all buckets
+    val init = (1L to 2000L).map(i => (i, 100L, i, s"v$i"))
+    s.upsert(df(init: _*))
+    val before = bucketFiles(dir)
+    assert(before.size == 16, "initial state should cover every bucket")
+
+    // one-key batch → exactly one bucket's files may change
+    s.upsert(df((42L, 500L, 9999L, "updated")))
+    val after = bucketFiles(dir)
+    val changed = after.keySet.filter(b => before.get(b) != after.get(b))
+    assert(changed.size == 1, s"expected 1 rewritten bucket, got ${changed.size}: $changed")
+
+    // and state is still correct
+    val row = s.read().filter(col("user_id") === 42L)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(row == Seq((42L, 500L, 9999L, "updated")))
+    assert(s.read().count() == 2000L)
+  }
+
+  test("ReplicationJob streams into the bucketed store when configured") {
+    import graft.streaming.ReplicationJob
+    val srcDir = tmpDir("bsrc")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), Paths.get(s"$srcDir/events.parquet"))
+    val base = tmpDir("brepl")
+    val cfg = ReplicationJob.Config(
+      sourceDir = srcDir, targetDir = s"$base/target",
+      dlqDir = s"$base/dlq", checkpointDir = s"$base/ckpt",
+      stateBuckets = Some(8))
+    ReplicationJob.start(spark, cfg).awaitTermination(120000)
+    val target = ReplicationJob.targetState(spark, cfg)
+    assert(target.count() > 0)
+    assert(!target.columns.contains("_bucket"))
+    // per-key LWW invariant: one row per user_id
+    assert(target.groupBy("user_id").count().filter(col("count") > 1).isEmpty)
+  }
+}

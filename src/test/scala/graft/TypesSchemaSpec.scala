@@ -107,10 +107,20 @@ class TypesSchemaSpec extends SparkSpecBase {
       case _ => fail("narrowing must be incompatible")
     }
 
+    // drops are graceful in every mode (schema_service.py:299-360 — the
+    // target keeps the column; readers ignore it)
     val dropped = StructType(Seq(StructField("id", StringType, nullable = false)))
     assert(Evolution.check(v1, dropped, Evolution.Forward) == Evolution.Compatible)
-    assert(Evolution.check(v1, dropped, Evolution.Backward)
+    assert(Evolution.check(v1, dropped, Evolution.Backward) == Evolution.Compatible)
+
+    // a non-nullable add without default can't be read over old-schema
+    // data → incompatible under Backward/Full, fine under Forward
+    val nnAdd = StructType(v1.fields :+ StructField("req", StringType, nullable = false))
+    assert(Evolution.check(v1, nnAdd, Evolution.Backward)
       .isInstanceOf[Evolution.Incompatible])
+    assert(Evolution.check(v1, nnAdd, Evolution.Full)
+      .isInstanceOf[Evolution.Incompatible])
+    assert(Evolution.check(v1, nnAdd, Evolution.Forward) == Evolution.Compatible)
 
     val evolved = Evolution.evolve(v1, v2)
     assert(evolved.fieldNames.toSeq == Seq("id", "age", "email"))
