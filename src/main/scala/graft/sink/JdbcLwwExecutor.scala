@@ -1,0 +1,174 @@
+package graft.sink
+
+import java.sql.{Connection, DriverManager, SQLException}
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.util.{CircuitBreaker, Retry}
+
+/** LIVE execution of the LWW sink against a JDBC target — the piece the
+  * reference runs through its PostgreSQL repository
+  * (`src/repositories/postgresql_repository.py:185-247` batched upserts,
+  * sink `batch.size=1000` per `docker/connectors/postgres-sink.json:23`),
+  * here as a `foreachBatch` executor.
+  *
+  * SQL strategy: a PORTABLE two-phase conditional upsert —
+  *   1. `UPDATE ... WHERE pk = ? AND (ts < new OR (ts = new AND tie < new))`
+  *      (the LWW accept condition, inverted onto the existing row);
+  *   2. rows the UPDATE did not touch are either absent (INSERT) or
+  *      newer/equal in the target (the INSERT hits the primary key and is
+  *      rejected — SQLState 23505 — which IS the LWW reject).
+  * This runs on any JDBC engine (tested on embedded Derby; Postgres in
+  * production — where [[JdbcUpsertSql.upsertSql]]'s native single-statement
+  * `ON CONFLICT` form, the reference's verbatim SQL, is the preferred
+  * dialect specialization).
+  *
+  * Scale/coherence notes:
+  *  - One connection per input partition (`df.foreachPartition`), statement
+  *    batching inside — the standard distributed JDBC write shape; no
+  *    driver-side row loop.
+  *  - Rows MUST be pre-compacted to one-per-pk ([[graft.ops.Lww.latestPerKey]])
+  *    before the sink, as ReplicationJob does — otherwise two same-pk rows
+  *    in one batch race on insert. Single logical writer per table, like
+  *    the reference's sink connector instance.
+  *  - Idempotent under foreachBatch's at-least-once replay: a replayed row
+  *    fails the strict `<` update condition and its insert hits the pk —
+  *    both no-ops (the exactly-once construction, SURVEY.md §7.4(1)).
+  *  - Driver-side [[Retry]] (exp backoff, `retry.py:15-50` semantics) and
+  *    [[CircuitBreaker]] (`circuit_breaker.py:27-111`) wrap the whole
+  *    batch write (ST7/ST8): transient target failures back off; repeated
+  *    failures fail fast per trigger.
+  */
+object JdbcLwwExecutor {
+
+  final case class Target(
+      url: String,
+      table: String,
+      cols: Seq[String],
+      pk: Seq[String],
+      tsCol: String = "_cdc_timestamp_micros",
+      tieCol: String = "_last_event_id",
+      batchSize: Int = 1000)
+
+  private val DuplicateKeySqlState = "23505"
+
+  /** Column identifiers are double-quoted (SQL-standard delimited
+    * identifiers): the CDC metadata columns start with '_', which Derby
+    * rejects unquoted; Postgres folds unquoted identifiers to lowercase,
+    * so quoting lowercase names is behavior-preserving there.
+    */
+  private def q(ident: String): String = "\"" + ident + "\""
+
+  /** Phase-1 conditional update: set every non-pk column iff the incoming
+    * (ts, tie) is strictly newer — the accept rule of
+    * `timestamp_conflict_resolver.py` with the comparison applied to the
+    * stored row.
+    */
+  def updateSql(t: Target): String = {
+    val nonPk = t.cols.filterNot(t.pk.contains)
+    s"UPDATE ${t.table} SET ${nonPk.map(c => s"${q(c)} = ?").mkString(", ")}" +
+      s" WHERE ${t.pk.map(c => s"${q(c)} = ?").mkString(" AND ")}" +
+      s" AND (${q(t.tsCol)} < ? OR (${q(t.tsCol)} = ? AND ${q(t.tieCol)} < ?))"
+  }
+
+  def insertSql(t: Target): String =
+    s"INSERT INTO ${t.table} (${t.cols.map(q).mkString(", ")})" +
+      s" VALUES (${t.cols.map(_ => "?").mkString(", ")})"
+
+  def deleteSql(t: Target): String =
+    s"DELETE FROM ${t.table} WHERE ${t.pk.map(c => s"${q(c)} = ?").mkString(" AND ")}"
+
+  /** Run DDL, tolerating an existing table (Derby X0Y32 / generic
+    * "already exists") — the auto-create S13 behavior against a live
+    * target.
+    */
+  def ensureTable(url: String, ddl: String): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute(ddl)
+      catch {
+        case e: SQLException
+          if e.getSQLState == "X0Y32" ||
+            Option(e.getMessage).exists(_.toLowerCase.contains("already exists")) => ()
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  /** Upsert one partition's rows over one connection with statement
+    * batching. Returns (accepted, rejected) — rejected = LWW-stale rows.
+    */
+  def upsertPartition(conn: Connection, t: Target, rows: Iterator[Row]): (Long, Long) = {
+    val nonPk = t.cols.filterNot(t.pk.contains)
+    var accepted = 0L
+    var rejected = 0L
+    conn.setAutoCommit(false)
+    val up = conn.prepareStatement(updateSql(t))
+    val ins = conn.prepareStatement(insertSql(t))
+    try {
+      rows.grouped(t.batchSize).foreach { group =>
+        group.foreach { r =>
+          var i = 1
+          nonPk.foreach { c => up.setObject(i, r.getAs[Any](c)); i += 1 }
+          t.pk.foreach { c => up.setObject(i, r.getAs[Any](c)); i += 1 }
+          val ts = r.getAs[Any](t.tsCol)
+          up.setObject(i, ts); up.setObject(i + 1, ts)
+          up.setObject(i + 2, r.getAs[Any](t.tieCol))
+          up.addBatch()
+        }
+        val counts = up.executeBatch()
+        group.zip(counts.toSeq).foreach { case (r, c) =>
+          if (c > 0) accepted += 1
+          else {
+            var i = 1
+            t.cols.foreach { cn => ins.setObject(i, r.getAs[Any](cn)); i += 1 }
+            try { ins.executeUpdate(); accepted += 1 }
+            catch {
+              // pk hit ⇒ the stored row is newer-or-equal ⇒ LWW reject
+              case e: SQLException if e.getSQLState == DuplicateKeySqlState =>
+                rejected += 1
+            }
+          }
+        }
+        conn.commit()
+      }
+      (accepted, rejected)
+    } finally { up.close(); ins.close() }
+  }
+
+  /** Hard-delete tombstone keys (S11), batched. Returns rows deleted. */
+  def deletePartition(conn: Connection, t: Target, keys: Iterator[Row]): Long = {
+    conn.setAutoCommit(false)
+    val del = conn.prepareStatement(deleteSql(t))
+    try {
+      var n = 0L
+      keys.grouped(t.batchSize).foreach { group =>
+        group.foreach { r =>
+          t.pk.zipWithIndex.foreach { case (c, i) => del.setObject(i + 1, r.getAs[Any](c)) }
+          del.addBatch()
+        }
+        n += del.executeBatch().map(math.max(0, _).toLong).sum
+        conn.commit()
+      }
+      n
+    } finally del.close()
+  }
+
+  /** The foreachBatch body: per-partition connections on the executors,
+    * driver-side retry + breaker around the whole batch write.
+    */
+  def writeBatch(df: DataFrame, t: Target,
+      policy: Retry.Policy = Retry.Policy(),
+      breaker: CircuitBreaker = new CircuitBreaker(),
+      sleep: Long => Unit = Thread.sleep): Unit =
+    breaker.call {
+      Retry.withRetry(policy, sleep) {
+        df.foreachPartition { (rows: Iterator[Row]) =>
+          if (rows.hasNext) {
+            val conn = DriverManager.getConnection(t.url)
+            try { upsertPartition(conn, t, rows); () } finally conn.close()
+          }
+        }
+      }
+    }
+}

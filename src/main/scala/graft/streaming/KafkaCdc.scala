@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The Kafka ingest/produce boundary (reference S1/S3/S14): the consumer
+  * contract of `specs/001-cass-cdc-pg/contracts/kafka-topics.md:49-66,
+  * 268-276` (subscribe `cdc-events-.*`, key = partition key for per-key
+  * ordering) and the DLQ replay produce of `src/services/dlq_service.py:
+  * 222-243` (serialize event back to its source topic, keyed).
+  *
+  * Structure: option-building and wire (de)serialization are pure
+  * functions over DataFrames, so the whole codec layer is unit-testable
+  * on batch frames shaped like Kafka's source output (key/value binary +
+  * topic/partition/offset) without a broker; [[readStream]]/[[writeTo]]
+  * glue them onto `format("kafka")`, which activates when the Kafka
+  * connector jar is on the classpath and a broker is configured. The
+  * parquet file source ([[ReplicationJob.start]]'s default) is the
+  * offline test double running the SAME decode→validate→compact→sink
+  * chain.
+  */
+object KafkaCdc {
+
+  final case class KafkaConfig(
+      bootstrapServers: String,
+      subscribePattern: String = "cdc-events-.*",
+      startingOffsets: String = "earliest",
+      /** ST6 backpressure: bounded micro-batches, the analog of the
+        * reference's source `max.batch.size=2048`
+        * (`cassandra-source.json:26`). */
+      maxOffsetsPerTrigger: Long = 2048,
+      failOnDataLoss: Boolean = false)
+
+  /** Reader options for `spark.readStream.format("kafka")`. */
+  def sourceOptions(k: KafkaConfig): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> k.bootstrapServers,
+    "subscribePattern" -> k.subscribePattern,
+    "startingOffsets" -> k.startingOffsets,
+    "maxOffsetsPerTrigger" -> k.maxOffsetsPerTrigger.toString,
+    "failOnDataLoss" -> k.failOnDataLoss.toString)
+
+  /** Writer options for `df.write.format("kafka")` (DLQ replay produce —
+    * the replayed event returns to its original `cdc-events-{table}`
+    * topic, `dlq_service.py:222-243`).
+    */
+  def sinkOptions(bootstrapServers: String, topic: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "topic" -> topic)
+
+  /** Decode the Kafka wire frame (key/value binary, topic/partition/
+    * offset metadata) into typed event rows: `from_json(value)` against
+    * the envelope schema + `ts_us` normalization — the
+    * ExtractNewRecordState-side of the chain. Works identically on a
+    * streaming kafka frame and a batch test frame.
+    */
+  def decode(raw: DataFrame, schema: StructType): DataFrame =
+    raw.select(
+        col("key").cast("string").as("_kafka_key"),
+        col("topic").as("_topic"),
+        col("partition").as("_partition"),
+        col("offset").as("_offset"),
+        from_json(col("value").cast("string"), schema).as("e"))
+      .select(col("e.*"), col("_kafka_key"), col("_topic"), col("_partition"), col("_offset"))
+      .withColumn("ts_us", expr("ts div 1000"))
+
+  /** Encode event rows to the wire frame: key = stringified partition key
+    * (per-key ordering contract, `kafka-topics.md:63-66`), value =
+    * `to_json(struct(*))` of the data columns.
+    */
+  def encode(df: DataFrame, keyCol: String): DataFrame = {
+    val dataCols = df.columns.filterNot(_.startsWith("_kafka"))
+    df.select(
+      col(keyCol).cast("string").as("key"),
+      to_json(struct(dataCols.map(col).toIndexedSeq: _*)).as("value"))
+  }
+
+  /** Streaming Kafka source → decoded events (requires the
+    * spark-sql-kafka connector on the classpath at runtime).
+    */
+  def readStream(spark: SparkSession, k: KafkaConfig, schema: StructType): DataFrame =
+    decode(
+      sourceOptions(k).foldLeft(spark.readStream.format("kafka")) {
+        case (r, (key, v)) => r.option(key, v)
+      }.load(),
+      schema)
+
+  /** Batch produce of encoded rows (DLQ replay S14). */
+  def writeTo(encoded: DataFrame, bootstrapServers: String, topic: String): Unit =
+    sinkOptions(bootstrapServers, topic).foldLeft(encoded.write.format("kafka")) {
+      case (w, (key, v)) => w.option(key, v)
+    }.save()
+}

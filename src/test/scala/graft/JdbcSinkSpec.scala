@@ -1,0 +1,139 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions._
+
+import graft.sink.{JdbcLwwExecutor, JdbcUpsertSql}
+import graft.util.{CircuitBreaker, Retry}
+
+/** LWW semantics through ACTUAL SQL execution against an embedded Derby
+  * target — the accept/reject matrix of the reference's
+  * `tests/integration/test_out_of_order_events.py:90-506` (newer wins,
+  * older rejected, equal-ts higher-event-id wins, replay converges),
+  * plus retry/breaker wiring around a real failing write.
+  */
+class JdbcSinkSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:lwwtest;create=true"
+  private val cols = Seq("user_id", "event_type", "value_cents",
+    "_cdc_deleted", "_cdc_timestamp_micros", "_last_event_id")
+
+  private def freshTarget(table: String): JdbcLwwExecutor.Target = {
+    JdbcLwwExecutor.ensureTable(url,
+      s"""CREATE TABLE $table (
+         |  "user_id" BIGINT NOT NULL,
+         |  "event_type" VARCHAR(32),
+         |  "value_cents" BIGINT,
+         |  "_cdc_deleted" BOOLEAN,
+         |  "_cdc_timestamp_micros" BIGINT,
+         |  "_last_event_id" BIGINT,
+         |  PRIMARY KEY ("user_id"))""".stripMargin)
+    val conn = DriverManager.getConnection(url)
+    try { conn.createStatement().executeUpdate(s"DELETE FROM $table"); () }
+    finally conn.close()
+    JdbcLwwExecutor.Target(url, table, cols, pk = Seq("user_id"))
+  }
+
+  private def rows(t: JdbcLwwExecutor.Target): Map[Long, (String, Long, Long, Long)] = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        s"""SELECT "user_id", "event_type", "value_cents", "_cdc_timestamp_micros", "_last_event_id" FROM ${t.table}""")
+      val b = Map.newBuilder[Long, (String, Long, Long, Long)]
+      while (rs.next())
+        b += rs.getLong(1) -> ((rs.getString(2), rs.getLong(3), rs.getLong(4), rs.getLong(5)))
+      b.result()
+    } finally conn.close()
+  }
+
+  private def df(events: (Long, String, Long, Long, Long)*) =
+    events.toSeq.toDF("user_id", "event_type", "value_cents",
+        "_cdc_timestamp_micros", "_last_event_id")
+      .withColumn("_cdc_deleted", lit(false))
+      .select(cols.map(col): _*)
+
+  test("LWW accept/reject matrix executes through real SQL") {
+    val t = freshTarget("lww_matrix")
+    // batch 1: initial state
+    JdbcLwwExecutor.writeBatch(df(
+      (1L, "signup", 100L, 1000L, 10L),
+      (2L, "view", 200L, 2000L, 20L)), t, sleep = _ => ())
+    assert(rows(t) == Map(
+      1L -> (("signup", 100L, 1000L, 10L)),
+      2L -> (("view", 200L, 2000L, 20L))))
+    // batch 2: newer ts wins; older ts rejected; equal ts higher id wins;
+    // equal ts lower id rejected; new key inserted
+    JdbcLwwExecutor.writeBatch(df(
+      (1L, "purchase", 111L, 1500L, 11L), // newer → accept
+      (2L, "click", 222L, 999L, 21L)),    // older → reject
+      t, sleep = _ => ())
+    JdbcLwwExecutor.writeBatch(df(
+      (1L, "view", 150L, 1500L, 12L),     // equal ts, higher id → accept
+      (2L, "view", 250L, 2000L, 19L),     // equal ts, lower id → reject
+      (3L, "signup", 300L, 3000L, 30L)),  // new key → insert
+      t, sleep = _ => ())
+    assert(rows(t) == Map(
+      1L -> (("view", 150L, 1500L, 12L)),
+      2L -> (("view", 200L, 2000L, 20L)),
+      3L -> (("signup", 300L, 3000L, 30L))))
+  }
+
+  test("replayed batch is idempotent (exactly-once construction)") {
+    val t = freshTarget("lww_replay")
+    val batch = df((1L, "signup", 100L, 1000L, 10L), (2L, "view", 200L, 2000L, 20L))
+    JdbcLwwExecutor.writeBatch(batch, t, sleep = _ => ())
+    val first = rows(t)
+    JdbcLwwExecutor.writeBatch(batch, t, sleep = _ => ()) // at-least-once replay
+    assert(rows(t) == first)
+  }
+
+  test("hard delete removes tombstone keys") {
+    val t = freshTarget("lww_del")
+    JdbcLwwExecutor.writeBatch(df(
+      (1L, "signup", 100L, 1000L, 10L),
+      (2L, "view", 200L, 2000L, 20L)), t, sleep = _ => ())
+    val conn = DriverManager.getConnection(url)
+    try {
+      val n = JdbcLwwExecutor.deletePartition(conn, t,
+        df((2L, "error", 0L, 3000L, 30L)).collect().iterator)
+      assert(n == 1L)
+    } finally conn.close()
+    assert(rows(t).keySet == Set(1L))
+  }
+
+  test("retry recovers a transiently failing write; breaker opens on persistent failure") {
+    val t = freshTarget("lww_retry")
+    // Transient failure: first attempt targets a missing table, then heals.
+    var attempts = 0
+    Retry.withRetry(Retry.Policy(maxAttempts = 3), sleep = _ => ()) {
+      attempts += 1
+      val target = if (attempts == 1) t.copy(table = "no_such_table") else t
+      JdbcLwwExecutor.writeBatch(df((1L, "signup", 100L, 1000L, 10L)), target,
+        policy = Retry.Policy(maxAttempts = 1), sleep = _ => ())
+    }
+    assert(attempts == 2 && rows(t).contains(1L))
+    // Persistent failure: breaker opens after threshold, then fails fast.
+    val breaker = new CircuitBreaker(failureThreshold = 2, openMs = 60000)
+    val bad = t.copy(table = "still_missing")
+    (1 to 2).foreach { _ =>
+      intercept[Throwable] {
+        JdbcLwwExecutor.writeBatch(df((1L, "x", 0L, 1L, 1L)), bad,
+          policy = Retry.Policy(maxAttempts = 1), breaker = breaker, sleep = _ => ())
+      }
+    }
+    val fast = intercept[IllegalStateException] {
+      JdbcLwwExecutor.writeBatch(df((1L, "x", 0L, 1L, 1L)), bad,
+        policy = Retry.Policy(maxAttempts = 1), breaker = breaker, sleep = _ => ())
+    }
+    assert(fast.getMessage.contains("OPEN"))
+  }
+
+  test("generated Postgres upsert SQL keeps the reference's verbatim conflict clause") {
+    val sql = JdbcUpsertSql.upsertSql("cdc_users", cols, Seq("user_id"))
+    assert(sql.contains("ON CONFLICT (user_id) DO UPDATE"))
+    assert(sql.contains("EXCLUDED._cdc_timestamp_micros > cdc_users._cdc_timestamp_micros"))
+    assert(sql.contains("EXCLUDED._last_event_id > cdc_users._last_event_id"))
+  }
+}

@@ -81,6 +81,34 @@ class ReplicationSpec extends SparkSpecBase {
     assert(first == second, "replayed batches must not change LWW state")
   }
 
+  test("streaming path executes the LWW sink against a live JDBC target") {
+    import graft.sink.JdbcLwwExecutor
+    val url = "jdbc:derby:memory:repljdbc;create=true"
+    val cols = Seq("user_id", "event_type", "value",
+      "_cdc_deleted", "_cdc_timestamp_micros", "_last_event_id")
+    JdbcLwwExecutor.ensureTable(url,
+      """CREATE TABLE cdc_events_t (
+        |  "user_id" BIGINT NOT NULL,
+        |  "event_type" VARCHAR(32),
+        |  "value" DOUBLE,
+        |  "_cdc_deleted" BOOLEAN,
+        |  "_cdc_timestamp_micros" BIGINT,
+        |  "_last_event_id" BIGINT,
+        |  PRIMARY KEY ("user_id"))""".stripMargin)
+    val t = JdbcLwwExecutor.Target(url, "cdc_events_t", cols, pk = Seq("user_id"))
+    val cfg = freshCfg().copy(sourceDir = eventSourceDir(), jdbcTarget = Some(t))
+    ReplicationJob.start(spark, cfg).awaitTermination(120000)
+
+    // S7: live JDBC target scan through the Spark JDBC source
+    val target = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "cdc_events_t").load()
+    val expected = expectedState()
+    assert(target.count() == expected.count())
+    val mism = target.select("user_id", "_cdc_timestamp_micros", "_last_event_id")
+      .exceptAll(expected.select("user_id", "_cdc_timestamp_micros", "_last_event_id"))
+    assert(mism.isEmpty, "JDBC target state diverges from LWW fold")
+  }
+
   test("soft-deleted rows are flagged, not dropped") {
     val cfg = freshCfg().copy(sourceDir = eventSourceDir())
     ReplicationJob.start(spark, cfg).awaitTermination(120000)
