@@ -154,6 +154,15 @@ object JdbcLwwExecutor {
     } finally del.close()
   }
 
+  /** TTL purge against a live JDBC target (S15 — the expiry trigger of
+    * `init-db.sql:198-213` run as a periodic job). Returns rows deleted.
+    */
+  def purgeExpired(conn: Connection, table: String, expiryCol: String, nowUs: Long): Long = {
+    val st = conn.prepareStatement(
+      s"DELETE FROM $table WHERE ${q(expiryCol)} IS NOT NULL AND ${q(expiryCol)} < ?")
+    try { st.setLong(1, nowUs); st.executeUpdate().toLong } finally st.close()
+  }
+
   /** The foreachBatch body: per-partition connections on the executors,
     * driver-side retry + breaker around the whole batch write.
     */

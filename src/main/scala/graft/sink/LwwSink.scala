@@ -109,8 +109,26 @@ final class ParquetStateStore(
         Lww.latestPerKey(pad(state).unionByName(pad(batch)), Seq(key),
           Seq(col(tsCol), col(tieCol)))
       } else batch
+    swapIn(merged)
+  }
+
+  /** TTL purge (S15 delete side — the PLpgSQL expiry trigger of
+    * `init-db.sql:198-213` as a periodic batch job,
+    * `test_ttl_preservation.py` semantics): hard-delete rows whose
+    * expiry has passed. Returns rows purged.
+    */
+  def purgeExpired(expiryCol: String, nowUs: Long): Long = {
+    if (!exists) return 0L
+    val state = read()
+    val deadPred = col(expiryCol).isNotNull && col(expiryCol) < nowUs
+    val nDead = state.filter(deadPred).count()
+    if (nDead > 0) swapIn(state.filter(!deadPred))
+    nDead
+  }
+
+  private def swapIn(next: DataFrame): Unit = {
     val tmp = dir + ".tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    next.write.mode(SaveMode.Overwrite).parquet(tmp)
     // atomic-ish swap: state readers see old or new, never partial
     val old = dir + ".old"
     if (Files.exists(path)) {
@@ -173,5 +191,35 @@ final class BucketedParquetStateStore(
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("_bucket")
       .parquet(dir)
+  }
+
+  /** TTL purge over the bucketed layout: rewrites ONLY buckets holding
+    * expired rows (purge cost tracks expired volume, not state size); a
+    * bucket left empty has its partition directory removed, since dynamic
+    * overwrite only replaces partitions present in the output.
+    */
+  def purgeExpired(expiryCol: String, nowUs: Long): Long = {
+    if (!exists) return 0L
+    val state = spark.read.parquet(dir)
+    val deadPred = col(expiryCol).isNotNull && col(expiryCol) < nowUs
+    val buckets = state.filter(deadPred).select("_bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (buckets.isEmpty) return 0L
+    val touched = state.filter(col("_bucket").isin(buckets.map(Int.box): _*))
+    // materialize survivors before overwriting the files they came from
+    val live = graft.util.Materialize.stable(touched.filter(!deadPred))
+    val nDead = touched.filter(deadPred).count()
+    val liveBuckets = live.select("_bucket").distinct().collect().map(_.getInt(0)).toSet
+    if (liveBuckets.nonEmpty)
+      live.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bucket")
+        .parquet(dir)
+    buckets.filterNot(liveBuckets).foreach { b =>
+      val p = path.resolve(s"_bucket=$b")
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    }
+    nDead
   }
 }

@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.schema.{Evolution, SchemaEvolvingBatch, SchemaRegistry}
+import graft.sink.{JdbcLwwExecutor, ParquetStateStore}
+import graft.types.CdcSchemas
+
+/** Schema evolution wired into the LIVE replication path (FR-014..018):
+  * the stream parses the permissive envelope, and the typed cast is
+  * driven by the SchemaRegistry consulted per micro-batch — so an added
+  * column flows through in the same run with no restart
+  * (`test_schema_add_column.py` semantics), and an incompatible declared
+  * change routes the batch to the DLQ (`test_schema_incompatible.py`).
+  */
+class SchemaEvolutionStreamSpec extends SparkSpecBase {
+
+  private def envelope(id: String, ts: Long, row: String): String =
+    s"""{"event_id":"00000000-0000-0000-0000-${id.reverse.padTo(12, '0').reverse}",""" +
+      s""""source_table":"users","operation_type":"CREATE","timestamp_micros":$ts,""" +
+      s""""before":null,"after":$row,"schema_version":1,"ttl_seconds":null,"is_tombstone":false}"""
+
+  test("add-column mid-stream evolves the registry and flows through, no restart") {
+    val srcDir = tmpDir("evsrc")
+    // batch 1: v1 rows (id, name); batch 2: a new `email` column appears
+    Files.writeString(Paths.get(s"$srcDir/f1.json"),
+      envelope("1", 1000L, """{"id":"u1","name":"Ann"}""") + "\n" +
+        envelope("2", 1000L, """{"id":"u2","name":"Bob"}""") + "\n")
+    Files.writeString(Paths.get(s"$srcDir/f2.json"),
+      envelope("3", 2000L, """{"id":"u3","name":"Cal","email":"c@x.io"}""") + "\n")
+    // file source orders by mtime — pin it so f1 is batch 1
+    Files.setLastModifiedTime(Paths.get(s"$srcDir/f1.json"), FileTime.fromMillis(1000000))
+    Files.setLastModifiedTime(Paths.get(s"$srcDir/f2.json"), FileTime.fromMillis(2000000))
+
+    val reg = new SchemaRegistry(tmpDir("evreg") + "/registry.tsv")
+    val targetDir = tmpDir("evtgt") + "/state"
+    val versionsSeen = scala.collection.mutable.ArrayBuffer[Int]()
+
+    val q = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .text(srcDir)
+      .writeStream
+      .option("checkpointLocation", tmpDir("evckpt"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val unwrapped = CdcSchemas.unwrap(CdcSchemas.parse(batch, "value"))
+        val (v, schema) = SchemaEvolvingBatch.observeAndEvolve(reg, "users", unwrapped, 1000L)
+        versionsSeen += v
+        val typed = CdcSchemas.castRow(unwrapped, schema)
+          .select(col("id"), col("name"),
+            (if (schema.fieldNames.contains("email")) col("email")
+             else lit(null).cast("string")).as("email"),
+            col("timestamp_micros"), col("event_id"))
+        new ParquetStateStore(spark, targetDir, "id", "timestamp_micros", "event_id")
+          .upsert(typed)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    assert(versionsSeen.toSeq == Seq(1, 2), s"expected v1 then v2, saw $versionsSeen")
+    assert(reg.current("users").map(_._2.fieldNames.toSet).contains(Set("id", "name", "email")))
+    val state = spark.read.parquet(targetDir)
+    assert(state.count() == 3)
+    val emails = state.select("id", "email").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(emails("u3").contains("c@x.io"), "new column must carry data for new rows")
+    assert(emails("u1").isEmpty && emails("u2").isEmpty, "old rows null-padded")
+  }
+
+  test("incompatible declared change is rejected and the batch routes to DLQ") {
+    import spark.implicits._
+    val reg = new SchemaRegistry(tmpDir("evreg2") + "/registry.tsv")
+    val v1 = StructType(Seq(StructField("id", StringType, nullable = false),
+      StructField("age", IntegerType)))
+    assert(SchemaEvolvingBatch.applyDeclared(reg, "users", v1, Evolution.Backward, 1000L).isRight)
+
+    val narrowed = StructType(Seq(StructField("id", StringType, nullable = false),
+      StructField("age", StringType))) // int → string: not a widening
+    val res = SchemaEvolvingBatch.applyDeclared(reg, "users", narrowed, Evolution.Backward, 2000L)
+    assert(res.isLeft, "type narrowing must be incompatible")
+
+    // the rejected batch goes to the DLQ with SCHEMA_MISMATCH and full context
+    val batch = Seq(("e1", "u1")).toDF("event_id", "id")
+    val dlqDir = tmpDir("evdlq")
+    batch.withColumn("error_type", lit("SCHEMA_MISMATCH"))
+      .withColumn("error_detail", lit(res.swap.getOrElse(Seq()).mkString("; ")))
+      .write.mode("append").parquet(dlqDir)
+    val dlq = spark.read.parquet(dlqDir)
+    assert(dlq.count() == 1)
+    assert(dlq.select("error_detail").as[String].head().contains("age"))
+    assert(reg.current("users").map(_._1).contains(1), "registry must not advance on reject")
+  }
+
+  test("TTL purge: parquet store deletes expired rows, keeps live and no-TTL rows") {
+    import spark.implicits._
+    val dir = tmpDir("ttl") + "/state"
+    val store = new ParquetStateStore(spark, dir, "k", "ts_us", "eid")
+    val nowUs = 1000000000L
+    store.upsert(Seq(
+      (1L, 10L, 1L, Some(nowUs - 5000000L)), // expired 5 s ago
+      (2L, 10L, 2L, Some(nowUs + 5000000L)), // expires in 5 s
+      (3L, 10L, 3L, None)                    // no TTL
+    ).toDF("k", "ts_us", "eid", "expiry_us"))
+    assert(store.purgeExpired("expiry_us", nowUs) == 1L)
+    assert(store.read().select("k").as[Long].collect().toSet == Set(2L, 3L))
+    assert(store.purgeExpired("expiry_us", nowUs) == 0L, "purge is idempotent")
+  }
+
+  test("TTL purge: bucketed store rewrites only affected buckets, drops emptied ones") {
+    import graft.sink.BucketedParquetStateStore
+    import spark.implicits._
+    val dir = tmpDir("ttlb") + "/state"
+    val store = new BucketedParquetStateStore(spark, dir, "k", "ts_us", "eid", numBuckets = 8)
+    val nowUs = 1000000000L
+    // 200 live keys + every key of one specific bucket expired
+    val live = (1L to 200L).map(i => (i, 10L, i, Option.empty[Long]))
+    store.upsert(live.toDF("k", "ts_us", "eid", "expiry_us"))
+    val bucketOf = spark.range(1, 201).select(col("id"),
+      pmod(hash(col("id")), lit(8)).as("b")).as[(Long, Int)].collect().toMap
+    val victimBucket = bucketOf(1L)
+    val victims = (1L to 200L).filter(bucketOf(_) == victimBucket)
+    // expire exactly the victim bucket's keys
+    store.upsert(victims.map(i => (i, 20L, i + 1000L, Some(nowUs - 1L)))
+      .toDF("k", "ts_us", "eid", "expiry_us"))
+    assert(store.purgeExpired("expiry_us", nowUs) == victims.size.toLong)
+    val left = store.read().select("k").as[Long].collect().toSet
+    assert(left == (1L to 200L).toSet -- victims)
+    assert(!Files.exists(Paths.get(s"$dir/_bucket=$victimBucket")),
+      "fully-expired bucket dir must be removed")
+  }
+
+  test("TTL purge: JDBC target deletes expired rows through real SQL") {
+    val url = "jdbc:derby:memory:ttltest;create=true"
+    JdbcLwwExecutor.ensureTable(url,
+      """CREATE TABLE ttl_t ("k" BIGINT NOT NULL, "_ttl_expiry_us" BIGINT, PRIMARY KEY ("k"))""")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("""INSERT INTO ttl_t VALUES (1, 100), (2, 2000000), (3, NULL)""")
+      assert(JdbcLwwExecutor.purgeExpired(conn, "ttl_t", "_ttl_expiry_us", 1000000L) == 1L)
+      val rs = st.executeQuery("""SELECT count(*) FROM ttl_t""")
+      rs.next()
+      assert(rs.getLong(1) == 2L)
+    } finally conn.close()
+  }
+}
