@@ -1,0 +1,102 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.ops.Metrics
+
+/** Thin HTTP surface mirroring the reference's operational API
+  * (`src/api/routes/` — `/health`, `/metrics`, `/dlq/stats`,
+  * `/reconciliation/trigger`, GDPR delete). JDK built-in HttpServer, no
+  * dependencies; every data answer is computed by the injected callbacks
+  * (which run the Spark jobs / registries), the HTTP layer only routes —
+  * the same split as the reference's FastAPI-over-services shape.
+  */
+final class ApiServer(
+    registry: Metrics.Registry,
+    health: () => Map[String, Boolean],
+    dlqStatsJson: () => String,
+    reconTrigger: String => Unit,
+    gdprDelete: (String, String) => Either[String, Gdpr.DeleteResult],
+    port: Int = 0) {
+
+  private var server: HttpServer = _
+
+  private def respond(ex: HttpExchange, code: Int, body: String, ctype: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", ctype)
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+
+  /** Binds and returns the actual port (0 = ephemeral, for tests). */
+  def start(): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+    // GET /health — 200 healthy / 503 if any component down, with
+    // per-component details (test_health_api.py:13-83 contract shape).
+    server.createContext("/health", (ex: HttpExchange) => {
+      val comps = health()
+      val healthy = comps.values.forall(identity)
+      val body = comps.map { case (k, ok) =>
+        s""""$k":{"status":"${if (ok) "healthy" else "unhealthy"}"}"""
+      }.mkString(
+        s"""{"status":"${if (healthy) "healthy" else "unhealthy"}","components":{""",
+        ",", "}}")
+      respond(ex, if (healthy) 200 else 503, body, "application/json")
+    })
+
+    // GET /metrics — Prometheus exposition (test_metrics_api.py contract).
+    server.createContext("/metrics", (ex: HttpExchange) =>
+      respond(ex, 200, registry.render(), "text/plain; version=0.0.4"))
+
+    // GET /dlq/stats — the DLQ stats endpoint (dlq_service.py:375-443).
+    server.createContext("/dlq/stats", (ex: HttpExchange) =>
+      respond(ex, 200, dlqStatsJson(), "application/json"))
+
+    // POST /reconciliation/trigger?table=t — manual trigger
+    // (reconciliation.py:73-119).
+    server.createContext("/reconciliation/trigger", (ex: HttpExchange) => {
+      val table = Option(ex.getRequestURI.getQuery).getOrElse("")
+        .split("&").collectFirst { case s if s.startsWith("table=") => s.drop(6) }
+      table match {
+        case Some(t) if Gdpr.validIdentifier(t) =>
+          reconTrigger(t)
+          respond(ex, 202, s"""{"status":"triggered","table":"$t"}""", "application/json")
+        case _ =>
+          respond(ex, 400, """{"error":"missing or invalid table"}""", "application/json")
+      }
+    })
+
+    // DELETE /gdpr/{table}/{pk} — dual-store erasure (gdpr.py:37-216).
+    server.createContext("/gdpr", (ex: HttpExchange) => {
+      val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
+      if (ex.getRequestMethod != "DELETE" || parts.length != 3)
+        respond(ex, 400, """{"error":"DELETE /gdpr/{table}/{pk}"}""", "application/json")
+      else gdprDelete(parts(1), parts(2)) match {
+        case Right(r) => respond(ex, 200,
+          s"""{"primary_key":"${esc(r.primaryKey)}","deleted_from_source":${r.deletedFromSource},""" +
+            s""""deleted_from_target":${r.deletedFromTarget},"audit_log_id":"${r.auditLogId}"}""",
+          "application/json")
+        case Left(err) =>
+          val code = if (err.contains("not found")) 404 else 500
+          respond(ex, code, s"""{"error":"${esc(err)}"}""", "application/json")
+      }
+    })
+
+    server.setExecutor(null) // current thread per exchange; ops traffic only
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+}

@@ -1,0 +1,83 @@
+package graft.api
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.sql.DriverManager
+import java.util.UUID
+
+import org.apache.spark.sql.Row
+
+import graft.sink.{JdbcLwwExecutor, ParquetStateStore}
+
+/** GDPR right-to-erasure (reference `src/api/routes/gdpr.py:37-216`):
+  * delete one record from BOTH stores — source state and JDBC target —
+  * with a compensating re-insert if the second delete fails after the
+  * first succeeded, and an audit-log entry either way. Identifier inputs
+  * are validated against `^[a-zA-Z0-9_]+$` (T14, `gdpr.py:235-254`)
+  * before ever reaching SQL text.
+  */
+object Gdpr {
+
+  private val IdentifierRe = "^[a-zA-Z0-9_]+$".r
+
+  def validIdentifier(s: String): Boolean = IdentifierRe.matches(s)
+
+  final case class DeleteResult(
+      primaryKey: String,
+      deletedFromSource: Boolean,
+      deletedFromTarget: Boolean,
+      compensated: Boolean,
+      auditLogId: String)
+
+  /** Append-only audit trail (`gdpr.py:163-196`). */
+  private def audit(auditPath: String, table: String, pk: String,
+      requester: String, reason: String, outcome: String): String = {
+    val id = UUID.randomUUID().toString
+    val line = s"$id\t${System.currentTimeMillis()}\t$table\t$pk\t$requester\t$reason\t$outcome\n"
+    Files.writeString(Paths.get(auditPath), line,
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    id
+  }
+
+  /** Dual-store delete with compensation:
+    *  1. backup the source row (404 if absent);
+    *  2. delete from source;
+    *  3. delete from target; on failure, COMPENSATE by re-upserting the
+    *     source backup (`gdpr.py:134-155`) so the stores stay consistent;
+    *  4. audit either way.
+    */
+  def deleteRecord(
+      source: ParquetStateStore, target: JdbcLwwExecutor.Target,
+      auditPath: String, table: String, pkValue: Any,
+      requester: String = "api_user",
+      reason: String = "GDPR erasure request"): Either[String, DeleteResult] = {
+    if (!validIdentifier(table)) return Left(s"invalid identifier: $table")
+    val pk = pkValue.toString
+
+    // 1. backup before delete (compensating-transaction support)
+    val keyCol = target.pk.head
+    val backup: Option[Row] = source.read()
+      .filter(org.apache.spark.sql.functions.col(keyCol) === pkValue)
+      .collect().headOption
+    if (backup.isEmpty) return Left(s"record $pk not found in source $table")
+
+    // 2. delete from source
+    val deletedSource = source.deleteKeys(Seq(pkValue)) > 0
+
+    // 3. delete from target; compensate source on failure
+    try {
+      val conn = DriverManager.getConnection(target.url)
+      val n = try JdbcLwwExecutor.deletePartition(conn, target, backup.iterator)
+        finally conn.close()
+      val id = audit(auditPath, table, pk, requester, reason, "deleted_both")
+      Right(DeleteResult(pk, deletedSource, n > 0, compensated = false, id))
+    } catch {
+      case e: Exception =>
+        // compensating re-insert of the source backup
+        val df = source.read().sparkSession.createDataFrame(
+          java.util.List.of(backup.get), backup.get.schema)
+        source.upsert(df)
+        audit(auditPath, table, pk, requester, reason, s"compensated: ${e.getMessage}")
+        Left(s"target delete failed, source restored: ${e.getMessage}")
+    }
+  }
+}

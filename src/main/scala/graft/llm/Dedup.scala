@@ -237,14 +237,31 @@ object Dedup {
     * Candidate volume stays ~linear in N as long as chunk values spread
     * over their 2^16 domain.
     */
-  def simhash64Pairs(docs: DataFrame, idCol: String, textCol: String, maxHd: Int = 3): DataFrame = {
+  /** `maxChunkFreq`: the hot-block guard (same role as `maxShingleDocFreq`
+    * in the Jaccard join) — a (chunk_idx, chunk_val) shared by more docs
+    * is dropped from the blocking index. On a diverse corpus chunk values
+    * spread over 2^16 and the cap never triggers; on a clustered corpus
+    * (mass-duplicated templates) it bounds per-block candidate generation
+    * to F·N instead of letting one giant cluster go quadratic. Pairs
+    * inside such clusters are exact/near-exact duplicates — the job of
+    * [[exactDuplicates]]/MinHash, not the Hamming rerank. 0 = no cap.
+    */
+  def simhash64Pairs(docs: DataFrame, idCol: String, textCol: String, maxHd: Int = 3,
+      maxChunkFreq: Long = 0): DataFrame = {
     require(maxHd >= 1 && maxHd <= 3, "4-chunk pigeonhole guarantees recall only for 1 <= maxHd <= 3")
     val sig = graft.util.Materialize.stable(simhash64(docs, idCol, textCol))
     val chunkStructs = (0 until 4).map(c => struct(lit(c).as("ci"), col(s"c$c").as("cv")))
     val sigCols = (0 until 4).map(c => col(s"c$c"))
-    val blocked = sig
+    val blocked0 = sig
       .select(col("doc_id") +: sigCols :+ explode(array(chunkStructs: _*)).as("ch"): _*)
       .select(col("doc_id") +: sigCols :+ col("ch.ci") :+ col("ch.cv"): _*)
+    val blocked =
+      if (maxChunkFreq <= 0) blocked0
+      else {
+        val hot = blocked0.groupBy("ci", "cv").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxChunkFreq).select("ci", "cv")
+        blocked0.join(hot, Seq("ci", "cv"), "left_anti")
+      }
     val cand = blocked.as("a")
       .join(blocked.as("b"),
         col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&

@@ -68,12 +68,27 @@ object Similarity {
 
   /** Signed projection of a quantized vector column onto plane j, as a SQL
     * string — `mk(d)` renders the 1-based element access for the target
-    * engine (Spark `element_at(qv, d)`, DuckDB `qv[d]`).
+    * engine (DuckDB `qv[d]`). Oracle-side only: inlining 64 ±terms per
+    * plane is fine for DuckDB's interpreter but NOT for Spark codegen —
+    * see [[planeDotSpark]].
     */
   private def planeExpr(j: Int, mk: Int => String): String =
     planeWeights(j).zipWithIndex.map { case (w, d) =>
       (if (w > 0) " + " else " - ") + mk(d + 1)
     }.mkString("(", "", ")")
+
+  /** Spark-side projection of plane j: `long_dot` against the ±1 weights
+    * as a literal array. Catalyst constant-folds the all-literal
+    * `array(...)` to a single Literal, so generated code per plane is one
+    * tight loop — the inlined ±`element_at` chain instead emits
+    * O(planes·dim) expression nodes in one generated method, which sends
+    * Janino's stack-map computation superlinear (measured: a 32-plane
+    * projection hung compilation for 5+ minutes; 8 planes already cost
+    * seconds). Integer dot with ±1 weights is bit-identical to the
+    * ±element_at sum, so the oracle's inlined form still matches.
+    */
+  private def planeDotSpark(vecExpr: String, j: Int): String =
+    s"long_dot($vecExpr, array(${planeWeights(j).map(w => s"${w}L").mkString(",")}))"
 
   /** LSH bucket id (bit j set iff projection on plane j is positive).
     *
@@ -85,10 +100,11 @@ object Similarity {
     */
   def bucketSql(vecExpr: String, spark: Boolean, nPlanes: Int = NumPlanes): String = {
     require(nPlanes <= planeWeights.length, s"only ${planeWeights.length} planes generated")
-    val mk: Int => String =
-      if (spark) d => s"element_at($vecExpr, $d)" else d => s"$vecExpr[$d]"
     (0 until nPlanes).map { j =>
-      s"(CASE WHEN ${planeExpr(j, mk)} > 0 THEN ${1L << j} ELSE 0 END)"
+      val proj =
+        if (spark) planeDotSpark(vecExpr, j)
+        else planeExpr(j, d => s"$vecExpr[$d]")
+      s"(CASE WHEN $proj > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
   }
 
@@ -194,14 +210,17 @@ object Similarity {
   }
 
   /** Bucket id for multi-table LSH: table `t` uses planes
-    * [t*BitsK, (t+1)*BitsK).
+    * [t*BitsK, (t+1)*BitsK). Renders for either engine (Spark
+    * `element_at`, DuckDB 1-based `[]`) so the oracle shares the exact
+    * plane constants.
     */
-  private def tableBucketSql(vecExpr: String, t: Int): String = {
-    val mk: Int => String = d => s"element_at($vecExpr, $d)"
+  def tableBucketSql(vecExpr: String, t: Int, spark: Boolean = true): String =
     (0 until BitsK).map { j =>
-      s"(CASE WHEN ${planeExpr(t * BitsK + j, mk)} > 0 THEN ${1L << j} ELSE 0 END)"
+      val proj =
+        if (spark) planeDotSpark(vecExpr, t * BitsK + j)
+        else planeExpr(t * BitsK + j, d => s"$vecExpr[$d]")
+      s"(CASE WHEN $proj > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
-  }
 
   /** Multi-table LSH ANN (standard L×k construction — the production
     * recall/selectivity knob): a vector lands in one bucket per table;
@@ -211,6 +230,40 @@ object Similarity {
     * key is (table, bucket), and payload vectors are re-attached only for
     * surviving candidates.
     */
+  /** Embedding-cosine near-duplicate pairs — the fifth dedup family
+    * (alongside exact / n-gram Jaccard / MinHash-LSH / SimHash): all
+    * pairs with cosine ≥ `threshold`, blocked by multi-table LSH so the
+    * candidate set is per-bucket, never all-pairs. A pair at cosine c
+    * survives blocking with probability 1-(1-(1-acos(c)/π)^BitsK)^TablesL
+    * (≈0.75 at c=0.4 for 8×4) — the standard recall/selectivity trade of
+    * an LSH near-dup join; raise TablesL for recall, BitsK for
+    * selectivity (BitsK ~ log₂(N/occupancy) at scale, as [[bucketSql]]).
+    *
+    * Scale shape: the explode multiplies only (id, bucket) ids by L; the
+    * single shuffle is the (t, b) equi-join; quantized payload vectors
+    * are re-attached just for surviving candidates; exact integer cosine
+    * reranks. Deterministic blocking (md5 planes) keeps the oracle
+    * bit-identical.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val v = corpus.select(col("vec_id").as("vid"), quantize(col("embedding")).as("qv"))
+      .withColumn("nv", dotQ("qv", "qv"))
+    val bucketed = v.select(col("vid"), explode(array((0 until TablesL).map(t =>
+        struct(lit(t).as("t"), expr(tableBucketSql("qv", t)).as("b"))): _*)).as("tb"))
+      .select(col("vid"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val cand = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.t") === col("b.t") && col("a.b") === col("b.b") &&
+          col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("doc_a"), col("b.vid").as("doc_b")).distinct()
+    val pa = v.select(col("vid").as("doc_a"), col("qv").as("va"), col("nv").as("na"))
+    val pb = v.select(col("vid").as("doc_b"), col("qv").as("vb"), col("nv").as("nb"))
+    cand.join(pa, "doc_a").join(pb, "doc_b")
+      .withColumn("cos_sim", cosineFromInts(dotQ("va", "vb"), col("na"), col("nb")))
+      .filter(col("cos_sim") >= threshold)
+      .select("doc_a", "doc_b", "cos_sim")
+  }
+
   def lshMultiTableTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def prep(df: DataFrame, id: String, v: String, n: String) =

@@ -67,8 +67,12 @@ object LlmQueries {
 
     // 64-bit/4×16-chunk pair path (replaces the 16-bit variant whose
     // constant 1/32 blocking selectivity went quadratic at scale).
+    // maxChunkFreq=50 is the hot-block guard for mass-duplicated
+    // template clusters (measured: keeps candidates ~linear in N on the
+    // fixture corpus; exact-dup clusters are dedup_exact's job).
     "dedup_simhash64_pairs" -> ((s, dir) =>
-      Dedup.simhash64Pairs(Tables.documents(s, dir), "doc_id", "text", maxHd = 2)),
+      Dedup.simhash64Pairs(Tables.documents(s, dir), "doc_id", "text",
+        maxHd = 2, maxChunkFreq = 50)),
 
     "doc_fingerprint" -> ((s, dir) =>
       Dedup.winnowingFingerprints(Tables.documents(s, dir), "doc_id", "text", n = 3, w = 4)),
@@ -103,6 +107,13 @@ object LlmQueries {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 50),
         numCentroids = 16, nprobe = 3, k = 5)
     }),
+
+    // Fifth dedup family: embedding-cosine near-dup pairs. The fixture
+    // embeddings are uniform random (max pairwise cosine ≈ 0.51), so the
+    // gate threshold 0.4 is what yields a non-trivial verified pair set;
+    // a production near-dup run would use ~0.9+ on real embeddings.
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)),
 
     "emb_label_stats" -> ((s, dir) =>
       Tables.embeddings(s, dir)
@@ -182,7 +193,10 @@ object LlmQueries {
          |  CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS h2 FROM th),
          |agg AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
          |sig AS (SELECT doc_id, $chunkExprs FROM agg),
-         |blocked AS ($blocks),
+         |blocked0 AS ($blocks),
+         |blocked AS (SELECT b.* FROM blocked0 b JOIN
+         |  (SELECT ci, cv FROM blocked0 GROUP BY ci, cv HAVING count(*) <= 50) ok
+         |  ON b.ci = ok.ci AND b.cv = ok.cv),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    a.c0 AS a_c0, a.c1 AS a_c1, a.c2 AS a_c2, a.c3 AS a_c3,
          |    b.c0 AS b_c0, b.c1 AS b_c1, b.c2 AS b_c2, b.c3 AS b_c3
@@ -277,6 +291,22 @@ object LlmQueries {
          |r AS (SELECT qid, cid, cell, cos_sim,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank FROM p)
          |SELECT qid, cid, cell, rank, cos_sim FROM r WHERE rank <= 5""".stripMargin.replace("\n", " ")
+    },
+
+    "dedup_embedding_cosine" -> {
+      val tables = (0 until Similarity.TablesL).map(t =>
+        s"SELECT vec_id, $t AS t, ${Similarity.tableBucketSql("qv", t, spark = false)} AS b FROM n")
+        .mkString(" UNION ALL ")
+      s"""WITH v AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv, ${Similarity.dotQSqlDuck("qv", "qv")} AS nrm FROM v),
+         |tb AS ($tables),
+         |cand AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM tb a JOIN tb b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
+         |s AS (SELECT doc_a, doc_b,
+         |    CAST(${Similarity.dotQSqlDuck("na.qv", "nb.qv")} AS DOUBLE) /
+         |      (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cos_sim
+         |  FROM cand JOIN n na ON cand.doc_a = na.vec_id JOIN n nb ON cand.doc_b = nb.vec_id)
+         |SELECT doc_a, doc_b, cos_sim FROM s WHERE cos_sim >= 0.4""".stripMargin.replace("\n", " ")
     },
 
     "emb_label_stats" ->

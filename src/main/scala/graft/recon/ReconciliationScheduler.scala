@@ -1,0 +1,94 @@
+package graft.recon
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Scheduled reconciliation (ST12) — the reference's persistent, pausable
+  * per-table scheduler (`src/services/reconciliation_scheduler.py:25-255`,
+  * jobstore `_apscheduler_jobs` in `init-db.sql:137-143`): interval jobs
+  * per table, persisted across restarts, pause/resume, and manual
+  * trigger. The runner is injected (it launches the batch reconciliation
+  * DataFrame jobs — `Reconciler.rowCountValidation` etc. with
+  * `Trigger.AvailableNow` semantics); the clock is injected for
+  * deterministic tests.
+  *
+  * `tick()` is the scheduling quantum: call it from any driver-side timer
+  * (a daemon thread here, cron/Airflow in production — SURVEY.md ST12
+  * maps the scheduler to external orchestration plus these batch jobs).
+  */
+final class ReconciliationScheduler(
+    storePath: String,
+    runJob: String => Unit,
+    clock: () => Long = () => System.currentTimeMillis()) {
+
+  final case class Job(table: String, intervalMs: Long, nextRunMs: Long, paused: Boolean)
+
+  private def load(): Seq[Job] = {
+    val p = Paths.get(storePath)
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map { l =>
+      val Array(t, i, n, pz) = l.split("\t", 4)
+      Job(t, i.toLong, n.toLong, pz.toBoolean)
+    }
+  }
+
+  private def save(jobs: Seq[Job]): Unit =
+    Files.writeString(Paths.get(storePath),
+      jobs.map(j => s"${j.table}\t${j.intervalMs}\t${j.nextRunMs}\t${j.paused}")
+        .mkString("", "\n", "\n"))
+
+  def jobs(): Seq[Job] = load()
+
+  /** Register (or replace) a per-table interval job; first run one
+    * interval from now (reference default: hourly per table).
+    */
+  def schedule(table: String, intervalMs: Long): Unit =
+    save(load().filterNot(_.table == table) :+
+      Job(table, intervalMs, clock() + intervalMs, paused = false))
+
+  def pause(table: String): Unit =
+    save(load().map(j => if (j.table == table) j.copy(paused = true) else j))
+
+  /** Resume with the next run one interval out (reference resume
+    * semantics — no catch-up burst for the paused window).
+    */
+  def resume(table: String): Unit =
+    save(load().map(j =>
+      if (j.table == table) j.copy(paused = false, nextRunMs = clock() + j.intervalMs) else j))
+
+  /** Run every due, unpaused job; advance each past `now` in whole
+    * intervals (a long outage yields ONE catch-up run, not a burst).
+    * Returns the tables run.
+    */
+  def tick(): Seq[String] = {
+    val now = clock()
+    val (due, rest) = load().partition(j => !j.paused && j.nextRunMs <= now)
+    val advanced = due.map { j =>
+      runJob(j.table)
+      val missed = (now - j.nextRunMs) / j.intervalMs + 1
+      j.copy(nextRunMs = j.nextRunMs + missed * j.intervalMs)
+    }
+    save(rest ++ advanced)
+    advanced.map(_.table)
+  }
+
+  /** Manual trigger (`reconciliation_scheduler.py:122-140` /
+    * `POST /reconciliation/trigger`): runs immediately, schedule
+    * untouched.
+    */
+  def manualTrigger(table: String): Unit = runJob(table)
+
+  /** Daemon-thread driver for `tick()` (local deployments). */
+  def startDaemon(periodMs: Long): Thread = {
+    val t = new Thread(() => {
+      while (!Thread.currentThread().isInterrupted) {
+        try tick() catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+        try Thread.sleep(periodMs)
+        catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+      }
+    }, "reconciliation-scheduler")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+}

@@ -126,6 +126,18 @@ final class ParquetStateStore(
     nDead
   }
 
+  /** Hard-delete rows by key (S11 / the GDPR erasure path). Returns rows
+    * removed.
+    */
+  def deleteKeys(values: Seq[Any]): Long = {
+    if (!exists) return 0L
+    val state = read()
+    val pred = col(key).isin(values.map(_.asInstanceOf[AnyRef]): _*)
+    val n = state.filter(pred).count()
+    if (n > 0) swapIn(state.filter(!pred))
+    n
+  }
+
   private def swapIn(next: DataFrame): Unit = {
     val tmp = dir + ".tmp"
     next.write.mode(SaveMode.Overwrite).parquet(tmp)

@@ -65,7 +65,13 @@ object ReplicationJob {
         * touches (the 100 TB state shape); None = the simple whole-table
         * store.
         */
-      stateBuckets: Option[Int] = None)
+      stateBuckets: Option[Int] = None,
+      /** Opt-in RED metrics (ST11/heartbeat + /metrics surface): when set,
+        * each batch records events/errors/latency into the registry. Off
+        * by default — recording adds two small per-batch aggregations.
+        */
+      metrics: Option[graft.ops.Metrics.Registry] = None,
+      metricsTable: String = "events")
 
   /** One micro-batch of the sink side: validation split → DLQ append →
     * LWW compaction → idempotent upsert. Exposed for batch tests and
@@ -73,6 +79,7 @@ object ReplicationJob {
     */
   def processBatch(spark: SparkSession, batch: DataFrame, cfg: Config,
       batchId: Long = 0L): Unit = {
+    val batchT0 = System.nanoTime()
     val err = EventOps.errorType(col("event_type"), col("value"), col("user_id"),
       cfg.validTypes, cfg.maxValue)
     val (valid, dlq) = EventOps.validationSplit(batch, err)
@@ -111,6 +118,14 @@ object ReplicationJob {
           new ParquetStateStore(spark, cfg.targetDir, "user_id",
             "_cdc_timestamp_micros", "_last_event_id").upsert(compacted)
       }
+    }
+    cfg.metrics.foreach { r =>
+      val byOp = valid.groupBy("event_type").count()
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toSeq
+      val byErr = dlq.groupBy("error_type").count()
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toSeq
+      graft.ops.Metrics.recordBatch(r, cfg.metricsTable, byOp, byErr,
+        (System.nanoTime() - batchT0) / 1e9, backlog = 0L)
     }
   }
 

@@ -1,0 +1,145 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.api.{ApiServer, Gdpr}
+import graft.ops.Metrics
+import graft.recon.ReconciliationScheduler
+import graft.sink.{JdbcLwwExecutor, ParquetStateStore}
+
+/** The operational surface: Prometheus metrics exposition, the
+  * persistent/pausable reconciliation scheduler, the HTTP API routes,
+  * and the GDPR dual-store delete with compensation.
+  */
+class ApiOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("metrics registry renders the reference's required RED metrics") {
+    val r = new Metrics.Registry
+    Metrics.recordBatch(r, "users",
+      validByType = Seq("CREATE" -> 90L, "UPDATE" -> 10L),
+      errorsByType = Seq("SCHEMA_MISMATCH" -> 3L),
+      batchSeconds = 0.7, backlog = 42L)
+    val text = r.render()
+    assert(text.contains("# TYPE cdc_events_processed_total counter"))
+    assert(text.contains("""cdc_events_processed_total{table="users",operation="CREATE"} 90"""))
+    assert(text.contains("# TYPE cdc_errors_total counter"))
+    assert(text.contains("""cdc_errors_total{error_type="SCHEMA_MISMATCH"} 3"""))
+    assert(text.contains("# TYPE cdc_backlog_depth gauge"))
+    assert(text.contains("""cdc_backlog_depth{table="users"} 42"""))
+    assert(text.contains("# TYPE cdc_processing_latency_seconds histogram"))
+    assert(text.contains("""cdc_processing_latency_seconds_bucket{le="1.0"} 1"""))
+    assert(text.contains("""cdc_processing_latency_seconds_bucket{le="0.5"} 0"""))
+    assert(text.contains("""cdc_processing_latency_seconds_bucket{le="+Inf"} 1"""))
+    assert(text.contains("cdc_processing_latency_seconds_count 1"))
+  }
+
+  test("scheduler: due jobs run, pause/resume, missed intervals collapse, persistence") {
+    var now = 1000L
+    val ran = scala.collection.mutable.ArrayBuffer[String]()
+    val store = tmpDir("sched") + "/jobs.tsv"
+    val s = new ReconciliationScheduler(store, ran += _, () => now)
+    s.schedule("users", intervalMs = 100)
+    s.schedule("orders", intervalMs = 1000)
+    assert(s.tick().isEmpty, "nothing due yet")
+    now = 1150
+    assert(s.tick() == Seq("users"))
+    s.pause("users")
+    now = 1450
+    assert(s.tick().isEmpty, "paused job must not run")
+    s.resume("users")              // next run one interval out: 1550
+    now = 2300                     // 7 intervals past — ONE catch-up run
+    assert(s.tick().sorted == Seq("orders", "users"))
+    assert(ran.count(_ == "users") == 2)
+    // persisted across instances; nextRun advanced in whole intervals
+    val s2 = new ReconciliationScheduler(store, ran += _, () => now)
+    val u = s2.jobs().find(_.table == "users").get
+    assert(!u.paused && u.nextRunMs > now && (u.nextRunMs - 1550) % 100 == 0)
+    s2.manualTrigger("orders")
+    assert(ran.count(_ == "orders") == 2)
+  }
+
+  test("HTTP API: health, metrics, dlq stats, trigger, GDPR delete end-to-end") {
+    // real source state store + real Derby target for the GDPR path
+    val stateDir = tmpDir("gdpr") + "/state"
+    val source = new ParquetStateStore(spark, stateDir, "user_id", "ts_us", "eid")
+    source.upsert(Seq((1L, 10L, 1L, "Ann"), (2L, 20L, 2L, "Bob"))
+      .toDF("user_id", "ts_us", "eid", "name"))
+    val url = "jdbc:derby:memory:gdprtest;create=true"
+    JdbcLwwExecutor.ensureTable(url,
+      """CREATE TABLE users_t ("user_id" BIGINT NOT NULL, PRIMARY KEY ("user_id"))""")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate("INSERT INTO users_t VALUES (1), (2)")
+    finally conn.close()
+    val target = JdbcLwwExecutor.Target(url, "users_t", Seq("user_id"), Seq("user_id"))
+    val auditPath = tmpDir("audit") + "/audit.tsv"
+
+    val reg = new Metrics.Registry
+    reg.inc(Metrics.EventsProcessed, Seq("table" -> "users", "operation" -> "CREATE"), 5)
+    var healthy = true
+    val triggered = scala.collection.mutable.ArrayBuffer[String]()
+    val api = new ApiServer(
+      registry = reg,
+      health = () => Map("spark" -> true, "target" -> healthy),
+      dlqStatsJson = () => """{"total":0}""",
+      reconTrigger = triggered += _,
+      gdprDelete = (table, pk) =>
+        Gdpr.deleteRecord(source, target, auditPath, table, pk.toLong))
+    val port = api.start()
+    val http = HttpClient.newHttpClient()
+    def send(method: String, path: String): HttpResponse[String] =
+      http.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .method(method, HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      val h = send("GET", "/health")
+      assert(h.statusCode() == 200 && h.body().contains(""""status":"healthy""""))
+      healthy = false
+      assert(send("GET", "/health").statusCode() == 503)
+      healthy = true
+
+      val m = send("GET", "/metrics")
+      assert(m.statusCode() == 200 &&
+        m.body().contains("""cdc_events_processed_total{table="users",operation="CREATE"} 5"""))
+
+      assert(send("GET", "/dlq/stats").body() == """{"total":0}""")
+
+      assert(send("POST", "/reconciliation/trigger?table=users").statusCode() == 202)
+      assert(triggered.toSeq == Seq("users"))
+      assert(send("POST", "/reconciliation/trigger?table=bad-name!").statusCode() == 400)
+
+      // GDPR: both stores lose the row, audit written
+      val g = send("DELETE", "/gdpr/users/1")
+      assert(g.statusCode() == 200 &&
+        g.body().contains(""""deleted_from_source":true""") &&
+        g.body().contains(""""deleted_from_target":true"""))
+      assert(source.read().filter($"user_id" === 1L).isEmpty)
+      val c2 = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c2.createStatement().executeQuery("SELECT count(*) FROM users_t")
+        rs.next(); assert(rs.getLong(1) == 1L)
+      } finally c2.close()
+      assert(java.nio.file.Files.readString(java.nio.file.Paths.get(auditPath))
+        .contains("deleted_both"))
+
+      assert(send("DELETE", "/gdpr/users/99").statusCode() == 404)
+    } finally api.stop()
+  }
+
+  test("GDPR compensation: failed target delete restores the source row") {
+    val stateDir = tmpDir("gdprc") + "/state"
+    val source = new ParquetStateStore(spark, stateDir, "user_id", "ts_us", "eid")
+    source.upsert(Seq((5L, 10L, 1L, "Eve")).toDF("user_id", "ts_us", "eid", "name"))
+    val badTarget = JdbcLwwExecutor.Target(
+      "jdbc:derby:memory:gdprtest2;create=true", "missing_t", Seq("user_id"), Seq("user_id"))
+    val auditPath = tmpDir("auditc") + "/audit.tsv"
+    val res = Gdpr.deleteRecord(source, badTarget, auditPath, "users", 5L)
+    assert(res.isLeft)
+    assert(source.read().filter($"user_id" === 5L).count() == 1L,
+      "source row must be restored by the compensating re-insert")
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(auditPath))
+      .contains("compensated"))
+  }
+}

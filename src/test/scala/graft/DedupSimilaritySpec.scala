@@ -114,10 +114,39 @@ class DedupSimilaritySpec extends SparkSpecBase {
     val q = emb.filter(col("vec_id") % 50 === 0)
     val bf = Similarity.bruteForceTopK(emb, q, 5)
       .filter(col("rank") === 1).select("qid", "cid").as[(Long, Long)].collect().toMap
-    val ivf = Similarity.ivfTopK(emb, q, numCentroids = 16, nprobe = 3, k = 5)
+    // centroid count ~ sqrt(N) for the tiny spec corpus (the sf0.01 gate
+    // query uses 16); fixed count either way — never a fraction of N.
+    // nprobe=4 of 8 cells: the fixture embeddings are uniform random (no
+    // cluster structure), the worst case for coarse quantization, so the
+    // recall floor needs a generous probe set at this corpus size.
+    val ivf = Similarity.ivfTopK(emb, q, numCentroids = 8, nprobe = 4, k = 5)
       .filter(col("rank") === 1).select("qid", "cid").as[(Long, Long)].collect().toMap
     val hits = bf.count { case (qid, cid) => ivf.get(qid).contains(cid) }
     assert(hits.toDouble / bf.size >= 0.5, s"IVF recall@1 too low: $hits/${bf.size}")
+  }
+
+  test("cosine near-dup pairs: exact above threshold, LSH blocking recall") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val thr = 0.35
+    // ground truth: every unordered pair with cosine >= thr, via the same
+    // exact integer cosine (brute force, fine at spec-corpus size)
+    val v = emb.select(col("vec_id").as("vid"),
+        Similarity.quantize(col("embedding")).as("qv"))
+      .withColumn("nv", Similarity.dotQ("qv", "qv"))
+    val truth = v.as("a").join(v.as("b"), col("a.vid") < col("b.vid"))
+      .withColumn("cos_sim", Similarity.cosineFromInts(
+        Similarity.dotQ("a.qv", "b.qv"), col("a.nv"), col("b.nv")))
+      .filter(col("cos_sim") >= thr)
+      .select(col("a.vid"), col("b.vid")).as[(Long, Long)].collect().toSet
+    val got = Similarity.cosineNearDupPairs(emb, thr)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture should contain pairs above the test threshold")
+    // precision 1 by construction (exact rerank) — every emitted pair is true
+    assert(got.subsetOf(truth), s"false positives: ${got.diff(truth).take(3)}")
+    // blocking recall: expected ~0.7 at c≈0.35 for the 8×4 construction;
+    // generous floor so plane randomness on a tiny corpus can't flake
+    assert(got.size.toDouble / truth.size >= 0.35,
+      s"LSH blocking recall too low: ${got.size}/${truth.size}")
   }
 
   test("multimodal decodeBatched produces deterministic metadata") {
