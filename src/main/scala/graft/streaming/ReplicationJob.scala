@@ -55,6 +55,12 @@ object ReplicationJob {
         * production boundary; the file source is its offline double.
         */
       kafka: Option[KafkaCdc.KafkaConfig] = None,
+      /** When set, ingest from the custom DSv2 commit-log source
+        * ([[EventLogSource]]: JSON-envelope segment files, rate-limited
+        * micro-batches) — the S1 capture boundary as a first-class
+        * source; value = (log dir, maxRowsPerTrigger).
+        */
+      eventLog: Option[(String, Long)] = None,
       /** When set, the sink executes the LWW upsert against a live JDBC
         * target (per-partition connections, statement batching, retry +
         * breaker — S9/S10) instead of the parquet state store.
@@ -136,9 +142,18 @@ object ReplicationJob {
     */
   def start(spark: SparkSession, cfg: Config, continuous: Boolean = false): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = cfg.kafka match {
-      case Some(k) => KafkaCdc.readStream(spark, k, eventSchema)
-      case None => spark.readStream
+    val stream = (cfg.kafka, cfg.eventLog) match {
+      case (Some(k), _) => KafkaCdc.readStream(spark, k, eventSchema)
+      case (None, Some((dir, maxRows))) =>
+        // commit-log DSv2 source: decode the raw envelope line exactly as
+        // the Kafka wire path does (value → from_json → typed columns)
+        spark.readStream.format(classOf[EventLogSource].getName)
+          .option("path", dir).option("maxRowsPerTrigger", maxRows).load()
+          .select(from_json(col("value"), eventSchema).as("e"),
+            col("segment").as("_segment"), col("offset").as("_offset"))
+          .select(col("e.*"), col("_segment"), col("_offset"))
+          .withColumn("ts_us", expr("ts div 1000"))
+      case (None, None) => spark.readStream
         .schema(eventSchema)
         .option("maxFilesPerTrigger", 1) // bounded batches ≈ ST6 backpressure
         .parquet(cfg.sourceDir)

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{EventLogOffset, EventLogSource}
+
+/** The custom DSv2 commit-log source (S1 capture boundary): batch read,
+  * rate-limited micro-batch drain, per-segment ordering, and
+  * checkpoint-resume picking up only appended segments.
+  */
+class EventLogSourceSpec extends SparkSpecBase {
+
+  private val Fmt = classOf[EventLogSource].getName
+
+  private def writeSeg(dir: String, name: String, n: Int, from: Int = 0): Unit =
+    Files.writeString(Paths.get(dir, name),
+      (from until from + n).map(i => s"""{"event_id":$i}""").mkString("", "\n", "\n"))
+
+  test("batch read returns every line with segment/offset provenance") {
+    val dir = tmpDir("evlog")
+    writeSeg(dir, "seg-000.log", 7)
+    writeSeg(dir, "seg-001.log", 5, from = 7)
+    val df = spark.read.format(Fmt).option("path", dir).load()
+    assert(df.count() == 12)
+    val r = df.filter(col("segment") === "seg-001.log")
+      .orderBy("offset").select("value", "offset").collect()
+    assert(r.length == 5)
+    assert(r.head.getString(0) == """{"event_id":7}""" && r.head.getLong(1) == 0L)
+  }
+
+  test("micro-batch drain respects maxRowsPerTrigger and preserves per-segment order") {
+    val dir = tmpDir("evlog")
+    writeSeg(dir, "seg-000.log", 11)
+    writeSeg(dir, "seg-001.log", 6, from = 11)
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val q = spark.readStream.format(Fmt)
+      .option("path", dir).option("maxRowsPerTrigger", 4).load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.select("segment", "offset").collect()
+        sizes.synchronized {
+          sizes += rows.length.toLong
+          seen ++= rows.map(r => (r.getString(0), r.getLong(1)))
+        }
+        (): Unit
+      }
+      .option("checkpointLocation", tmpDir("ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(seen.size == 17, s"all rows delivered, got ${seen.size}")
+    assert(sizes.forall(_ <= 4), s"admission control violated: $sizes")
+    assert(sizes.count(_ > 0) >= 5, s"expected >=5 rate-limited batches, got $sizes")
+    // per-segment offsets arrive in order (commit-log ordering unit)
+    Seq("seg-000.log", "seg-001.log").foreach { s =>
+      val offs = seen.filter(_._1 == s).map(_._2)
+      assert(offs == offs.sorted, s"out-of-order delivery in $s")
+    }
+  }
+
+  test("checkpoint resume delivers only segments appended after the drain") {
+    val dir = tmpDir("evlog")
+    val ck = tmpDir("ck")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def drain(): Unit = {
+      val q = spark.readStream.format(Fmt).option("path", dir).load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          out.synchronized { out ++= b.select("value").collect().map(_.getString(0)) }
+          (): Unit
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    writeSeg(dir, "seg-000.log", 3)
+    drain()
+    assert(out.size == 3)
+    out.clear()
+    writeSeg(dir, "seg-001.log", 2, from = 3) // appended after first drain
+    drain()
+    assert(out.toSeq == Seq("""{"event_id":3}""", """{"event_id":4}"""),
+      s"resume must deliver only the new segment, got $out")
+  }
+
+  test("offset json round-trips") {
+    val o = EventLogOffset(3, 41L)
+    assert(EventLogOffset.parse(o.json()) == o)
+  }
+
+  test("replication job end-to-end over the commit-log source") {
+    import graft.streaming.ReplicationJob
+    val dir = tmpDir("evlog")
+    def ev(id: Long, ts: Long, uid: Long, et: String, v: Double) =
+      s"""{"event_id":$id,"ts":${ts * 1000},"user_id":$uid,"event_type":"$et","value":$v}"""
+    // user 1: out-of-order arrivals, LWW winner = ts 300 (event 3)
+    // user 2: single valid event; event 5 is invalid (bad type) → DLQ
+    Files.writeString(Paths.get(dir, "seg-000.log"), Seq(
+      ev(1, 300, 1, "purchase", 10.0),
+      ev(2, 100, 1, "view", 5.0),
+      ev(5, 400, 2, "bogus_type", 1.0)).mkString("", "\n", "\n"))
+    Files.writeString(Paths.get(dir, "seg-001.log"), Seq(
+      ev(3, 200, 1, "click", 7.0),
+      ev(4, 250, 2, "signup", 2.0)).mkString("", "\n", "\n"))
+    val base = tmpDir("evrepl")
+    val cfg = ReplicationJob.Config(
+      sourceDir = dir, targetDir = s"$base/target", dlqDir = s"$base/dlq",
+      checkpointDir = s"$base/ckpt", eventLog = Some((dir, 2L)))
+    ReplicationJob.start(spark, cfg).awaitTermination(120000)
+    val state = ReplicationJob.targetState(spark, cfg)
+      .select("user_id", "_last_event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state == Map(1L -> 1L, 2L -> 4L),
+      s"LWW winners wrong: $state") // user 1: ts 300 = event 1; user 2: event 4
+    val dlq = spark.read.parquet(s"$base/dlq").select("event_id").collect().map(_.getLong(0))
+    assert(dlq.toSeq == Seq(5L), s"invalid event must route to DLQ, got ${dlq.toSeq}")
+  }
+}
