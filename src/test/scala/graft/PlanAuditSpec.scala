@@ -1,0 +1,85 @@
+package graft
+
+/** Physical-plan shape audit: the properties that make these operators
+  * survive a 100× scale-up, asserted on the actual planned strings so a
+  * regression (lost broadcast, accidental cartesian product, dropped
+  * map-side combine, un-pruned scan) fails the suite — not just a bench.
+  *
+  * Plans are inspected pre-execution (`executedPlan` under AQE prints the
+  * initial physical plan; the asserted operators — join strategies,
+  * partial aggregates, scan pruning — are decided at planning time).
+  */
+class PlanAuditSpec extends SparkSpecBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q5: dimension joins broadcast, no cartesian, lineitem scan pruned") {
+    val p = plan("q5_local_supplier")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, "dims must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    // column pruning must reach the fact scan: only the 4 needed lineitem
+    // columns, not all 16
+    val lineitemSchema = "lineitem\\.parquet.*?ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p.replaceAll("\n", " ")).map(_.group(1))
+    assert(lineitemSchema.exists(_.split(",").length <= 5),
+      s"lineitem scan not pruned: $lineitemSchema")
+  }
+
+  test("q1: filter pushed to the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [") && p.contains("LessThan(l_shipdate"),
+      "shipdate predicate must reach the scan")
+  }
+
+  test("LWW compaction is a partial aggregate, not a window sort") {
+    val p = plan("cdc_lww_latest")
+    assert(p.contains("partial_max_by"),
+      "map-side combine required — shuffling raw events doesn't scale")
+    assert(!p.contains("Window"), "row_number-over-window would sort every event")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "exactly one shuffle (by key) expected")
+  }
+
+  test("exact dedup: single shuffle") {
+    val p = plan("dedup_exact")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+    assert(p.contains("partial_"), "map-side partial aggregation expected")
+  }
+
+  test("blocked pair joins never degenerate to cartesian/broadcast-loop") {
+    for (q <- Seq("dedup_simhash64_pairs", "dedup_embedding_cosine",
+        "dedup_lsh_pairs", "dedup_ngram_jaccard", "ann_lsh_bucketed")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q must join on blocking keys, not loop")
+    }
+  }
+
+  test("brute-force ANN broadcasts the bounded query side (by design)") {
+    val p = plan("ann_cosine_topk")
+    // the deliberate O(|Q|·N) baseline: tiny query side broadcast against
+    // one corpus scan — anything else (shuffling the corpus) is wrong
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "query side must broadcast")
+  }
+
+  test("IVF: centroids broadcast; top-k windows use group-limit pushdown") {
+    val p = plan("ann_ivf_topk")
+    assert(p.contains("BroadcastExchange"), "fixed centroid table must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    // Spark's WindowGroupLimit trims per-partition before the shuffle —
+    // the property that keeps rank<=k windows linear
+    assert(p.contains("WindowGroupLimit"), "window top-k must push the limit down")
+  }
+
+  test("text analytics stay inside whole-stage codegen") {
+    for (q <- Seq("text_token_count", "text_quality", "text_lang_id")) {
+      val p = plan(q)
+      // codegen stages print as `*(n)` operator prefixes in plan strings
+      assert(p.contains("*(1)"), s"$q fell out of codegen")
+      assert(!p.contains("Exchange hashpartitioning"), s"$q needs no shuffle")
+    }
+  }
+}
