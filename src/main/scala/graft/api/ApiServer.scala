@@ -20,7 +20,18 @@ final class ApiServer(
     dlqStatsJson: () => String,
     reconTrigger: String => Unit,
     gdprDelete: (String, String) => Either[String, Gdpr.DeleteResult],
-    port: Int = 0) {
+    port: Int = 0,
+    /** GET /dlq/records?limit=&offset= (dlq.py `GET /records`). */
+    dlqRecordsJson: (Int, Int) => String = (_, _) => "[]",
+    /** POST /dlq/replay?ids=a,b → replayed count (dlq.py `POST /replay`). */
+    dlqReplay: Seq[String] => Long = _ => 0L,
+    /** GET /reconciliation/jobs (reconciliation.py `GET /jobs`). */
+    reconJobsJson: () => String = () => "[]",
+    /** GET /reconciliation/mismatches (`GET /mismatches`). */
+    mismatchesJson: () => String = () => "[]",
+    /** POST /reconciliation/mismatches/{id}/resolve → found?
+      * (`POST /mismatches/{id}/resolve`). */
+    mismatchResolve: String => Boolean = _ => false) {
 
   private var server: HttpServer = _
 
@@ -43,16 +54,25 @@ final class ApiServer(
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
     // GET /health — 200 healthy / 503 if any component down, with
-    // per-component details (test_health_api.py:13-83 contract shape).
+    // per-component details (test_health_api.py:13-83 contract shape);
+    // GET /health/{component} — that component alone (health.py).
     server.createContext("/health", (ex: HttpExchange) => {
       val comps = health()
-      val healthy = comps.values.forall(identity)
-      val body = comps.map { case (k, ok) =>
-        s""""$k":{"status":"${if (ok) "healthy" else "unhealthy"}"}"""
-      }.mkString(
-        s"""{"status":"${if (healthy) "healthy" else "unhealthy"}","components":{""",
-        ",", "}}")
-      respond(ex, if (healthy) 200 else 503, body, "application/json")
+      val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
+      if (parts.length == 2) comps.get(parts(1)) match {
+        case Some(ok) => respond(ex, if (ok) 200 else 503,
+          s"""{"component":"${parts(1)}","status":"${if (ok) "healthy" else "unhealthy"}"}""",
+          "application/json")
+        case None => respond(ex, 404, """{"error":"unknown component"}""", "application/json")
+      } else {
+        val healthy = comps.values.forall(identity)
+        val body = comps.map { case (k, ok) =>
+          s""""$k":{"status":"${if (ok) "healthy" else "unhealthy"}"}"""
+        }.mkString(
+          s"""{"status":"${if (healthy) "healthy" else "unhealthy"}","components":{""",
+          ",", "}}")
+        respond(ex, if (healthy) 200 else 503, body, "application/json")
+      }
     })
 
     // GET /metrics — Prometheus exposition (test_metrics_api.py contract).
@@ -62,6 +82,53 @@ final class ApiServer(
     // GET /dlq/stats — the DLQ stats endpoint (dlq_service.py:375-443).
     server.createContext("/dlq/stats", (ex: HttpExchange) =>
       respond(ex, 200, dlqStatsJson(), "application/json"))
+
+    def queryParams(ex: HttpExchange): Map[String, String] =
+      Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
+        .collect { case kv if kv.contains("=") =>
+          val Array(k, v) = kv.split("=", 2); k -> v
+        }.toMap
+
+    // GET /dlq/records?limit=&offset= — ordered page (dlq.py GET /records).
+    server.createContext("/dlq/records", (ex: HttpExchange) => {
+      val q = queryParams(ex)
+      respond(ex, 200, dlqRecordsJson(
+        q.get("limit").flatMap(_.toIntOption).getOrElse(100),
+        q.get("offset").flatMap(_.toIntOption).getOrElse(0)), "application/json")
+    })
+
+    // POST /dlq/replay?ids=a,b — re-produce selected events
+    // (dlq.py POST /replay → dlq_service.py:222-243).
+    server.createContext("/dlq/replay", (ex: HttpExchange) => {
+      if (ex.getRequestMethod != "POST")
+        respond(ex, 400, """{"error":"POST /dlq/replay?ids=..."}""", "application/json")
+      else {
+        val ids = queryParams(ex).get("ids").toSeq
+          .flatMap(_.split(",")).filter(_.nonEmpty)
+        if (ids.isEmpty)
+          respond(ex, 400, """{"error":"ids required"}""", "application/json")
+        else respond(ex, 200,
+          s"""{"replayed":${dlqReplay(ids)},"requested":${ids.length}}""",
+          "application/json")
+      }
+    })
+
+    // GET /reconciliation/jobs — job list (reconciliation.py GET /jobs).
+    server.createContext("/reconciliation/jobs", (ex: HttpExchange) =>
+      respond(ex, 200, reconJobsJson(), "application/json"))
+
+    // GET /reconciliation/mismatches + POST .../mismatches/{id}/resolve.
+    server.createContext("/reconciliation/mismatches", (ex: HttpExchange) => {
+      val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
+      if (ex.getRequestMethod == "POST" && parts.length == 4 && parts(3) == "resolve") {
+        if (mismatchResolve(parts(2)))
+          respond(ex, 200, s"""{"mismatch_id":"${esc(parts(2))}","resolved":true}""",
+            "application/json")
+        else respond(ex, 404, """{"error":"mismatch not found"}""", "application/json")
+      } else if (ex.getRequestMethod == "GET" && parts.length == 2)
+        respond(ex, 200, mismatchesJson(), "application/json")
+      else respond(ex, 400, """{"error":"bad mismatches request"}""", "application/json")
+    })
 
     // POST /reconciliation/trigger?table=t — manual trigger
     // (reconciliation.py:73-119).

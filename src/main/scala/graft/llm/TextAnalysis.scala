@@ -17,6 +17,21 @@ object TextAnalysis {
 
   def tokenCount(textCol: Column): Column = size(tokens(textCol))
 
+  /** BPE-style pre-tokenization pattern (the GPT-2 family's split shape:
+    * contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs, residual whitespace) — restricted to constructs
+    * RE2 also supports (no lookahead) so the DuckDB oracle applies the
+    * IDENTICAL pattern. Token count under this split approximates BPE
+    * pre-merge sequence length, the usual training-data budget unit.
+    */
+  val BpeishPattern: String =
+    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  def bpeishTokens(textCol: Column): Column =
+    regexp_extract_all(textCol, lit(BpeishPattern), lit(0))
+
+  def bpeishTokenCount(textCol: Column): Column = size(bpeishTokens(textCol))
+
   /** Quality features, all exact ints:
     * n_chars, n_tokens, n_unique tokens, stopword count, avg token length
     * ×100 (integer division; token chars = n_chars − (n_tokens−1) spaces).

@@ -83,6 +83,12 @@ object LlmQueries {
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         length(col("text")).as("n_chars"))),
 
+    // BPE-ish pre-tokenizer count (same RE2-safe pattern both engines)
+    "text_bpe_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpe_tokens"))),
+
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityFeatures(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -219,6 +225,13 @@ object LlmQueries {
     "text_token_count" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, length(text) AS n_chars
         |FROM documents""".stripMargin.replace("\n", " "),
+
+    // DuckDB string literals keep backslashes literal; only the embedded
+    // single quote needs doubling
+    "text_bpe_tokens" ->
+      s"""SELECT doc_id, len(regexp_extract_all(text,
+         |  '${TextAnalysis.BpeishPattern.replace("'", "''")}')) AS n_bpe_tokens
+         |FROM documents""".stripMargin.replace("\n", " "),
 
     "text_quality" -> {
       val stopList = TextAnalysis.StopWords.map(s => s"'$s'").mkString(", ")

@@ -91,4 +91,50 @@ object TypeMapper {
   /** PG DDL column list for the sink auto-create (S13). */
   def pgColumns(columns: Seq[(String, String, String)]): Seq[(String, String)] =
     columns.map { case (name, cql, _) => name -> map(cql).pg }
+
+  /** S5 live catalog scan: table schema straight from a JDBC catalog via
+    * `DatabaseMetaData.getColumns` + primary-key nullability — the
+    * target-side analog of reading `system_schema.columns`
+    * (`cassandra_repository.py:110-168`; the source side has no live
+    * Cassandra here, so the catalog read is exercised against the real
+    * JDBC target). java.sql.Types → Catalyst; unknown types fall back to
+    * string like the CQL path.
+    */
+  def structFromJdbc(conn: java.sql.Connection, table: String): StructType = {
+    import java.sql.Types._
+    def catalyst(sqlType: Int, precision: Int, scale: Int): DataType = sqlType match {
+      case BIGINT => LongType
+      case INTEGER => IntegerType
+      case SMALLINT => ShortType
+      case TINYINT => ByteType
+      case FLOAT | REAL => FloatType
+      case DOUBLE => DoubleType
+      case NUMERIC | DECIMAL =>
+        if (precision > 0 && precision <= 38) DecimalType(precision, math.max(0, scale))
+        else DecimalType(38, 18)
+      case BOOLEAN | BIT => BooleanType
+      case DATE => DateType
+      case TIMESTAMP | TIMESTAMP_WITH_TIMEZONE => TimestampType
+      case BINARY | VARBINARY | LONGVARBINARY | BLOB => BinaryType
+      case _ => StringType
+    }
+    val md = conn.getMetaData
+    val pks = {
+      val rs = md.getPrimaryKeys(null, null, table)
+      val b = Set.newBuilder[String]
+      try while (rs.next()) b += rs.getString("COLUMN_NAME") finally rs.close()
+      b.result()
+    }
+    val rs = md.getColumns(null, null, table, null)
+    val fields = Seq.newBuilder[StructField]
+    try while (rs.next()) {
+      val name = rs.getString("COLUMN_NAME")
+      fields += StructField(name,
+        catalyst(rs.getInt("DATA_TYPE"), rs.getInt("COLUMN_SIZE"),
+          rs.getInt("DECIMAL_DIGITS")),
+        nullable = !pks.contains(name) &&
+          rs.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls)
+    } finally rs.close()
+    StructType(fields.result())
+  }
 }

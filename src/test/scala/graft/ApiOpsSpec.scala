@@ -128,6 +128,67 @@ class ApiOpsSpec extends SparkSpecBase {
     } finally api.stop()
   }
 
+  test("HTTP API: dlq records/replay, recon jobs/mismatches, component health") {
+    import graft.ops.DlqService
+    import org.apache.spark.sql.functions.col
+    val dlq = Seq(
+      (1L, "SCHEMA_MISMATCH", "PENDING", 300L),
+      (2L, "VALIDATION", "PENDING", 100L),
+      (3L, "VALIDATION", "PENDING", 200L))
+      .toDF("event_id", "error_type", "resolution_status", "failed_at_us")
+    val store = tmpDir("schedapi") + "/jobs.tsv"
+    val sched = new ReconciliationScheduler(store, _ => ())
+    sched.schedule("users", 60000L)
+    val replayed = scala.collection.mutable.ArrayBuffer[String]()
+    val resolved = scala.collection.mutable.ArrayBuffer[String]()
+    val api = new ApiServer(
+      registry = new Metrics.Registry,
+      health = () => Map("spark" -> true, "target" -> false),
+      dlqStatsJson = () => "{}",
+      reconTrigger = _ => (),
+      gdprDelete = (_, _) => Left("n/a"),
+      dlqRecordsJson = (limit, offset) => {
+        val ids = DlqService.list(dlq, Seq.empty, limit, offset)
+          .select("event_id").collect().map(_.getLong(0))
+        ids.mkString("[", ",", "]")
+      },
+      dlqReplay = ids => {
+        replayed ++= ids
+        DlqService.replay(dlq, ids.map(_.toLong), nowUs = 999L)._1.count()
+      },
+      reconJobsJson = () => sched.jobs()
+        .map(j => s"""{"table":"${j.table}","paused":${j.paused}}""")
+        .mkString("[", ",", "]"),
+      mismatchesJson = () => """[{"mismatch_id":"m1"}]""",
+      mismatchResolve = id => { resolved += id; id == "m1" })
+    val port = api.start()
+    val http = HttpClient.newHttpClient()
+    def send(method: String, path: String): HttpResponse[String] =
+      http.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .method(method, HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      // ordered DESC by failed_at, paginated
+      assert(send("GET", "/dlq/records?limit=2").body() == "[1,3]")
+      assert(send("GET", "/dlq/records?limit=2&offset=2").body() == "[2]")
+      val r = send("POST", "/dlq/replay?ids=1,3")
+      assert(r.statusCode() == 200 && r.body() == """{"replayed":2,"requested":2}""")
+      assert(replayed.toSeq == Seq("1", "3"))
+      assert(send("POST", "/dlq/replay").statusCode() == 400)
+      assert(send("GET", "/reconciliation/jobs").body() ==
+        """[{"table":"users","paused":false}]""")
+      assert(send("GET", "/reconciliation/mismatches").body() == """[{"mismatch_id":"m1"}]""")
+      assert(send("POST", "/reconciliation/mismatches/m1/resolve").statusCode() == 200)
+      assert(send("POST", "/reconciliation/mismatches/nope/resolve").statusCode() == 404)
+      assert(resolved.toSeq == Seq("m1", "nope"))
+      // per-component health
+      assert(send("GET", "/health/spark").statusCode() == 200)
+      assert(send("GET", "/health/target").statusCode() == 503)
+      assert(send("GET", "/health/nope").statusCode() == 404)
+    } finally api.stop()
+  }
+
   test("GDPR compensation: failed target delete restores the source row") {
     val stateDir = tmpDir("gdprc") + "/state"
     val source = new ParquetStateStore(spark, stateDir, "user_id", "ts_us", "eid")

@@ -34,6 +34,30 @@ class TypesSchemaSpec extends SparkSpecBase {
     assert(!st("id").nullable && st("ts").nullable && st("v").nullable)
   }
 
+  test("structFromJdbc: live catalog scan off a real JDBC target (S5)") {
+    val url = "jdbc:derby:memory:catalogtest;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().executeUpdate(
+        """CREATE TABLE CAT_T (
+          |  "id" BIGINT NOT NULL,
+          |  "name" VARCHAR(64),
+          |  "score" DOUBLE,
+          |  "amount" DECIMAL(12,2),
+          |  "created" TIMESTAMP,
+          |  "payload" BLOB,
+          |  PRIMARY KEY ("id"))""".stripMargin)
+      val st = TypeMapper.structFromJdbc(conn, "CAT_T")
+      assert(st.fieldNames.toSeq == Seq("id", "name", "score", "amount", "created", "payload"))
+      assert(st("id").dataType == LongType && !st("id").nullable)
+      assert(st("name").dataType == StringType && st("name").nullable)
+      assert(st("score").dataType == DoubleType)
+      assert(st("amount").dataType == DecimalType(12, 2))
+      assert(st("created").dataType == TimestampType)
+      assert(st("payload").dataType == BinaryType)
+    } finally conn.close()
+  }
+
   test("envelope parse + validation split on canonical fixtures") {
     val now = 1732092400000000L
     val valid =
