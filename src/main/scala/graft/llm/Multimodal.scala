@@ -73,4 +73,57 @@ object Multimodal {
     */
   def stubDecode(bytes: Array[Byte]): (Int, Int, Int) =
     (bytes.length % 640 + 1, bytes.length * 7 % 480 + 1, bytes.length % 30 + 1)
+
+  /** Frame sampling: every `stride`-th frame index per video payload,
+    * exploded to (doc_id, frame_idx, frame_id) rows — the fan-out shape of
+    * a video-frame extraction stage (each output row is one decode-work
+    * unit downstream). Expression-level and exact: `sequence` explode, a
+    * deterministic per-frame fingerprint, no UDF; the frame PIXEL decode
+    * belongs in [[decodeBatched]]'s seam, not here. Fan-out is bounded by
+    * n_frames/stride per row — partition counts scale with output, not
+    * input.
+    */
+  def frameSample(docs: DataFrame, idCol: String, textCol: String,
+      stride: Int): DataFrame =
+    metadata(docs, idCol, textCol)
+      .filter(col("media_type") === "video")
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+      .withColumn("frame_id",
+        conv(substring(md5(concat_ws(":", col("doc_id"), col("frame_idx"))), 1, 8), 16, 10)
+          .cast("long"))
+
+  final case class MediaFeatures(doc_id: Long, embedding: Array[Float])
+
+  /** Feature-extraction seam: per-partition batched "model inference"
+    * emitting a fixed-dim embedding per payload — the plumbing (schema,
+    * batch shape, amortized per-partition init) that a real vision/audio
+    * encoder plugs into; output is directly consumable by the
+    * [[Similarity]] ANN/near-dup operators (same `embedding` column
+    * contract). Stub: deterministic rolling-hash features.
+    */
+  def extractFeatures(
+      spark: SparkSession, withPayloadDf: DataFrame, idCol: String,
+      dim: Int = 8,
+      embedOne: (Array[Byte], Int) => Array[Float] = stubEmbed): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    withPayloadDf.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition model/session init amortizes here
+        rows.map { case (id, bytes) => MediaFeatures(id, embedOne(bytes, dim)) }
+      }
+  }
+
+  /** Deterministic fake encoder (rolling hash per dimension, unit-free). */
+  def stubEmbed(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val acc = new Array[Long](dim)
+    var i = 0
+    while (i < bytes.length) {
+      val d = i % dim
+      acc(d) = acc(d) * 31 + (bytes(i) & 0xff)
+      i += 1
+    }
+    acc.map(v => ((v % 2000L) - 1000L) / 1000.0f)
+  }
 }

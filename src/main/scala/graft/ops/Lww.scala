@@ -35,6 +35,28 @@ object Lww {
       .select((keys.map(col) ++ payload.map(c => col(s"_w.$c").as(c))).toIndexedSeq: _*)
   }
 
+  /** Skew-salted two-phase variant of [[latestPerKey]] for pathological
+    * key skew (one device/user producing a large share of all events —
+    * map-side combine already absorbs most skew, but a single key hot
+    * enough to overflow its reducer still bottlenecks the final
+    * exchange). Phase 1 aggregates on (keys, salt) — the hot key's rows
+    * spread over `saltBuckets` reducers; phase 2 re-aggregates the ≤
+    * `saltBuckets` survivors per key. Correct for ANY commutative
+    * associative fold, which LWW's max-by-(ts, tie) is; both phases are
+    * the same `max_by`, so the result is bit-identical to the unsalted
+    * plan. Cost: a second (tiny) shuffle — use only when skew is known.
+    */
+  def latestPerKeySalted(df: DataFrame, keys: Seq[String], ordering: Seq[Column],
+      saltBuckets: Int = 32): DataFrame = {
+    val payload = df.columns.filterNot(keys.contains)
+    val winner = max_by(struct(payload.map(col).toIndexedSeq: _*), struct(ordering.toIndexedSeq: _*))
+    val salted = df.withColumn("_salt", pmod(spark_partition_id(), lit(saltBuckets)))
+    val phase1 = salted.groupBy((keys.map(col) :+ col("_salt")).toIndexedSeq: _*)
+      .agg(winner.as("_w"))
+      .select((keys.map(col) ++ payload.map(c => col(s"_w.$c").as(c))).toIndexedSeq: _*)
+    latestPerKey(phase1, keys, ordering)
+  }
+
   /** LWW accept/reject against existing target state: the incoming batch
     * (already compacted per key) joined to the current target; accepted iff
     * no existing row, or (ts, tie) strictly greater (reference

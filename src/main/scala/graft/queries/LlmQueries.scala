@@ -129,7 +129,11 @@ object LlmQueries {
         .agg(count(lit(1)).as("n"), sum("vsum").as("sum_q"))),
 
     "multimodal_meta" -> ((s, dir) =>
-      Multimodal.metadata(Tables.documents(s, dir), "doc_id", "text"))
+      Multimodal.metadata(Tables.documents(s, dir), "doc_id", "text")),
+
+    // frame-extraction fan-out: every 5th frame of each "video" payload
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSample(Tables.documents(s, dir), "doc_id", "text", stride = 5))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -336,6 +340,16 @@ object LlmQueries {
         |  CASE WHEN octet_length(text::BLOB) % 3 = 0 THEN 'img'
         |       WHEN octet_length(text::BLOB) % 3 = 1 THEN 'audio'
         |       ELSE 'video' END AS media_type
-        |FROM documents""".stripMargin.replace("\n", " ")
+        |FROM documents""".stripMargin.replace("\n", " "),
+
+    // range(0, n, 5) exclusive-end ≡ Spark sequence(0, n-1, 5) inclusive;
+    // frame_id fingerprint = first 8 md5 hex chars as a decimal bigint
+    // (the established cross-engine conv/CAST '0x' idiom)
+    "multimodal_frames" ->
+      """WITH meta AS (SELECT doc_id, octet_length(text::BLOB) % 30 + 1 AS n_frames
+        |  FROM documents WHERE octet_length(text::BLOB) % 3 = 2)
+        |SELECT doc_id, n_frames, u.i AS frame_idx,
+        |  CAST(concat('0x', substr(md5(concat(doc_id, ':', u.i)), 1, 8)) AS BIGINT) AS frame_id
+        |FROM meta, UNNEST(range(0, n_frames, 5)) u(i)""".stripMargin.replace("\n", " ")
   )
 }

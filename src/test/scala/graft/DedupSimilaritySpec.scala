@@ -149,6 +149,37 @@ class DedupSimilaritySpec extends SparkSpecBase {
       s"LSH blocking recall too low: ${got.size}/${truth.size}")
   }
 
+  test("multimodal frame sampling fans out stride-spaced frame indices") {
+    val fixture = Tables.documents(spark, sfDir)
+    val fs = Multimodal.frameSample(fixture, "doc_id", "text", stride = 5)
+      .orderBy("doc_id", "frame_idx").collect()
+    val meta = Multimodal.metadata(fixture, "doc_id", "text")
+      .filter(col("media_type") === "video")
+      .select("doc_id", "n_frames").as[(Long, Int)].collect().toMap
+    assert(meta.nonEmpty, "fixture should contain video payloads")
+    // exact fan-out: ceil(n_frames / stride) rows per video doc
+    assert(fs.length == meta.values.map(n => (n + 4) / 5).sum)
+    fs.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+      val idxs = rows.map(_.getInt(2)).toSeq
+      assert(idxs == (0 until meta(id)).by(5).toSeq, s"doc $id indices: $idxs")
+    }
+  }
+
+  test("multimodal feature extraction emits ANN-compatible embeddings") {
+    val feats = Multimodal.extractFeatures(
+      spark, Multimodal.withPayload(docs, "text"), "doc_id", dim = 8)
+    val rows = feats.collect()
+    assert(rows.length == 5 && rows.forall(_.embedding.length == 8))
+    // deterministic: identical payloads embed identically
+    val f0 = rows.find(_.doc_id == 0L).get.embedding.toSeq
+    assert(f0 == rows.find(_.doc_id == 1L).get.embedding.toSeq)
+    // schema contract: flows straight into the Similarity operators
+    val asEmb = feats.toDF().withColumnRenamed("doc_id", "vec_id")
+    val pairs = graft.llm.Similarity.cosineNearDupPairs(asEmb, threshold = 0.999)
+    assert(pairs.filter(col("doc_a") === 0L && col("doc_b") === 1L).count() == 1L,
+      "identical embeddings must surface as a near-dup pair")
+  }
+
   test("multimodal decodeBatched produces deterministic metadata") {
     val decoded = Multimodal.decodeBatched(
       spark, Multimodal.withPayload(docs, "text"), "doc_id").collect()

@@ -57,6 +57,21 @@ class LwwSpec extends SparkSpecBase {
     assert(sparkLww(evs)(1L).event_id == 9)
   }
 
+  test("salted two-phase LWW is bit-identical to the single-phase fold") {
+    val rnd = new Random(7)
+    // heavy skew: ~80% of events on one key — the salted plan's use case
+    val evs = Seq.fill(400)(Ev(
+      if (rnd.nextInt(5) > 0) 1L else rnd.nextInt(50).toLong,
+      rnd.nextInt(1000).toLong, rnd.nextInt(20).toLong,
+      rnd.alphanumeric.take(5).mkString))
+    val expected = fold(evs)
+    val salted = Lww.latestPerKeySalted(
+        evs.toDF().repartition(16), Seq("user_id"),
+        Seq(col("ts_us"), col("event_id")), saltBuckets = 8)
+      .as[Ev].collect().map(e => e.user_id -> e).toMap
+    assert(salted == expected)
+  }
+
   test("resolveAgainstTarget accepts only strictly-newer or tie-higher-id") {
     val incoming = Seq(
       Ev(1, 10, 200, "newer"),   // newer ts → accept
