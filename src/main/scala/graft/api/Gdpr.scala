@@ -63,20 +63,31 @@ object Gdpr {
     // 2. delete from source
     val deletedSource = source.deleteKeys(Seq(pkValue)) > 0
 
-    // 3. delete from target; compensate source on failure
-    try {
-      val conn = DriverManager.getConnection(target.url)
-      val n = try JdbcLwwExecutor.deletePartition(conn, target, backup.iterator)
+    // 3. delete from target; compensate source ONLY on target-delete
+    //    failure. The audit write happens OUTSIDE this scope — an audit
+    //    I/O failure after a successful dual delete must not trigger
+    //    compensation (that would resurrect the PII in the source while
+    //    the target stays deleted, the one inconsistent state).
+    val targetResult: Either[Exception, Long] =
+      try {
+        val conn = DriverManager.getConnection(target.url)
+        try Right(JdbcLwwExecutor.deletePartition(conn, target, backup.iterator))
         finally conn.close()
-      val id = audit(auditPath, table, pk, requester, reason, "deleted_both")
-      Right(DeleteResult(pk, deletedSource, n > 0, compensated = false, id))
-    } catch {
-      case e: Exception =>
+      } catch { case e: Exception => Left(e) }
+
+    targetResult match {
+      case Right(n) =>
+        val id =
+          try audit(auditPath, table, pk, requester, reason, "deleted_both")
+          catch { case e: Exception => s"audit-write-failed: ${e.getMessage}" }
+        Right(DeleteResult(pk, deletedSource, n > 0, compensated = false, id))
+      case Left(e) =>
         // compensating re-insert of the source backup
         val df = source.read().sparkSession.createDataFrame(
           java.util.List.of(backup.get), backup.get.schema)
         source.upsert(df)
-        audit(auditPath, table, pk, requester, reason, s"compensated: ${e.getMessage}")
+        try audit(auditPath, table, pk, requester, reason, s"compensated: ${e.getMessage}")
+        catch { case _: Exception => () } // compensation outcome already decided
         Left(s"target delete failed, source restored: ${e.getMessage}")
     }
   }

@@ -93,6 +93,46 @@ object Multimodal {
         conv(substring(md5(concat_ws(":", col("doc_id"), col("frame_idx"))), 1, 8), 16, 10)
           .cast("long"))
 
+  final case class ResizedMedia(
+      doc_id: Long, src_width: Int, src_height: Int,
+      width: Int, height: Int, payload: Array[Byte])
+
+  /** Resize plumbing: batched per-partition transform emitting a
+    * target-dims payload per media row (aspect-preserving fit inside
+    * `maxW`×`maxH`, never upscaled). The pixel resample is the stub —
+    * deterministic byte subsampling proportional to the area ratio — but
+    * the pipeline shape is the deliverable: typed in/out schema, one
+    * library/session init per partition, output directly re-ingestable by
+    * the decode/feature stages (same `payload` contract).
+    */
+  def resizeBatched(
+      spark: SparkSession, withPayloadDf: DataFrame, idCol: String,
+      maxW: Int, maxH: Int,
+      resizeOne: (Array[Byte], Int, Int, Int, Int) => Array[Byte] = stubResize)
+      : Dataset[ResizedMedia] = {
+    import spark.implicits._
+    withPayloadDf.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (sw, sh, _) = stubDecode(bytes)
+          // aspect-preserving integer fit, never upscale (scale in per-mille)
+          val scale = math.min(1000L, math.min(maxW * 1000L / sw, maxH * 1000L / sh))
+          val (w, h) = (math.max(1, (sw * scale / 1000).toInt),
+            math.max(1, (sh * scale / 1000).toInt))
+          ResizedMedia(id, sw, sh, w, h, resizeOne(bytes, sw, sh, w, h))
+        }
+      }
+  }
+
+  /** Deterministic fake resampler: keeps every k-th byte so payload size
+    * tracks the area ratio (a real impl decodes + resamples pixels here).
+    */
+  def stubResize(bytes: Array[Byte], sw: Int, sh: Int, w: Int, h: Int): Array[Byte] = {
+    val keepRatio = math.max(1L, sw.toLong * sh / (w.toLong * h))
+    bytes.zipWithIndex.collect { case (b, i) if i % keepRatio == 0 => b }
+  }
+
   final case class MediaFeatures(doc_id: Long, embedding: Array[Float])
 
   /** Feature-extraction seam: per-partition batched "model inference"

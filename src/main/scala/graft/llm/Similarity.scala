@@ -55,12 +55,15 @@ object Similarity {
     dot.cast("double") / (sqrt(normA.cast("double")) * sqrt(normB.cast("double")))
 
   /** ±1 plane weights, deterministic from md5 — shared with the oracle.
-    * Sized for both the single-table bucket (first `NumPlanes`) and the
-    * multi-table variant (`TablesL * BitsK`).
+    * 64 planes generated: covers the single-table bucket (first
+    * `NumPlanes`), the multi-table variant (`TablesL * BitsK` = 32), and
+    * [[planesForCorpus]]'s full range (64 planes = 2^64 buckets, beyond
+    * any corpus; the function clamps there).
     */
+  val MaxPlanes = 64
   lazy val planeWeights: Array[Array[Int]] = {
     val md = MessageDigest.getInstance("MD5")
-    Array.tabulate(math.max(NumPlanes, TablesL * BitsK), Dim) { (j, d) =>
+    Array.tabulate(MaxPlanes, Dim) { (j, d) =>
       val h = md.digest(s"plane:$j:$d".getBytes("UTF-8"))
       if ((h(0) & 1) == 1) 1 else -1
     }
@@ -112,8 +115,8 @@ object Similarity {
     * for an N-vector corpus: ceil(log₂(N / targetOccupancy)).
     */
   def planesForCorpus(n: Long, targetOccupancy: Long = 256L): Int =
-    math.max(NumPlanes,
-      math.ceil(math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2)).toInt)
+    math.min(MaxPlanes, math.max(NumPlanes,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2)).toInt))
 
   /** Brute-force cosine top-k: every query vector against the whole corpus.
     * Correctness baseline — O(|Q|·|C|); keep |Q| bounded. The join is a

@@ -37,38 +37,48 @@ final class ReconciliationScheduler(
       jobs.map(j => s"${j.table}\t${j.intervalMs}\t${j.nextRunMs}\t${j.paused}")
         .mkString("", "\n", "\n"))
 
-  def jobs(): Seq[Job] = load()
+  def jobs(): Seq[Job] = this.synchronized(load())
 
   /** Register (or replace) a per-table interval job; first run one
-    * interval from now (reference default: hourly per table).
+    * interval from now (reference default: hourly per table). All
+    * jobstore mutations synchronize on this instance: the API handler
+    * thread and the tick daemon share it, and an unguarded
+    * load-modify-save would lose a pause issued mid-tick.
     */
-  def schedule(table: String, intervalMs: Long): Unit =
+  def schedule(table: String, intervalMs: Long): Unit = this.synchronized {
     save(load().filterNot(_.table == table) :+
       Job(table, intervalMs, clock() + intervalMs, paused = false))
+  }
 
-  def pause(table: String): Unit =
+  def pause(table: String): Unit = this.synchronized {
     save(load().map(j => if (j.table == table) j.copy(paused = true) else j))
+  }
 
   /** Resume with the next run one interval out (reference resume
     * semantics — no catch-up burst for the paused window).
     */
-  def resume(table: String): Unit =
+  def resume(table: String): Unit = this.synchronized {
     save(load().map(j =>
       if (j.table == table) j.copy(paused = false, nextRunMs = clock() + j.intervalMs) else j))
+  }
 
   /** Run every due, unpaused job; advance each past `now` in whole
     * intervals (a long outage yields ONE catch-up run, not a burst).
-    * Returns the tables run.
+    * Returns the tables run. A job that throws is NOT advanced — it stays
+    * due and retries next tick (and doesn't block the other due jobs).
     */
-  def tick(): Seq[String] = {
+  def tick(): Seq[String] = this.synchronized {
     val now = clock()
     val (due, rest) = load().partition(j => !j.paused && j.nextRunMs <= now)
-    val advanced = due.map { j =>
-      runJob(j.table)
+    val (ok, failed) = due.partition { j =>
+      try { runJob(j.table); true }
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+    val advanced = ok.map { j =>
       val missed = (now - j.nextRunMs) / j.intervalMs + 1
       j.copy(nextRunMs = j.nextRunMs + missed * j.intervalMs)
     }
-    save(rest ++ advanced)
+    save(rest ++ failed ++ advanced)
     advanced.map(_.table)
   }
 
@@ -78,11 +88,17 @@ final class ReconciliationScheduler(
     */
   def manualTrigger(table: String): Unit = runJob(table)
 
-  /** Daemon-thread driver for `tick()` (local deployments). */
+  /** Daemon-thread driver for `tick()` (local deployments). The loop
+    * survives ANY job/store failure — a transient target outage must not
+    * silently kill scheduled reconciliation forever.
+    */
   def startDaemon(periodMs: Long): Thread = {
     val t = new Thread(() => {
       while (!Thread.currentThread().isInterrupted) {
-        try tick() catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+        try tick() catch {
+          case _: InterruptedException => Thread.currentThread().interrupt()
+          case scala.util.control.NonFatal(_) => () // next tick retries
+        }
         try Thread.sleep(periodMs)
         catch { case _: InterruptedException => Thread.currentThread().interrupt() }
       }

@@ -1,6 +1,6 @@
 package graft.schema
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.DataFrame
@@ -33,13 +33,6 @@ final class SchemaRegistry(path: String) {
     }
   }
 
-  private def append(s: Evolution.SchemaVersion): Unit = {
-    val line = s"${s.table}\t${s.version}\t${s.effectiveFromUs}\t" +
-      s"${s.effectiveToUs.getOrElse("-")}\t${s.schemaJson}\n"
-    Files.writeString(Paths.get(path), line,
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-  }
-
   private def rewrite(all: Seq[Evolution.SchemaVersion]): Unit = {
     val body = all.map(s => s"${s.table}\t${s.version}\t${s.effectiveFromUs}\t" +
       s"${s.effectiveToUs.getOrElse("-")}\t${s.schemaJson}").mkString("", "\n", "\n")
@@ -57,7 +50,7 @@ final class SchemaRegistry(path: String) {
     * interval (`schema_metadata.py:83-96` interval semantics). Returns
     * the new version number.
     */
-  def register(table: String, schema: StructType, nowUs: Long): Int = {
+  def register(table: String, schema: StructType, nowUs: Long): Int = this.synchronized {
     val all = load()
     val (mine, others) = all.partition(_.table == table)
     val closed = mine.map(s =>

@@ -120,12 +120,25 @@ object JdbcLwwExecutor {
         group.zip(counts.toSeq).foreach { case (r, c) =>
           if (c > 0) accepted += 1
           else {
+            // c == 0: row absent or LWW-stale. c == SUCCESS_NO_INFO (-2,
+            // drivers that don't report batch counts): the update ran but
+            // may have matched 0 rows, so the insert probe is still
+            // required — final state stays correct either way (the pk hit
+            // is the reject), only the accepted/rejected split becomes
+            // approximate on such drivers.
             var i = 1
             t.cols.foreach { cn => ins.setObject(i, r.getAs[Any](cn)); i += 1 }
-            try { ins.executeUpdate(); accepted += 1 }
+            // Savepoint so the expected duplicate-key failure can't abort
+            // the surrounding transaction: PostgreSQL poisons the tx on
+            // ANY statement error (25P02 on every later statement, and
+            // commit() would roll back the group's accepted updates);
+            // rollback-to-savepoint keeps the batch transaction usable.
+            val sp = conn.setSavepoint()
+            try { ins.executeUpdate(); conn.releaseSavepoint(sp); accepted += 1 }
             catch {
               // pk hit ⇒ the stored row is newer-or-equal ⇒ LWW reject
               case e: SQLException if e.getSQLState == DuplicateKeySqlState =>
+                conn.rollback(sp)
                 rejected += 1
             }
           }

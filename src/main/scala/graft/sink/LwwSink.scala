@@ -179,8 +179,11 @@ final class BucketedParquetStateStore(
   private val path: Path = Paths.get(dir)
 
   def exists: Boolean =
-    Files.exists(path) && Files.list(path)
-      .anyMatch(p => p.getFileName.toString.startsWith("_bucket="))
+    Files.exists(path) && {
+      val s = Files.list(path) // close the directory stream's fd
+      try s.anyMatch(p => p.getFileName.toString.startsWith("_bucket="))
+      finally s.close()
+    }
 
   def read(): DataFrame = spark.read.parquet(dir).drop("_bucket")
 

@@ -61,9 +61,13 @@ object EventLogSource {
   def segments(dir: String): IndexedSeq[String] = {
     val p = Paths.get(dir)
     if (!Files.exists(p)) IndexedSeq.empty
-    else Files.list(p).iterator().asScala
-      .filter(f => f.getFileName.toString.endsWith(".log"))
-      .map(_.getFileName.toString).toIndexedSeq.sorted
+    else {
+      val s = Files.list(p) // must close: each stream holds a directory fd
+      try s.iterator().asScala
+        .filter(f => f.getFileName.toString.endsWith(".log"))
+        .map(_.getFileName.toString).toIndexedSeq.sorted
+      finally s.close()
+    }
   }
 
   def countRows(dir: String, seg: String): Long = {
@@ -134,6 +138,19 @@ final class EventLogMicroBatchStream(path: String, maxRows: Long)
 
   private def segs = EventLogSource.segments(path)
 
+  /** Row counts of CLOSED segments, cached by name: segments are
+    * append-only and only the tail segment may still grow, so without
+    * this every trigger's offset walk re-reads the whole log history on
+    * the driver — O(log size) per trigger, unbounded as segments
+    * accumulate. The tail is always recounted.
+    */
+  private val closedCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private def countRows(ss: IndexedSeq[String], i: Int): Long =
+    if (i < ss.length - 1)
+      closedCounts.getOrElseUpdate(ss(i), EventLogSource.countRows(path, ss(i)))
+    else EventLogSource.countRows(path, ss(i)) // growing tail: never cache
+
   /** Trigger.AvailableNow: snapshot the end of log at start; batches then
     * drain rate-limited up to this cap and the query stops (S2's
     * drain-then-stop semantics on this source).
@@ -168,7 +185,7 @@ final class EventLogMicroBatchStream(path: String, maxRows: Long)
     var row = if (seg == s.seg) s.row else 0L
     var walking = true
     while (walking) {
-      val total = EventLogSource.countRows(path, ss(seg))
+      val total = countRows(ss, seg)
       val take = math.max(0L, math.min(budget, total - row))
       row += take
       budget -= take
@@ -188,7 +205,7 @@ final class EventLogMicroBatchStream(path: String, maxRows: Long)
     val ss = segs
     (s.seg to math.min(e.seg, ss.length - 1)).flatMap { i =>
       val from = if (i == s.seg) s.row else 0L
-      val until = if (i == e.seg) e.row else EventLogSource.countRows(path, ss(i))
+      val until = if (i == e.seg) e.row else countRows(ss, i)
       if (until > from) Some(EventLogSlice(path, ss(i), from, until): InputPartition)
       else None
     }.toArray

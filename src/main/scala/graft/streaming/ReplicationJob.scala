@@ -95,7 +95,11 @@ object ReplicationJob {
     // dlqCount == invalidCount invariant). `failed_at_us` is derived from
     // batch content (max event ts), not wall clock, so a replay writes
     // byte-identical rows.
-    val dlqAgg = dlq.agg(count(lit(1)).as("n"), max("ts_us").as("max_ts")).head()
+    // coalesce: a batch whose DLQ rows ALL have null ts_us (fully
+    // malformed envelopes — the case the DLQ exists for) must not NPE on
+    // the null max; such rows get failed_at_us = 0 deterministically.
+    val dlqAgg = dlq.agg(count(lit(1)).as("n"),
+      coalesce(max("ts_us"), lit(0L)).as("max_ts")).head()
     if (dlqAgg.getLong(0) > 0) {
       dlq.withColumn("failed_at_us", lit(dlqAgg.getLong(1)))
         .withColumn("resolution_status", lit("PENDING"))

@@ -60,6 +60,25 @@ class ApiOpsSpec extends SparkSpecBase {
     assert(ran.count(_ == "orders") == 2)
   }
 
+  test("scheduler: a throwing job stays due and retries; others still run") {
+    var now = 1000L
+    val ran = scala.collection.mutable.ArrayBuffer[String]()
+    var failing = true
+    val store = tmpDir("schedf") + "/jobs.tsv"
+    val s = new ReconciliationScheduler(store, t => {
+      ran += t
+      if (t == "users" && failing) sys.error("target down")
+    }, () => now)
+    s.schedule("users", 100)
+    s.schedule("orders", 100)
+    now = 1150
+    assert(s.tick() == Seq("orders"), "failed job must not be reported as run")
+    // the failed job was NOT advanced: it is still due next tick
+    failing = false
+    assert(s.tick().sorted == Seq("users"))
+    assert(ran.count(_ == "users") == 2 && ran.count(_ == "orders") == 1)
+  }
+
   test("HTTP API: health, metrics, dlq stats, trigger, GDPR delete end-to-end") {
     // real source state store + real Derby target for the GDPR path
     val stateDir = tmpDir("gdpr") + "/state"

@@ -165,6 +165,25 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("multimodal resize fits within target dims, preserves aspect, never upscales") {
+    val res = Multimodal.resizeBatched(
+      spark, Multimodal.withPayload(docs, "text"), "doc_id", maxW = 32, maxH = 32).collect()
+    assert(res.length == 5)
+    res.foreach { r =>
+      assert(r.width <= 32 && r.height <= 32, s"doc ${r.doc_id} exceeds target")
+      assert(r.width <= r.src_width && r.height <= r.src_height, "no upscaling")
+      // aspect preserved within integer floor slack: w,h each floor by <1,
+      // so |w·sh − h·sw| < sw + sh exactly bounds the drift
+      val cross = math.abs(r.width.toLong * r.src_height - r.height.toLong * r.src_width)
+      assert(cross < r.src_width + r.src_height, s"aspect drift on doc ${r.doc_id}: $cross")
+      assert(r.payload.nonEmpty && r.payload.length <= r.src_width * r.src_height)
+    }
+    // deterministic: identical payloads resize identically
+    val r0 = res.find(_.doc_id == 0L).get
+    val r1 = res.find(_.doc_id == 1L).get
+    assert(r0.payload.toSeq == r1.payload.toSeq && r0.width == r1.width)
+  }
+
   test("multimodal feature extraction emits ANN-compatible embeddings") {
     val feats = Multimodal.extractFeatures(
       spark, Multimodal.withPayload(docs, "text"), "doc_id", dim = 8)

@@ -43,6 +43,21 @@ class ReplicationSpec extends SparkSpecBase {
       Seq("user_id"), Seq(col("_cdc_timestamp_micros"), col("_last_event_id")))
   }
 
+  test("poison batch: all-null malformed rows route to DLQ without crashing") {
+    import spark.implicits._
+    val cfg = freshCfg()
+    // a fully-malformed envelope decodes to all-null columns (null ts_us
+    // included) — the batch must land in the DLQ, not NPE the stream
+    val poison = Seq((null: java.lang.Long, null: java.lang.Long, null: java.lang.Long,
+        null: String, null: java.lang.Double, null: String))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000"))
+    ReplicationJob.processBatch(spark, poison, cfg, batchId = 7L)
+    val dlq = spark.read.parquet(cfg.dlqDir)
+    assert(dlq.count() == 1L)
+    assert(dlq.select("failed_at_us").head().getLong(0) == 0L)
+  }
+
   test("stream end-to-end: target equals LWW fold of valid events; invalid → DLQ") {
     val cfg = freshCfg().copy(sourceDir = eventSourceDir())
     val q = ReplicationJob.start(spark, cfg)
