@@ -12,6 +12,7 @@ import graft.streaming.{EventLogOffset, EventLogSource}
   * checkpoint-resume picking up only appended segments.
   */
 class EventLogSourceSpec extends SparkSpecBase {
+  import spark.implicits._
 
   private val Fmt = classOf[EventLogSource].getName
 
@@ -89,6 +90,42 @@ class EventLogSourceSpec extends SparkSpecBase {
   test("offset json round-trips") {
     val o = EventLogOffset(3, 41L)
     assert(EventLogOffset.parse(o.json()) == o)
+  }
+
+  test("10k-event drain through the source + bucketed store matches the batch fold") {
+    import graft.streaming.ReplicationJob
+    import graft.ops.{EventOps, Lww}
+    val sf01 = "/root/testdata/sf0.01"
+    val ev = Tables.events(spark, sf01)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    // serialize the fixture stream into 4 commit-log segments
+    val dir = tmpDir("evlogbig")
+    val lines = ev.toJSON.collect()
+    lines.grouped((lines.length + 3) / 4).zipWithIndex.foreach { case (g, i) =>
+      Files.writeString(Paths.get(dir, f"seg-$i%03d.log"), g.mkString("", "\n", "\n"))
+    }
+    val base = tmpDir("evrepl2")
+    val cfg = ReplicationJob.Config(
+      sourceDir = dir, targetDir = s"$base/target", dlqDir = s"$base/dlq",
+      checkpointDir = s"$base/ckpt", eventLog = Some((dir, 4000L)),
+      stateBuckets = Some(16))
+    ReplicationJob.start(spark, cfg).awaitTermination(300000)
+    // expected: identical validate -> LWW fold, computed in one batch pass
+    val err = EventOps.errorType(col("event_type"), col("value"), col("user_id"),
+      cfg.validTypes, cfg.maxValue)
+    val (valid, invalid) = EventOps.validationSplit(
+      ev.withColumn("ts_us", expr("ts div 1000")), err)
+    val expected = Lww.latestPerKey(
+        valid.select("user_id", "event_id", "ts_us"),
+        Seq("user_id"), Seq(col("ts_us"), col("event_id")))
+      .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+    val got = ReplicationJob.targetState(spark, cfg)
+      .select(col("user_id"), col("_last_event_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected,
+      s"state diverged on ${got.toSet.diff(expected.toSet).take(3)}")
+    assert(spark.read.parquet(cfg.dlqDir).count() == invalid.count(),
+      "every invalid event lands in the DLQ exactly once across batches")
   }
 
   test("replication job end-to-end over the commit-log source") {
