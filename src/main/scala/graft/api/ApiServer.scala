@@ -43,6 +43,22 @@ final class ApiServer(
     try os.write(bytes) finally os.close()
   }
 
+  /** Every route runs under this guard: an exception out of an injected
+    * callback (a Spark failure, a bad pk cast) must surface as a 500 JSON
+    * error, not a dropped connection — the JDK server otherwise swallows
+    * the throwable and closes the exchange with no response.
+    */
+  private def handler(f: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
+    (ex: HttpExchange) =>
+      try f(ex)
+      catch {
+        case e: Exception =>
+          try respond(ex, 500,
+            s"""{"error":"${esc(Option(e.getMessage).getOrElse(e.getClass.getName))}"}""",
+            "application/json")
+          catch { case _: Exception => () } // response already committed
+      }
+
   private def esc(s: String): String =
     s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -56,7 +72,7 @@ final class ApiServer(
     // GET /health — 200 healthy / 503 if any component down, with
     // per-component details (test_health_api.py:13-83 contract shape);
     // GET /health/{component} — that component alone (health.py).
-    server.createContext("/health", (ex: HttpExchange) => {
+    server.createContext("/health", handler { ex =>
       val comps = health()
       val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
       if (parts.length == 2) comps.get(parts(1)) match {
@@ -76,12 +92,12 @@ final class ApiServer(
     })
 
     // GET /metrics — Prometheus exposition (test_metrics_api.py contract).
-    server.createContext("/metrics", (ex: HttpExchange) =>
-      respond(ex, 200, registry.render(), "text/plain; version=0.0.4"))
+    server.createContext("/metrics", handler { ex =>
+      respond(ex, 200, registry.render(), "text/plain; version=0.0.4") })
 
     // GET /dlq/stats — the DLQ stats endpoint (dlq_service.py:375-443).
-    server.createContext("/dlq/stats", (ex: HttpExchange) =>
-      respond(ex, 200, dlqStatsJson(), "application/json"))
+    server.createContext("/dlq/stats", handler { ex =>
+      respond(ex, 200, dlqStatsJson(), "application/json") })
 
     def queryParams(ex: HttpExchange): Map[String, String] =
       Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
@@ -90,7 +106,7 @@ final class ApiServer(
         }.toMap
 
     // GET /dlq/records?limit=&offset= — ordered page (dlq.py GET /records).
-    server.createContext("/dlq/records", (ex: HttpExchange) => {
+    server.createContext("/dlq/records", handler { ex =>
       val q = queryParams(ex)
       respond(ex, 200, dlqRecordsJson(
         q.get("limit").flatMap(_.toIntOption).getOrElse(100),
@@ -99,7 +115,7 @@ final class ApiServer(
 
     // POST /dlq/replay?ids=a,b — re-produce selected events
     // (dlq.py POST /replay → dlq_service.py:222-243).
-    server.createContext("/dlq/replay", (ex: HttpExchange) => {
+    server.createContext("/dlq/replay", handler { ex =>
       if (ex.getRequestMethod != "POST")
         respond(ex, 400, """{"error":"POST /dlq/replay?ids=..."}""", "application/json")
       else {
@@ -114,11 +130,11 @@ final class ApiServer(
     })
 
     // GET /reconciliation/jobs — job list (reconciliation.py GET /jobs).
-    server.createContext("/reconciliation/jobs", (ex: HttpExchange) =>
-      respond(ex, 200, reconJobsJson(), "application/json"))
+    server.createContext("/reconciliation/jobs", handler { ex =>
+      respond(ex, 200, reconJobsJson(), "application/json") })
 
     // GET /reconciliation/mismatches + POST .../mismatches/{id}/resolve.
-    server.createContext("/reconciliation/mismatches", (ex: HttpExchange) => {
+    server.createContext("/reconciliation/mismatches", handler { ex =>
       val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
       if (ex.getRequestMethod == "POST" && parts.length == 4 && parts(3) == "resolve") {
         if (mismatchResolve(parts(2)))
@@ -132,7 +148,7 @@ final class ApiServer(
 
     // POST /reconciliation/trigger?table=t — manual trigger
     // (reconciliation.py:73-119).
-    server.createContext("/reconciliation/trigger", (ex: HttpExchange) => {
+    server.createContext("/reconciliation/trigger", handler { ex =>
       val table = Option(ex.getRequestURI.getQuery).getOrElse("")
         .split("&").collectFirst { case s if s.startsWith("table=") => s.drop(6) }
       table match {
@@ -145,7 +161,7 @@ final class ApiServer(
     })
 
     // DELETE /gdpr/{table}/{pk} — dual-store erasure (gdpr.py:37-216).
-    server.createContext("/gdpr", (ex: HttpExchange) => {
+    server.createContext("/gdpr", handler { ex =>
       val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
       if (ex.getRequestMethod != "DELETE" || parts.length != 3)
         respond(ex, 400, """{"error":"DELETE /gdpr/{table}/{pk}"}""", "application/json")
@@ -160,7 +176,12 @@ final class ApiServer(
       }
     })
 
-    server.setExecutor(null) // current thread per exchange; ops traffic only
+    // Small daemon pool: a long handler (GDPR delete runs Spark jobs)
+    // must not block /health — a single dispatcher thread would freeze
+    // the whole ops surface behind it and fail liveness probes.
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+      val t = new Thread(r, "api-server"); t.setDaemon(true); t
+    }))
     server.start()
     server.getAddress.getPort
   }

@@ -53,7 +53,10 @@ object Gdpr {
     if (!validIdentifier(table)) return Left(s"invalid identifier: $table")
     val pk = pkValue.toString
 
-    // 1. backup before delete (compensating-transaction support)
+    // 1. backup before delete (compensating-transaction support); a
+    //    not-yet-created state store is the same 404 as a missing row,
+    //    not an AnalysisException out of spark.read.parquet
+    if (!source.exists) return Left(s"record $pk not found in source $table")
     val keyCol = target.pk.head
     val backup: Option[Row] = source.read()
       .filter(org.apache.spark.sql.functions.col(keyCol) === pkValue)

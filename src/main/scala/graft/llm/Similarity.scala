@@ -249,11 +249,16 @@ object Similarity {
     * bit-identical.
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val v = corpus.select(col("vec_id").as("vid"), quantize(col("embedding")).as("qv"))
-      .withColumn("nv", dotQ("qv", "qv"))
-    val bucketed = v.select(col("vid"), explode(array((0 until TablesL).map(t =>
-        struct(lit(t).as("t"), expr(tableBucketSql("qv", t)).as("b"))): _*)).as("tb"))
-      .select(col("vid"), col("tb.t").as("t"), col("tb.b").as("b"))
+    // both frames feed multiple plan branches (self-join sides + the two
+    // payload re-joins) — materialize so AQE's concurrent branch launch
+    // can't recompute the quantize + L×k plane projections per branch
+    val v = graft.util.Materialize.stable(
+      corpus.select(col("vec_id").as("vid"), quantize(col("embedding")).as("qv"))
+        .withColumn("nv", dotQ("qv", "qv")))
+    val bucketed = graft.util.Materialize.stable(
+      v.select(col("vid"), explode(array((0 until TablesL).map(t =>
+          struct(lit(t).as("t"), expr(tableBucketSql("qv", t)).as("b"))): _*)).as("tb"))
+        .select(col("vid"), col("tb.t").as("t"), col("tb.b").as("b")))
     val cand = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.t") === col("b.t") && col("a.b") === col("b.b") &&

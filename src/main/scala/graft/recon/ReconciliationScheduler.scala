@@ -66,20 +66,33 @@ final class ReconciliationScheduler(
     * intervals (a long outage yields ONE catch-up run, not a burst).
     * Returns the tables run. A job that throws is NOT advanced — it stays
     * due and retries next tick (and doesn't block the other due jobs).
+    *
+    * The jobs run OUTSIDE the lock: a reconciliation pass can take
+    * minutes, and holding the lock for its duration would freeze the API
+    * surface (pause/resume/jobs) behind it. The post-run save re-reads
+    * the store and advances `nextRunMs` only for jobs whose row was not
+    * mutated mid-run, so a concurrent pause/schedule/resume always wins.
     */
-  def tick(): Seq[String] = this.synchronized {
+  def tick(): Seq[String] = {
     val now = clock()
-    val (due, rest) = load().partition(j => !j.paused && j.nextRunMs <= now)
-    val (ok, failed) = due.partition { j =>
+    val due = this.synchronized {
+      load().filter(j => !j.paused && j.nextRunMs <= now)
+    }
+    val ok = due.filter { j =>
       try { runJob(j.table); true }
       catch { case scala.util.control.NonFatal(_) => false }
     }
-    val advanced = ok.map { j =>
-      val missed = (now - j.nextRunMs) / j.intervalMs + 1
-      j.copy(nextRunMs = j.nextRunMs + missed * j.intervalMs)
+    this.synchronized {
+      save(load().map { j =>
+        ok.find(_.table == j.table) match {
+          case Some(d) if d.nextRunMs == j.nextRunMs && !j.paused =>
+            val missed = (now - j.nextRunMs) / j.intervalMs + 1
+            j.copy(nextRunMs = j.nextRunMs + missed * j.intervalMs)
+          case _ => j // mutated mid-run (or failed): leave untouched
+        }
+      })
     }
-    save(rest ++ failed ++ advanced)
-    advanced.map(_.table)
+    ok.map(_.table)
   }
 
   /** Manual trigger (`reconciliation_scheduler.py:122-140` /

@@ -82,6 +82,12 @@ object SchemaEvolvingBatch {
     val observed = unwrapped
       .select(explode(map_keys(col("row"))).as("c")).distinct()
       .collect().map(_.getString(0)).toSet
+    // An empty batch (routine before data arrives / on restart) must not
+    // register an empty StructType as v1 — that would pollute the version
+    // history permanently and shift every later version number.
+    if (observed.isEmpty)
+      return reg.current(table).map { case (v, s) => (v, s) }
+        .getOrElse((0, StructType(Seq.empty)))
     reg.current(table) match {
       case None =>
         val schema = StructType(observed.toSeq.sorted.map(c => StructField(c, StringType)))

@@ -132,7 +132,9 @@ final class ParquetStateStore(
   def deleteKeys(values: Seq[Any]): Long = {
     if (!exists) return 0L
     val state = read()
-    val pred = col(key).isin(values.map(_.asInstanceOf[AnyRef]): _*)
+    // null-safe: isin is NULL (not false) for a null key, and filter(!NULL)
+    // drops the row — a null-key row must survive an unrelated delete
+    val pred = coalesce(col(key).isin(values.map(_.asInstanceOf[AnyRef]): _*), lit(false))
     val n = state.filter(pred).count()
     if (n > 0) swapIn(state.filter(!pred))
     n

@@ -69,7 +69,11 @@ object KafkaCdc {
     * `to_json(struct(*))` of the data columns.
     */
   def encode(df: DataFrame, keyCol: String): DataFrame = {
-    val dataCols = df.columns.filterNot(_.startsWith("_kafka"))
+    // strip ALL of decode's provenance columns, not just _kafka_key —
+    // leaking _topic/_partition/_offset into the produced value would make
+    // a replayed record differ from the original producer's payload
+    val provenance = Set("_kafka_key", "_topic", "_partition", "_offset")
+    val dataCols = df.columns.filterNot(provenance.contains)
     df.select(
       col(keyCol).cast("string").as("key"),
       to_json(struct(dataCols.map(col).toIndexedSeq: _*)).as("value"))

@@ -82,6 +82,11 @@ object ReplicationJob {
   /** One micro-batch of the sink side: validation split → DLQ append →
     * LWW compaction → idempotent upsert. Exposed for batch tests and
     * reused verbatim by the stream.
+    *
+    * `batchId` keys the DLQ write's partition overwrite — identical ids
+    * overwrite (that IS the streaming replay idempotence). Direct batch
+    * callers processing multiple batches MUST pass distinct ids or
+    * earlier batches' DLQ rows are replaced.
     */
   def processBatch(spark: SparkSession, batch: DataFrame, cfg: Config,
       batchId: Long = 0L): Unit = {

@@ -119,13 +119,20 @@ object TypeMapper {
       case _ => StringType
     }
     val md = conn.getMetaData
+    // getColumns treats the table name as a LIKE pattern: an unescaped
+    // '_' (present in every CDC table name) is a single-char wildcard
+    // that would merge similarly-named tables' columns into one struct.
+    // getPrimaryKeys takes an exact name — only the pattern is escaped.
+    val esc = md.getSearchStringEscape
+    val tablePattern = table.replace(esc, esc + esc)
+      .replace("_", esc + "_").replace("%", esc + "%")
     val pks = {
       val rs = md.getPrimaryKeys(null, null, table)
       val b = Set.newBuilder[String]
       try while (rs.next()) b += rs.getString("COLUMN_NAME") finally rs.close()
       b.result()
     }
-    val rs = md.getColumns(null, null, table, null)
+    val rs = md.getColumns(null, null, tablePattern, null)
     val fields = Seq.newBuilder[StructField]
     try while (rs.next()) {
       val name = rs.getString("COLUMN_NAME")

@@ -144,6 +144,11 @@ class ApiOpsSpec extends SparkSpecBase {
         .contains("deleted_both"))
 
       assert(send("DELETE", "/gdpr/users/99").statusCode() == 404)
+
+      // a throwing callback (pk.toLong on a non-numeric pk) must surface
+      // as a 500 JSON error, not a dropped connection
+      val boom = send("DELETE", "/gdpr/users/abc")
+      assert(boom.statusCode() == 500 && boom.body().contains("error"))
     } finally api.stop()
   }
 
