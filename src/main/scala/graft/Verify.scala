@@ -5,11 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // args: <sfDir> <outDir> [onlyQuery] — the optional third arg restricts
-    // the dump to one query (local iteration; the driver passes two).
-    val (sfDir, outDir, only) = args match {
-      case Array(s, o)    => (s, o, None)
-      case Array(s, o, q) => (s, o, Some(q))
+    // args: <sfDir> <outDir> [query ...] — optional trailing args restrict
+    // the dump to those queries (local iteration; the driver passes two).
+    val (sfDir, outDir, only) = args.toList match {
+      case s :: o :: rest => (s, o, rest.toSet)
+      case _ => sys.error("usage: Verify <sfDir> <outDir> [query ...]")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -24,7 +24,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter { case (n, _) => only.forall(_ == n) }.foreach { case (name, fn) =>
+    SparkEntry.queries.filter { case (n, _) => only.isEmpty || only(n) }.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -35,16 +35,28 @@ object TextAnalysis {
   /** Quality features, all exact ints:
     * n_chars, n_tokens, n_unique tokens, stopword count, avg token length
     * ×100 (integer division; token chars = n_chars − (n_tokens−1) spaces).
+    *
+    * The token array is bound to `_toks` ONCE and every feature derives
+    * from it; the stopword count is Σ_s (size − size(array_remove(·, s)))
+    * — occurrence semantics identical to the oracle's list_filter-IN, but
+    * built entirely from codegen'd collection expressions instead of an
+    * interpreted higher-order `filter` lambda (the measured 4.7× cost).
     */
   def qualityFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val stopList = StopWords.map(s => s"'$s'").mkString(", ")
+    val toks = col("_toks")
+    val nStop = StopWords
+      .map(s => size(toks) - size(array_remove(toks, lit(s))))
+      .reduce(_ + _)
     docs.select(
       col(idCol).as("doc_id"),
-      length(t).as("n_chars"),
-      tokenCount(t).as("n_tokens"),
-      size(array_distinct(tokens(t))).as("n_unique"),
-      expr(s"size(filter(split($textCol, ' '), x -> x IN ($stopList)))").as("n_stop"))
+      length(col(textCol)).as("n_chars"),
+      tokens(col(textCol)).as("_toks"))
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_unique"),
+        nStop.as("n_stop"))
       .withColumn("avg_token_len_x100",
         expr("(n_chars - (n_tokens - 1)) * 100 div n_tokens"))
   }

@@ -244,7 +244,7 @@ object CdcQueries {
     "cdc_events_cube" ->
       """SELECT event_type, bucket, CAST(grouping(event_type, bucket) AS BIGINT) AS gid,
         |  count(*) AS n,
-        |  sum(CAST(round(value*100, 0) AS BIGINT)) AS sum_cents
+        |  CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM (SELECT event_type, user_id % 3 AS bucket, value FROM events)
         |GROUP BY CUBE(event_type, bucket)""".stripMargin.replace("\n", " "),
 
@@ -263,8 +263,9 @@ object CdcQueries {
         |  FROM src LEFT JOIN tgt ON src.tbl = tgt.tbl)
         |SELECT count(*) AS total_jobs,
         |  round(sum(CAST(round(drift_percentage*100, 0) AS BIGINT)) / (count(*) * 100.0), 4) AS avg_drift,
-        |  max(drift_percentage) AS max_drift, sum(mismatch_count) AS total_mismatches,
-        |  sum(CASE WHEN drift_percentage >= 1.0 THEN 1 ELSE 0 END) AS alerts_fired
+        |  max(drift_percentage) AS max_drift,
+        |  CAST(sum(mismatch_count) AS BIGINT) AS total_mismatches,
+        |  CAST(sum(CASE WHEN drift_percentage >= 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS alerts_fired
         |FROM jobs""".stripMargin.replace("\n", " "),
 
     "cdc_transform_rules" ->
