@@ -77,7 +77,14 @@ object ReplicationJob {
         * by default — recording adds two small per-batch aggregations.
         */
       metrics: Option[graft.ops.Metrics.Registry] = None,
-      metricsTable: String = "events")
+      metricsTable: String = "events",
+      /** Event type carrying TRUNCATE semantics (reference
+        * `change_event.py:30-36`, op validation `validators.py:76-78`):
+        * a table-wide clear at the event's timestamp. Must be listed in
+        * `validTypes` to take effect; LWW-ordered — rows whose
+        * (ts, event_id) is newer than the truncate survive it.
+        */
+      truncateType: String = "truncate")
 
   /** One micro-batch of the sink side: validation split → DLQ append →
     * LWW compaction → idempotent upsert. Exposed for batch tests and
@@ -93,29 +100,26 @@ object ReplicationJob {
     val batchT0 = System.nanoTime()
     val err = EventOps.errorType(col("event_type"), col("value"), col("user_id"),
       cfg.validTypes, cfg.maxValue)
-    val (valid, dlq) = EventOps.validationSplit(batch, err)
-    // DLQ write must be idempotent under at-least-once foreachBatch: a
-    // replayed micro-batch overwrites its own `_batch_id` partition rather
-    // than blind-appending (which would duplicate DLQ rows and break the
-    // dlqCount == invalidCount invariant). `failed_at_us` is derived from
-    // batch content (max event ts), not wall clock, so a replay writes
-    // byte-identical rows.
-    // coalesce: a batch whose DLQ rows ALL have null ts_us (fully
-    // malformed envelopes — the case the DLQ exists for) must not NPE on
-    // the null max; such rows get failed_at_us = 0 deterministically.
-    val dlqAgg = dlq.agg(count(lit(1)).as("n"),
-      coalesce(max("ts_us"), lit(0L)).as("max_ts")).head()
-    if (dlqAgg.getLong(0) > 0) {
-      dlq.withColumn("failed_at_us", lit(dlqAgg.getLong(1)))
-        .withColumn("resolution_status", lit("PENDING"))
-        .withColumn("resolved_at_us", lit(null).cast("long"))
-        .withColumn("_batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_batch_id")
-        .parquet(cfg.dlqDir)
-    }
-    val enriched = valid
+    val isTruncate = col("event_type") === cfg.truncateType && col("ts_us").isNotNull
+    // Batch-level control aggregates (DLQ count + failed_at watermark,
+    // TRUNCATE watermark) ride along with the main upsert job via
+    // `observe` instead of costing a separate aggregation action per
+    // trigger — a clean micro-batch runs exactly one job.
+    val obs = org.apache.spark.sql.Observation()
+    val observed = batch.observe(obs,
+      count(when(err.isNotNull, 1)).as("dlq_n"),
+      // coalesce: a batch whose DLQ rows ALL have null ts_us (fully
+      // malformed envelopes — the case the DLQ exists for) must get a
+      // deterministic failed_at_us = 0, not a null.
+      coalesce(max(when(err.isNotNull, col("ts_us"))), lit(0L)).as("dlq_max_ts"),
+      count(when(err.isNull && isTruncate, 1)).as("trunc_n"),
+      max(when(err.isNull && isTruncate,
+        struct(col("ts_us"), col("event_id")))).as("trunc_max"))
+    val (valid, dlq) = EventOps.validationSplit(observed, err)
+    // Truncate events are table-wide control operations, not rows: they
+    // carry no key state, so they are excluded from the LWW fold and
+    // applied to the target after the upsert (below).
+    val enriched = valid.filter(!isTruncate)
       .withColumn("_cdc_deleted", col("event_type") === cfg.deleteType)
       .withColumn("_cdc_timestamp_micros", col("ts_us"))
       .withColumn("_last_event_id", col("event_id"))
@@ -132,6 +136,46 @@ object ReplicationJob {
         case None =>
           new ParquetStateStore(spark, cfg.targetDir, "user_id",
             "_cdc_timestamp_micros", "_last_event_id").upsert(compacted)
+      }
+    }
+    val m = obs.get
+    // DLQ write must be idempotent under at-least-once foreachBatch: a
+    // replayed micro-batch overwrites its own `_batch_id` partition rather
+    // than blind-appending (which would duplicate DLQ rows and break the
+    // dlqCount == invalidCount invariant). `failed_at_us` is derived from
+    // batch content (max event ts), not wall clock, so a replay writes
+    // byte-identical rows.
+    if (m("dlq_n").asInstanceOf[Long] > 0) {
+      dlq.withColumn("failed_at_us", lit(m("dlq_max_ts").asInstanceOf[Long]))
+        .withColumn("resolution_status", lit("PENDING"))
+        .withColumn("resolved_at_us", lit(null).cast("long"))
+        .withColumn("_batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(cfg.dlqDir)
+    }
+    // Apply the batch's TRUNCATE watermark (max (ts, event_id) among its
+    // truncate events) AFTER the upsert: only rows that LOSE the LWW
+    // ordering against the watermark are cleared, so same-batch or
+    // already-stored rows newer than the truncate survive, and a replayed
+    // batch re-applies the same filter — idempotent by construction.
+    if (m("trunc_n").asInstanceOf[Long] > 0) {
+      val w = m("trunc_max").asInstanceOf[org.apache.spark.sql.Row]
+      val (tTs, tTie) = (w.getLong(0), w.getLong(1))
+      cfg.jdbcTarget match {
+        case Some(t) =>
+          val conn = java.sql.DriverManager.getConnection(t.url)
+          try graft.sink.JdbcLwwExecutor.truncateTable(conn, t, tTs, tTie)
+          finally conn.close()
+        case None => cfg.stateBuckets match {
+          case Some(nb) =>
+            new graft.sink.BucketedParquetStateStore(spark, cfg.targetDir, "user_id",
+              "_cdc_timestamp_micros", "_last_event_id", nb).truncate(tTs, tTie)
+          case None =>
+            new ParquetStateStore(spark, cfg.targetDir, "user_id",
+              "_cdc_timestamp_micros", "_last_event_id").truncate(tTs, tTie)
+        }
       }
     }
     cfg.metrics.foreach { r =>
