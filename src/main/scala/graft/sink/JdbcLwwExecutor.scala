@@ -167,6 +167,25 @@ object JdbcLwwExecutor {
     } finally del.close()
   }
 
+  /** Table-wide TRUNCATE at an LWW watermark against a live JDBC target
+    * (reference `change_event.py:14,115-117` — a TRUNCATE carries no
+    * before/after image and clears the table at its stream position): one
+    * DELETE of every row that loses the (ts, tie) ordering; strictly
+    * newer rows survive, re-running is a no-op (replay-idempotent, same
+    * contract as [[ParquetStateStore.truncate]]). Null (ts, tie) carries
+    * no ordering info and is cleared, matching the parquet stores.
+    * Returns rows deleted.
+    */
+  def truncateTable(conn: Connection, t: Target, tsUs: Long, tieId: Long): Long = {
+    val st = conn.prepareStatement(
+      s"DELETE FROM ${t.table} WHERE ${q(t.tsCol)} IS NULL OR ${q(t.tsCol)} < ?" +
+        s" OR (${q(t.tsCol)} = ? AND (${q(t.tieCol)} IS NULL OR ${q(t.tieCol)} <= ?))")
+    try {
+      st.setLong(1, tsUs); st.setLong(2, tsUs); st.setLong(3, tieId)
+      st.executeUpdate().toLong
+    } finally st.close()
+  }
+
   /** TTL purge against a live JDBC target (S15 — the expiry trigger of
     * `init-db.sql:198-213` run as a periodic job). Returns rows deleted.
     */

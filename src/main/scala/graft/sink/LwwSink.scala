@@ -126,6 +126,26 @@ final class ParquetStateStore(
     nDead
   }
 
+  /** TRUNCATE at an LWW watermark (reference `change_event.py:14,115-117`:
+    * a TRUNCATE event clears the table at its position in the change
+    * stream, carrying no before/after image). Only rows that LOSE the
+    * (ts, tie) ordering against the watermark are cleared; strictly newer
+    * rows — late-but-newer upserts already folded into state — survive.
+    * Re-applying the same watermark is a no-op, so a replayed
+    * truncate-bearing micro-batch converges (ST5). Returns rows cleared.
+    */
+  def truncate(tsUs: Long, tieId: Long): Long = {
+    if (!exists) return 0L
+    val state = read()
+    // null-safe: a null (ts, tie) carries no ordering info and loses the
+    // truncate deterministically (coalesce, not a null-dropping filter)
+    val survives = coalesce(
+      col(tsCol) > tsUs || (col(tsCol) === tsUs && col(tieCol) > tieId), lit(false))
+    val nDead = state.filter(!survives).count()
+    if (nDead > 0) swapIn(state.filter(survives))
+    nDead
+  }
+
   /** Hard-delete rows by key (S11 / the GDPR erasure path). Returns rows
     * removed.
     */
@@ -215,10 +235,27 @@ final class BucketedParquetStateStore(
     * bucket left empty has its partition directory removed, since dynamic
     * overwrite only replaces partitions present in the output.
     */
-  def purgeExpired(expiryCol: String, nowUs: Long): Long = {
+  def purgeExpired(expiryCol: String, nowUs: Long): Long =
+    dropWhere(col(expiryCol).isNotNull && col(expiryCol) < nowUs)
+
+  /** TRUNCATE at an LWW watermark over the bucketed layout (same
+    * semantics as [[ParquetStateStore.truncate]]): clears rows losing the
+    * (ts, tie) ordering, rewriting ONLY buckets that hold losing rows —
+    * a truncate whose watermark predates most of the state touches few
+    * files. Replay-idempotent. Returns rows cleared.
+    */
+  def truncate(tsUs: Long, tieId: Long): Long =
+    dropWhere(!coalesce(
+      col(tsCol) > tsUs || (col(tsCol) === tsUs && col(tieCol) > tieId), lit(false)))
+
+  /** Drop rows matching `deadPred`, rewriting only buckets that contain
+    * such rows; a bucket left empty has its partition directory removed
+    * (dynamic overwrite only replaces partitions present in the output).
+    * Returns rows dropped.
+    */
+  private def dropWhere(deadPred: org.apache.spark.sql.Column): Long = {
     if (!exists) return 0L
     val state = spark.read.parquet(dir)
-    val deadPred = col(expiryCol).isNotNull && col(expiryCol) < nowUs
     val buckets = state.filter(deadPred).select("_bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
     if (buckets.isEmpty) return 0L

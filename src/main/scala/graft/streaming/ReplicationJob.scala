@@ -101,21 +101,34 @@ object ReplicationJob {
     val err = EventOps.errorType(col("event_type"), col("value"), col("user_id"),
       cfg.validTypes, cfg.maxValue)
     val isTruncate = col("event_type") === cfg.truncateType && col("ts_us").isNotNull
-    // Batch-level control aggregates (DLQ count + failed_at watermark,
-    // TRUNCATE watermark) ride along with the main upsert job via
-    // `observe` instead of costing a separate aggregation action per
-    // trigger — a clean micro-batch runs exactly one job.
-    val obs = org.apache.spark.sql.Observation()
-    val observed = batch.observe(obs,
-      count(when(err.isNotNull, 1)).as("dlq_n"),
+    // Materialize the tagged micro-batch ONCE: the batch feeds up to four
+    // consumers (control aggregates, LWW upsert, DLQ write, metrics), and
+    // without a barrier each action re-reads the source — for a Kafka
+    // micro-batch that is a broker re-fetch per consumer. Batch size is
+    // bounded by admission control (maxRowsPerTrigger/maxFilesPerTrigger),
+    // so this caches O(batch), never O(stream).
+    //
+    // NOT an `observe` on the upsert job: Spark's Observation does not
+    // deliver metrics when the CollectMetrics node feeds a union with
+    // existing state (the steady-state upsert plan) — `obs.get` blocks
+    // forever from the second micro-batch on. Measured here; the explicit
+    // tiny aggregate on the cached frame is deterministic instead.
+    val tagged = graft.util.Materialize.stable(
+      batch.withColumn("error_type", err).withColumn("_is_truncate", isTruncate))
+    // Batch-level control aggregates: DLQ count + failed_at watermark,
+    // TRUNCATE count + (ts, event_id) watermark. One job over cached rows.
+    val ctl = tagged.agg(
+      count(when(col("error_type").isNotNull, 1)).as("dlq_n"),
       // coalesce: a batch whose DLQ rows ALL have null ts_us (fully
       // malformed envelopes — the case the DLQ exists for) must get a
       // deterministic failed_at_us = 0, not a null.
-      coalesce(max(when(err.isNotNull, col("ts_us"))), lit(0L)).as("dlq_max_ts"),
-      count(when(err.isNull && isTruncate, 1)).as("trunc_n"),
-      max(when(err.isNull && isTruncate,
-        struct(col("ts_us"), col("event_id")))).as("trunc_max"))
-    val (valid, dlq) = EventOps.validationSplit(observed, err)
+      coalesce(max(when(col("error_type").isNotNull, col("ts_us"))), lit(0L))
+        .as("dlq_max_ts"),
+      count(when(col("error_type").isNull && col("_is_truncate"), 1)).as("trunc_n"),
+      max(when(col("error_type").isNull && col("_is_truncate"),
+        struct(col("ts_us"), col("event_id")))).as("trunc_max")).head()
+    val valid = tagged.filter(col("error_type").isNull).drop("error_type", "_is_truncate")
+    val dlq = tagged.filter(col("error_type").isNotNull).drop("_is_truncate")
     // Truncate events are table-wide control operations, not rows: they
     // carry no key state, so they are excluded from the LWW fold and
     // applied to the target after the upsert (below).
@@ -138,15 +151,14 @@ object ReplicationJob {
             "_cdc_timestamp_micros", "_last_event_id").upsert(compacted)
       }
     }
-    val m = obs.get
     // DLQ write must be idempotent under at-least-once foreachBatch: a
     // replayed micro-batch overwrites its own `_batch_id` partition rather
     // than blind-appending (which would duplicate DLQ rows and break the
     // dlqCount == invalidCount invariant). `failed_at_us` is derived from
     // batch content (max event ts), not wall clock, so a replay writes
     // byte-identical rows.
-    if (m("dlq_n").asInstanceOf[Long] > 0) {
-      dlq.withColumn("failed_at_us", lit(m("dlq_max_ts").asInstanceOf[Long]))
+    if (ctl.getAs[Long]("dlq_n") > 0) {
+      dlq.withColumn("failed_at_us", lit(ctl.getAs[Long]("dlq_max_ts")))
         .withColumn("resolution_status", lit("PENDING"))
         .withColumn("resolved_at_us", lit(null).cast("long"))
         .withColumn("_batch_id", lit(batchId))
@@ -160,8 +172,8 @@ object ReplicationJob {
     // ordering against the watermark are cleared, so same-batch or
     // already-stored rows newer than the truncate survive, and a replayed
     // batch re-applies the same filter — idempotent by construction.
-    if (m("trunc_n").asInstanceOf[Long] > 0) {
-      val w = m("trunc_max").asInstanceOf[org.apache.spark.sql.Row]
+    if (ctl.getAs[Long]("trunc_n") > 0) {
+      val w = ctl.getAs[org.apache.spark.sql.Row]("trunc_max")
       val (tTs, tTie) = (w.getLong(0), w.getLong(1))
       cfg.jdbcTarget match {
         case Some(t) =>
