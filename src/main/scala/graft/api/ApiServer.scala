@@ -47,9 +47,17 @@ final class ApiServer(
     * callback (a Spark failure, a bad pk cast) must surface as a 500 JSON
     * error, not a dropped connection — the JDK server otherwise swallows
     * the throwable and closes the exchange with no response.
+    *
+    * Request-id middleware (reference `src/middleware/request_id.py`):
+    * every response carries `X-Request-ID`, echoing the caller's header
+    * when present and minting a UUID otherwise, so API calls correlate
+    * with the pipeline's trace_id in logs and the DLQ.
     */
   private def handler(f: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
-    (ex: HttpExchange) =>
+    (ex: HttpExchange) => {
+      val rid = Option(ex.getRequestHeaders.getFirst("X-Request-ID"))
+        .filter(_.nonEmpty).getOrElse(java.util.UUID.randomUUID().toString)
+      ex.getResponseHeaders.set("X-Request-ID", rid)
       try f(ex)
       catch {
         case e: Exception =>
@@ -58,6 +66,7 @@ final class ApiServer(
             "application/json")
           catch { case _: Exception => () } // response already committed
       }
+    }
 
   private def esc(s: String): String =
     s.flatMap {

@@ -32,13 +32,18 @@ object KafkaCdc {
       maxOffsetsPerTrigger: Long = 2048,
       failOnDataLoss: Boolean = false)
 
-  /** Reader options for `spark.readStream.format("kafka")`. */
+  /** Reader options for `spark.readStream.format("kafka")`.
+    * `includeHeaders`: the contract's message headers (`kafka-topics.md:
+    * 71-75` — schema_version, trace_id, source_timestamp_micros) ride in
+    * the frame's `headers` column for [[decode]] to surface.
+    */
   def sourceOptions(k: KafkaConfig): Map[String, String] = Map(
     "kafka.bootstrap.servers" -> k.bootstrapServers,
     "subscribePattern" -> k.subscribePattern,
     "startingOffsets" -> k.startingOffsets,
     "maxOffsetsPerTrigger" -> k.maxOffsetsPerTrigger.toString,
-    "failOnDataLoss" -> k.failOnDataLoss.toString)
+    "failOnDataLoss" -> k.failOnDataLoss.toString,
+    "includeHeaders" -> "true")
 
   /** Writer options for `df.write.format("kafka")` (DLQ replay produce —
     * the replayed event returns to its original `cdc-events-{table}`
@@ -54,15 +59,37 @@ object KafkaCdc {
     * ExtractNewRecordState-side of the chain. Works identically on a
     * streaming kafka frame and a batch test frame.
     */
-  def decode(raw: DataFrame, schema: StructType): DataFrame =
-    raw.select(
+  def decode(raw: DataFrame, schema: StructType): DataFrame = {
+    // trace_id rides as a message header (`kafka-topics.md:71-75`,
+    // reference `data-model.md` ChangeEvent.trace_id): surface it as a
+    // column so it follows the event through validation → DLQ → replay.
+    // Tolerant of frames without `headers` (includeHeaders off / test
+    // doubles): trace_id is null there.
+    val traceId =
+      if (raw.columns.contains("headers"))
+        element_at(filter(col("headers"),
+          h => h.getField("key") === "trace_id"), 1)
+          .getField("value").cast("string")
+      else lit(null).cast("string")
+    val expanded = raw.select(
         col("key").cast("string").as("_kafka_key"),
         col("topic").as("_topic"),
         col("partition").as("_partition"),
         col("offset").as("_offset"),
+        traceId.as("_hdr_trace_id"),
         from_json(col("value").cast("string"), schema).as("e"))
-      .select(col("e.*"), col("_kafka_key"), col("_topic"), col("_partition"), col("_offset"))
-      .withColumn("ts_us", expr("ts div 1000"))
+      .select(col("e.*"), col("_kafka_key"), col("_topic"), col("_partition"),
+        col("_offset"), col("_hdr_trace_id"))
+    // a replayed DLQ value embeds the row's trace_id in the payload
+    // (dlq_service.py:222-243 serializes the whole record); the live
+    // header wins, the payload's fills in when no header arrived
+    val merged =
+      if (schema.fieldNames.contains("trace_id"))
+        expanded.withColumn("trace_id",
+          coalesce(col("_hdr_trace_id"), col("trace_id")))
+      else expanded.withColumn("trace_id", col("_hdr_trace_id"))
+    merged.drop("_hdr_trace_id").withColumn("ts_us", expr("ts div 1000"))
+  }
 
   /** Encode event rows to the wire frame: key = stringified partition key
     * (per-key ordering contract, `kafka-topics.md:63-66`), value =
@@ -71,12 +98,21 @@ object KafkaCdc {
   def encode(df: DataFrame, keyCol: String): DataFrame = {
     // strip ALL of decode's provenance columns, not just _kafka_key —
     // leaking _topic/_partition/_offset into the produced value would make
-    // a replayed record differ from the original producer's payload
-    val provenance = Set("_kafka_key", "_topic", "_partition", "_offset")
+    // a replayed record differ from the original producer's payload.
+    // trace_id is provenance too: per the contract it travels as a message
+    // HEADER (`kafka-topics.md:71-75`), re-emitted below, so a replayed
+    // event keeps its correlation id end-to-end.
+    val provenance = Set("_kafka_key", "_topic", "_partition", "_offset", "trace_id")
     val dataCols = df.columns.filterNot(provenance.contains)
-    df.select(
+    val frame = df.select(
       col(keyCol).cast("string").as("key"),
-      to_json(struct(dataCols.map(col).toIndexedSeq: _*)).as("value"))
+      to_json(struct(dataCols.map(col).toIndexedSeq: _*)).as("value"),
+      (if (df.columns.contains("trace_id")) col("trace_id")
+       else lit(null).cast("string")).as("_t"))
+    frame.select(col("key"), col("value"),
+      when(col("_t").isNotNull,
+        array(struct(lit("trace_id").as("key"), col("_t").cast("binary").as("value"))))
+        .as("headers"))
   }
 
   /** Streaming Kafka source → decoded events (requires the

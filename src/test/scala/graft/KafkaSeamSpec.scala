@@ -57,7 +57,7 @@ class KafkaSeamSpec extends SparkSpecBase {
       (2L, 1700000001000000000L, 8L, "click", 2.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val encoded = KafkaCdc.encode(events, keyCol = "user_id")
-    assert(encoded.columns.toSeq == Seq("key", "value"))
+    assert(encoded.columns.toSeq == Seq("key", "value", "headers"))
     // re-frame as a kafka source row and decode back
     val reframed = encoded.select(
       col("key").cast("binary").as("key"),
@@ -73,5 +73,93 @@ class KafkaSeamSpec extends SparkSpecBase {
       (2L, 1700000001000000000L, 8L, "click", 2.0, "{}")))
     // the key carries the partition key for per-key ordering
     assert(encoded.select("key").as[String].collect().toSet == Set("7", "8"))
+  }
+
+  // ---- binary Avro wire codec (kafka-topics.md:66-160) ----
+
+  private def avroChangeEvent(
+      eventId: String, table: String, op: String, tsUs: Long,
+      before: java.util.Map[String, AnyRef], after: java.util.Map[String, AnyRef],
+      ttl: java.lang.Integer = null) = {
+    import org.apache.avro.generic.GenericData
+    val src = new GenericData.Record(
+      graft.streaming.AvroCdc.valueSchema.getField("source").schema())
+    src.put("keyspace", "cdc_ks"); src.put("table", table); src.put("cluster", null)
+    val r = new GenericData.Record(graft.streaming.AvroCdc.valueSchema)
+    r.put("event_id", eventId)
+    r.put("source", src)
+    r.put("operation", new GenericData.EnumSymbol(
+      graft.streaming.AvroCdc.valueSchema.getField("operation").schema(), op))
+    r.put("timestamp_micros", tsUs)
+    r.put("before", before)
+    r.put("after", after)
+    r.put("schema_version", 1)
+    r.put("ttl_seconds", ttl)
+    r
+  }
+
+  test("binary Avro value decodes to envelope and typed columns bit-exactly") {
+    import graft.streaming.AvroCdc
+    import graft.types.CdcSchemas
+    import org.apache.spark.sql.types._
+    // union-typed image map, exactly the wire contract's value unions
+    val after = new java.util.HashMap[String, AnyRef]()
+    after.put("id", java.lang.Long.valueOf(7L))
+    after.put("email", "a@b.c")
+    after.put("balance", java.lang.Double.valueOf(12.5))
+    after.put("active", java.lang.Boolean.TRUE)
+    after.put("nickname", null)
+    val records = Seq(
+      avroChangeEvent("123e4567-e89b-12d3-a456-426614174000", "users", "CREATE",
+        1700000000000000L, null, after, ttl = 3600),
+      avroChangeEvent("123e4567-e89b-12d3-a456-426614174001", "users", "DELETE",
+        1700000001000000L, null, null), // tombstone: DELETE with no before
+      avroChangeEvent("123e4567-e89b-12d3-a456-426614174002", "users", "TRUNCATE",
+        1700000002000000L, null, null))
+    val wire = records.map(r => AvroCdc.recordBytes(r, AvroCdc.valueSchema)).toDF("value")
+    val env = AvroCdc.decodeFrame(wire).orderBy("timestamp_micros")
+    val rows = env.collect()
+    assert(rows.map(_.operation_type).toSeq == Seq("CREATE", "DELETE", "TRUNCATE"))
+    assert(rows(0).after.get == Map("id" -> "7", "email" -> "a@b.c",
+      "balance" -> "12.5", "active" -> "true", "nickname" -> null))
+    assert(rows(0).ttl_seconds.contains(3600) && rows(0).source_table == "users")
+    assert(rows(1).is_tombstone, "DELETE with no before image is a tombstone")
+    assert(!rows(0).is_tombstone && !rows(2).is_tombstone)
+    // every decoded envelope passes the reference validator rules
+    val nValid = env.toDF().filter(
+      CdcSchemas.validEnvelope(lit(1700000010000000L))).count()
+    assert(nValid == 3L, "decoded envelopes must satisfy validEnvelope")
+    // unwrap + per-table typed cast: values come back in their wire types
+    val users = StructType(Seq(
+      StructField("id", LongType), StructField("email", StringType),
+      StructField("balance", DoubleType), StructField("active", BooleanType)))
+    val typed = CdcSchemas.castRow(CdcSchemas.unwrap(env.toDF()), users)
+      .filter(col("__op") === "CREATE")
+      .select("id", "email", "balance", "active").head()
+    assert(typed.getLong(0) == 7L && typed.getString(1) == "a@b.c")
+    assert(typed.getDouble(2) == 12.5 && typed.getBoolean(3))
+  }
+
+  test("envelope -> Avro bytes -> envelope round-trips exactly (replay produce)") {
+    import graft.streaming.AvroCdc
+    val original = Seq(
+      AvroCdc.Envelope("123e4567-e89b-12d3-a456-426614174000", "cdc_ks", "users",
+        "UPDATE", 1700000000000000L,
+        before = Some(Map("id" -> "7", "email" -> "old@b.c")),
+        after = Some(Map("id" -> "7", "email" -> "new@b.c", "note" -> null)),
+        schema_version = 2, ttl_seconds = None, is_tombstone = false),
+      AvroCdc.Envelope("123e4567-e89b-12d3-a456-426614174001", "cdc_ks", "orders",
+        "DELETE", 1700000001000000L, before = None, after = None,
+        schema_version = 1, ttl_seconds = Some(60), is_tombstone = true))
+    val env = spark.createDataset(original)
+    val frame = AvroCdc.encodeFrame(env, e => e.source_table)
+    assert(frame.columns.toSeq == Seq("key", "value"))
+    // key is a well-formed ChangeEventKey record
+    val keys = frame.select("key").as[Array[Byte]].collect()
+      .map(b => AvroCdc.parseRecord(b, AvroCdc.keySchema).get("partition_key").toString)
+    assert(keys.toSet == Set("users", "orders"))
+    // value decodes back to the identical envelope
+    val back = AvroCdc.decodeFrame(frame.select("value")).collect().toSet
+    assert(back == original.toSet, s"avro round-trip diverged: $back")
   }
 }
