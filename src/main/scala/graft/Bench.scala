@@ -86,6 +86,11 @@ object Bench {
     }.toMap
 
     var rebudget = 240.0
+    // Per-entry trial spreads for every multi-trial measurement, emitted
+    // in the JSON so a contention-contaminated round is diagnosable per
+    // query, not just via the global contention_ratio.
+    val trialLog = scala.collection.mutable.Map[String, List[Double]](
+      "_replication_events_per_sec" -> replTrials.toList)
     val results: Map[String, Either[String, Double]] = {
       val slow = sorted.collect {
         case (n, fn) if pass1(n).exists(_ > 3.0) => (n, fn, pass1(n).getOrElse(0.0))
@@ -100,6 +105,7 @@ object Bench {
           k += 1
         }
         noteSpread(trials)
+        trialLog(n) = trials.reverse // chronological order
         n -> Right(trials.min).withLeft[String]
       }.toMap
       pass1 ++ retried
@@ -112,9 +118,13 @@ object Bench {
     val failed = results.toSeq.collect { case (k, Left(_)) => "\"" + k + "\"" }
       .sorted.mkString("[", ",", "]")
     val total = results.values.collect { case Right(v) => v }.sum
+    val trialsJson = trialLog.toSeq.sortBy(_._1).map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""events_per_sec":$eventsPerSec,"failed":$failed,""" +
       s""""contention_ratio":${math.round(contentionRatio * 100) / 100.0},""" +
+      s""""trials":$trialsJson,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

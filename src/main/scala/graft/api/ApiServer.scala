@@ -31,7 +31,12 @@ final class ApiServer(
     mismatchesJson: () => String = () => "[]",
     /** POST /reconciliation/mismatches/{id}/resolve → found?
       * (`POST /mismatches/{id}/resolve`). */
-    mismatchResolve: String => Boolean = _ => false) {
+    mismatchResolve: String => Boolean = _ => false,
+    /** Per-client throttle (reference `src/middleware/rate_limit.py`):
+      * None = unlimited (test default); Some = every route checks the
+      * caller's bucket and answers 429 + Retry-After when drained.
+      */
+    rateLimiter: Option[RateLimiter] = None) {
 
   private var server: HttpServer = _
 
@@ -53,20 +58,39 @@ final class ApiServer(
     * when present and minting a UUID otherwise, so API calls correlate
     * with the pipeline's trace_id in logs and the DLQ.
     */
-  private def handler(f: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
+  private def handler(ctx: String)(f: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
     (ex: HttpExchange) => {
       val rid = Option(ex.getRequestHeaders.getFirst("X-Request-ID"))
         .filter(_.nonEmpty).getOrElse(java.util.UUID.randomUUID().toString)
       ex.getResponseHeaders.set("X-Request-ID", rid)
-      try f(ex)
-      catch {
+      try {
+        val path = ex.getRequestURI.getPath
+        // JDK HttpServer matches contexts by raw string prefix, so the
+        // "/health" context also receives /healthfoo — reject anything
+        // that isn't the context path or a true sub-path of it.
+        if (path != ctx && !path.startsWith(ctx + "/"))
+          respond(ex, 404, """{"error":"not found"}""", "application/json")
+        else rateLimiter.map(_.tryAcquire(clientKey(ex))) match {
+          case Some(Left(retryAfterSec)) =>
+            ex.getResponseHeaders.set("Retry-After", retryAfterSec.toString)
+            respond(ex, 429, """{"error":"rate limit exceeded"}""", "application/json")
+          case _ => f(ex)
+        }
+      } catch {
         case e: Exception =>
+          // redacted: driver exception text can echo the JDBC URL with
+          // credentials (test_no_secrets_in_logs.py contract)
           try respond(ex, 500,
-            s"""{"error":"${esc(Option(e.getMessage).getOrElse(e.getClass.getName))}"}""",
+            s"""{"error":"${esc(graft.util.Redact.secrets(
+              Option(e.getMessage).getOrElse(e.getClass.getName)))}"}""",
             "application/json")
           catch { case _: Exception => () } // response already committed
       }
     }
+
+  private def clientKey(ex: HttpExchange): String =
+    Option(ex.getRemoteAddress).flatMap(a => Option(a.getAddress))
+      .map(_.getHostAddress).getOrElse("unknown")
 
   private def esc(s: String): String =
     s.flatMap {
@@ -81,7 +105,7 @@ final class ApiServer(
     // GET /health — 200 healthy / 503 if any component down, with
     // per-component details (test_health_api.py:13-83 contract shape);
     // GET /health/{component} — that component alone (health.py).
-    server.createContext("/health", handler { ex =>
+    server.createContext("/health", handler("/health") { ex =>
       val comps = health()
       val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
       if (parts.length == 2) comps.get(parts(1)) match {
@@ -101,11 +125,11 @@ final class ApiServer(
     })
 
     // GET /metrics — Prometheus exposition (test_metrics_api.py contract).
-    server.createContext("/metrics", handler { ex =>
+    server.createContext("/metrics", handler("/metrics") { ex =>
       respond(ex, 200, registry.render(), "text/plain; version=0.0.4") })
 
     // GET /dlq/stats — the DLQ stats endpoint (dlq_service.py:375-443).
-    server.createContext("/dlq/stats", handler { ex =>
+    server.createContext("/dlq/stats", handler("/dlq/stats") { ex =>
       respond(ex, 200, dlqStatsJson(), "application/json") })
 
     def queryParams(ex: HttpExchange): Map[String, String] =
@@ -115,7 +139,7 @@ final class ApiServer(
         }.toMap
 
     // GET /dlq/records?limit=&offset= — ordered page (dlq.py GET /records).
-    server.createContext("/dlq/records", handler { ex =>
+    server.createContext("/dlq/records", handler("/dlq/records") { ex =>
       val q = queryParams(ex)
       respond(ex, 200, dlqRecordsJson(
         q.get("limit").flatMap(_.toIntOption).getOrElse(100),
@@ -124,7 +148,7 @@ final class ApiServer(
 
     // POST /dlq/replay?ids=a,b — re-produce selected events
     // (dlq.py POST /replay → dlq_service.py:222-243).
-    server.createContext("/dlq/replay", handler { ex =>
+    server.createContext("/dlq/replay", handler("/dlq/replay") { ex =>
       if (ex.getRequestMethod != "POST")
         respond(ex, 400, """{"error":"POST /dlq/replay?ids=..."}""", "application/json")
       else {
@@ -139,11 +163,11 @@ final class ApiServer(
     })
 
     // GET /reconciliation/jobs — job list (reconciliation.py GET /jobs).
-    server.createContext("/reconciliation/jobs", handler { ex =>
+    server.createContext("/reconciliation/jobs", handler("/reconciliation/jobs") { ex =>
       respond(ex, 200, reconJobsJson(), "application/json") })
 
     // GET /reconciliation/mismatches + POST .../mismatches/{id}/resolve.
-    server.createContext("/reconciliation/mismatches", handler { ex =>
+    server.createContext("/reconciliation/mismatches", handler("/reconciliation/mismatches") { ex =>
       val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
       if (ex.getRequestMethod == "POST" && parts.length == 4 && parts(3) == "resolve") {
         if (mismatchResolve(parts(2)))
@@ -157,20 +181,27 @@ final class ApiServer(
 
     // POST /reconciliation/trigger?table=t — manual trigger
     // (reconciliation.py:73-119).
-    server.createContext("/reconciliation/trigger", handler { ex =>
-      val table = Option(ex.getRequestURI.getQuery).getOrElse("")
-        .split("&").collectFirst { case s if s.startsWith("table=") => s.drop(6) }
-      table match {
-        case Some(t) if Gdpr.validIdentifier(t) =>
-          reconTrigger(t)
-          respond(ex, 202, s"""{"status":"triggered","table":"$t"}""", "application/json")
-        case _ =>
-          respond(ex, 400, """{"error":"missing or invalid table"}""", "application/json")
+    server.createContext("/reconciliation/trigger", handler("/reconciliation/trigger") { ex =>
+      // POST-only: the reference route is a POST and the trigger is a side
+      // effect — a GET must not fire a reconciliation run.
+      if (ex.getRequestMethod != "POST") {
+        ex.getResponseHeaders.set("Allow", "POST")
+        respond(ex, 405, """{"error":"method not allowed"}""", "application/json")
+      } else {
+        val table = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").collectFirst { case s if s.startsWith("table=") => s.drop(6) }
+        table match {
+          case Some(t) if Gdpr.validIdentifier(t) =>
+            reconTrigger(t)
+            respond(ex, 202, s"""{"status":"triggered","table":"$t"}""", "application/json")
+          case _ =>
+            respond(ex, 400, """{"error":"missing or invalid table"}""", "application/json")
+        }
       }
     })
 
     // DELETE /gdpr/{table}/{pk} — dual-store erasure (gdpr.py:37-216).
-    server.createContext("/gdpr", handler { ex =>
+    server.createContext("/gdpr", handler("/gdpr") { ex =>
       val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
       if (ex.getRequestMethod != "DELETE" || parts.length != 3)
         respond(ex, 400, """{"error":"DELETE /gdpr/{table}/{pk}"}""", "application/json")
@@ -180,8 +211,14 @@ final class ApiServer(
             s""""deleted_from_target":${r.deletedFromTarget},"audit_log_id":"${r.auditLogId}"}""",
           "application/json")
         case Left(err) =>
-          val code = if (err.contains("not found")) 404 else 500
-          respond(ex, code, s"""{"error":"${esc(err)}"}""", "application/json")
+          // validation failures are the caller's fault (400), absence is
+          // 404; only genuine execution failures surface as 500
+          val code =
+            if (err.contains("not found")) 404
+            else if (err.startsWith("invalid identifier")) 400
+            else 500
+          respond(ex, code,
+            s"""{"error":"${esc(graft.util.Redact.secrets(err))}"}""", "application/json")
       }
     })
 

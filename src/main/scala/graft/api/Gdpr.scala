@@ -28,11 +28,23 @@ object Gdpr {
       compensated: Boolean,
       auditLogId: String)
 
-  /** Append-only audit trail (`gdpr.py:163-196`). */
+  /** Append-only audit trail (`gdpr.py:163-196`). Free-text fields
+    * (requester/reason — and pk/outcome defensively) are sanitized: a tab
+    * or newline inside a value would shift fields / fabricate phantom
+    * records in the TSV, corrupting the trail the reference keeps in
+    * typed DB columns.
+    */
+  private def sanitize(s: String): String =
+    s.flatMap {
+      case '\t' => "\\t"; case '\n' => "\\n"; case '\r' => "\\r"
+      case c => c.toString
+    }
+
   private def audit(auditPath: String, table: String, pk: String,
       requester: String, reason: String, outcome: String): String = {
     val id = UUID.randomUUID().toString
-    val line = s"$id\t${System.currentTimeMillis()}\t$table\t$pk\t$requester\t$reason\t$outcome\n"
+    val line = (Seq(id, System.currentTimeMillis().toString, table) ++
+      Seq(pk, requester, reason, outcome).map(sanitize)).mkString("", "\t", "\n")
     Files.writeString(Paths.get(auditPath), line,
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     id
@@ -73,7 +85,7 @@ object Gdpr {
     //    the target stays deleted, the one inconsistent state).
     val targetResult: Either[Exception, Long] =
       try {
-        val conn = DriverManager.getConnection(target.url)
+        val conn = JdbcLwwExecutor.connect(target.url)
         try Right(JdbcLwwExecutor.deletePartition(conn, target, backup.iterator))
         finally conn.close()
       } catch { case e: Exception => Left(e) }
@@ -82,16 +94,20 @@ object Gdpr {
       case Right(n) =>
         val id =
           try audit(auditPath, table, pk, requester, reason, "deleted_both")
-          catch { case e: Exception => s"audit-write-failed: ${e.getMessage}" }
+          catch { case e: Exception =>
+            s"audit-write-failed: ${graft.util.Redact.secrets(e.getMessage)}" }
         Right(DeleteResult(pk, deletedSource, n > 0, compensated = false, id))
       case Left(e) =>
-        // compensating re-insert of the source backup
+        // compensating re-insert of the source backup. Exception text is
+        // redacted everywhere it lands (audit file, API error body): a
+        // JDBC failure message can echo the URL's credentials.
         val df = source.read().sparkSession.createDataFrame(
           java.util.List.of(backup.get), backup.get.schema)
         source.upsert(df)
-        try audit(auditPath, table, pk, requester, reason, s"compensated: ${e.getMessage}")
+        try audit(auditPath, table, pk, requester, reason,
+          s"compensated: ${graft.util.Redact.secrets(e.getMessage)}")
         catch { case _: Exception => () } // compensation outcome already decided
-        Left(s"target delete failed, source restored: ${e.getMessage}")
+        Left(s"target delete failed, source restored: ${graft.util.Redact.secrets(e.getMessage)}")
     }
   }
 }

@@ -50,7 +50,14 @@ object Lww {
       saltBuckets: Int = 32): DataFrame = {
     val payload = df.columns.filterNot(keys.contains)
     val winner = max_by(struct(payload.map(col).toIndexedSeq: _*), struct(ordering.toIndexedSeq: _*))
-    val salted = df.withColumn("_salt", pmod(spark_partition_id(), lit(saltBuckets)))
+    // Salt from ROW CONTENT (hash of the ordering tuple), not
+    // spark_partition_id(): with key-sorted/pre-shuffled input the hot
+    // key's rows share few partition ids, so a partition-id salt fails to
+    // spread exactly when skew mitigation is needed; a content hash
+    // spreads regardless of physical layout, and any row→salt assignment
+    // is correct for the commutative max_by fold.
+    val salted = df.withColumn("_salt",
+      pmod(hash(ordering.toIndexedSeq: _*), lit(saltBuckets)))
     val phase1 = salted.groupBy((keys.map(col) :+ col("_salt")).toIndexedSeq: _*)
       .agg(winner.as("_w"))
       .select((keys.map(col) ++ payload.map(c => col(s"_w.$c").as(c))).toIndexedSeq: _*)

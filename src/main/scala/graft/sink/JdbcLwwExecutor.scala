@@ -52,6 +52,23 @@ object JdbcLwwExecutor {
 
   private val DuplicateKeySqlState = "23505"
 
+  /** Open a connection with credential-safe failure text: driver errors
+    * ("No suitable driver found for jdbc:...") echo the full URL,
+    * userinfo and password properties included, and that message travels
+    * into executor logs, the streaming query exception, and API 500
+    * bodies. The original exception is NOT chained — its message is the
+    * leak (`test_no_secrets_in_logs.py` contract).
+    */
+  def connect(url: String): Connection =
+    try DriverManager.getConnection(url)
+    catch {
+      case e: SQLException =>
+        throw new SQLException(
+          graft.util.Redact.secrets(
+            s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("connect failed")}"),
+          e.getSQLState)
+    }
+
   /** Column identifiers are double-quoted (SQL-standard delimited
     * identifiers): the CDC metadata columns start with '_', which Derby
     * rejects unquoted; Postgres folds unquoted identifiers to lowercase,
@@ -83,7 +100,7 @@ object JdbcLwwExecutor {
     * target.
     */
   def ensureTable(url: String, ddl: String): Unit = {
-    val conn = DriverManager.getConnection(url)
+    val conn = connect(url)
     try {
       val st = conn.createStatement()
       try st.execute(ddl)
@@ -206,7 +223,7 @@ object JdbcLwwExecutor {
       Retry.withRetry(policy, sleep) {
         df.foreachPartition { (rows: Iterator[Row]) =>
           if (rows.hasNext) {
-            val conn = DriverManager.getConnection(t.url)
+            val conn = connect(t.url)
             try { upsertPartition(conn, t, rows); () } finally conn.close()
           }
         }

@@ -221,8 +221,14 @@ final class BucketedParquetStateStore(
         val allCols = (state.columns ++ b.columns.filterNot(state.columns.contains)).toSeq
         def pad(df: DataFrame) = df.select(allCols.map(c =>
           if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
-        Lww.latestPerKey(pad(state).unionByName(pad(b)), Seq(key),
-          Seq(col(tsCol), col(tieCol)))
+        // materialization barrier before overwriting the files the plan
+        // reads from (same discipline as dropWhere / ParquetStateStore's
+        // tmp+swap): with a lazy plan, a task retry after job commit
+        // begins — or a non-deferred cluster committer — can re-read
+        // partially deleted bucket files mid-overwrite.
+        graft.util.Materialize.stable(
+          Lww.latestPerKey(pad(state).unionByName(pad(b)), Seq(key),
+            Seq(col(tsCol), col(tieCol))))
       }
     merged.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")

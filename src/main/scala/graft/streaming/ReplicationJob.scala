@@ -177,7 +177,7 @@ object ReplicationJob {
       val (tTs, tTie) = (w.getLong(0), w.getLong(1))
       cfg.jdbcTarget match {
         case Some(t) =>
-          val conn = java.sql.DriverManager.getConnection(t.url)
+          val conn = graft.sink.JdbcLwwExecutor.connect(t.url)
           try graft.sink.JdbcLwwExecutor.truncateTable(conn, t, tTs, tTie)
           finally conn.close()
         case None => cfg.stateBuckets match {

@@ -213,6 +213,98 @@ class ApiOpsSpec extends SparkSpecBase {
     } finally api.stop()
   }
 
+  test("rate limiter: burst admits, drained bucket throttles, refill re-admits") {
+    var clock = 0L
+    val rl = new graft.api.RateLimiter(ratePerSec = 1.0, burst = 3, nowNs = () => clock)
+    assert((1 to 3).forall(_ => rl.tryAcquire("c1").isRight), "burst of 3 admitted")
+    val denied = rl.tryAcquire("c1")
+    assert(denied.isLeft && denied.swap.exists(_ >= 1L), "4th call throttled with retry-after")
+    // an unrelated client has its own bucket
+    assert(rl.tryAcquire("c2").isRight)
+    clock += 1500L * 1000000L // +1.5 s → 1.5 tokens refilled
+    assert(rl.tryAcquire("c1").isRight && rl.tryAcquire("c1").isLeft)
+  }
+
+  test("HTTP API: 429 + Retry-After when the client bucket drains") {
+    val api = new ApiServer(
+      registry = new Metrics.Registry,
+      health = () => Map("spark" -> true),
+      dlqStatsJson = () => "{}",
+      reconTrigger = _ => (),
+      gdprDelete = (_, _) => Left("n/a"),
+      rateLimiter = Some(new graft.api.RateLimiter(ratePerSec = 0.001, burst = 2)))
+    val port = api.start()
+    val http = HttpClient.newHttpClient()
+    def get(path: String): HttpResponse[String] =
+      http.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      assert(get("/health").statusCode() == 200)
+      assert(get("/health").statusCode() == 200)
+      val throttled = get("/health")
+      assert(throttled.statusCode() == 429, "drained bucket must answer 429")
+      val retryAfter = throttled.headers().firstValue("Retry-After").orElse("")
+      assert(retryAfter.nonEmpty && retryAfter.toLong >= 1L,
+        s"429 must carry Retry-After seconds, got '$retryAfter'")
+    } finally api.stop()
+  }
+
+  test("HTTP API hardening: exact paths, POST-only trigger, validation -> 400") {
+    val triggered = scala.collection.mutable.ArrayBuffer[String]()
+    val api = new ApiServer(
+      registry = new Metrics.Registry,
+      health = () => Map("spark" -> true),
+      dlqStatsJson = () => "{}",
+      reconTrigger = triggered += _,
+      gdprDelete = (t, _) =>
+        if (!Gdpr.validIdentifier(t)) Left(s"invalid identifier: $t")
+        else Left(s"record not found in source $t"))
+    val port = api.start()
+    val http = HttpClient.newHttpClient()
+    def send(method: String, path: String): HttpResponse[String] =
+      http.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .method(method, HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      // JDK prefix matching must not leak /healthfoo into /health
+      assert(send("GET", "/healthfoo").statusCode() == 404)
+      assert(send("GET", "/metricsX").statusCode() == 404)
+      assert(send("GET", "/health").statusCode() == 200)
+      // side-effecting trigger is POST-only (reference route contract)
+      val m = send("GET", "/reconciliation/trigger?table=users")
+      assert(m.statusCode() == 405 && m.headers().firstValue("Allow").orElse("") == "POST")
+      assert(triggered.isEmpty, "a GET must never fire the trigger")
+      assert(send("POST", "/reconciliation/trigger?table=users").statusCode() == 202)
+      assert(triggered.toSeq == Seq("users"))
+      // caller-fault validation errors are 400, absence 404
+      assert(send("DELETE", "/gdpr/bad-name!/1").statusCode() == 400)
+      assert(send("DELETE", "/gdpr/users/1").statusCode() == 404)
+    } finally api.stop()
+  }
+
+  test("GDPR audit: tab/newline in free-text fields cannot corrupt the TSV") {
+    val stateDir = tmpDir("gdprs") + "/state"
+    val source = new ParquetStateStore(spark, stateDir, "user_id", "ts_us", "eid")
+    source.upsert(Seq((9L, 10L, 1L, "Mallory")).toDF("user_id", "ts_us", "eid", "name"))
+    val url = "jdbc:derby:memory:gdprsan;create=true"
+    JdbcLwwExecutor.ensureTable(url,
+      """CREATE TABLE users_s ("user_id" BIGINT NOT NULL, PRIMARY KEY ("user_id"))""")
+    val c = java.sql.DriverManager.getConnection(url)
+    try c.createStatement().executeUpdate("INSERT INTO users_s VALUES (9)") finally c.close()
+    val target = JdbcLwwExecutor.Target(url, "users_s", Seq("user_id"), Seq("user_id"))
+    val auditPath = tmpDir("audits") + "/audit.tsv"
+    val res = Gdpr.deleteRecord(source, target, auditPath, "users", 9L,
+      requester = "evil\tuser", reason = "line1\nline2")
+    assert(res.isRight)
+    val content = java.nio.file.Files.readString(java.nio.file.Paths.get(auditPath))
+    val lines = content.split("\n", -1).filter(_.nonEmpty)
+    assert(lines.length == 1, s"injected newline must not fabricate records: ${lines.toSeq}")
+    assert(lines.head.split("\t", -1).length == 7,
+      "injected tab must not shift audit fields")
+    assert(content.contains("evil\\tuser") && content.contains("line1\\nline2"))
+  }
+
   test("GDPR compensation: failed target delete restores the source row") {
     val stateDir = tmpDir("gdprc") + "/state"
     val source = new ParquetStateStore(spark, stateDir, "user_id", "ts_us", "eid")

@@ -1,0 +1,81 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.api.ApiServer
+import graft.ops.Metrics
+import graft.util.Redact
+
+/** Credential redaction (reference `tests/integration/test_no_secrets_in_
+  * logs.py`): its password grep patterns must find zero real matches in
+  * any emitted surface — exception text, API error bodies, audit lines.
+  */
+class NoSecretsSpec extends SparkSpecBase {
+
+  /** The reference test's grep, transliterated: password-ish key/value
+    * pairs, case-insensitive, with its benign-match allowlist.
+    */
+  private def passwordLeaks(text: String): Seq[String] = {
+    val pat = "(?i)(?:password|pwd)['\"]?\\s*[:=]\\s*['\"]?([^'\"\\s,}]+)".r
+    pat.findAllMatchIn(text).map(_.group(1)).toSeq
+      .filterNot(m => Seq("null", "None", "****", "***", "xxxx", "REDACTED").contains(m))
+      .filterNot(m => m.startsWith("$") || m.length <= 2)
+  }
+
+  test("Redact.secrets strips key=value and URL userinfo credentials") {
+    val samples = Seq(
+      "connect failed: jdbc:postgresql://db:5432/app?user=svc&password=hunter2",
+      """config echo {"password": "hunter2", "host": "db"}""",
+      "PWD=topsecret;user=svc",
+      "No suitable driver found for jdbc:postgresql://svc:hunter2@db:5432/app",
+      "token=abc123 secret: xyz")
+    samples.foreach { s =>
+      val r = Redact.secrets(s)
+      assert(passwordLeaks(r).isEmpty, s"leak survived redaction: $r")
+      assert(!r.contains("hunter2") && !r.contains("topsecret") &&
+        !r.contains("abc123") && !r.contains("xyz"), s"secret visible in: $r")
+    }
+    // non-secret text is untouched
+    assert(Redact.secrets("record 5 not found in source users")
+      == "record 5 not found in source users")
+  }
+
+  test("JDBC connect failure text carries no URL credentials") {
+    val url = "jdbc:nodriver://svc:hunter2@db:5432/app?password=hunter2"
+    val e = intercept[java.sql.SQLException] {
+      graft.sink.JdbcLwwExecutor.connect(url)
+    }
+    val msg = Option(e.getMessage).getOrElse("")
+    assert(passwordLeaks(msg).isEmpty, s"leaky connect error: $msg")
+    assert(!msg.contains("hunter2"), s"credential visible in connect error: $msg")
+  }
+
+  test("API 500 body redacts credentials from callback exceptions") {
+    val api = new ApiServer(
+      registry = new Metrics.Registry,
+      health = () => Map("spark" -> true),
+      dlqStatsJson = () => sys.error(
+        "target down: jdbc:postgresql://db/app?user=svc&password=hunter2"),
+      reconTrigger = _ => (),
+      gdprDelete = (_, _) => Left(
+        "target delete failed: FATAL password=hunter2 rejected"))
+    val port = api.start()
+    val http = HttpClient.newHttpClient()
+    def send(method: String, path: String): HttpResponse[String] =
+      http.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .method(method, HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      val boom = send("GET", "/dlq/stats")
+      assert(boom.statusCode() == 500)
+      assert(passwordLeaks(boom.body()).isEmpty && !boom.body().contains("hunter2"),
+        s"500 body leaks: ${boom.body()}")
+      val gdpr = send("DELETE", "/gdpr/users/1")
+      assert(gdpr.statusCode() == 500)
+      assert(passwordLeaks(gdpr.body()).isEmpty && !gdpr.body().contains("hunter2"),
+        s"gdpr error body leaks: ${gdpr.body()}")
+    } finally api.stop()
+  }
+}
