@@ -110,6 +110,75 @@ class TypesSchemaSpec extends SparkSpecBase {
     assert(out.getAs[String]("missing_col") == null)
   }
 
+  test("SC-002 type coverage: 24 distinct CQL types replicate without loss") {
+    // The BASELINE row "20+ distinct data types replicated without loss"
+    // (spec.md:250, init-schema.cql:8-41): one envelope row carrying a
+    // value of every mapped type, through structFor + unwrap + castRow,
+    // each value asserted exact; pgColumns must emit sink DDL for all.
+    val cols: Seq[(String, String, String)] = Seq(
+      ("c_text", "text", "regular"), ("c_varchar", "varchar", "regular"),
+      ("c_ascii", "ascii", "regular"), ("c_int", "int", "regular"),
+      ("c_bigint", "bigint", "regular"), ("c_smallint", "smallint", "regular"),
+      ("c_tinyint", "tinyint", "regular"), ("c_varint", "varint", "regular"),
+      ("c_float", "float", "regular"), ("c_double", "double", "regular"),
+      ("c_decimal", "decimal", "regular"), ("c_boolean", "boolean", "regular"),
+      ("c_uuid", "uuid", "regular"), ("c_timeuuid", "timeuuid", "regular"),
+      ("c_timestamp", "timestamp", "regular"), ("c_date", "date", "regular"),
+      ("c_time", "time", "regular"), ("c_blob", "blob", "regular"),
+      ("c_inet", "inet", "regular"), ("c_counter", "counter", "regular"),
+      ("c_list", "list<int>", "regular"), ("c_set", "set<text>", "regular"),
+      ("c_map", "map<text,int>", "regular"), ("c_tuple", "tuple<int,text>", "regular"))
+    assert(cols.size >= 20 && cols.map(_._2).distinct.size == cols.size)
+    val schema = TypeMapper.structFor(cols)
+    val image = Map(
+      "c_text" -> "héllo", "c_varchar" -> "w", "c_ascii" -> "ok",
+      "c_int" -> "-2147483648", "c_bigint" -> "9223372036854775807",
+      "c_smallint" -> "-32768", "c_tinyint" -> "127",
+      "c_varint" -> "99999999999999999999999999999999999999",
+      "c_float" -> "1.5", "c_double" -> "2.625",
+      "c_decimal" -> "12345.678900000000000001", "c_boolean" -> "true",
+      "c_uuid" -> "123e4567-e89b-12d3-a456-426614174000",
+      "c_timeuuid" -> "58e0a7d7-eebc-11d8-9669-0800200c9a66",
+      "c_timestamp" -> "2024-11-20 08:45:00", "c_date" -> "2024-11-20",
+      "c_time" -> "31500000000000", "c_blob" -> "bytes",
+      "c_inet" -> "10.0.0.7", "c_counter" -> "41",
+      "c_list" -> "[3,1,2]", "c_set" -> """["a","b","a"]""",
+      "c_map" -> """{"k1":1,"k2":2}""", "c_tuple" -> """{"_0":9,"_1":"t"}""")
+    val env = Seq(("e1", "typed", "CREATE", 100L, null, image, 1, null, false))
+      .toDF("event_id", "source_table", "operation_type", "timestamp_micros",
+        "before", "after", "schema_version", "ttl_seconds", "is_tombstone")
+    val out = CdcSchemas.castRow(CdcSchemas.unwrap(env), schema,
+      setColumns = Set("c_set")).collect().head
+    assert(out.getAs[String]("c_text") == "héllo")
+    assert(out.getAs[Int]("c_int") == Int.MinValue)
+    assert(out.getAs[Long]("c_bigint") == Long.MaxValue)
+    assert(out.getAs[Short]("c_smallint") == Short.MinValue)
+    assert(out.getAs[Byte]("c_tinyint") == 127.toByte)
+    assert(out.getAs[java.math.BigDecimal]("c_varint").toPlainString
+      == "99999999999999999999999999999999999999")
+    assert(out.getAs[Float]("c_float") == 1.5f && out.getAs[Double]("c_double") == 2.625)
+    assert(out.getAs[java.math.BigDecimal]("c_decimal").stripTrailingZeros.toPlainString
+      == "12345.678900000000000001")
+    assert(out.getAs[Boolean]("c_boolean"))
+    assert(out.getAs[String]("c_uuid") == "123e4567-e89b-12d3-a456-426614174000")
+    assert(out.getAs[java.sql.Timestamp]("c_timestamp").toInstant
+      == java.time.Instant.parse("2024-11-20T08:45:00Z")) // session TZ = UTC
+    assert(out.getAs[java.sql.Date]("c_date").toString == "2024-11-20")
+    assert(out.getAs[Long]("c_time") == 31500000000000L) // ns-of-day
+    assert(new String(out.getAs[Array[Byte]]("c_blob"), "UTF-8") == "bytes")
+    assert(out.getAs[String]("c_inet") == "10.0.0.7")
+    assert(out.getAs[Long]("c_counter") == 41L)
+    assert(out.getSeq[Int](out.fieldIndex("c_list")) == Seq(3, 1, 2)) // order kept
+    assert(out.getSeq[String](out.fieldIndex("c_set")).sorted == Seq("a", "b")) // set distinct
+    assert(out.getMap[String, Int](out.fieldIndex("c_map")) == Map("k1" -> 1, "k2" -> 2))
+    val tup = out.getStruct(out.fieldIndex("c_tuple"))
+    assert(tup.getInt(0) == 9 && tup.getString(1) == "t")
+    // sink side: every type gets a PG DDL column (S13 auto-create input)
+    val ddl = TypeMapper.pgColumns(cols).toMap
+    assert(ddl.size == cols.size && ddl.values.forall(_.nonEmpty))
+    assert(ddl("c_list") == "INTEGER[]" && ddl("c_map") == "JSONB" && ddl("c_uuid") == "UUID")
+  }
+
   test("schema evolution: diff, widening, compat modes, evolve") {
     val v1 = StructType(Seq(
       StructField("id", StringType, nullable = false),
