@@ -124,6 +124,44 @@ class ReplicationSpec extends SparkSpecBase {
     assert(mism.isEmpty, "JDBC target state diverges from LWW fold")
   }
 
+  test("DLQ full loop: poison -> DLQ -> replay produce -> reprocess -> state") {
+    import spark.implicits._
+    import graft.ops.DlqService
+    import graft.streaming.KafkaCdc
+    val cfg = freshCfg()
+    // batch 0: one good row, one poison row (unknown event type)
+    val b0 = Seq(
+      (1L, 1000000L, 1L, "view", 1.0, null: String),
+      (2L, 2000000L, 2L, "bogus", 2.0, null: String))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts_us", expr("ts div 1000"))
+    ReplicationJob.processBatch(spark, b0, cfg, batchId = 0L)
+    assert(ReplicationJob.targetState(spark, cfg).count() == 1L)
+    val dlq = spark.read.parquet(cfg.dlqDir)
+    assert(dlq.select("event_id").as[Long].collect().toSeq == Seq(2L))
+
+    // operator replays id 2: produce to the wire, fix upstream, re-consume
+    val (outbound, updatedDlq) = DlqService.replay(dlq, Seq(2L), nowUs = 999L)
+    val reframed = outbound.select(
+      col("key").cast("binary").as("key"),
+      col("value").cast("binary").as("value"),
+      lit("cdc-events-users").as("topic"), lit(0).as("partition"),
+      lit(0L).as("offset"), current_timestamp().as("timestamp"),
+      lit(0).as("timestampType"))
+    val reconsumed = KafkaCdc.decode(reframed, spark.read.parquet(cfg.dlqDir).schema)
+      .withColumn("event_type", lit("purchase")) // the upstream fix
+      .select("event_id", "ts", "user_id", "event_type", "value", "props", "ts_us")
+    ReplicationJob.processBatch(spark, reconsumed, cfg, batchId = 1L)
+
+    // the fixed event reaches target state; the DLQ row is resolved
+    val state = ReplicationJob.targetState(spark, cfg)
+      .select("user_id", "_last_event_id").as[(Long, Long)].collect().toMap
+    assert(state == Map(1L -> 1L, 2L -> 2L), s"replayed event must land in state: $state")
+    val resolved = updatedDlq.filter(col("event_id") === 2L)
+      .select("resolution_status", "resolved_at_us").head()
+    assert(resolved.getString(0) == "MANUAL_RESOLVED" && resolved.getLong(1) == 999L)
+  }
+
   test("soft-deleted rows are flagged, not dropped") {
     val cfg = freshCfg().copy(sourceDir = eventSourceDir())
     ReplicationJob.start(spark, cfg).awaitTermination(120000)

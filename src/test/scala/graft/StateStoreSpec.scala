@@ -73,6 +73,29 @@ class StateStoreSpec extends SparkSpecBase {
     assert(s.read().count() == 2000L)
   }
 
+  test("truncate rewrites only buckets holding losing rows") {
+    val dir = tmpDir("bstate_trunc")
+    val s = store(dir, buckets = 16)
+    // every key newer than the watermark except key 42 (ts 100)
+    val init = (1L to 2000L).map(i => (i, if (i == 42L) 100L else 900L, i, s"v$i"))
+    s.upsert(df(init: _*))
+    val before = bucketFiles(dir)
+    assert(before.size == 16)
+
+    // watermark (500, 0): only key 42 loses → only its bucket is rewritten
+    assert(s.truncate(500L, 0L) == 1L)
+    val after = bucketFiles(dir)
+    val changed = after.keySet.filter(b => before.get(b) != after.get(b))
+    assert(changed.size == 1,
+      s"truncate write volume must track losing rows, not state size: $changed")
+    assert(s.read().count() == 1999L)
+    assert(s.read().filter(col("user_id") === 42L).isEmpty)
+
+    // idempotent: re-applying the same watermark touches nothing
+    assert(s.truncate(500L, 0L) == 0L)
+    assert(bucketFiles(dir) == after, "no-op truncate must not rewrite any file")
+  }
+
   test("ReplicationJob streams into the bucketed store when configured") {
     import graft.streaming.ReplicationJob
     val srcDir = tmpDir("bsrc")
