@@ -66,6 +66,27 @@ object CdcQueries {
     // map-side partial compaction before the single key shuffle.
     "cdc_lww_latest" -> ((s, dir) => lwwState(s, dir, None)),
 
+    // TRUNCATE fold (reference `change_event.py:14,115-117`): the LWW
+    // state after applying a table-wide truncate at an LWW watermark —
+    // only rows whose (ts_us, event_id) out-orders the watermark survive.
+    // The watermark (a deterministic proxy: newest error event of the
+    // user_id%10 cohort) is a 1-row aggregate broadcast against the
+    // folded state — no data-sized shuffle beyond the fold itself, the
+    // same shape ReplicationJob.processBatch executes against its sinks
+    // (TruncateSpec proves the store-side equivalence).
+    "cdc_truncate_fold" -> ((s, dir) => {
+      val base = ev(s, dir).select(
+        col("user_id"), col("event_id"), col("ts_us"), col("event_type"),
+        EventOps.cents(col("value")).as("value_cents"))
+      val state = Lww.latestPerKey(base, Seq("user_id"), Seq(col("ts_us"), col("event_id")))
+      val wm = base.filter(col("event_type") === "error" && col("user_id") % 10 === 0)
+        .agg(max(struct(col("ts_us"), col("event_id"))).as("w"))
+      state.crossJoin(broadcast(wm))
+        .filter(col("ts_us") > col("w.ts_us") ||
+          (col("ts_us") === col("w.ts_us") && col("event_id") > col("w.event_id")))
+        .drop("w")
+    }),
+
     // T8: validation split, valid side.
     "cdc_validate_valid" -> ((s, dir) =>
       EventOps.validationSplit(
@@ -190,6 +211,14 @@ object CdcQueries {
 
   val oracleSql: Map[String, String] = Map(
     "cdc_lww_latest" -> s"SELECT * FROM ${lwwStateSql(None)}",
+
+    "cdc_truncate_fold" ->
+      s"""SELECT s.user_id, s.event_id, s.ts_us, s.event_type, s.value_cents
+         |FROM ${lwwStateSql(None)} s,
+         |  (SELECT epoch_us(ts) AS wts, event_id AS wid FROM events
+         |   WHERE event_type='error' AND user_id % 10 = 0
+         |   ORDER BY epoch_us(ts) DESC, event_id DESC LIMIT 1) w
+         |WHERE s.ts_us > w.wts OR (s.ts_us = w.wts AND s.event_id > w.wid)""".stripMargin.replace("\n", " "),
 
     "cdc_validate_valid" ->
       s"""SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
