@@ -34,6 +34,19 @@ object Dedup {
     611953L, 919393L, 15487469L, 2750159L)
   val BandSize = 2
 
+  /** Widen a narrow input to the session's parallelism before per-row
+    * explode-heavy work. The fixture tables arrive as one small parquet
+    * file → one input partition, so the shingle/token explode — the
+    * CPU-dominant map stage of every dedup pipeline here — would run in a
+    * single task (measured: 1.9 s of a 4 s query in one task). At real
+    * scale the scan already has many partitions and this is a no-op, so
+    * the round-robin shuffle only ever moves the small-input case.
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact dedup (hash-groupBy): one row per distinct text with the
     * canonical (minimum) doc id and the duplicate count. Single shuffle
     * on the text hash; at scale group on `md5(text)` not the text itself
@@ -53,8 +66,27 @@ object Dedup {
       expr(s"transform(sequence(1, size(_toks) - ${n - 1}), " +
            s"i -> concat_ws(' ', slice(_toks, i, $n)))"))
       .otherwise(array())
-    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks"))
+    widen(docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks")))
       .select(col("doc_id"), explode(sh).as("sh")).distinct()
+  }
+
+  /** Distinct (doc_id, shingle-HASH) postings — the shared head of the
+    * Jaccard and MinHash pipelines. The distinct runs on the 8-byte hash,
+    * not the shingle string: hashing before the exchange shrinks every
+    * shuffle row to (long, long) and moves the md5 into the fully
+    * parallel map stage (same result set — tokenHash collisions are
+    * shared with the oracle either way).
+    */
+  private def shingleHashPostings(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val sh = when(size(col("_toks")) >= n,
+      expr(s"transform(sequence(1, size(_toks) - ${n - 1}), " +
+           s"i -> concat_ws(' ', slice(_toks, i, $n)))"))
+      .otherwise(array())
+    widen(docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks")))
+      .select(col("doc_id"), explode(sh).as("sh"))
+      .select(col("doc_id"), tokenHash(col("sh")).as("h"))
+      .distinct()
   }
 
   /** N-gram Jaccard near-duplicate pairs via inverted-index join:
@@ -68,8 +100,7 @@ object Dedup {
     // Postings keyed by the int64 shingle hash, not the shingle string:
     // an 8-byte shuffle key instead of ~20 bytes, and the oracle hashes
     // identically so collision effects (negligible) are shared.
-    val sh0 = shingles(docs, idCol, textCol, n)
-      .select(col("doc_id"), tokenHash(col("sh")).as("h"))
+    val sh0 = shingleHashPostings(docs, idCol, textCol, n)
     val sh = {
       val base =
         if (maxShingleDocFreq <= 0) sh0
@@ -98,7 +129,8 @@ object Dedup {
 
   /** Distinct (doc_id, token-hash) pairs — SimHash input. */
   private def tokenHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
+    widen(docs.select(col(idCol).as("doc_id"), col(textCol).as("_text")))
+      .select(col("doc_id"), explode(split(col("_text"), " ")).as("tok"))
       .distinct()
       .select(col("doc_id"), tokenHash(col("tok")).as("h"))
 
@@ -111,8 +143,7 @@ object Dedup {
     */
   private val MinhashShingleN = 3
   private def shingleHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    shingles(docs, idCol, textCol, MinhashShingleN)
-      .select(col("doc_id"), tokenHash(col("sh")).as("h"))
+    shingleHashPostings(docs, idCol, textCol, MinhashShingleN)
 
   /** MinHash signatures: (doc_id, mh_0 .. mh_{k-1}). One explode + one
     * hash agg (k min() aggregates) — map-side partial mins keep the

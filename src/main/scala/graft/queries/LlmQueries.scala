@@ -28,14 +28,18 @@ object LlmQueries {
 
   private val shingleCte =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS sh
+      |sh AS (SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS sh
       |  FROM toks, UNNEST(range(1, len(t)-1)) AS r(i) WHERE len(t) >= 3)"""
       .stripMargin.replace("\n", " ")
 
-  /** Shingle-hash CTE (MinHash input + Jaccard postings key). */
+  /** Shingle-hash CTE (MinHash input + Jaccard postings key). DISTINCT at
+    * the HASH level, mirroring `Dedup.shingleHashPostings`: the engine
+    * dedups 8-byte (doc_id, h) rows, not shingle strings, so the exchange
+    * moves fixed-width rows and the md5 stays in the parallel map stage.
+    */
   private val shingleHashCte =
     shingleCte +
-      ", shh AS (SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h FROM sh)"
+      ", shh AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h FROM sh)"
 
   private val minhashSigSelect: String = {
     val mins = Dedup.MinhashA.zip(Dedup.MinhashB).zipWithIndex.map { case ((a, b), i) =>
