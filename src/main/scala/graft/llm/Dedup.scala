@@ -42,7 +42,7 @@ object Dedup {
     * scale the scan already has many partitions and this is a no-op, so
     * the round-robin shuffle only ever moves the small-input case.
     */
-  private def widen(df: DataFrame): DataFrame = {
+  private[graft] def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
@@ -317,8 +317,8 @@ object Dedup {
   def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
       n: Int, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val posSh = docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks"))
+    val posSh = widen(docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks")))
       .select(col("doc_id"),
         posexplode(when(size(col("_toks")) >= n,
           expr(s"transform(sequence(1, size(_toks) - ${n - 1}), " +

@@ -110,8 +110,10 @@ object Cdc2Queries {
     // Per-language n-gram profile: top-3 trigrams by frequency — the
     // language-model fingerprint a lang-ID classifier trains on.
     "text_ngram_freq" -> ((s, dir) => {
-      val sh = Tables.documents(s, dir)
-        .select(col("lang"), split(col("text"), " ").as("_toks"))
+      // widen: parallelize the trigram explode when the scan is narrow
+      // (single fixture file); no-op on an already-wide scan
+      val sh = graft.llm.Dedup.widen(Tables.documents(s, dir)
+        .select(col("lang"), split(col("text"), " ").as("_toks")))
         .select(col("lang"), explode(
           when(size(col("_toks")) >= 3,
             expr("transform(sequence(1, size(_toks) - 2), i -> concat_ws(' ', slice(_toks, i, 3)))"))
