@@ -162,6 +162,47 @@ class ReplicationSpec extends SparkSpecBase {
     assert(resolved.getString(0) == "MANUAL_RESOLVED" && resolved.getLong(1) == 999L)
   }
 
+  test("SC-007 crash recovery: mid-stream stop + resume loses nothing") {
+    import java.nio.file.{Files, Paths}
+    // 10 events (one invalid) over 2 commit-log segments, 2 rows/trigger
+    // → 5 micro-batches; the stream is stopped while running (possibly
+    // mid-batch) and resumed from the checkpoint. Zero loss/dup is the
+    // checkpoint + idempotent-LWW construction (reference
+    // test_crash_recovery.py:343, SC-007 "≤30s, zero events lost").
+    val dir = tmpDir("crashlog")
+    def ev(id: Long, ts: Long, uid: Long, et: String, v: Double) =
+      s"""{"event_id":$id,"ts":${ts * 1000},"user_id":$uid,"event_type":"$et","value":$v}"""
+    Files.writeString(Paths.get(dir, "seg-000.log"),
+      (1L to 5L).map(i => ev(i, i * 100, i, "view", 1.0)).mkString("", "\n", "\n"))
+    Files.writeString(Paths.get(dir, "seg-001.log"),
+      ((6L to 9L).map(i => ev(i, i * 100, i, "click", 2.0)) :+
+        ev(10, 1000, 10, "bogus_type", 3.0)).mkString("", "\n", "\n"))
+    val base = tmpDir("crashrepl")
+    val cfg = freshCfg().copy(
+      sourceDir = dir, targetDir = s"$base/target", dlqDir = s"$base/dlq",
+      checkpointDir = s"$base/ckpt", eventLog = Some((dir, 2L)))
+
+    val q = ReplicationJob.start(spark, cfg, continuous = true)
+    // let at least one batch commit, then "crash"
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    while (!Files.exists(Paths.get(cfg.targetDir, "_SUCCESS")) &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+    assert(Files.exists(Paths.get(cfg.targetDir, "_SUCCESS")),
+      "stream never committed a batch")
+    q.stop()
+
+    // resume from the same checkpoint: drain whatever remains
+    ReplicationJob.start(spark, cfg).awaitTermination(120000)
+    val state = ReplicationJob.targetState(spark, cfg)
+      .select("user_id", "_last_event_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state == (1L to 9L).map(i => i -> i).toMap,
+      s"every valid event must survive the crash exactly once: $state")
+    val dlq = spark.read.parquet(cfg.dlqDir).select("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(dlq == Seq(10L), s"the invalid event must be in the DLQ exactly once: $dlq")
+  }
+
   test("soft-deleted rows are flagged, not dropped") {
     val cfg = freshCfg().copy(sourceDir = eventSourceDir())
     ReplicationJob.start(spark, cfg).awaitTermination(120000)
