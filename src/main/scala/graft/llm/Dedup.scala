@@ -317,19 +317,20 @@ object Dedup {
   def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
       n: Int, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // maxpos is knowable at explode time (#shingles − 1 = #tokens − n),
+    // so it rides along as a column instead of costing a second whole-
+    // partition window pass over the exploded rows.
     val posSh = widen(docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks")))
-      .select(col("doc_id"),
+      .select(col("doc_id"), (size(col("_toks")) - n).as("maxpos"),
         posexplode(when(size(col("_toks")) >= n,
           expr(s"transform(sequence(1, size(_toks) - ${n - 1}), " +
                s"i -> concat_ws(' ', slice(_toks, i, $n)))"))
           .otherwise(array())))
-      .select(col("doc_id"), col("pos"), tokenHash(col("col")).as("h"))
+      .select(col("doc_id"), col("maxpos"), col("pos"), tokenHash(col("col")).as("h"))
     val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    val nsh = Window.partitionBy("doc_id")
     posSh
       .withColumn("fp", min("h").over(win))
-      .withColumn("maxpos", max("pos").over(nsh))
       .filter(col("pos") <= col("maxpos") - (w - 1))
       .select("doc_id", "fp").distinct()
   }
