@@ -127,7 +127,9 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col("vec_id").as("qid"), quantize(col("embedding")).as("qv"))
       .withColumn("nq", dotQ("qv", "qv"))
-    val c = corpus.select(col("vec_id").as("cid"), quantize(col("embedding")).as("cv"))
+    // widen: the quantize + per-row dot products against the broadcast
+    // side must not inherit a single-file scan's one partition
+    val c = Dedup.widen(corpus).select(col("vec_id").as("cid"), quantize(col("embedding")).as("cv"))
       .withColumn("nc", dotQ("cv", "cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("cid") =!= col("qid"))
@@ -151,7 +153,7 @@ object Similarity {
         .withColumn(n, dotQ(v, v))
         .withColumn("bucket", expr(bucketSql(v, spark = true, nPlanes)))
     val q = prep(queries, "qid", "qv", "nq")
-    val c = prep(corpus, "cid", "cv", "nc")
+    val c = prep(Dedup.widen(corpus), "cid", "cv", "nc")
     val scored = c.join(q, Seq("bucket"))
       .filter(col("cid") =!= col("qid"))
       .withColumn("dot", dotQ("qv", "cv"))
@@ -190,7 +192,7 @@ object Similarity {
         .select(col("vec_id").as("cent_id"), col("centv"))
         .withColumn("ncent", dotQ("centv", "centv")))
     def assigned(df: DataFrame, id: String, v: String, n: String, keep: Int) = {
-      val base = df.select(col("vec_id").as(id), quantize(col("embedding")).as(v))
+      val base = Dedup.widen(df).select(col("vec_id").as(id), quantize(col("embedding")).as(v))
         .withColumn(n, dotQ(v, v))
       val w = Window.partitionBy(col(id))
         .orderBy(col("_cent_cos").desc, col("cent_id"))
@@ -253,7 +255,7 @@ object Similarity {
     // payload re-joins) — materialize so AQE's concurrent branch launch
     // can't recompute the quantize + L×k plane projections per branch
     val v = graft.util.Materialize.stable(
-      corpus.select(col("vec_id").as("vid"), quantize(col("embedding")).as("qv"))
+      Dedup.widen(corpus).select(col("vec_id").as("vid"), quantize(col("embedding")).as("qv"))
         .withColumn("nv", dotQ("qv", "qv")))
     val bucketed = graft.util.Materialize.stable(
       v.select(col("vid"), explode(array((0 until TablesL).map(t =>
@@ -282,7 +284,7 @@ object Similarity {
         struct(lit(t).as("t"), expr(tableBucketSql(v, t)).as("b"))): _*)).as("tb"))
         .select(col(id), col("tb.t").as("t"), col("tb.b").as("b"))
     val q = prep(queries, "qid", "qv", "nq")
-    val c = prep(corpus, "cid", "cv", "nc")
+    val c = prep(Dedup.widen(corpus), "cid", "cv", "nc")
     val cand = bucketed(q, "qid", "qv")
       .join(bucketed(c, "cid", "cv"), Seq("t", "b"))
       .filter(col("cid") =!= col("qid"))
