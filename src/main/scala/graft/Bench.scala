@@ -119,7 +119,11 @@ object Bench {
       .sorted.mkString("[", ",", "]")
     val total = results.values.collect { case Right(v) => v }.sum
     val trialsJson = trialLog.toSeq.sortBy(_._1).map { case (k, ts) =>
-      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      // Locale.ROOT: the default-locale f interpolator renders a comma
+      // decimal separator on e.g. de_DE JVMs — invalid JSON
+      "\"" + k + "\":" + ts.map(t =>
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
+        .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""events_per_sec":$eventsPerSec,"failed":$failed,""" +

@@ -36,6 +36,10 @@ object Gdpr {
     */
   private def sanitize(s: String): String =
     s.flatMap {
+      // backslash first: otherwise a literal "\t" in the input is
+      // indistinguishable from an escaped real tab (ambiguous/forgeable
+      // audit entries)
+      case '\\' => "\\\\"
       case '\t' => "\\t"; case '\n' => "\\n"; case '\r' => "\\r"
       case c => c.toString
     }

@@ -40,6 +40,16 @@ final class RateLimiter(
     if (buckets.size > maxClients) {
       val refillNs = (burst / ratePerSec * 1e9).toLong
       buckets.filterInPlace((_, b) => t - b.lastNs < refillNs)
+      if (buckets.size > maxClients) {
+        // Active churn kept everything within its refill window: drop the
+        // least-recently-seen overflow so the map stays bounded and the
+        // next admit doesn't rescan. An evicted-but-active client refills
+        // to a full burst on return — bounded over-admission, the safe
+        // failure direction for an ops API under address churn.
+        val overflow = buckets.size - maxClients
+        buckets.toSeq.sortBy(_._2.lastNs).take(overflow)
+          .foreach { case (k, _) => buckets.remove(k) }
+      }
       ()
     }
 }

@@ -56,26 +56,15 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct word-n-gram shingles per doc: (id, sh). The token array is
-    * bound to a column BEFORE the lambda — inlining `split(text)` inside
-    * the transform re-splits the text once per element (O(len²) per doc;
-    * measured as the dominant cost of the Jaccard join).
-    */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val sh = when(size(col("_toks")) >= n,
-      expr(s"transform(sequence(1, size(_toks) - ${n - 1}), " +
-           s"i -> concat_ws(' ', slice(_toks, i, $n)))"))
-      .otherwise(array())
-    widen(docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks")))
-      .select(col("doc_id"), explode(sh).as("sh")).distinct()
-  }
-
   /** Distinct (doc_id, shingle-HASH) postings — the shared head of the
     * Jaccard and MinHash pipelines. The distinct runs on the 8-byte hash,
     * not the shingle string: hashing before the exchange shrinks every
     * shuffle row to (long, long) and moves the md5 into the fully
     * parallel map stage (same result set — tokenHash collisions are
-    * shared with the oracle either way).
+    * shared with the oracle either way). The token array is bound to a
+    * column BEFORE the transform lambda — inlining `split(text)` inside
+    * it re-splits the text once per element (O(len²) per doc; measured as
+    * the dominant cost of the Jaccard join).
     */
   private def shingleHashPostings(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {

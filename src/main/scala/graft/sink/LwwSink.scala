@@ -230,10 +230,11 @@ final class BucketedParquetStateStore(
           Lww.latestPerKey(pad(state).unionByName(pad(b)), Seq(key),
             Seq(col(tsCol), col(tieCol))))
       }
-    merged.write.mode(SaveMode.Overwrite)
+    try merged.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("_bucket")
       .parquet(dir)
+    finally graft.util.Materialize.release(merged) // per-trigger path: no cache buildup
   }
 
   /** TTL purge over the bucketed layout: rewrites ONLY buckets holding
@@ -268,18 +269,20 @@ final class BucketedParquetStateStore(
     val touched = state.filter(col("_bucket").isin(buckets.map(Int.box): _*))
     // materialize survivors before overwriting the files they came from
     val live = graft.util.Materialize.stable(touched.filter(!deadPred))
-    val nDead = touched.filter(deadPred).count()
-    val liveBuckets = live.select("_bucket").distinct().collect().map(_.getInt(0)).toSet
-    if (liveBuckets.nonEmpty)
-      live.write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_bucket")
-        .parquet(dir)
-    buckets.filterNot(liveBuckets).foreach { b =>
-      val p = path.resolve(s"_bucket=$b")
-      if (Files.exists(p))
-        Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
-    }
-    nDead
+    try {
+      val nDead = touched.filter(deadPred).count()
+      val liveBuckets = live.select("_bucket").distinct().collect().map(_.getInt(0)).toSet
+      if (liveBuckets.nonEmpty)
+        live.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_bucket")
+          .parquet(dir)
+      buckets.filterNot(liveBuckets).foreach { b =>
+        val p = path.resolve(s"_bucket=$b")
+        if (Files.exists(p))
+          Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      }
+      nDead
+    } finally graft.util.Materialize.release(live)
   }
 }

@@ -73,6 +73,7 @@ object AvroCdc {
   final case class Envelope(
       event_id: String,
       source_keyspace: String,
+      source_cluster: Option[String],
       source_table: String,
       operation_type: String,
       timestamp_micros: Long,
@@ -107,6 +108,7 @@ object AvroCdc {
     Envelope(
       event_id = stringify(r.get("event_id")),
       source_keyspace = stringify(src.get("keyspace")),
+      source_cluster = Option(src.get("cluster")).map(c => stringify(c.asInstanceOf[AnyRef])),
       source_table = stringify(src.get("table")),
       operation_type = op,
       timestamp_micros = r.get("timestamp_micros").asInstanceOf[Long],
@@ -125,7 +127,9 @@ object AvroCdc {
     val src = new GenericData.Record(sourceSchema)
     src.put("keyspace", e.source_keyspace)
     src.put("table", e.source_table)
-    src.put("cluster", null)
+    // cluster round-trips: dropping it would make a replayed record
+    // differ from the original producer's payload
+    src.put("cluster", e.source_cluster.orNull)
     val r = new GenericData.Record(valueSchema)
     r.put("event_id", e.event_id)
     r.put("source", src)

@@ -98,8 +98,17 @@ object ReplicationJob {
   def processBatch(spark: SparkSession, batch: DataFrame, cfg: Config,
       batchId: Long = 0L): Unit = {
     val batchT0 = System.nanoTime()
-    val err = EventOps.errorType(col("event_type"), col("value"), col("user_id"),
+    val baseErr = EventOps.errorType(col("event_type"), col("value"), col("user_id"),
       cfg.validTypes, cfg.maxValue)
+    // A truncate event without a timestamp has no LWW position: it can
+    // neither be applied as a control op nor folded as a row (a null-ts
+    // "truncate" surviving validation would upsert as a phantom data
+    // row). It is malformed → DLQ (reference op rules require
+    // timestamp_micros, validators.py).
+    val err = when(baseErr.isNotNull, baseErr)
+      .when(col("event_type") === cfg.truncateType && col("ts_us").isNull,
+        lit("SCHEMA_MISMATCH"))
+      .otherwise(lit(null).cast("string"))
     val isTruncate = col("event_type") === cfg.truncateType && col("ts_us").isNotNull
     // Materialize the tagged micro-batch ONCE: the batch feeds up to four
     // consumers (control aggregates, LWW upsert, DLQ write, metrics), and
@@ -115,6 +124,7 @@ object ReplicationJob {
     // tiny aggregate on the cached frame is deterministic instead.
     val tagged = graft.util.Materialize.stable(
       batch.withColumn("error_type", err).withColumn("_is_truncate", isTruncate))
+    try {
     // Batch-level control aggregates: DLQ count + failed_at watermark,
     // TRUNCATE count + (ts, event_id) watermark. One job over cached rows.
     val ctl = tagged.agg(
@@ -198,6 +208,10 @@ object ReplicationJob {
       graft.ops.Metrics.recordBatch(r, cfg.metricsTable, byOp, byErr,
         (System.nanoTime() - batchT0) / 1e9, backlog = 0L)
     }
+    // release the per-trigger materialization: in `persist` mode the cache
+    // entry lives until explicit unpersist, and a long-running stream must
+    // not accumulate one cached batch per trigger
+    } finally graft.util.Materialize.release(tagged)
   }
 
   /** Start the streaming replication job over a parquet directory source

@@ -30,4 +30,17 @@ object Materialize {
       case _            => df.localCheckpoint(eager = true)
     }
   }
+
+  /** Release a frame returned by [[stable]] once every consumer has run.
+    * REQUIRED on repeating paths (a streaming micro-batch, a per-bucket
+    * state rewrite): in `persist` mode Spark's CacheManager holds the
+    * cached plan until an explicit unpersist, so a long-running stream
+    * would otherwise accumulate one cached copy per trigger and OOM.
+    * `checkpoint`/`local` frames are GC-managed (ContextCleaner) — no-op.
+    */
+  def release(df: DataFrame): Unit =
+    if (df.sparkSession.conf.get("spark.graft.materialize", "local") == "persist") {
+      df.unpersist(blocking = false)
+      ()
+    }
 }

@@ -143,13 +143,13 @@ class KafkaSeamSpec extends SparkSpecBase {
   test("envelope -> Avro bytes -> envelope round-trips exactly (replay produce)") {
     import graft.streaming.AvroCdc
     val original = Seq(
-      AvroCdc.Envelope("123e4567-e89b-12d3-a456-426614174000", "cdc_ks", "users",
-        "UPDATE", 1700000000000000L,
+      AvroCdc.Envelope("123e4567-e89b-12d3-a456-426614174000", "cdc_ks",
+        Some("dc-east"), "users", "UPDATE", 1700000000000000L,
         before = Some(Map("id" -> "7", "email" -> "old@b.c")),
         after = Some(Map("id" -> "7", "email" -> "new@b.c", "note" -> null)),
         schema_version = 2, ttl_seconds = None, is_tombstone = false),
-      AvroCdc.Envelope("123e4567-e89b-12d3-a456-426614174001", "cdc_ks", "orders",
-        "DELETE", 1700000001000000L, before = None, after = None,
+      AvroCdc.Envelope("123e4567-e89b-12d3-a456-426614174001", "cdc_ks",
+        None, "orders", "DELETE", 1700000001000000L, before = None, after = None,
         schema_version = 1, ttl_seconds = Some(60), is_tombstone = true))
     val env = spark.createDataset(original)
     val frame = AvroCdc.encodeFrame(env, e => e.source_table)

@@ -135,6 +135,26 @@ class TruncateSpec extends SparkSpecBase {
     runScenario(cfg, () => readState())
   }
 
+  test("a truncate without a timestamp is malformed: DLQ, not a phantom row") {
+    val cfg = freshCfg()
+    import org.apache.spark.sql.functions.expr
+    // null ts → null ts_us: no LWW position, must not fold or apply
+    val b = Seq(
+      (1L, Some(100L), 1L, "view", 1.0),
+      (2L, None: Option[Long], 0L, "truncate", 0.0))
+      .toDF("event_id", "ts_us_opt", "user_id", "event_type", "value")
+      .withColumn("ts_us", col("ts_us_opt")).drop("ts_us_opt")
+      .withColumn("ts", col("ts_us") * 1000)
+      .withColumn("props", lit(null).cast("string"))
+    ReplicationJob.processBatch(spark, b, cfg, batchId = 0L)
+    assert(stateOf(cfg) == Map(1L -> 1L),
+      "the null-ts truncate must not appear in state or clear it")
+    val dlq = spark.read.parquet(cfg.dlqDir)
+      .select("event_id", "error_type").collect()
+    assert(dlq.length == 1 && dlq.head.getLong(0) == 2L &&
+      dlq.head.getString(1) == "SCHEMA_MISMATCH")
+  }
+
   test("streaming end-to-end: a truncate mid-stream clears prior batches' state") {
     val dir = tmpDir("evlog")
     def ev(id: Long, ts: Long, uid: Long, et: String, v: Double) =
