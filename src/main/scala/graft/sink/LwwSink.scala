@@ -82,6 +82,24 @@ object JdbcUpsertSql {
        |_last_event_id = ? WHERE ${pk.map(c => s"$c = ?").mkString(" AND ")}""".stripMargin
 }
 
+/** Shared mechanics of the two parquet state stores. */
+private[sink] object StateLayout {
+
+  def deleteRec(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+
+  /** Union two frames after null-padding each to their combined column
+    * set (additive schema evolution: new columns null on old state).
+    */
+  def padUnion(a: DataFrame, b: DataFrame): DataFrame = {
+    val allCols = (a.columns ++ b.columns.filterNot(a.columns.contains)).toSeq
+    def pad(df: DataFrame) = df.select(allCols.map(c =>
+      if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
+    pad(a).unionByName(pad(b))
+  }
+}
+
 /** Parquet-backed LWW state table. Thread-unsafe by design: one writer
   * (the streaming query's foreachBatch) at a time, like the reference's
   * single sink-connector instance per table.
@@ -90,25 +108,38 @@ final class ParquetStateStore(
     spark: SparkSession, dir: String, key: String, tsCol: String, tieCol: String) {
 
   private val path: Path = Paths.get(dir)
+  private val oldPath: Path = Paths.get(dir + ".old")
 
-  def exists: Boolean = Files.exists(path.resolve("_SUCCESS"))
+  /** Crash recovery for [[swapIn]]'s two-move window: a death between
+    * `move(path → old)` and `move(tmp → path)` leaves only the `.old`
+    * backup; without restoring it, the next upsert would treat the store
+    * as fresh, write the batch alone as the whole state, and delete the
+    * backup — silently losing every prior key. Restoring the backup
+    * yields the pre-batch state; the checkpoint then replays the batch
+    * into the idempotent fold (the ST5 argument, now crash-complete).
+    */
+  private def recoverIfInterrupted(): Unit =
+    if (!Files.exists(path.resolve("_SUCCESS")) && Files.exists(oldPath.resolve("_SUCCESS"))) {
+      deleteRec(path) // a partial dir without _SUCCESS is swap debris
+      Files.move(oldPath, path, StandardCopyOption.ATOMIC_MOVE)
+    }
 
-  def read(): DataFrame = spark.read.parquet(dir)
+  def exists: Boolean = {
+    recoverIfInterrupted()
+    Files.exists(path.resolve("_SUCCESS"))
+  }
+
+  def read(): DataFrame = { recoverIfInterrupted(); spark.read.parquet(dir) }
 
   /** LWW-merge `batch` into the current state. Idempotent: merging the
     * same batch twice is a no-op (max-by fold).
     */
   def upsert(batch: DataFrame): Unit = {
     val merged =
-      if (exists) {
-        // Align columns (schema evolution: new columns null-padded on old state)
-        val state = read()
-        val allCols = (state.columns ++ batch.columns.filterNot(state.columns.contains)).toSeq
-        def pad(df: DataFrame) = df.select(allCols.map(c =>
-          if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
-        Lww.latestPerKey(pad(state).unionByName(pad(batch)), Seq(key),
+      if (exists)
+        Lww.latestPerKey(StateLayout.padUnion(read(), batch), Seq(key),
           Seq(col(tsCol), col(tieCol)))
-      } else batch
+      else batch
     swapIn(merged)
   }
 
@@ -173,9 +204,7 @@ final class ParquetStateStore(
     deleteRec(Paths.get(old))
   }
 
-  private def deleteRec(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+  private def deleteRec(p: Path): Unit = StateLayout.deleteRec(p)
 }
 
 /** Hash-bucketed parquet LWW state table — the partitioned-target shape
@@ -199,6 +228,30 @@ final class BucketedParquetStateStore(
     numBuckets: Int = 64) {
 
   private val path: Path = Paths.get(dir)
+  // underscore prefix: Spark's file index treats it as metadata (like
+  // _SUCCESS) and never reads it as data
+  private val bucketMarker: Path = path.resolve("_graft_buckets")
+
+  /** Fail fast on a bucket-count change over existing state: key routing
+    * is pmod(hash(key), numBuckets), so a different count would prune the
+    * state scan to the wrong bucket and silently write duplicate rows per
+    * key. The count is persisted on first write; an empty store (fresh or
+    * fully truncated) may adopt a new count.
+    */
+  private def ensureBucketCount(): Unit = {
+    val hasState = exists
+    if (hasState && Files.exists(bucketMarker)) {
+      val persisted = Files.readString(bucketMarker).trim.toInt
+      if (persisted != numBuckets)
+        throw new IllegalStateException(
+          s"state at $dir was written with numBuckets=$persisted; " +
+            s"rebucketing to $numBuckets over existing state would duplicate keys")
+    }
+    if (!hasState || !Files.exists(bucketMarker)) {
+      Files.createDirectories(path)
+      Files.writeString(bucketMarker, numBuckets.toString)
+    }
+  }
 
   def exists: Boolean =
     Files.exists(path) && {
@@ -211,6 +264,7 @@ final class BucketedParquetStateStore(
 
   /** LWW-merge a (pre-compacted, one row per key) batch into state. */
   def upsert(batch: DataFrame): Unit = {
+    ensureBucketCount()
     val b = batch.withColumn("_bucket", pmod(hash(col(key)), lit(numBuckets)))
     val merged =
       if (!exists) b
@@ -218,23 +272,19 @@ final class BucketedParquetStateStore(
         val present = b.select("_bucket").distinct().collect().map(_.getInt(0)).toSeq
         val state = spark.read.parquet(dir)
           .filter(col("_bucket").isin(present.map(Int.box): _*)) // partition-pruned scan
-        val allCols = (state.columns ++ b.columns.filterNot(state.columns.contains)).toSeq
-        def pad(df: DataFrame) = df.select(allCols.map(c =>
-          if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
-        // materialization barrier before overwriting the files the plan
-        // reads from (same discipline as dropWhere / ParquetStateStore's
-        // tmp+swap): with a lazy plan, a task retry after job commit
-        // begins — or a non-deferred cluster committer — can re-read
-        // partially deleted bucket files mid-overwrite.
-        graft.util.Materialize.stable(
-          Lww.latestPerKey(pad(state).unionByName(pad(b)), Seq(key),
+        // lineage-truncating barrier before overwriting the files the
+        // plan reads from (same discipline as dropWhere /
+        // ParquetStateStore's tmp+swap): a lazy — or, in persist mode,
+        // lineage-retaining — plan recomputed mid-overwrite (task retry,
+        // executor loss) would re-read partially deleted bucket files.
+        graft.util.Materialize.barrier(
+          Lww.latestPerKey(StateLayout.padUnion(state, b), Seq(key),
             Seq(col(tsCol), col(tieCol))))
       }
-    try merged.write.mode(SaveMode.Overwrite)
+    merged.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("_bucket")
       .parquet(dir)
-    finally graft.util.Materialize.release(merged) // per-trigger path: no cache buildup
   }
 
   /** TTL purge over the bucketed layout: rewrites ONLY buckets holding
@@ -262,27 +312,25 @@ final class BucketedParquetStateStore(
     */
   private def dropWhere(deadPred: org.apache.spark.sql.Column): Long = {
     if (!exists) return 0L
+    ensureBucketCount()
     val state = spark.read.parquet(dir)
     val buckets = state.filter(deadPred).select("_bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
     if (buckets.isEmpty) return 0L
     val touched = state.filter(col("_bucket").isin(buckets.map(Int.box): _*))
-    // materialize survivors before overwriting the files they came from
-    val live = graft.util.Materialize.stable(touched.filter(!deadPred))
-    try {
-      val nDead = touched.filter(deadPred).count()
-      val liveBuckets = live.select("_bucket").distinct().collect().map(_.getInt(0)).toSet
-      if (liveBuckets.nonEmpty)
-        live.write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("_bucket")
-          .parquet(dir)
-      buckets.filterNot(liveBuckets).foreach { b =>
-        val p = path.resolve(s"_bucket=$b")
-        if (Files.exists(p))
-          Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
-      }
-      nDead
-    } finally graft.util.Materialize.release(live)
+    // lineage-truncating barrier: survivors must be fully materialized
+    // before overwriting the files they came from (see upsert)
+    val live = graft.util.Materialize.barrier(touched.filter(!deadPred))
+    val nDead = touched.filter(deadPred).count()
+    val liveBuckets = live.select("_bucket").distinct().collect().map(_.getInt(0)).toSet
+    if (liveBuckets.nonEmpty)
+      live.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bucket")
+        .parquet(dir)
+    buckets.filterNot(liveBuckets).foreach { b =>
+      StateLayout.deleteRec(path.resolve(s"_bucket=$b"))
+    }
+    nDead
   }
 }

@@ -100,15 +100,29 @@ object ReplicationJob {
     val batchT0 = System.nanoTime()
     val baseErr = EventOps.errorType(col("event_type"), col("value"), col("user_id"),
       cfg.validTypes, cfg.maxValue)
-    // A truncate event without a timestamp has no LWW position: it can
-    // neither be applied as a control op nor folded as a row (a null-ts
-    // "truncate" surviving validation would upsert as a phantom data
-    // row). It is malformed → DLQ (reference op rules require
-    // timestamp_micros, validators.py).
-    val err = when(baseErr.isNotNull, baseErr)
-      .when(col("event_type") === cfg.truncateType && col("ts_us").isNull,
-        lit("SCHEMA_MISMATCH"))
+    // (ts_us, event_id) is the LWW position — EVERY event needs one
+    // (reference validators.py requires timestamp_micros + event_id):
+    //  - a data row with a null position would fold divergently across
+    //    sinks (the JDBC conditional-update WHERE is NULL for a stored
+    //    null-ts row → permanently un-updatable; the parquet max_by
+    //    treats null as smallest) — malformed, DLQ;
+    //  - a truncate with a null position can't be applied — and a null
+    //    event_id reaching the watermark Row would NPE the stream on
+    //    every replay (poison pill) — malformed, DLQ.
+    val nullPosition = col("ts_us").isNull || col("event_id").isNull
+    // A TRUNCATE carries no before/after image (`change_event.py:14,
+    // 115-117`): when the truncate type is enabled, its events are exempt
+    // from the row-image checks (user_id/value) and validated only on
+    // having an LWW position.
+    val general = when(baseErr.isNotNull, baseErr)
+      .when(nullPosition, lit("SCHEMA_MISMATCH"))
       .otherwise(lit(null).cast("string"))
+    val err =
+      if (cfg.validTypes.contains(cfg.truncateType))
+        when(col("event_type") === cfg.truncateType,
+          when(nullPosition, lit("SCHEMA_MISMATCH")).otherwise(lit(null).cast("string")))
+          .otherwise(general)
+      else general
     val isTruncate = col("event_type") === cfg.truncateType && col("ts_us").isNotNull
     // Materialize the tagged micro-batch ONCE: the batch feeds up to four
     // consumers (control aggregates, LWW upsert, DLQ write, metrics), and

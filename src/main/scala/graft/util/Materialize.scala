@@ -31,6 +31,23 @@ object Materialize {
     }
   }
 
+  /** Materialization barrier for OVERWRITE-WHAT-YOU-READ plans (a state
+    * store rewriting the files its own input scan reads): unlike
+    * [[stable]], this must TRUNCATE lineage. In `persist` mode lineage
+    * survives, so an executor lost mid-overwrite would recompute its
+    * partitions from files the committer is already replacing — silent
+    * corruption. With a truncated lineage the same loss merely FAILS the
+    * job (localCheckpoint is non-replicated), and the caller's replay
+    * converges via the idempotent fold — failing is safe, re-reading
+    * overwritten files is not. `checkpoint` mode (replicated, reliable)
+    * is used when configured; everything else gets localCheckpoint.
+    */
+  def barrier(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get("spark.graft.materialize", "local") match {
+      case "checkpoint" => df.checkpoint(eager = true)
+      case _            => df.localCheckpoint(eager = true)
+    }
+
   /** Release a frame returned by [[stable]] once every consumer has run.
     * REQUIRED on repeating paths (a streaming micro-batch, a per-bucket
     * state rewrite): in `persist` mode Spark's CacheManager holds the

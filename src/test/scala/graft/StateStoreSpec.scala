@@ -96,6 +96,38 @@ class StateStoreSpec extends SparkSpecBase {
     assert(bucketFiles(dir) == after, "no-op truncate must not rewrite any file")
   }
 
+  test("plain store recovers state from the .old backup after a swap crash") {
+    import graft.sink.ParquetStateStore
+    val dir = tmpDir("swapcrash") + "/state"
+    val s = new ParquetStateStore(spark, dir, "user_id", "ts_us", "event_id")
+    s.upsert(df((1L, 100L, 1L, "a"), (2L, 200L, 2L, "b")))
+    // simulate a death between move(path -> old) and move(tmp -> path)
+    Files.move(Paths.get(dir), Paths.get(dir + ".old"))
+    assert(!Files.exists(Paths.get(dir)))
+    // the next store touching the dir must restore the backup, not treat
+    // the store as fresh (which would lose all prior keys on upsert)
+    val s2 = new ParquetStateStore(spark, dir, "user_id", "ts_us", "event_id")
+    assert(s2.exists, "backup must be restored")
+    s2.upsert(df((3L, 300L, 3L, "c"))) // the replayed/next batch
+    val state = s2.read().select("user_id").as[Long].collect().toSet
+    assert(state == Set(1L, 2L, 3L), s"pre-crash keys must survive: $state")
+  }
+
+  test("bucketed store refuses a numBuckets change over existing state") {
+    val dir = tmpDir("bstate_guard")
+    store(dir, buckets = 16).upsert(df((1L, 100L, 1L, "a")))
+    val e = intercept[IllegalStateException] {
+      store(dir, buckets = 8).upsert(df((2L, 200L, 2L, "b")))
+    }
+    assert(e.getMessage.contains("numBuckets=16"))
+    // same count keeps working; an emptied store may adopt a new count
+    store(dir, buckets = 16).upsert(df((2L, 200L, 2L, "b")))
+    assert(store(dir, buckets = 16).read().count() == 2L)
+    assert(store(dir, buckets = 16).truncate(900L, 99L) == 2L)
+    store(dir, buckets = 8).upsert(df((5L, 1000L, 5L, "e"))) // rebucket when empty
+    assert(store(dir, buckets = 8).read().count() == 1L)
+  }
+
   test("ReplicationJob streams into the bucketed store when configured") {
     import graft.streaming.ReplicationJob
     val srcDir = tmpDir("bsrc")

@@ -155,6 +155,41 @@ class TruncateSpec extends SparkSpecBase {
       dlq.head.getString(1) == "SCHEMA_MISMATCH")
   }
 
+  test("a truncate carries no row image: null user_id/value still applies") {
+    // reference `change_event.py:14,115-117`: TRUNCATE has no before/
+    // after image — the data-row checks (user_id/value) must not DLQ it
+    val cfg = freshCfg()
+    ReplicationJob.processBatch(spark, batchDf(
+      (1L, 100L, 1L, "view", 1.0),
+      (2L, 200L, 2L, "click", 2.0)), cfg, batchId = 0L)
+    import spark.implicits._
+    val imagelessTruncate = Seq((9L, 150L, "truncate"))
+      .toDF("event_id", "ts_us", "event_type")
+      .withColumn("ts", col("ts_us") * 1000)
+      .withColumn("user_id", lit(null).cast("long"))
+      .withColumn("value", lit(null).cast("double"))
+      .withColumn("props", lit(null).cast("string"))
+    ReplicationJob.processBatch(spark, imagelessTruncate, cfg, batchId = 1L)
+    assert(stateOf(cfg) == Map(2L -> 2L),
+      "the imageless truncate must clear rows older than (150, 9)")
+    assert(!Files.exists(Paths.get(cfg.dlqDir)),
+      "an imageless truncate is valid, not a DLQ row")
+  }
+
+  test("a data row without an LWW position (null event_id) routes to DLQ") {
+    val cfg = freshCfg()
+    import spark.implicits._
+    val b = Seq((Some(1L), 100L, 1L, "view", 1.0), (None: Option[Long], 200L, 2L, "click", 2.0))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_us") * 1000)
+      .withColumn("props", lit(null).cast("string"))
+    ReplicationJob.processBatch(spark, b, cfg, batchId = 0L)
+    assert(stateOf(cfg) == Map(1L -> 1L))
+    val dlq = spark.read.parquet(cfg.dlqDir).select("user_id", "error_type").head()
+    assert(dlq.getLong(0) == 2L && dlq.getString(1) == "SCHEMA_MISMATCH",
+      "a null event_id has no LWW position and must be DLQ'd")
+  }
+
   test("streaming end-to-end: a truncate mid-stream clears prior batches' state") {
     val dir = tmpDir("evlog")
     def ev(id: Long, ts: Long, uid: Long, et: String, v: Double) =
