@@ -55,10 +55,16 @@ object Lww {
     // key's rows share few partition ids, so a partition-id salt fails to
     // spread exactly when skew mitigation is needed; a content hash
     // spreads regardless of physical layout, and any row→salt assignment
-    // is correct for the commutative max_by fold.
-    val salted = df.withColumn("_salt",
+    // is correct for the commutative max_by fold. (Even a degenerate salt
+    // — all ordering values equal — is bounded: map-side partial max_by
+    // emits at most one row per (key, salt) per partition, so no reducer
+    // ever receives more than #partitions rows for a key.)
+    val saltCol = "_graft_salt"
+    require(!df.columns.contains(saltCol),
+      s"input already has a '$saltCol' column — withColumn would clobber its values")
+    val salted = df.withColumn(saltCol,
       pmod(hash(ordering.toIndexedSeq: _*), lit(saltBuckets)))
-    val phase1 = salted.groupBy((keys.map(col) :+ col("_salt")).toIndexedSeq: _*)
+    val phase1 = salted.groupBy((keys.map(col) :+ col(saltCol)).toIndexedSeq: _*)
       .agg(winner.as("_w"))
       .select((keys.map(col) ++ payload.map(c => col(s"_w.$c").as(c))).toIndexedSeq: _*)
     latestPerKey(phase1, keys, ordering)
@@ -77,22 +83,31 @@ object Lww {
   def resolveAgainstTarget(
       incoming: DataFrame, target: DataFrame, key: String,
       tsCol: String, tieCol: String): DataFrame = {
+    // `_existing` sentinel, not `_existing_ts.isNotNull`: a target row
+    // whose ts column is NULL is still an existing row — detecting the
+    // match via the ts value would mislabel it had_conflict=false.
     val t = target.select(
       col(key),
       col(tsCol).as("_existing_ts"),
-      col(tieCol).as("_existing_tie"))
+      col(tieCol).as("_existing_tie"),
+      lit(true).as("_existing"))
     incoming.join(t, Seq(key), "left_outer")
-      .withColumn("_had_conflict", col("_existing_ts").isNotNull)
+      .withColumn("_had_conflict", coalesce(col("_existing"), lit(false)))
+      // null-safe accept: an existing row with no LWW position loses to
+      // any positioned incoming row; every other null comparison resolves
+      // to reject (never a NULL was_accepted in the annotation struct)
       .withColumn("_accepted",
-        col("_existing_ts").isNull ||
-        (col(tsCol) > col("_existing_ts")) ||
-        (col(tsCol) === col("_existing_ts") && col(tieCol) > col("_existing_tie")))
+        !col("_had_conflict") ||
+        coalesce(
+          (col(tsCol) > col("_existing_ts")) ||
+          (col(tsCol) === col("_existing_ts") && col(tieCol) > col("_existing_tie")),
+          col("_existing_ts").isNull && col(tsCol).isNotNull))
       .withColumn("_conflict_resolution", struct(
         col("_accepted").as("was_accepted"),
         col("_had_conflict").as("had_conflict"),
         lit("last_write_wins").as("strategy"),
         (col(tsCol) - coalesce(col("_existing_ts"), col(tsCol))).as("timestamp_diff_micros")))
-      .drop("_existing_ts", "_existing_tie", "_had_conflict")
+      .drop("_existing_ts", "_existing_tie", "_existing", "_had_conflict", "_accepted")
   }
 
   /** Materialized CDC state with soft-delete semantics: fold the event log

@@ -291,7 +291,7 @@ object CdcQueries {
         |  round(abs(source_count - coalesce(target_count, 0)) * 100.0 / source_count, 2) AS drift_percentage
         |  FROM src LEFT JOIN tgt ON src.tbl = tgt.tbl)
         |SELECT count(*) AS total_jobs,
-        |  round(sum(CAST(round(drift_percentage*100, 0) AS BIGINT)) / (count(*) * 100.0), 4) AS avg_drift,
+        |  round(sum(CAST(round(drift_percentage*100, 0) AS BIGINT)) / (count(drift_percentage) * 100.0), 4) AS avg_drift,
         |  max(drift_percentage) AS max_drift,
         |  CAST(sum(mismatch_count) AS BIGINT) AS total_mismatches,
         |  CAST(sum(CASE WHEN drift_percentage >= 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS alerts_fired

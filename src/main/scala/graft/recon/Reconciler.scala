@@ -33,9 +33,15 @@ object Reconciler {
     s.crossJoin(t)
       .withColumn("mismatch_count", abs(col("source_count") - col("target_count")))
       // (long * 100.0) / long — matches the oracle's literal op order so the
-      // single double division is bit-identical across engines
+      // single double division is bit-identical across engines.
+      // Zero-source guard: x/0 is NULL in non-ANSI Spark, and a NULL drift
+      // falls through every alertSeverity threshold — a total source
+      // outage (the worst data-loss case) would raise no alert. An empty
+      // source with surviving target rows is 100% drift by definition.
       .withColumn("drift_percentage",
-        round(col("mismatch_count") * lit(100.0) / col("source_count"), 2))
+        when(col("source_count") === 0,
+          when(col("mismatch_count") > 0, lit(100.0)).otherwise(lit(0.0)))
+          .otherwise(round(col("mismatch_count") * lit(100.0) / col("source_count"), 2)))
   }
 
   /** Checksum validation (A2/A3 + J2): full-outer join on `key`, classify
@@ -81,11 +87,22 @@ object Reconciler {
     * join-based classification.
     */
   def sampleValidation(source: DataFrame, target: DataFrame, key: String,
-      hashCols: Seq[String], modulus: Long): DataFrame =
+      hashCols: Seq[String], modulus: Long): DataFrame = {
+    // Loud guards: a non-numeric key casts to NULL under `%` and
+    // `modulus = 0` makes `% === 0` NULL — either silently samples ZERO
+    // rows and the validation "passes" without comparing anything.
+    require(modulus >= 1, s"sample modulus must be >= 1, got $modulus")
+    Seq("source" -> source, "target" -> target).foreach { case (side, df) =>
+      require(df.schema(key).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"deterministic modulus sampling requires a numeric key; $side key " +
+          s"'$key' is ${df.schema(key).dataType.simpleString} — sample on a " +
+          "hash of the key or use timestampRange instead")
+    }
     checksumMismatches(
       source.filter(col(key) % modulus === 0),
       target.filter(col(key) % modulus === 0),
       key, hashCols)
+  }
 
   /** Job statistics (A5, `reconciliation_repository.py:402-411`):
     * COUNT / AVG / MAX drift, SUM mismatches, alert count — over a jobs
@@ -101,8 +118,11 @@ object Reconciler {
   def jobStatistics(jobs: DataFrame): DataFrame =
     jobs.agg(
       count(lit(1)).as("total_jobs"),
+      // denominator counts MEASURED jobs (non-null drift): sum() skips
+      // nulls, so dividing by count(*) would bias the average low
+      // whenever any job lacks a drift value
       round(sum(round(col("drift_percentage") * 100, 0).cast("long")).cast("double") /
-        (count(lit(1)) * 100), 4).as("avg_drift"),
+        (count(col("drift_percentage")) * 100), 4).as("avg_drift"),
       max("drift_percentage").as("max_drift"),
       sum("mismatch_count").as("total_mismatches"),
       sum(when(col("alert_fired"), 1).otherwise(0)).as("alerts_fired"))

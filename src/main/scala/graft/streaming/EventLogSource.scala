@@ -1,6 +1,8 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+import java.io.{BufferedInputStream, BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
 import java.util
 import scala.jdk.CollectionConverters._
 
@@ -23,7 +25,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * lexicographic name order = commit order (the commit-log segment
   * contract), one serialized envelope per line. A segment is the
   * ordering unit — like a Kafka partition, lines within a segment are
-  * delivered in order; offsets are `(segment index, row in segment)`.
+  * delivered in order.
+  *
+  * Offsets carry the segment NAME and BYTE position alongside (segment
+  * index, row):
+  *  - the name makes positions survive retention — the reference's CDC
+  *    agent DELETES fully-processed segments, which shifts list indices;
+  *    a name-resolved offset still lands on the right segment, and a
+  *    deleted *current* segment fails loudly instead of silently
+  *    replaying or dropping data;
+  *  - the byte position lets every trigger and every reader SEEK to its
+  *    slice. Without it, draining one large segment rate-limited is
+  *    O(segment) per trigger on both driver (re-counting) and executor
+  *    (line-skipping) — O(n²) total; with it each trigger does O(admitted
+  *    rows) work.
   *
   * Scale/recovery shape:
   *  - one InputPartition per segment slice in a batch → per-segment
@@ -70,30 +85,60 @@ object EventLogSource {
     }
   }
 
-  def countRows(dir: String, seg: String): Long = {
-    val p = Paths.get(dir, seg)
-    var n = 0L
-    val it = Files.lines(p)
-    try { val i = it.iterator(); while (i.hasNext) { i.next(); n += 1 } }
-    finally it.close()
-    n
+  /** Scan forward from `fromByte`, consuming at most `maxLines` lines.
+    * Returns (linesRead, byteAfterLastLine, reachedEof). A final line
+    * without a trailing newline still counts. This is the single byte/
+    * row accounting primitive — offsets and readers must agree on it.
+    */
+  def scanLines(file: Path, fromByte: Long, maxLines: Long): (Long, Long, Boolean) = {
+    val in = new BufferedInputStream(Files.newInputStream(file))
+    try {
+      var toSkip = fromByte
+      while (toSkip > 0) {
+        val skipped = in.skip(toSkip)
+        if (skipped <= 0) return (0L, fromByte, true) // past EOF: nothing here
+        toSkip -= skipped
+      }
+      var lines = 0L
+      var byte = fromByte
+      var sinceNewline = 0L
+      var eof = false
+      while (lines < maxLines && !eof) {
+        val b = in.read()
+        if (b < 0) {
+          eof = true
+          if (sinceNewline > 0) { lines += 1; byte += sinceNewline; sinceNewline = 0 }
+        } else if (b == '\n') {
+          lines += 1; byte += sinceNewline + 1; sinceNewline = 0
+        } else sinceNewline += 1
+      }
+      if (!eof && lines == maxLines && in.read() < 0) eof = true
+      (lines, byte, eof)
+    } finally in.close()
   }
+
+  def countRows(dir: String, seg: String): Long =
+    scanLines(Paths.get(dir, seg), 0L, Long.MaxValue)._1
 }
 
-/** Stream position: rows [0, `row`) of segment `seg` (by index into the
-  * sorted segment list) are consumed, as are all earlier segments.
-  * Segments are append-only and new segments sort after old ones
-  * (commit-log contract), so the position is stable across restarts.
+/** Stream position: rows [0, `row`) of segment `seg` are consumed, as are
+  * all earlier segments. `name` pins the segment identity across
+  * retention (index shifts); `byte` is the file position of row `row`
+  * (−1 = unknown, resolved by a one-time scan — legacy checkpoints).
   */
-case class EventLogOffset(seg: Int, row: Long) extends Offset {
-  override def json(): String = s"""{"seg":$seg,"row":$row}"""
+case class EventLogOffset(seg: Int, row: Long, name: String = "", byte: Long = -1L)
+    extends Offset {
+  override def json(): String =
+    s"""{"seg":$seg,"row":$row,"name":"$name","byte":$byte}"""
 }
 
 object EventLogOffset {
-  private val Re = """\{"seg":(\d+),"row":(\d+)\}""".r
+  private val Re = """\{"seg":(\d+),"row":(\d+),"name":"([^"]*)","byte":(-?\d+)\}""".r
+  private val LegacyRe = """\{"seg":(\d+),"row":(\d+)\}""".r
   def parse(json: String): EventLogOffset = json match {
-    case Re(s, r) => EventLogOffset(s.toInt, r.toLong)
-    case other    => throw new IllegalArgumentException(s"bad offset: $other")
+    case Re(s, r, n, b)  => EventLogOffset(s.toInt, r.toLong, n, b.toLong)
+    case LegacyRe(s, r)  => EventLogOffset(s.toInt, r.toLong) // pre-name checkpoint
+    case other           => throw new IllegalArgumentException(s"bad offset: $other")
   }
 }
 
@@ -119,7 +164,7 @@ final class EventLogScan(path: String, maxRowsPerTrigger: Long) extends Scan {
     override def planInputPartitions(): Array[InputPartition] = {
       val segs = EventLogSource.segments(path)
       segs.indices.map { i =>
-        EventLogSlice(path, segs(i), 0L, EventLogSource.countRows(path, segs(i)))
+        EventLogSlice(path, segs(i), 0L, EventLogSource.countRows(path, segs(i)), 0L)
           : InputPartition
       }.toArray
     }
@@ -130,7 +175,9 @@ final class EventLogScan(path: String, maxRowsPerTrigger: Long) extends Scan {
 /** Micro-batch planning: `latestOffset(start, limit)` walks forward from
   * `start` by at most the admitted row count — rate control happens here,
   * in the source, not by post-hoc filtering (Spark then checkpoints
-  * exactly what was admitted).
+  * exactly what was admitted). The walk scans only the bytes it admits
+  * (the offset carries the byte anchor), so a trigger is O(admitted),
+  * not O(log).
   */
 final class EventLogMicroBatchStream(path: String, maxRows: Long)
     extends MicroBatchStream with SupportsAdmissionControl
@@ -138,18 +185,38 @@ final class EventLogMicroBatchStream(path: String, maxRows: Long)
 
   private def segs = EventLogSource.segments(path)
 
-  /** Row counts of CLOSED segments, cached by name: segments are
-    * append-only and only the tail segment may still grow, so without
-    * this every trigger's offset walk re-reads the whole log history on
-    * the driver — O(log size) per trigger, unbounded as segments
-    * accumulate. The tail is always recounted.
+  /** Row counts of CLOSED segments, cached by name (append-only: only the
+    * tail may grow, and the walk never re-scans consumed bytes anyway).
     */
   private val closedCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
 
-  private def countRows(ss: IndexedSeq[String], i: Int): Long =
+  private def countClosed(ss: IndexedSeq[String], i: Int): Long =
     if (i < ss.length - 1)
       closedCounts.getOrElseUpdate(ss(i), EventLogSource.countRows(path, ss(i)))
-    else EventLogSource.countRows(path, ss(i)) // growing tail: never cache
+    else EventLogSource.countRows(path, ss(i))
+
+  /** Resolve an offset's segment against the CURRENT listing. Name wins
+    * over index: retention deleting fully-consumed earlier segments
+    * shifts indices but not names. A missing CURRENT segment is
+    * unrecoverable — fail loudly, never clamp onto the wrong file.
+    */
+  private def resolveSeg(o: EventLogOffset, ss: IndexedSeq[String]): Int =
+    if (o.name.isEmpty) math.min(o.seg, ss.length - 1) // initial/legacy offset
+    else {
+      val i = ss.indexOf(o.name)
+      if (i < 0) throw new IllegalStateException(
+        s"checkpointed segment '${o.name}' no longer exists under $path — " +
+          "segment retention deleted an unconsumed segment; restore it or reset " +
+          "the checkpoint (consumed earlier segments may be deleted freely)")
+      i
+    }
+
+  /** Byte anchor for an offset within its (resolved) segment; legacy
+    * offsets without one pay a one-time scan of `row` lines.
+    */
+  private def resolveByte(o: EventLogOffset, seg: String): Long =
+    if (o.byte >= 0) o.byte
+    else EventLogSource.scanLines(Paths.get(path, seg), 0L, o.row)._2
 
   /** Trigger.AvailableNow: snapshot the end of log at start; batches then
     * drain rate-limited up to this cap and the query stops (S2's
@@ -161,7 +228,11 @@ final class EventLogMicroBatchStream(path: String, maxRows: Long)
     val ss = segs
     availableNowCap = Some(
       if (ss.isEmpty) EventLogOffset(0, 0L)
-      else EventLogOffset(ss.length - 1, EventLogSource.countRows(path, ss.last)))
+      else {
+        val (rows, bytes, _) =
+          EventLogSource.scanLines(Paths.get(path, ss.last), 0L, Long.MaxValue)
+        EventLogOffset(ss.length - 1, rows, ss.last, bytes)
+      })
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxRows)
@@ -181,21 +252,25 @@ final class EventLogMicroBatchStream(path: String, maxRows: Long)
     }
     val ss = segs
     if (ss.isEmpty) return s
-    var seg = math.min(s.seg, ss.length - 1)
-    var row = if (seg == s.seg) s.row else 0L
+    var seg = resolveSeg(s, ss)
+    var row = if (s.name.isEmpty || ss(seg) == s.name) s.row else 0L
+    var byte = if (row == s.row) resolveByte(s, ss(seg)) else 0L
     var walking = true
-    while (walking) {
-      val total = countRows(ss, seg)
-      val take = math.max(0L, math.min(budget, total - row))
-      row += take
-      budget -= take
-      if (budget > 0 && row >= total && seg < ss.length - 1) { seg += 1; row = 0L }
-      else walking = false // budget spent, or at the (possibly growing) tail segment
+    while (walking && budget > 0) {
+      val (taken, newByte, eof) =
+        EventLogSource.scanLines(Paths.get(path, ss(seg)), byte, budget)
+      row += taken
+      byte = newByte
+      budget -= taken
+      if (budget > 0 && eof && seg < ss.length - 1) { seg += 1; row = 0L; byte = 0L }
+      else walking = false // budget spent, or at the (possibly growing) tail
     }
+    val next = EventLogOffset(seg, row, ss(seg), byte)
     // under Trigger.AvailableNow never admit past the start-time snapshot
     availableNowCap match {
-      case Some(cap) if seg > cap.seg || (seg == cap.seg && row > cap.row) => cap
-      case _ => EventLogOffset(seg, row)
+      case Some(cap) if next.seg > cap.seg ||
+          (next.seg == cap.seg && next.row > cap.row) => cap
+      case _ => next
     }
   }
 
@@ -203,10 +278,15 @@ final class EventLogMicroBatchStream(path: String, maxRows: Long)
     val s = start.asInstanceOf[EventLogOffset]
     val e = end.asInstanceOf[EventLogOffset]
     val ss = segs
-    (s.seg to math.min(e.seg, ss.length - 1)).flatMap { i =>
-      val from = if (i == s.seg) s.row else 0L
-      val until = if (i == e.seg) e.row else countRows(ss, i)
-      if (until > from) Some(EventLogSlice(path, ss(i), from, until): InputPartition)
+    if (ss.isEmpty) return Array.empty
+    val sIdx = resolveSeg(s, ss)
+    val eIdx = resolveSeg(e, ss)
+    (sIdx to eIdx).flatMap { i =>
+      val sameAsStart = i == sIdx && (s.name.isEmpty || ss(i) == s.name)
+      val from = if (sameAsStart) s.row else 0L
+      val fromByte = if (sameAsStart) resolveByte(s, ss(i)) else 0L
+      val until = if (i == eIdx) e.row else countClosed(ss, i)
+      if (until > from) Some(EventLogSlice(path, ss(i), from, until, fromByte): InputPartition)
       else None
     }.toArray
   }
@@ -217,26 +297,37 @@ final class EventLogMicroBatchStream(path: String, maxRows: Long)
   override def stop(): Unit = ()
 }
 
-final case class EventLogSlice(dir: String, seg: String, from: Long, until: Long)
-    extends InputPartition
+final case class EventLogSlice(dir: String, seg: String, from: Long, until: Long,
+    fromByte: Long) extends InputPartition
 
 object EventLogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val slice = partition.asInstanceOf[EventLogSlice]
     new PartitionReader[InternalRow] {
-      private val stream = Files.lines(Paths.get(slice.dir, slice.seg))
-      private val it = stream.iterator()
-      private var pos = 0L
+      // seek straight to the slice: no O(from) line-skip per batch
+      private val in = new BufferedInputStream(
+        Files.newInputStream(Paths.get(slice.dir, slice.seg)))
+      locally {
+        var toSkip = slice.fromByte
+        while (toSkip > 0) {
+          val skipped = in.skip(toSkip)
+          require(skipped > 0, s"byte offset ${slice.fromByte} past EOF of ${slice.seg}")
+          toSkip -= skipped
+        }
+      }
+      private val reader = new BufferedReader(
+        new InputStreamReader(in, StandardCharsets.UTF_8))
+      private var pos = slice.from
       private var current: String = _
-      // skip to `from`
-      while (pos < slice.from && it.hasNext) { it.next(); pos += 1 }
       override def next(): Boolean =
-        if (pos < slice.until && it.hasNext) { current = it.next(); pos += 1; true }
-        else false
+        if (pos < slice.until) {
+          current = reader.readLine()
+          if (current == null) false else { pos += 1; true }
+        } else false
       override def get(): InternalRow =
         InternalRow(UTF8String.fromString(current),
           UTF8String.fromString(slice.seg), pos - 1)
-      override def close(): Unit = stream.close()
+      override def close(): Unit = reader.close()
     }
   }
 }

@@ -87,9 +87,57 @@ class EventLogSourceSpec extends SparkSpecBase {
       s"resume must deliver only the new segment, got $out")
   }
 
-  test("offset json round-trips") {
-    val o = EventLogOffset(3, 41L)
+  test("offset json round-trips (incl. legacy pre-name form)") {
+    val o = EventLogOffset(3, 41L, "seg-003.log", 1234L)
     assert(EventLogOffset.parse(o.json()) == o)
+    assert(EventLogOffset.parse("""{"seg":3,"row":41}""") == EventLogOffset(3, 41L))
+  }
+
+  test("retention of consumed segments is safe; a deleted current segment fails loudly") {
+    val dir = tmpDir("evlogret")
+    val ck = tmpDir("ck")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def drain(): Unit = {
+      val q = spark.readStream.format(Fmt).option("path", dir).load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          out.synchronized { out ++= b.select("value").collect().map(_.getString(0)) }
+          (): Unit
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    writeSeg(dir, "seg-000.log", 3)
+    writeSeg(dir, "seg-001.log", 2, from = 3)
+    drain()
+    assert(out.size == 5)
+    out.clear()
+    // the reference's CDC agent deletes fully-processed segments: indices
+    // shift, but name-resolved offsets must keep delivering exactly the
+    // new data
+    Files.delete(Paths.get(dir, "seg-000.log"))
+    writeSeg(dir, "seg-002.log", 2, from = 5)
+    drain()
+    assert(out.toSeq == Seq("""{"event_id":5}""", """{"event_id":6}"""),
+      s"after retention only new rows must arrive, got $out")
+    out.clear()
+    // deleting the CHECKPOINT-CURRENT segment is unrecoverable data loss:
+    // the source must fail loudly, never clamp onto the wrong file
+    Files.delete(Paths.get(dir, "seg-002.log"))
+    writeSeg(dir, "seg-003.log", 1, from = 7)
+    val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format(Fmt).option("path", dir).load()
+        .writeStream.foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => (): Unit }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(causes(boom).exists(_.getMessage != null) &&
+      causes(boom).exists(c => Option(c.getMessage).exists(_.contains("no longer exists"))),
+      s"expected a loud retention error, got $boom")
   }
 
   test("10k-event drain through the source + bucketed store matches the batch fold") {
