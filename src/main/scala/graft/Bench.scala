@@ -66,6 +66,20 @@ object Bench {
     // ---- 1. Headline replication throughput, measured before anything else.
     val ev = Tables.events(spark, sfDir)
     val nEvents = ev.count()
+    // JIT warm-up on a small slice: trial 1 otherwise pays one-time codegen
+    // + C2 compilation of the whole batch pipeline (measured ~10 s cold vs
+    // ~1.8 s warm at sf0.1) and best-of-3 under-reports steady-state
+    // throughput whenever trials 2-3 land in a host contention window.
+    locally {
+      val base = java.nio.file.Files.createTempDirectory("bench_repl_warm").toString
+      val cfg = graft.streaming.ReplicationJob.Config(
+        sourceDir = sfDir, targetDir = s"$base/target",
+        dlqDir = s"$base/dlq", checkpointDir = s"$base/ckpt")
+      timeOnce("replication_warmup") {
+        graft.streaming.ReplicationJob.processBatch(spark, ev.limit(5000), cfg)
+      }
+      ()
+    }
     val replTrials: Seq[Double] = (1 to 3).map { i =>
       val base = java.nio.file.Files.createTempDirectory("bench_repl").toString
       val cfg = graft.streaming.ReplicationJob.Config(

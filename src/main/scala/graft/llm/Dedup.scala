@@ -66,12 +66,16 @@ object Dedup {
     * it re-splits the text once per element (O(len²) per doc; measured as
     * the dominant cost of the Jaccard join).
     */
-  private def shingleHashPostings(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def shingleHashPostings(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val sh = when(size(col("_toks")) >= n,
       expr(s"transform(sequence(1, size(_toks) - ${n - 1}), " +
            s"i -> concat_ws(' ', slice(_toks, i, $n)))"))
       .otherwise(array())
+    // The split stays BELOW the widen exchange on purpose: the exchange is
+    // an optimizer barrier that keeps `_toks` bound once per doc. Splitting
+    // after it lets CollapseProject inline split() into the transform
+    // lambda — O(len²) per doc (measured: jaccard 2.6 s → 10-18 s).
     widen(docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks")))
       .select(col("doc_id"), explode(sh).as("sh"))
       .select(col("doc_id"), tokenHash(col("sh")).as("h"))
@@ -117,9 +121,13 @@ object Dedup {
   }
 
   /** Distinct (doc_id, token-hash) pairs — SimHash input. */
+  /** No `widen` here: the bare token explode is too light to pay for a
+    * repartition of the corpus (A/B at sf0.1: widened 2.4 s vs 1.4 s
+    * direct, warm) — unlike the shingle pipelines, where the n-gram
+    * concat work dominates and widening wins.
+    */
   private def tokenHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    widen(docs.select(col(idCol).as("doc_id"), col(textCol).as("_text")))
-      .select(col("doc_id"), explode(split(col("_text"), " ")).as("tok"))
+    docs.select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
       .distinct()
       .select(col("doc_id"), tokenHash(col("tok")).as("h"))
 
