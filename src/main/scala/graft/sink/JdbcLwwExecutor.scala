@@ -112,6 +112,55 @@ object JdbcLwwExecutor {
     } finally conn.close()
   }
 
+  /** auto.evolve against the live target (SC-011/012, the sink-connector
+    * flag `docker/connectors/postgres-sink.json:13-14`): ALTER in any of
+    * `wanted` (name → SQL type) the table doesn't have yet. Additive only
+    * and always nullable — old rows read NULL for a new column, the same
+    * rule the parquet stores' padUnion applies — so propagation needs no
+    * table rewrite and no stream restart. Column presence is compared
+    * case-insensitively (unquoted identifiers fold differently per
+    * engine). Idempotent: re-running with the same list adds nothing.
+    * Returns the columns actually added.
+    */
+  def evolveTable(conn: Connection, table: String,
+      wanted: Seq[(String, String)]): Seq[String] = {
+    val md = conn.getMetaData
+    // getColumns treats the name as a LIKE pattern — escape '_'/'%' so
+    // cdc_users doesn't also match cdcXusers (same rule as the S5 scan).
+    val esc = md.getSearchStringEscape
+    def pat(t: String) = t.replace(esc, esc + esc)
+      .replace("_", esc + "_").replace("%", esc + "%")
+    def columnsOf(t: String): Set[String] = {
+      val b = Set.newBuilder[String]
+      val rs = md.getColumns(null, null, pat(t), null)
+      try while (rs.next()) b += rs.getString("COLUMN_NAME").toLowerCase
+      finally rs.close()
+      b.result()
+    }
+    // the catalog stores the UNQUOTED fold of the CREATE's name (Derby/PG
+    // upper/lower-case it) and getColumns matches case-SENSITIVELY — try
+    // the name as given, then the engine's stated fold
+    val have = Iterator(
+      table,
+      if (md.storesUpperCaseIdentifiers) table.toUpperCase else table,
+      if (md.storesLowerCaseIdentifiers) table.toLowerCase else table)
+      .map(columnsOf).find(_.nonEmpty).getOrElse(Set.empty)
+    // A table with no visible columns doesn't exist yet: creating it is
+    // the auto-create path's job (ensureTable/S13), not an ALTER's.
+    if (have.isEmpty) return Seq.empty
+    val missing = wanted.filterNot { case (n, _) => have(n.toLowerCase) }
+    if (missing.nonEmpty) {
+      val st = conn.createStatement()
+      // quoted like every other statement here — the upsert/delete SQL
+      // addresses columns as "name", so the ALTER must store that exact
+      // case, not the engine's unquoted fold
+      try missing.foreach { case (n, t) =>
+        st.executeUpdate(s"ALTER TABLE $table ADD COLUMN ${q(n)} $t")
+      } finally st.close()
+    }
+    missing.map(_._1)
+  }
+
   /** Upsert one partition's rows over one connection with statement
     * batching. Returns (accepted, rejected) — rejected = LWW-stale rows.
     */

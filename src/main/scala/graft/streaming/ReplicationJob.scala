@@ -84,7 +84,16 @@ object ReplicationJob {
         * `validTypes` to take effect; LWW-ordered — rows whose
         * (ts, event_id) is newer than the truncate survive it.
         */
-      truncateType: String = "truncate")
+      truncateType: String = "truncate",
+      /** auto.evolve (`postgres-sink.json:13-14`, SC-011/012): when the
+        * declared target columns run ahead of the live table (the
+        * registry evolved after the table was created), ALTER the missing
+        * ones in — additive, nullable — before the batch upsert, inside
+        * the same micro-batch: propagation ≤ one trigger, no restart.
+        * Opt-in here (the reference connector defaults it on) because it
+        * adds a catalog-metadata read per micro-batch.
+        */
+      autoEvolveTarget: Boolean = false)
 
   /** One micro-batch of the sink side: validation split → DLQ append →
     * LWW compaction → idempotent upsert. Exposed for batch tests and
@@ -164,6 +173,14 @@ object ReplicationJob {
       Seq(col("_cdc_timestamp_micros"), col("_last_event_id")))
     cfg.jdbcTarget match {
       case Some(t) =>
+        if (cfg.autoEvolveTarget) {
+          val dialect = graft.types.TypeMapper.dialectOf(t.url)
+          val wanted = t.cols.map(c =>
+            c -> graft.types.TypeMapper.sqlFor(compacted.schema(c).dataType, dialect))
+          val conn = graft.sink.JdbcLwwExecutor.connect(t.url)
+          try graft.sink.JdbcLwwExecutor.evolveTable(conn, t.table, wanted)
+          finally conn.close()
+        }
         graft.sink.JdbcLwwExecutor.writeBatch(
           compacted.select(t.cols.map(col).toIndexedSeq: _*), t)
       case None => cfg.stateBuckets match {

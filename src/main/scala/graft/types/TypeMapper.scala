@@ -92,6 +92,35 @@ object TypeMapper {
   def pgColumns(columns: Seq[(String, String, String)]): Seq[(String, String)] =
     columns.map { case (name, cql, _) => name -> map(cql).pg }
 
+  /** Catalyst → SQL column type for additive target evolution — the
+    * inverse direction of [[structFromJdbc]], used when auto.evolve
+    * (`docker/connectors/postgres-sink.json:13-14`, SC-011/012) ALTERs a
+    * live table to follow the registry. `dialect` covers the few names
+    * PostgreSQL and Derby (the live test target) disagree on; nested
+    * types serialize to bounded VARCHAR — the portable analog of the
+    * reference's JSONB columns.
+    */
+  def sqlFor(dt: DataType, dialect: String = "postgresql"): String = {
+    val derby = dialect == "derby"
+    dt match {
+      case LongType                => "BIGINT"
+      case IntegerType             => "INTEGER"
+      case ShortType | ByteType    => "SMALLINT"
+      case FloatType               => "REAL"
+      case DoubleType              => "DOUBLE PRECISION"
+      case d: DecimalType          => s"DECIMAL(${d.precision},${d.scale})"
+      case BooleanType             => "BOOLEAN"
+      case DateType                => "DATE"
+      case TimestampType | TimestampNTZType => "TIMESTAMP"
+      case BinaryType              => if (derby) "BLOB" else "BYTEA"
+      case _                       => "VARCHAR(32000)"
+    }
+  }
+
+  /** Dialect key for [[sqlFor]] from a JDBC url. */
+  def dialectOf(url: String): String =
+    if (url.startsWith("jdbc:derby")) "derby" else "postgresql"
+
   /** S5 live catalog scan: table schema straight from a JDBC catalog via
     * `DatabaseMetaData.getColumns` + primary-key nullability — the
     * target-side analog of reading `system_schema.columns`

@@ -136,6 +136,78 @@ class SchemaEvolutionStreamSpec extends SparkSpecBase {
       "fully-expired bucket dir must be removed")
   }
 
+  test("evolveTable ALTERs in only the missing columns, idempotently") {
+    val url = "jdbc:derby:memory:evolvetest;create=true"
+    JdbcLwwExecutor.ensureTable(url,
+      """CREATE TABLE ev_t ("k" BIGINT NOT NULL, "name" VARCHAR(64), PRIMARY KEY ("k"))""")
+    val wanted = Seq(
+      "k" -> "BIGINT", "name" -> "VARCHAR(64)",
+      "email" -> "VARCHAR(32000)", "age" -> "INTEGER")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      assert(JdbcLwwExecutor.evolveTable(conn, "ev_t", wanted) == Seq("email", "age"))
+      // idempotent: nothing left to add
+      assert(JdbcLwwExecutor.evolveTable(conn, "ev_t", wanted).isEmpty)
+      // absent table: creation is the auto-create path's job, not an ALTER
+      assert(JdbcLwwExecutor.evolveTable(conn, "no_such_t", wanted).isEmpty)
+      // the new columns are live (quoted case preserved) and nullable
+      val st = conn.createStatement()
+      st.executeUpdate("""INSERT INTO ev_t ("k", "name", "email", "age")
+        | VALUES (1, 'Ann', 'a@x.io', 40)""".stripMargin)
+      st.executeUpdate("""INSERT INTO ev_t ("k", "name") VALUES (2, 'Bob')""")
+      val rs = st.executeQuery("""SELECT "email" FROM ev_t WHERE "k" = 2""")
+      rs.next()
+      assert(rs.getString(1) == null, "evolved column must be nullable")
+    } finally conn.close()
+  }
+
+  test("auto.evolve mid-stream: live JDBC target gains the column in-batch (SC-011)") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:evolvestream;create=true"
+    // v1 target: no `value` column yet
+    JdbcLwwExecutor.ensureTable(url,
+      """CREATE TABLE ev_users (
+        |  "user_id" BIGINT NOT NULL,
+        |  "event_type" VARCHAR(32),
+        |  "_cdc_deleted" BOOLEAN,
+        |  "_cdc_timestamp_micros" BIGINT,
+        |  "_last_event_id" BIGINT,
+        |  PRIMARY KEY ("user_id"))""".stripMargin)
+    def batchDf(rows: (Long, Long, Long, String, Double)*) =
+      rows.toSeq.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+        .withColumn("ts", col("ts_us") * 1000)
+        .withColumn("props", lit(null).cast("string"))
+    val baseCols = Seq("user_id", "event_type",
+      "_cdc_deleted", "_cdc_timestamp_micros", "_last_event_id")
+    val base = tmpDir("evjdbc")
+    def cfg(t: JdbcLwwExecutor.Target) = graft.streaming.ReplicationJob.Config(
+      sourceDir = base, targetDir = s"$base/target", dlqDir = s"$base/dlq",
+      checkpointDir = s"$base/ckpt", jdbcTarget = Some(t), autoEvolveTarget = true)
+
+    // batch 0 at the v1 contract — nothing to evolve
+    val t1 = JdbcLwwExecutor.Target(url, "ev_users", baseCols, pk = Seq("user_id"))
+    graft.streaming.ReplicationJob.processBatch(spark,
+      batchDf((1L, 100L, 1L, "view", 1.0)), cfg(t1), batchId = 0L)
+    // registry evolves: the declared contract now carries `value` — the
+    // SAME next micro-batch must ALTER the live table and write through
+    val t2 = t1.copy(cols = baseCols :+ "value")
+    graft.streaming.ReplicationJob.processBatch(spark,
+      batchDf((2L, 200L, 2L, "click", 2.5)), cfg(t2), batchId = 1L)
+
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        """SELECT "user_id", "value" FROM ev_users ORDER BY "user_id"""")
+      rs.next()
+      assert(rs.getLong(1) == 1L && { rs.getDouble(2); rs.wasNull() },
+        "pre-evolution row must read NULL for the new column")
+      rs.next()
+      assert(rs.getLong(1) == 2L && rs.getDouble(2) == 2.5,
+        "post-evolution row must carry the new column's value")
+      assert(!rs.next())
+    } finally conn.close()
+  }
+
   test("TTL purge: JDBC target deletes expired rows through real SQL") {
     val url = "jdbc:derby:memory:ttltest;create=true"
     JdbcLwwExecutor.ensureTable(url,
