@@ -305,6 +305,58 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Connected components over a candidate-pair graph — the resolution
+    * step every near-dup pipeline ends with: candidate pairs (from LSH,
+    * SimHash blocking, or Jaccard) are EDGES; a duplicate CLUSTER is a
+    * connected component, labeled by its minimum doc id, so "keep the
+    * canonical doc per cluster" is a filter on `doc_id = cluster_id`.
+    *
+    * Min-label propagation: every vertex starts as its own label; each
+    * round takes the min of its own and its neighbors' labels; fixpoint =
+    * components. Scale shape per round: ONE hash equi-join of the edge
+    * list with the label table + one min-aggregate (map-side partial).
+    * Rounds needed = component diameter — near-dup clusters are dense and
+    * shallow (a duplicate family collapses in 2-3 rounds); for
+    * adversarially long path graphs the alternating large-star/small-star
+    * variant (Kiveris et al., "Connected Components in MapReduce") bounds
+    * rounds at O(log² n) with the same per-round join shape. Lineage is
+    * truncated every round ([[graft.util.Materialize.barrier]]) — an
+    * iterative plan otherwise grows exponentially and re-executes every
+    * prior round on each action.
+    *
+    * Convergence is detected with one tiny aggregate per round (labels
+    * only ever decrease, so Σ labels strictly decreases iff any vertex
+    * changed — summed as DECIMAL(38,0) so billion-scale id sums cannot
+    * wrap). Only vertices that appear in `pairs` are emitted; singleton
+    * docs are their own cluster by definition and need no join to know it.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val edges = graft.util.Materialize.stable(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    var labels = graft.util.Materialize.barrier(
+      edges.select(col("src").as("v")).distinct().withColumn("l", col("v")))
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("l").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prev = checksum(labels)
+    var done = false
+    var i = 0
+    while (!done && i < maxIter) {
+      val viaNbr = edges.join(labels, col("dst") === col("v"))
+        .select(col("src").as("v"), col("l"))
+      val next = graft.util.Materialize.barrier(
+        labels.union(viaNbr).groupBy("v").agg(min("l").as("l")))
+      val cur = checksum(next)
+      done = cur.compareTo(prev) == 0
+      prev = cur
+      labels = next
+      i += 1
+    }
+    graft.util.Materialize.release(edges)
+    labels.select(col("v").as("doc_id"), col("l").as("cluster_id"))
+  }
+
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
     * standard rolling-hash fingerprint the reference's checksum validation
     * approximates per-row): hash every positional n-gram, keep the min of

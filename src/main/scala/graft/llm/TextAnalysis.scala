@@ -61,6 +61,40 @@ object TextAnalysis {
         expr("(n_chars - (n_tokens - 1)) * 100 div n_tokens"))
   }
 
+  /** Repetition profile — the Gopher-style repetitiousness signals
+    * (Rae et al. 2021 §A1.1: duplicate-token and top-n-gram fractions)
+    * that gate machine-generated / boilerplate text out of training sets.
+    * Counts are exact integers (fractions are a trivial post-division;
+    * integers keep the oracle compare exact):
+    *   n_tokens, n_distinct, top_tok_n (count of the most frequent
+    *   token), top_bigram_n (count of the most frequent bigram; 0 when
+    *   the doc has <2 tokens).
+    *
+    * Scale shape: two partial-aggregated shuffles (token counts, bigram
+    * counts) keyed by doc id + one join on doc id — no per-doc state
+    * beyond a count row, no skew risk beyond a degenerate single doc
+    * (bounded by max doc length, not corpus size).
+    */
+  def repetitionProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+    val tokStats = base
+      .select(col("doc_id"), explode(col("_toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_tok_n"))
+    val bigrams = expr(
+      "transform(sequence(1, size(_toks) - 1), i -> concat_ws(' ', slice(_toks, i, 2)))")
+    val bigramStats = base
+      .filter(size(col("_toks")) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bigram_n"))
+    tokStats.join(bigramStats, Seq("doc_id"), "left")
+      .withColumn("top_bigram_n", coalesce(col("top_bigram_n"), lit(0L)))
+  }
+
   /** Heuristic language ID: stopword-density score in per-mille; 'en'
     * when density ≥ threshold else 'und'. (An n-gram-profile classifier
     * reduces to the same shape: per-marker-set counts → argmax; kept to

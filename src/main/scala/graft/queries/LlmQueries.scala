@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators (builder brief §"beyond the
   * reference") over `documents`/`embeddings`: dedup (exact / n-gram
@@ -48,6 +48,26 @@ object LlmQueries {
     s"SELECT doc_id, $mins FROM h GROUP BY doc_id"
   }
 
+  /** Shared CTE chain + final select of the LSH candidate-pair oracle,
+    * split so `dedup_clusters` can build its recursive closure on top of
+    * the identical pair graph.
+    */
+  private val lshCtes: String = {
+    val nBands = Dedup.MinhashA.length / Dedup.BandSize
+    val bandSelects = (0 until nBands).map { j =>
+      val cols = (0 until Dedup.BandSize).map(k => s"mh_${j * Dedup.BandSize + k}")
+      s"SELECT doc_id, $j AS band_idx, concat_ws('_', ${cols.mkString(", ")}) AS band_val FROM sig"
+    }.mkString(" UNION ALL ")
+    s"$shingleHashCte, h AS (SELECT doc_id, h FROM shh), " +
+      s"sig AS ($minhashSigSelect), bands AS ($bandSelects)"
+  }
+
+  private val lshPairSelect: String =
+    """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+      |  AND a.band_val = b.band_val AND a.doc_id < b.doc_id"""
+      .stripMargin.replace("\n", " ")
+
   private val quantDuck = Similarity.quantizeSqlDuck
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -65,6 +85,13 @@ object LlmQueries {
 
     "dedup_lsh_pairs" -> ((s, dir) =>
       Dedup.lshCandidatePairs(Tables.documents(s, dir), "doc_id", "text")),
+
+    // cluster resolution over the LSH candidate graph: component id =
+    // min doc id, so canonical-doc selection is `doc_id = cluster_id`
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.lshCandidatePairs(Tables.documents(s, dir), "doc_id", "text"),
+        "doc_a", "doc_b")),
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash16(Tables.documents(s, dir), "doc_id", "text")),
@@ -98,6 +125,21 @@ object LlmQueries {
 
     "text_lang_id" -> ((s, dir) =>
       TextAnalysis.languageId(Tables.documents(s, dir), "doc_id", "text")),
+
+    // Gopher-style repetitiousness gates (dup-token / top-n-gram counts)
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionProfile(Tables.documents(s, dir), "doc_id", "text")),
+
+    // deterministic curation sampling: 20% of en, 10% of everything else
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
+        rates = Map("en" -> 200), defaultPermille = 100)
+        .select("doc_id", "lang", "source")),
+
+    // exact 5 exemplars per source, hash-ordered (WindowGroupLimit path)
+    "sample_topk_per_source" -> ((s, dir) =>
+      Sampling.exactKPerStratum(Tables.documents(s, dir), "doc_id", "source", k = 5)
+        .select("doc_id", "source", "rk")),
 
     // Query sets are bounded ABSOLUTELY (`vec_id < 50` — 50 queries at any
     // SF), not proportionally: a fractional query set (`% 10`) makes even
@@ -159,18 +201,19 @@ object LlmQueries {
 
     "dedup_minhash_sig" -> s"WITH $shingleHashCte, h AS (SELECT doc_id, h FROM shh) $minhashSigSelect",
 
-    "dedup_lsh_pairs" -> {
-      val nBands = Dedup.MinhashA.length / Dedup.BandSize
-      val bandSelects = (0 until nBands).map { j =>
-        val cols = (0 until Dedup.BandSize).map(k => s"mh_${j * Dedup.BandSize + k}")
-        s"SELECT doc_id, $j AS band_idx, concat_ws('_', ${cols.mkString(", ")}) AS band_val FROM sig"
-      }.mkString(" UNION ALL ")
-      s"""WITH $shingleHashCte, h AS (SELECT doc_id, h FROM shh),
-         |sig AS ($minhashSigSelect), bands AS ($bandSelects)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b ON a.band_idx = b.band_idx
-         |  AND a.band_val = b.band_val AND a.doc_id < b.doc_id""".stripMargin.replace("\n", " ")
-    },
+    "dedup_lsh_pairs" -> s"WITH $lshCtes $lshPairSelect",
+
+    // transitive closure of the LSH pair graph: reach(v, r) = r reachable
+    // from v; min reachable id per vertex = the component label the Spark
+    // side's min-label propagation converges to
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $lshCtes, prs AS ($lshPairSelect),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+         |  UNION ALL SELECT doc_b, doc_a FROM prs),
+         |reach(v, r) AS (SELECT src, src FROM edges
+         |  UNION SELECT e.src, rc.r FROM edges e JOIN reach rc ON rc.v = e.dst)
+         |SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v"""
+        .stripMargin.replace("\n", " "),
 
     "dedup_simhash" -> {
       val sums = (0 until 16).map { j =>
@@ -260,6 +303,36 @@ object LlmQueries {
          |  CASE WHEN stop_per_mille >= 50 THEN 'en' ELSE 'und' END AS predicted_lang
          |FROM f""".stripMargin.replace("\n", " ")
     },
+
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+        |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_tok_n
+        |  FROM tc GROUP BY doc_id),
+        |bg AS (SELECT doc_id, concat_ws(' ', t[i], t[i+1]) AS bg
+        |  FROM toks, UNNEST(range(1, len(t))) AS r(i) WHERE len(t) >= 2),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+        |bs AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n FROM bc GROUP BY doc_id)
+        |SELECT ts.doc_id, n_tokens, n_distinct, top_tok_n,
+        |  coalesce(top_bigram_n, 0) AS top_bigram_n
+        |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id"""
+        .stripMargin.replace("\n", " "),
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+        |  < CASE WHEN lang = 'en' THEN 200 ELSE 100 END"""
+        .stripMargin.replace("\n", " "),
+
+    "sample_topk_per_source" ->
+      """WITH r AS (SELECT doc_id, source, row_number() OVER (
+        |  PARTITION BY source ORDER BY
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000,
+        |    doc_id) AS rk FROM documents)
+        |SELECT doc_id, source, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 5"""
+        .stripMargin.replace("\n", " "),
 
     "ann_cosine_topk" ->
       s"""WITH v AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),

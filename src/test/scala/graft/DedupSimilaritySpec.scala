@@ -73,6 +73,54 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert((fp(0L) intersect fp(3L)).isEmpty)
   }
 
+  test("connected components: path graph, disjoint clusters, converged labels") {
+    // component A is a PATH 10-20-30-40 (labels must propagate end to end,
+    // multi-round); component B a triangle; C an isolated pair
+    val pairs = Seq(
+      (10L, 20L), (20L, 30L), (30L, 40L),
+      (100L, 101L), (101L, 102L), (100L, 102L),
+      (7L, 9L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(
+      10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L,
+      100L -> 100L, 101L -> 100L, 102L -> 100L,
+      7L -> 7L, 9L -> 7L))
+    // canonical selection is a filter on the labels
+    assert(cc.collect { case (v, l) if v == l => v }.toSet == Set(10L, 100L, 7L))
+  }
+
+  test("repetition profile: exact counts, bigram zero on 1-token doc") {
+    val d = Seq(
+      (1L, "a b a b a"),   // 5 toks, 2 distinct, top tok a=3, top bigram "a b"=2
+      (2L, "x")            // 1 tok: no bigrams
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionProfile(d, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(m(1L) == ((5L, 2L, 3L, 2L)))
+    assert(m(2L) == ((1L, 1L, 1L, 0L)))
+  }
+
+  test("deterministic sampling: stable across runs, exact k per stratum") {
+    val d = (1L to 300L).map(i => (i, if (i % 3 == 0) "en" else "de", s"s${i % 4}"))
+      .toDF("doc_id", "lang", "source")
+    val s1 = graft.llm.Sampling.stratifiedSample(d, "doc_id", "lang",
+      Map("en" -> 500), defaultPermille = 100).select("doc_id").as[Long].collect().toSet
+    val s2 = graft.llm.Sampling.stratifiedSample(d, "doc_id", "lang",
+      Map("en" -> 500), defaultPermille = 100).select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "hash sampling must be reproducible")
+    assert(s1.nonEmpty && s1.size < 300)
+    // a repartition must not change the sample (the rand() failure mode)
+    val s3 = graft.llm.Sampling.stratifiedSample(d.repartition(7), "doc_id", "lang",
+      Map("en" -> 500), defaultPermille = 100).select("doc_id").as[Long].collect().toSet
+    assert(s3 == s1, "sample must be partitioning-invariant")
+
+    val k = graft.llm.Sampling.exactKPerStratum(d, "doc_id", "source", 3)
+    assert(k.count() == 12)
+    assert(k.groupBy("source").count().select("count").as[Long].collect().forall(_ == 3L))
+  }
+
   test("text quality features are exact") {
     val q = TextAnalysis.qualityFeatures(docs.filter(col("doc_id") === 4), "doc_id", "text")
       .collect().head

@@ -57,6 +57,24 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("exact-k sampling pushes the rank limit below the exchange") {
+    val p = plan("sample_topk_per_source")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k must pre-limit map-side or the shuffle carries the corpus")
+  }
+
+  test("stratified sampling is a pure scan+filter: no exchange at all") {
+    val p = plan("sample_stratified")
+    assert(!p.contains("Exchange"), "a rate filter must not shuffle")
+  }
+
+  test("repetition profile aggregates partially before each exchange") {
+    val p = plan("text_repetition")
+    assert(!p.contains("CartesianProduct"))
+    assert("partial_count\\b|partial_sum\\b|HashAggregate".r.findFirstIn(p).isDefined,
+      "token/bigram counts must combine map-side")
+  }
+
   test("brute-force ANN broadcasts the bounded query side (by design)") {
     val p = plan("ann_cosine_topk")
     // the deliberate O(|Q|·N) baseline: tiny query side broadcast against
