@@ -41,6 +41,45 @@ class NoSecretsSpec extends SparkSpecBase {
       == "record 5 not found in source users")
   }
 
+  test("Secrets seam: TTL cache, refresh, URL resolution, value-free errors") {
+    var now = 0L
+    var fetches = 0
+    val backend = Map(
+      "db/cdc" -> Map("user" -> "svc", "password" -> "hunter2-secret"))
+    val s = new graft.util.Secrets(
+      p => { fetches += 1; backend.get(p) }, clock = () => now)
+
+    // cache serves until TTL; expiry re-fetches (23h default under 24h lease)
+    assert(s.getCredentials("db/cdc") == Right(backend("db/cdc")))
+    assert(s.getCredentials("db/cdc") == Right(backend("db/cdc")))
+    assert(fetches == 1)
+    now = s.DefaultTtlMs + 1
+    assert(s.getCredentials("db/cdc").isRight && fetches == 2)
+    // forced refresh always hits the backend
+    assert(s.refresh("db/cdc").isRight && fetches == 3)
+
+    // placeholder resolution: the URL carries no literal secret until here
+    val url = "jdbc:postgresql://h/db?user=${secret:db/cdc#user}&password=${secret:db/cdc#password}"
+    assert(s.resolveUrl(url) ==
+      Right("jdbc:postgresql://h/db?user=svc&password=hunter2-secret"))
+
+    // a missing path/key fails the WHOLE url with value-free text
+    val bad = s.resolveUrl("x?p=${secret:db/cdc#nope}&q=${secret:gone#k}")
+    assert(bad.isLeft)
+    val err = bad.swap.getOrElse("")
+    assert(err.contains("db/cdc#nope") && err.contains("gone#k"))
+    assert(passwordLeaks(err).isEmpty && !err.contains("hunter2"))
+
+    // a throwing backend: unhealthy, and the error names only the path
+    val boom = new graft.util.Secrets(_ => throw new RuntimeException(
+      "connect failed: vault://token=tok-123"))
+    assert(!boom.healthCheck())
+    val e2 = boom.getCredentials("db/cdc").swap.getOrElse("")
+    assert(!e2.contains("tok-123") && e2.contains("db/cdc"))
+
+    s.close()
+  }
+
   test("JDBC connect failure text carries no URL credentials") {
     val url = "jdbc:nodriver://svc:hunter2@db:5432/app?password=hunter2"
     val e = intercept[java.sql.SQLException] {
