@@ -107,6 +107,21 @@ object Cdc2Queries {
       StreamOps.closeOpenSessions(ds, gapUs = 1800000000L).toDF()
     }),
 
+    // AS-OF enrichment: every click gets the same user's most recent
+    // purchase at-or-before it (ties: max purchase event_id — LWW). The
+    // scalable union+window re-expression of a temporal range join.
+    "events_asof_purchase" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      graft.ops.AsOf.joinAtOrBefore(clicks, purchases, Seq("user_id"),
+        leftTs = "ts_us", rightTs = "ts_us", rightTie = "p_event_id",
+        rightVals = Seq("p_event_id", "p_value"), prefix = "")
+    }),
+
     // Per-language n-gram profile: top-3 trigrams by frequency — the
     // language-model fingerprint a lang-ID classifier trains on.
     "text_ngram_freq" -> ((s, dir) => {
@@ -180,6 +195,20 @@ object Cdc2Queries {
         |SELECT user_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
         |  count(*) AS n_events, max(ts_us) - min(ts_us) AS duration_us
         |FROM s GROUP BY user_id, sid""".stripMargin.replace("\n", " "),
+
+    // LATERAL top-1 subquery — the declarative statement of the as-of
+    // contract the union+window plan implements
+    "events_asof_purchase" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts_us, q.p_event_id, q.p_value
+        |FROM c LEFT JOIN LATERAL (
+        |  SELECT p.event_id AS p_event_id, p.value AS p_value FROM p
+        |  WHERE p.user_id = c.user_id AND p.ts_us <= c.ts_us
+        |  ORDER BY p.ts_us DESC, p.event_id DESC LIMIT 1) q ON true"""
+        .stripMargin.replace("\n", " "),
 
     "text_ngram_freq" ->
       """WITH toks AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
