@@ -1,0 +1,74 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental exact dedup across micro-batches / crawl snapshots: emit
+  * only documents whose content hash has never been seen in ANY earlier
+  * batch — the streaming form of [[Dedup.exactDuplicates]], the first
+  * gate of a continuously-fed training corpus.
+  *
+  * Replay idempotence (the at-least-once foreachBatch contract, same
+  * construction as the DLQ writer): the seen-hash state is PARTITIONED BY
+  * BATCH ID, a batch's hashes overwrite only their own `_batch_id`
+  * partition, and novelty for batch N is judged against partitions
+  * `_batch_id < N` only. A replayed batch therefore ignores its own
+  * earlier half-written hashes and re-emits exactly the same novel set —
+  * without the exclusion, a replay would anti-join against itself and
+  * silently emit nothing.
+  *
+  * Scale shape: one hash-keyed LEFT ANTI join per batch (batch side is
+  * trigger-bounded; the state side scans only the hash column, pruned by
+  * the partition filter) + within-batch first-wins compaction (min doc
+  * id, the canonical-doc rule). At very large state, bucket the state
+  * store by hash so the per-batch anti-join co-locates instead of
+  * shuffling the state side — the same evolution path as
+  * BucketedParquetStateStore.
+  */
+final class StreamingDedup(spark: SparkSession, stateDir: String,
+    idCol: String, textCol: String) {
+
+  // dynamic partition overwrite commits partitions WITHOUT a root
+  // _SUCCESS marker — presence = any committed _batch_id= partition dir
+  private def stateExists: Boolean = {
+    val p = java.nio.file.Paths.get(stateDir)
+    java.nio.file.Files.isDirectory(p) && {
+      val s = java.nio.file.Files.list(p)
+      try s.anyMatch(f => f.getFileName.toString.startsWith("_batch_id="))
+      finally s.close()
+    }
+  }
+
+  /** Filter `batch` to never-before-seen documents and record their
+    * hashes under this batch's partition. Within the batch, the minimum
+    * doc id per hash wins (deterministic canonical copy). Returns the
+    * novel rows.
+    */
+  def filterNew(batch: DataFrame, batchId: Long): DataFrame = {
+    val hashed = batch.withColumn("_h", md5(col(textCol)))
+    // within-batch compaction: one candidate per hash, min id — a
+    // map-side-partial aggregate, not a window sort
+    val candidates = hashed
+      .groupBy("_h").agg(min(col(idCol)).as("_min_id"))
+      .join(hashed, Seq("_h"))
+      .filter(col(idCol) === col("_min_id"))
+      .drop("_min_id")
+    val novel =
+      if (!stateExists) candidates
+      else {
+        val prior = spark.read.parquet(stateDir)
+          .filter(col("_batch_id") < batchId) // replay: never self-exclude
+          .select("_h")
+        candidates.join(prior, Seq("_h"), "left_anti")
+      }
+    // materialize BEFORE the state write: the state append must not race
+    // the novelty read of the same directory on lazy re-execution
+    val out = graft.util.Materialize.barrier(novel)
+    out.select(col("_h"), lit(batchId).as("_batch_id"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch_id")
+      .parquet(stateDir)
+    out.drop("_h")
+  }
+}

@@ -121,6 +121,31 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(k.groupBy("source").count().select("count").as[Long].collect().forall(_ == 3L))
   }
 
+  test("streaming dedup: cross-batch novelty, replay idempotence, canonical min id") {
+    val stateDir = tmpDir("sdedup") + "/seen"
+    val sd = new graft.llm.StreamingDedup(spark, stateDir, "doc_id", "text")
+
+    // batch 0: duplicate inside the batch → min id wins
+    val b0 = Seq((5L, "alpha"), (1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val out0 = sd.filterNew(b0, batchId = 0L).select("doc_id").as[Long].collect().toSet
+    assert(out0 == Set(1L, 2L), "within-batch dup collapses to min doc id")
+
+    // batch 1: one seen text, one novel
+    val b1 = Seq((10L, "alpha"), (11L, "gamma")).toDF("doc_id", "text")
+    val out1 = sd.filterNew(b1, batchId = 1L).select("doc_id").as[Long].collect().toSet
+    assert(out1 == Set(11L), "cross-batch duplicate must be suppressed")
+
+    // REPLAY batch 1 (at-least-once): must re-emit the same novel set,
+    // not anti-join against its own half-written hashes
+    val out1b = sd.filterNew(b1, batchId = 1L).select("doc_id").as[Long].collect().toSet
+    assert(out1b == Set(11L), "replay must be idempotent, not empty")
+
+    // batch 2 still sees batch 1's state exactly once
+    val b2 = Seq((20L, "gamma"), (21L, "delta")).toDF("doc_id", "text")
+    val out2 = sd.filterNew(b2, batchId = 2L).select("doc_id").as[Long].collect().toSet
+    assert(out2 == Set(21L))
+  }
+
   test("text quality features are exact") {
     val q = TextAnalysis.qualityFeatures(docs.filter(col("doc_id") === 4), "doc_id", "text")
       .collect().head
