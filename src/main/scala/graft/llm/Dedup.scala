@@ -332,9 +332,14 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
+    // materialize the PAIR plan first: the bidirectional union branches it
+    // twice, and an upstream pair generator (an LSH band join) must not
+    // run twice to build the edge list
+    val p = graft.util.Materialize.stable(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
     val edges = graft.util.Materialize.stable(
-      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+      p.union(p.select(col("dst").as("src"), col("src").as("dst"))))
+    graft.util.Materialize.release(p)
     var labels = graft.util.Materialize.barrier(
       edges.select(col("src").as("v")).distinct().withColumn("l", col("v")))
     def checksum(df: DataFrame): java.math.BigDecimal =

@@ -13,6 +13,12 @@ object Evolution {
   final case class AddColumn(column: String, dataType: DataType) extends Change
   final case class DropColumn(column: String, dataType: DataType) extends Change
   final case class TypeChange(column: String, from: DataType, to: DataType) extends Change
+  /** Nullability tightening/loosening on an otherwise-unchanged column
+    * (`test_schema_type_change.py:176` — nullable → NOT NULL must be
+    * caught: old-schema rows may hold NULLs the new contract forbids).
+    */
+  final case class NullabilityChange(column: String, fromNullable: Boolean,
+      toNullable: Boolean) extends Change
 
   sealed trait Compatibility
   case object Compatible extends Compatibility
@@ -44,7 +50,10 @@ object Evolution {
       .map(x => DropColumn(x.name, x.dataType))
     val changed = to.fields.filter(x => f.get(x.name).exists(_.dataType != x.dataType))
       .map(x => TypeChange(x.name, f(x.name).dataType, x.dataType))
-    (added ++ dropped ++ changed).toSeq
+    val renulled = to.fields.filter(x => f.get(x.name).exists(o =>
+        o.dataType == x.dataType && o.nullable != x.nullable))
+      .map(x => NullabilityChange(x.name, f(x.name).nullable, x.nullable))
+    (added ++ dropped ++ changed ++ renulled).toSeq
   }
 
   /** Safe widenings (int→bigint is the reference's canonical allowed
@@ -71,8 +80,11 @@ object Evolution {
       case AddColumn(c, _) if (mode == Backward || mode == Full) &&
           !to.fields.find(_.name == c).forall(_.nullable) =>
         Some(s"column $c: non-nullable add without default cannot be read over old-schema data")
+      case NullabilityChange(c, true, false) if mode == Backward || mode == Full =>
+        Some(s"column $c: nullable -> NOT NULL cannot hold over old-schema data")
       // DropColumn: graceful in every mode (schema_service.py:299-360 —
-      // the target keeps the column, readers ignore it)
+      // the target keeps the column, readers ignore it); nullability
+      // LOOSENING is always safe
       case _ => None
     }
     if (reasons.isEmpty) Compatible else Incompatible(reasons)

@@ -85,8 +85,39 @@ final class Secrets(
     else Left(s"unresolved secrets: ${missing.mkString(", ")}")
   }
 
+  /** Run `use` with the path's credentials; on an auth-shaped failure,
+    * refresh once and retry — the rotation contract
+    * (`test_credential_rotation.py:15-110`: rotated secrets propagate
+    * WITHOUT a restart; the consumer detects the stale credential at use
+    * time, re-reads, and continues). `isAuthFailure` decides which
+    * exceptions mean "credential stale" (default: SQLState 28xxx —
+    * invalid-authorization class — or an auth-flavored message); anything
+    * else propagates unchanged, so genuine outages still fail fast.
+    */
+  def withRotation[A](path: String)(use: Map[String, String] => A,
+      isAuthFailure: Throwable => Boolean = Secrets.defaultAuthFailure): A = {
+    val creds = getCredentials(path).fold(m => throw new IllegalStateException(m), identity)
+    try use(creds)
+    catch {
+      case e: Exception if isAuthFailure(e) =>
+        val fresh = refresh(path).fold(m => throw new IllegalStateException(m), identity)
+        use(fresh)
+    }
+  }
+
   /** Drop every cached credential (`close`,
     * `vault_repository.py:98-102`).
     */
   def close(): Unit = cache.clear()
+}
+
+object Secrets {
+  /** SQLState class 28 = invalid authorization (SQL standard); message
+    * sniffing covers drivers that wrap auth failures untyped.
+    */
+  def defaultAuthFailure(e: Throwable): Boolean = e match {
+    case s: java.sql.SQLException if Option(s.getSQLState).exists(_.startsWith("28")) => true
+    case _ => Option(e.getMessage).exists(m =>
+      m.toLowerCase.matches(".*(authentication|authorization|password|credential).*"))
+  }
 }

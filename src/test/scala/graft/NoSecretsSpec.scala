@@ -80,6 +80,30 @@ class NoSecretsSpec extends SparkSpecBase {
     s.close()
   }
 
+  test("credential rotation: stale auth refreshes once and retries, no restart") {
+    // test_credential_rotation.py contract: after the backend rotates the
+    // secret, the consumer hits one auth failure, re-reads, and continues
+    var current = Map("password" -> "old-pass")
+    val s = new graft.util.Secrets(_ => Some(current))
+    assert(s.getCredentials("db/cdc").toOption.get("password") == "old-pass")
+    current = Map("password" -> "new-pass") // rotation happens upstream
+    var attempts = 0
+    val r = s.withRotation("db/cdc") { creds =>
+      attempts += 1
+      if (creds("password") != "new-pass")
+        throw new java.sql.SQLException("password authentication failed", "28P01")
+      "connected"
+    }
+    assert(r == "connected" && attempts == 2, "exactly one refresh-and-retry")
+
+    // a non-auth failure must NOT trigger a refresh loop
+    var tries = 0
+    val boom = intercept[RuntimeException] {
+      s.withRotation("db/cdc") { _ => tries += 1; throw new RuntimeException("disk full") }
+    }
+    assert(boom.getMessage == "disk full" && tries == 1)
+  }
+
   test("JDBC connect failure text carries no URL credentials") {
     val url = "jdbc:nodriver://svc:hunter2@db:5432/app?password=hunter2"
     val e = intercept[java.sql.SQLException] {

@@ -136,6 +136,47 @@ class SchemaEvolutionStreamSpec extends SparkSpecBase {
       "fully-expired bucket dir must be removed")
   }
 
+  test("drop-column is graceful in every mode and target data is preserved") {
+    // test_schema_drop_column.py: a column vanishing from the declared
+    // schema must not break the pipeline, and the target keeps it
+    val reg = new SchemaRegistry(tmpDir("evdrop") + "/registry.tsv")
+    val v1 = StructType(Seq(StructField("id", StringType, nullable = false),
+      StructField("name", StringType), StructField("email", StringType)))
+    assert(SchemaEvolvingBatch.applyDeclared(reg, "users", v1, Evolution.Full, 1000L).isRight)
+    val dropped = StructType(Seq(StructField("id", StringType, nullable = false),
+      StructField("name", StringType)))
+    for (mode <- Seq(Evolution.Backward, Evolution.Forward, Evolution.Full))
+      assert(Evolution.check(v1, dropped, mode) == Evolution.Compatible,
+        s"drop must be graceful under $mode")
+    val res = SchemaEvolvingBatch.applyDeclared(reg, "users", dropped, Evolution.Full, 2000L)
+    assert(res.isRight)
+    assert(res.toOption.get._2.fieldNames.contains("email"),
+      "the evolved schema keeps the dropped column (target data preserved)")
+  }
+
+  test("type changes: widenings pass, narrowing and NOT NULL tightening fail") {
+    // test_schema_type_change.py contracts
+    def chk(f: StructType, t: StructType) = Evolution.check(f, t, Evolution.Backward)
+    val id = StructField("id", StringType, nullable = false)
+    // int -> bigint: the canonical allowed change
+    assert(chk(StructType(Seq(id, StructField("n", IntegerType))),
+      StructType(Seq(id, StructField("n", LongType)))) == Evolution.Compatible)
+    // decimal precision expansion ok, contraction not
+    assert(chk(StructType(Seq(id, StructField("d", DecimalType(10, 2)))),
+      StructType(Seq(id, StructField("d", DecimalType(18, 4))))) == Evolution.Compatible)
+    assert(chk(StructType(Seq(id, StructField("d", DecimalType(18, 4)))),
+      StructType(Seq(id, StructField("d", DecimalType(10, 2))))).isInstanceOf[Evolution.Incompatible])
+    // bigint -> int narrows
+    assert(chk(StructType(Seq(id, StructField("n", LongType))),
+      StructType(Seq(id, StructField("n", IntegerType)))).isInstanceOf[Evolution.Incompatible])
+    // nullable -> NOT NULL cannot hold over old data; loosening is fine
+    assert(chk(StructType(Seq(id, StructField("v", StringType, nullable = true))),
+      StructType(Seq(id, StructField("v", StringType, nullable = false))))
+      .isInstanceOf[Evolution.Incompatible])
+    assert(chk(StructType(Seq(id, StructField("v", StringType, nullable = false))),
+      StructType(Seq(id, StructField("v", StringType, nullable = true)))) == Evolution.Compatible)
+  }
+
   test("evolveTable ALTERs in only the missing columns, idempotently") {
     val url = "jdbc:derby:memory:evolvetest;create=true"
     JdbcLwwExecutor.ensureTable(url,
