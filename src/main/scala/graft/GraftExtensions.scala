@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.LongArrayDot
+import graft.plans.RewriteHofDotProduct
+
+/** The engine's `SparkSessionExtensions` entry point — the no-code
+  * deployment hook:
+  * {{{ spark.sql.extensions=graft.GraftExtensions }}}
+  * (or `SparkSession.builder().withExtensions(new GraftExtensions)`)
+  * installs, for every session of the application:
+  *
+  *  - `long_dot(array<bigint>, array<bigint>) -> bigint` as a catalog
+  *    SQL function (the codegen'd integer dot product behind the
+  *    similarity operators), and
+  *  - [[RewriteHofDotProduct]], so the declarative
+  *    `aggregate(zip_with(...))` dot-product idiom is rewritten to the
+  *    same fused loop automatically.
+  *
+  * `ArrayFns.register` remains the per-session programmatic equivalent
+  * for hosts that cannot set the config.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("long_dot"),
+      new ExpressionInfo(classOf[LongArrayDot].getName, "long_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LongArrayDot(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+  }
+}

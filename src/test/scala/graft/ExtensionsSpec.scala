@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** GraftExtensions: the spark.sql.extensions deployment hook installs the
+  * catalog function and the HOF-dot-product rewrite for a whole session.
+  */
+class ExtensionsSpec extends SparkSpecBase {
+
+  private def withExtendedSession[A](f: SparkSession => A): A = {
+    // getOrCreate would hand back the suite's session and silently skip
+    // the extensions — clear the defaults so a REAL new session (same
+    // SparkContext) is built with GraftExtensions applied
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      try f(s)
+      finally {
+        SparkSession.clearDefaultSession()
+        SparkSession.clearActiveSession()
+      }
+    } finally {
+      prev.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
+  }
+
+  test("long_dot resolves as a SQL catalog function and computes exactly") {
+    withExtendedSession { s =>
+      val r = s.sql(
+        "SELECT long_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d").head()
+      assert(r.getLong(0) == 32L)
+    }
+  }
+
+  test("the declarative aggregate(zip_with(...)) idiom rewrites to long_dot") {
+    withExtendedSession { s =>
+      // non-foldable arrays (derived from range) — literal inputs would
+      // constant-fold to a LocalRelation before the plan can be observed
+      val df = s.sql(
+        """SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (s, v) -> s + v) AS d
+          |FROM (SELECT array(id, id + 1L) AS a, array(10L, 20L) AS b FROM range(1, 3))""".stripMargin)
+      assert(df.queryExecution.optimizedPlan.toString.contains("long_dot"),
+        "optimizer must fuse the HOF pattern into the codegen'd expression")
+      // id=1: [1,2]·[10,20]=50; id=2: [2,3]·[10,20]=80
+      assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(50L, 80L),
+        "rewrite must not change the values")
+    }
+  }
+
+  test("non-matching HOF shapes are left untouched") {
+    withExtendedSession { s =>
+      // min-merge, not add: must NOT rewrite (non-foldable input so the
+      // expression survives into the optimized plan either way)
+      val df = s.sql(
+        """SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 0L,
+          |                 (s, v) -> least(s, v)) AS d
+          |FROM (SELECT array(id, id + 1L) AS a, array(10L, 20L) AS b FROM range(1, 2))""".stripMargin)
+      assert(!df.queryExecution.optimizedPlan.toString.contains("long_dot"))
+      assert(df.head().getLong(0) == 0L)
+    }
+  }
+}
