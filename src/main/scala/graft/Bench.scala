@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   *   1. The headline `events_per_sec` is measured FIRST, before the long
   *      query tail can push it into a contention window: 3 trials,
   *      best-of kept (contention only ever slows a trial down).
-  *   2. Each query is timed once; entries that look contaminated (>3 s)
+  *   2. Each query is timed once; entries that look contaminated (>2 s)
   *      are re-measured min-of-up-to-3, cheapest first, under a global
   *      re-measure budget — so one slow outlier can't starve the others'
   *      retries.
@@ -107,12 +107,12 @@ object Bench {
       "_replication_events_per_sec" -> replTrials.toList)
     val results: Map[String, Either[String, Double]] = {
       val slow = sorted.collect {
-        case (n, fn) if pass1(n).exists(_ > 3.0) => (n, fn, pass1(n).getOrElse(0.0))
+        case (n, fn) if pass1(n).exists(_ > 2.0) => (n, fn, pass1(n).getOrElse(0.0))
       }.sortBy(_._3)
       val retried = slow.map { case (n, fn, t1) =>
         var trials = List(t1)
         var k = 0
-        while (k < 2 && rebudget > 0 && trials.min > 3.0) {
+        while (k < 2 && rebudget > 0 && trials.min > 2.0) {
           timeOnce(s"$n (retry)") { fn(spark, sfDir).count(): Unit }.foreach { t =>
             rebudget -= t; trials ::= t
           }

@@ -177,6 +177,26 @@ class SchemaEvolutionStreamSpec extends SparkSpecBase {
       StructType(Seq(id, StructField("v", StringType, nullable = true)))) == Evolution.Compatible)
   }
 
+  test("SC-012: 100 sequential schema changes sustain well under the 10 s bound") {
+    // the reference sustains 100 changes/day with ≤10 s propagation each
+    // (spec.md:268-269); here 100 additive evolutions run back-to-back —
+    // registry write + read + compatibility check per change — in far
+    // less than one propagation bound TOTAL
+    val reg = new SchemaRegistry(tmpDir("evrate") + "/registry.tsv")
+    val t0 = System.nanoTime()
+    var cur = StructType(Seq(StructField("id", StringType, nullable = false)))
+    for (i <- 1 to 100) {
+      cur = StructType(cur.fields :+ StructField(s"c$i", StringType))
+      val r = SchemaEvolvingBatch.applyDeclared(reg, "users", cur, Evolution.Backward,
+        nowUs = i * 1000L)
+      assert(r.isRight, s"change $i must be compatible")
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(reg.current("users").map(_._1).contains(100), "100 versions registered")
+    assert(reg.current("users").map(_._2.fields.length).contains(101))
+    assert(dt < 10.0, f"100 changes took $dt%.1f s - the reference bound is 10 s PER change")
+  }
+
   test("evolveTable ALTERs in only the missing columns, idempotently") {
     val url = "jdbc:derby:memory:evolvetest;create=true"
     JdbcLwwExecutor.ensureTable(url,
