@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.ReplicationJob
+
+/** The cluster materialization mode (`spark.graft.materialize=persist`)
+  * must produce identical results to the local[n] default AND release its
+  * cache per use — a leak here only ever surfaces as an executor OOM on a
+  * real cluster, days in.
+  */
+class MaterializeModeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def inMode[A](mode: String)(f: => A): A = {
+    val key = "spark.graft.materialize"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, mode)
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("persist mode: multi-branch dedup pipelines match the local default") {
+    val docs = Tables.documents(spark, sfDir)
+    def run() = {
+      val jac = graft.llm.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 7, 10, 50)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val cc = graft.llm.Dedup.connectedComponents(
+        graft.llm.Dedup.lshCandidatePairs(docs, "doc_id", "text"), "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toMap
+      (jac, cc)
+    }
+    val local = run()
+    val persisted = inMode("persist") { run() }
+    assert(persisted == local, "persist mode must not change any result")
+    // one-shot query builders cache until session hygiene (the contract
+    // the bench's clearCaches mirrors); the hygiene path must fully drain
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "session cache hygiene must be able to drop every query-mode entry")
+  }
+
+  test("persist mode: processBatch releases its per-trigger cache") {
+    inMode("persist") {
+      val base = tmpDir("matmode")
+      val cfg = ReplicationJob.Config(sourceDir = base,
+        targetDir = s"$base/target", dlqDir = s"$base/dlq",
+        checkpointDir = s"$base/ckpt")
+      val batch = Seq(
+        (1L, 100L, 1L, "view", 1.0),
+        (2L, 200L, 2L, "click", 2.0))
+        .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+        .withColumn("ts", col("ts_us") * 1000)
+        .withColumn("props", lit(null).cast("string"))
+      ReplicationJob.processBatch(spark, batch, cfg, batchId = 0L)
+      ReplicationJob.processBatch(spark, batch, cfg, batchId = 1L)
+      // the release contract: a long-running stream must not accumulate
+      // one cached batch per trigger
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        s"leaked cache entries: ${spark.sparkContext.getPersistentRDDs.keys}")
+      val state = spark.read.parquet(s"$base/target")
+      assert(state.count() == 2)
+    }
+  }
+}
