@@ -182,29 +182,50 @@ object Similarity {
     * scans; the only shuffle is the cell-keyed candidate join. Cell
     * assignment and rerank reuse the exact integer cosine.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame,
-      numCentroids: Int, nprobe: Int, k: Int): DataFrame = {
+  /** Deterministic hash-sampled centroid seed set: (cent_id, centv,
+    * ncent), `numCentroids` rows.
+    */
+  def sampledCentroids(corpus: DataFrame, numCentroids: Int): DataFrame =
+    corpus.select(col("vec_id"), quantize(col("embedding")).as("centv"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(numCentroids)
+      .select(col("vec_id").as("cent_id"), col("centv"))
+      .withColumn("ncent", dotQ("centv", "centv"))
+
+  /** Assign each vector its `keep` nearest centroids by exact integer
+    * cosine (broadcast centroid table; per-vector top-keep via
+    * WindowGroupLimit).
+    */
+  private def assignCells(df: DataFrame, cents: DataFrame,
+      id: String, v: String, n: String, keep: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = graft.util.Materialize.stable(
-      corpus.select(col("vec_id"), quantize(col("embedding")).as("centv"))
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(numCentroids)
-        .select(col("vec_id").as("cent_id"), col("centv"))
-        .withColumn("ncent", dotQ("centv", "centv")))
-    def assigned(df: DataFrame, id: String, v: String, n: String, keep: Int) = {
-      val base = Dedup.widen(df).select(col("vec_id").as(id), quantize(col("embedding")).as(v))
-        .withColumn(n, dotQ(v, v))
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("_cent_cos").desc, col("cent_id"))
-      base.crossJoin(broadcast(cents))
-        .withColumn("_cent_cos",
-          cosineFromInts(dotQ(v, "centv"), col(n), col("ncent")))
-        .withColumn("_crn", row_number().over(w))
-        .filter(col("_crn") <= keep)
-        .select(col(id), col(v), col(n), col("cent_id").as("cell"))
-    }
-    val c = assigned(corpus, "cid", "cv", "nc", keep = 1)
-    val q = assigned(queries, "qid", "qv", "nq", keep = nprobe)
+    val base = Dedup.widen(df).select(col("vec_id").as(id), quantize(col("embedding")).as(v))
+      .withColumn(n, dotQ(v, v))
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("_cent_cos").desc, col("cent_id"))
+    base.crossJoin(broadcast(cents))
+      .withColumn("_cent_cos",
+        cosineFromInts(dotQ(v, "centv"), col(n), col("ncent")))
+      .withColumn("_crn", row_number().over(w))
+      .filter(col("_crn") <= keep)
+      .select(col(id), col(v), col(n), col("cent_id").as("cell"))
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      numCentroids: Int, nprobe: Int, k: Int): DataFrame =
+    ivfTopKWith(corpus, queries,
+      graft.util.Materialize.stable(sampledCentroids(corpus, numCentroids)),
+      nprobe, k)
+
+  /** IVF search against a CALLER-SUPPLIED centroid table — the seam that
+    * takes [[kmeansCentroids]]' refined centroids (or any external
+    * codebook) without changing the plan shape.
+    */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, cents: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = assignCells(corpus, cents, "cid", "cv", "nc", keep = 1)
+    val q = assignCells(queries, cents, "qid", "qv", "nq", keep = nprobe)
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))
     c.join(q, Seq("cell"))
       .filter(col("cid") =!= col("qid"))
@@ -212,6 +233,72 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "cid", "cell", "rank", "cos_sim")
+  }
+
+  /** Lloyd refinement of the IVF codebook: `iters` rounds of
+    * assign-to-nearest (broadcast centroids, exact integer cosine) +
+    * per-cell elementwise mean. The production step the fixed-sample
+    * doc above deferred — it changes centroid VALUES, never plan shape.
+    *
+    * Scale shape per round: one broadcast-assign scan, one
+    * (cell, dimension)-keyed partial-sum aggregate over the exploded
+    * coordinates (N×d rows — the canonical distributed k-means shuffle,
+    * map-side combined), one array rebuild per cell. Means stay in the
+    * quantized int64 domain (sum div count), so results are deterministic
+    * under any partitioning and engine-portable. A cell that loses every
+    * vector keeps its previous centroid (no NaN drift, codebook size
+    * constant). Lineage is truncated per round.
+    */
+  /** Deterministic farthest-point seeding (the greedy k-means++ variant):
+    * seed 1 is the hash-min vector; each next seed is the vector with the
+    * LOWEST maximum cosine to the chosen set (i.e. farthest from every
+    * seed so far), ties by vec_id. Plain hash sampling can drop two seeds
+    * into one true cluster, and Lloyd can never split them apart again —
+    * farthest-point guarantees spread. Cost: k-1 broadcast scans, k
+    * bounded and small.
+    */
+  def farthestPointSeeds(corpus: DataFrame, k: Int): DataFrame = {
+    val base = graft.util.Materialize.stable(
+      corpus.select(col("vec_id"), quantize(col("embedding")).as("centv"))
+        .withColumn("ncent", dotQ("centv", "centv")))
+    var seeds = base
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(1)
+    for (_ <- 2 to k) {
+      val s = broadcast(seeds.select(col("vec_id").as("sid"),
+        col("centv").as("sv"), col("ncent").as("sn")))
+      val next = base.crossJoin(s)
+        .groupBy("vec_id", "centv", "ncent")
+        .agg(max(cosineFromInts(dotQ("centv", "sv"), col("ncent"), col("sn")))
+          .as("_near"))
+        .orderBy(col("_near").asc, col("vec_id"))
+        .limit(1)
+        .select("vec_id", "centv", "ncent")
+      seeds = graft.util.Materialize.barrier(seeds.unionByName(next))
+    }
+    graft.util.Materialize.release(base)
+    seeds.select(col("vec_id").as("cent_id"), col("centv"), col("ncent"))
+  }
+
+  def kmeansCentroids(corpus: DataFrame, numCentroids: Int, iters: Int): DataFrame = {
+    var cents = graft.util.Materialize.barrier(
+      farthestPointSeeds(corpus, numCentroids))
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(corpus, cents, "cid", "cv", "nc", keep = 1)
+      val means = assigned
+        .select(col("cell"), posexplode(col("cv")))
+        .groupBy("cell", "pos").agg(sum("col").as("s"), count(lit(1)).as("n"))
+        .groupBy("cell").agg(
+          expr("transform(array_sort(collect_list(named_struct('p', pos, 'v', s div n)))," +
+            " x -> x.v)").as("centv"))
+      cents = graft.util.Materialize.barrier(
+        cents.select(col("cent_id"), col("centv").as("_old"), col("ncent").as("_oldn"))
+          .join(means.withColumnRenamed("cell", "cent_id")
+            .withColumnRenamed("centv", "_new"), Seq("cent_id"), "left")
+          .withColumn("centv", coalesce(col("_new"), col("_old")))
+          .select(col("cent_id"), col("centv"))
+          .withColumn("ncent", dotQ("centv", "centv")))
+    }
+    cents
   }
 
   /** Bucket id for multi-table LSH: table `t` uses planes

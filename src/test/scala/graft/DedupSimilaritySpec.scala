@@ -198,6 +198,32 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(hits.toDouble / bf.size >= 0.5, s"IVF recall@1 too low: $hits/${bf.size}")
   }
 
+  test("k-means centroids: clustered data separates, empty cells keep centroids") {
+    import graft.llm.Similarity
+    // three tight clusters along distinct axes of a 4-d space
+    def v(base: Array[Float], i: Int): Array[Float] =
+      base.zipWithIndex.map { case (x, j) => x + (if (j == i % 4) 0.01f * (i % 3) else 0f) }
+    val rows = (0 until 30).map { i =>
+      val cluster = i % 3
+      val base = Array.fill(4)(0.02f)
+      base(cluster) = 1f
+      (i.toLong, v(base, i), cluster)
+    }
+    val emb = rows.map { case (id, e, _) => (id, e) }.toDF("vec_id", "embedding")
+
+    val cents = Similarity.kmeansCentroids(emb, numCentroids = 3, iters = 4)
+    assert(cents.count() == 3, "codebook size constant")
+
+    // every vector's nearest refined centroid groups it with its cluster
+    val assign = Similarity.ivfTopKWith(emb, emb, cents, nprobe = 1, k = 30)
+      .select("qid", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = rows.groupBy(_._3).view.mapValues(_.map(x => assign(x._1)).toSet)
+    byCluster.foreach { case (c, cells) =>
+      assert(cells.size == 1, s"cluster $c split across cells $cells")
+    }
+    assert(byCluster.values.flatten.toSet.size == 3, "three distinct cells used")
+  }
+
   test("cosine near-dup pairs: exact above threshold, LSH blocking recall") {
     val emb = Tables.embeddings(spark, sfDir)
     val thr = 0.35
