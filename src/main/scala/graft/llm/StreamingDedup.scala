@@ -46,13 +46,17 @@ final class StreamingDedup(spark: SparkSession, stateDir: String,
     */
   def filterNew(batch: DataFrame, batchId: Long): DataFrame = {
     val hashed = batch.withColumn("_h", md5(col(textCol)))
-    // within-batch compaction: one candidate per hash, min id — a
-    // map-side-partial aggregate, not a window sort
+    // within-batch compaction: EXACTLY one candidate row per hash, min
+    // doc id. A min-id aggregate re-joined against the batch would leak
+    // duplicates when the same (id, text) row arrives twice in one batch
+    // (at-least-once sources do this) — rank-1 emits one row always, and
+    // the rank<=1 filter compiles to WindowGroupLimit (map-side limited).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_h").orderBy(col(idCol))
     val candidates = hashed
-      .groupBy("_h").agg(min(col(idCol)).as("_min_id"))
-      .join(hashed, Seq("_h"))
-      .filter(col(idCol) === col("_min_id"))
-      .drop("_min_id")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
     val novel =
       if (!stateExists) candidates
       else {

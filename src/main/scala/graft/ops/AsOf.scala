@@ -35,6 +35,9 @@ object AsOf {
       leftTs: String, rightTs: String, rightTie: String,
       rightVals: Seq[String], prefix: String = "asof_"): DataFrame = {
     val leftCols = left.columns.toSeq
+    val reserved = Seq("_ts", "_side", "_tie", "_rv", "_carry")
+    require(!leftCols.exists(reserved.contains),
+      s"left frame uses a reserved as-of column name (${reserved.mkString(", ")})")
     // one struct column carries the right payload so a single last()
     // tracks all requested values atomically (no per-column windows)
     val l = left

@@ -50,8 +50,10 @@ object Evolution {
       .map(x => DropColumn(x.name, x.dataType))
     val changed = to.fields.filter(x => f.get(x.name).exists(_.dataType != x.dataType))
       .map(x => TypeChange(x.name, f(x.name).dataType, x.dataType))
+    // independent of any dataType change on the same column — a widening
+    // combined with a NOT NULL tightening must still surface the tightening
     val renulled = to.fields.filter(x => f.get(x.name).exists(o =>
-        o.dataType == x.dataType && o.nullable != x.nullable))
+        o.nullable != x.nullable))
       .map(x => NullabilityChange(x.name, f(x.name).nullable, x.nullable))
     (added ++ dropped ++ changed ++ renulled).toSeq
   }

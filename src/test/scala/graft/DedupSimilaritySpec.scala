@@ -125,10 +125,13 @@ class DedupSimilaritySpec extends SparkSpecBase {
     val stateDir = tmpDir("sdedup") + "/seen"
     val sd = new graft.llm.StreamingDedup(spark, stateDir, "doc_id", "text")
 
-    // batch 0: duplicate inside the batch → min id wins
-    val b0 = Seq((5L, "alpha"), (1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
-    val out0 = sd.filterNew(b0, batchId = 0L).select("doc_id").as[Long].collect().toSet
-    assert(out0 == Set(1L, 2L), "within-batch dup collapses to min doc id")
+    // batch 0: duplicate inside the batch → min id wins; the literal
+    // same ROW delivered twice (at-least-once source) must emit ONCE
+    val b0 = Seq((5L, "alpha"), (1L, "alpha"), (1L, "alpha"), (2L, "beta"))
+      .toDF("doc_id", "text")
+    val out0 = sd.filterNew(b0, batchId = 0L).select("doc_id").as[Long].collect()
+    assert(out0.toSet == Set(1L, 2L), "within-batch dup collapses to min doc id")
+    assert(out0.length == 2, "a row delivered twice must not emit twice")
 
     // batch 1: one seen text, one novel
     val b1 = Seq((10L, "alpha"), (11L, "gamma")).toDF("doc_id", "text")

@@ -175,6 +175,10 @@ class SchemaEvolutionStreamSpec extends SparkSpecBase {
       .isInstanceOf[Evolution.Incompatible])
     assert(chk(StructType(Seq(id, StructField("v", StringType, nullable = false))),
       StructType(Seq(id, StructField("v", StringType, nullable = true)))) == Evolution.Compatible)
+    // a widening combined with a tightening must still be caught
+    assert(chk(StructType(Seq(id, StructField("n", IntegerType, nullable = true))),
+      StructType(Seq(id, StructField("n", LongType, nullable = false))))
+      .isInstanceOf[Evolution.Incompatible])
   }
 
   test("SC-012: 100 sequential schema changes sustain well under the 10 s bound") {
