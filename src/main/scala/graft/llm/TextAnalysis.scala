@@ -95,6 +95,40 @@ object TextAnalysis {
       .withColumn("top_bigram_n", coalesce(col("top_bigram_n"), lit(0L)))
   }
 
+  /** Token-window chunking — context-window packing for training: split
+    * each document into windows of `size` tokens advancing by
+    * `size - overlap`, keeping the partial tail window (a short doc
+    * yields exactly one chunk of itself). Pure per-row explode — the
+    * chunk set of a doc depends on nothing else, so the operator is a
+    * map stage at any corpus size; downstream packing/shuffling is the
+    * consumer's choice.
+    *
+    * Start positions (1-based): 1, 1+stride, …, up to
+    * `max(1, n_tokens − size + stride)` — the last start that still
+    * contributes ≥1 new token. Identical arithmetic in the DuckDB
+    * oracle, so chunk strings match byte-for-byte.
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < size, got size=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), col("_toks"),
+        explode(expr(
+          s"sequence(1, greatest(1, size(_toks) - $chunkSize + $stride), $stride)"))
+          .as("_start"))
+      .select(
+        col("doc_id"),
+        ((col("_start") - 1) / stride).cast("int").as("chunk_idx"),
+        expr(s"slice(_toks, _start, $chunkSize)").as("_chunk"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        size(col("_chunk")).as("chunk_tokens"),
+        concat_ws(" ", col("_chunk")).as("chunk_text"))
+  }
+
   /** Heuristic language ID: stopword-density score in per-mille; 'en'
     * when density ≥ threshold else 'und'. (An n-gram-profile classifier
     * reduces to the same shape: per-marker-set counts → argmax; kept to

@@ -130,6 +130,11 @@ object LlmQueries {
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionProfile(Tables.documents(s, dir), "doc_id", "text")),
 
+    // context-window packing: 32-token chunks, 8-token overlap
+    "text_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkTokens(Tables.documents(s, dir), "doc_id", "text",
+        chunkSize = 32, overlap = 8)),
+
     // deterministic curation sampling: 20% of en, 10% of everything else
     "sample_stratified" -> ((s, dir) =>
       Sampling.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
@@ -319,6 +324,15 @@ object LlmQueries {
         |  coalesce(top_bigram_n, 0) AS top_bigram_n
         |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id"""
         .stripMargin.replace("\n", " "),
+
+    "text_chunks" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |st AS (SELECT doc_id, t, unnest(range(1, greatest(1, len(t) - 32 + 24) + 1, 24)) AS s
+        |  FROM toks)
+        |SELECT doc_id, CAST((s - 1) // 24 AS INTEGER) AS chunk_idx,
+        |  CAST(len(t[s:s+31]) AS INTEGER) AS chunk_tokens,
+        |  array_to_string(t[s:s+31], ' ') AS chunk_text
+        |FROM st""".stripMargin.replace("\n", " "),
 
     "sample_stratified" ->
       """SELECT doc_id, lang, source FROM documents

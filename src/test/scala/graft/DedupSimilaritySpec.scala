@@ -102,6 +102,23 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(m(2L) == ((1L, 1L, 1L, 0L)))
   }
 
+  test("token chunking: stride, overlap continuity, short-doc single chunk") {
+    val d = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 toks, w=4, s=3 → starts 1,4,7
+      (2L, "a b")                              // shorter than the window
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(d, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, Int, String)].collect()
+    assert(out.filter(_._1 == 1L).map(_._4).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"),
+      "windows advance by stride and share the overlap token")
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 2, "a b")),
+      "short doc yields one partial chunk of itself")
+    // every token of doc 1 appears in at least one chunk
+    assert(out.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet.size == 10)
+  }
+
   test("deterministic sampling: stable across runs, exact k per stratum") {
     val d = (1L to 300L).map(i => (i, if (i % 3 == 0) "en" else "de", s"s${i % 4}"))
       .toDF("doc_id", "lang", "source")
