@@ -342,8 +342,11 @@ object Dedup {
     graft.util.Materialize.release(p)
     var labels = graft.util.Materialize.barrier(
       edges.select(col("src").as("v")).distinct().withColumn("l", col("v")))
+    // coalesce: sum over ZERO rows is NULL — an empty pair set (no
+    // near-dups found) must converge immediately, not NPE the compare
     def checksum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("l").cast("decimal(38,0)"))).head().getDecimal(0)
+      df.agg(coalesce(sum(col("l").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
     var prev = checksum(labels)
     var done = false
     var i = 0
@@ -359,6 +362,12 @@ object Dedup {
       i += 1
     }
     graft.util.Materialize.release(edges)
+    if (!done)
+      // silent partial propagation would split components and diverge
+      // from the oracle's exact closure — surface it
+      System.err.println(s"[graft] connectedComponents: fixpoint NOT " +
+        s"reached after $maxIter rounds (component diameter exceeds " +
+        s"maxIter); labels may split components — raise maxIter")
     labels.select(col("v").as("doc_id"), col("l").as("cluster_id"))
   }
 

@@ -266,7 +266,13 @@ object Similarity {
     for (_ <- 2 to k) {
       val s = broadcast(seeds.select(col("vec_id").as("sid"),
         col("centv").as("sv"), col("ncent").as("sn")))
-      val next = base.crossJoin(s)
+      // exclude already-chosen ids: when every remaining vector is
+      // cosine-1 to the chosen set (fewer distinct directions than k),
+      // the argmin would otherwise re-select an existing seed and the
+      // codebook would carry duplicate cent_id rows
+      val next = base
+        .join(seeds.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .crossJoin(s)
         .groupBy("vec_id", "centv", "ncent")
         .agg(max(cosineFromInts(dotQ("centv", "sv"), col("ncent"), col("sn")))
           .as("_near"))

@@ -45,7 +45,12 @@ final class StreamingDedup(spark: SparkSession, stateDir: String,
     * novel rows.
     */
   def filterNew(batch: DataFrame, batchId: Long): DataFrame = {
-    val hashed = batch.withColumn("_h", md5(col(textCol)))
+    // md5(NULL) is NULL, and NULL never equi-joins against seen-state:
+    // a null-text row would re-emit as "novel" every single batch. A null
+    // doc is not a document — drop it before hashing (the quality gates
+    // upstream discard it anyway).
+    val hashed = batch.filter(col(textCol).isNotNull)
+      .withColumn("_h", md5(col(textCol)))
     // within-batch compaction: EXACTLY one candidate row per hash, min
     // doc id. A min-id aggregate re-joined against the batch would leak
     // duplicates when the same (id, text) row arrives twice in one batch

@@ -76,7 +76,10 @@ object TextAnalysis {
     * (bounded by max doc length, not corpus size).
     */
   def repetitionProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+    // the tokenized frame feeds BOTH aggregate branches of the join —
+    // materialize once or the scan + split run twice
+    val base = graft.util.Materialize.stable(
+      docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks")))
     val tokStats = base
       .select(col("doc_id"), explode(col("_toks")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))

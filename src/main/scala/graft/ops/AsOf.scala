@@ -56,9 +56,12 @@ object AsOf {
         struct(rightVals.map(col): _*).as("_rv")): _*)
     val u = l.unionByName(r, allowMissingColumns = true)
     // right-before-left at equal ts (inclusive as-of); max tie last so the
-    // running last() resolves simultaneous right rows by LWW
+    // running last() resolves simultaneous right rows by LWW. Null ties
+    // sort FIRST: a null LWW position loses to any real one everywhere in
+    // this engine (the max_by fold, the DLQ rule) — nulls_last would let
+    // a null-tie right row WIN the simultaneous tie-break instead
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts").asc, col("_side").asc, col("_tie").asc_nulls_last)
+      .orderBy(col("_ts").asc, col("_side").asc, col("_tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn("_carry", last("_rv", ignoreNulls = true).over(w))
       .filter(col("_side") === 1)

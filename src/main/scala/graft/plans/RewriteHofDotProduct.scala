@@ -25,8 +25,13 @@ import graft.functions.LongArrayDot
   */
 object RewriteHofDotProduct extends Rule[LogicalPlan] {
 
+  /** Only nullless element types are eligible: a NULL element makes the
+    * declarative form return NULL (null propagates through the lambda),
+    * which the fused loop cannot reproduce — skip statically rather than
+    * change results.
+    */
   private def isLongArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(LongType, _) => true
+    case ArrayType(LongType, containsNull) => !containsNull
     case _ => false
   }
 
@@ -67,6 +72,11 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
           finish: LambdaFunction)
         if isLongArray(a) && isLongArray(b) && isZeroSeed(seed) &&
           isMultiplyOfVars(zip) && isAddOfVars(merge) && isIdentity(finish) =>
-        LongArrayDot(a, b)
+        // zip_with pads the shorter array with NULLs, so the declarative
+        // form returns NULL on a length mismatch; preserve that exactly —
+        // the fused loop only answers when lengths agree
+        If(EqualTo(Size(a), Size(b)),
+          LongArrayDot(a, b),
+          Literal(null, LongType))
     }
 }

@@ -130,9 +130,15 @@ object JdbcLwwExecutor {
     val esc = md.getSearchStringEscape
     def pat(t: String) = t.replace(esc, esc + esc)
       .replace("_", esc + "_").replace("%", esc + "%")
+    // scope to the connection's CURRENT schema: a null schema pattern
+    // unions same-named tables across schemas (public.t + staging.t), and
+    // a column present only in the OTHER schema would wrongly be skipped
+    // here — then every upsert fails on the still-missing column
+    val schemaPat = try Option(conn.getSchema).map(pat).orNull
+      catch { case _: Exception => null } // driver may not implement it
     def columnsOf(t: String): Set[String] = {
       val b = Set.newBuilder[String]
-      val rs = md.getColumns(null, null, pat(t), null)
+      val rs = md.getColumns(null, schemaPat, pat(t), null)
       try while (rs.next()) b += rs.getString("COLUMN_NAME").toLowerCase
       finally rs.close()
       b.result()

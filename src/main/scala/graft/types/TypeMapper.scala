@@ -155,13 +155,18 @@ object TypeMapper {
     val esc = md.getSearchStringEscape
     val tablePattern = table.replace(esc, esc + esc)
       .replace("_", esc + "_").replace("%", esc + "%")
+    // scope to the connection's current schema — a null pattern unions
+    // same-named tables across schemas into one merged struct
+    val schemaPat = try Option(conn.getSchema).map(s =>
+        s.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")).orNull
+      catch { case _: Exception => null }
     val pks = {
       val rs = md.getPrimaryKeys(null, null, table)
       val b = Set.newBuilder[String]
       try while (rs.next()) b += rs.getString("COLUMN_NAME") finally rs.close()
       b.result()
     }
-    val rs = md.getColumns(null, null, tablePattern, null)
+    val rs = md.getColumns(null, schemaPat, tablePattern, null)
     val fields = Seq.newBuilder[StructField]
     try while (rs.next()) {
       val name = rs.getString("COLUMN_NAME")

@@ -117,7 +117,11 @@ object Secrets {
     */
   def defaultAuthFailure(e: Throwable): Boolean = e match {
     case s: java.sql.SQLException if Option(s.getSQLState).exists(_.startsWith("28")) => true
-    case _ => Option(e.getMessage).exists(m =>
-      m.toLowerCase.matches(".*(authentication|authorization|password|credential).*"))
+    case _ => Option(e.getMessage).map(_.toLowerCase).exists(m =>
+      // contains, not a regex match: `.matches` needs a FULL-string match
+      // and `.` stops at newlines — a multiline driver message ("FATAL:
+      // password authentication failed\nDetail: ...") would slip through
+      Seq("authentication", "authorization", "password", "credential")
+        .exists(m.contains))
   }
 }

@@ -47,6 +47,18 @@ class AsOfSpec extends SparkSpecBase {
     assert(m(200L)._1.contains(30L))
   }
 
+  test("a null-tie right row loses to a real tie at the same timestamp") {
+    val l = Seq((1L, 1L, 300L)).toDF("event_id", "user_id", "ts_us")
+    val r = Seq(
+      (1L, 300L, Option(20L), 2.0),
+      (1L, 300L, Option.empty[Long], 9.0) // null LWW position must lose
+    ).toDF("user_id", "ts_us", "p_id", "p_val")
+    val m = AsOf.joinAtOrBefore(l, r, Seq("user_id"),
+      "ts_us", "ts_us", "p_id", Seq("p_id", "p_val")).head()
+    assert(m.getAs[Long]("asof_p_id") == 20L,
+      "null tie must sort first (lose), matching the engine's LWW rule")
+  }
+
   test("left row count is preserved exactly (no fan-out, no drops)") {
     val out = AsOf.joinAtOrBefore(left, right, Seq("user_id"),
       "ts_us", "ts_us", "p_id", Seq("p_id"))

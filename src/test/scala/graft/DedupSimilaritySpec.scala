@@ -166,6 +166,33 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(out2 == Set(21L))
   }
 
+  test("connected components: empty pair set converges to an empty table") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty, "doc_a", "doc_b").count() == 0)
+  }
+
+  test("streaming dedup: null-text rows are dropped, not eternally novel") {
+    val stateDir = tmpDir("sdnull") + "/seen"
+    val sd = new graft.llm.StreamingDedup(spark, stateDir, "doc_id", "text")
+    val b = Seq((1L, Option("alpha")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    assert(sd.filterNew(b, 0L).select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // the null row must not re-emit on the next batch either
+    assert(sd.filterNew(b, 1L).count() == 0)
+  }
+
+  test("farthest-point seeding never duplicates a seed when k exceeds distinct vectors") {
+    import graft.llm.Similarity
+    // only 2 distinct embeddings but k=3
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(1f, 0f)), (4L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val seeds = Similarity.farthestPointSeeds(emb, 3)
+      .select("cent_id").as[Long].collect()
+    assert(seeds.distinct.length == seeds.length, "no duplicate seed ids")
+  }
+
   test("text quality features are exact") {
     val q = TextAnalysis.qualityFeatures(docs.filter(col("doc_id") === 4), "doc_id", "text")
       .collect().head

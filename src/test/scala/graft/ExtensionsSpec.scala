@@ -55,6 +55,18 @@ class ExtensionsSpec extends SparkSpecBase {
     }
   }
 
+  test("the rewrite preserves NULL-on-length-mismatch semantics") {
+    withExtendedSession { s =>
+      // zip_with pads the shorter array with NULLs → declarative result
+      // is NULL; the rewritten plan must answer identically
+      val df = s.sql(
+        """SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (s, v) -> s + v) AS d
+          |FROM (SELECT array(id, id + 1L, id + 2L) AS a, array(10L, 20L) AS b
+          |      FROM range(1, 2))""".stripMargin)
+      assert(df.head().isNullAt(0), "length mismatch must stay NULL after rewrite")
+    }
+  }
+
   test("non-matching HOF shapes are left untouched") {
     withExtendedSession { s =>
       // min-merge, not add: must NOT rewrite (non-foldable input so the
