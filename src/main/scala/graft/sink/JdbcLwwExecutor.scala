@@ -67,6 +67,12 @@ object JdbcLwwExecutor {
           graft.util.Redact.secrets(
             s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("connect failed")}"),
           e.getSQLState)
+      // several drivers throw RuntimeException/IllegalArgumentException
+      // during URL parsing — those messages echo the raw URL too, and
+      // nothing downstream of foreachPartition redacts them
+      case scala.util.control.NonFatal(e) =>
+        throw new SQLException(graft.util.Redact.secrets(
+          s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("connect failed")}"))
     }
 
   /** Column identifiers are double-quoted (SQL-standard delimited

@@ -89,6 +89,19 @@ private[sink] object StateLayout {
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
 
+  /** The LWW truncate-survivor predicate, SHARED by both parquet stores
+    * so the null rule can never diverge between them (it must also stay
+    * in lockstep with `JdbcLwwExecutor.truncateTable`'s SQL): a row
+    * survives iff its (ts, tie) strictly out-orders the watermark;
+    * a null position carries no ordering info and loses deterministically
+    * (coalesce, not a null-dropping filter).
+    */
+  def survivesTruncate(tsCol: String, tieCol: String,
+      tsUs: Long, tieId: Long): org.apache.spark.sql.Column =
+    coalesce(
+      col(tsCol) > tsUs || (col(tsCol) === tsUs && col(tieCol) > tieId),
+      lit(false))
+
   /** Union two frames after null-padding each to their combined column
     * set (additive schema evolution: new columns null on old state).
     */
@@ -168,10 +181,7 @@ final class ParquetStateStore(
   def truncate(tsUs: Long, tieId: Long): Long = {
     if (!exists) return 0L
     val state = read()
-    // null-safe: a null (ts, tie) carries no ordering info and loses the
-    // truncate deterministically (coalesce, not a null-dropping filter)
-    val survives = coalesce(
-      col(tsCol) > tsUs || (col(tsCol) === tsUs && col(tieCol) > tieId), lit(false))
+    val survives = StateLayout.survivesTruncate(tsCol, tieCol, tsUs, tieId)
     val nDead = state.filter(!survives).count()
     if (nDead > 0) swapIn(state.filter(survives))
     nDead
@@ -302,8 +312,7 @@ final class BucketedParquetStateStore(
     * files. Replay-idempotent. Returns rows cleared.
     */
   def truncate(tsUs: Long, tieId: Long): Long =
-    dropWhere(!coalesce(
-      col(tsCol) > tsUs || (col(tsCol) === tsUs && col(tieCol) > tieId), lit(false)))
+    dropWhere(!StateLayout.survivesTruncate(tsCol, tieCol, tsUs, tieId))
 
   /** Drop rows matching `deadPred`, rewriting only buckets that contain
     * such rows; a bucket left empty has its partition directory removed
@@ -314,14 +323,18 @@ final class BucketedParquetStateStore(
     if (!exists) return 0L
     ensureBucketCount()
     val state = spark.read.parquet(dir)
-    val buckets = state.filter(deadPred).select("_bucket").distinct()
-      .collect().map(_.getInt(0)).toSeq
-    if (buckets.isEmpty) return 0L
+    // one aggregation serves both bucket discovery AND the dead count —
+    // the old shape re-scanned the touched buckets a third time just to
+    // count what it was about to drop
+    val deadByBucket = state.filter(deadPred).groupBy("_bucket").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    if (deadByBucket.isEmpty) return 0L
+    val buckets = deadByBucket.map(_._1).toSeq
+    val nDead = deadByBucket.map(_._2).sum
     val touched = state.filter(col("_bucket").isin(buckets.map(Int.box): _*))
     // lineage-truncating barrier: survivors must be fully materialized
     // before overwriting the files they came from (see upsert)
     val live = graft.util.Materialize.barrier(touched.filter(!deadPred))
-    val nDead = touched.filter(deadPred).count()
     val liveBuckets = live.select("_bucket").distinct().collect().map(_.getInt(0)).toSet
     if (liveBuckets.nonEmpty)
       live.write.mode(SaveMode.Overwrite)

@@ -86,11 +86,21 @@ object EventLogSource {
   }
 
   /** Scan forward from `fromByte`, consuming at most `maxLines` lines.
-    * Returns (linesRead, byteAfterLastLine, reachedEof). A final line
-    * without a trailing newline still counts. This is the single byte/
-    * row accounting primitive — offsets and readers must agree on it.
+    * Returns (linesRead, byteAfterLastLine, reachedEof). This is the
+    * single byte/row accounting primitive — offsets and readers must
+    * agree on it.
+    *
+    * `countUnterminated`: whether a final line with no trailing newline
+    * counts. TRUE for closed segments and batch reads (the writer moved
+    * on — that tail line is final). FALSE when the stream scans the
+    * GROWING tail segment: a partially-flushed line must not be counted,
+    * because the byte anchor would land mid-line in the checkpoint and
+    * the next trigger would emit the line's remainder as a garbage row
+    * (one event lost + two DLQ phantoms). The uncounted line is consumed
+    * on a later trigger, once its newline arrives or the segment closes.
     */
-  def scanLines(file: Path, fromByte: Long, maxLines: Long): (Long, Long, Boolean) = {
+  def scanLines(file: Path, fromByte: Long, maxLines: Long,
+      countUnterminated: Boolean = true): (Long, Long, Boolean) = {
     val in = new BufferedInputStream(Files.newInputStream(file))
     try {
       var toSkip = fromByte
@@ -107,7 +117,9 @@ object EventLogSource {
         val b = in.read()
         if (b < 0) {
           eof = true
-          if (sinceNewline > 0) { lines += 1; byte += sinceNewline; sinceNewline = 0 }
+          if (sinceNewline > 0 && countUnterminated) {
+            lines += 1; byte += sinceNewline; sinceNewline = 0
+          }
         } else if (b == '\n') {
           lines += 1; byte += sinceNewline + 1; sinceNewline = 0
         } else sinceNewline += 1
@@ -229,8 +241,10 @@ final class EventLogMicroBatchStream(path: String, maxRows: Long)
     availableNowCap = Some(
       if (ss.isEmpty) EventLogOffset(0, 0L)
       else {
-        val (rows, bytes, _) =
-          EventLogSource.scanLines(Paths.get(path, ss.last), 0L, Long.MaxValue)
+        // same tail rule as latestOffset: a partially-flushed final line
+        // is not available yet — a cap counting it could never be reached
+        val (rows, bytes, _) = EventLogSource.scanLines(
+          Paths.get(path, ss.last), 0L, Long.MaxValue, countUnterminated = false)
         EventLogOffset(ss.length - 1, rows, ss.last, bytes)
       })
   }
@@ -253,12 +267,22 @@ final class EventLogMicroBatchStream(path: String, maxRows: Long)
     val ss = segs
     if (ss.isEmpty) return s
     var seg = resolveSeg(s, ss)
-    var row = if (s.name.isEmpty || ss(seg) == s.name) s.row else 0L
-    var byte = if (row == s.row) resolveByte(s, ss(seg)) else 0L
+    // `row`/`byte` carry over ONLY when the resolved segment is the one
+    // the offset was taken on. A name-less (legacy/initial) offset whose
+    // index was clamped onto a DIFFERENT segment must restart at 0 — the
+    // clamped segment was never consumed, and keeping s.row would
+    // silently skip its first s.row rows. (Named offsets either resolve
+    // to their own segment or resolveSeg has already thrown.)
+    val sameSeg = if (s.name.isEmpty) seg == s.seg else true
+    var row = if (sameSeg) s.row else 0L
+    var byte = if (sameSeg) resolveByte(s, ss(seg)) else 0L
     var walking = true
     while (walking && budget > 0) {
-      val (taken, newByte, eof) =
-        EventLogSource.scanLines(Paths.get(path, ss(seg)), byte, budget)
+      // the LAST segment may still be growing: never count (or anchor
+      // past) a partially-flushed unterminated line there
+      val (taken, newByte, eof) = EventLogSource.scanLines(
+        Paths.get(path, ss(seg)), byte, budget,
+        countUnterminated = seg < ss.length - 1)
       row += taken
       byte = newByte
       budget -= taken
@@ -266,11 +290,20 @@ final class EventLogMicroBatchStream(path: String, maxRows: Long)
       else walking = false // budget spent, or at the (possibly growing) tail
     }
     val next = EventLogOffset(seg, row, ss(seg), byte)
-    // under Trigger.AvailableNow never admit past the start-time snapshot
+    // under Trigger.AvailableNow never admit past the start-time
+    // snapshot. The cap's segment is compared by NAME re-resolved in the
+    // CURRENT listing — retention of consumed earlier segments shifts
+    // indices mid-drain, and a stale index compare would let rows
+    // appended to the cap segment after the snapshot keep the "drain and
+    // stop" query running forever.
     availableNowCap match {
-      case Some(cap) if next.seg > cap.seg ||
-          (next.seg == cap.seg && next.row > cap.row) => cap
-      case _ => next
+      case Some(cap) =>
+        val capIdx = if (cap.name.isEmpty) -1 else ss.indexOf(cap.name)
+        if (capIdx < 0) s // cap segment gone/empty log: nothing admissible
+        else if (seg > capIdx || (seg == capIdx && row > cap.row))
+          cap.copy(seg = capIdx)
+        else next
+      case None => next
     }
   }
 
@@ -282,7 +315,10 @@ final class EventLogMicroBatchStream(path: String, maxRows: Long)
     val sIdx = resolveSeg(s, ss)
     val eIdx = resolveSeg(e, ss)
     (sIdx to eIdx).flatMap { i =>
-      val sameAsStart = i == sIdx && (s.name.isEmpty || ss(i) == s.name)
+      // same rule as latestOffset: a clamped name-less start is NOT the
+      // segment the offset was taken on — read it from row 0
+      val sameAsStart = i == sIdx &&
+        (if (s.name.isEmpty) sIdx == s.seg else ss(i) == s.name)
       val from = if (sameAsStart) s.row else 0L
       val fromByte = if (sameAsStart) resolveByte(s, ss(i)) else 0L
       val until = if (i == eIdx) e.row else countClosed(ss, i)

@@ -13,14 +13,17 @@ import scala.util.matching.Regex
   */
 object Redact {
 
-  // The value charset matches the reference grep's capture exactly
-  // (`[^'"\s,}]+` — note ; and & are NOT delimiters there), so the
-  // entire token its pattern would capture is consumed and replaced:
-  // redacting only up to a ';' would leave "***;user=x", which that grep
-  // still counts as a leak. Over-consuming trailing ;/&-joined props is
-  // the safe direction.
+  // The value charset SUPERSETS the reference grep's capture
+  // (`[^'"\s,}]+`): the entire token its pattern would capture is
+  // consumed and replaced — redacting only up to a ';' would leave
+  // "***;user=x", which that grep still counts as a leak. Commas are
+  // deliberately NOT a delimiter here either: a secret CONTAINING a
+  // comma (`password=ab,cd`) would otherwise redact to `***,cd`, leaking
+  // its tail in clear text. Over-consuming trailing ;/&/,-joined
+  // unspaced props is the safe direction (quote/space/brace still end
+  // the token, so JSON and spaced property lists stay intact).
   private val KeyValue: Regex =
-    "(?i)\\b(password|passwd|pwd|secret|token|credential[s]?)(['\"]?\\s*[:=]\\s*['\"]?)([^'\"\\s,}]+)".r
+    "(?i)\\b(password|passwd|pwd|secret|token|credential[s]?)(['\"]?\\s*[:=]\\s*['\"]?)([^'\"\\s}]+)".r
   private val UrlUserInfo: Regex = "(://[^/@\\s:]+:)([^@/\\s]+)@".r
 
   def secrets(s: String): String =

@@ -140,6 +140,47 @@ class EventLogSourceSpec extends SparkSpecBase {
       s"expected a loud retention error, got $boom")
   }
 
+  test("an unterminated tail line is not admitted until its newline arrives") {
+    val dir = tmpDir("evpart")
+    // write a tail segment whose last line has no newline yet
+    Files.writeString(Paths.get(dir, "seg-000.log"),
+      "{\"event_id\":0}\n{\"event_id\":1")
+    val (nTail, byteTail, _) = EventLogSource.scanLines(
+      Paths.get(dir, "seg-000.log"), 0L, Long.MaxValue, countUnterminated = false)
+    assert(nTail == 1L, "partial line must not count on the growing tail")
+    assert(byteTail == 15L, "byte anchor must stop at the last newline")
+    // batch semantics unchanged: the same file counts 2 when closed
+    val (nClosed, _, _) = EventLogSource.scanLines(
+      Paths.get(dir, "seg-000.log"), 0L, Long.MaxValue)
+    assert(nClosed == 2L)
+    // once the newline lands, the completed line is admitted from the anchor
+    Files.writeString(Paths.get(dir, "seg-000.log"),
+      "{\"event_id\":0}\n{\"event_id\":1}\n")
+    val (nMore, _, _) = EventLogSource.scanLines(
+      Paths.get(dir, "seg-000.log"), byteTail, Long.MaxValue,
+      countUnterminated = false)
+    assert(nMore == 1L, "the completed line arrives whole, not as a fragment")
+  }
+
+  test("a legacy checkpoint clamped onto a different segment restarts it at row 0") {
+    // pre-name checkpoint {seg:2,row:3}; retention deleted segments so
+    // only 2 remain — the clamped segment was NEVER consumed: keeping
+    // row=3 would silently skip its first 3 rows
+    val dir = tmpDir("evclamp")
+    writeSeg(dir, "seg-000.log", 4)
+    writeSeg(dir, "seg-001.log", 5, from = 4)
+    val stream = new graft.streaming.EventLogMicroBatchStream(dir, 100L)
+    val legacy = EventLogOffset(seg = 2, row = 3L) // name-less, out of range
+    val end = stream.latestOffset(legacy,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(100L))
+      .asInstanceOf[EventLogOffset]
+    val parts = stream.planInputPartitions(legacy, end)
+    val delivered = parts.map(_.asInstanceOf[graft.streaming.EventLogSlice])
+      .map(s => (s.seg, s.from, s.until)).toSeq
+    assert(delivered == Seq(("seg-001.log", 0L, 5L)),
+      s"clamped segment must be read from row 0, got $delivered")
+  }
+
   test("10k-event drain through the source + bucketed store matches the batch fold") {
     import graft.streaming.ReplicationJob
     import graft.ops.{EventOps, Lww}

@@ -80,6 +80,13 @@ class NoSecretsSpec extends SparkSpecBase {
     s.close()
   }
 
+  test("a secret containing a comma is redacted whole, not split at the comma") {
+    val out = Redact.secrets("connect failed: password=ab,cd123 for host")
+    assert(!out.contains("ab,cd123") && !out.contains("cd123"),
+      s"comma-bearing secret leaked its tail: $out")
+    assert(passwordLeaks(out).isEmpty)
+  }
+
   test("credential rotation: stale auth refreshes once and retries, no restart") {
     // test_credential_rotation.py contract: after the backend rotates the
     // secret, the consumer hits one auth failure, re-reads, and continues
