@@ -32,11 +32,15 @@ object CdcQueries {
   private def errCol: Column =
     EventOps.errorType(col("event_type"), col("value"), col("user_id"), ValidTypes, MaxValue)
 
-  /** CASE-expression mirror of [[EventOps.errorType]] for the oracle. */
+  /** CASE-expression mirror of [[EventOps.errorType]] for the oracle.
+    * The type list interpolates [[ValidTypes]] — one source of truth, so
+    * adding an event type can never update only the Spark predicate.
+    */
   private val errSql: String =
     s"""CASE WHEN user_id IS NULL OR event_type IS NULL THEN 'SCHEMA_MISMATCH'
        | WHEN value IS NULL THEN 'TYPE_CONVERSION_ERROR'
-       | WHEN event_type NOT IN ('signup','purchase','view','click','error') THEN 'SCHEMA_MISMATCH'
+       | WHEN event_type NOT IN (${ValidTypes.map(t => s"'$t'").mkString(",")})
+       |   THEN 'SCHEMA_MISMATCH'
        | WHEN value < 0 OR value > $MaxValue THEN 'CONSTRAINT_VIOLATION'
        | ELSE NULL END""".stripMargin.replace("\n", "")
 
@@ -162,10 +166,12 @@ object CdcQueries {
         .offset(50).limit(100)),
 
     // A4: multi-dimension cube over the event stream (DLQ-stats shape).
-    // `grouping_id` disambiguates subtotal rows from data-NULL groups (the
-    // DLQ seed rows have NULL event_type/user_id): without it a subtotal
-    // (NULL, x) and the NULL-group (NULL, x) are indistinguishable to the
-    // row comparator and the output is not well-defined.
+    // `grouping_id` disambiguates subtotal rows from data-NULL groups:
+    // a subtotal (NULL, x) and a genuine NULL-group (NULL, x) are
+    // otherwise indistinguishable to the row comparator, so cube output
+    // without a gid is not well-defined whenever a grouping column CAN
+    // be NULL (the fixture happens to have none today, but the DLQ shape
+    // this mirrors does).
     "cdc_events_cube" -> ((s, dir) =>
       ev(s, dir)
         .withColumn("bucket", col("user_id") % 3)
@@ -244,10 +250,17 @@ object CdcQueries {
              "CAST(round(value*100, 0) AS BIGINT)", "epoch_us(ts)"))} AS row_checksum
          |FROM events""".stripMargin.replace("\n", " "),
 
+    // zero-source guard mirrors Reconciler.rowCountValidation: an empty
+    // source with surviving target rows is 100% drift (the data-loss
+    // alert case), never NULL-by-division
     "cdc_recon_rowcount" ->
       """SELECT s.source_count, t.target_count,
         |  abs(s.source_count - t.target_count) AS mismatch_count,
-        |  round(abs(s.source_count - t.target_count) * 100.0 / s.source_count, 2) AS drift_percentage
+        |  CASE WHEN s.source_count = 0
+        |       THEN CASE WHEN abs(s.source_count - t.target_count) > 0
+        |                 THEN 100.0 ELSE 0.0 END
+        |       ELSE round(abs(s.source_count - t.target_count) * 100.0 / s.source_count, 2)
+        |  END AS drift_percentage
         |FROM (SELECT count(*) AS source_count FROM events) s,
         |     (SELECT count(*) AS target_count FROM events WHERE event_id % 97 <> 0) t""".stripMargin.replace("\n", " "),
 
@@ -262,8 +275,10 @@ object CdcQueries {
         |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin.replace("\n", " "),
 
+    // TRY_CAST mirrors Spark's null-on-failure cast: a non-integer $.k
+    // must yield NULL per row, not abort the whole oracle query
     "cdc_unwrap_json" ->
-      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events",
+      "SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events",
 
     "cdc_order_paginate" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, value FROM events
@@ -297,10 +312,14 @@ object CdcQueries {
         |  CAST(sum(CASE WHEN drift_percentage >= 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS alerts_fired
         |FROM jobs""".stripMargin.replace("\n", " "),
 
+    // greatest(1, ...): Spark's negative-start substring clamps to the
+    // string head (a 2-char value keeps both chars); DuckDB's negative
+    // start would keep fewer — clamp explicitly so short masked fields
+    // agree across engines
     "cdc_transform_rules" ->
       """SELECT CAST(event_id AS VARCHAR) AS event_id,
         |  '[REDACTED]' AS event_type,
-        |  '***' || substr(props, length(props) - 3, 4) AS props,
+        |  '***' || substr(props, greatest(1, length(props) - 3), 4) AS props,
         |  CAST(round(value*100, 0) AS BIGINT) AS value_cents
         |FROM events""".stripMargin.replace("\n", " ")
   )

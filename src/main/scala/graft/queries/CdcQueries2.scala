@@ -145,6 +145,7 @@ object Cdc2Queries {
          |  CASE WHEN t.user_id IS NULL THEN TRUE
          |       WHEN s.ts_us > t.ts_us THEN TRUE
          |       WHEN s.ts_us = t.ts_us AND s.event_id > t.event_id THEN TRUE
+         |       WHEN t.ts_us IS NULL AND s.ts_us IS NOT NULL THEN TRUE
          |       ELSE FALSE END AS was_accepted,
          |  t.user_id IS NOT NULL AS had_conflict,
          |  s.ts_us - coalesce(t.ts_us, s.ts_us) AS timestamp_diff_micros
