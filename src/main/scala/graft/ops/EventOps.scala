@@ -29,11 +29,30 @@ object EventOps {
     */
   def errorType(eventType: Column, value: Column, userId: Column,
       validTypes: Seq[String], maxValue: Double): Column =
-    when(userId.isNull || eventType.isNull, lit("SCHEMA_MISMATCH"))
-      .when(value.isNull, lit("TYPE_CONVERSION_ERROR"))
+    errorTypeFor(eventType, Seq(userId), Some(value), validTypes, maxValue)
+
+  /** Per-table generalization of [[errorType]] (the reference validates
+    * each table's events against that table's pk + constraints,
+    * `validators.py:44-83`): any-null pk → SCHEMA_MISMATCH; the optional
+    * `value` column carries the fixture's null/range constraints — tables
+    * without a constrained numeric column pass `None` and skip both.
+    * Clause order is pinned (pk/op null, value null, unknown op, range)
+    * so the single-table form's classification is byte-identical.
+    */
+  def errorTypeFor(eventType: Column, pkCols: Seq[Column], value: Option[Column],
+      validTypes: Seq[String], maxValue: Double): Column = {
+    val pkNull = pkCols.map(_.isNull).reduce(_ || _)
+    val afterNulls = value match {
+      case Some(v) => when(pkNull || eventType.isNull, lit("SCHEMA_MISMATCH"))
+        .when(v.isNull, lit("TYPE_CONVERSION_ERROR"))
+      case None => when(pkNull || eventType.isNull, lit("SCHEMA_MISMATCH"))
+    }
+    val afterKnown = afterNulls
       .when(!eventType.isin(validTypes.map(lit): _*), lit("SCHEMA_MISMATCH"))
-      .when(value < 0 || value > maxValue, lit("CONSTRAINT_VIOLATION"))
+    value.fold(afterKnown)(v =>
+        afterKnown.when(v < 0 || v > maxValue, lit("CONSTRAINT_VIOLATION")))
       .otherwise(lit(null).cast("string"))
+  }
 
   /** Validation split: (valid, dlqBound). One pass of the predicate each
     * way; Catalyst pushes both filters to the scan.

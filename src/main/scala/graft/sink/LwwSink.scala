@@ -118,7 +118,11 @@ private[sink] object StateLayout {
   * single sink-connector instance per table.
   */
 final class ParquetStateStore(
-    spark: SparkSession, dir: String, key: String, tsCol: String, tieCol: String) {
+    spark: SparkSession, dir: String, keys: Seq[String], tsCol: String, tieCol: String) {
+
+  /** Single-key convenience (the common Cassandra partition-key shape). */
+  def this(spark: SparkSession, dir: String, key: String, tsCol: String, tieCol: String) =
+    this(spark, dir, Seq(key), tsCol, tieCol)
 
   private val path: Path = Paths.get(dir)
   private val oldPath: Path = Paths.get(dir + ".old")
@@ -150,7 +154,7 @@ final class ParquetStateStore(
   def upsert(batch: DataFrame): Unit = {
     val merged =
       if (exists)
-        Lww.latestPerKey(StateLayout.padUnion(read(), batch), Seq(key),
+        Lww.latestPerKey(StateLayout.padUnion(read(), batch), keys,
           Seq(col(tsCol), col(tieCol)))
       else batch
     swapIn(merged)
@@ -187,15 +191,16 @@ final class ParquetStateStore(
     nDead
   }
 
-  /** Hard-delete rows by key (S11 / the GDPR erasure path). Returns rows
-    * removed.
+  /** Hard-delete rows by the leading key column (S11 / the GDPR erasure
+    * path — the erasure identifier is the partition key, i.e. the first
+    * key column of a composite). Returns rows removed.
     */
   def deleteKeys(values: Seq[Any]): Long = {
     if (!exists) return 0L
     val state = read()
     // null-safe: isin is NULL (not false) for a null key, and filter(!NULL)
     // drops the row — a null-key row must survive an unrelated delete
-    val pred = coalesce(col(key).isin(values.map(_.asInstanceOf[AnyRef]): _*), lit(false))
+    val pred = coalesce(col(keys.head).isin(values.map(_.asInstanceOf[AnyRef]): _*), lit(false))
     val n = state.filter(pred).count()
     if (n > 0) swapIn(state.filter(!pred))
     n
@@ -234,8 +239,13 @@ final class ParquetStateStore(
   * be JDBC ([[JdbcLwwExecutor]]) or a transactional table format.
   */
 final class BucketedParquetStateStore(
-    spark: SparkSession, dir: String, key: String, tsCol: String, tieCol: String,
-    numBuckets: Int = 64) {
+    spark: SparkSession, dir: String, keys: Seq[String], tsCol: String, tieCol: String,
+    numBuckets: Int) {
+
+  /** Single-key convenience (the common Cassandra partition-key shape). */
+  def this(spark: SparkSession, dir: String, key: String, tsCol: String, tieCol: String,
+      numBuckets: Int = 64) =
+    this(spark, dir, Seq(key), tsCol, tieCol, numBuckets)
 
   private val path: Path = Paths.get(dir)
   // underscore prefix: Spark's file index treats it as metadata (like
@@ -275,7 +285,7 @@ final class BucketedParquetStateStore(
   /** LWW-merge a (pre-compacted, one row per key) batch into state. */
   def upsert(batch: DataFrame): Unit = {
     ensureBucketCount()
-    val b = batch.withColumn("_bucket", pmod(hash(col(key)), lit(numBuckets)))
+    val b = batch.withColumn("_bucket", pmod(hash(keys.map(col): _*), lit(numBuckets)))
     val merged =
       if (!exists) b
       else {
@@ -288,7 +298,7 @@ final class BucketedParquetStateStore(
         // lineage-retaining — plan recomputed mid-overwrite (task retry,
         // executor loss) would re-read partially deleted bucket files.
         graft.util.Materialize.barrier(
-          Lww.latestPerKey(StateLayout.padUnion(state, b), Seq(key),
+          Lww.latestPerKey(StateLayout.padUnion(state, b), keys,
             Seq(col(tsCol), col(tieCol))))
       }
     merged.write.mode(SaveMode.Overwrite)

@@ -59,7 +59,8 @@ object KafkaCdc {
     * ExtractNewRecordState-side of the chain. Works identically on a
     * streaming kafka frame and a batch test frame.
     */
-  def decode(raw: DataFrame, schema: StructType): DataFrame = {
+  def decode(raw: DataFrame, schema: StructType,
+      tsCol: String = "ts", tsDivisorToMicros: Long = 1000L): DataFrame = {
     // trace_id rides as a message header (`kafka-topics.md:71-75`,
     // reference `data-model.md` ChangeEvent.trace_id): surface it as a
     // column so it follows the event through validation → DLQ → replay.
@@ -88,7 +89,8 @@ object KafkaCdc {
         expanded.withColumn("trace_id",
           coalesce(col("_hdr_trace_id"), col("trace_id")))
       else expanded.withColumn("trace_id", col("_hdr_trace_id"))
-    merged.drop("_hdr_trace_id").withColumn("ts_us", expr("ts div 1000"))
+    merged.drop("_hdr_trace_id")
+      .withColumn("ts_us", expr(s"$tsCol div $tsDivisorToMicros"))
   }
 
   /** Encode event rows to the wire frame: key = stringified partition key
@@ -118,12 +120,13 @@ object KafkaCdc {
   /** Streaming Kafka source → decoded events (requires the
     * spark-sql-kafka connector on the classpath at runtime).
     */
-  def readStream(spark: SparkSession, k: KafkaConfig, schema: StructType): DataFrame =
+  def readStream(spark: SparkSession, k: KafkaConfig, schema: StructType,
+      tsCol: String = "ts", tsDivisorToMicros: Long = 1000L): DataFrame =
     decode(
       sourceOptions(k).foldLeft(spark.readStream.format("kafka")) {
         case (r, (key, v)) => r.option(key, v)
       }.load(),
-      schema)
+      schema, tsCol, tsDivisorToMicros)
 
   /** Batch produce of encoded rows (DLQ replay S14). */
   def writeTo(encoded: DataFrame, bootstrapServers: String, topic: String): Unit =

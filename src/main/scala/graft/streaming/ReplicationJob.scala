@@ -50,6 +50,30 @@ object ReplicationJob {
       validTypes: Seq[String] = Seq("signup", "purchase", "view", "click", "error"),
       maxValue: Double = 150.0,
       deleteType: String = "error",
+      /** Per-table replication identity (the reference runs one pipeline
+        * per table, each with its own pk + schema from config —
+        * `docker/connectors/cassandra-source.json:12-13` table list,
+        * `specs/001-cass-cdc-pg/data-model.md:396-421` replication rules).
+        * Defaults reproduce the TESTDATA `events` fixture. The normalized
+        * envelope columns `event_id` (long), `event_type` and the derived
+        * `ts_us` are engine-wide convention (every reference table's
+        * events carry event_id / operation / timestamp_micros too); the
+        * per-table part is `schema` (the flat event shape), `pk`, the
+        * source ts column/unit, and the optional constrained value column.
+        */
+      table: String = "events",
+      schema: StructType = ReplicationJob.eventSchema,
+      pk: Seq[String] = Seq("user_id"),
+      /** Source timestamp column and its unit→µs divisor (fixture `ts` is
+        * ns → 1000; a reference `timestamp_micros` envelope is µs → 1).
+        */
+      tsCol: String = "ts",
+      tsDivisorToMicros: Long = 1000L,
+      /** The range-constrained numeric column ([[graft.ops.EventOps
+        * .errorTypeFor]]'s null/range checks); None = table has no such
+        * constraint and only pk/operation validity applies.
+        */
+      valueCol: Option[String] = Some("value"),
       /** When set, ingest from Kafka (`readStream.format("kafka")` +
         * envelope decode) instead of the parquet directory — the S1/S3
         * production boundary; the file source is its offline double.
@@ -77,7 +101,6 @@ object ReplicationJob {
         * by default — recording adds two small per-batch aggregations.
         */
       metrics: Option[graft.ops.Metrics.Registry] = None,
-      metricsTable: String = "events",
       /** Event type carrying TRUNCATE semantics (reference
         * `change_event.py:30-36`, op validation `validators.py:76-78`):
         * a table-wide clear at the event's timestamp. Must be listed in
@@ -107,8 +130,8 @@ object ReplicationJob {
   def processBatch(spark: SparkSession, batch: DataFrame, cfg: Config,
       batchId: Long = 0L): Unit = {
     val batchT0 = System.nanoTime()
-    val baseErr = EventOps.errorType(col("event_type"), col("value"), col("user_id"),
-      cfg.validTypes, cfg.maxValue)
+    val baseErr = EventOps.errorTypeFor(col("event_type"), cfg.pk.map(col),
+      cfg.valueCol.map(col), cfg.validTypes, cfg.maxValue)
     // (ts_us, event_id) is the LWW position — EVERY event needs one
     // (reference validators.py requires timestamp_micros + event_id):
     //  - a data row with a null position would fold divergently across
@@ -169,7 +192,7 @@ object ReplicationJob {
       .withColumn("_cdc_deleted", col("event_type") === cfg.deleteType)
       .withColumn("_cdc_timestamp_micros", col("ts_us"))
       .withColumn("_last_event_id", col("event_id"))
-    val compacted = Lww.latestPerKey(enriched, Seq("user_id"),
+    val compacted = Lww.latestPerKey(enriched, cfg.pk,
       Seq(col("_cdc_timestamp_micros"), col("_last_event_id")))
     cfg.jdbcTarget match {
       case Some(t) =>
@@ -185,10 +208,10 @@ object ReplicationJob {
           compacted.select(t.cols.map(col).toIndexedSeq: _*), t)
       case None => cfg.stateBuckets match {
         case Some(nb) =>
-          new graft.sink.BucketedParquetStateStore(spark, cfg.targetDir, "user_id",
+          new graft.sink.BucketedParquetStateStore(spark, cfg.targetDir, cfg.pk,
             "_cdc_timestamp_micros", "_last_event_id", nb).upsert(compacted)
         case None =>
-          new ParquetStateStore(spark, cfg.targetDir, "user_id",
+          new ParquetStateStore(spark, cfg.targetDir, cfg.pk,
             "_cdc_timestamp_micros", "_last_event_id").upsert(compacted)
       }
     }
@@ -223,10 +246,10 @@ object ReplicationJob {
           finally conn.close()
         case None => cfg.stateBuckets match {
           case Some(nb) =>
-            new graft.sink.BucketedParquetStateStore(spark, cfg.targetDir, "user_id",
+            new graft.sink.BucketedParquetStateStore(spark, cfg.targetDir, cfg.pk,
               "_cdc_timestamp_micros", "_last_event_id", nb).truncate(tTs, tTie)
           case None =>
-            new ParquetStateStore(spark, cfg.targetDir, "user_id",
+            new ParquetStateStore(spark, cfg.targetDir, cfg.pk,
               "_cdc_timestamp_micros", "_last_event_id").truncate(tTs, tTie)
         }
       }
@@ -236,7 +259,7 @@ object ReplicationJob {
         .collect().map(x => x.getString(0) -> x.getLong(1)).toSeq
       val byErr = dlq.groupBy("error_type").count()
         .collect().map(x => x.getString(0) -> x.getLong(1)).toSeq
-      graft.ops.Metrics.recordBatch(r, cfg.metricsTable, byOp, byErr,
+      graft.ops.Metrics.recordBatch(r, cfg.table, byOp, byErr,
         (System.nanoTime() - batchT0) / 1e9, backlog = 0L)
     }
     // release the per-trigger materialization: in `persist` mode the cache
@@ -252,22 +275,26 @@ object ReplicationJob {
     */
   def start(spark: SparkSession, cfg: Config, continuous: Boolean = false): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer division pins truncation semantics for negative/odd ts the
+    // same way the fixture's `ts div 1000` always did
+    val tsUs = expr(s"${cfg.tsCol} div ${cfg.tsDivisorToMicros}")
     val stream = (cfg.kafka, cfg.eventLog) match {
-      case (Some(k), _) => KafkaCdc.readStream(spark, k, eventSchema)
+      case (Some(k), _) =>
+        KafkaCdc.readStream(spark, k, cfg.schema, cfg.tsCol, cfg.tsDivisorToMicros)
       case (None, Some((dir, maxRows))) =>
         // commit-log DSv2 source: decode the raw envelope line exactly as
         // the Kafka wire path does (value → from_json → typed columns)
         spark.readStream.format(classOf[EventLogSource].getName)
           .option("path", dir).option("maxRowsPerTrigger", maxRows).load()
-          .select(from_json(col("value"), eventSchema).as("e"),
+          .select(from_json(col("value"), cfg.schema).as("e"),
             col("segment").as("_segment"), col("offset").as("_offset"))
           .select(col("e.*"), col("_segment"), col("_offset"))
-          .withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts_us", tsUs)
       case (None, None) => spark.readStream
-        .schema(eventSchema)
+        .schema(cfg.schema)
         .option("maxFilesPerTrigger", 1) // bounded batches ≈ ST6 backpressure
         .parquet(cfg.sourceDir)
-        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_us", tsUs)
     }
     val writer = stream.writeStream
       .option("checkpointLocation", cfg.checkpointDir)

@@ -1,0 +1,228 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+import graft.schema.SchemaRegistry
+import graft.streaming.{MultiTableReplication, ReplicationJob}
+import graft.streaming.MultiTableReplication.Dirs
+
+/** Multi-table, config-driven replication (the reference's one-pipeline-
+  * per-table model, `cassandra-source.json:12-13`): two differently-shaped
+  * tables — different pk names, schemas, ts units and constraint policies
+  * — replicate CONCURRENTLY through the same code path, each with its own
+  * LWW state, DLQ, TRUNCATE and schema evolution.
+  */
+class MultiTableReplicationSpec extends SparkSpecBase {
+
+  // users-like table: string pk "id", µs timestamps, no constrained
+  // numeric column (valueCol = None)
+  private val usersSchema = MultiTableReplication.withPk(StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("id", StringType),
+    StructField("event_type", StringType),
+    StructField("username", StringType),
+    StructField("email", StringType))), Seq("id"))
+
+  // orders-like table: string pk "order_id", ns timestamps, range-
+  // constrained "total"
+  private val ordersSchema = MultiTableReplication.withPk(StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("order_id", StringType),
+    StructField("event_type", StringType),
+    StructField("total", DoubleType),
+    StructField("status", StringType))), Seq("order_id"))
+
+  private val cdcTypes = Seq("create", "update", "delete", "truncate")
+
+  private def writeUsers(dir: String, file: String,
+      rows: Seq[(Long, Long, String, String, String, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "id", "event_type", "username", "email")
+      .coalesce(1).write.parquet(s"$dir/$file")
+    promote(dir, file)
+  }
+
+  private def writeOrders(dir: String, file: String,
+      rows: Seq[(Long, Long, String, String, java.lang.Double, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "order_id", "event_type", "total", "status")
+      .coalesce(1).write.parquet(s"$dir/$file")
+    promote(dir, file)
+  }
+
+  /** The file stream source wants a flat dir of files; lift the single
+    * part-file out of the per-write subdir it was staged into.
+    */
+  private def promote(dir: String, file: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val sub = Paths.get(dir, file)
+    val listing = Files.list(sub)
+    val part =
+      try listing.filter(_.getFileName.toString.startsWith("part-")).findFirst().get()
+      finally listing.close()
+    Files.move(part, Paths.get(dir, s"$file.parquet"))
+    Files.walk(sub).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => Files.delete(p))
+  }
+
+  private def registryWithBoth(base: String): SchemaRegistry = {
+    val reg = new SchemaRegistry(s"$base/registry.tsv")
+    reg.register("users", usersSchema, nowUs = 1L)
+    reg.register("orders", ordersSchema, nowUs = 1L)
+    reg
+  }
+
+  private def configs(reg: SchemaRegistry, dirs: Dirs): (ReplicationJob.Config, ReplicationJob.Config) = {
+    val usersPolicy = ReplicationJob.Config("", "", "", "",
+      validTypes = cdcTypes, deleteType = "delete", truncateType = "truncate",
+      tsDivisorToMicros = 1L, valueCol = None)
+    val ordersPolicy = ReplicationJob.Config("", "", "", "",
+      validTypes = cdcTypes, deleteType = "delete", truncateType = "truncate",
+      tsDivisorToMicros = 1000L, valueCol = Some("total"), maxValue = 500.0)
+    (MultiTableReplication.configFor(reg, "users", dirs, usersPolicy),
+     MultiTableReplication.configFor(reg, "orders", dirs, ordersPolicy))
+  }
+
+  test("pk + schema round-trip through one registry row") {
+    val base = tmpDir("mtreg")
+    val reg = registryWithBoth(base)
+    val (uv, us) = reg.current("users").get
+    assert(uv == 1 && MultiTableReplication.pkOf(us) == Seq("id"))
+    val (_, os) = reg.current("orders").get
+    assert(MultiTableReplication.pkOf(os) == Seq("order_id"))
+    // pk fields are non-nullable (type_mapper.py:225's rule); the marker
+    // strips cleanly for data-schema comparison
+    assert(!us("id").nullable)
+    assert(MultiTableReplication.pkOf(MultiTableReplication.withoutPk(us)).isEmpty)
+  }
+
+  test("two differently-shaped tables replicate concurrently: LWW, DLQ, TRUNCATE per table") {
+    val base = tmpDir("mtrepl")
+    val dirs = Dirs(base)
+    val reg = registryWithBoth(base)
+    val (usersCfg, ordersCfg) = configs(reg, dirs)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dirs.source("users")))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dirs.source("orders")))
+
+    // users batch 1 (µs ts): creates + an out-of-order update pair
+    writeUsers(dirs.source("users"), "b0", Seq(
+      (1L, 1000L, "u1", "create", "alice", "a@x"),
+      (2L, 3000L, "u1", "update", "alice2", "a2@x"),   // LWW winner for u1
+      (3L, 1500L, "u2", "create", "bob", "b@x"),
+      (4L, 500L, "u3", "create", "carol", "c@x")))
+    // users batch 2: a LATE, OLDER update for u1 (must lose cross-batch),
+    // a truncate at ts=1200 (clears u3@500; u1@3000 + u2@1500 survive),
+    // and two invalid rows (null pk; unknown op) → users DLQ
+    writeUsers(dirs.source("users"), "b1", Seq(
+      (5L, 2000L, "u1", "update", "stale", "s@x"),
+      (6L, 1200L, "-", "truncate", null, null),
+      (7L, 1700L, null, "create", "nopk", "n@x"),
+      (8L, 1800L, "u9", "bogus_op", "badop", "o@x")))
+
+    // orders stream (ns ts): LWW pair on A, constraint violation (600 >
+    // 500), null total, and a soft delete on D
+    writeOrders(dirs.source("orders"), "b0", Seq(
+      (11L, 1000000L, "A", "create", 10.0, "pending"),
+      (12L, 3000000L, "A", "update", 20.0, "shipped"), // LWW winner for A
+      (13L, 2000000L, "B", "create", 600.0, "pending"),   // CONSTRAINT_VIOLATION
+      (14L, 1000000L, "C", "create", null, "pending"),    // TYPE_CONVERSION_ERROR
+      (15L, 4000000L, "D", "delete", 5.0, "cancelled")))
+
+    MultiTableReplication.runAvailableNow(spark, Seq(usersCfg, ordersCfg))
+
+    // users: LWW winner u1@3000 with the newer image; u3 truncated away
+    val users = ReplicationJob.targetState(spark, usersCfg)
+      .select("id", "_cdc_timestamp_micros", "username").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(users == Map("u1" -> ((3000L, "alice2")), "u2" -> ((1500L, "bob"))),
+      s"users state: $users")
+    val usersDlq = spark.read.parquet(usersCfg.dlqDir)
+      .select("event_id", "error_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(usersDlq == Map(7L -> "SCHEMA_MISMATCH", 8L -> "SCHEMA_MISMATCH"),
+      s"users DLQ: $usersDlq")
+
+    // orders: LWW winner A@3000µs; D soft-deleted; B/C in orders DLQ with
+    // the constraint taxonomy — isolated from users' DLQ
+    val orders = ReplicationJob.targetState(spark, ordersCfg)
+      .select("order_id", "_cdc_timestamp_micros", "total", "_cdc_deleted").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(orders == Map(
+      "A" -> ((3000L, 20.0, false)),
+      "D" -> ((4000L, 5.0, true))), s"orders state: $orders")
+    val ordersDlq = spark.read.parquet(ordersCfg.dlqDir)
+      .select("order_id", "error_type").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ordersDlq == Map("B" -> "CONSTRAINT_VIOLATION", "C" -> "TYPE_CONVERSION_ERROR"),
+      s"orders DLQ: $ordersDlq")
+  }
+
+  test("per-table schema evolution: v2 column arrives without touching the other table") {
+    val base = tmpDir("mtevo")
+    val dirs = Dirs(base)
+    val reg = registryWithBoth(base)
+    val (usersCfg0, ordersCfg) = configs(reg, dirs)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dirs.source("users")))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dirs.source("orders")))
+
+    writeUsers(dirs.source("users"), "b0", Seq(
+      (1L, 1000L, "u1", "create", "alice", "a@x")))
+    writeOrders(dirs.source("orders"), "b0", Seq(
+      (11L, 1000000L, "A", "create", 10.0, "pending")))
+    MultiTableReplication.runAvailableNow(spark, Seq(usersCfg0, ordersCfg))
+
+    // evolve users only: additive "country" column, registered as v2 with
+    // pk metadata carried over (Evolution.evolve keeps current fields)
+    val v2 = graft.schema.Evolution.evolve(usersSchema,
+      StructType(Seq(StructField("country", StringType))))
+    assert(reg.register("users", v2, nowUs = 2L) == 2)
+
+    // new source file already carries the column; the refreshed config is
+    // rebuilt from the registry (same checkpoint — no state reset)
+    import spark.implicits._
+    Seq((2L, 2000L, "u2", "create", "dora", "d@x", "NZ"))
+      .toDF("event_id", "ts", "id", "event_type", "username", "email", "country")
+      .coalesce(1).write.parquet(s"${dirs.source("users")}/b1")
+    promote(dirs.source("users"), "b1")
+    val usersCfg1 = MultiTableReplication.configFor(reg, "users", dirs, usersCfg0)
+    assert(MultiTableReplication.pkOf(usersCfg1.schema) == Seq("id"))
+    assert(usersCfg1.schema.fieldNames.contains("country"))
+    MultiTableReplication.runAvailableNow(spark, Seq(usersCfg1))
+
+    val state = ReplicationJob.targetState(spark, usersCfg1)
+      .select("id", "country").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(state == Map("u1" -> None, "u2" -> Some("NZ")),
+      s"old rows null-padded, new rows typed: $state")
+    // orders untouched by users' evolution
+    assert(ReplicationJob.targetState(spark, ordersCfg).count() == 1L)
+  }
+
+  test("composite-key state store: LWW per (pk1, pk2)") {
+    import spark.implicits._
+    val dir = tmpDir("composite") + "/state"
+    val store = new graft.sink.ParquetStateStore(
+      spark, dir, Seq("ks", "cc"), "ts_us", "eid")
+    store.upsert(Seq(("a", 1, 100L, 1L, "x"), ("a", 2, 100L, 2L, "y"))
+      .toDF("ks", "cc", "ts_us", "eid", "v"))
+    // same partition key, different clustering column → distinct rows;
+    // newer (a,1) wins only its own composite key
+    store.upsert(Seq(("a", 1, 200L, 3L, "x2"), ("a", 2, 50L, 4L, "stale"))
+      .toDF("ks", "cc", "ts_us", "eid", "v"))
+    val state = store.read().select("ks", "cc", "v").as[(String, Int, String)]
+      .collect().toSet
+    assert(state == Set(("a", 1, "x2"), ("a", 2, "y")), s"state: $state")
+
+    val bdir = tmpDir("compositeb") + "/state"
+    val bstore = new graft.sink.BucketedParquetStateStore(
+      spark, bdir, Seq("ks", "cc"), "ts_us", "eid", 4)
+    bstore.upsert(Seq(("a", 1, 100L, 1L, "x"), ("b", 1, 100L, 2L, "y"))
+      .toDF("ks", "cc", "ts_us", "eid", "v"))
+    bstore.upsert(Seq(("a", 1, 300L, 3L, "x3")).toDF("ks", "cc", "ts_us", "eid", "v"))
+    val bst = bstore.read().select("ks", "cc", "v").as[(String, Int, String)]
+      .collect().toSet
+    assert(bst == Set(("a", 1, "x3"), ("b", 1, "y")), s"bucketed state: $bst")
+  }
+}
