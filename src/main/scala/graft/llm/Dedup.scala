@@ -331,7 +331,8 @@ object Dedup {
     * docs are their own cluster by definition and need no join to know it.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, strict: Boolean = true,
+      metrics: Option[graft.ops.Metrics.Registry] = None): DataFrame = {
     // materialize the PAIR plan first: the bidirectional union branches it
     // twice, and an upstream pair generator (an LSH band join) must not
     // run twice to build the edge list
@@ -362,13 +363,124 @@ object Dedup {
       i += 1
     }
     graft.util.Materialize.release(edges)
-    if (!done)
-      // silent partial propagation would split components and diverge
-      // from the oracle's exact closure — surface it
-      System.err.println(s"[graft] connectedComponents: fixpoint NOT " +
-        s"reached after $maxIter rounds (component diameter exceeds " +
-        s"maxIter); labels may split components — raise maxIter")
+    recordConvergence(metrics, "minlabel", i, done)
+    if (!done) {
+      // partial propagation SPLITS components (labels diverge from the
+      // exact closure); emitting them silently is a correctness hole at
+      // scale, where nobody reads executor stderr
+      val msg = s"connectedComponents(minlabel): fixpoint NOT reached " +
+        s"after $maxIter rounds (component diameter exceeds maxIter); " +
+        s"labels would split components — raise maxIter or use " +
+        s"connectedComponentsStars"
+      if (strict) throw new IllegalStateException(msg)
+      else System.err.println(s"[graft] $msg")
+    }
     labels.select(col("v").as("doc_id"), col("l").as("cluster_id"))
+  }
+
+  /** Iteration count + convergence flag for the iterative cluster
+    * algorithms, surfaced through the same registry as the pipeline's RED
+    * metrics (ops follow `graft_cc_converged`, not executor stderr).
+    */
+  private def recordConvergence(metrics: Option[graft.ops.Metrics.Registry],
+      algo: String, rounds: Int, converged: Boolean): Unit =
+    metrics.foreach { r =>
+      r.setGauge("graft_cc_rounds", rounds.toDouble, Seq("algo" -> algo))
+      r.setGauge("graft_cc_converged", if (converged) 1.0 else 0.0, Seq("algo" -> algo))
+    }
+
+  /** Connected components by alternating large-star/small-star (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * the adversarial-diameter upgrade over [[connectedComponents]]'s
+    * min-label propagation: rounds are O(log² n) in the WORST case
+    * (a path graph converges in ~log rounds), not O(diameter), with the
+    * same per-round scale shape (one shuffle on the grouping key + one
+    * equi-join; no broadcast, no driver data).
+    *
+    * Phases over the symmetrized edge set (Γ(u) = u's neighbors):
+    *  - large-star(u): for every neighbor v > u, emit (v, m) where
+    *    m = min(Γ(u) ∪ {u}) — larger neighbors re-attach to u's minimum;
+    *  - small-star(u): over S = {v ∈ Γ(u) : v < u}, emit (v, min S) for
+    *    v ∈ S and (u, min S) — u and its smaller neighbors collapse onto
+    *    their minimum.
+    * Both phases provably preserve connectivity and only ever emit
+    * (larger → smaller) edges, so the edge set stays canonical with no
+    * extra normalization. Fixpoint = the edge set is a union of stars,
+    * every vertex pointing at its component minimum — the SAME
+    * (doc_id, cluster_id = min id) contract as min-label.
+    *
+    * Convergence is detected by an order-insensitive edge-set checksum
+    * (count + Σ xxhash64(a,b) as decimal(38,0)): exact on count, hash-sum
+    * collision odds are ~2⁻⁶⁴ per round — and `maxIter` backstops the
+    * proven round bound, so a phantom "converged" cannot hide behind an
+    * exhausted loop.
+    */
+  def connectedComponentsStars(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50, strict: Boolean = true,
+      metrics: Option[graft.ops.Metrics.Registry] = None): DataFrame = {
+    val p0 = graft.util.Materialize.stable(
+      pairs.select(col(aCol).as("a"), col(bCol).as("b")))
+    var edges = graft.util.Materialize.barrier(
+      p0.filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+        .distinct())
+    graft.util.Materialize.release(p0)
+
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("b").as("a"), col("a").as("b")))
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val m = s.groupBy("a").agg(min("b").as("mn"))
+        .select(col("a"), least(col("mn"), col("a")).as("m"))
+      s.join(m, "a").filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = sym(e).filter(col("b") < col("a"))
+      val m = s.groupBy("a").agg(min("b").as("m"))
+      s.join(m, "a").select(col("b").as("x"), col("m"))
+        .union(m.select(col("a").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(col("x").as("a"), col("m").as("b")).distinct()
+    }
+
+    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    var prev = checksum(edges)
+    var done = prev._1 == 0L // no edges at all: nothing to propagate
+    var i = 0
+    while (!done && i < maxIter) {
+      val ls = graft.util.Materialize.barrier(largeStar(edges))
+      val next = graft.util.Materialize.barrier(smallStar(ls))
+      val cur = checksum(next)
+      done = cur == prev
+      prev = cur
+      edges = next
+      i += 1
+    }
+    recordConvergence(metrics, "stars", i, done)
+    if (!done && strict)
+      throw new IllegalStateException(
+        s"connectedComponentsStars: no fixpoint after $maxIter rounds — " +
+          s"exceeds the O(log² n) bound; raise maxIter")
+    // at fixpoint every edge is (vertex → its component minimum): labels
+    // for non-roots read straight off the star edges; roots (targets that
+    // are never sources — anti-join, cheap on the small root set) label
+    // themselves. The anti-join also keeps doc_ids unique under
+    // non-strict partial output, where a vertex can sit on both sides.
+    val nonRoots = edges.groupBy("a").agg(min("b").as("cluster_id"))
+    nonRoots.select(col("a").as("doc_id"), col("cluster_id"))
+      .union(edges.select(col("b")).distinct()
+        .join(nonRoots.select(col("a")), col("b") === col("a"), "left_anti")
+        .select(col("b").as("doc_id"), col("b").as("cluster_id")))
   }
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the

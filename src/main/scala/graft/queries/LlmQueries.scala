@@ -93,6 +93,21 @@ object LlmQueries {
         Dedup.lshCandidatePairs(Tables.documents(s, dir), "doc_id", "text"),
         "doc_a", "doc_b")),
 
+    // adversarial-diameter cluster resolution: 8 path graphs (each
+    // residue class of doc_id chained in id order — diameter ~N/8, far
+    // past min-label's O(diameter) reach) resolved by the alternating
+    // large-star/small-star algorithm in O(log n) rounds
+    "dedup_clusters_chain" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("g").orderBy("doc_id")
+      val pairs = Tables.documents(s, dir)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("g"))
+        .withColumn("nxt", lead("doc_id", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id").as("doc_a"), col("nxt").as("doc_b"))
+      Dedup.connectedComponentsStars(pairs, "doc_a", "doc_b")
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash16(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -219,6 +234,13 @@ object LlmQueries {
          |  UNION SELECT e.src, rc.r FROM edges e JOIN reach rc ON rc.v = e.dst)
          |SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v"""
         .stripMargin.replace("\n", " "),
+
+    // the chain fixture's closed form: every doc in residue class g
+    // connects (transitively) to every other, so the component label is
+    // the class minimum — no recursion needed in the oracle
+    "dedup_clusters_chain" ->
+      """SELECT doc_id, min(doc_id) OVER (PARTITION BY doc_id % 8) AS cluster_id
+        |FROM documents""".stripMargin.replace("\n", " "),
 
     "dedup_simhash" -> {
       val sums = (0 until 16).map { j =>

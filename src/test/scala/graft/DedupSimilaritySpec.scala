@@ -166,6 +166,52 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(out2 == Set(21L))
   }
 
+  test("large-star/small-star CC matches min-label on mixed graph shapes") {
+    val pairs = Seq(
+      (10L, 20L), (20L, 30L), (30L, 40L),                 // path
+      (100L, 101L), (101L, 102L), (100L, 102L),           // triangle
+      (7L, 9L),                                           // pair
+      (200L, 201L), (202L, 201L), (203L, 202L), (200L, 203L)) // cycle
+      .toDF("doc_a", "doc_b")
+    val expected = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    val stars = Dedup.connectedComponentsStars(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(stars == expected, s"stars=$stars expected=$expected")
+  }
+
+  test("adversarial chain: min-label exhausts maxIter and throws; stars converges fast") {
+    // a 60-edge path has diameter 60 — min-label's 25 rounds cannot close
+    // it; strict mode must throw rather than emit split labels
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIter = 25).count()
+    }
+    assert(e.getMessage.contains("fixpoint NOT reached"))
+
+    // stars resolves the same chain in ~log n alternations, well under a
+    // 12-round cap, and labels everything with the global minimum
+    val reg = new graft.ops.Metrics.Registry
+    val cc = Dedup.connectedComponentsStars(chain, "doc_a", "doc_b",
+      maxIter = 12, metrics = Some(reg)).as[(Long, Long)].collect().toMap
+    assert(cc == (0L to 60L).map(_ -> 0L).toMap)
+    // convergence is a metric, not a stderr line (ops contract)
+    val rendered = reg.render()
+    assert(rendered.contains("graft_cc_rounds{algo=\"stars\"}"))
+    assert(rendered.contains("graft_cc_converged{algo=\"stars\"} 1"))
+  }
+
+  test("stars CC: duplicate/reversed/self edges normalize away; empty set is empty") {
+    val messy = Seq((5L, 3L), (3L, 5L), (5L, 3L), (4L, 4L), (3L, 1L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponentsStars(messy, "doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    assert(cc.length == cc.map(_._1).distinct.length, "doc_ids must be unique")
+    assert(cc.toMap == Map(1L -> 1L, 3L -> 1L, 5L -> 1L), s"got ${cc.toMap}")
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponentsStars(empty, "doc_a", "doc_b").count() == 0)
+  }
+
   test("connected components: empty pair set converges to an empty table") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponents(empty, "doc_a", "doc_b").count() == 0)
