@@ -163,14 +163,16 @@ final class EventLogTable(path: String) extends Table with SupportsRead {
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new EventLogScan(path,
-        Option(options.get("maxRowsPerTrigger")).map(_.toLong).getOrElse(2048L))
+        Option(options.get("maxRowsPerTrigger")).map(_.toLong).getOrElse(2048L),
+        Option(options.get("admissionChannel")))
     }
 }
 
-final class EventLogScan(path: String, maxRowsPerTrigger: Long) extends Scan {
+final class EventLogScan(path: String, maxRowsPerTrigger: Long,
+    admissionChannel: Option[String] = None) extends Scan {
   override def readSchema(): StructType = EventLogSource.Schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new EventLogMicroBatchStream(path, maxRowsPerTrigger)
+    new EventLogMicroBatchStream(path, maxRowsPerTrigger, admissionChannel)
   /** One-shot batch read of the whole log (testing / bootstrap). */
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
@@ -191,7 +193,8 @@ final class EventLogScan(path: String, maxRowsPerTrigger: Long) extends Scan {
   * (the offset carries the byte anchor), so a trigger is O(admitted),
   * not O(log).
   */
-final class EventLogMicroBatchStream(path: String, maxRows: Long)
+final class EventLogMicroBatchStream(path: String, maxRows: Long,
+    admissionChannel: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -264,6 +267,12 @@ final class EventLogMicroBatchStream(path: String, maxRows: Long)
       case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => r.maxRows()
       case _ => Long.MaxValue
     }
+    // FR-024 dynamic backpressure: the sink's health channel shrinks (or
+    // zeroes — pause) this trigger's admission BEFORE the walk, so rate
+    // control stays in the source and the checkpoint records exactly what
+    // was admitted. Zero admission returns `start` unchanged: no batch.
+    admissionChannel.foreach { ch => budget = AdmissionControl.admit(ch, budget) }
+    if (budget <= 0) return s
     val ss = segs
     if (ss.isEmpty) return s
     var seg = resolveSeg(s, ss)

@@ -101,6 +101,14 @@ object ReplicationJob {
         * by default — recording adds two small per-batch aggregations.
         */
       metrics: Option[graft.ops.Metrics.Registry] = None,
+      /** FR-024 dynamic backpressure: when set, the sink reports batch
+        * wall time (and shares its registered circuit breaker) through
+        * this [[AdmissionControl]] channel, and the event-log source
+        * shrinks — or pauses — the NEXT trigger's admission while the
+        * sink is degraded. Register the channel (with the breaker) before
+        * starting the job; one channel per table.
+        */
+      backpressureChannel: Option[String] = None,
       /** Event type carrying TRUNCATE semantics (reference
         * `change_event.py:30-36`, op validation `validators.py:76-78`):
         * a table-wide clear at the event's timestamp. Must be listed in
@@ -204,8 +212,15 @@ object ReplicationJob {
           try graft.sink.JdbcLwwExecutor.evolveTable(conn, t.table, wanted)
           finally conn.close()
         }
-        graft.sink.JdbcLwwExecutor.writeBatch(
-          compacted.select(t.cols.map(col).toIndexedSeq: _*), t)
+        // the channel's breaker (when registered) persists across batches,
+        // so consecutive sink failures actually trip it — a per-call
+        // default breaker would reset every trigger
+        cfg.backpressureChannel.flatMap(AdmissionControl.breakerOf) match {
+          case Some(b) => graft.sink.JdbcLwwExecutor.writeBatch(
+            compacted.select(t.cols.map(col).toIndexedSeq: _*), t, breaker = b)
+          case None => graft.sink.JdbcLwwExecutor.writeBatch(
+            compacted.select(t.cols.map(col).toIndexedSeq: _*), t)
+        }
       case None => cfg.stateBuckets match {
         case Some(nb) =>
           new graft.sink.BucketedParquetStateStore(spark, cfg.targetDir, cfg.pk,
@@ -262,6 +277,8 @@ object ReplicationJob {
       graft.ops.Metrics.recordBatch(r, cfg.table, byOp, byErr,
         (System.nanoTime() - batchT0) / 1e9, backlog = 0L)
     }
+    cfg.backpressureChannel.foreach(
+      AdmissionControl.reportLatency(_, (System.nanoTime() - batchT0) / 1e9))
     // release the per-trigger materialization: in `persist` mode the cache
     // entry lives until explicit unpersist, and a long-running stream must
     // not accumulate one cached batch per trigger
@@ -284,8 +301,11 @@ object ReplicationJob {
       case (None, Some((dir, maxRows))) =>
         // commit-log DSv2 source: decode the raw envelope line exactly as
         // the Kafka wire path does (value → from_json → typed columns)
-        spark.readStream.format(classOf[EventLogSource].getName)
-          .option("path", dir).option("maxRowsPerTrigger", maxRows).load()
+        cfg.backpressureChannel.foldLeft(
+            spark.readStream.format(classOf[EventLogSource].getName)
+              .option("path", dir).option("maxRowsPerTrigger", maxRows)) {
+            (r, ch) => r.option("admissionChannel", ch)
+          }.load()
           .select(from_json(col("value"), cfg.schema).as("e"),
             col("segment").as("_segment"), col("offset").as("_offset"))
           .select(col("e.*"), col("_segment"), col("_offset"))

@@ -181,6 +181,54 @@ class EventLogSourceSpec extends SparkSpecBase {
       s"clamped segment must be read from row 0, got $delivered")
   }
 
+  test("FR-024 backpressure: breaker state + sink latency shape the next trigger's admission") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.streaming.{AdmissionControl, EventLogMicroBatchStream}
+    val dir = tmpDir("evbp")
+    writeSeg(dir, "seg-000.log", 100)
+    var now = 0L
+    val breaker = new graft.util.CircuitBreaker(
+      failureThreshold = 2, openMs = 1000L, clock = () => now)
+    val ch = "bp-test"
+    AdmissionControl.register(ch,
+      AdmissionControl.SinkHealth(breaker = Some(breaker), probeRows = 3L))
+    try {
+      val stream = new EventLogMicroBatchStream(dir, 10L, Some(ch))
+      val start = EventLogOffset(0, 0L)
+      def admitted(from: EventLogOffset): Long =
+        stream.latestOffset(from, ReadLimit.maxRows(10L))
+          .asInstanceOf[EventLogOffset].row - from.row
+
+      // healthy: full maxRows admitted
+      assert(admitted(start) == 10L)
+
+      // two sink failures trip the breaker → OPEN → the next trigger
+      // admits NOTHING (consumption pauses, the FR-024 contract)
+      (1 to 2).foreach { _ =>
+        intercept[RuntimeException](breaker.call(throw new RuntimeException("sink down")))
+      }
+      assert(admitted(start) == 0L, "open breaker must pause admission")
+
+      // cool-down elapses → HALF_OPEN → one small probe batch
+      now += 1000L
+      assert(admitted(start) == 3L, "half-open admits only the probe size")
+
+      // the probe batch succeeds at the sink → CLOSED → full admission
+      breaker.call(())
+      assert(admitted(start) == 10L, "recovery restores full admission")
+
+      // a slow (but not failing) sink shrinks admission proportionally:
+      // 4 s against the 2 s target → half of maxRows
+      AdmissionControl.reportLatency(ch, 4.0)
+      assert(admitted(start) == 5L)
+      // …but never below the probe size, so progress can't stall
+      AdmissionControl.reportLatency(ch, 80.0)
+      assert(admitted(start) == 3L)
+      AdmissionControl.reportLatency(ch, 0.5)
+      assert(admitted(start) == 10L, "a recovered sink restores full admission")
+    } finally AdmissionControl.clear(ch)
+  }
+
   test("10k-event drain through the source + bucketed store matches the batch fold") {
     import graft.streaming.ReplicationJob
     import graft.ops.{EventOps, Lww}
