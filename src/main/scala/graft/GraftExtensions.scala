@@ -29,8 +29,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("long_dot"),
       new ExpressionInfo(classOf[LongArrayDot].getName, "long_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        LongArrayDot(exprs(0), exprs(1))))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        // analysis-time arity check: without it long_dot(a) dies with a
+        // raw IndexOutOfBounds and long_dot(a,b,c) silently drops args
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"long_dot(array<bigint>, array<bigint>) takes exactly 2 " +
+              s"arguments, got ${exprs.length}")
+        LongArrayDot(exprs(0), exprs(1))
+      }))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }

@@ -48,12 +48,18 @@ object AsOf {
         org.apache.spark.sql.types.StructType(
           rightVals.map(v => org.apache.spark.sql.types.StructField(
             v, right.schema(v).dataType)))))
-    val r = right.select(
-      keys.map(col) ++ Seq(
-        col(rightTs).as("_ts"),
-        lit(0).as("_side"),
-        col(rightTie).cast("long").as("_tie"),
-        struct(rightVals.map(col): _*).as("_rv")): _*)
+    // drop NULL-key right rows: Window.partitionBy groups NULLs as equal,
+    // but the operator's SQL contract (and the LATERAL oracle) is
+    // equality semantics, where a NULL key matches nothing — a NULL-key
+    // left row must carry NULL asof_ columns, never a NULL-key payload
+    val r = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keys.map(col) ++ Seq(
+          col(rightTs).as("_ts"),
+          lit(0).as("_side"),
+          col(rightTie).cast("long").as("_tie"),
+          struct(rightVals.map(col): _*).as("_rv")): _*)
     val u = l.unionByName(r, allowMissingColumns = true)
     // right-before-left at equal ts (inclusive as-of); max tie last so the
     // running last() resolves simultaneous right rows by LWW. Null ties

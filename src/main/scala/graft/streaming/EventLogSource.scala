@@ -164,15 +164,17 @@ final class EventLogTable(path: String) extends Table with SupportsRead {
     new ScanBuilder {
       override def build(): Scan = new EventLogScan(path,
         Option(options.get("maxRowsPerTrigger")).map(_.toLong).getOrElse(2048L),
-        Option(options.get("admissionChannel")))
+        Option(options.get("admissionChannel")),
+        Option(options.get("tailQuiesceMs")).map(_.toLong).getOrElse(2000L))
     }
 }
 
 final class EventLogScan(path: String, maxRowsPerTrigger: Long,
-    admissionChannel: Option[String] = None) extends Scan {
+    admissionChannel: Option[String] = None,
+    tailQuiesceMs: Long = 2000L) extends Scan {
   override def readSchema(): StructType = EventLogSource.Schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new EventLogMicroBatchStream(path, maxRowsPerTrigger, admissionChannel)
+    new EventLogMicroBatchStream(path, maxRowsPerTrigger, admissionChannel, tailQuiesceMs)
   /** One-shot batch read of the whole log (testing / bootstrap). */
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
@@ -194,7 +196,8 @@ final class EventLogScan(path: String, maxRowsPerTrigger: Long,
   * not O(log).
   */
 final class EventLogMicroBatchStream(path: String, maxRows: Long,
-    admissionChannel: Option[String] = None)
+    admissionChannel: Option[String] = None,
+    tailQuiesceMs: Long = 2000L)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -238,16 +241,27 @@ final class EventLogMicroBatchStream(path: String, maxRows: Long,
     * drain-then-stop semantics on this source).
     */
   @volatile private var availableNowCap: Option[EventLogOffset] = None
+  @volatile private var capCountsTail: Boolean = false
 
   override def prepareForTriggerAvailableNow(): Unit = {
     val ss = segs
     availableNowCap = Some(
       if (ss.isEmpty) EventLogOffset(0, 0L)
       else {
-        // same tail rule as latestOffset: a partially-flushed final line
-        // is not available yet — a cap counting it could never be reached
+        // tail rule: a partially-flushed final line is not available — a
+        // cap counting it could never be reached. EXCEPT on a QUIESCENT
+        // tail (no write for `tailQuiesceMs`): an S2 snapshot drain runs
+        // over a FINISHED log, and a writer that ended without a trailing
+        // newline has still committed that line — excluding it would
+        // silently drop the log's last event from the snapshot.
+        val tail = Paths.get(path, ss.last)
+        val quiescent =
+          try System.currentTimeMillis() -
+            Files.getLastModifiedTime(tail).toMillis >= tailQuiesceMs
+          catch { case _: Exception => false }
+        capCountsTail = quiescent
         val (rows, bytes, _) = EventLogSource.scanLines(
-          Paths.get(path, ss.last), 0L, Long.MaxValue, countUnterminated = false)
+          tail, 0L, Long.MaxValue, countUnterminated = quiescent)
         EventLogOffset(ss.length - 1, rows, ss.last, bytes)
       })
   }
@@ -288,10 +302,15 @@ final class EventLogMicroBatchStream(path: String, maxRows: Long,
     var walking = true
     while (walking && budget > 0) {
       // the LAST segment may still be growing: never count (or anchor
-      // past) a partially-flushed unterminated line there
+      // past) a partially-flushed unterminated line there — unless the
+      // AvailableNow snapshot already judged this tail quiescent and
+      // counted its final line (the cap clamp below still bounds
+      // admission at the snapshot)
+      val countTail = capCountsTail &&
+        availableNowCap.exists(_.name == ss(seg))
       val (taken, newByte, eof) = EventLogSource.scanLines(
         Paths.get(path, ss(seg)), byte, budget,
-        countUnterminated = seg < ss.length - 1)
+        countUnterminated = seg < ss.length - 1 || countTail)
       row += taken
       byte = newByte
       budget -= taken

@@ -161,7 +161,12 @@ object TypeMapper {
         s.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")).orNull
       catch { case _: Exception => null }
     val pks = {
-      val rs = md.getPrimaryKeys(null, null, table)
+      // schema-scope the pk lookup like the column one — but with the
+      // EXACT schema name (getPrimaryKeys takes names, not LIKE patterns):
+      // a null schema can read pk/nullability flags off a same-named
+      // table in another schema while the columns come from this one
+      val schemaExact = try conn.getSchema catch { case _: Exception => null }
+      val rs = md.getPrimaryKeys(null, schemaExact, table)
       val b = Set.newBuilder[String]
       try while (rs.next()) b += rs.getString("COLUMN_NAME") finally rs.close()
       b.result()

@@ -59,6 +59,23 @@ class AsOfSpec extends SparkSpecBase {
       "null tie must sort first (lose), matching the engine's LWW rule")
   }
 
+  test("NULL keys never match: a null-key left row carries NULL asof_ columns") {
+    // SQL equality semantics (p.user_id = c.user_id never matches NULL):
+    // a NULL-key right payload must not enrich a NULL-key left row just
+    // because Window.partitionBy groups NULLs together
+    val l = Seq((1L, null.asInstanceOf[java.lang.Long], 200L),
+                (2L, java.lang.Long.valueOf(1L), 200L))
+      .toDF("event_id", "user_id", "ts_us")
+    val r = Seq((null.asInstanceOf[java.lang.Long], 100L, 1L, 7.0),
+                (java.lang.Long.valueOf(1L), 100L, 2L, 8.0))
+      .toDF("user_id", "ts_us", "p_id", "p_val")
+    val m = AsOf.joinAtOrBefore(l, r, Seq("user_id"),
+      "ts_us", "ts_us", "p_id", Seq("p_id", "p_val"))
+      .collect().map(x => x.getLong(0) -> Option(x.get(3))).toMap
+    assert(m(1L).isEmpty, "null-key left row must not be enriched")
+    assert(m(2L).contains(2L), "real keys still match")
+  }
+
   test("left row count is preserved exactly (no fan-out, no drops)") {
     val out = AsOf.joinAtOrBefore(left, right, Seq("user_id"),
       "ts_us", "ts_us", "p_id", Seq("p_id"))

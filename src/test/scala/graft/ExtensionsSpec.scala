@@ -40,6 +40,16 @@ class ExtensionsSpec extends SparkSpecBase {
     }
   }
 
+  test("long_dot rejects wrong arity at analysis instead of dying or dropping args") {
+    withExtendedSession { s =>
+      val e1 = intercept[Exception](s.sql("SELECT long_dot(array(1L))").head())
+      assert(e1.getMessage.contains("long_dot"), s"got: ${e1.getMessage}")
+      val e3 = intercept[Exception](
+        s.sql("SELECT long_dot(array(1L), array(2L), array(3L))").head())
+      assert(e3.getMessage.contains("long_dot"), s"got: ${e3.getMessage}")
+    }
+  }
+
   test("the declarative aggregate(zip_with(...)) idiom rewrites to long_dot") {
     withExtendedSession { s =>
       // non-foldable arrays (derived from range) — literal inputs would
