@@ -117,6 +117,33 @@ object KafkaCdc {
         .as("headers"))
   }
 
+  /** Per-table topic name — the contract's `cdc-events-{table}` rule
+    * (`kafka-topics.md:49-66`).
+    */
+  def topicFor(table: String, prefix: String = "cdc-events-"): String =
+    s"$prefix$table"
+
+  /** A table's wire identity for [[routeByTopic]]: its event schema and
+    * ts normalization (the same knobs [[ReplicationJob.Config]] carries).
+    */
+  final case class TableWire(schema: StructType,
+      tsCol: String = "ts", tsDivisorToMicros: Long = 1000L)
+
+  /** Route a multi-topic wire frame — the `subscribePattern` fan-in of
+    * S3 (`kafka-topics.md:268-276`: one consumer subscribes
+    * `cdc-events-.*`) — to per-table typed frames: each table's rows are
+    * selected by its contract topic and decoded with ITS schema and ts
+    * rule. Works identically on a streaming kafka frame and a batch test
+    * frame; in the one-query-per-table deployment each query's topic
+    * filter prunes the source to its own topic.
+    */
+  def routeByTopic(raw: DataFrame, tables: Map[String, TableWire],
+      topicPrefix: String = "cdc-events-"): Map[String, DataFrame] =
+    tables.map { case (t, w) =>
+      t -> decode(raw.filter(col("topic") === topicFor(t, topicPrefix)),
+        w.schema, w.tsCol, w.tsDivisorToMicros)
+    }
+
   /** Streaming Kafka source → decoded events (requires the
     * spark-sql-kafka connector on the classpath at runtime).
     */

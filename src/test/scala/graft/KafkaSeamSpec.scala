@@ -75,6 +75,65 @@ class KafkaSeamSpec extends SparkSpecBase {
     assert(encoded.select("key").as[String].collect().toSet == Set("7", "8"))
   }
 
+  test("subscribePattern fan-in: two tables' topics route to two targets bit-exactly") {
+    import org.apache.spark.sql.types._
+    import graft.streaming.KafkaCdc.TableWire
+    // two differently-shaped tables on their contract topics — users with
+    // µs timestamps, orders with ns — interleaved in ONE wire frame, the
+    // shape a subscribePattern consumer sees
+    val usersSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("id", StringType), StructField("event_type", StringType),
+      StructField("username", StringType)))
+    val ordersSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("order_id", StringType), StructField("event_type", StringType),
+      StructField("total", DoubleType)))
+    val frames = Seq(
+      ("u1", """{"event_id":1,"ts":1000,"id":"u1","event_type":"create","username":"alice"}""", "cdc-events-users"),
+      ("A", """{"event_id":11,"ts":2000000,"order_id":"A","event_type":"create","total":10.5}""", "cdc-events-orders"),
+      ("u2", """{"event_id":2,"ts":3000,"id":"u2","event_type":"create","username":"bob"}""", "cdc-events-orders-archive"), // foreign topic: routed nowhere
+      ("B", """{"event_id":12,"ts":4000000,"order_id":"B","event_type":"create","total":20.0}""", "cdc-events-orders"))
+      .toDF("k", "v", "t")
+      .select(col("k").cast("binary").as("key"), col("v").cast("binary").as("value"),
+        col("t").as("topic"), lit(0).as("partition"),
+        monotonically_increasing_id().as("offset"),
+        current_timestamp().as("timestamp"), lit(0).as("timestampType"))
+
+    val routed = KafkaCdc.routeByTopic(frames, Map(
+      "users" -> TableWire(usersSchema, tsDivisorToMicros = 1L),
+      "orders" -> TableWire(ordersSchema, tsDivisorToMicros = 1000L)))
+
+    val users = routed("users").select("event_id", "id", "username", "ts_us")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(users == Set((1L, "u1", "alice", 1000L)),
+      s"users must see ONLY its topic (no archive-topic leak): $users")
+    val orders = routed("orders").select("event_id", "order_id", "total", "ts_us")
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(orders == Set((11L, "A", 10.5, 2000L), (12L, "B", 20.0, 4000L)),
+      s"orders rows with ns→µs normalization: $orders")
+
+    // fan the routed frames into two per-table targets through the SAME
+    // sink path the stream runs — two tables, two isolated states
+    val base = tmpDir("fanin")
+    def cfgFor(table: String, schema: StructType, pk: String) =
+      graft.streaming.ReplicationJob.Config(
+        s"$base/$table/src", s"$base/$table/target", s"$base/$table/dlq",
+        s"$base/$table/ckpt", table = table, schema = schema, pk = Seq(pk),
+        validTypes = Seq("create", "update", "delete"), deleteType = "delete",
+        valueCol = None)
+    graft.streaming.ReplicationJob.processBatch(spark,
+      routed("users"), cfgFor("users", usersSchema, "id"))
+    graft.streaming.ReplicationJob.processBatch(spark,
+      routed("orders"), cfgFor("orders", ordersSchema, "order_id"))
+    val uState = spark.read.parquet(s"$base/users/target")
+      .select("id", "username").as[(String, String)].collect().toSet
+    assert(uState == Set(("u1", "alice")))
+    val oState = spark.read.parquet(s"$base/orders/target")
+      .select("order_id", "total").as[(String, Double)].collect().toSet
+    assert(oState == Set(("A", 10.5), ("B", 20.0)))
+  }
+
   // ---- binary Avro wire codec (kafka-topics.md:66-160) ----
 
   private def avroChangeEvent(
