@@ -44,7 +44,16 @@ object Dedup {
     */
   private[graft] def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // size-stats probe, not df.rdd.getNumPartitions: the RDD probe forced
+    // full physical planning + RDD graph construction on EVERY dedup
+    // pipeline entry. optimizedPlan.stats comes from the (cached)
+    // QueryExecution and for file scans is just the file-size sum; a scan
+    // under target × maxPartitionBytes would plan to fewer than `target`
+    // input partitions — exactly the old probe's condition.
+    val maxPartitionBytes = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    val small = df.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(maxPartitionBytes) * target
+    if (small) df.repartition(target) else df
   }
 
   /** Exact dedup (hash-groupBy): one row per distinct text with the

@@ -285,9 +285,12 @@ object Similarity {
     seeds.select(col("vec_id").as("cent_id"), col("centv"), col("ncent"))
   }
 
-  def kmeansCentroids(corpus: DataFrame, numCentroids: Int, iters: Int): DataFrame = {
+  def kmeansCentroids(corpus: DataFrame, numCentroids: Int, iters: Int,
+      metrics: Option[graft.ops.Metrics.Registry] = None): DataFrame = {
     var cents = graft.util.Materialize.barrier(
       farthestPointSeeds(corpus, numCentroids))
+    metrics.foreach(_.setGauge("graft_kmeans_rounds", iters.toDouble,
+      Seq("k" -> numCentroids.toString)))
     for (_ <- 1 to iters) {
       val assigned = assignCells(corpus, cents, "cid", "cv", "nc", keep = 1)
       val means = assigned
@@ -308,17 +311,32 @@ object Similarity {
   }
 
   /** Bucket id for multi-table LSH: table `t` uses planes
-    * [t*BitsK, (t+1)*BitsK). Renders for either engine (Spark
+    * [t*bitsK, (t+1)*bitsK). Renders for either engine (Spark
     * `element_at`, DuckDB 1-based `[]`) so the oracle shares the exact
     * plane constants.
     */
-  def tableBucketSql(vecExpr: String, t: Int, spark: Boolean = true): String =
-    (0 until BitsK).map { j =>
+  def tableBucketSql(vecExpr: String, t: Int, spark: Boolean = true,
+      bitsK: Int = BitsK): String = {
+    require(TablesL * bitsK <= MaxPlanes,
+      s"bitsK=$bitsK needs ${TablesL * bitsK} planes; only $MaxPlanes generated")
+    (0 until bitsK).map { j =>
       val proj =
-        if (spark) planeDotSpark(vecExpr, t * BitsK + j)
-        else planeExpr(t * BitsK + j, d => s"$vecExpr[$d]")
+        if (spark) planeDotSpark(vecExpr, t * bitsK + j)
+        else planeExpr(t * bitsK + j, d => s"$vecExpr[$d]")
       s"(CASE WHEN $proj > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+  }
+
+  /** Per-table bit width for the multi-table LSH family, sized like
+    * [[planesForCorpus]]: expected bucket occupancy is N / 2^bitsK, so
+    * bitsK = ceil(log₂(N / targetOccupancy)) keeps per-bucket candidate
+    * work (≈ occupancy² per bucket) CONSTANT as the corpus grows — a
+    * pinned bitsK goes quadratic. Clamped to [BitsK, MaxPlanes/TablesL]
+    * (the generated plane budget; 8 bits × 8 tables at the top).
+    */
+  def bitsForCorpus(n: Long, targetOccupancy: Long = 256L): Int =
+    math.min(MaxPlanes / TablesL, math.max(BitsK,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2)).toInt))
 
   /** Multi-table LSH ANN (standard L×k construction — the production
     * recall/selectivity knob): a vector lands in one bucket per table;
@@ -334,8 +352,10 @@ object Similarity {
     * candidate set is per-bucket, never all-pairs. A pair at cosine c
     * survives blocking with probability 1-(1-(1-acos(c)/π)^BitsK)^TablesL
     * (≈0.75 at c=0.4 for 8×4) — the standard recall/selectivity trade of
-    * an LSH near-dup join; raise TablesL for recall, BitsK for
-    * selectivity (BitsK ~ log₂(N/occupancy) at scale, as [[bucketSql]]).
+    * an LSH near-dup join; raise TablesL for recall, `bitsK` for
+    * selectivity — pass `bitsK = bitsForCorpus(N)` at scale so per-bucket
+    * occupancy (and with it per-bucket candidate work) stays constant as
+    * the corpus grows. The default pins the oracle's literal constants.
     *
     * Scale shape: the explode multiplies only (id, bucket) ids by L; the
     * single shuffle is the (t, b) equi-join; quantized payload vectors
@@ -343,7 +363,8 @@ object Similarity {
     * reranks. Deterministic blocking (md5 planes) keeps the oracle
     * bit-identical.
     */
-  def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+      bitsK: Int = BitsK): DataFrame = {
     // both frames feed multiple plan branches (self-join sides + the two
     // payload re-joins) — materialize so AQE's concurrent branch launch
     // can't recompute the quantize + L×k plane projections per branch
@@ -352,7 +373,7 @@ object Similarity {
         .withColumn("nv", dotQ("qv", "qv")))
     val bucketed = graft.util.Materialize.stable(
       v.select(col("vid"), explode(array((0 until TablesL).map(t =>
-          struct(lit(t).as("t"), expr(tableBucketSql("qv", t)).as("b"))): _*)).as("tb"))
+          struct(lit(t).as("t"), expr(tableBucketSql("qv", t, bitsK = bitsK)).as("b"))): _*)).as("tb"))
         .select(col("vid"), col("tb.t").as("t"), col("tb.b").as("b")))
     val cand = bucketed.as("a")
       .join(bucketed.as("b"),
@@ -367,14 +388,15 @@ object Similarity {
       .select("doc_a", "doc_b", "cos_sim")
   }
 
-  def lshMultiTableTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def lshMultiTableTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      bitsK: Int = BitsK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def prep(df: DataFrame, id: String, v: String, n: String) =
       df.select(col("vec_id").as(id), quantize(col("embedding")).as(v))
         .withColumn(n, dotQ(v, v))
     def bucketed(df: DataFrame, id: String, v: String) =
       df.select(col(id), explode(array((0 until TablesL).map(t =>
-        struct(lit(t).as("t"), expr(tableBucketSql(v, t)).as("b"))): _*)).as("tb"))
+        struct(lit(t).as("t"), expr(tableBucketSql(v, t, bitsK = bitsK)).as("b"))): _*)).as("tb"))
         .select(col(id), col("tb.t").as("t"), col("tb.b").as("b"))
     val q = prep(queries, "qid", "qv", "nq")
     val c = prep(Dedup.widen(corpus), "cid", "cv", "nc")

@@ -173,8 +173,11 @@ class DedupSimilaritySpec extends SparkSpecBase {
       (7L, 9L),                                           // pair
       (200L, 201L), (202L, 201L), (203L, 202L), (200L, 203L)) // cycle
       .toDF("doc_a", "doc_b")
-    val expected = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val reg = new graft.ops.Metrics.Registry
+    val expected = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+        metrics = Some(reg))
       .as[(Long, Long)].collect().toMap
+    assert(reg.render().contains("graft_cc_converged{algo=\"minlabel\"} 1"))
     val stars = Dedup.connectedComponentsStars(pairs, "doc_a", "doc_b")
       .as[(Long, Long)].collect().toMap
     assert(stars == expected, s"stars=$stars expected=$expected")
@@ -304,8 +307,11 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
     val emb = rows.map { case (id, e, _) => (id, e) }.toDF("vec_id", "embedding")
 
-    val cents = Similarity.kmeansCentroids(emb, numCentroids = 3, iters = 4)
+    val kreg = new graft.ops.Metrics.Registry
+    val cents = Similarity.kmeansCentroids(emb, numCentroids = 3, iters = 4,
+      metrics = Some(kreg))
     assert(cents.count() == 3, "codebook size constant")
+    assert(kreg.render().contains("graft_kmeans_rounds{k=\"3\"} 4"))
 
     // every vector's nearest refined centroid groups it with its cluster
     val assign = Similarity.ivfTopKWith(emb, emb, cents, nprobe = 1, k = 30)
@@ -339,6 +345,35 @@ class DedupSimilaritySpec extends SparkSpecBase {
     // generous floor so plane randomness on a tiny corpus can't flake
     assert(got.size.toDouble / truth.size >= 0.35,
       s"LSH blocking recall too low: ${got.size}/${truth.size}")
+  }
+
+  test("auto-sized LSH bits keep per-bucket occupancy bounded as the corpus grows") {
+    graft.functions.ArrayFns.register(spark)
+    // deterministic pseudo-random corpus: dim values hashed from (id, d)
+    def synth(n: Int) = spark.range(n).select(col("id").as("vec_id"),
+      expr(s"transform(sequence(0, ${Similarity.Dim - 1}), " +
+        s"d -> cast((pmod(xxhash64(id * ${Similarity.Dim} + d), 2001) - 1000) / 1000.0 " +
+        s"as float))").as("embedding"))
+    def occupancy(n: Int): (Int, Long, Double) = {
+      val bits = Similarity.bitsForCorpus(n, targetOccupancy = 64L)
+      val v = synth(n).select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      val occ = v.select(explode(array((0 until Similarity.TablesL).map(t =>
+          struct(lit(t).as("t"),
+            expr(Similarity.tableBucketSql("qv", t, bitsK = bits)).as("b"))): _*)).as("tb"))
+        .groupBy("tb").count()
+      (bits, occ.agg(max("count")).head().getLong(0), n.toDouble / (1L << bits))
+    }
+    val (bitsSmall, maxSmall, expSmall) = occupancy(512)
+    val (bitsBig, maxBig, expBig) = occupancy(4096)
+    // the bit width grows with the corpus, holding EXPECTED occupancy at
+    // the target — a pinned bitsK would let it grow 8× here
+    assert(bitsBig > bitsSmall, s"bits must scale: $bitsSmall -> $bitsBig")
+    assert(expSmall <= 64.0 && expBig <= 64.0,
+      s"expected occupancy must stay at target: $expSmall, $expBig")
+    // and the OBSERVED max bucket stays within a constant factor of the
+    // target at both sizes (per-bucket candidate work ~ occupancy²)
+    assert(maxSmall <= 64L * 6 && maxBig <= 64L * 6,
+      s"max occupancy out of bounds: $maxSmall, $maxBig")
   }
 
   test("multimodal frame sampling fans out stride-spaced frame indices") {
