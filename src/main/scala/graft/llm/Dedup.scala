@@ -423,10 +423,18 @@ object Dedup {
     * collision odds are ~2⁻⁶⁴ per round — and `maxIter` backstops the
     * proven round bound, so a phantom "converged" cannot hide behind an
     * exhausted loop.
+    *
+    * Hybrid finish: when the current edge set (never larger than the
+    * input pair set) has ≤ `localThreshold` rows and integral ids, the
+    * remaining rounds are replaced by one collect + exact union-find on
+    * the driver — a bounded ≤ ~16 MB transfer that saves ~log n
+    * multi-stage rounds whose cost is scheduling, not data. Set
+    * `localThreshold = 0` to force the pure distributed loop.
     */
   def connectedComponentsStars(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50, strict: Boolean = true,
-      metrics: Option[graft.ops.Metrics.Registry] = None): DataFrame = {
+      metrics: Option[graft.ops.Metrics.Registry] = None,
+      localThreshold: Long = 1L << 20): DataFrame = {
     val p0 = graft.util.Materialize.stable(
       pairs.select(col(aCol).as("a"), col(bCol).as("b")))
     var edges = graft.util.Materialize.barrier(
@@ -463,10 +471,24 @@ object Dedup {
       (r.getLong(0), r.getDecimal(1))
     }
 
+    // hybrid finish: star rounds preserve the vertex set and connectivity,
+    // so ONCE the (monotonically non-growing) edge set fits the driver
+    // threshold, an exact union-find finishes in one collect instead of
+    // ~log n more distributed rounds — each of which costs several
+    // scheduled stages regardless of data size. At 100 TB the early
+    // rounds run distributed and the tail (or a small graph, immediately)
+    // goes local; localThreshold=0 forces the pure distributed loop.
+    val integralIds = {
+      val dt = edges.schema.fields.map(_.dataType).toSet
+      dt.subsetOf(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType))
+    }
     var prev = checksum(edges)
     var done = prev._1 == 0L // no edges at all: nothing to propagate
     var i = 0
-    while (!done && i < maxIter) {
+    while (!done && i < maxIter &&
+        !(integralIds && prev._1 <= localThreshold)) {
       val ls = graft.util.Materialize.barrier(largeStar(edges))
       val next = graft.util.Materialize.barrier(smallStar(ls))
       val cur = checksum(next)
@@ -474,6 +496,10 @@ object Dedup {
       prev = cur
       edges = next
       i += 1
+    }
+    if (!done && integralIds && prev._1 <= localThreshold) {
+      recordConvergence(metrics, "stars", i, converged = true)
+      return localFinish(edges)
     }
     recordConvergence(metrics, "stars", i, done)
     if (!done && strict)
@@ -490,6 +516,41 @@ object Dedup {
       .union(edges.select(col("b")).distinct()
         .join(nonRoots.select(col("a")), col("b") === col("a"), "left_anti")
         .select(col("b").as("doc_id"), col("b").as("cluster_id")))
+  }
+
+  /** Driver-side exact finish of [[connectedComponentsStars]]: union-find
+    * with path compression over a BOUNDED collected edge set (integral
+    * ids, ≤ localThreshold rows ⇒ ≤ ~16 B/row). Labels = component
+    * minimum, identical to the distributed fixpoint's contract.
+    */
+  private def localFinish(edges: DataFrame): DataFrame = {
+    val session = edges.sparkSession
+    val aType = edges.schema("a").dataType
+    val collected = edges
+      .select(col("a").cast("long"), col("b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrDefault(x, x) != x) {
+        val p = parent.getOrDefault(x, x)
+        parent.put(x, parent.getOrDefault(p, p)) // path halving
+        x = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    collected.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb)) // min root wins
+    }
+    // min-root union keeps every root the minimum of the roots merged into
+    // it, and with path compression find() lands there directly; a final
+    // pass maps each vertex to its root = component minimum
+    val vertices = collected.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+    val rows = vertices.map(v => (v, find(v))).toIndexedSeq
+    import session.implicits._
+    rows.toDF("doc_id", "cluster_id")
+      .select(col("doc_id").cast(aType), col("cluster_id").cast(aType))
   }
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the

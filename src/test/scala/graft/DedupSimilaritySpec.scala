@@ -178,9 +178,14 @@ class DedupSimilaritySpec extends SparkSpecBase {
         metrics = Some(reg))
       .as[(Long, Long)].collect().toMap
     assert(reg.render().contains("graft_cc_converged{algo=\"minlabel\"} 1"))
-    val stars = Dedup.connectedComponentsStars(pairs, "doc_a", "doc_b")
-      .as[(Long, Long)].collect().toMap
+    // distributed star rounds AND the hybrid local union-find finish must
+    // both match min-label exactly
+    val stars = Dedup.connectedComponentsStars(pairs, "doc_a", "doc_b",
+      localThreshold = 0L).as[(Long, Long)].collect().toMap
     assert(stars == expected, s"stars=$stars expected=$expected")
+    val hybrid = Dedup.connectedComponentsStars(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(hybrid == expected, s"hybrid=$hybrid expected=$expected")
   }
 
   test("adversarial chain: min-label exhausts maxIter and throws; stars converges fast") {
@@ -193,10 +198,12 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(e.getMessage.contains("fixpoint NOT reached"))
 
     // stars resolves the same chain in ~log n alternations, well under a
-    // 12-round cap, and labels everything with the global minimum
+    // 12-round cap, and labels everything with the global minimum —
+    // localThreshold=0 forces the distributed loop under test
     val reg = new graft.ops.Metrics.Registry
     val cc = Dedup.connectedComponentsStars(chain, "doc_a", "doc_b",
-      maxIter = 12, metrics = Some(reg)).as[(Long, Long)].collect().toMap
+      maxIter = 12, metrics = Some(reg), localThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
     assert(cc == (0L to 60L).map(_ -> 0L).toMap)
     // convergence is a metric, not a stderr line (ops contract)
     val rendered = reg.render()
