@@ -199,6 +199,44 @@ class KafkaSeamSpec extends SparkSpecBase {
     assert(typed.getDouble(2) == 12.5 && typed.getBoolean(3))
   }
 
+  test("schema-changes topic: change records round-trip the wire and rebuild a registry") {
+    import org.apache.spark.sql.types._
+    import graft.schema.SchemaRegistry
+    import graft.streaming.SchemaChangeWire
+    val v1 = StructType(Seq(
+      StructField("id", StringType), StructField("email", StringType)))
+    val v2 = graft.schema.Evolution.evolve(v1,
+      StructType(Seq(StructField("phone_number", StringType))))
+
+    // classification follows the contract's example (kafka-topics.md:545+)
+    val c1 = SchemaChangeWire.changeFor("warehouse", "users", 1, None, v1, nowUs = 1000000L)
+    val c2 = SchemaChangeWire.changeFor("warehouse", "users", 2, Some(v1), v2,
+      nowUs = 2000000L)
+    assert(c1.change_type == "TABLE_CREATED" &&
+      c1.change_details("columns") == "id,email")
+    assert(c2.change_type == "COLUMN_ADDED" &&
+      c2.change_details("column:phone_number") == "string")
+    // deterministic id: a replayed registration produces the same record
+    assert(SchemaChangeWire.changeFor("warehouse", "users", 1, None, v1,
+      nowUs = 1000000L) == c1)
+
+    // wire round-trip: key = keyspace.table UTF-8, value = Avro bytes
+    val frame = SchemaChangeWire.encodeFrame(spark.createDataset(Seq(c1, c2)))
+    assert(frame.select("key").as[Array[Byte]].collect()
+      .map(new String(_, "UTF-8")).toSet == Set("warehouse.users"))
+    val back = SchemaChangeWire.decodeFrame(frame.select("value"))
+      .collect().sortBy(_.version).toSeq
+    assert(back == Seq(c1, c2), s"wire round-trip diverged: $back")
+
+    // consumer side: replaying the audit log rebuilds the registry (the
+    // 365-day-retention purpose), and a second replay is a no-op
+    val reg = new SchemaRegistry(tmpDir("scw") + "/reg.tsv")
+    assert(SchemaChangeWire.applyTo(reg, back) == 2)
+    val (ver, cur) = reg.current("users").get
+    assert(ver == 2 && cur.fieldNames.toSeq == Seq("id", "email", "phone_number"))
+    assert(SchemaChangeWire.applyTo(reg, back) == 0, "replay must be idempotent")
+  }
+
   test("envelope -> Avro bytes -> envelope round-trips exactly (replay produce)") {
     import graft.streaming.AvroCdc
     val original = Seq(
