@@ -50,9 +50,16 @@ object Dedup {
     // QueryExecution and for file scans is just the file-size sum; a scan
     // under target × maxPartitionBytes would plan to fewer than `target`
     // input partitions — exactly the old probe's condition.
-    val maxPartitionBytes = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
-    val small = df.queryExecution.optimizedPlan.stats.sizeInBytes <
-      BigInt(maxPartitionBytes) * target
+    val conf = df.sparkSession.sessionState.conf
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // sources without real statistics (LogicalRDD/localCheckpoint, JDBC,
+    // stats-less DSv2) report defaultSizeInBytes — treating that as "big"
+    // would silently skip the widening this function exists for; fall
+    // back to the (more expensive) partition-count probe there
+    val small =
+      if (size >= BigInt(conf.defaultSizeInBytes))
+        df.rdd.getNumPartitions < target
+      else size < BigInt(conf.filesMaxPartitionBytes) * target
     if (small) df.repartition(target) else df
   }
 
@@ -441,7 +448,17 @@ object Dedup {
       p0.filter(col("a") =!= col("b"))
         .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
         .distinct())
+    // vertices appearing ONLY in self-pairs: min-label emits them as
+    // their own singleton cluster (its symmetrized edge (v,v) survives),
+    // so this variant must too — the self-loop filter above would
+    // otherwise silently drop them from the output contract
+    val selfVerts = graft.util.Materialize.barrier(
+      p0.filter(col("a") === col("b")).select(col("a").as("doc_id")).distinct())
     graft.util.Materialize.release(p0)
+    def withSelfSingletons(labels: DataFrame): DataFrame =
+      labels.union(
+        selfVerts.join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("doc_id").as("cluster_id")))
 
     def sym(e: DataFrame): DataFrame =
       e.union(e.select(col("b").as("a"), col("a").as("b")))
@@ -499,7 +516,7 @@ object Dedup {
     }
     if (!done && integralIds && prev._1 <= localThreshold) {
       recordConvergence(metrics, "stars", i, converged = true)
-      return localFinish(edges)
+      return withSelfSingletons(localFinish(edges))
     }
     recordConvergence(metrics, "stars", i, done)
     if (!done && strict)
@@ -512,10 +529,11 @@ object Dedup {
     // themselves. The anti-join also keeps doc_ids unique under
     // non-strict partial output, where a vertex can sit on both sides.
     val nonRoots = edges.groupBy("a").agg(min("b").as("cluster_id"))
-    nonRoots.select(col("a").as("doc_id"), col("cluster_id"))
-      .union(edges.select(col("b")).distinct()
-        .join(nonRoots.select(col("a")), col("b") === col("a"), "left_anti")
-        .select(col("b").as("doc_id"), col("b").as("cluster_id")))
+    withSelfSingletons(
+      nonRoots.select(col("a").as("doc_id"), col("cluster_id"))
+        .union(edges.select(col("b")).distinct()
+          .join(nonRoots.select(col("a")), col("b") === col("a"), "left_anti")
+          .select(col("b").as("doc_id"), col("b").as("cluster_id"))))
   }
 
   /** Driver-side exact finish of [[connectedComponentsStars]]: union-find

@@ -99,13 +99,22 @@ object LlmQueries {
     // large-star/small-star algorithm in O(log n) rounds
     "dedup_clusters_chain" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("g").orderBy("doc_id")
-      val pairs = Tables.documents(s, dir)
+      val docs = Tables.documents(s, dir)
         .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("g"))
+      val w = Window.partitionBy("g").orderBy("doc_id")
+      val pairs = docs
         .withColumn("nxt", lead("doc_id", 1).over(w))
         .filter(col("nxt").isNotNull)
         .select(col("doc_id").as("doc_a"), col("nxt").as("doc_b"))
-      Dedup.connectedComponentsStars(pairs, "doc_a", "doc_b")
+      // left join + coalesce: a residue class holding a single doc yields
+      // no chain pair, but the oracle's window-min still emits that doc
+      // labeled itself — singleton robustness must not depend on the
+      // fixture filling every class
+      docs.select("doc_id")
+        .join(Dedup.connectedComponentsStars(pairs, "doc_a", "doc_b"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
     }),
 
     "dedup_simhash" -> ((s, dir) =>

@@ -165,13 +165,13 @@ final class EventLogTable(path: String) extends Table with SupportsRead {
       override def build(): Scan = new EventLogScan(path,
         Option(options.get("maxRowsPerTrigger")).map(_.toLong).getOrElse(2048L),
         Option(options.get("admissionChannel")),
-        Option(options.get("tailQuiesceMs")).map(_.toLong).getOrElse(2000L))
+        Option(options.get("tailQuiesceMs")).map(_.toLong).getOrElse(-1L))
     }
 }
 
 final class EventLogScan(path: String, maxRowsPerTrigger: Long,
     admissionChannel: Option[String] = None,
-    tailQuiesceMs: Long = 2000L) extends Scan {
+    tailQuiesceMs: Long = -1L) extends Scan {
   override def readSchema(): StructType = EventLogSource.Schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new EventLogMicroBatchStream(path, maxRowsPerTrigger, admissionChannel, tailQuiesceMs)
@@ -197,7 +197,7 @@ final class EventLogScan(path: String, maxRowsPerTrigger: Long,
   */
 final class EventLogMicroBatchStream(path: String, maxRows: Long,
     admissionChannel: Option[String] = None,
-    tailQuiesceMs: Long = 2000L)
+    tailQuiesceMs: Long = -1L)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -249,16 +249,21 @@ final class EventLogMicroBatchStream(path: String, maxRows: Long,
       if (ss.isEmpty) EventLogOffset(0, 0L)
       else {
         // tail rule: a partially-flushed final line is not available — a
-        // cap counting it could never be reached. EXCEPT on a QUIESCENT
-        // tail (no write for `tailQuiesceMs`): an S2 snapshot drain runs
-        // over a FINISHED log, and a writer that ended without a trailing
-        // newline has still committed that line — excluding it would
-        // silently drop the log's last event from the snapshot.
+        // cap counting it could never be reached. EXCEPT, OPT-IN
+        // (`tailQuiesceMs` > 0), on a QUIESCENT tail (no write for that
+        // long): an S2 snapshot drain over a FINISHED log whose writer
+        // ended without a trailing newline would otherwise silently drop
+        // the last event. Opt-in because mtime quiescence cannot prove
+        // the writer is DONE — a writer stalled mid-line past the window
+        // (GC pause, fsync backlog) would get its half-flushed fragment
+        // committed as an event and the resumed remainder as a second
+        // garbage row. Enable only where writers are known dead or are
+        // contractually line-terminated before handoff.
         val tail = Paths.get(path, ss.last)
-        val quiescent =
-          try System.currentTimeMillis() -
+        val quiescent = tailQuiesceMs > 0 &&
+          (try System.currentTimeMillis() -
             Files.getLastModifiedTime(tail).toMillis >= tailQuiesceMs
-          catch { case _: Exception => false }
+          catch { case _: Exception => false })
         capCountsTail = quiescent
         val (rows, bytes, _) = EventLogSource.scanLines(
           tail, 0L, Long.MaxValue, countUnterminated = quiescent)

@@ -102,11 +102,24 @@ object MultiTableReplication {
   }
 
   /** Start one streaming query per table config; returns them in order.
-    * Queries run concurrently on the shared session.
+    * Queries run concurrently on the shared session. All-or-nothing: if a
+    * later table's start throws, the already-started queries are stopped
+    * before the exception propagates — otherwise they would keep running
+    * (and keep their checkpoint locks) with no handle returned to stop
+    * them by.
     */
   def start(spark: SparkSession, tables: Seq[ReplicationJob.Config],
-      continuous: Boolean = false): Seq[StreamingQuery] =
-    tables.map(ReplicationJob.start(spark, _, continuous))
+      continuous: Boolean = false): Seq[StreamingQuery] = {
+    val started = scala.collection.mutable.ArrayBuffer.empty[StreamingQuery]
+    try {
+      tables.foreach(t => started += ReplicationJob.start(spark, t, continuous))
+      started.toSeq
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        started.foreach(q => try q.stop() catch { case _: Exception => () })
+        throw e
+    }
+  }
 
   /** Drain-and-stop all tables (`Trigger.AvailableNow` each): the S2
     * snapshot shape across the whole table list. Propagates the first

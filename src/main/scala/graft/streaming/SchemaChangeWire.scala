@@ -171,19 +171,27 @@ object SchemaChangeWire {
 
   /** Replay a decoded change stream into a registry — the consumer side
     * of the audit topic (rebuild-from-retention). Changes are applied in
-    * (table, version) order; versions already present are skipped, so a
-    * partial replay over an existing registry converges instead of
-    * double-registering.
+    * (keyspace, table, version) order; versions already present are
+    * skipped, so a partial replay over an existing registry converges
+    * instead of double-registering.
+    *
+    * `registryKey` maps a change to the registry's table key — default
+    * `keyspace.table`, the topic's own key, so two keyspaces carrying the
+    * same table name can never silently merge (or drop) each other's
+    * history. Pass `_.table` only for registries known to hold a single
+    * keyspace under bare table names.
     */
-  def applyTo(reg: SchemaRegistry, changes: Seq[SchemaChange]): Int = {
+  def applyTo(reg: SchemaRegistry, changes: Seq[SchemaChange],
+      registryKey: SchemaChange => String = c => s"${c.keyspace}.${c.table}"): Int = {
     var applied = 0
     changes.sortBy(c => (c.keyspace, c.table, c.version)).foreach { c =>
-      val cur = reg.current(c.table).map(_._1).getOrElse(0)
+      val key = registryKey(c)
+      val cur = reg.current(key).map(_._1).getOrElse(0)
       if (c.version > cur) {
-        val v = reg.register(c.table, Evolution.deserialize(c.schema_json),
+        val v = reg.register(key, Evolution.deserialize(c.schema_json),
           c.effective_from_ms * 1000L)
         require(v == c.version,
-          s"registry version drift for ${c.table}: replayed ${c.version}, got $v")
+          s"registry version drift for $key: replayed ${c.version}, got $v")
         applied += 1
       }
     }

@@ -211,13 +211,18 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(rendered.contains("graft_cc_converged{algo=\"stars\"} 1"))
   }
 
-  test("stars CC: duplicate/reversed/self edges normalize away; empty set is empty") {
+  test("stars CC: duplicate/reversed/self edges normalize; self-loop singletons kept") {
     val messy = Seq((5L, 3L), (3L, 5L), (5L, 3L), (4L, 4L), (3L, 1L))
       .toDF("doc_a", "doc_b")
-    val cc = Dedup.connectedComponentsStars(messy, "doc_a", "doc_b")
-      .as[(Long, Long)].collect()
-    assert(cc.length == cc.map(_._1).distinct.length, "doc_ids must be unique")
-    assert(cc.toMap == Map(1L -> 1L, 3L -> 1L, 5L -> 1L), s"got ${cc.toMap}")
+    // (4,4) is a self-pair with no proper edge: min-label emits 4 as its
+    // own singleton cluster, so stars must too — both paths
+    for (thr <- Seq(0L, Long.MaxValue)) {
+      val cc = Dedup.connectedComponentsStars(messy, "doc_a", "doc_b",
+        localThreshold = thr).as[(Long, Long)].collect()
+      assert(cc.length == cc.map(_._1).distinct.length, "doc_ids must be unique")
+      assert(cc.toMap == Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 4L -> 4L),
+        s"thr=$thr got ${cc.toMap}")
+    }
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponentsStars(empty, "doc_a", "doc_b").count() == 0)
   }

@@ -181,27 +181,36 @@ class EventLogSourceSpec extends SparkSpecBase {
       s"clamped segment must be read from row 0, got $delivered")
   }
 
-  test("AvailableNow snapshot of a QUIESCENT log includes an unterminated final line") {
+  test("AvailableNow quiescent-tail rule is opt-in; default never admits a partial line") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     import graft.streaming.EventLogMicroBatchStream
     val dir = tmpDir("evquiesce")
     val f = Paths.get(dir, "seg-000.log")
     Files.writeString(f, "{\"event_id\":0}\n{\"event_id\":1}") // no trailing \n
-    // writer finished long ago: the snapshot must deliver BOTH lines —
-    // the batch path counts 2, and S2 drain must not lose the last event
     Files.setLastModifiedTime(f,
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
-    val stream = new EventLogMicroBatchStream(dir, 100L)
+    // OPT-IN (tailQuiesceMs > 0) + long-dead writer: the snapshot must
+    // deliver BOTH lines — the batch path counts 2, and an S2 drain over
+    // a finished log must not lose the last event
+    val stream = new EventLogMicroBatchStream(dir, 100L, tailQuiesceMs = 2000L)
     stream.prepareForTriggerAvailableNow()
     val end = stream.latestOffset(EventLogOffset(0, 0L), ReadLimit.maxRows(100L))
       .asInstanceOf[EventLogOffset]
     assert(end.row == 2L, s"quiescent unterminated tail line must be admitted: $end")
 
-    // a FRESH (possibly still-growing) tail keeps the conservative rule
+    // DEFAULT (opt-in off): even a long-quiescent partial line is not
+    // admitted — mtime cannot prove the writer is done, only stalled
+    val streamDefault = new EventLogMicroBatchStream(dir, 100L)
+    streamDefault.prepareForTriggerAvailableNow()
+    val endD = streamDefault.latestOffset(EventLogOffset(0, 0L), ReadLimit.maxRows(100L))
+      .asInstanceOf[EventLogOffset]
+    assert(endD.row == 1L, s"default must stay conservative: $endD")
+
+    // opted in but the tail is FRESH (possibly mid-flush): conservative
     val dir2 = tmpDir("evfresh")
     Files.writeString(Paths.get(dir2, "seg-000.log"),
       "{\"event_id\":0}\n{\"event_id\":1}")
-    val stream2 = new EventLogMicroBatchStream(dir2, 100L)
+    val stream2 = new EventLogMicroBatchStream(dir2, 100L, tailQuiesceMs = 2000L)
     stream2.prepareForTriggerAvailableNow()
     val end2 = stream2.latestOffset(EventLogOffset(0, 0L), ReadLimit.maxRows(100L))
       .asInstanceOf[EventLogOffset]

@@ -229,12 +229,18 @@ class KafkaSeamSpec extends SparkSpecBase {
     assert(back == Seq(c1, c2), s"wire round-trip diverged: $back")
 
     // consumer side: replaying the audit log rebuilds the registry (the
-    // 365-day-retention purpose), and a second replay is a no-op
+    // 365-day-retention purpose), and a second replay is a no-op. The
+    // default registry key is the topic's own keyspace.table, so the
+    // same table name in another keyspace keeps its own history.
     val reg = new SchemaRegistry(tmpDir("scw") + "/reg.tsv")
-    assert(SchemaChangeWire.applyTo(reg, back) == 2)
-    val (ver, cur) = reg.current("users").get
+    val other = SchemaChangeWire.changeFor("analytics", "users", 1, None,
+      StructType(Seq(StructField("uid", LongType))), nowUs = 500000L)
+    assert(SchemaChangeWire.applyTo(reg, back :+ other) == 3)
+    val (ver, cur) = reg.current("warehouse.users").get
     assert(ver == 2 && cur.fieldNames.toSeq == Seq("id", "email", "phone_number"))
-    assert(SchemaChangeWire.applyTo(reg, back) == 0, "replay must be idempotent")
+    assert(reg.current("analytics.users").get._2.fieldNames.toSeq == Seq("uid"),
+      "two keyspaces carrying the same table name must not merge")
+    assert(SchemaChangeWire.applyTo(reg, back :+ other) == 0, "replay must be idempotent")
   }
 
   test("envelope -> Avro bytes -> envelope round-trips exactly (replay produce)") {
