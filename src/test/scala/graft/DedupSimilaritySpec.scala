@@ -227,6 +227,26 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(Dedup.connectedComponentsStars(empty, "doc_a", "doc_b").count() == 0)
   }
 
+  test("CC property: random graphs — min-label, distributed stars, hybrid all agree") {
+    // seeded random graphs with duplicate, reversed and self edges: the
+    // three implementations must produce identical (doc_id, cluster_id)
+    // maps — min-label is the oracle-gated reference implementation
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val ids = Array.fill(25)(rnd.nextInt(90).toLong)
+      val pairs = Seq.fill(40)((ids(rnd.nextInt(ids.length)), ids(rnd.nextInt(ids.length))))
+        .toDF("doc_a", "doc_b")
+      val minLabel = Dedup.connectedComponents(pairs, "doc_a", "doc_b", maxIter = 50)
+        .as[(Long, Long)].collect().toMap
+      val distributed = Dedup.connectedComponentsStars(pairs, "doc_a", "doc_b",
+        localThreshold = 0L).as[(Long, Long)].collect().toMap
+      val hybrid = Dedup.connectedComponentsStars(pairs, "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toMap
+      assert(distributed == minLabel, s"seed=$seed stars diverged")
+      assert(hybrid == minLabel, s"seed=$seed hybrid diverged")
+    }
+  }
+
   test("connected components: empty pair set converges to an empty table") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponents(empty, "doc_a", "doc_b").count() == 0)
