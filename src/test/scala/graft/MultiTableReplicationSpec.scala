@@ -200,6 +200,80 @@ class MultiTableReplicationSpec extends SparkSpecBase {
     assert(ReplicationJob.targetState(spark, ordersCfg).count() == 1L)
   }
 
+  test("round-5 integration: two tables, event-log sources, backpressure channels, one JDBC target") {
+    import java.nio.file.{Files, Paths}
+    import graft.streaming.AdmissionControl
+    // users rides the commit-log DSv2 source with its own backpressure
+    // channel into a LIVE JDBC target; orders rides a second log into the
+    // parquet store — every round-5 seam in one run
+    val base = tmpDir("mtint")
+    val dirs = Dirs(base)
+    val reg = registryWithBoth(base)
+    val (usersCfg0, ordersCfg0) = configs(reg, dirs)
+
+    val usersLog = s"$base/users/log"
+    Files.createDirectories(Paths.get(usersLog))
+    Files.writeString(Paths.get(usersLog, "seg-000.log"),
+      Seq(
+        """{"event_id":1,"ts":1000,"id":"u1","event_type":"create","username":"alice","email":"a@x"}""",
+        """{"event_id":2,"ts":3000,"id":"u1","event_type":"update","username":"alice2","email":"a2@x"}""",
+        """{"event_id":3,"ts":2000,"id":"u1","event_type":"update","username":"stale","email":"s@x"}""",
+        """{"event_id":4,"ts":1500,"id":"u2","event_type":"create","username":"bob","email":"b@x"}""")
+        .mkString("", "\n", "\n"))
+    val ordersLog = s"$base/orders/log"
+    Files.createDirectories(Paths.get(ordersLog))
+    Files.writeString(Paths.get(ordersLog, "seg-000.log"),
+      Seq(
+        """{"event_id":11,"ts":1000000,"order_id":"A","event_type":"create","total":10.0,"status":"pending"}""",
+        """{"event_id":12,"ts":3000000,"order_id":"A","event_type":"update","total":20.0,"status":"shipped"}""",
+        """{"event_id":13,"ts":2000000,"order_id":"B","event_type":"create","total":600.0,"status":"pending"}""")
+        .mkString("", "\n", "\n"))
+
+    val url = "jdbc:derby:memory:mtint;create=true"
+    val cols = Seq("id", "username", "email",
+      "_cdc_deleted", "_cdc_timestamp_micros", "_last_event_id")
+    graft.sink.JdbcLwwExecutor.ensureTable(url,
+      """CREATE TABLE cdc_users_mt (
+        |  "id" VARCHAR(32) NOT NULL,
+        |  "username" VARCHAR(64),
+        |  "email" VARCHAR(64),
+        |  "_cdc_deleted" BOOLEAN,
+        |  "_cdc_timestamp_micros" BIGINT,
+        |  "_last_event_id" BIGINT,
+        |  PRIMARY KEY ("id"))""".stripMargin)
+    AdmissionControl.register("mt-users",
+      AdmissionControl.SinkHealth(breaker = Some(new graft.util.CircuitBreaker())))
+    AdmissionControl.register("mt-orders", AdmissionControl.SinkHealth())
+    try {
+      val usersCfg = usersCfg0.copy(
+        eventLog = Some((usersLog, 2L)), backpressureChannel = Some("mt-users"),
+        jdbcTarget = Some(graft.sink.JdbcLwwExecutor.Target(
+          url, "cdc_users_mt", cols, pk = Seq("id"))))
+      val ordersCfg = ordersCfg0.copy(
+        eventLog = Some((ordersLog, 2L)), backpressureChannel = Some("mt-orders"),
+        stateBuckets = Some(4))
+      MultiTableReplication.runAvailableNow(spark, Seq(usersCfg, ordersCfg))
+
+      val users = spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "cdc_users_mt").load()
+        .select("id", "username", "_cdc_timestamp_micros").collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(users == Map("u1" -> (("alice2", 3000L)), "u2" -> (("bob", 1500L))),
+        s"JDBC users state: $users")
+      val orders = ReplicationJob.targetState(spark, ordersCfg)
+        .select("order_id", "total").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(orders == Map("A" -> 20.0), s"orders state: $orders")
+      val ordersDlq = spark.read.parquet(ordersCfg.dlqDir)
+        .select("order_id", "error_type").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(ordersDlq == Map("B" -> "CONSTRAINT_VIOLATION"), s"orders DLQ: $ordersDlq")
+    } finally {
+      AdmissionControl.clear("mt-users")
+      AdmissionControl.clear("mt-orders")
+    }
+  }
+
   test("composite-key state store: LWW per (pk1, pk2)") {
     import spark.implicits._
     val dir = tmpDir("composite") + "/state"
