@@ -113,6 +113,11 @@ final class ApiServer(
           s"""{"component":"${parts(1)}","status":"${if (ok) "healthy" else "unhealthy"}"}""",
           "application/json")
         case None => respond(ex, 404, """{"error":"unknown component"}""", "application/json")
+      } else if (parts.length > 2) {
+        // /health/db/extra must NOT fall through to the aggregate report:
+        // a misconfigured probe would silently watch the wrong signal
+        respond(ex, 404, """{"error":"GET /health or /health/{component}"}""",
+          "application/json")
       } else {
         val healthy = comps.values.forall(identity)
         val body = comps.map { case (k, ok) =>
@@ -188,8 +193,7 @@ final class ApiServer(
         ex.getResponseHeaders.set("Allow", "POST")
         respond(ex, 405, """{"error":"method not allowed"}""", "application/json")
       } else {
-        val table = Option(ex.getRequestURI.getQuery).getOrElse("")
-          .split("&").collectFirst { case s if s.startsWith("table=") => s.drop(6) }
+        val table = queryParams(ex).get("table")
         table match {
           case Some(t) if Gdpr.validIdentifier(t) =>
             reconTrigger(t)
@@ -212,9 +216,12 @@ final class ApiServer(
           "application/json")
         case Left(err) =>
           // validation failures are the caller's fault (400), absence is
-          // 404; only genuine execution failures surface as 500
+          // 404; only genuine execution failures surface as 500. Absence
+          // is matched on OUR message prefix, not a bare "not found"
+          // substring — JDBC execution failures ("Table X not found")
+          // must stay 500, or a failed erasure reads as record-absent
           val code =
-            if (err.contains("not found")) 404
+            if (err.startsWith("record ") && err.contains("not found")) 404
             else if (err.startsWith("invalid identifier")) 400
             else 500
           respond(ex, code,

@@ -74,9 +74,14 @@ object Gdpr {
     //    not an AnalysisException out of spark.read.parquet
     if (!source.exists) return Left(s"record $pk not found in source $table")
     val keyCol = target.pk.head
-    val backup: Option[Row] = source.read()
+    // ALL rows under the erasure identifier, not just the first: a
+    // composite-pk store holds several rows per leading key, and
+    // deleteKeys removes every one of them — backing up / target-deleting
+    // / compensating a single row would leave PII in the target and lose
+    // rows on compensation
+    val backup: Array[Row] = source.read()
       .filter(org.apache.spark.sql.functions.col(keyCol) === pkValue)
-      .collect().headOption
+      .collect()
     if (backup.isEmpty) return Left(s"record $pk not found in source $table")
 
     // 2. delete from source
@@ -106,7 +111,7 @@ object Gdpr {
         // redacted everywhere it lands (audit file, API error body): a
         // JDBC failure message can echo the URL's credentials.
         val df = source.read().sparkSession.createDataFrame(
-          java.util.List.of(backup.get), backup.get.schema)
+          java.util.Arrays.asList(backup: _*), backup.head.schema)
         source.upsert(df)
         try audit(auditPath, table, pk, requester, reason,
           s"compensated: ${graft.util.Redact.secrets(e.getMessage)}")

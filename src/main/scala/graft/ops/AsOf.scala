@@ -51,9 +51,13 @@ object AsOf {
     // drop NULL-key right rows: Window.partitionBy groups NULLs as equal,
     // but the operator's SQL contract (and the LATERAL oracle) is
     // equality semantics, where a NULL key matches nothing — a NULL-key
-    // left row must carry NULL asof_ columns, never a NULL-key payload
+    // left row must carry NULL asof_ columns, never a NULL-key payload.
+    // Same for a NULL right TIMESTAMP: `r.ts <= l.ts` is never true in
+    // SQL, but asc ordering sorts a null-_ts row to the partition head,
+    // where the running last() would carry its payload into every left
+    // row before the first real right timestamp.
     val r = right
-      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .filter((keys.map(col(_).isNotNull) :+ col(rightTs).isNotNull).reduce(_ && _))
       .select(
         keys.map(col) ++ Seq(
           col(rightTs).as("_ts"),

@@ -19,11 +19,21 @@ object DlqService {
       .orderBy(col("failed_at_us").desc, col("event_id"))
       .offset(offset).limit(limit)
 
-  /** Stats (`dlq_service.py:375-443`): counts by error type, resolution
-    * status and source table — one cube pass instead of three scans.
+  /** Stats (`dlq_service.py:375-443`): counts by error type and
+    * resolution status in one cube pass; pass the source-table column
+    * (`tableCol`) to add the reference's by-table dimension — the
+    * two-column default is the oracle-gated shape (`cdc_dlq_stats`), and
+    * deployments with per-table DLQ directories already carry the table
+    * in the path.
     */
-  def stats(dlq: DataFrame): DataFrame =
-    dlq.cube(col("error_type"), col("resolution_status")).agg(count(lit(1)).as("n"))
+  def stats(dlq: DataFrame, tableCol: Option[String] = None): DataFrame =
+    tableCol match {
+      case Some(t) =>
+        dlq.cube(col("error_type"), col("resolution_status"), col(t))
+          .agg(count(lit(1)).as("n"))
+      case None =>
+        dlq.cube(col("error_type"), col("resolution_status")).agg(count(lit(1)).as("n"))
+    }
 
   /** Replay (`dlq_service.py:165-301`): select records by id, serialize
     * back to the event wire format (S14 shape: `to_json(struct(*))` → the

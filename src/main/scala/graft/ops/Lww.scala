@@ -101,7 +101,14 @@ object Lww {
         coalesce(
           (col(tsCol) > col("_existing_ts")) ||
           (col(tsCol) === col("_existing_ts") && col(tieCol) > col("_existing_tie")),
-          col("_existing_ts").isNull && col(tsCol).isNotNull))
+          // a NULL verdict means a stored position COMPONENT was null:
+          // position-less stored rows lose to positioned incoming ones on
+          // BOTH components (ts and the equal-ts tie), mirroring the
+          // parquet fold and the JDBC updateSql IS NULL arms
+          (col("_existing_ts").isNull && col(tsCol).isNotNull) ||
+            (col(tsCol) === col("_existing_ts") &&
+              col("_existing_tie").isNull && col(tieCol).isNotNull),
+          lit(false)))
       .withColumn("_conflict_resolution", struct(
         col("_accepted").as("was_accepted"),
         col("_had_conflict").as("had_conflict"),

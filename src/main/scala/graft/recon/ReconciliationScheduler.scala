@@ -32,10 +32,18 @@ final class ReconciliationScheduler(
     }
   }
 
-  private def save(jobs: Seq[Job]): Unit =
-    Files.writeString(Paths.get(storePath),
+  private def save(jobs: Seq[Job]): Unit = {
+    // tmp + atomic move: an in-place write killed mid-flight leaves a
+    // truncated line that makes every later load() throw — permanently
+    // bricking the scheduler behind the daemon's retry loop
+    val p = Paths.get(storePath)
+    val tmp = Paths.get(storePath + ".tmp")
+    Files.writeString(tmp,
       jobs.map(j => s"${j.table}\t${j.intervalMs}\t${j.nextRunMs}\t${j.paused}")
         .mkString("", "\n", "\n"))
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   def jobs(): Seq[Job] = this.synchronized(load())
 
@@ -46,6 +54,12 @@ final class ReconciliationScheduler(
     * load-modify-save would lose a pause issued mid-tick.
     */
   def schedule(table: String, intervalMs: Long): Unit = this.synchronized {
+    // loud guards (the codebase's own pattern): a tab/newline in the name
+    // corrupts every later load() of the TSV store, and intervalMs = 0
+    // divides by zero in tick's catch-up math AFTER the jobs already ran
+    require(table.nonEmpty && !table.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"invalid table name for jobstore: ${table.take(64)}")
+    require(intervalMs > 0, s"intervalMs must be positive, got $intervalMs")
     save(load().filterNot(_.table == table) :+
       Job(table, intervalMs, clock() + intervalMs, paused = false))
   }

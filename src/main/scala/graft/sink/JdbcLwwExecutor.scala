@@ -89,9 +89,17 @@ object JdbcLwwExecutor {
     */
   def updateSql(t: Target): String = {
     val nonPk = t.cols.filterNot(t.pk.contains)
+    // IS NULL arms: a stored row with no LWW position (a pre-existing
+    // table evolved into the CDC meta columns) must LOSE to any
+    // positioned incoming row — without them the NULL comparison voids
+    // the update, the insert then hits the pk, and the row is
+    // permanently unwritable, diverging from the parquet fold's
+    // null-loses ordering (StateLayout.survivesTruncate's rule). Bind
+    // order/count is unchanged: (ts, ts, tie).
     s"UPDATE ${t.table} SET ${nonPk.map(c => s"${q(c)} = ?").mkString(", ")}" +
       s" WHERE ${t.pk.map(c => s"${q(c)} = ?").mkString(" AND ")}" +
-      s" AND (${q(t.tsCol)} < ? OR (${q(t.tsCol)} = ? AND ${q(t.tieCol)} < ?))"
+      s" AND (${q(t.tsCol)} < ? OR ${q(t.tsCol)} IS NULL" +
+      s" OR (${q(t.tsCol)} = ? AND (${q(t.tieCol)} < ? OR ${q(t.tieCol)} IS NULL)))"
   }
 
   def insertSql(t: Target): String =

@@ -210,6 +210,8 @@ class ApiOpsSpec extends SparkSpecBase {
       assert(send("GET", "/health/spark").statusCode() == 200)
       assert(send("GET", "/health/target").statusCode() == 503)
       assert(send("GET", "/health/nope").statusCode() == 404)
+      // a trailing segment must not fall through to the aggregate report
+      assert(send("GET", "/health/spark/extra").statusCode() == 404)
     } finally api.stop()
   }
 
@@ -303,6 +305,61 @@ class ApiOpsSpec extends SparkSpecBase {
     assert(lines.head.split("\t", -1).length == 7,
       "injected tab must not shift audit fields")
     assert(content.contains("evil\\tuser") && content.contains("line1\\nline2"))
+  }
+
+  test("GDPR erasure under a composite key deletes and compensates EVERY row") {
+    // 3 rows share the erasure identifier (leading key) in a composite-
+    // key store: target delete must remove all 3, and a failed target
+    // delete must compensate all 3 back — one-row backup leaves PII in
+    // the target and loses rows on compensation
+    val stateDir = tmpDir("gdprm") + "/state"
+    val source = new ParquetStateStore(spark, stateDir, Seq("user_id", "device"),
+      "ts_us", "eid")
+    def seed(): Unit = source.upsert(Seq(
+      (42L, 1, 10L, 1L, "a"), (42L, 2, 10L, 2L, "b"), (42L, 3, 10L, 3L, "c"),
+      (7L, 1, 10L, 4L, "other"))
+      .toDF("user_id", "device", "ts_us", "eid", "name"))
+    seed()
+    val url = "jdbc:derby:memory:gdprmulti;create=true"
+    JdbcLwwExecutor.ensureTable(url,
+      """CREATE TABLE users_m ("user_id" BIGINT NOT NULL, "device" INT NOT NULL,
+        | PRIMARY KEY ("user_id", "device"))""".stripMargin)
+    val c = java.sql.DriverManager.getConnection(url)
+    try c.createStatement().executeUpdate(
+      "INSERT INTO users_m VALUES (42,1),(42,2),(42,3),(7,1)") finally c.close()
+    val target = JdbcLwwExecutor.Target(url, "users_m",
+      Seq("user_id", "device"), Seq("user_id", "device"))
+    val res = Gdpr.deleteRecord(source, target, tmpDir("auditm") + "/a.tsv", "users", 42L)
+    assert(res.isRight)
+    val c2 = java.sql.DriverManager.getConnection(url)
+    val left = try {
+      val rs = c2.createStatement().executeQuery(
+        """SELECT "user_id", count(*) FROM users_m GROUP BY "user_id"""")
+      val b = Map.newBuilder[Long, Int]
+      while (rs.next()) b += rs.getLong(1) -> rs.getInt(2)
+      b.result()
+    } finally c2.close()
+    assert(left == Map(7L -> 1), s"ALL of user 42's rows must leave the target: $left")
+    assert(source.read().filter($"user_id" === 42L).count() == 0L)
+
+    // compensation path: re-seed, point at a missing table, verify all 3
+    // rows come back
+    seed()
+    val badTarget = target.copy(table = "missing_m")
+    val res2 = Gdpr.deleteRecord(source, badTarget, tmpDir("auditm2") + "/a.tsv",
+      "users", 42L)
+    assert(res2.isLeft)
+    assert(source.read().filter($"user_id" === 42L).count() == 3L,
+      "compensation must restore every backed-up row")
+  }
+
+  test("scheduler rejects jobstore-corrupting names and non-positive intervals") {
+    val s = new graft.recon.ReconciliationScheduler(
+      tmpDir("schedval") + "/jobs.tsv", _ => ())
+    intercept[IllegalArgumentException](s.schedule("users\tx", 60000L))
+    intercept[IllegalArgumentException](s.schedule("users", 0L))
+    s.schedule("users", 60000L) // sane input still lands
+    assert(s.jobs().map(_.table) == Seq("users"))
   }
 
   test("GDPR compensation: failed target delete restores the source row") {

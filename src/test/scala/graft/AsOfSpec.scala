@@ -76,6 +76,21 @@ class AsOfSpec extends SparkSpecBase {
     assert(m(2L).contains(2L), "real keys still match")
   }
 
+  test("a NULL-timestamp right row never matches (r.ts <= l.ts is false on NULL)") {
+    // a null-_ts right row sorts to the partition head, where the running
+    // last() would otherwise carry its payload into every left row that
+    // precedes the first real right timestamp
+    val l = Seq((1L, 1L, 50L)).toDF("event_id", "user_id", "ts_us")
+    val r = Seq(
+      (java.lang.Long.valueOf(1L), null: java.lang.Long, 9L, 7.0),
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(100L), 2L, 8.0))
+      .toDF("user_id", "ts_us", "p_id", "p_val")
+    val m = AsOf.joinAtOrBefore(l, r, Seq("user_id"),
+      "ts_us", "ts_us", "p_id", Seq("p_id", "p_val"))
+      .collect().map(x => x.getLong(0) -> Option(x.get(3))).toMap
+    assert(m(1L).isEmpty, "no right row at-or-before ts=50 — null ts is not a match")
+  }
+
   test("left row count is preserved exactly (no fan-out, no drops)") {
     val out = AsOf.joinAtOrBefore(left, right, Seq("user_id"),
       "ts_us", "ts_us", "p_id", Seq("p_id"))

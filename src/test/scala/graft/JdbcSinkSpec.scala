@@ -80,6 +80,33 @@ class JdbcSinkSpec extends SparkSpecBase {
       3L -> (("signup", 300L, 3000L, 30L))))
   }
 
+  test("a stored row with a NULL LWW position loses to any positioned write") {
+    // a pre-existing table evolved into the CDC meta columns reads NULL
+    // there — without the IS NULL arms that row is permanently
+    // unwritable (update predicate NULL, insert hits the pk)
+    val t = freshTarget("cdc_nullpos")
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.createStatement().executeUpdate(
+        s"""INSERT INTO ${t.table} ("user_id", "event_type", "value_cents",
+           | "_cdc_deleted", "_cdc_timestamp_micros", "_last_event_id")
+           | VALUES (1, 'legacy', 5, false, NULL, NULL)""".stripMargin)
+      conn.createStatement().executeUpdate(
+        s"""INSERT INTO ${t.table} ("user_id", "event_type", "value_cents",
+           | "_cdc_deleted", "_cdc_timestamp_micros", "_last_event_id")
+           | VALUES (2, 'halfpos', 5, false, 100, NULL)""".stripMargin)
+      ()
+    } finally conn.close()
+    JdbcLwwExecutor.writeBatch(df(
+      (1L, "update", 10L, 100L, 7L),
+      (2L, "update", 11L, 100L, 8L)), t)
+    val state = rows(t)
+    assert(state(1L) == (("update", 10L, 100L, 7L)),
+      s"null-position stored row must lose: ${state(1L)}")
+    assert(state(2L) == (("update", 11L, 100L, 8L)),
+      s"null-tie stored row must lose the equal-ts tie: ${state(2L)}")
+  }
+
   test("replayed batch is idempotent (exactly-once construction)") {
     val t = freshTarget("lww_replay")
     val batch = df((1L, "signup", 100L, 1000L, 10L), (2L, "view", 200L, 2000L, 20L))

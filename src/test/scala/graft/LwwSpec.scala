@@ -92,4 +92,20 @@ class LwwSpec extends SparkSpecBase {
     assert(res(4L) == (false, true))
     assert(res(5L) == (true, false))
   }
+
+  test("resolveAgainstTarget: stored rows with NULL position components lose") {
+    // mirror of the parquet fold / JDBC IS NULL arms: a stored row
+    // missing ts — or missing only the tie at an equal ts — loses to a
+    // positioned incoming row; was_accepted is never NULL
+    val incoming = Seq((1L, 100L, 5L, "a"), (2L, 100L, 5L, "b"))
+      .toDF("user_id", "ts_us", "event_id", "v")
+    val target = Seq(
+      (java.lang.Long.valueOf(1L), null: java.lang.Long, null: java.lang.Long, "t"),
+      (java.lang.Long.valueOf(2L), java.lang.Long.valueOf(100L), null: java.lang.Long, "t"))
+      .toDF("user_id", "ts_us", "event_id", "v")
+    val res = Lww.resolveAgainstTarget(incoming, target, "user_id", "ts_us", "event_id")
+      .select($"user_id", $"_conflict_resolution.was_accepted")
+      .as[(Long, Boolean)].collect().toMap
+    assert(res == Map(1L -> true, 2L -> true), s"got $res")
+  }
 }
