@@ -67,9 +67,12 @@ object Evolution {
     case (ShortType, IntegerType | LongType) => true
     case (IntegerType, LongType) => true
     case (FloatType, DoubleType) => true
-    case (_: DecimalType, d: DecimalType) =>
-      from.asInstanceOf[DecimalType].precision <= d.precision &&
-        from.asInstanceOf[DecimalType].scale <= d.scale
+    case (s: DecimalType, d: DecimalType) =>
+      // precision alone is not enough: DECIMAL(10,0) → DECIMAL(11,5)
+      // grows precision AND scale yet shrinks INTEGER digits 10 → 6,
+      // truncating stored magnitudes — every represented value must stay
+      // representable, so integer digits and scale must both widen
+      (d.precision - d.scale) >= (s.precision - s.scale) && s.scale <= d.scale
     case (StringType, _) | (_, StringType) => false
     case _ => false
   }

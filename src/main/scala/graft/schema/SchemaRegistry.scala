@@ -36,7 +36,14 @@ final class SchemaRegistry(path: String) {
   private def rewrite(all: Seq[Evolution.SchemaVersion]): Unit = {
     val body = all.map(s => s"${s.table}\t${s.version}\t${s.effectiveFromUs}\t" +
       s"${s.effectiveToUs.getOrElse("-")}\t${s.schemaJson}").mkString("", "\n", "\n")
-    Files.writeString(Paths.get(path), body)
+    // tmp + atomic move: an in-place truncate-then-write killed mid-flight
+    // would tear EVERY table's version history, not just the row being
+    // registered — the control table must never have a corrupt window
+    val tmp = Paths.get(path + ".tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, Paths.get(path),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   def history(table: String): Seq[Evolution.SchemaVersion] =

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.io.{BufferedInputStream, BufferedReader, InputStreamReader}
+import java.io.BufferedInputStream
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 import java.util
@@ -384,19 +384,29 @@ object EventLogReaderFactory extends PartitionReaderFactory {
           toSkip -= skipped
         }
       }
-      private val reader = new BufferedReader(
-        new InputStreamReader(in, StandardCharsets.UTF_8))
+      // '\n'-ONLY line splitting, matching scanLines' byte accounting: a
+      // BufferedReader.readLine would also split on lone '\r' INSIDE a
+      // payload, desyncing the reader's row numbering from the planner's
+      // counts — rows silently dropped from the slice and every later
+      // offset shifted
+      private def readLineLf(): String = {
+        var b = in.read()
+        if (b < 0) return null
+        val buf = new java.io.ByteArrayOutputStream(128)
+        while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
+        new String(buf.toByteArray, StandardCharsets.UTF_8)
+      }
       private var pos = slice.from
       private var current: String = _
       override def next(): Boolean =
         if (pos < slice.until) {
-          current = reader.readLine()
+          current = readLineLf()
           if (current == null) false else { pos += 1; true }
         } else false
       override def get(): InternalRow =
         InternalRow(UTF8String.fromString(current),
           UTF8String.fromString(slice.seg), pos - 1)
-      override def close(): Unit = reader.close()
+      override def close(): Unit = in.close()
     }
   }
 }

@@ -104,7 +104,12 @@ object KafkaCdc {
     // trace_id is provenance too: per the contract it travels as a message
     // HEADER (`kafka-topics.md:71-75`), re-emitted below, so a replayed
     // event keeps its correlation id end-to-end.
-    val provenance = Set("_kafka_key", "_topic", "_partition", "_offset", "trace_id")
+    // ts_us is decode-DERIVED (not producer data) and _segment rides in
+    // from the event-log source: both would otherwise embed into the
+    // replayed value and make it differ from the original producer's
+    // payload — compounding on every decode→encode cycle
+    val provenance =
+      Set("_kafka_key", "_topic", "_partition", "_offset", "trace_id", "ts_us", "_segment")
     val dataCols = df.columns.filterNot(provenance.contains)
     val frame = df.select(
       col(keyCol).cast("string").as("key"),

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.util.concurrent.ConcurrentLinkedQueue
 
 import org.apache.spark.sql.streaming.StreamingQueryListener
 import org.apache.spark.sql.streaming.StreamingQueryListener._
@@ -25,11 +24,18 @@ object Monitoring {
       numInputRows: Long, inputRowsPerSecond: Double,
       processedRowsPerSecond: Double, batchDurationMs: Long)
 
+  /** Heartbeats retained when the consumer stops draining: drop-OLDEST
+    * beyond this, so a dead scraper against a 1 s trigger caps at hours
+    * of history instead of growing the driver heap forever.
+    */
+  val MaxBufferedBeats = 4096
+
   /** Attach a progress listener; returns a handle holding collected
-    * heartbeats (bounded queue semantics: callers drain).
+    * heartbeats (bounded queue, drop-oldest: callers drain).
     */
   final class Handle private[Monitoring] (val listener: StreamingQueryListener) {
-    private[Monitoring] val beats = new ConcurrentLinkedQueue[Heartbeat]()
+    private[Monitoring] val beats =
+      new java.util.concurrent.LinkedBlockingQueue[Heartbeat](MaxBufferedBeats)
     def drain(): Seq[Heartbeat] = {
       val out = Seq.newBuilder[Heartbeat]
       var b = beats.poll()
@@ -44,12 +50,15 @@ object Monitoring {
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit = {
         val p = e.progress
-        handle.beats.add(Heartbeat(
+        val hb = Heartbeat(
           p.id.toString, p.batchId, p.timestamp,
           p.numInputRows,
           Option(p.inputRowsPerSecond).filterNot(_.isNaN).getOrElse(0.0),
           Option(p.processedRowsPerSecond).filterNot(_.isNaN).getOrElse(0.0),
-          p.batchDuration))
+          p.batchDuration)
+        // drop-oldest on a full buffer: the newest beat is the one a
+        // resumed consumer wants
+        while (!handle.beats.offer(hb)) handle.beats.poll()
       }
     })
     spark.streams.addListener(handle.listener)

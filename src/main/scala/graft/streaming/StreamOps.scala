@@ -31,38 +31,67 @@ object StreamOps {
   /** Session windows via custom keyed state (`flatMapGroupsWithState`):
     * a session closes after `gapUs` of inactivity. The
     * KeyValueGroupedDataset state shape the brief calls for; state is
-    * O(active keys), evicted on timeout.
+    * O(active keys), EVICTED by event-time timeout — an idle key's final
+    * session is flushed when the watermark passes `last + gap`, and its
+    * state removed; without the timeout an idle session would never
+    * close and state would grow with every key ever seen.
+    *
+    * `watermark` bounds how late an event may arrive and still extend
+    * its session (batch execution ignores it; timeouts never fire there,
+    * so a batch caller pairs this with [[closeOpenSessions]] as the
+    * tests do).
     */
-  def sessionize(events: Dataset[SessionEvent], gapUs: Long): Dataset[SessionOut] = {
+  def sessionize(events: Dataset[SessionEvent], gapUs: Long,
+      watermark: String = "10 seconds"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events
+    events.toDF()
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          // Sort within the group: micro-batches are small per key; cross-batch
-          // order is handled by the gap rule itself.
-          val sorted = rows.toSeq.sortBy(e => (e.ts_us))
-          var cur = state.getOption
-          val out = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            cur match {
-              case Some(st) if e.ts_us - st.last_us <= gapUs =>
-                // A late event (ts < last_us, e.g. carried over from a prior
-                // batch) must not rewind the session clock — last_us stays
-                // monotone, and an event earlier than the recorded start
-                // extends the session backwards instead.
-                cur = Some(SessionState(math.min(st.start_us, e.ts_us),
-                  math.max(st.last_us, e.ts_us), st.n + 1))
-              case Some(st) =>
-                out += SessionOut(userId, st.start_us, st.last_us, st.n, st.last_us - st.start_us)
-                cur = Some(SessionState(e.ts_us, e.ts_us, 1))
-              case None =>
-                cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+          if (state.hasTimedOut) {
+            // watermark passed last + gap with no new events: the session
+            // is definitively closed — emit it and drop the state
+            val st = state.get
+            state.remove()
+            Iterator.single(
+              SessionOut(userId, st.start_us, st.last_us, st.n, st.last_us - st.start_us))
+          } else {
+            // Sort within the group: micro-batches are small per key;
+            // cross-batch order is handled by the gap rule itself.
+            val sorted = rows.toSeq.sortBy(e => (e.ts_us))
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(st) if e.ts_us - st.last_us <= gapUs =>
+                  // A late event (ts < last_us, e.g. carried over from a prior
+                  // batch) must not rewind the session clock — last_us stays
+                  // monotone, and an event earlier than the recorded start
+                  // extends the session backwards instead.
+                  cur = Some(SessionState(math.min(st.start_us, e.ts_us),
+                    math.max(st.last_us, e.ts_us), st.n + 1))
+                case Some(st) =>
+                  out += SessionOut(userId, st.start_us, st.last_us, st.n, st.last_us - st.start_us)
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+                case None =>
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+              }
             }
+            cur.foreach { st =>
+              state.update(st)
+              // close the session once the watermark clears its gap
+              // window; clamped positive (µs→ms floors tiny fixtures to
+              // 0) and past the current watermark (Spark rejects both)
+              state.setTimeoutTimestamp(math.max(
+                math.max(1L, (st.last_us + gapUs) / 1000L),
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            out.result().iterator
           }
-          cur.foreach(state.update)
-          out.result().iterator
       }
   }
 

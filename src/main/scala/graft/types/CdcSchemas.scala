@@ -89,11 +89,15 @@ object CdcSchemas {
           // accept ISO strings or epoch-ms ints (type_mapper.py:121-126);
           // try_* because ANSI mode (Spark 4 default) throws on malformed
           // input — unconvertible values become null and are classified
-          // TYPE_CONVERSION_ERROR by the validation split (DLQ path)
+          // TYPE_CONVERSION_ERROR by the validation split (DLQ path).
+          // Column-API try_cast, NOT expr() string interpolation: column
+          // names here come from observed DATA (the evolution path
+          // registers any map key), and a name carrying a quote/bracket
+          // would wedge every later batch on a ParseException
           coalesce(
             try_to_timestamp(raw),
-            timestamp_millis(expr(s"try_cast(row['${f.name}'] AS BIGINT)")))
-        case dt => expr(s"try_cast(row['${f.name}'] AS ${dt.sql})")
+            timestamp_millis(raw.try_cast(LongType)))
+        case dt => raw.try_cast(dt)
       }
       cast.as(f.name)
     }

@@ -20,16 +20,48 @@ import org.apache.spark.storage.StorageLevel
   *    executor loss without recompute; for very expensive upstreams.
   */
 object Materialize {
+
+  // persist-mode frames created by stable(), per session (weak keys: a
+  // stopped session's entries go with it). Operators whose RESULT plan
+  // still references the cached frame cannot release inside themselves —
+  // a long-lived service calls releaseTracked() between requests instead.
+  private val tracked =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.ArrayList[DataFrame]]()
+
   def stable(df: DataFrame): DataFrame = {
     df.sparkSession.conf.get("spark.graft.materialize", "local") match {
       case "persist" =>
         val p = df.persist(StorageLevel.MEMORY_AND_DISK)
         p.count() // eager: populate the cache before any branch races on it
+        tracked.synchronized {
+          tracked.computeIfAbsent(df.sparkSession, _ => new java.util.ArrayList[DataFrame]())
+            .add(p)
+        }
         p
       case "checkpoint" => df.checkpoint(eager = true)
       case _            => df.localCheckpoint(eager = true)
     }
   }
+
+  /** Unpersist every persist-mode frame [[stable]] created on this
+    * session whose consumer is done. The dedup/similarity operators
+    * return plans that still read their cached inputs, so they cannot
+    * release internally; without this, a service invoking them per
+    * request accumulates one MEMORY_AND_DISK entry per call until OOM
+    * (CacheManager entries are not GC-managed). No-op in local/checkpoint
+    * modes; double-unpersist of frames already released individually is
+    * harmless.
+    */
+  def releaseTracked(spark: org.apache.spark.sql.SparkSession): Int =
+    tracked.synchronized {
+      val list = tracked.remove(spark)
+      if (list == null) 0
+      else {
+        list.forEach(df => { df.unpersist(blocking = false); () })
+        list.size()
+      }
+    }
 
   /** Materialization barrier for OVERWRITE-WHAT-YOU-READ plans (a state
     * store rewriting the files its own input scan reads): unlike

@@ -22,14 +22,25 @@ object Redact {
   // its tail in clear text. Over-consuming trailing ;/&/,-joined
   // unspaced props is the safe direction (quote/space/brace still end
   // the token, so JSON and spaced property lists stay intact).
+  // QUOTED values are consumed to the closing quote, spaces included:
+  // the bare-token charset stops at whitespace, so {"password": "ab cd"}
+  // would redact to "*** cd" — the tail leaks, and the reference grep
+  // (whose capture also stops at the space) cannot catch it.
   private val KeyValue: Regex =
-    "(?i)\\b(password|passwd|pwd|secret|token|credential[s]?)(['\"]?\\s*[:=]\\s*['\"]?)([^'\"\\s}]+)".r
+    ("(?i)\\b(password|passwd|pwd|secret|token|credential[s]?)" +
+      "(['\"]?\\s*[:=]\\s*)('[^']*'|\"[^\"]*\"|[^'\"\\s}]+)").r
   private val UrlUserInfo: Regex = "(://[^/@\\s:]+:)([^@/\\s]+)@".r
 
   def secrets(s: String): String =
     if (s == null) null
     else UrlUserInfo.replaceAllIn(
-      KeyValue.replaceAllIn(s,
-        m => Regex.quoteReplacement(m.group(1) + m.group(2) + "***")),
+      KeyValue.replaceAllIn(s, m => {
+        val v = m.group(3)
+        val red =
+          if (v.startsWith("'")) "'***'"
+          else if (v.startsWith("\"")) "\"***\""
+          else "***"
+        Regex.quoteReplacement(m.group(1) + m.group(2) + red)
+      }),
       m => Regex.quoteReplacement(m.group(1) + "***@"))
 }

@@ -32,7 +32,11 @@ object Retry {
     while (attempt <= ds.length) {
       try return f
       catch {
-        case e: Throwable =>
+        // NonFatal only: retrying an OutOfMemoryError sleeps minutes on a
+        // dead JVM, and retrying InterruptedException makes query
+        // cancellation hang through the remaining backoff schedule —
+        // fatal errors and interrupts propagate immediately
+        case scala.util.control.NonFatal(e) =>
           lastErr = e
           if (attempt < ds.length) sleep(ds(attempt))
           attempt += 1

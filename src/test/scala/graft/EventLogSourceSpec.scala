@@ -181,6 +181,20 @@ class EventLogSourceSpec extends SparkSpecBase {
       s"clamped segment must be read from row 0, got $delivered")
   }
 
+  test("a lone CR inside a payload is data, not a line break") {
+    // scanLines counts only '\n'; a reader splitting on '\r' too would
+    // emit extra rows, desync the byte accounting, and drop the slice's
+    // tail rows
+    val dir = tmpDir("evcr")
+    Files.writeString(Paths.get(dir, "seg-000.log"),
+      "{\"a\":\"x\ry\"}\n{\"b\":1}\n")
+    val df = spark.read.format(Fmt).option("path", dir).load()
+    val vals = df.orderBy("offset").select("value")
+      .collect().map(_.getString(0)).toSeq
+    assert(vals == Seq("{\"a\":\"x\ry\"}", "{\"b\":1}"),
+      s"CR must survive inside the payload: ${vals.map(_.replace("\r", "<CR>"))}")
+  }
+
   test("AvailableNow quiescent-tail rule is opt-in; default never admits a partial line") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     import graft.streaming.EventLogMicroBatchStream

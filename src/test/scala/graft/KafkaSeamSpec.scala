@@ -75,6 +75,19 @@ class KafkaSeamSpec extends SparkSpecBase {
     assert(encoded.select("key").as[String].collect().toSet == Set("7", "8"))
   }
 
+  test("replay produce strips decode-derived columns from the payload (ts_us, _segment)") {
+    // a decoded frame carries ts_us (derived) and — via the event-log
+    // source — _segment; embedding either into the replayed value would
+    // make it differ from the original producer's payload
+    val decodedShaped = Seq((1L, 1000000L, 7L, "view", 1.5, "{}", 1000L, "seg-000.log"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props", "ts_us", "_segment")
+    val encoded = KafkaCdc.encode(decodedShaped, keyCol = "user_id")
+    val payload = encoded.select("value").collect().head.getString(0)
+    assert(!payload.contains("ts_us") && !payload.contains("_segment"),
+      s"derived columns leaked into the wire payload: $payload")
+    assert(payload.contains("\"ts\":1000000"), s"producer data must survive: $payload")
+  }
+
   test("subscribePattern fan-in: two tables' topics route to two targets bit-exactly") {
     import org.apache.spark.sql.types._
     import graft.streaming.KafkaCdc.TableWire

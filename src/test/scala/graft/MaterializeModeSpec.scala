@@ -44,6 +44,27 @@ class MaterializeModeSpec extends SparkSpecBase {
       "session cache hygiene must be able to drop every query-mode entry")
   }
 
+  test("persist mode: releaseTracked drains the dedup operators' pinned caches") {
+    inMode("persist") {
+      val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "q w e r t"))
+        .toDF("doc_id", "text")
+      // operators whose RESULT plans read their stable() caches — they
+      // cannot release internally
+      graft.llm.Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, thresholdNum = 7, thresholdDen = 10).count()
+      assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+        "expected pinned cache entries after a persist-mode dedup run")
+      val released = graft.util.Materialize.releaseTracked(spark)
+      assert(released > 0, "releaseTracked must report the drained entries")
+      // unpersist is async; poll briefly for the cache to drain
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        s"leaked: ${spark.sparkContext.getPersistentRDDs.keys}")
+    }
+  }
+
   test("persist mode: processBatch releases its per-trigger cache") {
     inMode("persist") {
       val base = tmpDir("matmode")

@@ -80,6 +80,15 @@ class NoSecretsSpec extends SparkSpecBase {
     s.close()
   }
 
+  test("a QUOTED secret containing spaces is redacted whole, not to the first space") {
+    val r = Redact.secrets("""config echo {"password": "ab cd ef", "host": "db"}""")
+    assert(!r.contains("ab") && !r.contains("cd") && !r.contains("ef"),
+      s"quoted secret tail leaked: $r")
+    assert(r.contains(""""host": "db""""), s"non-secret JSON must survive: $r")
+    val r2 = Redact.secrets("secret: 'two words here' next=1")
+    assert(!r2.contains("two") && !r2.contains("words") && r2.contains("next=1"), r2)
+  }
+
   test("a secret containing a comma is redacted whole, not split at the comma") {
     val out = Redact.secrets("connect failed: password=ab,cd123 for host")
     assert(!out.contains("ab,cd123") && !out.contains("cd123"),

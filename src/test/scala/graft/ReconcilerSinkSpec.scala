@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.recon.Reconciler
 import graft.sink.JdbcUpsertSql
 import graft.streaming.StreamOps
-import graft.streaming.StreamOps.SessionEvent
+import graft.streaming.StreamOps.{SessionEvent, SessionOut}
 
 class ReconcilerSinkSpec extends SparkSpecBase {
   import spark.implicits._
@@ -70,6 +70,38 @@ class ReconcilerSinkSpec extends SparkSpecBase {
     assert(out(0).n_events == 2 && out(0).duration_us == 10)
     assert(out(1).start_us == 1000 && out(1).n_events == 1)
     assert(out(2).user_id == 2)
+  }
+
+  test("streaming sessionize: an idle key's session closes by event-time timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    val q = StreamOps.sessionize(input.toDS(), gapUs = 100L, watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[SessionOut], _: Long) =>
+        out.synchronized { out ++= b.collect() }; (): Unit
+      }
+      .option("checkpointLocation", tmpDir("sessck"))
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    try {
+      // batch 1: key 1's only events; batch 2: key 2 far in event time —
+      // advances the watermark past key 1's gap window, so key 1's
+      // session must flush on TIMEOUT, with no further key-1 events.
+      // (timestamps start away from epoch 0, which the initial watermark
+      // would treat as late)
+      val t0 = 1000000000L
+      input.addData(SessionEvent(1, t0, "a"), SessionEvent(1, t0 + 10, "b"))
+      q.processAllAvailable()
+      input.addData(SessionEvent(2, t0 + 100000000L, "x"))
+      q.processAllAvailable()
+      input.addData(SessionEvent(2, t0 + 200000000L, "y")) // one more watermark advance
+      q.processAllAvailable()
+      val key1 = out.synchronized(out.filter(_.user_id == 1L).toList)
+      assert(key1 == List(SessionOut(1L, t0, t0 + 10L, 2L, 10L)),
+        s"idle session must close via timeout: $key1 (all: ${out.toList})")
+    } finally q.stop()
   }
 
   test("windowed counts aggregate the fixture stream (batch mode)") {

@@ -164,6 +164,11 @@ class SchemaEvolutionStreamSpec extends SparkSpecBase {
     // decimal precision expansion ok, contraction not
     assert(chk(StructType(Seq(id, StructField("d", DecimalType(10, 2)))),
       StructType(Seq(id, StructField("d", DecimalType(18, 4))))) == Evolution.Compatible)
+    // precision+scale can both GROW while INTEGER digits shrink — that's
+    // a narrowing (DECIMAL(10,0) holds 10 integer digits, (11,5) only 6)
+    assert(chk(StructType(Seq(id, StructField("d", DecimalType(10, 0)))),
+      StructType(Seq(id, StructField("d", DecimalType(11, 5)))))
+      .isInstanceOf[Evolution.Incompatible])
     assert(chk(StructType(Seq(id, StructField("d", DecimalType(18, 4)))),
       StructType(Seq(id, StructField("d", DecimalType(10, 2))))).isInstanceOf[Evolution.Incompatible])
     // bigint -> int narrows

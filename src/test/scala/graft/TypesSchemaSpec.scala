@@ -110,6 +110,26 @@ class TypesSchemaSpec extends SparkSpecBase {
     assert(out.getAs[String]("missing_col") == null)
   }
 
+  test("castRow: data-derived column names with quotes/brackets cannot wedge the cast") {
+    // the evolution path registers any observed map key as a column name;
+    // a name carrying SQL metacharacters must cast fine (Column API), not
+    // throw a ParseException on every later batch
+    val rows = Seq(
+      ("e1", "users", "CREATE", 100L, null,
+        Map("o'brien" -> "7", "a]b[c" -> "x", "with space" -> "8"),
+        1, null, false))
+      .toDF("event_id", "source_table", "operation_type", "timestamp_micros",
+        "before", "after", "schema_version", "ttl_seconds", "is_tombstone")
+    val schema = StructType(Seq(
+      StructField("o'brien", LongType),
+      StructField("a]b[c", StringType),
+      StructField("with space", IntegerType)))
+    val out = CdcSchemas.castRow(CdcSchemas.unwrap(rows), schema).collect().head
+    assert(out.getAs[Long]("o'brien") == 7L)
+    assert(out.getAs[String]("a]b[c") == "x")
+    assert(out.getAs[Int]("with space") == 8)
+  }
+
   test("SC-002 type coverage: 24 distinct CQL types replicate without loss") {
     // The BASELINE row "20+ distinct data types replicated without loss"
     // (spec.md:250, init-schema.cql:8-41): one envelope row carrying a
