@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Train/eval decontamination: flag training documents that share word
+  * n-grams with a benchmark/eval set, so contaminated docs can be dropped
+  * (or down-weighted) before training. This is the published overlap
+  * method (GPT-3 appendix C; PaLM §8 uses the same shape with n=8..13):
+  * a doc is contaminated when any of its n-grams also occurs in any eval
+  * doc; the n-gram width is the precision knob.
+  *
+  * Scale shape (the reason this is engine-shaped and not a bolt-on):
+  *  - The corpus side is the 100 TB side; it is touched exactly once by
+  *    the same distinct-(doc, gram-hash) explode the dedup family uses
+  *    ([[Dedup.shingleHashPostings]] — 8-byte hashes, codegen'd md5, no
+  *    UDFs).
+  *  - The eval side is small by construction (benchmarks are MBs, not
+  *    TBs), so the overlap join BROADCASTS the eval gram set: the corpus
+  *    gram stream is filtered map-side and the only shuffle is the final
+  *    per-doc count aggregation — nothing corpus-sized ever exchanges on
+  *    the gram key.
+  *  - `maxGramEvalDf` drops grams present in more than that many eval
+  *    docs (boilerplate headers, license lines) — the standard guard that
+  *    keeps one stopword-ish gram from matching half the corpus.
+  */
+object Decontam {
+
+  /** Per-corpus-doc overlap report against `evalSet`. Only contaminated
+    * docs appear (inner-join semantics — at 100 TB the interesting output
+    * is the hit list, not an all-docs left join; callers wanting the
+    * clean set anti-join on `doc_id`). Columns:
+    *   doc_id      corpus doc
+    *   n_hits      distinct contaminated n-gram hashes in the doc
+    *   n_eval_docs distinct eval docs sharing ≥1 gram with it
+    *   n_grams     the doc's distinct n-gram count (overlap denominator)
+    *   hit_permille n_hits·1000 div n_grams — the containment score the
+    *               drop/keep threshold is applied to
+    */
+  def overlapReport(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int, maxGramEvalDf: Long = 0): DataFrame = {
+    val corp = Dedup.shingleHashPostings(corpus, idCol, textCol, n)
+    val ev0 = Dedup.shingleHashPostings(evalSet, idCol, textCol, n)
+      .withColumnRenamed("doc_id", "eval_id")
+    val ev =
+      if (maxGramEvalDf <= 0) ev0
+      else {
+        val hot = ev0.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxGramEvalDf).select("h")
+        ev0.join(hot, Seq("h"), "left_anti")
+      }
+    // the postings feed both the size aggregate and the overlap join —
+    // materialize once (same rationale as the Jaccard pipeline)
+    val corpM = graft.util.Materialize.stable(corp)
+    val sizes = corpM.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = corpM.join(broadcast(ev), Seq("h"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("h")).as("n_hits"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+    hits.join(sizes, Seq("doc_id"))
+      .withColumn("hit_permille", expr("n_hits * 1000 div n_grams"))
+      .select("doc_id", "n_hits", "n_eval_docs", "n_grams", "hit_permille")
+  }
+
+  /** The clean corpus: drop every doc `overlapReport` flags at or above
+    * `minHitPermille` containment. One broadcast-filtered pass + one
+    * anti-join keyed on doc id.
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int, minHitPermille: Int,
+      maxGramEvalDf: Long = 0): DataFrame = {
+    val flagged = overlapReport(corpus, evalSet, idCol, textCol, n, maxGramEvalDf)
+      .filter(col("hit_permille") >= minHitPermille)
+      .select(col("doc_id").as(idCol))
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+}

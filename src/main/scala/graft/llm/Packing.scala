@@ -1,0 +1,76 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: assign documents to fixed token-budget bins
+  * (context windows) by a greedy sequential first-fit — the standard
+  * "pack short documents together so a training batch wastes no pad
+  * tokens" step. Within each group (source, shard, …) docs are taken in
+  * id order; a doc goes into the current bin while it fits, otherwise it
+  * opens the next bin. A doc longer than the budget gets a bin of its own
+  * (truncation/splitting is [[TextAnalysis.chunkTokens]]'s job upstream).
+  *
+  * Why this shape at 100 TB: packing is inherently sequential *within* a
+  * group (bin state is a running fold), but embarrassingly parallel
+  * *across* groups. So the operator shuffles once on the group key,
+  * sorts within partitions (Spark's sort-merge machinery, spill-safe —
+  * no group is ever collected in memory), and folds each partition in a
+  * single forward pass. Group granularity is the parallelism knob:
+  * callers with one giant group pre-shard it by a deterministic hash of
+  * the id (a composite group key), which keeps every task bounded.
+  *
+  * Determinism: the fold depends only on (group, id) order, so the
+  * output is invariant to input partitioning — same property the
+  * sampler family guarantees, and what makes the operator gateable
+  * against a sequential SQL oracle.
+  */
+object Packing {
+
+  /** Pack `docs` into per-group bins of at most `tokenBudget` tokens.
+    * Output: (grp, doc_id, n_tokens, bin_idx) — `bin_idx` counts from 0
+    * within each group.
+    *
+    * `idCol` must be long-castable and unique within a group; `weight`
+    * is the doc's token count (int-castable).
+    */
+  def packGreedy(docs: DataFrame, idCol: String, groupCol: String,
+      weight: Column, tokenBudget: Long): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(
+        col(groupCol).cast("string").as("grp"),
+        col(idCol).cast("long").as("doc_id"),
+        weight.cast("int").as("n_tokens"))
+      .repartition(col("grp"))
+      .sortWithinPartitions(col("grp"), col("doc_id"))
+      .as[(String, Long, Int)]
+      .mapPartitions { it =>
+        // groups are contiguous after the partition-local sort; the fold
+        // carries (bin, fill) and resets at each group boundary
+        var cur: String = null
+        var bin = 0L
+        var fill = 0L
+        it.map { case (g, id, n) =>
+          if (g != cur) { cur = g; bin = 0L; fill = n.toLong }
+          else if (fill + n <= tokenBudget) { fill += n }
+          else { bin += 1L; fill = n.toLong }
+          (g, id, n, bin)
+        }
+      }
+      .toDF("grp", "doc_id", "n_tokens", "bin_idx")
+  }
+
+  /** Bin-level summary of a packed frame: per (group, bin) the doc count,
+    * token fill, and pad waste against the budget — the utilization
+    * numbers a packing run is judged by. One partial-agg shuffle on the
+    * (group, bin) key.
+    */
+  def binStats(packed: DataFrame, tokenBudget: Long): DataFrame =
+    packed.groupBy("grp", "bin_idx")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("fill_tokens"))
+      .withColumn("pad_tokens",
+        greatest(lit(0L), lit(tokenBudget) - col("fill_tokens")))
+}

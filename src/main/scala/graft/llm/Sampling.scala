@@ -52,4 +52,24 @@ object Sampling {
       .orderBy(hashPermille(col(keyCol)), col(keyCol))
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
+
+  /** Data-mixing weights: per-stratum doc/token totals plus the integer
+    * per-mille sampling rate that downsamples each stratum to (at most)
+    * `tokenBudget` tokens — the "cap every source/domain at B tokens"
+    * step of corpus mixing. The output is a tiny per-stratum table; the
+    * rates feed [[stratifiedSample]] directly, so the whole mix pipeline
+    * is one map-side-partial aggregation here plus one shuffle-free
+    * filter there — no per-row state, no skew exposure beyond the
+    * aggregation's own partial combine.
+    *
+    * All-integer arithmetic (`div`, `least`) so the mix plan is exact,
+    * reproducible, and engine-portable. A stratum already under budget
+    * gets rate 1000 (keep everything).
+    */
+  def mixWeights(df: DataFrame, strataCol: String, weight: Column,
+      tokenBudget: Long): DataFrame =
+    df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"), sum(weight.cast("long")).as("n_tokens"))
+      .withColumn("rate_permille",
+        least(lit(1000L), expr(s"${tokenBudget}L * 1000 div n_tokens")))
 }

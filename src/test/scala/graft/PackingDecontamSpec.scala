@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Decontam, Packing, Sampling, TextAnalysis}
+
+/** Sequence packing, train/eval decontamination, and mixing weights. */
+class PackingDecontamSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def packOf(rows: Seq[(String, Long, Int)], budget: Long) =
+    Packing.packGreedy(
+      rows.toDF("src", "id", "n"), "id", "src", col("n"), budget)
+      .select("doc_id", "bin_idx").as[(Long, Long)].collect().sortBy(_._1)
+
+  test("packGreedy: greedy first-fit fold incl. oversized docs") {
+    val rows = Seq(4, 5, 2, 10, 1, 11, 3).zipWithIndex
+      .map { case (n, i) => ("g", (i + 1).toLong, n) }
+    // fill: 4,9 | 2 | 10 | 1 | 11(oversized own bin) | 3
+    assert(packOf(rows, 10).map(_._2).toSeq === Seq(0L, 0L, 1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("packGreedy: exact fit stays in the bin") {
+    val rows = Seq(("g", 1L, 5), ("g", 2L, 5), ("g", 3L, 5))
+    assert(packOf(rows, 10).map(_._2).toSeq === Seq(0L, 0L, 1L))
+  }
+
+  test("packGreedy: groups pack independently; output invariant to input partitioning") {
+    val rows = (1L to 40L).map(i => (s"g${i % 3}", i, (i % 7).toInt + 1))
+    val df1 = rows.toDF("src", "id", "n")
+    val df7 = df1.repartition(7)
+    val a = Packing.packGreedy(df1, "id", "src", col("n"), 9)
+      .as[(String, Long, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    val b = Packing.packGreedy(df7, "id", "src", col("n"), 9)
+      .as[(String, Long, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(a.toSeq === b.toSeq)
+    // cross-check against a sequential reference fold per group
+    val ref = rows.groupBy(_._1).flatMap { case (g, docs) =>
+      var bin = 0L; var fill = 0L; var first = true
+      docs.sortBy(_._2).map { case (_, id, n) =>
+        if (first) { first = false; fill = n }
+        else if (fill + n <= 9) fill += n
+        else { bin += 1; fill = n }
+        (g, id, bin)
+      }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    assert(a.map(r => (r._1, r._2, r._4)).toSeq === ref)
+  }
+
+  test("binStats: fill and pad per bin") {
+    val packed = Packing.packGreedy(
+      Seq(("g", 1L, 4), ("g", 2L, 5), ("g", 3L, 2)).toDF("src", "id", "n"),
+      "id", "src", col("n"), 10)
+    val stats = Packing.binStats(packed, 10)
+      .orderBy("bin_idx").as[(String, Long, Long, Long, Long)].collect()
+    assert(stats.toSeq === Seq(("g", 0L, 2L, 9L, 1L), ("g", 1L, 1L, 2L, 8L)))
+  }
+
+  test("decontam: overlap counts and containment permille") {
+    val corpus = Seq(
+      (1L, "x y a b c z"), // grams: "x y a","y a b","a b c","b c z" — 1 hit
+      (2L, "p q r s")      // no overlap
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val rep = Decontam.overlapReport(corpus, eval, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rep.toSeq === Seq((1L, 1L, 1L, 4L, 250L)))
+  }
+
+  test("decontam: eval-side hot-gram cap drops boilerplate grams") {
+    val corpus = Seq((1L, "a b c z")).toDF("doc_id", "text")
+    // the gram "a b c" appears in 3 eval docs — over a cap of 2
+    val eval = Seq((100L, "a b c"), (101L, "a b c"), (102L, "a b c"))
+      .toDF("doc_id", "text")
+    assert(Decontam.overlapReport(corpus, eval, "doc_id", "text", n = 3,
+      maxGramEvalDf = 2).count() === 0)
+    assert(Decontam.overlapReport(corpus, eval, "doc_id", "text", n = 3,
+      maxGramEvalDf = 3).count() === 1)
+  }
+
+  test("decontaminate: drops flagged docs, keeps the clean rest") {
+    val corpus = Seq((1L, "x y a b c z"), (2L, "p q r s")).toDF("doc_id", "text")
+    val eval = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val clean = Decontam.decontaminate(corpus, eval, "doc_id", "text",
+      n = 3, minHitPermille = 200)
+    assert(clean.select("doc_id").as[Long].collect().toSeq === Seq(2L))
+    // threshold above the doc's 250‰ containment keeps everything
+    val lax = Decontam.decontaminate(corpus, eval, "doc_id", "text",
+      n = 3, minHitPermille = 300)
+    assert(lax.count() === 2)
+  }
+
+  test("mixWeights: rate caps at the token budget, never above 1000") {
+    val docs = Seq(
+      ("a", 1L, "w w w"), ("a", 2L, "w w w w"), // 7 tokens
+      ("b", 3L, "w w")                          // 2 tokens, under budget
+    ).toDF("src", "id", "text")
+    val w = Sampling.mixWeights(docs, "src",
+        TextAnalysis.tokenCount(col("text")), tokenBudget = 5L)
+      .orderBy("src").as[(String, Long, Long, Long)].collect()
+    assert(w.toSeq === Seq(("a", 2L, 7L, 714L), ("b", 1L, 2L, 1000L)))
+  }
+}
