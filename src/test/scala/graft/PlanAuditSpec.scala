@@ -92,6 +92,41 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("WindowGroupLimit"), "window top-k must push the limit down")
   }
 
+  test("decontamination broadcasts the eval gram set; corpus never exchanges on the gram key") {
+    val p = plan("decontam_overlap")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "eval side (MBs by construction) must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the gate plan's gram-key exchanges are all EVAL-side (the hot-gram
+    // cap's groupBy/anti-join — small by construction); prove the corpus
+    // side never exchanges on the gram key via the uncapped shape, where
+    // any h-exchange would have to be corpus-sized
+    val docs = graft.Tables.documents(spark, sfDir)
+    val uncapped = graft.llm.Decontam.overlapReport(
+      docs.filter(org.apache.spark.sql.functions.col("source") =!= "src0"),
+      docs.filter(org.apache.spark.sql.functions.col("source") === "src0"),
+      "doc_id", "text", n = 3).queryExecution.executedPlan.toString
+    val gramKeyed = "Exchange hashpartitioning\\(h#".r.findFirstIn(uncapped)
+    assert(gramKeyed.isEmpty, s"corpus postings exchanged on the gram key: $gramKeyed")
+  }
+
+  test("packing shuffles once on the group key, no window sort") {
+    val p = plan("pack_sequences")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "one group-key shuffle expected — the fold itself is partition-local")
+    assert(!p.contains("Window"), "bin assignment must be a fold, not a window")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "global sort would serialize the corpus through one range exchange")
+  }
+
+  test("mix weights: map-side partial aggregation, one shuffle") {
+    val p = plan("mix_token_weights")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+    assert("partial_count\\b|partial_sum\\b".r.findFirstIn(p).isDefined,
+      "per-stratum totals must combine map-side")
+  }
+
   test("text analytics stay inside whole-stage codegen") {
     for (q <- Seq("text_token_count", "text_quality", "text_lang_id")) {
       val p = plan(q)
