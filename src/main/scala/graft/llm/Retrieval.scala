@@ -1,0 +1,118 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over the document corpus: TF-IDF and BM25 top-k —
+  * the "find the training docs most relevant to this probe/benchmark
+  * query" primitive behind targeted decontamination, dataset audit
+  * queries, and retrieval-based curation.
+  *
+  * Scale shape (both scorers share it):
+  *  - The corpus is touched once to build the (doc, term, tf) inverted
+  *    index — one explode + one partial-aggregated shuffle, the same
+  *    budget as [[TextAnalysis.repetitionProfile]].
+  *  - The query side is small by construction (a probe set, not a second
+  *    corpus), so per-(query, term) weights — IDF joined onto query
+  *    terms — collapse to a tiny frame that BROADCASTS into the postings
+  *    scan. The corpus-sized tf stream is filtered map-side to matching
+  *    terms only; nothing corpus-sized ever exchanges on the term key.
+  *  - Scoring aggregates on (query, doc) with map-side combine; the
+  *    top-k rank filter compiles to WindowGroupLimit, so each map task
+  *    pre-limits to k rows per query BEFORE the exchange.
+  *
+  * [[tfidfTopK]] is all-integer (IDF in per-mille by integer division) —
+  * exact, reproducible, and DuckDB-oracle-gateable. [[bm25TopK]] is the
+  * real BM25 (Robertson/Sparck Jones; k1/b saturation needs floats) with
+  * the identical plan shape; its correctness is spec-proven against an
+  * independent in-memory fold.
+  */
+object Retrieval {
+
+  /** Inverted index: one row per (doc_id, term) with its in-doc count.
+    * Whitespace tokens ([[TextAnalysis.tokens]]); empty docs contribute
+    * nothing.
+    */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** Distinct (query_id, term) rows of the query set — the small side. */
+  private def queryTerms(queries: DataFrame, idCol: String, textCol: String): DataFrame =
+    queries.select(col(idCol).as("query_id"),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("term"))
+
+  /** Integer TF-IDF top-k: for each query doc, the `k` corpus docs with
+    * the highest Σ_t tf(d,t) · idf_permille(t) over the query's terms,
+    * IDF-per-mille = N·1000 div df, ties broken by doc_id. `maxDf > 0`
+    * drops query terms in more than that many corpus docs (the stopword
+    * guard — saves the broadcast from carrying weights that contribute
+    * ~nothing and match ~everything). Output: (query_id, doc_id, score,
+    * rnk).
+    */
+  def tfidfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, k: Int, maxDf: Long = 0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // the postings feed both the df-count branch and the scoring join —
+    // materialize once (the Jaccard-pipeline rationale)
+    val tf = graft.util.Materialize.stable(termFrequencies(corpus, idCol, textCol))
+    val dfreq0 = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfreq = if (maxDf > 0) dfreq0.filter(col("df") <= maxDf) else dfreq0
+    // corpus doc count as a broadcast 1-row frame (watermark idiom) —
+    // cheap against the materialized postings, no driver-side action
+    val nDf = tf.select(countDistinct(col("doc_id")).as("n"))
+    val qidf = queryTerms(queries, idCol, textCol)
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDf))
+      .withColumn("idf_permille", expr("n * 1000 div df"))
+      .select("query_id", "term", "idf_permille")
+    val scored = tf
+      .join(broadcast(qidf), Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(expr("tf * idf_permille")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("query_id", "doc_id", "score", "rnk")
+  }
+
+  /** BM25 top-k (k1/b defaults per Robertson et al.): same plan shape as
+    * [[tfidfTopK]] — broadcast per-(query, term) IDF, one corpus postings
+    * pass, WindowGroupLimit top-k — with the standard saturation
+    * term-weighting. Output: (query_id, doc_id, score, rnk); `score` is a
+    * double (BM25 is inherently real-valued), so this operator is
+    * spec-gated rather than hash-oracle-gated.
+    */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxDf: Long = 0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = graft.util.Materialize.stable(termFrequencies(corpus, idCol, textCol))
+    // per-doc lengths + the global (N, avgdl) pair, broadcast as 1 row
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
+    val dfreq0 = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfreq = if (maxDf > 0) dfreq0.filter(col("df") <= maxDf) else dfreq0
+    val qidf = queryTerms(queries, idCol, textCol)
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(stats))
+      // Robertson-Sparck Jones IDF with the +1 floor (Lucene's form):
+      // ln((N - df + 0.5)/(df + 0.5) + 1) — never negative
+      .withColumn("idf",
+        log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .select("query_id", "term", "idf", "avgdl")
+    val scored = tf
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(qidf), Seq("term"))
+      .withColumn("w",
+        col("idf") * (col("tf") * (lit(k1) + lit(1.0))) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("w").as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("query_id", "doc_id", "score", "rnk")
+  }
+}

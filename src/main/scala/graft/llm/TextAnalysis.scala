@@ -132,6 +132,40 @@ object TextAnalysis {
         concat_ws(" ", col("_chunk")).as("chunk_text"))
   }
 
+  /** Composite keep/drop filter — the decision layer over the quality
+    * signals, mirroring the published filter stacks (C4, Gopher rules):
+    * each doc gets a verdict and the FIRST failing rule as its reason
+    * (rule order = the documented precedence, so drop attribution is
+    * deterministic). All thresholds integer, reusing
+    * [[repetitionProfile]]'s exact counts — the filter adds zero plan
+    * cost beyond the profile itself (a codegen'd CASE over its output).
+    * Output: (doc_id, n_tokens, uniq_permille, top_tok_permille, reason,
+    * keep).
+    */
+  def qualityFilter(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Long, maxTokens: Long, minUniqPermille: Long,
+      maxTopTokPermille: Long): DataFrame =
+    // the token-count branch of [[repetitionProfile]] only — the filter
+    // rules need no bigram stats, so skip that branch's explode + join
+    docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_tok_n"))
+      .withColumn("uniq_permille", expr("n_distinct * 1000 div n_tokens"))
+      .withColumn("top_tok_permille", expr("top_tok_n * 1000 div n_tokens"))
+      .withColumn("reason",
+        when(col("n_tokens") < minTokens, lit("too_short"))
+          .when(col("n_tokens") > maxTokens, lit("too_long"))
+          .when(col("uniq_permille") < minUniqPermille, lit("low_diversity"))
+          .when(col("top_tok_permille") > maxTopTokPermille, lit("repetitive"))
+          .otherwise(lit("keep")))
+      .withColumn("keep", col("reason") === "keep")
+      .select("doc_id", "n_tokens", "uniq_permille", "top_tok_permille",
+        "reason", "keep")
+
   /** Heuristic language ID: stopword-density score in per-mille; 'en'
     * when density ≥ threshold else 'und'. (An n-gram-profile classifier
     * reduces to the same shape: per-marker-set counts → argmax; kept to

@@ -4,12 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Decontam, Packing, Sampling, TextAnalysis}
+import graft.llm.{Decontam, Packing, Retrieval, Sampling, Shuffling, TextAnalysis}
 
 /** Second tranche of LLM-training-data pipeline gates: train/eval
-  * decontamination, corpus mixing weights, and sequence packing.
-  * Same oracle discipline as [[LlmQueries]]: integer-exact arithmetic
-  * shared constant-for-constant with the DuckDB SQL.
+  * decontamination, corpus mixing weights, sequence packing, TF-IDF
+  * retrieval, deterministic corpus shuffling/sharding, and the composite
+  * quality filter. Same oracle discipline as [[LlmQueries]]:
+  * integer-exact arithmetic shared constant-for-constant with the DuckDB
+  * SQL.
   */
 object LlmQueries2 {
 
@@ -36,7 +38,33 @@ object LlmQueries2 {
       Packing.packGreedy(Tables.documents(s, dir), "doc_id", "source",
         TextAnalysis.tokenCount(col("text")), tokenBudget = 128L)
         .select(col("doc_id"), col("grp").as("source"),
-          col("n_tokens"), col("bin_idx")))
+          col("n_tokens"), col("bin_idx"))),
+
+    // retrieval: integer TF-IDF top-10 per probe doc; probes are a
+    // deterministic fifth of the held-out split (doc_id % 100 — probe
+    // sets are small by design and the 31-term vocabulary means every
+    // probe matches ~every doc). No df cap: with near-corpus-wide terms
+    // IDF itself is the discriminator; the maxDf guard is spec-tested.
+    "text_tfidf_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Retrieval.tfidfTopK(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0" && col("doc_id") % 100 === 0),
+        "doc_id", "text", k = 10)
+    }),
+
+    // deterministic training-order shuffle + 8-way round-robin sharding
+    "corpus_shuffle" -> ((s, dir) =>
+      Shuffling.deterministicShuffle(Tables.documents(s, dir), "doc_id",
+        numShards = 8)),
+
+    // composite quality filter: C4/Gopher-style keep/drop with first
+    // failing rule as the reason (thresholds chosen to bind on the
+    // fixture: tokens in [20,90], >=350‰ unique, <=150‰ top token)
+    "corpus_quality_filter" -> ((s, dir) =>
+      TextAnalysis.qualityFilter(Tables.documents(s, dir), "doc_id", "text",
+        minTokens = 20, maxTokens = 90, minUniqPermille = 350,
+        maxTopTokPermille = 150))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -83,6 +111,47 @@ object LlmQueries2 {
         |         ELSE CAST(t.n_tokens AS BIGINT) END
         |  FROM t JOIN p ON t.source = p.source AND t.rn = p.rn + 1)
         |SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens, bin_idx
-        |FROM p""".stripMargin.replace("\n", " ")
+        |FROM p""".stripMargin.replace("\n", " "),
+
+    "text_tfidf_topk" ->
+      """WITH corp AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE source <> 'src0'),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM corp GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE source = 'src0' AND doc_id % 100 = 0),
+        |qi AS (SELECT query_id, qt.term, n.n * 1000 // dft.df AS idf_permille
+        |  FROM qt JOIN dft ON qt.term = dft.term CROSS JOIN n),
+        |sc AS (SELECT query_id, tf.doc_id, sum(tf.tf * qi.idf_permille) AS score
+        |  FROM tf JOIN qi ON tf.term = qi.term GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc)
+        |SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 10"""
+        .stripMargin.replace("\n", " "),
+
+    "corpus_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hh
+        |  FROM documents),
+        |p AS (SELECT doc_id, row_number() OVER (ORDER BY hh, doc_id) - 1 AS pos FROM h)
+        |SELECT doc_id, pos, pos % 8 AS shard FROM p""".stripMargin.replace("\n", " "),
+
+    "corpus_quality_filter" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_tok_n
+        |  FROM tc GROUP BY 1),
+        |f AS (SELECT doc_id, n_tokens,
+        |  n_distinct * 1000 // n_tokens AS uniq_permille,
+        |  top_tok_n * 1000 // n_tokens AS top_tok_permille FROM ts),
+        |v AS (SELECT *, CASE WHEN n_tokens < 20 THEN 'too_short'
+        |    WHEN n_tokens > 90 THEN 'too_long'
+        |    WHEN uniq_permille < 350 THEN 'low_diversity'
+        |    WHEN top_tok_permille > 150 THEN 'repetitive'
+        |    ELSE 'keep' END AS reason FROM f)
+        |SELECT doc_id, n_tokens, uniq_permille, top_tok_permille, reason,
+        |  reason = 'keep' AS keep FROM v""".stripMargin.replace("\n", " ")
   )
 }

@@ -127,6 +127,32 @@ class PlanAuditSpec extends SparkSpecBase {
       "per-stratum totals must combine map-side")
   }
 
+  test("TF-IDF retrieval: query weights broadcast; top-k pushes the group limit") {
+    val p = plan("text_tfidf_topk")
+    assert(p.contains("BroadcastExchange"),
+      "per-(query, term) IDF weights must broadcast into the postings scan")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k must pre-limit map-side or the shuffle carries all scores")
+  }
+
+  test("corpus shuffle: no single-partition bottleneck, no window numbering") {
+    val p = plan("corpus_shuffle")
+    assert(!p.contains("Exchange SinglePartition"),
+      "global positions must come from offset arithmetic, not one task")
+    assert(!p.contains("Window"),
+      "a global row_number window would serialize the corpus")
+  }
+
+  test("quality filter aggregates partially; no window, no extra exchange") {
+    val p = plan("corpus_quality_filter")
+    assert(!p.contains("Window"))
+    assert("partial_count\\b|partial_sum\\b|partial_max\\b".r.findFirstIn(p).isDefined,
+      "token counts must combine map-side")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "(doc,tok) count + per-doc stats = at most two keyed exchanges")
+  }
+
   test("text analytics stay inside whole-stage codegen") {
     for (q <- Seq("text_token_count", "text_quality", "text_lang_id")) {
       val p = plan(q)

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{PiiScrub, Retrieval, Shuffling, TextAnalysis}
+
+/** TF-IDF/BM25 retrieval, deterministic corpus shuffling, the composite
+  * quality filter, and PII scrubbing.
+  */
+class RetrievalShufflingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "apple banana apple"),   // tf(apple)=2 — df(apple)=2
+    (2L, "apple cherry"),         //
+    (3L, "banana banana durian")  // df(banana)=2, df(cherry)=1, df(durian)=1
+  ).toDF("doc_id", "text")
+
+  test("tfidfTopK: hand-computed integer scores, rank order, tiebreak") {
+    val queries = Seq((100L, "apple durian")).toDF("doc_id", "text")
+    // N=3; idf‰: apple = 3000/2 = 1500, durian = 3000/1 = 3000
+    // doc1: 2*1500 = 3000; doc2: 1*1500 = 1500; doc3: 1*3000 = 3000
+    // tie 3000: doc 1 before doc 3
+    val r = Retrieval.tfidfTopK(corpus, queries, "doc_id", "text", k = 3)
+      .orderBy("rnk").as[(Long, Long, Long, Int)].collect()
+    assert(r.toSeq === Seq((100L, 1L, 3000L, 1), (100L, 3L, 3000L, 2),
+      (100L, 2L, 1500L, 3)))
+  }
+
+  test("tfidfTopK: k truncates; maxDf drops corpus-wide terms") {
+    val queries = Seq((100L, "apple durian")).toDF("doc_id", "text")
+    assert(Retrieval.tfidfTopK(corpus, queries, "doc_id", "text", k = 1)
+      .count() === 1)
+    // maxDf=1 kills apple (df=2); only durian scores → doc3 alone
+    val r = Retrieval.tfidfTopK(corpus, queries, "doc_id", "text", k = 3,
+      maxDf = 1).as[(Long, Long, Long, Int)].collect()
+    assert(r.toSeq === Seq((100L, 3L, 3000L, 1)))
+  }
+
+  test("bm25TopK: matches an independent in-memory fold") {
+    val queries = Seq((100L, "apple durian"), (200L, "banana")).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(corpus, queries, "doc_id", "text", k = 3)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2, r._3)).toSeq.sortBy(t => (t._1, t._2))
+
+    // reference fold, same formula, plain Scala
+    val docs = Map(1L -> Seq("apple", "banana", "apple"),
+      2L -> Seq("apple", "cherry"), 3L -> Seq("banana", "banana", "durian"))
+    val n = docs.size.toDouble
+    val avgdl = docs.values.map(_.size).sum / n
+    val dfm = docs.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size).toMap
+    def idf(t: String) = math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0)
+    def score(q: Seq[String], d: Seq[String]) = {
+      val tfm = d.groupBy(identity).view.mapValues(_.size).toMap
+      q.distinct.filter(tfm.contains).map { t =>
+        val tf = tfm(t).toDouble
+        idf(t) * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * d.size / avgdl))
+      }.sum
+    }
+    val want = (for {
+      (qid, q) <- Seq(100L -> Seq("apple", "durian"), 200L -> Seq("banana"))
+      (did, d) <- docs if score(q, d) > 0
+    } yield (qid, did, score(q, d))).sortBy(t => (t._1, t._2))
+    assert(got.map(t => (t._1, t._2)) === want.map(t => (t._1, t._2)))
+    got.zip(want).foreach { case ((_, _, g), (_, _, w)) =>
+      assert(math.abs(g - w) < 1e-9, s"score $g vs $w")
+    }
+  }
+
+  test("deterministicShuffle: exact 0..N-1 permutation, partitioning-invariant, balanced shards") {
+    val df = (1L to 97L).toDF("doc_id")
+    val a = Shuffling.deterministicShuffle(df, "doc_id", numShards = 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // dense permutation
+    assert(a.map(_._2).sorted.toSeq === (0L until 97L))
+    // shard = pos mod 8, balanced to ±1
+    assert(a.forall { case (_, pos, sh) => sh == pos % 8 })
+    val sizes = a.groupBy(_._3).values.map(_.size)
+    assert(sizes.max - sizes.min <= 1)
+    // identical result from different input partitioning + partition count
+    val b = Shuffling.deterministicShuffle(df.repartition(7), "doc_id",
+      numShards = 8, partitions = 3).as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+    // and it matches the definitional sort
+    val byHash = spark.range(1, 98).select(col("id").as("doc_id"),
+      Shuffling.hash64(col("id")).as("h")).as[(Long, Long)].collect()
+      .sortBy(t => (t._2, t._1)).map(_._1).zipWithIndex
+    assert(a.map(r => (r._1, r._2)).toSeq ===
+      byHash.map { case (id, i) => (id, i.toLong) }.sortBy(_._1).toSeq)
+  }
+
+  test("qualityFilter: first failing rule wins, in documented order") {
+    val docs = Seq(
+      (1L, "one two three"),                                 // too_short (3 < 4)
+      (2L, Seq.fill(30)("w").mkString(" ")),                 // too_long fires before low_diversity
+      (3L, "a a a a b b c d"),                               // 8 toks, 4 uniq = 500‰ < 600 → low_diversity
+      (4L, "a a a b c d e f g h"),                           // 10 toks, 8 uniq=800‰ ok; top 3=300‰ > 250 → repetitive
+      (5L, "a b c d e f g h i j")                            // keep
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityFilter(docs, "doc_id", "text",
+      minTokens = 4, maxTokens = 20, minUniqPermille = 600,
+      maxTopTokPermille = 250)
+      .select("doc_id", "reason", "keep").as[(Long, String, Boolean)]
+      .collect().sortBy(_._1)
+    assert(r.toSeq === Seq((1L, "too_short", false), (2L, "too_long", false),
+      (3L, "low_diversity", false), (4L, "repetitive", false),
+      (5L, "keep", true)))
+  }
+
+  test("pii: report counts per class and scrub replaces with placeholders") {
+    val docs = Seq(
+      (1L, "mail me at jane.doe+x@example.co.uk or 192.168.0.1 thanks"),
+      (2L, "ssn 123-45-6789 phone +1 (555) 123-4567 done"),
+      (3L, "clean text with no identifiers at all")
+    ).toDF("doc_id", "text")
+    val rep = PiiScrub.piiReport(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("n_email", "n_ipv4", "n_ssn", "n_phone", "n_pii")
+      .as[(Int, Int, Int, Int, Int)].collect()
+    assert(rep(0) === ((1, 1, 0, 0, 2)))
+    assert(rep(1) === ((0, 0, 1, 1, 2)))
+    assert(rep(2) === ((0, 0, 0, 0, 0)))
+    val s = PiiScrub.scrubbed(docs, "text").orderBy("doc_id")
+      .as[(Long, String)].collect().map(_._2)
+    assert(s(0) === "mail me at [EMAIL] or [IPV4] thanks")
+    assert(s(1) === "ssn [SSN] phone [PHONE] done")
+    assert(s(2) === "clean text with no identifiers at all")
+  }
+
+  test("pii: email local parts are consumed whole, not half-eaten as phones") {
+    val docs = Seq((1L, "x 12345678901@example.com y")).toDF("doc_id", "text")
+    assert(PiiScrub.scrubbed(docs, "text").as[(Long, String)].collect()
+      .head._2 === "x [EMAIL] y")
+  }
+}
