@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Decontam, Packing, Retrieval, Sampling, Shuffling, TextAnalysis}
+import graft.llm.{Curation, Decontam, Packing, Retrieval, Sampling, Shuffling, TextAnalysis}
 
 /** Second tranche of LLM-training-data pipeline gates: train/eval
   * decontamination, corpus mixing weights, sequence packing, TF-IDF
@@ -64,6 +64,13 @@ object LlmQueries2 {
     "corpus_quality_filter" -> ((s, dir) =>
       TextAnalysis.qualityFilter(Tables.documents(s, dir), "doc_id", "text",
         minTokens = 20, maxTokens = 90, minUniqPermille = 350,
+        maxTopTokPermille = 150)),
+
+    // per-source corpus health: docs/tokens/quality-kept/exact-dup counts
+    // (same thresholds as corpus_quality_filter)
+    "corpus_report" -> ((s, dir) =>
+      Curation.corpusReport(Tables.documents(s, dir), "doc_id", "text",
+        "source", minTokens = 20, maxTokens = 90, minUniqPermille = 350,
         maxTopTokPermille = 150))
   )
 
@@ -152,6 +159,26 @@ object LlmQueries2 {
         |    WHEN top_tok_permille > 150 THEN 'repetitive'
         |    ELSE 'keep' END AS reason FROM f)
         |SELECT doc_id, n_tokens, uniq_permille, top_tok_permille, reason,
-        |  reason = 'keep' AS keep FROM v""".stripMargin.replace("\n", " ")
+        |  reason = 'keep' AS keep FROM v""".stripMargin.replace("\n", " "),
+
+    "corpus_report" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_tok_n
+        |  FROM tc GROUP BY 1),
+        |f AS (SELECT doc_id, n_tokens,
+        |  NOT (n_tokens < 20 OR n_tokens > 90
+        |    OR n_distinct * 1000 // n_tokens < 350
+        |    OR top_tok_n * 1000 // n_tokens > 150) AS keep FROM ts),
+        |h AS (SELECT doc_id, source, md5(text) AS hash FROM documents),
+        |cn AS (SELECT hash, min(doc_id) AS canonical FROM h GROUP BY 1),
+        |j AS (SELECT h.doc_id, h.source, h.doc_id <> cn.canonical AS is_dup
+        |  FROM h JOIN cn ON h.hash = cn.hash)
+        |SELECT source, count(*) AS n_docs, CAST(sum(f.n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |FROM j JOIN f ON j.doc_id = f.doc_id GROUP BY source"""
+        .stripMargin.replace("\n", " ")
   )
 }

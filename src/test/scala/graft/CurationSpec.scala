@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Curation, Sampling}
+
+/** The composed curation pipeline and the per-source health report. */
+class CurationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // s1 exercises every drop rule; s2 is 20 clean docs over token budget
+  private def fixture = {
+    val s1 = Seq(
+      (1L, "s1", "red green blue yellow purple"),   // keep
+      (2L, "s1", "red green blue yellow purple"),   // exact dup of 1 → drop
+      (3L, "s1", "hi there"),                       // too short → drop
+      (4L, "s1", "alpha beta gamma extra words here"), // contaminated → drop
+      (5L, "s1", "one two three four five six"))    // keep
+    val s2 = (10L until 30L).map(i => (i, "s2", s"w$i x$i y$i z$i"))
+    (s1 ++ s2).toDF("doc_id", "source", "text")
+  }
+  private val evalSet = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+
+  test("curate: quality → dedup → decontam → per-source budget, in order") {
+    val out = Curation.curate(fixture, evalSet, "doc_id", "text", "source",
+      minTokens = 3, maxTokens = 50, minUniqPermille = 100,
+      maxTopTokPermille = 900, decontamN = 3, minHitPermille = 100,
+      tokenBudgetPerSource = 40L)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+
+    // s1: doc 1 + 5 survive every stage; 11 tokens < 40 budget → rate 1000
+    assert(ids.intersect(Set(1L, 2L, 3L, 4L, 5L)) === Set(1L, 5L))
+    // s2: 80 clean tokens vs budget 40 → rate 500‰; selection must equal
+    // the content-hash rule computed independently
+    val expectS2 = spark.range(10, 30)
+      .filter(Sampling.hashPermille(col("id")) < 500)
+      .as[Long].collect().toSet
+    assert(ids.filter(_ >= 10L) === expectS2)
+    assert(expectS2.nonEmpty && expectS2.size < 20,
+      "fixture should make the rate genuinely bind")
+    // schema preserved
+    assert(out.columns.toSeq === Seq("doc_id", "source", "text"))
+  }
+
+  test("corpusReport: per-source doc/token/kept/dup counts") {
+    val r = Curation.corpusReport(fixture, "doc_id", "text", "source",
+      minTokens = 3, maxTokens = 50, minUniqPermille = 100,
+      maxTopTokPermille = 900)
+      .orderBy("source").as[(String, Long, Long, Long, Long)].collect()
+    // s1: 5 docs, 5+5+2+6+6=24 tokens, kept = all but doc3 (len 2) = 4,
+    // dup = doc2 only
+    assert(r(0) === (("s1", 5L, 24L, 4L, 1L)))
+    // s2: 20 docs, 80 tokens, all kept, no dups
+    assert(r(1) === (("s2", 20L, 80L, 20L, 0L)))
+  }
+}
