@@ -71,7 +71,26 @@ object LlmQueries2 {
     "corpus_report" -> ((s, dir) =>
       Curation.corpusReport(Tables.documents(s, dir), "doc_id", "text",
         "source", minTokens = 20, maxTokens = 90, minUniqPermille = 350,
-        maxTopTokPermille = 150))
+        maxTopTokPermille = 150)),
+
+    // bin utilization of the pack_sequences run: fill + pad per bin
+    "pack_bin_stats" -> ((s, dir) =>
+      Packing.binStats(
+        Packing.packGreedy(Tables.documents(s, dir), "doc_id", "source",
+          TextAnalysis.tokenCount(col("text")), tokenBudget = 128L),
+        tokenBudget = 128L)
+        .select(col("grp").as("source"), col("bin_idx"), col("n_docs"),
+          col("fill_tokens"), col("pad_tokens"))),
+
+    // the clean training split after decontamination at 100‰ containment
+    "decontam_clean" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Decontam.decontaminate(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 3, minHitPermille = 100, maxGramEvalDf = 20)
+        .select("doc_id", "source")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -179,6 +198,45 @@ object LlmQueries2 {
         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
         |FROM j JOIN f ON j.doc_id = f.doc_id GROUP BY source"""
+        .stripMargin.replace("\n", " "),
+
+    // the pack_sequences recursive fold, aggregated per (source, bin)
+    "pack_bin_stats" ->
+      """WITH RECURSIVE toks AS (SELECT source, doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |t AS (SELECT source, doc_id, n_tokens, row_number() OVER (
+        |    PARTITION BY source ORDER BY doc_id) AS rn FROM toks),
+        |p(source, rn, doc_id, n_tokens, bin_idx, fill) AS (
+        |  SELECT source, rn, doc_id, n_tokens, CAST(0 AS BIGINT),
+        |    CAST(n_tokens AS BIGINT) FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.source, t.rn, t.doc_id, t.n_tokens,
+        |    CASE WHEN p.fill + t.n_tokens <= 128 THEN p.bin_idx ELSE p.bin_idx + 1 END,
+        |    CASE WHEN p.fill + t.n_tokens <= 128 THEN p.fill + t.n_tokens
+        |         ELSE CAST(t.n_tokens AS BIGINT) END
+        |  FROM t JOIN p ON t.source = p.source AND t.rn = p.rn + 1)
+        |SELECT source, bin_idx, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS fill_tokens,
+        |  greatest(CAST(0 AS BIGINT), 128 - CAST(sum(n_tokens) AS BIGINT)) AS pad_tokens
+        |FROM p GROUP BY source, bin_idx""".stripMargin.replace("\n", " "),
+
+    "decontam_clean" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, source, concat_ws(' ', t[i], t[i+1], t[i+2]) AS sh
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS r(i) WHERE len(t) >= 3),
+        |shh AS (SELECT DISTINCT doc_id, source,
+        |  CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h FROM sh),
+        |corp AS (SELECT doc_id, h FROM shh WHERE source <> 'src0'),
+        |ev AS (SELECT doc_id AS eval_id, h FROM shh WHERE source = 'src0'),
+        |evk AS (SELECT eval_id, h FROM ev WHERE h IN
+        |  (SELECT h FROM ev GROUP BY h HAVING count(*) <= 20)),
+        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY doc_id),
+        |hits AS (SELECT c.doc_id, count(DISTINCT c.h) AS n_hits
+        |  FROM corp c JOIN evk e ON c.h = e.h GROUP BY c.doc_id),
+        |flagged AS (SELECT h.doc_id FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+        |  WHERE n_hits * 1000 // s.n_grams >= 100)
+        |SELECT doc_id, source FROM documents
+        |WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM flagged)"""
         .stripMargin.replace("\n", " ")
   )
 }
