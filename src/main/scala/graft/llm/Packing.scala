@@ -49,12 +49,15 @@ object Packing {
       .as[(String, Long, Int)]
       .mapPartitions { it =>
         // groups are contiguous after the partition-local sort; the fold
-        // carries (bin, fill) and resets at each group boundary
+        // carries (bin, fill) and resets at each group boundary. The
+        // explicit first-row flag matters: a NULL group key would satisfy
+        // `g == cur` against the initial sentinel and skip the reset.
+        var started = false
         var cur: String = null
         var bin = 0L
         var fill = 0L
         it.map { case (g, id, n) =>
-          if (g != cur) { cur = g; bin = 0L; fill = n.toLong }
+          if (!started || g != cur) { started = true; cur = g; bin = 0L; fill = n.toLong }
           else if (fill + n <= tokenBudget) { fill += n }
           else { bin += 1L; fill = n.toLong }
           (g, id, n, bin)

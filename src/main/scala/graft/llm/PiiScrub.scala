@@ -25,12 +25,17 @@ object PiiScrub {
   /** Pattern per PII class, applied in this order (order matters: emails
     * are scrubbed before phone runs so a local-part digit run is not
     * half-eaten by the phone pattern).
+    *
+    * The phone class requires ≥10 digits (each pair separated by at most
+    * two of `() .-`) — an 8-digit ISO date (`2026-08-13`) or a
+    * thousands-grouped figure (`1 000 000`) is NOT a phone; matching
+    * those would silently corrupt ordinary prose corpus-wide.
     */
   val Patterns: Seq[(String, String)] = Seq(
     "email" -> """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
     "ipv4" -> """\b(?:\d{1,3}\.){3}\d{1,3}\b""",
     "ssn" -> """\b\d{3}-\d{2}-\d{4}\b""",
-    "phone" -> """\+?\d[\d() .-]{7,}\d""")
+    "phone" -> """\+?\d(?:[() .-]{0,2}\d){9,}""")
 
   private def placeholder(name: String): String = s"[${name.toUpperCase}]"
 

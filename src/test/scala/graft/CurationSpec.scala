@@ -42,6 +42,26 @@ class CurationSpec extends SparkSpecBase {
     assert(out.columns.toSeq === Seq("doc_id", "source", "text"))
   }
 
+  test("curate: non-string and NULL group columns are budgeted strata too") {
+    // int group 1 stays under budget; the NULL group is over budget and
+    // must be rate-limited like any named stratum, not defaulted to 1000‰
+    val docs = (
+      Seq((1L, Option(1), "aa bb cc dd ee")) ++
+        (10L until 30L).map(i => (i, Option.empty[Int], s"w$i x$i y$i z$i"))
+      ).toDF("doc_id", "grp", "text")
+    val out = Curation.curate(docs, evalSet, "doc_id", "text", "grp",
+      minTokens = 3, maxTokens = 50, minUniqPermille = 100,
+      maxTopTokPermille = 900, decontamN = 3, minHitPermille = 100,
+      tokenBudgetPerSource = 40L)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(1L))
+    val expectNull = spark.range(10, 30)
+      .filter(Sampling.hashPermille(col("id")) < 500)
+      .as[Long].collect().toSet
+    assert(ids - 1L === expectNull)
+    assert(out.columns.toSeq === Seq("doc_id", "grp", "text"))
+  }
+
   test("corpusReport: per-source doc/token/kept/dup counts") {
     val r = Curation.corpusReport(fixture, "doc_id", "text", "source",
       minTokens = 3, maxTokens = 50, minUniqPermille = 100,

@@ -20,6 +20,18 @@ class PackingDecontamSpec extends SparkSpecBase {
     assert(packOf(rows, 10).map(_._2).toSeq === Seq(0L, 0L, 1L, 2L, 3L, 4L, 5L))
   }
 
+  test("packGreedy: null group key resets state like any other group") {
+    // regression: the fold's initial sentinel is null, so a null group's
+    // FIRST doc must still trigger the group-start reset — an oversized
+    // first doc gets bin 0, not bin 1
+    val rows = Seq((null.asInstanceOf[String], 1L, 11),
+      (null.asInstanceOf[String], 2L, 3), ("g", 3L, 4))
+    val out = Packing.packGreedy(rows.toDF("src", "id", "n"), "id", "src",
+      col("n"), 10).select("doc_id", "bin_idx").as[(Long, Long)]
+      .collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 0L), (2L, 1L), (3L, 0L)))
+  }
+
   test("packGreedy: exact fit stays in the bin") {
     val rows = Seq(("g", 1L, 5), ("g", 2L, 5), ("g", 3L, 5))
     assert(packOf(rows, 10).map(_._2).toSeq === Seq(0L, 0L, 1L))

@@ -132,4 +132,16 @@ class RetrievalShufflingSpec extends SparkSpecBase {
     assert(PiiScrub.scrubbed(docs, "text").as[(Long, String)].collect()
       .head._2 === "x [EMAIL] y")
   }
+
+  test("pii: dates and grouped figures are NOT phones (min 10 digits)") {
+    val docs = Seq(
+      (1L, "released on 2026-08-13 at a cost of 1 000 000 dollars"),
+      (2L, "call 555-867-5309 x22"), // 10 digits -> phone
+      (3L, "port 8080 and pin 1234 stay")).toDF("doc_id", "text")
+    val s = PiiScrub.scrubbed(docs, "text").orderBy("doc_id")
+      .as[(Long, String)].collect().map(_._2)
+    assert(s(0) === "released on 2026-08-13 at a cost of 1 000 000 dollars")
+    assert(s(1) === "call [PHONE] x22")
+    assert(s(2) === "port 8080 and pin 1234 stay")
+  }
 }
