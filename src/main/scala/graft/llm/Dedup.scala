@@ -72,6 +72,55 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
 
+  /** Cross-document duplicate-window profile — the exact-substring-dedup
+    * signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): for each doc with ≥ `n` tokens, how many
+    * of its n-token windows (stride 1) also occur verbatim in ANOTHER
+    * doc. `dup_permille` is the per-doc fraction used to drop or trim
+    * boilerplate-heavy docs; first/last_dup (1-based token positions,
+    * NULL when clean) bound the affected region for span trimming.
+    * Output: (doc_id, n_windows, n_dup_windows, first_dup, last_dup,
+    * dup_permille).
+    *
+    * Scale shape: the same inverted-index discipline as the shingle
+    * family — windows hash to int64 BEFORE any exchange, the
+    * cross-doc-duplicated hash set comes from one partial-agg groupBy
+    * (count(DISTINCT doc) ≥ 2 needs no postings self-join), membership is
+    * a left-semi equi-join on the hash, and the profile is one per-doc
+    * agg. Nothing is ever all-pairs; a corpus-wide boilerplate window
+    * costs one hot aggregation key, not a quadratic join group.
+    */
+  def windowDupProfile(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2, s"window width must be >= 2 tokens, got $n")
+    val win = when(size(col("_toks")) >= n,
+      expr(s"transform(sequence(1, size(_toks) - ${n - 1}), " +
+           s"i -> concat_ws(' ', slice(_toks, i, $n)))"))
+      .otherwise(array())
+    // split bound below the widen exchange — the shingleHashPostings
+    // rationale (CollapseProject would inline split into the lambda)
+    val postings = widen(
+      docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks")))
+      .select(col("doc_id"), posexplode(win).as(Seq("_pos", "_w")))
+      .select(col("doc_id"), (col("_pos") + 1).as("start"),
+        tokenHash(col("_w")).as("h"))
+    // feeds the dup-set agg, the totals agg, and the membership join
+    val pm = graft.util.Materialize.stable(postings)
+    val dupH = pm.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val totals = pm.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    val dups = pm.join(dupH, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_dup_windows"),
+        min("start").as("first_dup"),
+        max("start").as("last_dup"))
+    totals.join(dups, Seq("doc_id"), "left")
+      .withColumn("n_dup_windows", coalesce(col("n_dup_windows"), lit(0L)))
+      .withColumn("dup_permille", expr("n_dup_windows * 1000 div n_windows"))
+      .select("doc_id", "n_windows", "n_dup_windows", "first_dup",
+        "last_dup", "dup_permille")
+  }
+
   /** Distinct (doc_id, shingle-HASH) postings — the shared head of the
     * Jaccard and MinHash pipelines. The distinct runs on the 8-byte hash,
     * not the shingle string: hashing before the exchange shrinks every

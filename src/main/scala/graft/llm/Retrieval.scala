@@ -40,6 +40,26 @@ object Retrieval {
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
+  /** Corpus vocabulary, top-k by global occurrence count (ties broken by
+    * the term itself): the tokenizer-fit / corpus-audit primitive.
+    * Output: (term, n_occurrences, n_docs). One partial-agg shuffle on
+    * the term; the orderBy+limit plans as TakeOrderedAndProject — each
+    * task keeps its own top-k, only k·tasks rows ever reach the driver
+    * merge, never the full term table.
+    */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("term"))
+      .limit(k)
+  }
+
   /** Distinct (query_id, term) rows of the query set — the small side. */
   private def queryTerms(queries: DataFrame, idCol: String, textCol: String): DataFrame =
     queries.select(col(idCol).as("query_id"),

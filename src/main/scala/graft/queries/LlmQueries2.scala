@@ -90,7 +90,18 @@ object LlmQueries2 {
         docs.filter(col("source") === "src0"),
         "doc_id", "text", n = 3, minHitPermille = 100, maxGramEvalDf = 20)
         .select("doc_id", "source")
-    })
+    }),
+
+    // exact-substring dedup signal: fraction of each doc's 8-token
+    // windows occurring verbatim in another doc (Lee et al. 2022)
+    "dedup_window_profile" -> ((s, dir) =>
+      graft.llm.Dedup.windowDupProfile(Tables.documents(s, dir), "doc_id",
+        "text", n = 8)),
+
+    // tokenizer-fit vocabulary: top-20 terms by occurrence count
+    "vocab_topk" -> ((s, dir) =>
+      Retrieval.vocabulary(Tables.documents(s, dir), "doc_id", "text",
+        k = 20))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -237,6 +248,30 @@ object LlmQueries2 {
         |  WHERE n_hits * 1000 // s.n_grams >= 100)
         |SELECT doc_id, source FROM documents
         |WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM flagged)"""
-        .stripMargin.replace("\n", " ")
+        .stripMargin.replace("\n", " "),
+
+    "dedup_window_profile" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |w AS (SELECT doc_id, i AS start, array_to_string(t[i:i+7], ' ') AS w
+        |  FROM toks, UNNEST(range(1, len(t) - 6)) AS r(i) WHERE len(t) >= 8),
+        |wh AS (SELECT doc_id, start,
+        |  CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) AS h FROM w),
+        |duph AS (SELECT h FROM wh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |tot AS (SELECT doc_id, count(*) AS n_windows FROM wh GROUP BY 1),
+        |dup AS (SELECT doc_id, count(*) AS n_dup_windows,
+        |    min(start) AS first_dup, max(start) AS last_dup
+        |  FROM wh WHERE h IN (SELECT h FROM duph) GROUP BY 1)
+        |SELECT t.doc_id, n_windows, coalesce(n_dup_windows, 0) AS n_dup_windows,
+        |  first_dup, last_dup,
+        |  coalesce(n_dup_windows, 0) * 1000 // n_windows AS dup_permille
+        |FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id"""
+        .stripMargin.replace("\n", " "),
+
+    "vocab_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents)
+        |SELECT term, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+        |FROM tok GROUP BY term
+        |ORDER BY n_occurrences DESC, term LIMIT 20""".stripMargin.replace("\n", " ")
   )
 }

@@ -153,6 +153,20 @@ class PlanAuditSpec extends SparkSpecBase {
       "(doc,tok) count + per-doc stats = at most two keyed exchanges")
   }
 
+  test("window-dup profile: hash-keyed semi join, never all-pairs") {
+    val p = plan("dedup_window_profile")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "dup membership must be an equi-join on the window hash")
+  }
+
+  test("vocabulary top-k is TakeOrdered, not a global sort") {
+    val p = plan("vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "orderBy+limit must plan as per-task top-k, not a full range sort")
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
   test("text analytics stay inside whole-stage codegen") {
     for (q <- Seq("text_token_count", "text_quality", "text_lang_id")) {
       val p = plan(q)

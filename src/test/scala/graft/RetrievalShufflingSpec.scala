@@ -67,6 +67,37 @@ class RetrievalShufflingSpec extends SparkSpecBase {
     }
   }
 
+  test("windowDupProfile: cross-doc windows only, positions, clean docs null") {
+    val docs = Seq(
+      (1L, "a b c d"),   // windows: "a b c"@1, "b c d"@2 — first is shared
+      (2L, "x a b c"),   // windows: "x a b"@1, "a b c"@2
+      (3L, "p q r s"),   // clean
+      (4L, "y z")        // < n tokens → no windows, absent
+    ).toDF("doc_id", "text")
+    val r = graft.llm.Dedup.windowDupProfile(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[Int], Option[Int], Long)].collect()
+    assert(r.toSeq === Seq(
+      (1L, 2L, 1L, Some(1), Some(1), 500L),
+      (2L, 2L, 1L, Some(2), Some(2), 500L),
+      (3L, 2L, 0L, None, None, 0L)))
+  }
+
+  test("windowDupProfile: within-doc repetition alone is not cross-doc dup") {
+    val docs = Seq((1L, "a b c a b c"), (2L, "z z z z")).toDF("doc_id", "text")
+    val r = graft.llm.Dedup.windowDupProfile(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Option[Int], Option[Int], Long)].collect()
+    assert(r.forall(_._3 === 0L), s"no window crosses docs: ${r.toSeq}")
+  }
+
+  test("vocabulary: global counts, doc frequencies, tiebreak, k cut") {
+    val docs = Seq((1L, "b b a"), (2L, "a c")).toDF("doc_id", "text")
+    val r = Retrieval.vocabulary(docs, "doc_id", "text", k = 2)
+      .as[(String, Long, Long)].collect()
+    // a and b both occur twice; term tiebreak puts a first; c cut by k
+    assert(r.toSeq === Seq(("a", 2L, 2L), ("b", 2L, 1L)))
+  }
+
   test("deterministicShuffle: exact 0..N-1 permutation, partitioning-invariant, balanced shards") {
     val df = (1L to 97L).toDF("doc_id")
     val a = Shuffling.deterministicShuffle(df, "doc_id", numShards = 8)
