@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.llm.{StreamingCuration, StreamingDedup}
+
+/** Incremental curation: PII scrub + quality gate + cross-batch novelty
+  * dedup per micro-batch.
+  */
+class StreamingCurationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def pipeline(stateDir: String) = new StreamingCuration(
+    new StreamingDedup(spark, stateDir, "doc_id", "text"),
+    "doc_id", "text", minTokens = 3, maxTokens = 50,
+    minUniqPermille = 100, maxTopTokPermille = 900)
+
+  test("processBatch: scrub -> quality -> novelty, replay-idempotent") {
+    val sc = pipeline(tmpDir("cur-state"))
+
+    val b0 = Seq(
+      (1L, "contact me at jane@example.com for details"),
+      (2L, "hi"), // 1 token < 3 → quality-dropped
+      (3L, "plain clean document body here")
+    ).toDF("doc_id", "text")
+    val out0 = sc.processBatch(b0, 0L).as[(Long, String)].collect().sortBy(_._1)
+    assert(out0.map(_._1).toSeq === Seq(1L, 3L))
+    assert(out0.head._2 === "contact me at [EMAIL] for details",
+      "emitted text must be the scrubbed form")
+
+    // batch 1: doc 10 differs from doc 1 ONLY in the scrubbed email →
+    // post-scrub duplicate, suppressed; doc 11 novel
+    val b1 = Seq(
+      (10L, "contact me at bob@other.org for details"),
+      (11L, "a genuinely new document arrives")
+    ).toDF("doc_id", "text")
+    val out1 = sc.processBatch(b1, 1L).select("doc_id").as[Long].collect()
+    assert(out1.toSeq === Seq(11L),
+      "docs equal after PII scrub must dedup together")
+
+    // at-least-once replay of batch 1 re-emits the same set
+    val out1b = sc.processBatch(b1, 1L).select("doc_id").as[Long].collect()
+    assert(out1b.toSeq === Seq(11L))
+  }
+
+  test("end-to-end over a stream: two triggers, curated parquet appends") {
+    val (state, out, ckpt) = (tmpDir("cur-state2"), tmpDir("cur-out"), tmpDir("cur-ckpt"))
+    val sc = pipeline(state)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+
+    input.addData((1L, "first clean document body"), (2L, "x"))
+    val q1 = sc.start(stream, out, ckpt)
+    q1.processAllAvailable()
+    q1.stop()
+    input.addData((3L, "first clean document body"), (4L, "second clean document body"))
+    val q2 = sc.start(stream, out, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 4L),
+      "quality reject (2) and cross-batch dup (3) must not reach the sink")
+  }
+}
