@@ -121,6 +121,37 @@ object Dedup {
         "last_dup", "dup_permille")
   }
 
+  /** Trim cross-document duplicated spans out of each doc: tokens
+    * covered by [[windowDupProfile]]'s [first_dup, last_dup + n − 1]
+    * window range are removed, keeping the clean prefix and suffix —
+    * the REMOVE half of the exact-substring-dedup recipe (detecting is
+    * the profile's job). Docs without a profile row (shorter than `n`
+    * tokens) or with no duplicated window pass through unchanged.
+    * Output: all input columns, `textCol` rewritten; docs trimmed to
+    * zero tokens are dropped (an empty training doc is not a document).
+    *
+    * The conservative contiguous-range rule (one cut from first to last
+    * duplicated window) is deliberate: precise multi-span surgery needs
+    * per-window merging state, while corpora overwhelmingly carry
+    * boilerplate as ONE leading/trailing block — the same trade
+    * published trimmers make.
+    */
+  def trimDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val prof = windowDupProfile(docs, idCol, textCol, n)
+      .filter(col("n_dup_windows") > 0)
+      .select(col("doc_id").as(idCol), col("first_dup"), col("last_dup"))
+    docs.join(prof, Seq(idCol), "left")
+      .withColumn("_toks", split(col(textCol), " "))
+      .withColumn(textCol,
+        when(col("first_dup").isNull, col(textCol)).otherwise(concat_ws(" ",
+          concat(
+            expr("slice(_toks, 1, first_dup - 1)"),
+            expr(s"slice(_toks, last_dup + $n, greatest(0, size(_toks) - (last_dup + ${n - 1})))")))))
+      .filter(length(col(textCol)) > 0)
+      .drop("_toks", "first_dup", "last_dup")
+  }
+
   /** Distinct (doc_id, shingle-HASH) postings — the shared head of the
     * Jaccard and MinHash pipelines. The distinct runs on the 8-byte hash,
     * not the shingle string: hashing before the exchange shrinks every

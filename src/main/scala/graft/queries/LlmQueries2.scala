@@ -101,7 +101,14 @@ object LlmQueries2 {
     // tokenizer-fit vocabulary: top-20 terms by occurrence count
     "vocab_topk" -> ((s, dir) =>
       Retrieval.vocabulary(Tables.documents(s, dir), "doc_id", "text",
-        k = 20))
+        k = 20)),
+
+    // the REMOVE half of exact-substring dedup: docs with the duplicated
+    // 8-token-window range cut out (contiguous-range rule)
+    "dedup_trim_spans" -> ((s, dir) =>
+      graft.llm.Dedup.trimDupSpans(Tables.documents(s, dir), "doc_id",
+        "text", n = 8)
+        .select("doc_id", "source", "text"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -272,6 +279,24 @@ object LlmQueries2 {
         |  FROM documents)
         |SELECT term, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
         |FROM tok GROUP BY term
-        |ORDER BY n_occurrences DESC, term LIMIT 20""".stripMargin.replace("\n", " ")
+        |ORDER BY n_occurrences DESC, term LIMIT 20""".stripMargin.replace("\n", " "),
+
+    "dedup_trim_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |w AS (SELECT doc_id, i AS start, array_to_string(t[i:i+7], ' ') AS w
+        |  FROM toks, UNNEST(range(1, len(t) - 6)) AS r(i) WHERE len(t) >= 8),
+        |wh AS (SELECT doc_id, start,
+        |  CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) AS h FROM w),
+        |duph AS (SELECT h FROM wh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |dup AS (SELECT doc_id, min(start) AS first_dup, max(start) AS last_dup
+        |  FROM wh WHERE h IN (SELECT h FROM duph) GROUP BY 1),
+        |trimmed AS (SELECT d.doc_id, d.source,
+        |  CASE WHEN first_dup IS NULL THEN d.text
+        |    ELSE array_to_string(list_concat(tk.t[1:first_dup - 1],
+        |      tk.t[last_dup + 8:]), ' ') END AS text
+        |  FROM documents d JOIN toks tk ON d.doc_id = tk.doc_id
+        |  LEFT JOIN dup ON d.doc_id = dup.doc_id)
+        |SELECT doc_id, source, text FROM trimmed WHERE len(text) > 0"""
+        .stripMargin.replace("\n", " ")
   )
 }

@@ -90,6 +90,20 @@ class RetrievalShufflingSpec extends SparkSpecBase {
     assert(r.forall(_._3 === 0L), s"no window crosses docs: ${r.toSeq}")
   }
 
+  test("trimDupSpans: cuts the dup range, passes clean/short docs, drops emptied docs") {
+    val docs = Seq(
+      (1L, "a b c d"),  // "a b c"@1 dup → keep suffix "d"
+      (2L, "x a b c"),  // "a b c"@2 dup → keep prefix "x"
+      (3L, "p q r s"),  // clean → unchanged
+      (5L, "a b c"),    // fully duplicated → trimmed empty → dropped
+      (6L, "a b c"),
+      (7L, "y z")       // shorter than n → passthrough
+    ).toDF("doc_id", "text")
+    val r = graft.llm.Dedup.trimDupSpans(docs, "doc_id", "text", n = 3)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(r.toSeq === Seq((1L, "d"), (2L, "x"), (3L, "p q r s"), (7L, "y z")))
+  }
+
   test("vocabulary: global counts, doc frequencies, tiebreak, k cut") {
     val docs = Seq((1L, "b b a"), (2L, "a c")).toDF("doc_id", "text")
     val r = Retrieval.vocabulary(docs, "doc_id", "text", k = 2)
