@@ -90,26 +90,44 @@ object Dedup {
     * agg. Nothing is ever all-pairs; a corpus-wide boilerplate window
     * costs one hot aggregation key, not a quadratic join group.
     */
-  def windowDupProfile(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
+  /** Positional n-gram hash postings — the shared explode head of the
+    * window-profile, span-trim, and winnowing operators: one row per
+    * (doc_id, 0-based pos, int64 window hash), with `maxpos` (= the last
+    * valid position, size − n) riding along from explode time. The
+    * split stays below the widen exchange (the [[shingleHashPostings]]
+    * rationale: CollapseProject would inline split into the lambda,
+    * O(len²) per doc).
+    */
+  private[graft] def positionalWindowHashes(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
     require(n >= 2, s"window width must be >= 2 tokens, got $n")
-    val win = when(size(col("_toks")) >= n,
-      expr(s"transform(sequence(1, size(_toks) - ${n - 1}), " +
-           s"i -> concat_ws(' ', slice(_toks, i, $n)))"))
-      .otherwise(array())
-    // split bound below the widen exchange — the shingleHashPostings
-    // rationale (CollapseProject would inline split into the lambda)
-    val postings = widen(
-      docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks")))
-      .select(col("doc_id"), posexplode(win).as(Seq("_pos", "_w")))
-      .select(col("doc_id"), (col("_pos") + 1).as("start"),
-        tokenHash(col("_w")).as("h"))
-    // feeds the dup-set agg, the totals agg, and the membership join
-    val pm = graft.util.Materialize.stable(postings)
+    widen(docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks")))
+      .select(col("doc_id"), (size(col("_toks")) - n).as("maxpos"),
+        posexplode(when(size(col("_toks")) >= n,
+          expr(s"transform(sequence(1, size(_toks) - ${n - 1}), " +
+               s"i -> concat_ws(' ', slice(_toks, i, $n)))"))
+          .otherwise(array())))
+      .select(col("doc_id"), col("maxpos"), col("pos"), tokenHash(col("col")).as("h"))
+  }
+
+  /** The postings rows whose window hash occurs in ≥2 distinct docs —
+    * one partial-agg groupBy for the dup set + a left-semi membership
+    * join, shared by the profile and the trimmer.
+    */
+  private def dupWindowRows(pm: DataFrame): DataFrame = {
     val dupH = pm.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select("h")
+    pm.join(dupH, Seq("h"), "left_semi")
+  }
+
+  def windowDupProfile(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val postings = positionalWindowHashes(docs, idCol, textCol, n)
+      .select(col("doc_id"), (col("pos") + 1).as("start"), col("h"))
+    // feeds the dup-set agg, the totals agg, and the membership join
+    val pm = graft.util.Materialize.stable(postings)
     val totals = pm.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
-    val dups = pm.join(dupH, Seq("h"), "left_semi")
+    val dups = dupWindowRows(pm)
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_dup_windows"),
         min("start").as("first_dup"),
@@ -138,17 +156,24 @@ object Dedup {
     */
   def trimDupSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    val prof = windowDupProfile(docs, idCol, textCol, n)
-      .filter(col("n_dup_windows") > 0)
+    // only the span bounds are needed — not the profile's totals
+    // aggregation, outer join, or permille arithmetic
+    val postings = positionalWindowHashes(docs, idCol, textCol, n)
+      .select(col("doc_id"), (col("pos") + 1).as("start"), col("h"))
+    val bounds = dupWindowRows(graft.util.Materialize.stable(postings))
+      .groupBy("doc_id").agg(
+        min("start").as("first_dup"), max("start").as("last_dup"))
       .select(col("doc_id").as(idCol), col("first_dup"), col("last_dup"))
-    docs.join(prof, Seq(idCol), "left")
+    docs.join(bounds, Seq(idCol), "left")
       .withColumn("_toks", split(col(textCol), " "))
       .withColumn(textCol,
         when(col("first_dup").isNull, col(textCol)).otherwise(concat_ws(" ",
           concat(
             expr("slice(_toks, 1, first_dup - 1)"),
             expr(s"slice(_toks, last_dup + $n, greatest(0, size(_toks) - (last_dup + ${n - 1})))")))))
-      .filter(length(col(textCol)) > 0)
+      // drop only docs the TRIM emptied — an untouched doc passes through
+      // even if its input text was already empty
+      .filter(col("first_dup").isNull || length(col(textCol)) > 0)
       .drop("_toks", "first_dup", "last_dup")
   }
 
@@ -661,16 +686,9 @@ object Dedup {
       n: Int, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // maxpos is knowable at explode time (#shingles − 1 = #tokens − n),
-    // so it rides along as a column instead of costing a second whole-
-    // partition window pass over the exploded rows.
-    val posSh = widen(docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks")))
-      .select(col("doc_id"), (size(col("_toks")) - n).as("maxpos"),
-        posexplode(when(size(col("_toks")) >= n,
-          expr(s"transform(sequence(1, size(_toks) - ${n - 1}), " +
-               s"i -> concat_ws(' ', slice(_toks, i, $n)))"))
-          .otherwise(array())))
-      .select(col("doc_id"), col("maxpos"), col("pos"), tokenHash(col("col")).as("h"))
+    // so it rides along from positionalWindowHashes instead of costing a
+    // second whole-partition window pass over the exploded rows.
+    val posSh = positionalWindowHashes(docs, idCol, textCol, n)
     val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     posSh
       .withColumn("fp", min("h").over(win))

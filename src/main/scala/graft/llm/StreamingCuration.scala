@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.Row
@@ -11,7 +11,11 @@ import org.apache.spark.sql.Row
   * replay-idempotent seen-state). The stateless stages run entirely
   * inside the batch plan; the only state is the dedup hash store, so the
   * pipeline inherits StreamingDedup's exactly-once-effective contract
-  * under foreachBatch's at-least-once replay.
+  * under foreachBatch's at-least-once replay — including at the sink:
+  * [[writeBatch]] lands rows under a `_batch_id=` partition with dynamic
+  * overwrite (the DLQ/state-store convention), so a replayed batch
+  * overwrites its own half-written output instead of appending
+  * duplicates.
   *
   * Decontamination and budget mixing are deliberately NOT per-batch
   * stages: both are corpus-global decisions (a batch-local rate would
@@ -27,18 +31,37 @@ final class StreamingCuration(dedup: StreamingDedup, idCol: String,
   /** One micro-batch: scrub PII in place, drop quality rejects, emit
     * only never-seen documents (post-scrub text is what is hashed, so
     * two docs differing only in scrubbed identifiers dedup together).
+    * The batch is first compacted on (id, text): an at-least-once source
+    * redelivering the same row in ONE batch would otherwise double every
+    * token count inside the quality aggregation and flip its verdict.
     * Safe to call from foreachBatch; replays re-emit the same rows.
     */
   def processBatch(batch: DataFrame, batchId: Long): DataFrame = {
-    val scrubbed = PiiScrub.scrubbed(batch, textCol)
+    val once = batch.dropDuplicates(idCol :: textCol :: Nil)
+    val scrubbed = PiiScrub.scrubbed(once, textCol)
     val keptIds = TextAnalysis.qualityFilter(scrubbed, idCol, textCol,
       minTokens, maxTokens, minUniqPermille, maxTopTokPermille)
       .filter(col("keep")).select(col("doc_id").as(idCol))
     dedup.filterNew(scrubbed.join(keptIds, Seq(idCol)), batchId)
   }
 
-  /** Wire the pipeline into a streaming writer: curated rows append to
-    * `outDir` as parquet, state + progress under the caller's checkpoint
+  /** [[processBatch]] + the idempotent sink write: curated rows land in
+    * `outDir` partitioned by `_batch_id` with dynamic partition
+    * overwrite, so an at-least-once replay of a batch REPLACES that
+    * batch's partition (a plain append would duplicate every replayed
+    * row — the very defect the pipeline removes). Readers
+    * `spark.read.parquet(outDir)` and drop `_batch_id` if unwanted.
+    */
+  def writeBatch(batch: DataFrame, batchId: Long, outDir: String): Unit =
+    processBatch(batch, batchId)
+      .withColumn("_batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch_id")
+      .parquet(outDir)
+
+  /** Wire the pipeline into a streaming writer: curated rows under
+    * `outDir`, state + progress under the caller's checkpoint
     * discipline.
     */
   def writer(stream: DataFrame, outDir: String, checkpointDir: String,
@@ -47,9 +70,7 @@ final class StreamingCuration(dedup: StreamingDedup, idCol: String,
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId)
-          .write.mode("append").parquet(outDir)
-        ()
+        writeBatch(batch, batchId, outDir)
       }
 
   def start(stream: DataFrame, outDir: String,

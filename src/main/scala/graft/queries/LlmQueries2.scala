@@ -290,13 +290,14 @@ object LlmQueries2 {
         |duph AS (SELECT h FROM wh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
         |dup AS (SELECT doc_id, min(start) AS first_dup, max(start) AS last_dup
         |  FROM wh WHERE h IN (SELECT h FROM duph) GROUP BY 1),
-        |trimmed AS (SELECT d.doc_id, d.source,
+        |trimmed AS (SELECT d.doc_id, d.source, dup.first_dup,
         |  CASE WHEN first_dup IS NULL THEN d.text
         |    ELSE array_to_string(list_concat(tk.t[1:first_dup - 1],
         |      tk.t[last_dup + 8:]), ' ') END AS text
         |  FROM documents d JOIN toks tk ON d.doc_id = tk.doc_id
         |  LEFT JOIN dup ON d.doc_id = dup.doc_id)
-        |SELECT doc_id, source, text FROM trimmed WHERE len(text) > 0"""
+        |SELECT doc_id, source, text FROM trimmed
+        |WHERE first_dup IS NULL OR len(text) > 0"""
         .stripMargin.replace("\n", " ")
   )
 }

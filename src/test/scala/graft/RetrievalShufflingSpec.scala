@@ -97,11 +97,13 @@ class RetrievalShufflingSpec extends SparkSpecBase {
       (3L, "p q r s"),  // clean → unchanged
       (5L, "a b c"),    // fully duplicated → trimmed empty → dropped
       (6L, "a b c"),
-      (7L, "y z")       // shorter than n → passthrough
+      (7L, "y z"),      // shorter than n → passthrough
+      (8L, "")          // already empty, never trimmed → passthrough
     ).toDF("doc_id", "text")
     val r = graft.llm.Dedup.trimDupSpans(docs, "doc_id", "text", n = 3)
       .as[(Long, String)].collect().sortBy(_._1)
-    assert(r.toSeq === Seq((1L, "d"), (2L, "x"), (3L, "p q r s"), (7L, "y z")))
+    assert(r.toSeq === Seq((1L, "d"), (2L, "x"), (3L, "p q r s"),
+      (7L, "y z"), (8L, "")))
   }
 
   test("vocabulary: global counts, doc frequencies, tiebreak, k cut") {

@@ -43,6 +43,29 @@ class StreamingCurationSpec extends SparkSpecBase {
     assert(out1b.toSeq === Seq(11L))
   }
 
+  test("within-batch redelivery of a row must not double its quality counts") {
+    val sc = pipeline(tmpDir("cur-state3"))
+    // "hi there" is 2 tokens (< minTokens 3); delivered twice in one
+    // batch it must STILL be 2 tokens, not 4, and stay dropped
+    val b = Seq((1L, "hi there"), (1L, "hi there"),
+      (2L, "three token document")).toDF("doc_id", "text")
+    val out = sc.processBatch(b, 0L).select("doc_id").as[Long].collect()
+    assert(out.toSeq === Seq(2L),
+      "a redelivered short doc must not pass the length gate")
+  }
+
+  test("writeBatch: replaying a batch replaces its partition, never appends") {
+    val (state, out) = (tmpDir("cur-state4"), tmpDir("cur-out4"))
+    val sc = pipeline(state)
+    val b0 = Seq((1L, "first clean document body")).toDF("doc_id", "text")
+    sc.writeBatch(b0, 0L, out)
+    // at-least-once replay: crash after the sink write, before the
+    // checkpoint commit → the same batch runs again
+    sc.writeBatch(b0, 0L, out)
+    val got = spark.read.parquet(out).select("doc_id").as[Long].collect()
+    assert(got.toSeq === Seq(1L), "replay must overwrite, not duplicate")
+  }
+
   test("end-to-end over a stream: two triggers, curated parquet appends") {
     val (state, out, ckpt) = (tmpDir("cur-state2"), tmpDir("cur-out"), tmpDir("cur-ckpt"))
     val sc = pipeline(state)
