@@ -38,6 +38,18 @@ object TpchQueries {
           expr(s"CAST(sum($Revenue) AS DOUBLE)").as("sum_revenue"),
           count(lit(1)).as("count_order"))),
 
+    // Q6-shape forecast revenue: the pure-pushdown query — every
+    // predicate reaches the parquet scan, one exchange-free global agg.
+    "q6_forecast_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(expr("l_shipdate >= timestamp'1994-01-01'") &&
+          expr("l_shipdate < timestamp'1995-01-01'") &&
+          expr("l_discount >= 0.05") && expr("l_discount <= 0.07") &&
+          expr("l_quantity < 24"))
+        .agg(expr(
+          "CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE)")
+          .as("revenue"))),
+
     // Q3-shape shipping priority: two fact joins; customer is small →
     // broadcast; orders⋈lineitem shuffles once on the order key.
     "q3_shipping_priority" -> ((s, dir) => {
@@ -136,6 +148,13 @@ object TpchQueries {
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " "),
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+        |AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"""
+        .stripMargin.replace("\n", " "),
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey, epoch_us(o_orderdate) AS orderdate_us, o_orderpriority,

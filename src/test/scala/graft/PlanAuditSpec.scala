@@ -32,6 +32,23 @@ class PlanAuditSpec extends SparkSpecBase {
       "shipdate predicate must reach the scan")
   }
 
+  test("q6: every predicate reaches the scan; partial agg before the gather") {
+    val p = plan("q6_forecast_revenue")
+    // the plan string elides the tail of long filter lists — assert the
+    // visible pushed range predicate plus the 4-column pruned scan (the
+    // stronger property: 12 unused lineitem columns never leave parquet)
+    assert(p.contains("PushedFilters: [") &&
+      p.contains("GreaterThanOrEqual(l_shipda"),
+      "range predicates must push to parquet")
+    val schema = "lineitem\\.parquet.*?ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p.replaceAll("\n", " ")).map(_.group(1))
+    assert(schema.exists(_.split(",").length <= 4),
+      s"lineitem scan not pruned: $schema")
+    assert(p.contains("partial_sum"), "map-side combine before the 1-row gather")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "a scalar aggregate needs no keyed exchange")
+  }
+
   test("LWW compaction is a partial aggregate, not a window sort") {
     val p = plan("cdc_lww_latest")
     assert(p.contains("partial_max_by"),
