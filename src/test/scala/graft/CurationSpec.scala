@@ -62,6 +62,21 @@ class CurationSpec extends SparkSpecBase {
     assert(out.columns.toSeq === Seq("doc_id", "grp", "text"))
   }
 
+  test("curate with scrubPii: identifier-only variants dedup together, scrubbed text out") {
+    val docs = Seq(
+      (1L, "s", "mail jane@example.com about the launch plan"),
+      (2L, "s", "mail bob@other.org about the launch plan"), // same post-scrub → dup
+      (3L, "s", "a completely different clean document")
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.curate(docs, evalSet, "doc_id", "text", "source",
+      minTokens = 3, maxTokens = 50, minUniqPermille = 100,
+      maxTopTokPermille = 900, decontamN = 3, minHitPermille = 100,
+      tokenBudgetPerSource = 1000L, scrubPii = true)
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1L, 3L))
+    assert(out.head._3 === "mail [EMAIL] about the launch plan")
+  }
+
   test("corpusReport: per-source doc/token/kept/dup counts") {
     val r = Curation.corpusReport(fixture, "doc_id", "text", "source",
       minTokens = 3, maxTokens = 50, minUniqPermille = 100,

@@ -72,6 +72,38 @@ class LlmPropertySpec extends SparkSpecBase {
     }
   }
 
+  test("trimDupSpans property: random corpora match the brute-force cut") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 2 + rnd.nextInt(3)
+      val docs = (1L to (8 + rnd.nextInt(10))).map { i =>
+        (i, Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val got = Dedup.trimDupSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n)
+        .as[(Long, String)].collect().sortBy(_._1)
+
+      val wins = docs.map { case (id, t) =>
+        val toks = t.split(" ").toSeq
+        (id, toks, if (toks.size >= n)
+          toks.sliding(n).zipWithIndex.map { case (w, i) => (i + 1, w.mkString(" ")) }.toSeq
+        else Seq.empty)
+      }
+      val crossDoc = wins.flatMap { case (id, _, ws) => ws.map(_._2).distinct.map(_ -> id) }
+        .groupBy(_._1).filter(_._2.map(_._2).toSet.size >= 2).keySet
+      val want = wins.flatMap { case (id, toks, ws) =>
+        val dupStarts = ws.filter(w => crossDoc(w._2)).map(_._1)
+        if (dupStarts.isEmpty) Some(id -> toks.mkString(" "))
+        else {
+          val (first, last) = (dupStarts.min, dupStarts.max)
+          val trimmed = (toks.take(first - 1) ++ toks.drop(last + n - 1)).mkString(" ")
+          if (trimmed.nonEmpty) Some(id -> trimmed) else None
+        }
+      }.sortBy(_._1)
+      assert(got.toSeq === want, s"seed=$seed n=$n")
+    }
+  }
+
   test("tfidfTopK property: random corpora match brute-force integer scoring") {
     for (seed <- 1 to 5) {
       val rnd = new scala.util.Random(seed)
