@@ -80,4 +80,24 @@ object Shuffling {
       .toDF("doc_id", "pos")
       .withColumn("shard", pmod(col("pos"), lit(numShards.toLong)))
   }
+
+  /** Materialize the shuffled corpus as `numShards` hive-partitioned
+    * parquet shard directories (`shard=K/`), each carrying the full rows
+    * plus their permutation `pos` — the "write N training shards" step.
+    * Deterministic content-hash order makes the write IDEMPOTENT: a
+    * re-run after failure produces byte-identical shard membership, so
+    * `overwrite` semantics are safe. One extra id-keyed join attaches the
+    * payload columns to the (id, pos, shard) permutation.
+    */
+  def writeShards(df: DataFrame, idCol: String, numShards: Int,
+      outDir: String, partitions: Int = 0): Unit = {
+    val perm = deterministicShuffle(df, idCol, numShards, partitions)
+      .withColumnRenamed("doc_id", idCol)
+    df.withColumn(idCol, col(idCol).cast("long"))
+      .join(perm, Seq(idCol))
+      .repartition(col("shard"))
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(outDir)
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.Tables
 import graft.llm.{Curation, Sampling}
 
 /** The composed curation pipeline and the per-source health report. */
@@ -75,6 +76,43 @@ class CurationSpec extends SparkSpecBase {
       .as[(Long, String, String)].collect().sortBy(_._1)
     assert(out.map(_._1).toSeq === Seq(1L, 3L))
     assert(out.head._3 === "mail [EMAIL] about the launch plan")
+  }
+
+  test("curate runs end-to-end on the fixture documents table") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Curation.curate(docs,
+      docs.filter(col("source") === "src0"), "doc_id", "text", "source",
+      minTokens = 20, maxTokens = 90, minUniqPermille = 350,
+      maxTopTokPermille = 150, decontamN = 3, minHitPermille = 100,
+      tokenBudgetPerSource = 400L)
+    val rows = out.select("doc_id", "text").as[(Long, String)].collect()
+    assert(rows.nonEmpty, "fixture curation must keep something")
+    assert(rows.length < docs.count(), "and must drop something")
+    // invariants: unique ids, no exact-dup texts, every doc quality-kept
+    assert(rows.map(_._1).distinct.length === rows.length)
+    assert(rows.map(_._2).distinct.length === rows.length, "exact dups survived")
+    val toks = rows.map(_._2.split(" ").length)
+    assert(toks.forall(n => n >= 20 && n <= 90), "quality bounds violated")
+  }
+
+  test("writeShards: hive-partitioned shards reload to the full corpus, idempotently") {
+    import graft.llm.Shuffling
+    val dir = tmpDir("shards")
+    val docs = (1L to 50L).map(i => (i, s"doc $i body")).toDF("doc_id", "text")
+    Shuffling.writeShards(docs, "doc_id", numShards = 4, outDir = dir)
+    Shuffling.writeShards(docs, "doc_id", numShards = 4, outDir = dir) // idempotent re-run
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 50)
+    assert(back.select("shard").distinct().count() === 4)
+    // shard membership matches the permutation rule
+    val expect = Shuffling.deterministicShuffle(docs, "doc_id", 4)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    val got = back.select(col("doc_id").cast("long"), col("shard").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === expect)
+    // payload survives
+    assert(back.filter(col("doc_id") === 7).select("text")
+      .as[String].head() === "doc 7 body")
   }
 
   test("corpusReport: per-source doc/token/kept/dup counts") {
