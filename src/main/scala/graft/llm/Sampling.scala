@@ -72,4 +72,75 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum(weight.cast("long")).as("n_tokens"))
       .withColumn("rate_permille",
         least(lit(1000L), expr(s"${tokenBudget}L * 1000 div n_tokens")))
+
+  /** Hashed n-gram feature buckets — one row per (doc_id, bucket) feature
+    * OCCURRENCE (multiplicity kept, unlike the dedup shingle postings):
+    * every unigram and every bigram of the whitespace tokenization,
+    * hashed with the [[Dedup.tokenHash]] idiom into `numBuckets` buckets.
+    * The DSIR feature space (Xie et al. 2023 use hashed unigram+bigram
+    * counts for exactly this).
+    */
+  private def featureBuckets(docs: DataFrame, idCol: String,
+      textCol: String, numBuckets: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("_toks"))
+    val grams = toks.select(col("doc_id"), explode(concat(
+      col("_toks"),
+      when(size(col("_toks")) >= 2,
+        expr("transform(sequence(1, size(_toks) - 1), " +
+             "i -> concat_ws(' ', slice(_toks, i, 2)))"))
+        .otherwise(array()))).as("f"))
+    grams.select(col("doc_id"),
+      pmod(graft.llm.Dedup.tokenHash(col("f")), lit(numBuckets.toLong)).as("b"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169): score
+    * every raw-corpus doc by how much its hashed-n-gram profile looks
+    * like a small TARGET corpus (the quality/domain reference) relative
+    * to the raw distribution. Per bucket b the add-one-smoothed count
+    * ratio in integer per-million — `r_b = (q_b+1)·1000000 div (p_b+1)`
+    * with p/q the raw / target bucket counts — and a doc's weight is the
+    * sum of `r_b` over its feature occurrences. The paper sums
+    * log-density-ratios; this is the engine's exact-integer surrogate:
+    * the density normalization `(P+B)/(Q+B)` is constant across buckets,
+    * so dropping it rescales every weight by the same factor and
+    * preserves the selection order, while keeping every product well
+    * under int64 at any corpus size (the bound is q_b ≤ 2⁶³/10⁶ per
+    * bucket). Monotone per bucket, reproducible, oracle-gateable — where
+    * float logs are none of those. High-weight docs are target-like; feed
+    * the weights to [[exactKPerStratum]]-style top-k or threshold
+    * selection for the resampling step.
+    *
+    * Scale shape: the raw corpus is scanned twice (count pass + score
+    * pass) but NEVER exchanges on a feature key — both bucket-count
+    * tables partial-aggregate down to ≤ `numBuckets` rows, the ratio
+    * table (≤ B rows) BROADCASTS into the scoring scan, and the only
+    * corpus-sized shuffle is the final doc-keyed partial-agg sum. No
+    * corpus-sized intermediate is materialized: at 100 TB both passes are
+    * embarrassingly parallel map stages over the text column.
+    *
+    * Output: one row per corpus doc — (doc_id, n_feats, weight,
+    * weight_per_feat). `weight` is the raw sum (length-rewarding — a
+    * long doc accumulates more feature mass); `weight_per_feat` is the
+    * per-occurrence mean, the length-invariant form to threshold or
+    * rank on.
+    */
+  def importanceWeights(corpus: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, numBuckets: Int = 4096): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val p = featureBuckets(corpus, idCol, textCol, numBuckets)
+      .groupBy("b").agg(count(lit(1)).as("pc"))
+    val q = featureBuckets(target, idCol, textCol, numBuckets)
+      .groupBy("b").agg(count(lit(1)).as("qc"))
+    val ratio = p
+      .join(q, Seq("b"), "left")
+      .select(col("b"),
+        expr("(coalesce(qc, 0L) + 1) * 1000000 div (pc + 1)").as("r"))
+    featureBuckets(corpus, idCol, textCol, numBuckets)
+      .join(broadcast(ratio), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("r").as("weight"))
+      .withColumn("weight_per_feat", expr("weight div n_feats"))
+  }
 }

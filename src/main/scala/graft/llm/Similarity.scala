@@ -412,4 +412,50 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("qid", "cid", "rank", "cos_sim")
   }
+
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the
+    * deterministic [[kmeansCentroids]] codebook, then prune
+    * near-duplicate pairs WITHIN each cluster — a pair at cosine ≥
+    * `threshold` keeps only its lower id. Clustering makes the pair
+    * search per-cell instead of all-pairs: candidate work is
+    * Σ|cell|² ≈ N²/k, so `numCentroids` plays the role
+    * [[bitsForCorpus]] plays for LSH — size it ~N/targetCell
+    * (paper: 50k clusters for LAION-440M) and per-cell work stays
+    * constant as the corpus grows. Unlike LSH blocking the recall
+    * loss is one-sided and interpretable: only CROSS-cluster
+    * near-dups are missed, and SemDeDup's premise is that semantic
+    * duplicates co-locate in embedding space.
+    *
+    * Scale shape: k-means is iters × (broadcast-assign scan +
+    * (cell,dim)-keyed partial agg); the prune is ONE cell-keyed
+    * equi-self-join of the assigned frame (ids + quantized vectors),
+    * exact integer cosine on candidates only. Everything is
+    * deterministic (integer centroid domain, md5 seeding, id
+    * tie-breaks), so output is partitioning-invariant.
+    *
+    * Output: one row per input vector — (vec_id, cell, is_dup);
+    * the curated kept set is `is_dup = false`.
+    */
+  def semanticDedup(corpus: DataFrame, numCentroids: Int, iters: Int,
+      threshold: Double,
+      metrics: Option[graft.ops.Metrics.Registry] = None): DataFrame = {
+    val cents = kmeansCentroids(corpus, numCentroids, iters, metrics)
+    // feeds the self-join's two sides plus the final re-join — one
+    // materialization, same rationale as cosineNearDupPairs
+    val assigned = graft.util.Materialize.stable(
+      assignCells(corpus, cents, "vid", "v", "nv", keep = 1))
+    val a = assigned.select(col("cell"), col("vid").as("id_a"),
+      col("v").as("va"), col("nv").as("na"))
+    val b = assigned.select(col("cell"), col("vid").as("id_b"),
+      col("v").as("vb"), col("nv").as("nb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosineFromInts(dotQ("va", "vb"), col("na"), col("nb")) >= threshold)
+      .select(col("id_b").as("vid")).distinct()
+    assigned
+      .join(dropped.withColumn("_dup", lit(true)), Seq("vid"), "left")
+      .select(col("vid").as("vec_id"), col("cell"),
+        coalesce(col("_dup"), lit(false)).as("is_dup"))
+  }
 }

@@ -178,4 +178,67 @@ object TextAnalysis {
       .withColumn("predicted_lang",
         when(col("stop_per_mille") >= thresholdPerMille, lit("en")).otherwise(lit("und")))
       .select("doc_id", "stop_per_mille", "predicted_lang")
+
+  /** One row per bigram occurrence: (doc_id, prefix hash, bigram hash).
+    * Hashes are [[Dedup.tokenHash]], so every downstream exchange moves
+    * fixed-width int64 keys, never strings.
+    */
+  private def bigramHashes(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.llm.Dedup.widen(
+      docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks")))
+      .select(col("doc_id"), explode(when(size(col("_toks")) >= 2,
+        expr("transform(sequence(1, size(_toks) - 1), " +
+             "i -> struct(element_at(_toks, i) AS w1, " +
+             "concat_ws(' ', slice(_toks, i, 2)) AS w12))"))
+        .otherwise(array())).as("g"))
+      .select(col("doc_id"),
+        graft.llm.Dedup.tokenHash(col("g.w1")).as("h1"),
+        graft.llm.Dedup.tokenHash(col("g.w12")).as("h12"))
+
+  /** Bigram language-model fluency score — the KenLM-perplexity-filter
+    * shape (CCNet, Wenzek et al. 2020): train bigram statistics on a
+    * clean REFERENCE corpus (CCNet uses Wikipedia; pass the curated /
+    * held-out split), then score each corpus doc by the mean conditional
+    * probability of its transitions under that model. Gibberish scores
+    * ~0 (its transitions never occur in the reference); fluent text
+    * tracking the reference's transition structure scores high. The
+    * reference must be a SEPARATE held-out corpus: self-training makes
+    * every hapax transition deterministic (p=1), rewarding exactly the
+    * junk the filter exists to drop.
+    *
+    * All-integer: per-bigram `p_permille = c(w₁w₂)·1000 div (c(w₁·)+1)`
+    * — reference counts, add-one in the denominator so unseen-prefix
+    * transitions are 0, not a division error — and doc score =
+    * Σ p_permille div n_bigrams. Engine-exact, so oracle-gateable, where
+    * a float log-perplexity is not.
+    *
+    * Scale shape: all shuffles move int64 hashes — (1)/(2) the reference
+    * bigram/prefix count partial-aggs (vocab-bounded outputs), (3)/(4)
+    * LEFT equi-joins re-attaching them to the corpus bigram stream
+    * (never broadcast — a 100 TB corpus's vocab is not driver-sized),
+    * (5) the per-doc sum. Hash collisions merge count cells identically
+    * in both engines (documented, same trade as the shingle family).
+    *
+    * Output: one row per corpus doc with ≥ 1 bigram — (doc_id,
+    * n_bigrams, score_permille); single-token and empty docs have no
+    * transitions to judge and are left to the length gates of
+    * [[qualityFilter]].
+    */
+  def lmFluency(corpus: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val ref = graft.util.Materialize.stable(
+      bigramHashes(reference, idCol, textCol))
+    val c12 = ref.groupBy("h12").agg(count(lit(1)).as("c12"))
+    val c1 = ref.groupBy("h1").agg(count(lit(1)).as("c1"))
+    bigramHashes(corpus, idCol, textCol)
+      .join(c12, Seq("h12"), "left")
+      .join(c1, Seq("h1"), "left")
+      .withColumn("p_permille",
+        expr("coalesce(c12, 0L) * 1000 div (coalesce(c1, 0L) + 1)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("p_permille").as("_s"))
+      .withColumn("score_permille", expr("_s div n_bigrams"))
+      .select("doc_id", "n_bigrams", "score_permille")
+  }
 }

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.llm.{Sampling, Similarity, TextAnalysis}
+
+/** Third tranche of LLM-training-data pipeline gates: DSIR importance
+  * weighting, bigram-LM fluency scoring, and SemDeDup semantic
+  * deduplication. Same oracle discipline as [[LlmQueries]] /
+  * [[LlmQueries2]] — integer-exact arithmetic shared
+  * constant-for-constant with the DuckDB SQL — except `semantic_dedup`,
+  * whose k-means codebook has no closed SQL form: that row is rows-only
+  * gated (driver contract) and its semantics are spec-proven in
+  * `DedupSimilaritySpec` against a brute-force exact fixture.
+  */
+object LlmQueries3 {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DSIR: weight the whole corpus toward the held-out split's hashed
+    // unigram+bigram distribution (target = src0, the decontam split's
+    // quality-reference role)
+    "dsir_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Sampling.importanceWeights(docs, docs.filter(col("source") === "src0"),
+        "doc_id", "text", numBuckets = 4096)
+    }),
+
+    // bigram-LM fluency (the KenLM/CCNet-filter shape): LM trained on
+    // the held-out split (src0 = the clean-reference role), scoring the
+    // training split
+    "lm_fluency" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.lmFluency(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text")
+    }),
+
+    // SemDeDup at 16 cells, 2 Lloyd rounds, cosine >= 0.4 (the fixture's
+    // non-trivial threshold — see dedup_embedding_cosine's rationale)
+    "semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(Tables.embeddings(s, dir),
+        numCentroids = 16, iters = 2, threshold = 0.4))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT doc_id, source, unnest(t) AS f FROM toks),
+        |big AS (SELECT doc_id, source, concat_ws(' ', t[i], t[i+1]) AS f
+        |  FROM toks, UNNEST(range(1, len(t))) AS r(i) WHERE len(t) >= 2),
+        |feats AS (SELECT doc_id, source,
+        |  CAST(concat('0x', substr(md5(f), 1, 8)) AS BIGINT) % 4096 AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+        |p AS (SELECT b, count(*) AS pc FROM feats GROUP BY b),
+        |q AS (SELECT b, count(*) AS qc FROM feats WHERE source = 'src0' GROUP BY b),
+        |ratio AS (SELECT p.b,
+        |  (coalesce(qc, 0) + 1) * 1000000 // (pc + 1) AS r
+        |  FROM p LEFT JOIN q USING (b)),
+        |w AS (SELECT doc_id, count(*) AS n_feats, CAST(sum(r) AS BIGINT) AS weight
+        |  FROM feats JOIN ratio USING (b) GROUP BY doc_id)
+        |SELECT doc_id, n_feats, weight, weight // n_feats AS weight_per_feat
+        |FROM w""".stripMargin.replace("\n", " "),
+
+    "lm_fluency" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |big AS (SELECT doc_id, source,
+        |  CAST(concat('0x', substr(md5(t[i]), 1, 8)) AS BIGINT) AS h1,
+        |  CAST(concat('0x', substr(md5(concat_ws(' ', t[i], t[i+1])), 1, 8)) AS BIGINT) AS h12
+        |  FROM toks, UNNEST(range(1, len(t))) AS r(i) WHERE len(t) >= 2),
+        |ref AS (SELECT h1, h12 FROM big WHERE source = 'src0'),
+        |c12 AS (SELECT h12, count(*) AS c12 FROM ref GROUP BY h12),
+        |c1 AS (SELECT h1, count(*) AS c1 FROM ref GROUP BY h1),
+        |sc AS (SELECT doc_id,
+        |  coalesce(c12.c12, 0) * 1000 // (coalesce(c1.c1, 0) + 1) AS p_permille
+        |  FROM big LEFT JOIN c12 USING (h12) LEFT JOIN c1 USING (h1)
+        |  WHERE big.source <> 'src0')
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(p_permille) AS BIGINT) // count(*) AS score_permille
+        |FROM sc GROUP BY doc_id""".stripMargin.replace("\n", " ")
+  )
+}

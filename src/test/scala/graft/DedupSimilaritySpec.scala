@@ -355,6 +355,41 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(byCluster.values.flatten.toSet.size == 3, "three distinct cells used")
   }
 
+  test("semanticDedup: within-cluster near-dups drop, exact parity on separated clusters") {
+    import graft.llm.Similarity
+    // three tight clusters along distinct axes (the k-means fixture
+    // shape): intra-cluster cosine ≈ 1, cross-cluster ≈ 0.04 — so with
+    // threshold 0.9 the within-cell prune IS the exact global rule and
+    // the spec can assert brute-force parity, not just plausibility
+    val rows = (0 until 30).map { i =>
+      val base = Array.fill(4)(0.02f)
+      base(i % 3) = 1f
+      base(i % 4) = base(i % 4) + 0.01f * (i % 3)
+      (i.toLong, base)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, numCentroids = 3, iters = 3,
+      threshold = 0.9)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.length === 30, "one row per input vector")
+
+    // brute-force exact rule: is_dup(b) ⟺ ∃ a<b with cos(a,b) ≥ 0.9
+    val v = emb.select(col("vec_id").as("vid"),
+        Similarity.quantize(col("embedding")).as("qv"))
+      .withColumn("nv", Similarity.dotQ("qv", "qv"))
+    val want = v.as("a").join(v.as("b"), col("a.vid") < col("b.vid"))
+      .withColumn("c", Similarity.cosineFromInts(
+        Similarity.dotQ("a.qv", "b.qv"), col("a.nv"), col("b.nv")))
+      .filter(col("c") >= 0.9)
+      .select(col("b.vid")).as[Long].collect().toSet
+    assert(out.filter(_._3).map(_._1).toSet === want)
+    // each of the three clusters keeps exactly its minimum id
+    assert(out.filterNot(_._3).map(_._1).toSet === Set(0L, 1L, 2L))
+    // cells mirror the true clusters
+    val cells = out.groupBy(_._1 % 3).view.mapValues(_.map(_._2).toSet)
+    cells.foreach { case (c, cs) => assert(cs.size === 1, s"cluster $c split: $cs") }
+  }
+
   test("cosine near-dup pairs: exact above threshold, LSH blocking recall") {
     val emb = Tables.embeddings(spark, sfDir)
     val thr = 0.35

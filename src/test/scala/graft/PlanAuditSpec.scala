@@ -192,4 +192,36 @@ class PlanAuditSpec extends SparkSpecBase {
       assert(!p.contains("Exchange hashpartitioning"), s"$q needs no shuffle")
     }
   }
+
+  test("DSIR: ratio table broadcasts into the scoring scan; corpus never exchanges on a feature key") {
+    val p = plan("dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      "the <=B-row ratio table must broadcast, not shuffle the corpus")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // exchanges: two bucket-count partial aggs (tiny, <=B rows each) + the
+    // per-doc sum; the corpus-sized feature stream itself never shuffles
+    assert("partial_count\\b".r.findFirstIn(p).isDefined,
+      "bucket counts must combine map-side")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      "corpus feature stream must not exchange on the bucket key")
+  }
+
+  test("LM fluency: count re-attach is an equi-join on int64 hashes, never all-pairs") {
+    val p = plan("lm_fluency")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "vocab tables must equi-join on the hash — at 100 TB they don't broadcast")
+    assert("partial_count\\b".r.findFirstIn(p).isDefined,
+      "reference counts must combine map-side")
+  }
+
+  test("semantic dedup: the prune is a cell-keyed equi-join, no cartesian") {
+    // the assignment stage's centroid broadcast is upstream of the
+    // materialization barrier (it shares assignCells with the IVF plan,
+    // audited above); what this plan shows is the prune itself
+    val p = plan("semantic_dedup")
+    assert(!p.contains("CartesianProduct"),
+      "within-cell pairs must come from an equi-join on the cell id")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the pair search must key on the cell, not loop")
+  }
 }

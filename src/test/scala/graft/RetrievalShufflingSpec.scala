@@ -191,4 +191,92 @@ class RetrievalShufflingSpec extends SparkSpecBase {
     assert(s(1) === "call [PHONE] x22")
     assert(s(2) === "port 8080 and pin 1234 stay")
   }
+
+  /** The engine's md5 bucket arithmetic, replayed in plain JVM code. */
+  private def bucketOf(feature: String, numBuckets: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(feature.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    java.lang.Long.parseLong(hex, 16) % numBuckets
+  }
+
+  private def featuresOf(text: String): Seq[String] = {
+    val t = text.split(" ", -1).toSeq
+    t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+  }
+
+  test("importanceWeights: matches an independent in-memory DSIR fold") {
+    import graft.llm.Sampling
+    val corpus = Seq(
+      (1L, "cats purr and cats nap"),
+      (2L, "dogs bark at dogs"),
+      (3L, "cats nap on mats"),
+      (4L, "stock prices fell again today")).toDF("doc_id", "text")
+    val target = Seq((10L, "cats nap"), (11L, "cats purr")).toDF("doc_id", "text")
+    val b = 64
+    val got = Sampling.importanceWeights(corpus, target, "doc_id", "text",
+      numBuckets = b).as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    // plain-Scala replay of the same counts and integer ratio
+    val corpusTexts = Map(1L -> "cats purr and cats nap",
+      2L -> "dogs bark at dogs", 3L -> "cats nap on mats",
+      4L -> "stock prices fell again today")
+    val pc = corpusTexts.values.toSeq.flatMap(featuresOf)
+      .groupBy(bucketOf(_, b)).view.mapValues(_.size.toLong).toMap
+    val qc = Seq("cats nap", "cats purr").flatMap(featuresOf)
+      .groupBy(bucketOf(_, b)).view.mapValues(_.size.toLong).toMap
+    def r(bk: Long) = (qc.getOrElse(bk, 0L) + 1) * 1000000L / (pc(bk) + 1)
+    val want = corpusTexts.map { case (id, tx) =>
+      val bs = featuresOf(tx).map(bucketOf(_, b))
+      val w = bs.map(r).sum
+      id -> ((bs.size.toLong, w, w / bs.size))
+    }
+    assert(got === want)
+    // the selection signal: per-feature means rank target-like docs over
+    // off-distribution ones regardless of length
+    assert(got(1L)._3 > got(4L)._3 && got(3L)._3 > got(4L)._3)
+  }
+
+  test("importanceWeights is partitioning-invariant") {
+    import graft.llm.Sampling
+    val corpus = Seq((1L, "a b c"), (2L, "c d e"), (3L, "a a a")).toDF("doc_id", "text")
+    val target = Seq((9L, "a b")).toDF("doc_id", "text")
+    val base = Sampling.importanceWeights(corpus, target, "doc_id", "text", 32)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val rep = Sampling.importanceWeights(corpus.repartition(7), target.coalesce(1),
+      "doc_id", "text", 32).as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(base === rep)
+  }
+
+  test("lmFluency: hand-computed conditional per-milles; short docs absent") {
+    val ref = Seq(
+      (10L, "a b"),     // reference counts: c(a b)=2, c(a c)=1, c(a·)=3
+      (11L, "a b"),
+      (12L, "a c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b"),      // p = 2000 div (3+1) = 500
+      (2L, "a c"),      // p = 1000 div 4 = 250
+      (3L, "a z"),      // unseen bigram, seen prefix: 0
+      (4L, "q r"),      // unseen prefix: 0 div (0+1) = 0
+      (5L, "solo")      // no bigram — not in the output
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lmFluency(docs, ref, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 1L, 500L), (2L, 1L, 250L), (3L, 1L, 0L),
+      (4L, 1L, 0L)))
+  }
+
+  test("lmFluency: gibberish scores at ~0, reference-tracking text high") {
+    val ref = Seq(
+      (10L, "the cat sat on the mat"),
+      (11L, "the cat sat on the rug")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "zq xv the pw cat qqn sat mat on zz")).toDF("doc_id", "text")
+    val s = TextAnalysis.lmFluency(docs, ref, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(s(1L) > 300, s"fluent doc should score high, got ${s(1L)}")
+    assert(s(2L) === 0, s"gibberish should score 0, got ${s(2L)}")
+  }
 }
