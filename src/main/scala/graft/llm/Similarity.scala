@@ -285,10 +285,55 @@ object Similarity {
     seeds.select(col("vec_id").as("cent_id"), col("centv"), col("ncent"))
   }
 
+  /** [[farthestPointSeeds]] run locally over a bounded hash-ordered
+    * SAMPLE — the production seeding path. The fully-distributed variant
+    * costs 2(k−1) sequential Spark jobs (one argmin + one barrier per
+    * seed): correct, but k jobs of cluster-wide latency to choose k rows.
+    * Seeding never needed the whole corpus — greedy farthest-point on a
+    * few thousand sample vectors spreads seeds just as well (the
+    * k-means‖ / scalable-k-means insight) — so this takes the
+    * `sampleSize` hash-min vectors in ONE TakeOrdered job (deterministic:
+    * md5 order, id ties), runs the identical greedy rule on the driver
+    * (O(sampleSize·k·dim) — bounded, tiny), and returns the same seed
+    * schema. When `sampleSize >= N` the result is IDENTICAL to the
+    * distributed variant (spec-checked); below that it differs only in
+    * which well-spread seeds it picks, which one Lloyd round washes out.
+    */
+  def farthestPointSeedsSampled(corpus: DataFrame, k: Int,
+      sampleSize: Int = 4096): DataFrame = {
+    require(sampleSize >= k, s"sample $sampleSize smaller than k=$k")
+    val spark = corpus.sparkSession
+    val samp = corpus
+      .select(col("vec_id"), quantize(col("embedding")).as("centv"))
+      .withColumn("ncent", dotQ("centv", "centv"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(sampleSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    def cos(a: (Long, Array[Long], Long), b: (Long, Array[Long], Long)): Double = {
+      var d = 0L; var i = 0
+      while (i < a._2.length) { d += a._2(i) * b._2(i); i += 1 }
+      d.toDouble / (math.sqrt(a._3.toDouble) * math.sqrt(b._3.toDouble))
+    }
+    // samp arrives in hash order, so samp(0) is the distributed
+    // variant's first seed; thereafter the same argmin-of-max-cosine
+    // greedy step with the same id tie-break
+    val chosen = scala.collection.mutable.ArrayBuffer(samp.head)
+    val rest = scala.collection.mutable.ArrayBuffer(samp.tail: _*)
+    while (chosen.size < k && rest.nonEmpty) {
+      val next = rest.minBy(v => (chosen.map(cos(v, _)).max, v._1))
+      chosen += next
+      rest -= next
+    }
+    import spark.implicits._
+    chosen.toSeq.toDF("cent_id", "centv", "ncent")
+  }
+
   def kmeansCentroids(corpus: DataFrame, numCentroids: Int, iters: Int,
-      metrics: Option[graft.ops.Metrics.Registry] = None): DataFrame = {
+      metrics: Option[graft.ops.Metrics.Registry] = None,
+      seedSampleSize: Int = 4096): DataFrame = {
     var cents = graft.util.Materialize.barrier(
-      farthestPointSeeds(corpus, numCentroids))
+      farthestPointSeedsSampled(corpus, numCentroids, seedSampleSize))
     metrics.foreach(_.setGauge("graft_kmeans_rounds", iters.toDouble,
       Seq("k" -> numCentroids.toString)))
     for (_ <- 1 to iters) {

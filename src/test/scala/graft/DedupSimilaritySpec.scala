@@ -355,6 +355,16 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(byCluster.values.flatten.toSet.size == 3, "three distinct cells used")
   }
 
+  test("sampled farthest-point seeding equals the distributed variant when the sample covers the corpus") {
+    import graft.llm.Similarity
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 120)
+    val dist = Similarity.farthestPointSeeds(emb, k = 6)
+      .select("cent_id").as[Long].collect().toSeq
+    val local = Similarity.farthestPointSeedsSampled(emb, k = 6, sampleSize = 200)
+      .select("cent_id").as[Long].collect().toSeq
+    assert(local === dist, "identical greedy rule must choose identical seeds")
+  }
+
   test("semanticDedup: within-cluster near-dups drop, exact parity on separated clusters") {
     import graft.llm.Similarity
     // three tight clusters along distinct axes (the k-means fixture
