@@ -310,6 +310,7 @@ object Similarity {
       .limit(sampleSize)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    require(samp.nonEmpty, "cannot seed a codebook from an empty corpus")
     def cos(a: (Long, Array[Long], Long), b: (Long, Array[Long], Long)): Double = {
       var d = 0L; var i = 0
       while (i < a._2.length) { d += a._2(i) * b._2(i); i += 1 }

@@ -95,6 +95,35 @@ class CurationSpec extends SparkSpecBase {
     assert(toks.forall(n => n >= 20 && n <= 90), "quality bounds violated")
   }
 
+  test("curate: opt-in fluency and DSIR stages drop gibberish and off-target docs") {
+    // reference/eval split defines both the LM and the DSIR target; all
+    // corpus docs pass the lenient quality gates, so what drops is
+    // attributable to the new stages alone
+    val ref = Seq(
+      (100L, "the cat sat on the mat and then the cat slept", "eval"),
+      (101L, "a dog sat on the rug and then a dog slept", "eval")).toDF("doc_id", "text", "source")
+    val corpus = Seq(
+      (1L, "the cat sat on the rug and then slept well", "web"),
+      (2L, "zq xv pw qqn mlk wrt bnp ojy trf czu", "web"),
+      (3L, "a cat slept on the mat and the dog sat", "web")).toDF("doc_id", "text", "source")
+    def run(flu: Long, dsir: Long) = Curation.curate(corpus, ref,
+      "doc_id", "text", "source", minTokens = 2, maxTokens = 50,
+      minUniqPermille = 1, maxTopTokPermille = 1000, decontamN = 8,
+      minHitPermille = 900, tokenBudgetPerSource = 10000L,
+      minFluencyPermille = flu, minDsirPerFeat = dsir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(run(0, 0) === Set(1L, 2L, 3L), "stages off: everything survives")
+    val flu = run(50, 0)
+    assert(!flu.contains(2L), "gibberish must fall below the fluency floor")
+    assert(flu.contains(1L) && flu.contains(3L), "fluent docs survive")
+    // junk features (absent from both target and the rest of the corpus)
+    // score exactly (0+1)·1e6/(1+1) = 500k under add-one smoothing;
+    // target-like features land ~1M — the floor goes between
+    val ds = run(0, 600000)
+    assert(!ds.contains(2L), "off-target vocabulary scores under the DSIR floor")
+    assert(ds.contains(1L), "target-like docs survive DSIR selection")
+  }
+
   test("writeShards: hive-partitioned shards reload to the full corpus, idempotently") {
     import graft.llm.Shuffling
     val dir = tmpDir("shards")
