@@ -22,19 +22,27 @@ import org.apache.spark.sql.Row
   * drift with arrival order), so the streaming tier feeds a staging
   * table and the global stages run as periodic batch compactions — the
   * same split the reference draws between its always-on replication path
-  * and its scheduled reconciliation.
+  * and its scheduled reconciliation. The LM-fluency gate is the
+  * exception that CAN run per batch: its model is trained once on a
+  * STATIC reference ([[TextAnalysis.lmModel]] — pass it pre-built, the
+  * count tables are materialized and reused every batch), so per-batch
+  * scoring is order-independent by construction.
   */
 final class StreamingCuration(dedup: StreamingDedup, idCol: String,
     textCol: String, minTokens: Long, maxTokens: Long,
-    minUniqPermille: Long, maxTopTokPermille: Long) {
+    minUniqPermille: Long, maxTopTokPermille: Long,
+    fluencyModel: Option[TextAnalysis.LmStats] = None,
+    minFluencyPermille: Long = 0L) {
 
-  /** One micro-batch: scrub PII in place, drop quality rejects, emit
-    * only never-seen documents (post-scrub text is what is hashed, so
-    * two docs differing only in scrubbed identifiers dedup together).
-    * The batch is first compacted on (id, text): an at-least-once source
-    * redelivering the same row in ONE batch would otherwise double every
-    * token count inside the quality aggregation and flip its verdict.
-    * Safe to call from foreachBatch; replays re-emit the same rows.
+  /** One micro-batch: scrub PII in place, drop quality rejects (and,
+    * when a [[fluencyModel]] is configured, docs scoring under the
+    * fluency floor), emit only never-seen documents (post-scrub text is
+    * what is hashed, so two docs differing only in scrubbed identifiers
+    * dedup together). The batch is first compacted on (id, text): an
+    * at-least-once source redelivering the same row in ONE batch would
+    * otherwise double every token count inside the quality aggregation
+    * and flip its verdict. Safe to call from foreachBatch; replays
+    * re-emit the same rows.
     */
   def processBatch(batch: DataFrame, batchId: Long): DataFrame = {
     val once = batch.dropDuplicates(idCol :: textCol :: Nil)
@@ -42,7 +50,17 @@ final class StreamingCuration(dedup: StreamingDedup, idCol: String,
     val keptIds = TextAnalysis.qualityFilter(scrubbed, idCol, textCol,
       minTokens, maxTokens, minUniqPermille, maxTopTokPermille)
       .filter(col("keep")).select(col("doc_id").as(idCol))
-    dedup.filterNew(scrubbed.join(keptIds, Seq(idCol)), batchId)
+    val kept0 = scrubbed.join(keptIds, Seq(idCol))
+    val kept = fluencyModel match {
+      case Some(m) if minFluencyPermille > 0 =>
+        kept0.join(
+          TextAnalysis.scoreFluency(kept0, m, idCol, textCol)
+            .filter(col("score_permille") >= minFluencyPermille)
+            .select(col("doc_id").as(idCol)),
+          Seq(idCol))
+      case _ => kept0
+    }
+    dedup.filterNew(kept, batchId)
   }
 
   /** [[processBatch]] + the idempotent sink write: curated rows land in

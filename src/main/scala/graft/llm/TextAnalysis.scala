@@ -225,20 +225,42 @@ object TextAnalysis {
     * transitions to judge and are left to the length gates of
     * [[qualityFilter]].
     */
-  def lmFluency(corpus: DataFrame, reference: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val ref = graft.util.Materialize.stable(
-      bigramHashes(reference, idCol, textCol))
-    val c12 = ref.groupBy("h12").agg(count(lit(1)).as("c12"))
-    val c1 = ref.groupBy("h1").agg(count(lit(1)).as("c1"))
+  /** The trained bigram statistics behind [[lmFluency]] — vocab-bounded
+    * count tables keyed on int64 hashes. Build once with [[lmModel]] and
+    * reuse across many scoring calls (a streaming pipeline scores every
+    * micro-batch against the same static reference).
+    */
+  final case class LmStats(bigrams: DataFrame, prefixes: DataFrame)
+
+  /** Train the reference bigram/prefix counts, each materialized so
+    * repeated scoring (per-batch, per-split) reuses them instead of
+    * re-aggregating the reference.
+    */
+  def lmModel(reference: DataFrame, idCol: String, textCol: String): LmStats = {
+    val ref = bigramHashes(reference, idCol, textCol)
+    LmStats(
+      graft.util.Materialize.stable(
+        ref.groupBy("h12").agg(count(lit(1)).as("c12"))),
+      graft.util.Materialize.stable(
+        ref.groupBy("h1").agg(count(lit(1)).as("c1"))))
+  }
+
+  /** Score a corpus against an already-trained [[LmStats]] — the
+    * per-batch half of [[lmFluency]], same output contract.
+    */
+  def scoreFluency(corpus: DataFrame, model: LmStats, idCol: String,
+      textCol: String): DataFrame =
     bigramHashes(corpus, idCol, textCol)
-      .join(c12, Seq("h12"), "left")
-      .join(c1, Seq("h1"), "left")
+      .join(model.bigrams, Seq("h12"), "left")
+      .join(model.prefixes, Seq("h1"), "left")
       .withColumn("p_permille",
         expr("coalesce(c12, 0L) * 1000 div (coalesce(c1, 0L) + 1)"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("p_permille").as("_s"))
       .withColumn("score_permille", expr("_s div n_bigrams"))
       .select("doc_id", "n_bigrams", "score_permille")
-  }
+
+  def lmFluency(corpus: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    scoreFluency(corpus, lmModel(reference, idCol, textCol), idCol, textCol)
 }

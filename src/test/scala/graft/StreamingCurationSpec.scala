@@ -43,6 +43,30 @@ class StreamingCurationSpec extends SparkSpecBase {
     assert(out1b.toSeq === Seq(11L))
   }
 
+  test("per-batch fluency gate: static reference model drops gibberish across batches") {
+    import graft.llm.TextAnalysis
+    val ref = Seq(
+      (100L, "the cat sat on the mat and the dog sat on the rug"),
+      (101L, "a cat slept on the mat and a dog slept well")).toDF("doc_id", "text")
+    val sc = new StreamingCuration(
+      new StreamingDedup(spark, tmpDir("cur-state-flu"), "doc_id", "text"),
+      "doc_id", "text", minTokens = 3, maxTokens = 50,
+      minUniqPermille = 100, maxTopTokPermille = 900,
+      fluencyModel = Some(TextAnalysis.lmModel(ref, "doc_id", "text")),
+      minFluencyPermille = 50L)
+    val b0 = Seq(
+      (1L, "the cat sat on the rug"),
+      (2L, "zq xv pw qqn mlk wrt bnp")).toDF("doc_id", "text")
+    assert(sc.processBatch(b0, 0L).select("doc_id").as[Long].collect()
+      .toSeq === Seq(1L), "gibberish must fall under the fluency floor")
+    // the SAME model gates a later batch identically (order-independent)
+    val b1 = Seq(
+      (3L, "ojy trf czu nnw pqd lmx"),
+      (4L, "a dog slept on the rug")).toDF("doc_id", "text")
+    assert(sc.processBatch(b1, 1L).select("doc_id").as[Long].collect()
+      .toSeq === Seq(4L))
+  }
+
   test("within-batch redelivery of a row must not double its quality counts") {
     val sc = pipeline(tmpDir("cur-state3"))
     // "hi there" is 2 tokens (< minTokens 3); delivered twice in one
