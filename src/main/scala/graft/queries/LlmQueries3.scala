@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Sampling, Similarity, TextAnalysis}
+import graft.llm.{Curation, Sampling, Similarity, TextAnalysis}
 
 /** Third tranche of LLM-training-data pipeline gates: DSIR importance
   * weighting, bigram-LM fluency scoring, and SemDeDup semantic
@@ -42,7 +42,20 @@ object LlmQueries3 {
     // non-trivial threshold — see dedup_embedding_cosine's rationale)
     "semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(Tables.embeddings(s, dir),
-        numCentroids = 16, iters = 2, threshold = 0.4))
+        numCentroids = 16, iters = 2, threshold = 0.4)),
+
+    // the FULL composed curation recipe, oracle-exact end to end:
+    // quality -> exact dedup -> decontam (vs src0) -> per-source budget.
+    // Same thresholds as corpus_quality_filter / corpus_report so the
+    // stage oracles and the composition oracle share constants.
+    "corpus_curated" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.curate(docs, docs.filter(col("source") === "src0"),
+        "doc_id", "text", "source", minTokens = 20, maxTokens = 90,
+        minUniqPermille = 350, maxTopTokPermille = 150, decontamN = 3,
+        minHitPermille = 100, tokenBudgetPerSource = 400L)
+        .select("doc_id", "source")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -79,6 +92,46 @@ object LlmQueries3 {
         |  WHERE big.source <> 'src0')
         |SELECT doc_id, count(*) AS n_bigrams,
         |  CAST(sum(p_permille) AS BIGINT) // count(*) AS score_permille
-        |FROM sc GROUP BY doc_id""".stripMargin.replace("\n", " ")
+        |FROM sc GROUP BY doc_id""".stripMargin.replace("\n", " "),
+
+    // the four stage oracles (corpus_quality_filter, dedup_exact,
+    // decontam_clean, mix_token_weights + sample_stratified) composed in
+    // curate()'s order, constants shared line for line
+    "corpus_curated" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |tstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_tok_n FROM tc GROUP BY 1),
+        |kept AS (SELECT doc_id, n_tokens FROM tstats
+        |  WHERE NOT (n_tokens < 20 OR n_tokens > 90
+        |    OR n_distinct * 1000 // n_tokens < 350
+        |    OR top_tok_n * 1000 // n_tokens > 150)),
+        |kd AS (SELECT d.doc_id, d.source, d.text, k.n_tokens
+        |  FROM documents d JOIN kept k USING (doc_id)),
+        |canon AS (SELECT min(doc_id) AS doc_id FROM kd GROUP BY md5(text)),
+        |dd AS (SELECT kd.* FROM kd JOIN canon USING (doc_id)),
+        |toks3 AS (SELECT doc_id, string_split(text, ' ') AS t FROM dd),
+        |sh AS (SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS sh
+        |  FROM toks3, UNNEST(range(1, len(t)-1)) AS r(i) WHERE len(t) >= 3),
+        |shh AS (SELECT DISTINCT doc_id,
+        |  CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h FROM sh),
+        |etoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE source = 'src0'),
+        |esh AS (SELECT concat_ws(' ', t[i], t[i+1], t[i+2]) AS sh
+        |  FROM etoks, UNNEST(range(1, len(t)-1)) AS r(i) WHERE len(t) >= 3),
+        |eshh AS (SELECT DISTINCT
+        |  CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h FROM esh),
+        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM shh GROUP BY 1),
+        |hits AS (SELECT s.doc_id, count(*) AS n_hits FROM shh s JOIN eshh e USING (h) GROUP BY 1),
+        |flagged AS (SELECT h.doc_id FROM hits h JOIN sizes s USING (doc_id)
+        |  WHERE n_hits * 1000 // s.n_grams >= 100),
+        |clean AS (SELECT dd.* FROM dd
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+        |rates AS (SELECT source, least(CAST(1000 AS BIGINT),
+        |    400 * 1000 // CAST(sum(n_tokens) AS BIGINT)) AS rate
+        |  FROM clean GROUP BY source)
+        |SELECT c.doc_id, c.source FROM clean c JOIN rates r USING (source)
+        |WHERE CAST(concat('0x', substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |  % 1000 < r.rate""".stripMargin.replace("\n", " ")
   )
 }
