@@ -82,8 +82,11 @@ object Sampling {
     */
   private def featureBuckets(docs: DataFrame, idCol: String,
       textCol: String, numBuckets: Int): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      split(col(textCol), " ").as("_toks"))
+    // widen below the split so the md5-per-feature map stage runs at
+    // session parallelism even from a single-file scan (the Dedup
+    // explode-head rationale)
+    val toks = graft.llm.Dedup.widen(
+      docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks")))
     val grams = toks.select(col("doc_id"), explode(concat(
       col("_toks"),
       when(size(col("_toks")) >= 2,
