@@ -485,8 +485,20 @@ object Similarity {
     */
   def semanticDedup(corpus: DataFrame, numCentroids: Int, iters: Int,
       threshold: Double,
-      metrics: Option[graft.ops.Metrics.Registry] = None): DataFrame = {
-    val cents = kmeansCentroids(corpus, numCentroids, iters, metrics)
+      metrics: Option[graft.ops.Metrics.Registry] = None): DataFrame =
+    semanticDedupWith(corpus,
+      kmeansCentroids(corpus, numCentroids, iters, metrics), threshold)
+
+  /** The SemDeDup prune against a CALLER-SUPPLIED codebook (the
+    * [[ivfTopKWith]] seam, same rationale): k-means refinement changes
+    * centroid VALUES, never this plan. With [[sampledCentroids]] the
+    * whole computation has a closed SQL form (hash-ordered seed pick +
+    * argmax assignment + within-cell pairs), so that variant is
+    * hash-oracle-gated; the Lloyd-refined default is rows-only gated +
+    * spec-proven.
+    */
+  def semanticDedupWith(corpus: DataFrame, cents: DataFrame,
+      threshold: Double): DataFrame = {
     // feeds the self-join's two sides plus the final re-join — one
     // materialization, same rationale as cosineNearDupPairs
     val assigned = graft.util.Materialize.stable(

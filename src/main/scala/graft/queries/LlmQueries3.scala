@@ -44,6 +44,16 @@ object LlmQueries3 {
       Similarity.semanticDedup(Tables.embeddings(s, dir),
         numCentroids = 16, iters = 2, threshold = 0.4)),
 
+    // SemDeDup against the hash-sampled codebook (no Lloyd): the variant
+    // with a closed SQL form, so the whole prune is hash-oracle-gated —
+    // the oracle reuses ann_ivf_topk's centroid/assignment CTEs
+    "semantic_dedup_sampled" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticDedupWith(emb,
+        graft.util.Materialize.stable(Similarity.sampledCentroids(emb, 16)),
+        threshold = 0.4)
+    }),
+
     // the FULL composed curation recipe, oracle-exact end to end:
     // quality -> exact dedup -> decontam (vs src0) -> per-source budget.
     // Same thresholds as corpus_quality_filter / corpus_report so the
@@ -93,6 +103,28 @@ object LlmQueries3 {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  CAST(sum(p_permille) AS BIGINT) // count(*) AS score_permille
         |FROM sc GROUP BY doc_id""".stripMargin.replace("\n", " "),
+
+    "semantic_dedup_sampled" -> {
+      def cos(dot: String, n1: String, n2: String) =
+        s"CAST($dot AS DOUBLE) / (sqrt(CAST($n1 AS DOUBLE)) * sqrt(CAST($n2 AS DOUBLE)))"
+      val quantDuck = Similarity.quantizeSqlDuck
+      s"""WITH v AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv, ${Similarity.dotQSqlDuck("qv", "qv")} AS nrm FROM v),
+         |cents AS (SELECT vec_id AS cent_id, qv AS centv, nrm AS ncent FROM
+         |  (SELECT vec_id, qv, nrm FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+         |ca AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM (
+         |  SELECT n.vec_id, n.qv, n.nrm, c.cent_id,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ${cos(Similarity.dotQSqlDuck("n.qv", "c.centv"), "n.nrm", "c.ncent")} DESC,
+         |      c.cent_id) AS crn
+         |  FROM n, cents c) WHERE crn = 1),
+         |dropped AS (SELECT DISTINCT b.vec_id FROM ca a JOIN ca b
+         |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${cos(Similarity.dotQSqlDuck("a.qv", "b.qv"), "a.nrm", "b.nrm")} >= 0.4)
+         |SELECT ca.vec_id, ca.cell,
+         |  ca.vec_id IN (SELECT vec_id FROM dropped) AS is_dup
+         |FROM ca""".stripMargin.replace("\n", " ")
+    },
 
     // the four stage oracles (corpus_quality_filter, dedup_exact,
     // decontam_clean, mix_token_weights + sample_stratified) composed in
