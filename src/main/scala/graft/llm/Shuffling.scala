@@ -91,6 +91,8 @@ object Shuffling {
     */
   def writeShards(df: DataFrame, idCol: String, numShards: Int,
       outDir: String, partitions: Int = 0): Unit = {
+    require(!df.columns.contains("pos") && !df.columns.contains("shard"),
+      "writeShards adds 'pos'/'shard' columns — rename the input's first")
     val perm = deterministicShuffle(df, idCol, numShards, partitions)
       .withColumnRenamed("doc_id", idCol)
     df.withColumn(idCol, col(idCol).cast("long"))

@@ -459,6 +459,149 @@ object Similarity {
       .select("qid", "cid", "rank", "cos_sim")
   }
 
+  /** Exact integer squared-L2 of two quantized vectors, via three
+    * [[dotQ]] calls (|a−b|² = a·a + b·b − 2a·b) so the hot loop stays in
+    * the codegen'd `long_dot` expression. Identical formula rendered for
+    * the oracle by [[l2SqlDuck]].
+    */
+  def l2Q(a: String, b: String): Column =
+    dotQ(a, a) + dotQ(b, b) - lit(2L) * dotQ(a, b)
+
+  def l2SqlDuck(a: String, b: String): String =
+    s"(${dotQSqlDuck(a, a)} + ${dotQSqlDuck(b, b)} - 2 * ${dotQSqlDuck(a, b)})"
+
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the d-dim quantized
+    * space splits into `m` subspaces of d/m dims; subspace i's `kCent`
+    * codewords are the i-th sub-vectors of the hash-ordered sample
+    * vectors (the [[sampledCentroids]] rule per subspace — deterministic
+    * and SQL-renderable, which Lloyd is not; [[kmeansCentroids]]-style
+    * refinement would change codeword VALUES, not any plan below).
+    * Output: (m, code, cv) — m·kCent rows, broadcast-sized by
+    * construction.
+    */
+  def pqCodebooks(corpus: DataFrame, m: Int, kCent: Int): DataFrame = {
+    require(m > 0 && Dim % m == 0, s"m=$m must divide dim $Dim")
+    val w = Dim / m
+    corpus.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(kCent)
+      .select(col("vec_id").as("code"), posexplode(array((0 until m).map(i =>
+        expr(s"slice(qv, ${i * w + 1}, $w)")): _*)).as(Seq("m", "cv")))
+  }
+
+  /** PQ encoding: each vector compresses to `m` small codes —
+    * code_i(x) = argmin_j |x_i − C[i][j]|², ties by code id. At 100 TB
+    * this is THE storage/bandwidth lever: a 64-dim int64 vector (512 B)
+    * becomes m=8 codes (8 B), so the candidate stream of a billion-vector
+    * search moves 64× less data, and scoring never touches the original
+    * vectors. One broadcast join against the m·kCent codebook + a
+    * WindowGroupLimit argmin — no corpus-sized exchange.
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m > 0 && Dim % m == 0, s"m=$m must divide dim $Dim")
+    val w = Dim / m
+    val subs = Dedup.widen(corpus)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .select(col("vec_id"), posexplode(array((0 until m).map(i =>
+        expr(s"slice(qv, ${i * w + 1}, $w)")): _*)).as(Seq("m", "sv")))
+    val win = Window.partitionBy("vec_id", "m")
+      .orderBy(col("d").asc, col("code"))
+    subs.join(broadcast(codebooks), Seq("m"))
+      .withColumn("d", l2Q("sv", "cv"))
+      .withColumn("rn", row_number().over(win)).filter(col("rn") === 1)
+      .select("vec_id", "m", "code")
+  }
+
+  /** Per-subspace Lloyd refinement of the PQ codebooks — the training
+    * step that turns the hash-sampled seed codewords into real
+    * quantizers (on unstructured data a sampled codeword is as far from
+    * everything as everything else is; refinement is what makes PQ's
+    * distance approximation usable). Same loop discipline as
+    * [[kmeansCentroids]]: per round, one broadcast-assign over the
+    * exploded sub-vectors + one (m, code, dim)-keyed partial-sum mean,
+    * means in the integer domain, empty codewords keep their previous
+    * value, lineage truncated per round. Changes codeword VALUES only —
+    * every plan downstream ([[pqEncode]], [[pqTopK]] via `codebooks`)
+    * is unchanged.
+    */
+  def pqCodebooksRefined(corpus: DataFrame, m: Int, kCent: Int,
+      iters: Int): DataFrame = {
+    require(m > 0 && Dim % m == 0, s"m=$m must divide dim $Dim")
+    val w = Dim / m
+    import org.apache.spark.sql.expressions.Window
+    val subs = graft.util.Materialize.stable(
+      Dedup.widen(corpus)
+        .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+        .select(col("vec_id"), posexplode(array((0 until m).map(i =>
+          expr(s"slice(qv, ${i * w + 1}, $w)")): _*)).as(Seq("m", "sv"))))
+    var cb = graft.util.Materialize.barrier(pqCodebooks(corpus, m, kCent))
+    for (_ <- 1 to iters) {
+      val win = Window.partitionBy("vec_id", "m")
+        .orderBy(col("d").asc, col("code"))
+      val assigned = subs.join(broadcast(cb), Seq("m"))
+        .withColumn("d", l2Q("sv", "cv"))
+        .withColumn("rn", row_number().over(win)).filter(col("rn") === 1)
+        .select(col("m"), col("code"), col("sv"))
+      val means = assigned
+        .select(col("m"), col("code"), posexplode(col("sv")))
+        .groupBy("m", "code", "pos")
+        .agg(sum("col").as("s"), count(lit(1)).as("c"))
+        .groupBy("m", "code").agg(
+          expr("transform(array_sort(collect_list(named_struct('p', pos, 'v', s div c)))," +
+            " x -> x.v)").as("_new"))
+      cb = graft.util.Materialize.barrier(
+        cb.join(means, Seq("m", "code"), "left")
+          .select(col("m"), col("code"),
+            coalesce(col("_new"), col("cv")).as("cv")))
+    }
+    graft.util.Materialize.release(subs)
+    cb
+  }
+
+  /** PQ asymmetric-distance top-k (the ADC construction): the query's
+    * EXACT per-(subspace, codeword) distance table — Q·m·kCent rows,
+    * bounded because the query set is — broadcasts into the corpus CODE
+    * stream, and a candidate's approximate distance is the sum of m
+    * table lookups: Σ_i |q_i − C[i][code_i(x)]|². All-integer (exact
+    * sub-vector L2 in the quantized domain), so unlike the cosine family
+    * this gate needs no double arithmetic at all. One broadcast join +
+    * one (qid, cid)-keyed partial-agg sum + WindowGroupLimit top-k.
+    * Output: (qid, cid, rank, approx_dist).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+      kCent: Int = 16): DataFrame =
+    pqTopKWith(corpus, queries,
+      graft.util.Materialize.stable(pqCodebooks(corpus, m, kCent)), k, m)
+
+  /** [[pqTopK]] against a CALLER-SUPPLIED codebook table — the seam
+    * that takes [[pqCodebooksRefined]]' trained codewords (the
+    * [[ivfTopKWith]] pattern) without changing the plan shape.
+    */
+  def pqTopKWith(corpus: DataFrame, queries: DataFrame, cb: DataFrame,
+      k: Int, m: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    val w = Dim / m
+    val codes = pqEncode(corpus, cb, m)
+    val qd = queries
+      .select(col("vec_id").as("qid"), quantize(col("embedding")).as("qv"))
+      .select(col("qid"), posexplode(array((0 until m).map(i =>
+        expr(s"slice(qv, ${i * w + 1}, $w)")): _*)).as(Seq("m", "sv")))
+      .join(cb, Seq("m"))
+      .withColumn("d", l2Q("sv", "cv"))
+      .select("qid", "m", "code", "d")
+    val win = Window.partitionBy("qid")
+      .orderBy(col("approx_dist").asc, col("cid"))
+    codes.withColumnRenamed("vec_id", "cid")
+      .join(broadcast(qd), Seq("m", "code"))
+      .filter(col("cid") =!= col("qid"))
+      .groupBy("qid", "cid").agg(sum("d").as("approx_dist"))
+      .withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
+      .select("qid", "cid", "rank", "approx_dist")
+  }
+
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with the
     * deterministic [[kmeansCentroids]] codebook, then prune

@@ -44,6 +44,13 @@ object LlmQueries3 {
       Similarity.semanticDedup(Tables.embeddings(s, dir),
         numCentroids = 16, iters = 2, threshold = 0.4)),
 
+    // PQ asymmetric-distance ANN (Jégou et al.): 8 subspaces x 16 codes,
+    // all-integer distances — the compressed-candidate 100 TB search path
+    "ann_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 50), k = 5)
+    }),
+
     // SemDeDup against the hash-sampled codebook (no Lloyd): the variant
     // with a closed SQL form, so the whole prune is hash-oracle-gated —
     // the oracle reuses ann_ivf_topk's centroid/assignment CTEs
@@ -103,6 +110,42 @@ object LlmQueries3 {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  CAST(sum(p_permille) AS BIGINT) // count(*) AS score_permille
         |FROM sc GROUP BY doc_id""".stripMargin.replace("\n", " "),
+
+    "ann_pq_topk" -> {
+      val m = 8
+      val w = Similarity.Dim / m
+      val quantDuck = Similarity.quantizeSqlDuck
+      // per-subspace slices generated from the same loop bounds as the
+      // Spark side (DuckDB slices are 1-based inclusive)
+      def slices(src: String, out: String) = (0 until m).map { i =>
+        s"SELECT vec_id, $i AS m, $src[${i * w + 1}:${(i + 1) * w}] AS $out FROM n"
+      }.mkString(" UNION ALL ")
+      s"""WITH v AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv FROM v),
+         |cents AS (SELECT vec_id, qv FROM n
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |cb AS (SELECT vec_id AS code, m, cv FROM (
+         |  ${(0 until m).map(i =>
+             s"SELECT vec_id, $i AS m, qv[${i * w + 1}:${(i + 1) * w}] AS cv FROM cents")
+             .mkString(" UNION ALL ")})),
+         |subs AS (${slices("qv", "sv")}),
+         |enc AS (SELECT vec_id, m, code FROM (
+         |  SELECT s.vec_id, s.m, cb.code, row_number() OVER (
+         |    PARTITION BY s.vec_id, s.m
+         |    ORDER BY ${Similarity.l2SqlDuck("s.sv", "cb.cv")} ASC, cb.code) AS rn
+         |  FROM subs s JOIN cb ON s.m = cb.m) WHERE rn = 1),
+         |qd AS (SELECT s.vec_id AS qid, cb.m, cb.code,
+         |    ${Similarity.l2SqlDuck("s.sv", "cb.cv")} AS d
+         |  FROM subs s JOIN cb ON s.m = cb.m WHERE s.vec_id < 50),
+         |approx AS (SELECT qd.qid, enc.vec_id AS cid,
+         |    CAST(sum(qd.d) AS BIGINT) AS approx_dist
+         |  FROM enc JOIN qd ON enc.m = qd.m AND enc.code = qd.code
+         |  WHERE enc.vec_id <> qd.qid GROUP BY 1, 2),
+         |r AS (SELECT qid, cid, approx_dist, row_number() OVER (
+         |    PARTITION BY qid ORDER BY approx_dist ASC, cid) AS rank FROM approx)
+         |SELECT qid, cid, rank, approx_dist FROM r WHERE rank <= 5"""
+        .stripMargin.replace("\n", " ")
+    },
 
     "semantic_dedup_sampled" -> {
       def cos(dot: String, n1: String, n2: String) =

@@ -355,6 +355,60 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(byCluster.values.flatten.toSet.size == 3, "three distinct cells used")
   }
 
+  test("PQ: codes compress to m codewords; ADC recovers neighbors on clustered data") {
+    import graft.llm.Similarity
+    // clustered fixture (PQ's premise): 4 tight clusters along distinct
+    // axes — uniform random vectors are the quantizer worst case (no
+    // structure, distances concentrate), so retrieval quality is specced
+    // HERE while the gate row proves the arithmetic on the fixture
+    val rows = (0 until 40).map { i =>
+      val base = Array.fill(Similarity.Dim)(0.01f)
+      base((i % 4) * 16) = 1f
+      base(i % 16) = base(i % 16) + 0.002f * (i % 5)
+      (i.toLong, base)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(emb,
+      Similarity.pqCodebooks(emb, m = 8, kCent = 8), m = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(codes.length === 40 * 8, "one code per (vector, subspace)")
+    assert(codes.groupBy(_._2).forall(_._2.map(_._3).distinct.size <= 8),
+      "codes drawn from the per-subspace codebook")
+    // every query's top-1 neighbor is from its own cluster
+    val top1 = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8), k = 1)
+      .select("qid", "cid").as[(Long, Long)].collect()
+    assert(top1.nonEmpty)
+    top1.foreach { case (q, c) =>
+      assert(q % 4 === c % 4, s"query $q matched cross-cluster candidate $c")
+    }
+  }
+
+  test("PQ: per-subspace Lloyd refinement only changes codeword values, never the plan contract") {
+    import graft.llm.Similarity
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200)
+    val refined = Similarity.pqCodebooksRefined(emb, m = 8, kCent = 8, iters = 2)
+    assert(refined.count() === 8 * 8, "codebook size constant through refinement")
+    assert(refined.select("m", "code").distinct().count() === 8 * 8)
+    // refined codebooks drop the mean quantization error vs the seeds
+    def encodeErr(cb: org.apache.spark.sql.DataFrame): Long = {
+      val w = Similarity.Dim / 8
+      emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+        .select(col("vec_id"), posexplode(array((0 until 8).map(i =>
+          expr(s"slice(qv, ${i * w + 1}, $w)")): _*)).as(Seq("m", "sv")))
+        .join(cb, Seq("m"))
+        .withColumn("d", Similarity.l2Q("sv", "cv"))
+        .groupBy("vec_id", "m").agg(min("d").as("best"))
+        .agg(sum("best")).head().getLong(0)
+    }
+    val seedErr = encodeErr(Similarity.pqCodebooks(emb, m = 8, kCent = 8))
+    val refErr = encodeErr(refined)
+    assert(refErr < seedErr,
+      s"Lloyd must reduce total quantization error: $refErr !< $seedErr")
+    // the refined book drives the same search plan via the With seam
+    val r = Similarity.pqTopKWith(emb, emb.filter(col("vec_id") < 5), refined, k = 3)
+    assert(r.count() === 15)
+  }
+
   test("sampled farthest-point seeding equals the distributed variant when the sample covers the corpus") {
     import graft.llm.Similarity
     val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 120)

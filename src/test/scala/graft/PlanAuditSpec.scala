@@ -214,6 +214,15 @@ class PlanAuditSpec extends SparkSpecBase {
       "reference counts must combine map-side")
   }
 
+  test("PQ ANN: codebooks and the query distance table broadcast; no cartesian") {
+    val p = plan("ann_pq_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      "the m*kCent codebook and Q*m*kCent distance table must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("WindowGroupLimit"),
+      "the per-(vec, subspace) argmin and per-query top-k must pre-limit map-side")
+  }
+
   test("semantic dedup: the prune is a cell-keyed equi-join, no cartesian") {
     // the assignment stage's centroid broadcast is upstream of the
     // materialization barrier (it shares assignCells with the IVF plan,
