@@ -575,6 +575,21 @@ object Similarity {
     pqTopKWith(corpus, queries,
       graft.util.Materialize.stable(pqCodebooks(corpus, m, kCent)), k, m)
 
+  /** The query side's exact ADC lookup table: one row per
+    * (query, subspace, codeword) with the exact integer sub-vector L2 —
+    * Q·m·kCent rows, bounded because the query set is.
+    */
+  private def adcTable(queries: DataFrame, cb: DataFrame, m: Int): DataFrame = {
+    val w = Dim / m
+    queries
+      .select(col("vec_id").as("qid"), quantize(col("embedding")).as("qv"))
+      .select(col("qid"), posexplode(array((0 until m).map(i =>
+        expr(s"slice(qv, ${i * w + 1}, $w)")): _*)).as(Seq("m", "sv")))
+      .join(cb, Seq("m"))
+      .withColumn("d", l2Q("sv", "cv"))
+      .select("qid", "m", "code", "d")
+  }
+
   /** [[pqTopK]] against a CALLER-SUPPLIED codebook table — the seam
     * that takes [[pqCodebooksRefined]]' trained codewords (the
     * [[ivfTopKWith]] pattern) without changing the plan shape.
@@ -583,20 +598,54 @@ object Similarity {
       k: Int, m: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, s"k must be positive, got $k")
-    val w = Dim / m
     val codes = pqEncode(corpus, cb, m)
-    val qd = queries
-      .select(col("vec_id").as("qid"), quantize(col("embedding")).as("qv"))
-      .select(col("qid"), posexplode(array((0 until m).map(i =>
-        expr(s"slice(qv, ${i * w + 1}, $w)")): _*)).as(Seq("m", "sv")))
-      .join(cb, Seq("m"))
-      .withColumn("d", l2Q("sv", "cv"))
-      .select("qid", "m", "code", "d")
     val win = Window.partitionBy("qid")
       .orderBy(col("approx_dist").asc, col("cid"))
     codes.withColumnRenamed("vec_id", "cid")
-      .join(broadcast(qd), Seq("m", "code"))
+      .join(broadcast(adcTable(queries, cb, m)), Seq("m", "code"))
       .filter(col("cid") =!= col("qid"))
+      .groupBy("qid", "cid").agg(sum("d").as("approx_dist"))
+      .withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
+      .select("qid", "cid", "rank", "approx_dist")
+  }
+
+  /** IVF-PQ (the FAISS IVFPQ composition, Jégou et al. 2011 §V): the
+    * coarse quantizer bounds the candidate set to the query's `nprobe`
+    * cells (the IVF lever — work ∝ N·nprobe/numCentroids per query,
+    * not N) and PQ codes score those candidates without ever touching
+    * the original vectors (the bandwidth lever) — together, the
+    * standard billion-vector search architecture. Non-residual
+    * encoding: codes quantize the vectors themselves, so the codebook
+    * seam is shared verbatim with [[pqTopK]]; residual encoding would
+    * change codeword VALUES through the same plan. All-integer ADC
+    * scoring, so the gate is hash-oracled end to end.
+    *
+    * Scale shape: one broadcast-assign per side (bounded centroid
+    * table), the cell equi-join bounds candidates, then ONE broadcast
+    * ADC join + (qid, cid)-keyed partial-agg sum + WindowGroupLimit —
+    * the full-vector payload never moves after encoding.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCentroids: Int = 16, nprobe: Int = 3, m: Int = 8,
+      kCent: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    val coarse = graft.util.Materialize.stable(
+      sampledCentroids(corpus, numCentroids))
+    val cb = graft.util.Materialize.stable(pqCodebooks(corpus, m, kCent))
+    // a corpus vector lives in exactly one cell, so (qid, cid) pairs
+    // from the cell join are already unique — no distinct needed
+    val cand = assignCells(corpus, coarse, "cid", "cv", "nc", keep = 1)
+      .select("cid", "cell")
+      .join(assignCells(queries, coarse, "qid", "qv", "nq", keep = nprobe)
+        .select("qid", "cell"), Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .select("qid", "cid")
+    val codes = pqEncode(corpus, cb, m).withColumnRenamed("vec_id", "cid")
+    val win = Window.partitionBy("qid")
+      .orderBy(col("approx_dist").asc, col("cid"))
+    cand.join(codes, Seq("cid"))
+      .join(broadcast(adcTable(queries, cb, m)), Seq("qid", "m", "code"))
       .groupBy("qid", "cid").agg(sum("d").as("approx_dist"))
       .withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
       .select("qid", "cid", "rank", "approx_dist")

@@ -51,6 +51,13 @@ object LlmQueries3 {
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 50), k = 5)
     }),
 
+    // IVF-PQ: coarse cells bound candidates, PQ codes score them — the
+    // billion-scale composition, hash-oracled end to end
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 50), k = 5)
+    }),
+
     // SemDeDup against the hash-sampled codebook (no Lloyd): the variant
     // with a closed SQL form, so the whole prune is hash-oracle-gated —
     // the oracle reuses ann_ivf_topk's centroid/assignment CTEs
@@ -141,6 +148,55 @@ object LlmQueries3 {
          |    CAST(sum(qd.d) AS BIGINT) AS approx_dist
          |  FROM enc JOIN qd ON enc.m = qd.m AND enc.code = qd.code
          |  WHERE enc.vec_id <> qd.qid GROUP BY 1, 2),
+         |r AS (SELECT qid, cid, approx_dist, row_number() OVER (
+         |    PARTITION BY qid ORDER BY approx_dist ASC, cid) AS rank FROM approx)
+         |SELECT qid, cid, rank, approx_dist FROM r WHERE rank <= 5"""
+        .stripMargin.replace("\n", " ")
+    },
+
+    "ann_ivfpq_topk" -> {
+      val m = 8
+      val w = Similarity.Dim / m
+      val quantDuck = Similarity.quantizeSqlDuck
+      def cos(dot: String, n1: String, n2: String) =
+        s"CAST($dot AS DOUBLE) / (sqrt(CAST($n1 AS DOUBLE)) * sqrt(CAST($n2 AS DOUBLE)))"
+      s"""WITH v AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv, ${Similarity.dotQSqlDuck("qv", "qv")} AS nrm FROM v),
+         |cents AS (SELECT vec_id AS cent_id, qv AS centv, nrm AS ncent FROM
+         |  (SELECT vec_id, qv, nrm FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+         |ca AS (SELECT vec_id, cent_id AS cell FROM (
+         |  SELECT n.vec_id, c.cent_id, row_number() OVER (
+         |    PARTITION BY n.vec_id ORDER BY
+         |      ${cos(Similarity.dotQSqlDuck("n.qv", "c.centv"), "n.nrm", "c.ncent")} DESC,
+         |      c.cent_id) AS crn
+         |  FROM n, cents c) WHERE crn = 1),
+         |qa AS (SELECT vec_id, cent_id AS cell FROM (
+         |  SELECT nq.vec_id, c.cent_id, row_number() OVER (
+         |    PARTITION BY nq.vec_id ORDER BY
+         |      ${cos(Similarity.dotQSqlDuck("nq.qv", "c.centv"), "nq.nrm", "c.ncent")} DESC,
+         |      c.cent_id) AS crn
+         |  FROM (SELECT * FROM n WHERE vec_id < 50) nq, cents c) WHERE crn <= 3),
+         |cb AS (SELECT cent_id AS code, m, cv FROM (
+         |  ${(0 until m).map(i =>
+             s"SELECT cent_id, $i AS m, centv[${i * w + 1}:${(i + 1) * w}] AS cv FROM cents")
+             .mkString(" UNION ALL ")})),
+         |subs AS (${(0 until m).map(i =>
+             s"SELECT vec_id, $i AS m, qv[${i * w + 1}:${(i + 1) * w}] AS sv FROM n")
+             .mkString(" UNION ALL ")}),
+         |enc AS (SELECT vec_id, m, code FROM (
+         |  SELECT s.vec_id, s.m, cb.code, row_number() OVER (
+         |    PARTITION BY s.vec_id, s.m
+         |    ORDER BY ${Similarity.l2SqlDuck("s.sv", "cb.cv")} ASC, cb.code) AS rn
+         |  FROM subs s JOIN cb ON s.m = cb.m) WHERE rn = 1),
+         |qd AS (SELECT s.vec_id AS qid, cb.m, cb.code,
+         |    ${Similarity.l2SqlDuck("s.sv", "cb.cv")} AS d
+         |  FROM subs s JOIN cb ON s.m = cb.m WHERE s.vec_id < 50),
+         |approx AS (SELECT qa.vec_id AS qid, ca.vec_id AS cid,
+         |    CAST(sum(qd.d) AS BIGINT) AS approx_dist
+         |  FROM qa JOIN ca ON qa.cell = ca.cell AND ca.vec_id <> qa.vec_id
+         |  JOIN enc ON enc.vec_id = ca.vec_id
+         |  JOIN qd ON qd.qid = qa.vec_id AND qd.m = enc.m AND qd.code = enc.code
+         |  GROUP BY 1, 2),
          |r AS (SELECT qid, cid, approx_dist, row_number() OVER (
          |    PARTITION BY qid ORDER BY approx_dist ASC, cid) AS rank FROM approx)
          |SELECT qid, cid, rank, approx_dist FROM r WHERE rank <= 5"""

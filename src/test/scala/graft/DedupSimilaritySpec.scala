@@ -383,6 +383,30 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("IVF-PQ: coarse cells bound candidates and ADC ranks within them (clustered data)") {
+    import graft.llm.Similarity
+    val rows = (0 until 40).map { i =>
+      val base = Array.fill(Similarity.Dim)(0.01f)
+      base((i % 4) * 16) = 1f
+      base(i % 16) = base(i % 16) + 0.002f * (i % 5)
+      (i.toLong, base)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val r = Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8), k = 1,
+      numCentroids = 8, nprobe = 2)
+      .select("qid", "cid").as[(Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (q, c) =>
+      assert(q % 4 === c % 4, s"query $q matched cross-cluster candidate $c")
+    }
+    // the candidate bound is real: every query's result set stays within
+    // its probed cells, so a query never scores the whole corpus
+    val full = Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8), k = 40,
+      numCentroids = 8, nprobe = 1)
+    val perQ = full.groupBy("qid").count().select("count").as[Long].collect()
+    assert(perQ.forall(_ < 40), "nprobe=1 must not reach every candidate")
+  }
+
   test("PQ: per-subspace Lloyd refinement only changes codeword values, never the plan contract") {
     import graft.llm.Similarity
     val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200)

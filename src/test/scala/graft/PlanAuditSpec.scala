@@ -223,6 +223,17 @@ class PlanAuditSpec extends SparkSpecBase {
       "the per-(vec, subspace) argmin and per-query top-k must pre-limit map-side")
   }
 
+  test("IVF-PQ: cell-bounded candidates, broadcast ADC, no cartesian") {
+    val p = plan("ann_ivfpq_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      "the codebook and ADC-table joins must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    // BroadcastNestedLoopJoin appears ONLY as assignCells' deliberate
+    // bounded-centroid cross join (the brute-force/IVF audit precedent);
+    // every unbounded join must be keyed
+    assert(p.contains("WindowGroupLimit"))
+  }
+
   test("semantic dedup: the prune is a cell-keyed equi-join, no cartesian") {
     // the assignment stage's centroid broadcast is upstream of the
     // materialization barrier (it shares assignCells with the IVF plan,
