@@ -135,4 +135,32 @@ object Retrieval {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select("query_id", "doc_id", "score", "rnk")
   }
+
+  /** Reciprocal-rank fusion (Cormack & Clarke, SIGIR 2009) — the hybrid
+    * lexical+semantic retrieval standard: fuse any number of per-query
+    * rankings (each `(query_id, doc_id, rnk)`-shaped — [[tfidfTopK]],
+    * [[bm25TopK]], an ANN top-k) by `Σ_lists 10⁶ div (rrfK + rnk)`,
+    * integer per-million so the fused gate stays hash-oracle-exact even
+    * when an input ranking was float-scored (RRF consumes only RANKS —
+    * its well-known robustness, and here also its exactness trick). A
+    * doc absent from a list contributes 0 from it. Output:
+    * (query_id, doc_id, rrf_score, rnk), top `k` per query.
+    *
+    * Scale shape: inputs are already top-k'd per query (bounded rows —
+    * lists × Q × k), so the union + (query, doc)-keyed partial-agg sum
+    * + WindowGroupLimit is bounded work regardless of corpus size; the
+    * heavy lifting stays inside the input retrievers' audited plans.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k > 0, s"k must be positive, got $k")
+    val scored = rankings
+      .map(_.select(col("query_id"), col("doc_id"),
+        expr(s"1000000 div ($rrfK + rnk)").as("_contrib")))
+      .reduce(_.unionByName(_))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    scored.groupBy("query_id", "doc_id").agg(sum("_contrib").as("rrf_score"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
 }

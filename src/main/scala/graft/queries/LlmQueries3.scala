@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Curation, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Curation, Retrieval, Sampling, Similarity, TextAnalysis}
 
 /** Third tranche of LLM-training-data pipeline gates: DSIR importance
   * weighting, bigram-LM fluency scoring, and SemDeDup semantic
@@ -49,6 +49,24 @@ object LlmQueries3 {
     "ann_pq_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 50), k = 5)
+    }),
+
+    // Hybrid retrieval: TF-IDF lexical top-10 fused with brute-force
+    // embedding-cosine top-10 by reciprocal-rank fusion — the RAG-stack
+    // standard. RRF consumes only ranks, so the fused gate stays
+    // integer-exact even over the float-scored semantic list.
+    "hybrid_rrf_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val probes = docs.filter(col("source") === "src0" && col("doc_id") % 100 === 0)
+      val corpusDocs = docs.filter(col("source") =!= "src0")
+      val lex = Retrieval.tfidfTopK(corpusDocs, probes, "doc_id", "text", k = 10)
+        .select("query_id", "doc_id", "rnk")
+      val emb = Tables.embeddings(s, dir)
+      val sem = Similarity.bruteForceTopK(
+        emb.join(corpusDocs.select(col("doc_id").as("vec_id")), Seq("vec_id")),
+        emb.join(probes.select(col("doc_id").as("vec_id")), Seq("vec_id")), k = 10)
+        .select(col("qid").as("query_id"), col("cid").as("doc_id"), col("rank").as("rnk"))
+      Retrieval.rrfFuse(Seq(lex, sem), k = 10)
     }),
 
     // IVF-PQ: coarse cells bound candidates, PQ codes score them — the
@@ -151,6 +169,45 @@ object LlmQueries3 {
          |r AS (SELECT qid, cid, approx_dist, row_number() OVER (
          |    PARTITION BY qid ORDER BY approx_dist ASC, cid) AS rank FROM approx)
          |SELECT qid, cid, rank, approx_dist FROM r WHERE rank <= 5"""
+        .stripMargin.replace("\n", " ")
+    },
+
+    "hybrid_rrf_topk" -> {
+      val quantDuck = Similarity.quantizeSqlDuck
+      s"""WITH corp AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents WHERE source <> 'src0'),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM corp GROUP BY 1, 2),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents WHERE source = 'src0' AND doc_id % 100 = 0),
+         |qi AS (SELECT query_id, qt.term, nn.n * 1000 // dft.df AS idf_permille
+         |  FROM qt JOIN dft ON qt.term = dft.term CROSS JOIN nn),
+         |sc AS (SELECT query_id, tf.doc_id, sum(tf.tf * qi.idf_permille) AS score
+         |  FROM tf JOIN qi ON tf.term = qi.term GROUP BY 1, 2),
+         |lex AS (SELECT query_id, doc_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc),
+         |v AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv, ${Similarity.dotQSqlDuck("qv", "qv")} AS nrm FROM v),
+         |ce AS (SELECT n.* FROM n JOIN documents d ON n.vec_id = d.doc_id
+         |  AND d.source <> 'src0'),
+         |qe AS (SELECT n.* FROM n JOIN documents d ON n.vec_id = d.doc_id
+         |  AND d.source = 'src0' AND d.doc_id % 100 = 0),
+         |ss AS (SELECT qe.vec_id AS query_id, ce.vec_id AS doc_id,
+         |    CAST(${Similarity.dotQSqlDuck("qe.qv", "ce.qv")} AS DOUBLE) /
+         |      (sqrt(CAST(qe.nrm AS DOUBLE)) * sqrt(CAST(ce.nrm AS DOUBLE))) AS cos
+         |  FROM qe, ce WHERE ce.vec_id <> qe.vec_id),
+         |sem AS (SELECT query_id, doc_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rnk FROM ss),
+         |contrib AS (
+         |  SELECT query_id, doc_id, 1000000 // (60 + rnk) AS c FROM lex WHERE rnk <= 10
+         |  UNION ALL
+         |  SELECT query_id, doc_id, 1000000 // (60 + rnk) AS c FROM sem WHERE rnk <= 10),
+         |fused AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_score
+         |  FROM contrib GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, rrf_score, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rnk FROM fused)
+         |SELECT query_id, doc_id, rrf_score, rnk FROM r WHERE rnk <= 10"""
         .stripMargin.replace("\n", " ")
     },
 

@@ -192,6 +192,21 @@ class RetrievalShufflingSpec extends SparkSpecBase {
     assert(s(2) === "port 8080 and pin 1234 stay")
   }
 
+  test("rrfFuse: hand-computed fusion, absent docs contribute zero, id tiebreak") {
+    // list A ranks docs 1,2,3; list B ranks 2,1,9 — doc 2 wins the
+    // fusion (1e6/62 + 1e6/61 = 16129+16393=32522 over doc 1's
+    // 1e6/61 + 1e6/62 = same... so tie → doc 1 first by id), doc 9 only
+    // in B (1e6/63 = 15873), doc 3 only in A (15873, ties 9 → 3 first)
+    val a = Seq((7L, 1L, 1), (7L, 2L, 2), (7L, 3L, 3)).toDF("query_id", "doc_id", "rnk")
+    val b = Seq((7L, 2L, 1), (7L, 1L, 2), (7L, 9L, 3)).toDF("query_id", "doc_id", "rnk")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 4)
+      .orderBy("rnk").as[(Long, Long, Long, Int)].collect().toSeq
+    val s12 = 1000000L / 61 + 1000000L / 62
+    val s3 = 1000000L / 63
+    assert(got === Seq((7L, 1L, s12, 1), (7L, 2L, s12, 2),
+      (7L, 3L, s3, 3), (7L, 9L, s3, 4)))
+  }
+
   /** The engine's md5 bucket arithmetic, replayed in plain JVM code. */
   private def bucketOf(feature: String, numBuckets: Int): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
