@@ -179,6 +179,26 @@ object TextAnalysis {
         when(col("stop_per_mille") >= thresholdPerMille, lit("en")).otherwise(lit("und")))
       .select("doc_id", "stop_per_mille", "predicted_lang")
 
+  /** Canonical text normalization — the standard pre-stage that makes
+    * near-dup detection robust to case/punctuation variance (every
+    * published dedup pipeline normalizes before shingling): lowercase,
+    * non-alphanumerics to spaces, whitespace runs collapsed, trimmed.
+    * Pure per-row codegen'd expressions — no shuffle, no state; both
+    * regexes are RE2-safe and render identically in the oracle (DuckDB
+    * needs the explicit 'g' flag where Spark replaces globally).
+    * An all-punctuation doc normalizes to "" (one empty token under the
+    * whitespace convention, like every tokenizer entry point here).
+    */
+  def normalize(textCol: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(textCol), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Normalization as a frame op: (doc_id, norm_text, n_tokens). */
+  def normalized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      normalize(col(textCol)).as("norm_text"))
+      .withColumn("n_tokens", tokenCount(col("norm_text")))
+
   /** One row per bigram occurrence: (doc_id, prefix hash, bigram hash).
     * Hashes are [[Dedup.tokenHash]], so every downstream exchange moves
     * fixed-width int64 keys, never strings.

@@ -51,6 +51,10 @@ object LlmQueries3 {
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 50), k = 5)
     }),
 
+    // canonical normalization (the dedup-robustness pre-stage)
+    "text_normalize" -> ((s, dir) =>
+      TextAnalysis.normalized(Tables.documents(s, dir), "doc_id", "text")),
+
     // Hybrid retrieval: TF-IDF lexical top-10 fused with brute-force
     // embedding-cosine top-10 by reciprocal-rank fusion — the RAG-stack
     // standard. RRF consumes only ranks, so the fused gate stays
@@ -171,6 +175,14 @@ object LlmQueries3 {
          |SELECT qid, cid, rank, approx_dist FROM r WHERE rank <= 5"""
         .stripMargin.replace("\n", " ")
     },
+
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')) AS norm_text,
+        |  len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS n_tokens
+        |FROM documents""".stripMargin.replace("\n", " "),
 
     "hybrid_rrf_topk" -> {
       val quantDuck = Similarity.quantizeSqlDuck

@@ -192,6 +192,19 @@ class RetrievalShufflingSpec extends SparkSpecBase {
     assert(s(2) === "port 8080 and pin 1234 stay")
   }
 
+  test("normalize: case, punctuation, whitespace runs; all-punct docs -> empty") {
+    val docs = Seq(
+      (1L, "Hello,   World! It's 2026."),
+      (2L, "!!! ???"),
+      (3L, "already clean text")).toDF("doc_id", "text")
+    val got = TextAnalysis.normalized(docs, "doc_id", "text")
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, "hello world it s 2026", 5),
+      (2L, "", 1), // empty string = one empty token, the house convention
+      (3L, "already clean text", 3)))
+  }
+
   test("rrfFuse: hand-computed fusion, absent docs contribute zero, id tiebreak") {
     // list A ranks docs 1,2,3; list B ranks 2,1,9 — doc 2 wins the
     // fusion (1e6/62 + 1e6/61 = 16129+16393=32522 over doc 1's
