@@ -155,4 +155,54 @@ class LlmPropertySpec extends SparkSpecBase {
       assert(out.sortBy(_._1).toSeq === want, s"seed=$seed order diverged")
     }
   }
+
+  test("importanceWeights property: target == corpus makes every per-feature weight exactly 10^6") {
+    import graft.llm.Sampling
+    // when q_b == p_b for every bucket, (q+1)*1e6 div (p+1) == 1e6
+    // exactly — any deviation means the two feature passes diverged
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to (10 + rnd.nextInt(20))).map { i =>
+        (i, Seq.fill(1 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val w = Sampling.importanceWeights(docs, docs, "doc_id", "text",
+        numBuckets = 32).select("weight_per_feat").as[Long].collect()
+      assert(w.nonEmpty && w.forall(_ === 1000000L), s"seed=$seed: ${w.toSeq.distinct}")
+    }
+  }
+
+  test("normalize property: idempotent and always within [a-z0-9 ]") {
+    import graft.llm.TextAnalysis
+    val rnd = new scala.util.Random(7)
+    val chars = "aB9 !@#$%^&*()_+-=[]{};':\",./<>?\\|`~é世"
+    val docs = (1L to 60L).map { i =>
+      (i, Seq.fill(rnd.nextInt(40))(chars(rnd.nextInt(chars.length))).mkString)
+    }.toDF("doc_id", "text")
+    val once = TextAnalysis.normalized(docs, "doc_id", "text")
+      .select(col("doc_id"), col("norm_text").as("text"))
+    val onceRows = once.as[(Long, String)].collect().sortBy(_._1)
+    val twice = TextAnalysis.normalized(once, "doc_id", "text")
+      .select("doc_id", "norm_text").as[(Long, String)].collect().sortBy(_._1)
+    assert(onceRows.map(_._2).toSeq === twice.map(_._2).toSeq, "not idempotent")
+    assert(onceRows.forall(_._2.forall(c => c.isDigit || (c >= 'a' && c <= 'z') || c == ' ')))
+    assert(onceRows.forall(r => !r._2.startsWith(" ") && !r._2.endsWith(" ")
+      && !r._2.contains("  ")))
+  }
+
+  test("rrfFuse property: fusing a ranking with itself preserves its order") {
+    import graft.llm.Retrieval
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val ranking = (1 to 3).flatMap { q =>
+        rnd.shuffle((1L to 10L).toList).zipWithIndex.map { case (d, i) =>
+          (q.toLong, d, i + 1)
+        }
+      }.toDF("query_id", "doc_id", "rnk")
+      val fused = Retrieval.rrfFuse(Seq(ranking, ranking), k = 10)
+        .select("query_id", "doc_id", "rnk").as[(Long, Long, Int)].collect()
+      val want = ranking.as[(Long, Long, Int)].collect()
+      assert(fused.sortBy(t => (t._1, t._3)).toSeq ===
+        want.sortBy(t => (t._1, t._3)).toSeq, s"seed=$seed")
+    }
+  }
 }
