@@ -651,6 +651,85 @@ object Similarity {
       .select("qid", "cid", "rank", "approx_dist")
   }
 
+  /** Residual IVF-PQ (FAISS's default IVFPQ encoding, Jégou et al. 2011
+    * §V.A): codes quantize the RESIDUAL x − centroid(cell(x)) instead of
+    * x itself — within a coherent cell residuals are small, so the same
+    * m×kCent codebook budget spends its resolution where the data
+    * actually varies (spec: raw-space reconstruction error strictly
+    * below non-residual PQ on clustered data). Residual codewords come
+    * from the NEXT `kCent` hash-ordered sample vectors' residuals
+    * (offset past the coarse sample — the coarse vectors' own residuals
+    * are zero), keeping the whole construction closed-form SQL like the
+    * plain variant.
+    *
+    * Plan shape: identical budget to [[ivfPqTopK]] — the per-(query,
+    * probed-cell) residual ADC table is Q·nprobe·m·kCent rows (bounded),
+    * broadcasts into the code stream, and the (cell, m, code) equi-join
+    * IS the candidate bound (a corpus row only meets queries probing its
+    * cell). Output: (qid, cid, rank, approx_dist), all-integer.
+    */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCentroids: Int = 16, nprobe: Int = 3, m: Int = 8,
+      kCent: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    val coarse = graft.util.Materialize.stable(
+      sampledCentroids(corpus, numCentroids))
+    val cb = graft.util.Materialize.stable(
+      residualCodebooks(corpus, coarse, numCentroids, m, kCent))
+    val cents = coarse.select(col("cent_id").as("cell"), col("centv"))
+    def residualSubs(df: DataFrame, id: String, keep: Int) = {
+      val w = Dim / m
+      assignCells(df, coarse, id, "_v", "_n", keep)
+        .join(broadcast(cents), Seq("cell"))
+        .withColumn("_r", expr("zip_with(_v, centv, (a, b) -> a - b)"))
+        .select(col(id), col("cell"), posexplode(array((0 until m).map(i =>
+          expr(s"slice(_r, ${i * w + 1}, $w)")): _*)).as(Seq("m", "sv")))
+    }
+    val win0 = Window.partitionBy("cid", "m").orderBy(col("d").asc, col("code"))
+    val codes = residualSubs(corpus, "cid", keep = 1)
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("d", l2Q("sv", "cv"))
+      .withColumn("rn", row_number().over(win0)).filter(col("rn") === 1)
+      .select("cid", "cell", "m", "code")
+    val qd = residualSubs(queries, "qid", keep = nprobe)
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("d", l2Q("sv", "cv"))
+      .select("qid", "cell", "m", "code", "d")
+    val win = Window.partitionBy("qid")
+      .orderBy(col("approx_dist").asc, col("cid"))
+    codes.join(broadcast(qd), Seq("cell", "m", "code"))
+      .filter(col("cid") =!= col("qid"))
+      .groupBy("qid", "cid").agg(sum("d").as("approx_dist"))
+      .withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
+      .select("qid", "cid", "rank", "approx_dist")
+  }
+
+  /** Residual PQ codebooks: the `kCent` hash-ordered sample vectors
+    * AFTER the coarse sample, each residual-encoded against its own
+    * nearest coarse centroid, sub-sliced per subspace. Output
+    * (m, code, cv), code = the sample's vec_id.
+    */
+  def residualCodebooks(corpus: DataFrame, coarse: DataFrame,
+      numCentroids: Int, m: Int, kCent: Int): DataFrame = {
+    require(m > 0 && Dim % m == 0, s"m=$m must divide dim $Dim")
+    val w = Dim / m
+    val sv = corpus
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .offset(numCentroids).limit(kCent)
+      .withColumn("nv", dotQ("qv", "qv"))
+    val c = broadcast(coarse)
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("vec_id").orderBy(col("_cos").desc, col("cent_id"))
+    sv.crossJoin(c)
+      .withColumn("_cos", cosineFromInts(dotQ("qv", "centv"), col("nv"), col("ncent")))
+      .withColumn("_rn", row_number().over(win)).filter(col("_rn") === 1)
+      .withColumn("_r", expr("zip_with(qv, centv, (a, b) -> a - b)"))
+      .select(col("vec_id").as("code"), posexplode(array((0 until m).map(i =>
+        expr(s"slice(_r, ${i * w + 1}, $w)")): _*)).as(Seq("m", "cv")))
+  }
+
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with the
     * deterministic [[kmeansCentroids]] codebook, then prune

@@ -80,6 +80,14 @@ object LlmQueries3 {
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 50), k = 5)
     }),
 
+    // residual IVF-PQ (the FAISS default encoding): codes quantize
+    // x - centroid(cell), spending codebook resolution on within-cell
+    // variation
+    "ann_ivfpq_residual_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqResidualTopK(emb, emb.filter(col("vec_id") < 50), k = 5)
+    }),
+
     // SemDeDup against the hash-sampled codebook (no Lloyd): the variant
     // with a closed SQL form, so the whole prune is hash-oracle-gated —
     // the oracle reuses ann_ivf_topk's centroid/assignment CTEs
@@ -220,6 +228,62 @@ object LlmQueries3 {
          |r AS (SELECT query_id, doc_id, rrf_score, row_number() OVER (
          |    PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rnk FROM fused)
          |SELECT query_id, doc_id, rrf_score, rnk FROM r WHERE rnk <= 10"""
+        .stripMargin.replace("\n", " ")
+    },
+
+    "ann_ivfpq_residual_topk" -> {
+      val m = 8
+      val w = Similarity.Dim / m
+      val quantDuck = Similarity.quantizeSqlDuck
+      def cos(dot: String, n1: String, n2: String) =
+        s"CAST($dot AS DOUBLE) / (sqrt(CAST($n1 AS DOUBLE)) * sqrt(CAST($n2 AS DOUBLE)))"
+      val resid = "list_transform(list_zip(b.qv, c.centv), s -> s[1] - s[2])"
+      def slices(src: String, idOut: String, rvCol: String, extra: String) =
+        (0 until m).map(i =>
+          s"SELECT vec_id AS $idOut$extra, $i AS m, $rvCol[${i * w + 1}:${(i + 1) * w}] AS sv FROM SRC")
+          .mkString(" UNION ALL ").replace("SRC", src)
+      s"""WITH v AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv, ${Similarity.dotQSqlDuck("qv", "qv")} AS nrm FROM v),
+         |cents AS (SELECT vec_id AS cent_id, qv AS centv, nrm AS ncent FROM
+         |  (SELECT vec_id, qv, nrm FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+         |cb2 AS (SELECT vec_id, qv, nrm FROM n
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16 OFFSET 16),
+         |cbc AS (SELECT vec_id, rv FROM (
+         |  SELECT b.vec_id, $resid AS rv, row_number() OVER (
+         |    PARTITION BY b.vec_id ORDER BY
+         |      ${cos(Similarity.dotQSqlDuck("b.qv", "c.centv"), "b.nrm", "c.ncent")} DESC,
+         |      c.cent_id) AS rn
+         |  FROM cb2 b, cents c) WHERE rn = 1),
+         |cb AS (SELECT vec_id AS code, m, sv AS cv FROM (${slices("cbc", "vec_id", "rv", "")})
+         |  ),
+         |ra AS (SELECT vec_id, cell, rv FROM (
+         |  SELECT b.vec_id, c.cent_id AS cell, $resid AS rv, row_number() OVER (
+         |    PARTITION BY b.vec_id ORDER BY
+         |      ${cos(Similarity.dotQSqlDuck("b.qv", "c.centv"), "b.nrm", "c.ncent")} DESC,
+         |      c.cent_id) AS rn
+         |  FROM n b, cents c) WHERE rn = 1),
+         |qa AS (SELECT vec_id, cell, rv FROM (
+         |  SELECT b.vec_id, c.cent_id AS cell, $resid AS rv, row_number() OVER (
+         |    PARTITION BY b.vec_id ORDER BY
+         |      ${cos(Similarity.dotQSqlDuck("b.qv", "c.centv"), "b.nrm", "c.ncent")} DESC,
+         |      c.cent_id) AS rn
+         |  FROM (SELECT * FROM n WHERE vec_id < 50) b, cents c) WHERE rn <= 3),
+         |rsubs AS (${slices("ra", "cid", "rv", ", cell")}),
+         |qsubs AS (${slices("qa", "qid", "rv", ", cell")}),
+         |enc AS (SELECT cid, cell, m, code FROM (
+         |  SELECT s.cid, s.cell, s.m, cb.code, row_number() OVER (
+         |    PARTITION BY s.cid, s.m
+         |    ORDER BY ${Similarity.l2SqlDuck("s.sv", "cb.cv")} ASC, cb.code) AS rn
+         |  FROM rsubs s JOIN cb ON s.m = cb.m) WHERE rn = 1),
+         |qd AS (SELECT s.qid, s.cell, cb.m, cb.code,
+         |    ${Similarity.l2SqlDuck("s.sv", "cb.cv")} AS d
+         |  FROM qsubs s JOIN cb ON s.m = cb.m),
+         |approx AS (SELECT qd.qid, enc.cid, CAST(sum(qd.d) AS BIGINT) AS approx_dist
+         |  FROM enc JOIN qd ON enc.cell = qd.cell AND enc.m = qd.m AND enc.code = qd.code
+         |  WHERE enc.cid <> qd.qid GROUP BY 1, 2),
+         |r AS (SELECT qid, cid, approx_dist, row_number() OVER (
+         |    PARTITION BY qid ORDER BY approx_dist ASC, cid) AS rank FROM approx)
+         |SELECT qid, cid, rank, approx_dist FROM r WHERE rank <= 5"""
         .stripMargin.replace("\n", " ")
     },
 

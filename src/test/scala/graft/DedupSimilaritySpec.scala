@@ -407,6 +407,62 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(perQ.forall(_ < 40), "nprobe=1 must not reach every candidate")
   }
 
+  test("residual IVF-PQ: reconstruction beats plain PQ on clustered data; same-cluster top-1") {
+    import graft.llm.Similarity
+    val rows = (0 until 48).map { i =>
+      val base = Array.fill(Similarity.Dim)(0.01f)
+      base((i % 4) * 16) = 1f
+      base(i % 16) = base(i % 16) + 0.002f * (i % 5)
+      (i.toLong, base)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val r = Similarity.ivfPqResidualTopK(emb, emb.filter(col("vec_id") < 8),
+      k = 1, numCentroids = 8, nprobe = 2, kCent = 16)
+      .select("qid", "cid").as[(Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (q, c) =>
+      assert(q % 4 === c % 4, s"query $q matched cross-cluster candidate $c")
+    }
+
+    // the FAISS claim: residual codes reconstruct better in RAW space.
+    // plain-PQ reconstruction = codeword; residual reconstruction =
+    // centroid + codeword, whose raw-space error equals the encode
+    // error in residual space — both are Σ min-d over their codebook
+    val m = 8
+    val w = Similarity.Dim / m
+    val coarse = Similarity.sampledCentroids(emb, 8)
+    def encodeErrOn(subs: org.apache.spark.sql.DataFrame,
+        cb: org.apache.spark.sql.DataFrame): Long =
+      subs.join(cb, Seq("m"))
+        .withColumn("d", Similarity.l2Q("sv", "cv"))
+        .groupBy("vid", "m").agg(min("d").as("best"))
+        .agg(sum("best")).head().getLong(0)
+    val rawSubs = emb
+      .select(col("vec_id").as("vid"), Similarity.quantize(col("embedding")).as("qv"))
+      .select(col("vid"), posexplode(array((0 until m).map(i =>
+        expr(s"slice(qv, ${i * w + 1}, $w)")): _*)).as(Seq("m", "sv")))
+    val plainErr = encodeErrOn(rawSubs, Similarity.pqCodebooks(emb, m, 16))
+    // residual side: subtract each vector's own nearest coarse centroid
+    val cents = coarse.select(col("cent_id"), col("centv"), col("ncent"))
+    val resSubs = {
+      import org.apache.spark.sql.expressions.Window
+      val win = Window.partitionBy("vid").orderBy(col("_cos").desc, col("cent_id"))
+      emb.select(col("vec_id").as("vid"), Similarity.quantize(col("embedding")).as("qv"))
+        .withColumn("nv", Similarity.dotQ("qv", "qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("_cos", Similarity.cosineFromInts(
+          Similarity.dotQ("qv", "centv"), col("nv"), col("ncent")))
+        .withColumn("_rn", row_number().over(win)).filter(col("_rn") === 1)
+        .withColumn("rv", expr("zip_with(qv, centv, (a, b) -> a - b)"))
+        .select(col("vid"), posexplode(array((0 until m).map(i =>
+          expr(s"slice(rv, ${i * w + 1}, $w)")): _*)).as(Seq("m", "sv")))
+    }
+    val resErr = encodeErrOn(resSubs,
+      Similarity.residualCodebooks(emb, coarse, 8, m, 16))
+    assert(resErr < plainErr,
+      s"residual encoding must reconstruct better: $resErr !< $plainErr")
+  }
+
   test("PQ: per-subspace Lloyd refinement only changes codeword values, never the plan contract") {
     import graft.llm.Similarity
     val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200)
