@@ -82,8 +82,17 @@ object Curation {
       minUniqPermille: Long, maxTopTokPermille: Long, decontamN: Int,
       minHitPermille: Int, tokenBudgetPerSource: Long,
       scrubPii: Boolean = false, minFluencyPermille: Long = 0L,
-      minDsirPerFeat: Long = 0L): DataFrame = {
-    val docs = if (scrubPii) PiiScrub.scrubbed(docs0, textCol) else docs0
+      minDsirPerFeat: Long = 0L, normalizeText: Boolean = false): DataFrame = {
+    // scrub BEFORE normalize: normalization strips the @/./- structure
+    // the PII patterns match on, so the reverse order would let broken
+    // identifiers through as plain tokens. Scrubbed placeholders then
+    // normalize to ordinary tokens ("[EMAIL]" -> "email"), which is what
+    // dedup/grams should see anyway.
+    val docs1 = if (scrubPii) PiiScrub.scrubbed(docs0, textCol) else docs0
+    val docs =
+      if (normalizeText)
+        docs1.withColumn(textCol, TextAnalysis.normalize(col(textCol)))
+      else docs1
     val keptIds = TextAnalysis.qualityFilter(docs, idCol, textCol,
       minTokens, maxTokens, minUniqPermille, maxTopTokPermille)
       .filter(col("keep")).select(col("doc_id").as(idCol))

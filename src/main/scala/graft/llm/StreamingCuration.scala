@@ -32,7 +32,7 @@ final class StreamingCuration(dedup: StreamingDedup, idCol: String,
     textCol: String, minTokens: Long, maxTokens: Long,
     minUniqPermille: Long, maxTopTokPermille: Long,
     fluencyModel: Option[TextAnalysis.LmStats] = None,
-    minFluencyPermille: Long = 0L) {
+    minFluencyPermille: Long = 0L, normalizeText: Boolean = false) {
 
   /** One micro-batch: scrub PII in place, drop quality rejects (and,
     * when a [[fluencyModel]] is configured, docs scoring under the
@@ -46,7 +46,13 @@ final class StreamingCuration(dedup: StreamingDedup, idCol: String,
     */
   def processBatch(batch: DataFrame, batchId: Long): DataFrame = {
     val once = batch.dropDuplicates(idCol :: textCol :: Nil)
-    val scrubbed = PiiScrub.scrubbed(once, textCol)
+    // scrub before normalize — the batch pipeline's ordering rationale
+    // (normalization strips the structure the PII patterns match on)
+    val scrubbed0 = PiiScrub.scrubbed(once, textCol)
+    val scrubbed =
+      if (normalizeText)
+        scrubbed0.withColumn(textCol, TextAnalysis.normalize(col(textCol)))
+      else scrubbed0
     val keptIds = TextAnalysis.qualityFilter(scrubbed, idCol, textCol,
       minTokens, maxTokens, minUniqPermille, maxTopTokPermille)
       .filter(col("keep")).select(col("doc_id").as(idCol))

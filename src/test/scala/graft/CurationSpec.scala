@@ -124,6 +124,29 @@ class CurationSpec extends SparkSpecBase {
     assert(ds.contains(1L), "target-like docs survive DSIR selection")
   }
 
+  test("curate with normalizeText: case/punct variants dedup together; scrub runs first") {
+    val ref = Seq((100L, "unrelated reference material here", "eval"))
+      .toDF("doc_id", "text", "source")
+    val corpus = Seq(
+      (1L, "The cat sat on the mat today", "web"),
+      (2L, "the CAT sat, on the mat... today!", "web"), // normalize-dup of 1
+      (3L, "mail jane@example.com the cat report now", "web")
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.curate(corpus, ref, "doc_id", "text", "source",
+      minTokens = 2, maxTokens = 50, minUniqPermille = 1,
+      maxTopTokPermille = 1000, decontamN = 8, minHitPermille = 900,
+      tokenBudgetPerSource = 10000L, scrubPii = true, normalizeText = true)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    // doc 2 normalizes to doc 1's text -> exact-dup, min id survives
+    assert(out.map(_._1).toSeq === Seq(1L, 3L))
+    assert(out.head._2 === "the cat sat on the mat today")
+    // scrub saw the raw email BEFORE normalization broke its structure
+    val t3 = out.last._2
+    assert(!t3.contains("example") && !t3.contains("jane"),
+      s"identifier must be scrubbed, got: $t3")
+    assert(t3 === "mail email the cat report now")
+  }
+
   test("writeShards: hive-partitioned shards reload to the full corpus, idempotently") {
     import graft.llm.Shuffling
     val dir = tmpDir("shards")

@@ -67,6 +67,20 @@ class StreamingCurationSpec extends SparkSpecBase {
       .toSeq === Seq(4L))
   }
 
+  test("normalizeText: case/punct variants are cross-batch duplicates") {
+    val sc = new StreamingCuration(
+      new StreamingDedup(spark, tmpDir("cur-state-norm"), "doc_id", "text"),
+      "doc_id", "text", minTokens = 3, maxTokens = 50,
+      minUniqPermille = 100, maxTopTokPermille = 900, normalizeText = true)
+    val b0 = Seq((1L, "The quick brown Fox!")).toDF("doc_id", "text")
+    val out0 = sc.processBatch(b0, 0L).as[(Long, String)].collect()
+    assert(out0.toSeq === Seq((1L, "the quick brown fox")),
+      "emitted text must be the normalized form")
+    // batch 1: same doc up to case/punctuation → suppressed as seen
+    val b1 = Seq((2L, "the QUICK brown fox...")).toDF("doc_id", "text")
+    assert(sc.processBatch(b1, 1L).count() === 0)
+  }
+
   test("within-batch redelivery of a row must not double its quality counts") {
     val sc = pipeline(tmpDir("cur-state3"))
     // "hi there" is 2 tokens (< minTokens 3); delivered twice in one
