@@ -66,6 +66,11 @@ object Curation {
     * sample plan, so it is materialized once — otherwise the whole
     * quality→dedup→decontam subtree would execute twice.
     *
+    * `normalizeText = true` canonicalizes the text
+    * ([[TextAnalysis.normalize]]) after any scrub and before every
+    * downstream stage, so case/punctuation variants exact-dedup
+    * together and grams are canonical.
+    *
     * Two opt-in stages wire the model-based scorers into the recipe,
     * both judged against `evalSet` in its clean-reference role:
     * `minFluencyPermille > 0` drops docs whose

@@ -85,6 +85,27 @@ object TpchQueries {
         .agg(expr(s"CAST(sum($Revenue) AS DOUBLE)").as("revenue"))
     }),
 
+    // Q10-shape returned-item ranking: the remaining classic plan — two
+    // fact joins + broadcast dims + agg + global top-k. The orderBy+limit
+    // plans as TakeOrderedAndProject (per-task top-20, never a full
+    // sort); customer/nation broadcast; facts shuffle once on orderkey.
+    "q10_returned_items" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(expr("o_orderdate >= timestamp'1995-01-01'") &&
+          expr("o_orderdate < timestamp'1996-01-01'"))
+      val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(expr(s"CAST(sum($Revenue) AS DOUBLE)").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // Broadcast dimension-enrich: part is tiny at every SF relative to
     // lineitem; the explicit broadcast() keeps the fact table unshuffled.
     "join_part_brand_agg" -> ((s, dir) =>
@@ -166,6 +187,19 @@ object TpchQueries {
         |  AND l_shipdate > TIMESTAMP '1995-03-15'
         |GROUP BY l_orderkey, epoch_us(o_orderdate), o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin.replace("\n", " "),
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin.replace("\n", " "),
 
     "q5_local_supplier" ->
       """SELECT n_name,

@@ -49,6 +49,16 @@ class PlanAuditSpec extends SparkSpecBase {
       "a scalar aggregate needs no keyed exchange")
   }
 
+  test("q10: global top-k is TakeOrdered; dims broadcast; facts shuffle once") {
+    val p = plan("q10_returned_items")
+    assert(p.contains("TakeOrderedAndProject"),
+      "orderBy+limit must plan as per-task top-k, not a full range sort")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "customer and nation must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_sum"), "revenue must combine map-side")
+  }
+
   test("LWW compaction is a partial aggregate, not a window sort") {
     val p = plan("cdc_lww_latest")
     assert(p.contains("partial_max_by"),
