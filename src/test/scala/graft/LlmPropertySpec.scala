@@ -189,6 +189,50 @@ class LlmPropertySpec extends SparkSpecBase {
       && !r._2.contains("  ")))
   }
 
+  test("semanticDedup property: brute-force parity on random separated corpora") {
+    import graft.llm.Similarity
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val nClusters = 2 + rnd.nextInt(3)
+      // orthogonal-axis clusters with small jitter: cross-cluster cosine
+      // stays ~0, so within-cell pruning at 0.9 IS the exact global rule
+      val rows = (0 until 20 + rnd.nextInt(20)).map { i =>
+        val c = rnd.nextInt(nClusters)
+        val base = Array.fill(Similarity.Dim)(0.001f)
+        base(c * 8) = 1f
+        base(c * 8 + 1 + rnd.nextInt(4)) = 0.01f * rnd.nextInt(3)
+        (i.toLong, base)
+      }
+      val emb = rows.toDF("vec_id", "embedding").repartition(1 + rnd.nextInt(5))
+      val got = Similarity.semanticDedup(emb, numCentroids = nClusters,
+        iters = 2, threshold = 0.9)
+        .filter(col("is_dup")).select("vec_id").as[Long].collect().toSet
+      val v = emb.select(col("vec_id").as("vid"),
+          Similarity.quantize(col("embedding")).as("qv"))
+        .withColumn("nv", Similarity.dotQ("qv", "qv"))
+      val want = v.as("a").join(v.as("b"), col("a.vid") < col("b.vid"))
+        .withColumn("c", Similarity.cosineFromInts(
+          Similarity.dotQ("a.qv", "b.qv"), col("a.nv"), col("b.nv")))
+        .filter(col("c") >= 0.9)
+        .select(col("b.vid")).as[Long].collect().toSet
+      assert(got === want, s"seed=$seed k=$nClusters")
+    }
+  }
+
+  test("pqEncode property: codes are partitioning-invariant") {
+    import graft.llm.Similarity
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 30).map { i =>
+      (i.toLong, Array.fill(Similarity.Dim)(rnd.nextFloat() - 0.5f))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(emb, m = 8, kCent = 8)
+    def codes(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pqEncode(df, cb, m = 8)
+        .as[(Long, Int, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(codes(emb) === codes(emb.repartition(7)))
+  }
+
   test("rrfFuse property: fusing a ranking with itself preserves its order") {
     import graft.llm.Retrieval
     for (seed <- 1 to 3) {
