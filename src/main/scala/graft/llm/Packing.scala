@@ -76,4 +76,32 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("fill_tokens"))
       .withColumn("pad_tokens",
         greatest(lit(0L), lit(tokenBudget) - col("fill_tokens")))
+
+  /** The power-of-two bucket rule as generated SQL — a pure-integer
+    * CASE ladder (floating log2 is NOT exact at the bucket edges: Java's
+    * log(8)/log(2) need not be 3.0, and the engines may round
+    * differently), rendered from the same loop for Spark and DuckDB.
+    * Buckets cap at 2^[[MaxBucketLog2]] (everything longer lands in the
+    * top bucket).
+    */
+  val MaxBucketLog2 = 20
+  def bucketSql(n: String): String = {
+    val cases = (0 to MaxBucketLog2).map(e =>
+      s"WHEN $n <= ${1L << e} THEN CAST(${1L << e} AS BIGINT)").mkString(" ")
+    s"CASE $cases ELSE CAST(${1L << MaxBucketLog2} AS BIGINT) END"
+  }
+
+  /** Token-length histogram in power-of-two buckets — the sizing input
+    * for choosing a packing budget (what fraction of docs and of token
+    * MASS lands beyond a candidate context length). `bucket` = the
+    * smallest power of two ≥ the doc's token count (1 for empty/1-token
+    * docs). One map-side-combined aggregation; no shuffle beyond it.
+    * Output: (bucket, n_docs, n_tokens).
+    */
+  def lengthHistogram(docs: DataFrame, idCol: String,
+      weight: Column): DataFrame =
+    docs.select(col(idCol), weight.cast("long").as("_n"))
+      .withColumn("bucket", expr(bucketSql("_n")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("_n").as("n_tokens"))
 }

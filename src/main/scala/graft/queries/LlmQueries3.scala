@@ -51,6 +51,11 @@ object LlmQueries3 {
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 50), k = 5)
     }),
 
+    // packing-budget sizing: power-of-two token-length histogram
+    "pack_length_histogram" -> ((s, dir) =>
+      graft.llm.Packing.lengthHistogram(Tables.documents(s, dir), "doc_id",
+        TextAnalysis.tokenCount(col("text")))),
+
     // canonical normalization (the dedup-robustness pre-stage)
     "text_normalize" -> ((s, dir) =>
       TextAnalysis.normalized(Tables.documents(s, dir), "doc_id", "text")),
@@ -182,6 +187,13 @@ object LlmQueries3 {
          |    PARTITION BY qid ORDER BY approx_dist ASC, cid) AS rank FROM approx)
          |SELECT qid, cid, rank, approx_dist FROM r WHERE rank <= 5"""
         .stripMargin.replace("\n", " ")
+    },
+
+    "pack_length_histogram" -> {
+      val bucket = graft.llm.Packing.bucketSql("len(string_split(text, ' '))")
+      s"""SELECT $bucket AS bucket, count(*) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |FROM documents GROUP BY 1""".stripMargin.replace("\n", " ")
     },
 
     "text_normalize" ->

@@ -112,4 +112,19 @@ class PackingDecontamSpec extends SparkSpecBase {
       .orderBy("src").as[(String, Long, Long, Long)].collect()
     assert(w.toSeq === Seq(("a", 2L, 7L, 714L), ("b", 1L, 2L, 1000L)))
   }
+
+  test("lengthHistogram: exact power-of-two edges, cap bucket, token mass") {
+    import graft.llm.Packing
+    val docs = Seq(
+      (1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L),   // edges: 2 and 4 are exact
+      (5L, 5L), (6L, 64L), (7L, 65L),
+      (8L, (1L << 21))                            // beyond the cap
+    ).toDF("doc_id", "n")
+    val got = Packing.lengthHistogram(docs, "doc_id", col("n"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 1L, 1L), (2L, 1L, 2L), (4L, 2L, 7L), (8L, 1L, 5L),
+      (64L, 1L, 64L), (128L, 1L, 65L),
+      ((1L << 20), 1L, (1L << 21))))
+  }
 }
