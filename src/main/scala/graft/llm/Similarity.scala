@@ -320,7 +320,7 @@ object Similarity {
     // variant's first seed; thereafter the same argmin-of-max-cosine
     // greedy step with the same id tie-break
     val chosen = scala.collection.mutable.ArrayBuffer(samp.head)
-    val rest = scala.collection.mutable.ArrayBuffer(samp.tail: _*)
+    val rest = scala.collection.mutable.ArrayBuffer.from(samp.tail)
     while (chosen.size < k && rest.nonEmpty) {
       val next = rest.minBy(v => (chosen.map(cos(v, _)).max, v._1))
       chosen += next

@@ -7,13 +7,17 @@ import graft.Tables
 import graft.llm.{Curation, Retrieval, Sampling, Similarity, TextAnalysis}
 
 /** Third tranche of LLM-training-data pipeline gates: DSIR importance
-  * weighting, bigram-LM fluency scoring, and SemDeDup semantic
-  * deduplication. Same oracle discipline as [[LlmQueries]] /
-  * [[LlmQueries2]] — integer-exact arithmetic shared
-  * constant-for-constant with the DuckDB SQL — except `semantic_dedup`,
-  * whose k-means codebook has no closed SQL form: that row is rows-only
-  * gated (driver contract) and its semantics are spec-proven in
-  * `DedupSimilaritySpec` against a brute-force exact fixture.
+  * weighting, bigram-LM fluency scoring, SemDeDup semantic dedup (plain
+  * + sampled-codebook), the PQ family (`ann_pq_topk`, IVF-PQ, residual
+  * IVF-PQ), hybrid RRF retrieval, canonical text normalization, the
+  * token-length histogram, and the end-to-end composed curation gate.
+  * Same oracle discipline as [[LlmQueries]] / [[LlmQueries2]] —
+  * integer-exact arithmetic shared constant-for-constant with the DuckDB
+  * SQL — except `semantic_dedup`, whose Lloyd-refined codebook has no
+  * closed SQL form: that row is rows-only gated (driver contract) and
+  * its semantics are spec-proven in `DedupSimilaritySpec` against a
+  * brute-force exact fixture (the sampled-codebook variant
+  * `semantic_dedup_sampled` IS hash-oracled).
   */
 object LlmQueries3 {
 
