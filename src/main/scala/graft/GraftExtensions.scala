@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.LongArrayDot
+import graft.functions.{LongArrayDot, LongArrayL2}
 import graft.plans.RewriteHofDotProduct
 
 /** The engine's `SparkSessionExtensions` entry point — the no-code
@@ -13,9 +13,10 @@ import graft.plans.RewriteHofDotProduct
   * (or `SparkSession.builder().withExtensions(new GraftExtensions)`)
   * installs, for every session of the application:
   *
-  *  - `long_dot(array<bigint>, array<bigint>) -> bigint` as a catalog
-  *    SQL function (the codegen'd integer dot product behind the
-  *    similarity operators), and
+  *  - `long_dot(array<bigint>, array<bigint>) -> bigint` and
+  *    `long_l2(array<bigint>, array<bigint>) -> bigint` as catalog SQL
+  *    functions (the codegen'd integer dot product / squared-L2 behind
+  *    the similarity and PQ operators), and
   *  - [[RewriteHofDotProduct]], so the declarative
   *    `aggregate(zip_with(...))` dot-product idiom is rewritten to the
   *    same fused loop automatically.
@@ -37,6 +38,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"long_dot(array<bigint>, array<bigint>) takes exactly 2 " +
               s"arguments, got ${exprs.length}")
         LongArrayDot(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("long_l2"),
+      new ExpressionInfo(classOf[LongArrayL2].getName, "long_l2"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"long_l2(array<bigint>, array<bigint>) takes exactly 2 " +
+              s"arguments, got ${exprs.length}")
+        LongArrayL2(exprs(0), exprs(1))
       }))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }

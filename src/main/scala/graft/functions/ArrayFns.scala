@@ -65,11 +65,73 @@ case class LongArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact integer squared-L2 `Σ (aᵢ−bᵢ)²` in ONE array pass. The PQ/ADC
+  * hot loop evaluates this per (row, subspace, codeword) — expressing it
+  * as `dot(a,a) + dot(b,b) − 2·dot(a,b)` costs three traversals (and
+  * three null checks) where one suffices. Same exactness contract as
+  * [[LongArrayDot]]: int64 arithmetic, identical to the oracle's
+  * `(s[1]-s[2])*(s[1]-s[2])` list form.
+  */
+case class LongArrayL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"long_l2 expects (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_l2"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongArrayL2 =
+    copy(left = newLeft, right = newRight)
+}
+
 object ArrayFns {
-  /** Idempotent per-session registration; exposes `long_dot(a, b)` to SQL
-    * and `expr("long_dot(...)")`.
+  /** Idempotent per-session registration; exposes `long_dot(a, b)` and
+    * `long_l2(a, b)` to SQL and `expr(...)`.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "long_dot", exprs => LongArrayDot(exprs(0), exprs(1)), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "long_l2", exprs => LongArrayL2(exprs(0), exprs(1)), "internal")
+  }
 }

@@ -459,13 +459,17 @@ object Similarity {
       .select("qid", "cid", "rank", "cos_sim")
   }
 
-  /** Exact integer squared-L2 of two quantized vectors, via three
-    * [[dotQ]] calls (|a−b|² = a·a + b·b − 2a·b) so the hot loop stays in
-    * the codegen'd `long_dot` expression. Identical formula rendered for
-    * the oracle by [[l2SqlDuck]].
+  /** Exact integer squared-L2 of two quantized vectors — the codegen'd
+    * single-pass [[graft.functions.LongArrayL2]] expression (the
+    * three-dot identity |a−b|² = a·a + b·b − 2a·b costs 3 traversals
+    * where one suffices; this sits in the PQ/ADC hot loop at
+    * rows × m × kCent evaluations). Identical integer result rendered
+    * for the oracle by [[l2SqlDuck]].
     */
-  def l2Q(a: String, b: String): Column =
-    dotQ(a, a) + dotQ(b, b) - lit(2L) * dotQ(a, b)
+  def l2Q(a: String, b: String): Column = {
+    graft.functions.ArrayFns.register(org.apache.spark.sql.SparkSession.active)
+    expr(s"long_l2($a, $b)")
+  }
 
   def l2SqlDuck(a: String, b: String): String =
     s"(${dotQSqlDuck(a, a)} + ${dotQSqlDuck(b, b)} - 2 * ${dotQSqlDuck(a, b)})"

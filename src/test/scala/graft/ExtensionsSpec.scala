@@ -40,6 +40,20 @@ class ExtensionsSpec extends SparkSpecBase {
     }
   }
 
+  test("long_l2 resolves via the extension, computes exactly, matches the 3-dot identity") {
+    withExtendedSession { s =>
+      val r = s.sql(
+        "SELECT long_l2(array(1L, -2L, 3L), array(4L, 5L, -6L)) AS d," +
+          " long_dot(array(1L,-2L,3L), array(1L,-2L,3L))" +
+          " + long_dot(array(4L,5L,-6L), array(4L,5L,-6L))" +
+          " - 2 * long_dot(array(1L,-2L,3L), array(4L,5L,-6L)) AS d3").head()
+      assert(r.getLong(0) == 9L + 49L + 81L)
+      assert(r.getLong(0) == r.getLong(1), "single pass must equal the identity")
+      val e = intercept[Exception](s.sql("SELECT long_l2(array(1L))").head())
+      assert(e.getMessage.contains("long_l2"), s"got: ${e.getMessage}")
+    }
+  }
+
   test("long_dot rejects wrong arity at analysis instead of dying or dropping args") {
     withExtendedSession { s =>
       val e1 = intercept[Exception](s.sql("SELECT long_dot(array(1L))").head())
