@@ -79,6 +79,33 @@ class ExtensionsSpec extends SparkSpecBase {
     }
   }
 
+  test("the declarative squared-difference idiom rewrites to long_l2") {
+    withExtendedSession { s =>
+      val df = s.sql(
+        """SELECT aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L,
+          |  (s, v) -> s + v) AS d
+          |FROM (SELECT array(id, id + 1L) AS a, array(10L, 20L) AS b FROM range(1, 3))""".stripMargin)
+      assert(df.queryExecution.optimizedPlan.toString.contains("long_l2"),
+        "optimizer must fuse the L2 HOF pattern into the codegen'd expression")
+      // id=1: (1-10)^2+(2-20)^2 = 81+324 = 405; id=2: 64+289 = 353
+      assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(353L, 405L))
+      // the reversed difference squares identically and also fuses
+      val rev = s.sql(
+        """SELECT aggregate(zip_with(a, b, (x, y) -> (y - x) * (y - x)), 0L,
+          |  (s, v) -> s + v) AS d
+          |FROM (SELECT array(id) AS a, array(10L) AS b FROM range(1, 2))""".stripMargin)
+      assert(rev.queryExecution.optimizedPlan.toString.contains("long_l2"))
+      assert(rev.head().getLong(0) == 81L)
+      // mixed factors ((x-y)*(y-x), a NEGATED square) must NOT fuse
+      val mixed = s.sql(
+        """SELECT aggregate(zip_with(a, b, (x, y) -> (x - y) * (y - x)), 0L,
+          |  (s, v) -> s + v) AS d
+          |FROM (SELECT array(id) AS a, array(10L) AS b FROM range(1, 2))""".stripMargin)
+      assert(!mixed.queryExecution.optimizedPlan.toString.contains("long_l2"))
+      assert(mixed.head().getLong(0) == -81L)
+    }
+  }
+
   test("the rewrite preserves NULL-on-length-mismatch semantics") {
     withExtendedSession { s =>
       // zip_with pads the shorter array with NULLs → declarative result
