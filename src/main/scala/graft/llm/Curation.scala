@@ -101,7 +101,14 @@ object Curation {
     val keptIds = TextAnalysis.qualityFilter(docs, idCol, textCol,
       minTokens, maxTokens, minUniqPermille, maxTopTokPermille)
       .filter(col("keep")).select(col("doc_id").as(idCol))
-    val kept0 = docs.join(keptIds, Seq(idCol))
+    // when a model stage is on, its input frame feeds BOTH the scorer
+    // subtree and the re-join — materialize it once (the clean-frame
+    // rationale below) so the quality/decontam subtrees don't execute
+    // twice under AQE's concurrent branch launch
+    val kept0 =
+      if (minFluencyPermille > 0)
+        graft.util.Materialize.stable(docs.join(keptIds, Seq(idCol)))
+      else docs.join(keptIds, Seq(idCol))
     val kept =
       if (minFluencyPermille <= 0) kept0
       else kept0.join(
@@ -112,8 +119,10 @@ object Curation {
     val canonIds = Dedup.exactDuplicates(kept, idCol, textCol)
       .select(col("canonical_id").as(idCol))
     val deduped = kept.join(canonIds, Seq(idCol))
-    val decon = Decontam.decontaminate(deduped, evalSet, idCol, textCol,
+    val decon0 = Decontam.decontaminate(deduped, evalSet, idCol, textCol,
       decontamN, minHitPermille)
+    val decon =
+      if (minDsirPerFeat > 0) graft.util.Materialize.stable(decon0) else decon0
     val selected =
       if (minDsirPerFeat <= 0) decon
       else decon.join(
