@@ -163,4 +163,58 @@ object Retrieval {
     scored.groupBy("query_id", "doc_id").agg(sum("_contrib").as("rrf_score"))
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
+
+  final case class Reranked(query_id: Long, doc_id: Long, score: Double)
+
+  /** Cross-encoder reranking seam — the final RAG-stack stage after
+    * retrieve ([[tfidfTopK]]/ANN) and fuse ([[rrfFuse]]): score each
+    * (query text, candidate text) PAIR with a model and re-rank. The
+    * model itself is external (a cross-encoder has no closed form); what
+    * the engine owns — and what this ships, [[graft.llm.Multimodal]]'s
+    * seam discipline — is the distributed plumbing: candidates join
+    * their texts by key, pairs flow through `mapPartitions` so one model
+    * session per PARTITION amortizes across its pairs (never
+    * per-row init), and the output re-ranks deterministically
+    * (score desc, doc_id). Input work is bounded upstream: candidates
+    * arrive top-k'd per query, so the model only ever sees Q·k pairs.
+    * Stub scorer: deterministic token-overlap ratio.
+    */
+  def rerankBatched(spark: org.apache.spark.sql.SparkSession,
+      candidates: DataFrame, queries: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, k: Int,
+      scoreOne: (String, String) => Double = stubCrossScore): DataFrame = {
+    import spark.implicits._
+    require(k > 0, s"k must be positive, got $k")
+    val qt = queries.select(col(idCol).cast("long").as("query_id"),
+      col(textCol).as("_qtext"))
+    val ct = corpus.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("_dtext"))
+    val scored = candidates
+      .select(col("query_id").cast("long"), col("doc_id").cast("long"))
+      .join(broadcast(qt), Seq("query_id"))
+      .join(ct, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("_qtext"), col("_dtext"))
+      .as[(Long, Long, String, String)]
+      .mapPartitions { rows =>
+        // per-partition model init amortizes here (the seam contract)
+        rows.map { case (q, d, qt0, dt0) => Reranked(q, d, scoreOne(qt0, dt0)) }
+      }
+      .toDF()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Deterministic fake cross-encoder: |query ∩ doc| / |query| over
+    * whitespace tokens — a monotone relevance proxy the specs can reason
+    * about exactly.
+    */
+  def stubCrossScore(query: String, doc: String): Double = {
+    val q = query.split(" ").filter(_.nonEmpty).toSet
+    if (q.isEmpty) 0.0
+    else {
+      val d = doc.split(" ").filter(_.nonEmpty).toSet
+      q.intersect(d).size.toDouble / q.size
+    }
+  }
 }

@@ -220,6 +220,36 @@ class RetrievalShufflingSpec extends SparkSpecBase {
       (7L, 3L, s3, 3), (7L, 9L, s3, 4)))
   }
 
+  test("rerankBatched: the full retrieve -> fuse -> rerank stack with a deterministic scorer") {
+    val corpusDocs = Seq(
+      (1L, "apple banana apple pear"),
+      (2L, "apple cherry plum"),
+      (3L, "banana banana durian kiwi")).toDF("doc_id", "text")
+    val probes = Seq((100L, "apple durian pear")).toDF("doc_id", "text")
+    val lex = Retrieval.tfidfTopK(corpusDocs, probes, "doc_id", "text", k = 3)
+      .select("query_id", "doc_id", "rnk")
+    val fused = Retrieval.rrfFuse(Seq(lex), k = 3)
+    val r = Retrieval.rerankBatched(spark, fused, probes, corpusDocs,
+      "doc_id", "text", k = 3)
+      .orderBy("rnk").as[(Long, Long, Double, Int)].collect().toSeq
+    // stub scorer = |q ∩ d| / |q| with q = {apple, durian, pear}:
+    // doc1 {apple,banana,pear} -> 2/3; doc2 {apple,cherry,plum} -> 1/3;
+    // doc3 {banana,durian,kiwi} -> 1/3 (tie -> doc 2 first by id)
+    assert(r.map(t => (t._2, t._4)) === Seq((1L, 1), (2L, 2), (3L, 3)))
+    assert(math.abs(r.head._3 - 2.0 / 3) < 1e-12)
+    // the model only ever sees the candidate pairs: Q x k, never the corpus
+    assert(r.length === 3)
+  }
+
+  test("rerankBatched: empty query text scores zero, k truncates") {
+    val corpusDocs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val probes = Seq((9L, "")).toDF("doc_id", "text")
+    val cand = Seq((9L, 1L, 1), (9L, 2L, 2)).toDF("query_id", "doc_id", "rnk")
+    val r = Retrieval.rerankBatched(spark, cand, probes, corpusDocs,
+      "doc_id", "text", k = 1).as[(Long, Long, Double, Int)].collect()
+    assert(r.toSeq === Seq((9L, 1L, 0.0, 1)))
+  }
+
   /** The engine's md5 bucket arithmetic, replayed in plain JVM code. */
   private def bucketOf(feature: String, numBuckets: Int): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
