@@ -534,13 +534,27 @@ object Similarity {
       iters: Int): DataFrame = {
     require(m > 0 && Dim % m == 0, s"m=$m must divide dim $Dim")
     val w = Dim / m
-    import org.apache.spark.sql.expressions.Window
     val subs = graft.util.Materialize.stable(
       Dedup.widen(corpus)
         .select(col("vec_id"), quantize(col("embedding")).as("qv"))
         .select(col("vec_id"), posexplode(array((0 until m).map(i =>
           expr(s"slice(qv, ${i * w + 1}, $w)")): _*)).as(Seq("m", "sv"))))
-    var cb = graft.util.Materialize.barrier(pqCodebooks(corpus, m, kCent))
+    val out = lloydOnSubs(subs, pqCodebooks(corpus, m, kCent), iters)
+    graft.util.Materialize.release(subs)
+    out
+  }
+
+  /** The per-subspace Lloyd loop over ANY (vec_id, m, sv) sub-vector
+    * frame — raw space ([[pqCodebooksRefined]]) or residual space
+    * ([[residualCodebooksRefined]], what FAISS actually trains). Seeded
+    * from `seed` (m, code, cv); per round one broadcast-assign + one
+    * (m, code, dim)-keyed partial-sum mean in the integer domain; empty
+    * codewords keep their previous value; lineage truncated per round.
+    */
+  private def lloydOnSubs(subs: DataFrame, seed: DataFrame,
+      iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var cb = graft.util.Materialize.barrier(seed)
     for (_ <- 1 to iters) {
       val win = Window.partitionBy("vec_id", "m")
         .orderBy(col("d").asc, col("code"))
@@ -560,8 +574,36 @@ object Similarity {
           .select(col("m"), col("code"),
             coalesce(col("_new"), col("cv")).as("cv")))
     }
-    graft.util.Materialize.release(subs)
     cb
+  }
+
+  /** Lloyd-trained RESIDUAL codebooks — the full FAISS IVFPQ training
+    * recipe: sub-vectors are residuals against the coarse centroids, the
+    * hash-sampled residual codewords seed, and [[lloydOnSubs]] refines.
+    * Feed the result to [[ivfPqResidualTopK]]'s `cbOverride` — values
+    * change, no plan does.
+    */
+  def residualCodebooksRefined(corpus: DataFrame, coarse: DataFrame,
+      numCentroids: Int, m: Int, kCent: Int, iters: Int): DataFrame = {
+    require(m > 0 && Dim % m == 0, s"m=$m must divide dim $Dim")
+    val w = Dim / m
+    import org.apache.spark.sql.expressions.Window
+    val cents = coarse.select(col("cent_id"), col("centv"), col("ncent"))
+    val win = Window.partitionBy("vec_id").orderBy(col("_cos").desc, col("cent_id"))
+    val subs = graft.util.Materialize.stable(
+      Dedup.widen(corpus)
+        .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+        .withColumn("nv", dotQ("qv", "qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("_cos", cosineFromInts(dotQ("qv", "centv"), col("nv"), col("ncent")))
+        .withColumn("_rn", row_number().over(win)).filter(col("_rn") === 1)
+        .withColumn("_r", expr("zip_with(qv, centv, (a, b) -> a - b)"))
+        .select(col("vec_id"), posexplode(array((0 until m).map(i =>
+          expr(s"slice(_r, ${i * w + 1}, $w)")): _*)).as(Seq("m", "sv"))))
+    val out = lloydOnSubs(subs,
+      residualCodebooks(corpus, coarse, numCentroids, m, kCent), iters)
+    graft.util.Materialize.release(subs)
+    out
   }
 
   /** PQ asymmetric-distance top-k (the ADC construction): the query's
@@ -674,13 +716,15 @@ object Similarity {
     */
   def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numCentroids: Int = 16, nprobe: Int = 3, m: Int = 8,
-      kCent: Int = 16): DataFrame = {
+      kCent: Int = 16, cbOverride: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, s"k must be positive, got $k")
     val coarse = graft.util.Materialize.stable(
       sampledCentroids(corpus, numCentroids))
-    val cb = graft.util.Materialize.stable(
-      residualCodebooks(corpus, coarse, numCentroids, m, kCent))
+    // cbOverride: a trained codebook (residualCodebooksRefined) — the
+    // values-only seam; the gate pins the sampled default for the oracle
+    val cb = cbOverride.getOrElse(graft.util.Materialize.stable(
+      residualCodebooks(corpus, coarse, numCentroids, m, kCent)))
     val cents = coarse.select(col("cent_id").as("cell"), col("centv"))
     def residualSubs(df: DataFrame, id: String, keep: Int) = {
       val w = Dim / m

@@ -489,6 +489,44 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(r.count() === 15)
   }
 
+  test("residual Lloyd training drops residual quantization error and drives the search seam") {
+    import graft.llm.Similarity
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200)
+    val coarse = Similarity.sampledCentroids(emb, 8)
+    val seeded = Similarity.residualCodebooks(emb, coarse, 8, m = 8, kCent = 8)
+    val trained = Similarity.residualCodebooksRefined(emb, coarse, 8,
+      m = 8, kCent = 8, iters = 2)
+    assert(trained.count() === 8 * 8, "codebook size constant through training")
+    // error in residual space: re-derive the residual sub-vectors and
+    // sum each one's distance to its nearest codeword, per codebook
+    val w = Similarity.Dim / 8
+    val cents = coarse.select(col("cent_id"), col("centv"), col("ncent"))
+    val resSubs = {
+      import org.apache.spark.sql.expressions.Window
+      val win = Window.partitionBy("vid").orderBy(col("_cos").desc, col("cent_id"))
+      emb.select(col("vec_id").as("vid"), Similarity.quantize(col("embedding")).as("qv"))
+        .withColumn("nv", Similarity.dotQ("qv", "qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("_cos", Similarity.cosineFromInts(
+          Similarity.dotQ("qv", "centv"), col("nv"), col("ncent")))
+        .withColumn("_rn", row_number().over(win)).filter(col("_rn") === 1)
+        .withColumn("rv", expr("zip_with(qv, centv, (a, b) -> a - b)"))
+        .select(col("vid"), posexplode(array((0 until 8).map(i =>
+          expr(s"slice(rv, ${i * w + 1}, $w)")): _*)).as(Seq("m", "sv")))
+    }
+    def err(cb: org.apache.spark.sql.DataFrame): Long =
+      resSubs.join(cb, Seq("m"))
+        .withColumn("d", Similarity.l2Q("sv", "cv"))
+        .groupBy("vid", "m").agg(min("d").as("best"))
+        .agg(sum("best")).head().getLong(0)
+    val (e0, e1) = (err(seeded), err(trained))
+    assert(e1 < e0, s"residual Lloyd must reduce quantization error: $e1 !< $e0")
+    // the trained book drives the same search plan via cbOverride
+    val r = Similarity.ivfPqResidualTopK(emb, emb.filter(col("vec_id") < 5),
+      k = 3, numCentroids = 8, kCent = 8, cbOverride = Some(trained))
+    assert(r.count() > 0)
+  }
+
   test("sampled farthest-point seeding equals the distributed variant when the sample covers the corpus") {
     import graft.llm.Similarity
     val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 120)
