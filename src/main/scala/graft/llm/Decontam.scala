@@ -62,6 +62,34 @@ object Decontam {
       .select("doc_id", "n_hits", "n_eval_docs", "n_grams", "hit_permille")
   }
 
+  /** The EVAL-side contamination view — per benchmark doc, how much of
+    * it leaks into the training corpus (the table an eval-integrity
+    * report actually publishes): distinct leaked grams, distinct
+    * training docs carrying any of them, and leaked-gram containment in
+    * per-mille of the eval doc's grams. An eval doc with
+    * `leak_permille` near 1000 is effectively memorizable from train.
+    * Inner-join semantics like [[overlapReport]] (clean eval docs are
+    * the anti-join complement). Same scale shape mirrored: the EVAL
+    * side is the small one, so its postings broadcast and the
+    * corpus-sized stream never exchanges on the gram key.
+    * Output: (eval_id, n_leaked, n_train_docs, n_grams, leak_permille).
+    */
+  def evalContaminationReport(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val corp = Dedup.shingleHashPostings(corpus, idCol, textCol, n)
+    val ev = graft.util.Materialize.stable(
+      Dedup.shingleHashPostings(evalSet, idCol, textCol, n)
+        .withColumnRenamed("doc_id", "eval_id"))
+    val sizes = ev.groupBy("eval_id").agg(count(lit(1)).as("n_grams"))
+    val hits = corp.join(broadcast(ev), Seq("h"))
+      .groupBy("eval_id")
+      .agg(countDistinct(col("h")).as("n_leaked"),
+        countDistinct(col("doc_id")).as("n_train_docs"))
+    hits.join(sizes, Seq("eval_id"))
+      .withColumn("leak_permille", expr("n_leaked * 1000 div n_grams"))
+      .select("eval_id", "n_leaked", "n_train_docs", "n_grams", "leak_permille")
+  }
+
   /** The clean corpus: drop every doc `overlapReport` flags at or above
     * `minHitPermille` containment. One broadcast-filtered pass + one
     * anti-join keyed on doc id.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Curation, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Curation, Decontam, Retrieval, Sampling, Similarity, TextAnalysis}
 
 /** Third tranche of LLM-training-data pipeline gates: DSIR importance
   * weighting, bigram-LM fluency scoring, SemDeDup semantic dedup (plain
@@ -53,6 +53,15 @@ object LlmQueries3 {
     "ann_pq_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 50), k = 5)
+    }),
+
+    // eval-integrity view: per held-out doc, leakage into the train split
+    "decontam_eval_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Decontam.evalContaminationReport(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 3)
     }),
 
     // packing-budget sizing: power-of-two token-length histogram
@@ -192,6 +201,23 @@ object LlmQueries3 {
          |SELECT qid, cid, rank, approx_dist FROM r WHERE rank <= 5"""
         .stripMargin.replace("\n", " ")
     },
+
+    "decontam_eval_report" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, source, concat_ws(' ', t[i], t[i+1], t[i+2]) AS sh
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS r(i) WHERE len(t) >= 3),
+        |shh AS (SELECT DISTINCT doc_id, source,
+        |  CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h FROM sh),
+        |corp AS (SELECT doc_id, h FROM shh WHERE source <> 'src0'),
+        |ev AS (SELECT doc_id AS eval_id, h FROM shh WHERE source = 'src0'),
+        |sizes AS (SELECT eval_id, count(*) AS n_grams FROM ev GROUP BY eval_id),
+        |hits AS (SELECT e.eval_id, count(DISTINCT e.h) AS n_leaked,
+        |    count(DISTINCT c.doc_id) AS n_train_docs
+        |  FROM corp c JOIN ev e ON c.h = e.h GROUP BY e.eval_id)
+        |SELECT h.eval_id, n_leaked, n_train_docs, s.n_grams,
+        |  n_leaked * 1000 // s.n_grams AS leak_permille
+        |FROM hits h JOIN sizes s ON h.eval_id = s.eval_id"""
+        .stripMargin.replace("\n", " "),
 
     "pack_length_histogram" -> {
       val bucket = graft.llm.Packing.bucketSql("len(string_split(text, ' '))")

@@ -79,6 +79,23 @@ class PackingDecontamSpec extends SparkSpecBase {
     assert(rep.toSeq === Seq((1L, 1L, 1L, 4L, 250L)))
   }
 
+  test("decontam: eval-side report — leakage per benchmark doc") {
+    val corpus = Seq(
+      (1L, "x y a b c z"),   // carries eval gram "a b c"
+      (2L, "m a b c d n"),   // carries "a b c", "a b c d"-adjacent grams
+      (3L, "p q r s")        // clean
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "a b c d"),     // grams "a b c","b c d": "a b c" in docs 1,2; "b c d" in doc 2
+      (101L, "u v w x")      // untouched — absent from the report
+    ).toDF("doc_id", "text")
+    val rep = Decontam.evalContaminationReport(corpus, eval, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // eval 100: both grams leak (n_leaked=2 of n_grams=2 → 1000‰),
+    // carried by train docs 1 and 2
+    assert(rep.toSeq === Seq((100L, 2L, 2L, 2L, 1000L)))
+  }
+
   test("decontam: eval-side hot-gram cap drops boilerplate grams") {
     val corpus = Seq((1L, "a b c z")).toDF("doc_id", "text")
     // the gram "a b c" appears in 3 eval docs — over a cap of 2
