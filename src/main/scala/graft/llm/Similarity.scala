@@ -332,11 +332,23 @@ object Similarity {
 
   def kmeansCentroids(corpus: DataFrame, numCentroids: Int, iters: Int,
       metrics: Option[graft.ops.Metrics.Registry] = None,
-      seedSampleSize: Int = 4096): DataFrame = {
-    var cents = graft.util.Materialize.barrier(
-      farthestPointSeedsSampled(corpus, numCentroids, seedSampleSize))
-    metrics.foreach(_.setGauge("graft_kmeans_rounds", iters.toDouble,
-      Seq("k" -> numCentroids.toString)))
+      seedSampleSize: Int = 4096): DataFrame =
+    kmeansCentroidsWith(corpus,
+      farthestPointSeedsSampled(corpus, numCentroids, seedSampleSize),
+      iters, metrics)
+
+  /** Lloyd refinement against a CALLER-SUPPLIED seed codebook — the seam
+    * that decouples seeding policy from refinement. [[kmeansCentroids]]
+    * (the production default) seeds via greedy farthest-point;
+    * [[sampledCentroids]] seeds give the whole pipeline a closed SQL
+    * form, which is what the `semantic_dedup` gate oracles (each Lloyd
+    * round unrolls to assign-by-cosine + per-dimension integer mean in
+    * DuckDB). Seeds must carry (cent_id, centv, ncent).
+    */
+  def kmeansCentroidsWith(corpus: DataFrame, seeds: DataFrame, iters: Int,
+      metrics: Option[graft.ops.Metrics.Registry] = None): DataFrame = {
+    var cents = graft.util.Materialize.barrier(seeds)
+    var rounds = 0
     for (_ <- 1 to iters) {
       val assigned = assignCells(corpus, cents, "cid", "cv", "nc", keep = 1)
       val means = assigned
@@ -352,7 +364,13 @@ object Similarity {
           .withColumn("centv", coalesce(col("_new"), col("_old")))
           .select(col("cent_id"), col("centv"))
           .withColumn("ncent", dotQ("centv", "centv")))
+      rounds += 1
     }
+    // gauge reports EXECUTED rounds, set after the loop — reporting the
+    // request up front would mislead ops if early-exit is ever added;
+    // the codebook is barriered (tiny), so the k-label count is local
+    metrics.foreach(m => m.setGauge("graft_kmeans_rounds", rounds.toDouble,
+      Seq("k" -> cents.count().toString)))
     cents
   }
 

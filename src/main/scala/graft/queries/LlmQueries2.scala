@@ -167,7 +167,7 @@ object LlmQueries2 {
         |  FROM documents WHERE source = 'src0' AND doc_id % 100 = 0),
         |qi AS (SELECT query_id, qt.term, n.n * 1000 // dft.df AS idf_permille
         |  FROM qt JOIN dft ON qt.term = dft.term CROSS JOIN n),
-        |sc AS (SELECT query_id, tf.doc_id, sum(tf.tf * qi.idf_permille) AS score
+        |sc AS (SELECT query_id, tf.doc_id, CAST(sum(tf.tf * qi.idf_permille) AS BIGINT) AS score
         |  FROM tf JOIN qi ON tf.term = qi.term GROUP BY 1, 2),
         |r AS (SELECT query_id, doc_id, score, row_number() OVER (
         |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc)

@@ -13,11 +13,17 @@ import graft.llm.{Curation, Decontam, Retrieval, Sampling, Similarity, TextAnaly
   * token-length histogram, and the end-to-end composed curation gate.
   * Same oracle discipline as [[LlmQueries]] / [[LlmQueries2]] —
   * integer-exact arithmetic shared constant-for-constant with the DuckDB
-  * SQL — except `semantic_dedup`, whose Lloyd-refined codebook has no
-  * closed SQL form: that row is rows-only gated (driver contract) and
-  * its semantics are spec-proven in `DedupSimilaritySpec` against a
-  * brute-force exact fixture (the sampled-codebook variant
-  * `semantic_dedup_sampled` IS hash-oracled).
+  * SQL. `semantic_dedup` gates the Lloyd-REFINED codebook end to end:
+  * with `iters` fixed at 2 the refinement has a closed SQL form (each
+  * round unrolls to an assign-by-cosine CTE + a per-dimension integer
+  * mean, `//` and Spark's `div` both truncating toward zero), so the
+  * gate seeds with the hash-sampled codebook ([[Similarity.sampledCentroids]],
+  * the closed-form seed) and oracles assignment, both Lloyd rounds, and
+  * the within-cell prune. The production default
+  * [[Similarity.semanticDedup]] differs only in seeding policy
+  * (greedy farthest-point, spec-proven in `DedupSimilaritySpec` incl.
+  * parity with the distributed variant); Lloyd and the prune are the
+  * SAME code path the oracle gates.
   */
 object LlmQueries3 {
 
@@ -43,10 +49,18 @@ object LlmQueries3 {
     }),
 
     // SemDeDup at 16 cells, 2 Lloyd rounds, cosine >= 0.4 (the fixture's
-    // non-trivial threshold — see dedup_embedding_cosine's rationale)
-    "semantic_dedup" -> ((s, dir) =>
-      Similarity.semanticDedup(Tables.embeddings(s, dir),
-        numCentroids = 16, iters = 2, threshold = 0.4)),
+    // non-trivial threshold — see dedup_embedding_cosine's rationale).
+    // Hash-sampled seeds (the closed-form policy) so the ENTIRE pipeline
+    // — seeding, both Lloyd rounds, assignment, within-cell prune — is
+    // hash-oracled; the farthest-point-seeded production default runs
+    // the identical kmeansCentroidsWith/semanticDedupWith path.
+    "semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticDedupWith(emb,
+        Similarity.kmeansCentroidsWith(emb,
+          Similarity.sampledCentroids(emb, 16), iters = 2),
+        threshold = 0.4)
+    }),
 
     // PQ asymmetric-distance ANN (Jégou et al.): 8 subspaces x 16 codes,
     // all-integer distances — the compressed-candidate 100 TB search path
@@ -376,6 +390,53 @@ object LlmQueries3 {
          |    PARTITION BY qid ORDER BY approx_dist ASC, cid) AS rank FROM approx)
          |SELECT qid, cid, rank, approx_dist FROM r WHERE rank <= 5"""
         .stripMargin.replace("\n", " ")
+    },
+
+    // the Lloyd-refined SemDeDup gate: hash-sampled seed codebook, then
+    // the 2 configured Lloyd rounds UNROLLED — per round, one
+    // assign-to-nearest CTE (exact-int cosine, ties by cent_id) and one
+    // per-dimension integer mean (DuckDB `//` and Spark `div` both
+    // truncate toward zero — verified on negatives; sums stay in int64:
+    // |coord| <= 1e5 so even 1e13 rows fit). Cells that lose every
+    // vector keep their previous centroid (the coalesce), mirroring
+    // kmeansCentroidsWith. The prune CTEs are semantic_dedup_sampled's.
+    "semantic_dedup" -> {
+      def cos(dot: String, n1: String, n2: String) =
+        s"CAST($dot AS DOUBLE) / (sqrt(CAST($n1 AS DOUBLE)) * sqrt(CAST($n2 AS DOUBLE)))"
+      val quantDuck = Similarity.quantizeSqlDuck
+      def lloydRound(i: Int, cin: String, cout: String) =
+        s"""a$i AS (SELECT vec_id, qv, cell FROM (
+           |  SELECT n.vec_id, n.qv, c.cent_id AS cell, row_number() OVER (
+           |    PARTITION BY n.vec_id ORDER BY
+           |      ${cos(Similarity.dotQSqlDuck("n.qv", "c.centv"), "n.nrm", "c.ncent")} DESC,
+           |      c.cent_id) AS rn
+           |  FROM n, $cin c) WHERE rn = 1),
+           |e$i AS (SELECT cell, i AS pos, CAST(sum(qv[i]) AS BIGINT) AS s,
+           |    count(*) AS cnt
+           |  FROM a$i, UNNEST(range(1, ${Similarity.Dim + 1})) AS r(i) GROUP BY 1, 2),
+           |m$i AS (SELECT cell, list(s // cnt ORDER BY pos) AS centv FROM e$i GROUP BY cell),
+           |x$i AS (SELECT p.cent_id, coalesce(m$i.centv, p.centv) AS centv
+           |  FROM $cin p LEFT JOIN m$i ON m$i.cell = p.cent_id),
+           |$cout AS (SELECT cent_id, centv,
+           |  ${Similarity.dotQSqlDuck("centv", "centv")} AS ncent FROM x$i)""".stripMargin
+      s"""WITH v AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv, ${Similarity.dotQSqlDuck("qv", "qv")} AS nrm FROM v),
+         |c0 AS (SELECT vec_id AS cent_id, qv AS centv, nrm AS ncent FROM
+         |  (SELECT vec_id, qv, nrm FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+         |${lloydRound(1, "c0", "c1")},
+         |${lloydRound(2, "c1", "c2")},
+         |ca AS (SELECT vec_id, qv, nrm, cell FROM (
+         |  SELECT n.vec_id, n.qv, n.nrm, c.cent_id AS cell,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ${cos(Similarity.dotQSqlDuck("n.qv", "c.centv"), "n.nrm", "c.ncent")} DESC,
+         |      c.cent_id) AS crn
+         |  FROM n, c2 c) WHERE crn = 1),
+         |dropped AS (SELECT DISTINCT b.vec_id FROM ca a JOIN ca b
+         |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${cos(Similarity.dotQSqlDuck("a.qv", "b.qv"), "a.nrm", "b.nrm")} >= 0.4)
+         |SELECT ca.vec_id, ca.cell,
+         |  ca.vec_id IN (SELECT vec_id FROM dropped) AS is_dup
+         |FROM ca""".stripMargin.replace("\n", " ")
     },
 
     "semantic_dedup_sampled" -> {
