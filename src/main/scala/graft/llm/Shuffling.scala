@@ -34,6 +34,19 @@ object Shuffling {
   def hash64(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
 
+  /** `idCol` as int64, failing LOUDLY on any value the cast nulls out
+    * (non-numeric string, overflow, NULL id). Without the guard such a
+    * row's NULL key never matches the permutation join and the row
+    * silently vanishes from every shard — the worst failure mode for
+    * training data. `raise_error` keeps the check inside codegen: zero
+    * extra passes, zero cost on the happy path.
+    */
+  private def idAsLong(idCol: String): Column =
+    coalesce(col(idCol).cast("long"), raise_error(concat(
+      lit(s"Shuffling: id column '$idCol' value '"),
+      coalesce(col(idCol).cast("string"), lit("NULL")),
+      lit("' is not long-castable; row would be dropped from every shard"))))
+
   /** Global permutation position (0-based, dense, deterministic) and
     * shard in [0, numShards) for every row: order by (hash64(id), id),
     * shard = pos mod numShards — round-robin over hash order, so shard
@@ -55,7 +68,7 @@ object Shuffling {
     // partitioning (range boundaries are deterministic, but one exchange
     // is cheaper than two — and persist-mode survives executor loss)
     val keyed = graft.util.Materialize.stable(
-      df.select(col(idCol).cast("long").as("doc_id"), hash64(col(idCol)).as("_h"))
+      df.select(idAsLong(idCol).as("doc_id"), hash64(col(idCol)).as("_h"))
         .repartitionByRange(p, col("_h"), col("doc_id"))
         .sortWithinPartitions("_h", "doc_id")
         .withColumn("_pid", spark_partition_id()))
@@ -95,7 +108,7 @@ object Shuffling {
       "writeShards adds 'pos'/'shard' columns — rename the input's first")
     val perm = deterministicShuffle(df, idCol, numShards, partitions)
       .withColumnRenamed("doc_id", idCol)
-    df.withColumn(idCol, col(idCol).cast("long"))
+    df.withColumn(idCol, idAsLong(idCol))
       .join(perm, Seq(idCol))
       .repartition(col("shard"))
       .write.mode("overwrite")

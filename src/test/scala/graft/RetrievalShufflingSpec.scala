@@ -136,6 +136,34 @@ class RetrievalShufflingSpec extends SparkSpecBase {
       byHash.map { case (id, i) => (id, i.toLong) }.sortBy(_._1).toSeq)
   }
 
+  test("deterministicShuffle/writeShards: non-long-castable id fails loudly, never drops") {
+    // a NULL-ing cast used to silently drop the row from every shard.
+    // Under ANSI (the session default) the cast itself throws; with ANSI
+    // off the raise_error guard fires — loud either way, on both paths.
+    def loud(t: Throwable): Boolean = {
+      val msgs = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" ")
+      msgs.contains("long-castable") || msgs.contains("CAST_INVALID_INPUT")
+    }
+    val bad = Seq(("1", "a"), ("not-a-number", "b")).toDF("doc_id", "text")
+    assert(loud(intercept[Exception] {
+      Shuffling.deterministicShuffle(bad, "doc_id", numShards = 2).collect()
+    }))
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    assert(loud(intercept[Exception] {
+      Shuffling.writeShards(bad, "doc_id", numShards = 2, out)
+    }))
+    withSQLConf("spark.sql.ansi.enabled" -> "false") {
+      assert(loud(intercept[Exception] {
+        Shuffling.deterministicShuffle(bad, "doc_id", numShards = 2).collect()
+      }))
+    }
+    // string ids that ARE long-castable still work end to end
+    val ok = Seq(("1", "a"), ("2", "b"), ("3", "c")).toDF("doc_id", "text")
+    assert(Shuffling.deterministicShuffle(ok, "doc_id", numShards = 2)
+      .count() === 3L)
+  }
+
   test("qualityFilter: first failing rule wins, in documented order") {
     val docs = Seq(
       (1L, "one two three"),                                 // too_short (3 < 4)

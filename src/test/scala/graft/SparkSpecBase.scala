@@ -27,4 +27,16 @@ abstract class SparkSpecBase extends AnyFunSuite {
 
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Run `body` with the given SQL confs set, restoring priors after. */
+  def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
+    val conf = spark.conf
+    val priors = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try body
+    finally priors.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }
