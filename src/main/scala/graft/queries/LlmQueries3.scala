@@ -87,6 +87,29 @@ object LlmQueries3 {
     "text_normalize" -> ((s, dir) =>
       TextAnalysis.normalized(Tables.documents(s, dir), "doc_id", "text")),
 
+    // PII scrub + per-class report, fully hash-oracled. The fixture is
+    // word-only (zero natural regex hits — verified), so the query
+    // splices deterministic synthetic PII into every doc INSIDE the
+    // query — one value per class, derived from doc_id — with the
+    // identical concat in the DuckDB oracle. Both engines then run the
+    // same sequential class order, so the scrubbed text AND the
+    // attribution counts are gated end to end.
+    "pii_scrub" -> ((s, dir) => {
+      val spliced = Tables.documents(s, dir).select(col("doc_id"), concat(
+        col("text"),
+        lit(" contact "), col("doc_id").cast("string"), lit("@example.com"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"),
+        lit(" call +1 (555) 123-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ssn 123-45-6789 end")).as("text"))
+      val rep = graft.llm.PiiScrub.piiReport(spliced, "doc_id", "text")
+      graft.llm.PiiScrub.scrubbed(spliced, "text")
+        .join(rep, Seq("doc_id"))
+        .select(col("doc_id") +: col("text") +:
+          (graft.llm.PiiScrub.Patterns.map(_._1) :+ "pii").map(n =>
+            col(s"n_$n").cast("long").as(s"n_$n")): _*)
+    }),
+
     // Hybrid retrieval: TF-IDF lexical top-10 fused with brute-force
     // embedding-cosine top-10 by reciprocal-rank fusion — the RAG-stack
     // standard. RRF consumes only ranks, so the fused gate stays
@@ -247,6 +270,34 @@ object LlmQueries3 {
         |  len(string_split(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS n_tokens
         |FROM documents""".stripMargin.replace("\n", " "),
+
+    // the same splice + sequential scrub as the Spark side, CTE per
+    // class in PiiScrub.Patterns order (patterns interpolated from the
+    // SAME Seq, constant-for-constant); counts on the earlier-classes-
+    // already-replaced text so attribution matches the scrub
+    "pii_scrub" -> {
+      val splice = "text || ' contact ' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com' || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || " +
+        "'.7' || ' call +1 (555) 123-' || " +
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ssn 123-45-6789 end'"
+      val steps = graft.llm.PiiScrub.Patterns.zipWithIndex.map {
+        case ((name, pat), i) =>
+          val prev = if (i == 0) "d" else s"s$i"
+          s"""s${i + 1} AS (SELECT doc_id,${
+            (0 until i).map(j =>
+              s" n_${graft.llm.PiiScrub.Patterns(j)._1},").mkString}
+             |  CAST(len(regexp_extract_all(t, '$pat')) AS BIGINT) AS n_$name,
+             |  regexp_replace(t, '$pat', '[${name.toUpperCase}]', 'g') AS t
+             |  FROM $prev)""".stripMargin
+      }
+      val names = graft.llm.PiiScrub.Patterns.map(n => s"n_${n._1}")
+      s"""WITH d AS (SELECT doc_id, $splice AS t FROM documents),
+         |${steps.mkString(",\n")}
+         |SELECT doc_id, t AS text, ${names.mkString(", ")},
+         |  ${names.mkString(" + ")} AS n_pii
+         |FROM s${graft.llm.PiiScrub.Patterns.size}"""
+        .stripMargin.replace("\n", " ")
+    },
 
     "hybrid_rrf_topk" -> {
       val quantDuck = Similarity.quantizeSqlDuck
