@@ -136,6 +136,54 @@ object Retrieval {
       .select("query_id", "doc_id", "score", "rnk")
   }
 
+  /** Integer BM25 top-k: [[bm25TopK]]'s saturation weighting carried out
+    * entirely in per-mille integer arithmetic — k1/b as per-mille ints,
+    * the doc-length ratio as `dl·N·1000 div T` (N docs, T total tokens,
+    * both exact), the saturation factor as
+    * `tf·(k1‰+1000)·1000 div (tf·1000 + k1‰·(1000−b‰+b‰·dlr div 1000) div 1000)`,
+    * and [[tfidfTopK]]'s integer IDF (`N·1000 div df`) in place of the
+    * float log form. Exact, engine-reproducible, and hash-oracle-gated —
+    * the same trick that makes TF-IDF and RRF gateable; the float
+    * [[bm25TopK]] stays the production default where Lucene-parity
+    * scores matter. Identical plan shape: broadcast per-(query, term)
+    * weights, one postings pass, doc_id-keyed length join,
+    * WindowGroupLimit top-k. Output: (query_id, doc_id, score, rnk).
+    */
+  def bm25iTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, k: Int, k1Permille: Int = 1200, bPermille: Int = 750,
+      maxDf: Long = 0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(k1Permille >= 0, s"k1Permille must be >= 0, got $k1Permille")
+    require(bPermille >= 0 && bPermille <= 1000,
+      s"bPermille must be in [0, 1000], got $bPermille")
+    val tf = graft.util.Materialize.stable(termFrequencies(corpus, idCol, textCol))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    // N and total-token count as an exact integer 1-row broadcast (the
+    // float variant's avg collapses to the (n, t) pair)
+    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("t"))
+    val dfreq0 = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfreq = if (maxDf > 0) dfreq0.filter(col("df") <= maxDf) else dfreq0
+    val qidf = queryTerms(queries, idCol, textCol)
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_permille", expr("n * 1000 div df"))
+      .select("query_id", "term", "idf_permille")
+    val dlr = dl.crossJoin(broadcast(stats))
+      .select(col("doc_id"), expr("dl * n * 1000 div t").as("dlr"))
+    val scored = tf
+      .join(dlr, Seq("doc_id"))
+      .join(broadcast(qidf), Seq("term"))
+      .withColumn("sat_permille", expr(
+        s"(tf * ${k1Permille + 1000} * 1000) div " +
+          s"(tf * 1000 + ($k1Permille * (${1000 - bPermille} + " +
+          s"$bPermille * dlr div 1000) div 1000))"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(expr("idf_permille * sat_permille")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("query_id", "doc_id", "score", "rnk")
+  }
+
   /** Reciprocal-rank fusion (Cormack & Clarke, SIGIR 2009) — the hybrid
     * lexical+semantic retrieval standard: fuse any number of per-query
     * rankings (each `(query_id, doc_id, rnk)`-shaped — [[tfidfTopK]],

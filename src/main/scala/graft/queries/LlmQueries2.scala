@@ -53,6 +53,17 @@ object LlmQueries2 {
         "doc_id", "text", k = 10)
     }),
 
+    // integer BM25 over the same corpus/probe split: per-mille k1/b
+    // saturation + integer IDF, hash-oracle-exact (the float bm25TopK
+    // is the spec-gated production default)
+    "text_bm25i_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Retrieval.bm25iTopK(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0" && col("doc_id") % 100 === 0),
+        "doc_id", "text", k = 10)
+    }),
+
     // deterministic training-order shuffle + 8-way round-robin sharding
     "corpus_shuffle" -> ((s, dir) =>
       Shuffling.deterministicShuffle(Tables.documents(s, dir), "doc_id",
@@ -173,6 +184,35 @@ object LlmQueries2 {
         |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc)
         |SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 10"""
         .stripMargin.replace("\n", " "),
+
+    // integer BM25: tfidf's corpus/probe CTEs plus exact doc-length
+    // ratio (dl*N*1000 // T) and the per-mille saturation factor; the
+    // constants are interpolated from the same defaults the Spark call
+    // uses (k1‰=1200, b‰=750)
+    "text_bm25i_topk" -> {
+      val k1p = 1200
+      val bp = 750
+      s"""WITH corp AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents WHERE source <> 'src0'),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM corp GROUP BY 1, 2),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents WHERE source = 'src0' AND doc_id % 100 = 0),
+         |qi AS (SELECT query_id, qt.term, st.n * 1000 // dft.df AS idf_permille
+         |  FROM qt JOIN dft ON qt.term = dft.term CROSS JOIN st),
+         |dlr AS (SELECT doc_id, dl * n * 1000 // t AS dlr FROM dl CROSS JOIN st),
+         |sc AS (SELECT query_id, tf.doc_id, CAST(sum(qi.idf_permille *
+         |    ((tf.tf * ${k1p + 1000} * 1000) // (tf.tf * 1000 +
+         |      ($k1p * (${1000 - bp} + $bp * dlr.dlr // 1000) // 1000)))) AS BIGINT) AS score
+         |  FROM tf JOIN qi ON tf.term = qi.term
+         |  JOIN dlr ON dlr.doc_id = tf.doc_id GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, score, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc)
+         |SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 10"""
+        .stripMargin.replace("\n", " ")
+    },
 
     "corpus_shuffle" ->
       """WITH h AS (SELECT doc_id,

@@ -67,6 +67,36 @@ class RetrievalShufflingSpec extends SparkSpecBase {
     }
   }
 
+  test("bm25iTopK: matches an independent integer fold") {
+    val queries = Seq((100L, "apple durian"), (200L, "banana")).toDF("doc_id", "text")
+    val got = Retrieval.bm25iTopK(corpus, queries, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => (r._1, r._2, r._3)).toSeq.sortBy(t => (t._1, t._2))
+
+    // reference fold, same per-mille arithmetic, plain Scala longs
+    val docs = Map(1L -> Seq("apple", "banana", "apple"),
+      2L -> Seq("apple", "cherry"), 3L -> Seq("banana", "banana", "durian"))
+    val n = docs.size.toLong
+    val t = docs.values.map(_.size.toLong).sum
+    val dfm = docs.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size).toMap
+    def score(q: Seq[String], d: Seq[String]): Long = {
+      val tfm = d.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val dlr = d.size.toLong * n * 1000L / t
+      q.distinct.filter(tfm.contains).map { term =>
+        val tf = tfm(term)
+        val idfPm = n * 1000L / dfm(term)
+        val satPm = tf * 2200L * 1000L /
+          (tf * 1000L + 1200L * (250L + 750L * dlr / 1000L) / 1000L)
+        idfPm * satPm
+      }.sum
+    }
+    val want = (for {
+      (qid, q) <- Seq(100L -> Seq("apple", "durian"), 200L -> Seq("banana"))
+      (did, d) <- docs if score(q, d) > 0
+    } yield (qid, did, score(q, d))).sortBy(t => (t._1, t._2))
+    assert(got === want)
+  }
+
   test("windowDupProfile: cross-doc windows only, positions, clean docs null") {
     val docs = Seq(
       (1L, "a b c d"),   // windows: "a b c"@1, "b c d"@2 — first is shared
