@@ -49,15 +49,21 @@ object Decontam {
           .filter(col("df") > maxGramEvalDf).select("h")
         ev0.join(hot, Seq("h"), "left_anti")
       }
-    // the postings feed both the size aggregate and the overlap join —
-    // materialize once (same rationale as the Jaccard pipeline)
-    val corpM = graft.util.Materialize.stable(corp)
-    val sizes = corpM.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val hits = corpM.join(broadcast(ev), Seq("h"))
+    // ONE corpus pass, NOTHING cached: left-join the broadcast eval
+    // grams onto the postings stream and compute the overlap numerator,
+    // the eval-doc spread, and the denominator in a single per-doc
+    // aggregate (the multi-distinct Expand triples the narrow
+    // (doc_id, h, eval_id) stream map-side — far cheaper than the old
+    // shape's second corpus scan + corpus-sized MEMORY_AND_DISK cache +
+    // doc_id re-join, and there is no cache handle left to leak in a
+    // long-lived session)
+    corp.join(broadcast(ev), Seq("h"), "left")
       .groupBy("doc_id")
-      .agg(countDistinct(col("h")).as("n_hits"),
-        countDistinct(col("eval_id")).as("n_eval_docs"))
-    hits.join(sizes, Seq("doc_id"))
+      .agg(
+        countDistinct(when(col("eval_id").isNotNull, col("h"))).as("n_hits"),
+        countDistinct(col("eval_id")).as("n_eval_docs"),
+        countDistinct(col("h")).as("n_grams"))
+      .filter(col("n_hits") > 0)
       .withColumn("hit_permille", expr("n_hits * 1000 div n_grams"))
       .select("doc_id", "n_hits", "n_eval_docs", "n_grams", "hit_permille")
   }
@@ -77,9 +83,10 @@ object Decontam {
   def evalContaminationReport(corpus: DataFrame, evalSet: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
     val corp = Dedup.shingleHashPostings(corpus, idCol, textCol, n)
-    val ev = graft.util.Materialize.stable(
-      Dedup.shingleHashPostings(evalSet, idCol, textCol, n)
-        .withColumnRenamed("doc_id", "eval_id"))
+    // eval postings are MB-scale by construction: recomputing them for
+    // the size branch is cheaper than pinning a cache no one releases
+    val ev = Dedup.shingleHashPostings(evalSet, idCol, textCol, n)
+      .withColumnRenamed("doc_id", "eval_id")
     val sizes = ev.groupBy("eval_id").agg(count(lit(1)).as("n_grams"))
     val hits = corp.join(broadcast(ev), Seq("h"))
       .groupBy("eval_id")

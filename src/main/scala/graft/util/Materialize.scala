@@ -21,13 +21,23 @@ import org.apache.spark.storage.StorageLevel
   */
 object Materialize {
 
-  // persist-mode frames created by stable(), per session (weak keys: a
-  // stopped session's entries go with it). Operators whose RESULT plan
-  // still references the cached frame cannot release inside themselves —
-  // a long-lived service calls releaseTracked() between requests instead.
+  // persist-mode frames created by stable(), per session. Operators whose
+  // RESULT plan still references the cached frame cannot release inside
+  // themselves — a long-lived service calls releaseTracked() between
+  // requests instead. A plain strong-keyed map + an explicit sweep of
+  // stopped sessions: the previous WeakHashMap could never collect an
+  // entry because its DataFrame values strongly reference the session key
+  // via df.sparkSession, so "weak keys" was a fiction — the sweep frees
+  // dead sessions' entries deterministically on the next stable()/
+  // releaseTracked() call instead of hoping for GC.
   private val tracked =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+    new java.util.HashMap[org.apache.spark.sql.SparkSession,
       java.util.ArrayList[DataFrame]]()
+
+  private def sweepStopped(): Unit = {
+    val it = tracked.keySet().iterator()
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+  }
 
   def stable(df: DataFrame): DataFrame = {
     df.sparkSession.conf.get("spark.graft.materialize", "local") match {
@@ -35,6 +45,7 @@ object Materialize {
         val p = df.persist(StorageLevel.MEMORY_AND_DISK)
         p.count() // eager: populate the cache before any branch races on it
         tracked.synchronized {
+          sweepStopped()
           tracked.computeIfAbsent(df.sparkSession, _ => new java.util.ArrayList[DataFrame]())
             .add(p)
         }
@@ -55,6 +66,7 @@ object Materialize {
     */
   def releaseTracked(spark: org.apache.spark.sql.SparkSession): Int =
     tracked.synchronized {
+      sweepStopped()
       val list = tracked.remove(spark)
       if (list == null) 0
       else {

@@ -65,6 +65,41 @@ class MaterializeModeSpec extends SparkSpecBase {
     }
   }
 
+  test("persist mode: decontam pins nothing; retrieval/curation/shuffle drain via releaseTracked") {
+    inMode("persist") {
+      val docs = Seq(
+        (1L, "a b c d e f", "s1"), (2L, "a b c d e f", "s1"),
+        (3L, "q w e r t y", "s2"), (4L, "m n o p q r", "s2"))
+        .toDF("doc_id", "text", "source")
+      val evalSet = Seq((100L, "a b c")).toDF("doc_id", "text")
+      // Decontam is single-pass by construction (broadcast eval grams,
+      // one corpus aggregate) — it must not pin ANY cache, in any mode
+      graft.llm.Decontam.overlapReport(docs, evalSet, "doc_id", "text", n = 3).count()
+      graft.llm.Decontam.evalContaminationReport(docs, evalSet, "doc_id", "text", n = 3).count()
+      graft.llm.Decontam.decontaminate(docs, evalSet, "doc_id", "text",
+        n = 3, minHitPermille = 100).count()
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        "decontam must not pin caches — its plan is single-pass")
+      // genuinely multi-consumer operators cache via stable() and hand
+      // release to session hygiene; all of them must be TRACKED
+      graft.llm.Retrieval.tfidfTopK(docs, evalSet, "doc_id", "text", k = 3).count()
+      graft.llm.Retrieval.bm25iTopK(docs, evalSet, "doc_id", "text", k = 3).count()
+      graft.llm.Shuffling.deterministicShuffle(docs, "doc_id", numShards = 2).count()
+      graft.llm.Curation.curate(docs, evalSet, "doc_id", "text", "source",
+        minTokens = 1, maxTokens = 100, minUniqPermille = 0,
+        maxTopTokPermille = 1000, decontamN = 3, minHitPermille = 900,
+        tokenBudgetPerSource = 1000L).count()
+      assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+        "expected pinned cache entries from the stable()-using operators")
+      assert(graft.util.Materialize.releaseTracked(spark) > 0)
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        s"leaked: ${spark.sparkContext.getPersistentRDDs.keys}")
+    }
+  }
+
   test("persist mode: processBatch releases its per-trigger cache") {
     inMode("persist") {
       val base = tmpDir("matmode")
