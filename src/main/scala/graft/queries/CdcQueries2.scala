@@ -8,7 +8,6 @@ import graft.Tables
 import graft.ops.{EventOps, Lww}
 import graft.recon.Reconciler
 import graft.streaming.StreamOps
-import graft.streaming.StreamOps.SessionEvent
 
 /** Second CDC pack: the §2 operators not covered by [[CdcQueries]] —
   * J1 conflict-check lookup join with T6 annotation, J3 job↔mismatch
@@ -98,14 +97,12 @@ object Cdc2Queries {
     }),
 
     // Session windows, batch form (the flatMapGroupsWithState semantics as
-    // a window-function query; 30-minute inactivity gap).
-    "events_sessionize" -> ((s, dir) => {
-      import s.implicits._
-      val ds = Tables.events(s, dir)
-        .select(col("user_id"), col("ts_us"), col("event_type"))
-        .as[SessionEvent]
-      StreamOps.closeOpenSessions(ds, gapUs = 1800000000L).toDF()
-    }),
+    // a window-function query; 30-minute inactivity gap). Uses the
+    // generic (keyCol, tsCol) entry — the key name is a parameter, not a
+    // fixture-ism.
+    "events_sessionize" -> ((s, dir) =>
+      StreamOps.closeOpenSessions(Tables.events(s, dir), "user_id", "ts_us",
+        gapUs = 1800000000L)),
 
     // AS-OF enrichment: every click gets the same user's most recent
     // purchase at-or-before it (ties: max purchase event_id — LWW). The

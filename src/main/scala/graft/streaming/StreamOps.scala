@@ -14,14 +14,19 @@ object StreamOps {
 
   /** Watermarked tumbling-window counts per event type: the heartbeat /
     * throughput-metrics shape. Works identically on batch DataFrames
-    * (window() is a plain grouping expression).
+    * (window() is a plain grouping expression). Column names are
+    * parameters (defaults match the events fixture): `tsCol` is an
+    * epoch-µs long, `typeCol` the grouping dimension, `valueCol` the
+    * summed measure.
     */
-  def windowedCounts(events: DataFrame, watermark: String, windowLen: String): DataFrame =
+  def windowedCounts(events: DataFrame, watermark: String, windowLen: String,
+      tsCol: String = "ts_us", typeCol: String = "event_type",
+      valueCol: String = "value"): DataFrame =
     events
-      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withColumn("event_time", timestamp_micros(col(tsCol)))
       .withWatermark("event_time", watermark)
-      .groupBy(window(col("event_time"), windowLen), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .groupBy(window(col("event_time"), windowLen), col(typeCol))
+      .agg(count(lit(1)).as("n"), sum(valueCol).as("sum_value"))
 
   final case class SessionEvent(user_id: Long, ts_us: Long, event_type: String)
   final case class SessionState(start_us: Long, last_us: Long, n: Long)
@@ -42,7 +47,7 @@ object StreamOps {
     * tests do).
     */
   def sessionize(events: Dataset[SessionEvent], gapUs: Long,
-      watermark: String = "10 seconds"): Dataset[SessionOut] = {
+      watermark: String): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events.toDF()
       .withColumn("event_time", timestamp_micros(col("ts_us")))
@@ -95,21 +100,47 @@ object StreamOps {
       }
   }
 
-  /** Flush any open sessions (batch-mode helper for tests/final drains). */
+  /** Generic-key streaming sessionize: any frame with a long-castable
+    * key column (the engine's int64-id convention — [[graft.llm.Shuffling]]
+    * enforces the same) and an epoch-µs long timestamp column. Output
+    * keeps the caller's key column name: (keyCol, start_us, end_us,
+    * n_events, duration_us).
+    */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+      gapUs: Long, watermark: String = "10 seconds"): DataFrame = {
+    import events.sparkSession.implicits._
+    val typed = events.select(
+      col(keyCol).cast("long").as("user_id"),
+      col(tsCol).cast("long").as("ts_us"),
+      lit("").as("event_type")).as[SessionEvent]
+    sessionize(typed, gapUs, watermark).toDF()
+      .withColumnRenamed("user_id", keyCol)
+  }
+
+  /** Flush any open sessions (batch-mode helper for tests/final drains),
+    * key/timestamp columns as parameters.
+    */
+  def closeOpenSessions(events: DataFrame, keyCol: String, tsCol: String,
+      gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(tsCol)
+    val withGap = events
+      .withColumn("_prev_us", lag(tsCol, 1).over(w))
+      .withColumn("_new_session",
+        when(col("_prev_us").isNull || col(tsCol) - col("_prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("_session_id", sum("_new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    withGap.groupBy(col(keyCol), col("_session_id"))
+      .agg(min(tsCol).as("start_us"), max(tsCol).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+      .select(col(keyCol), col("start_us"), col("end_us"), col("n_events"),
+        col("duration_us"))
+  }
+
+  /** Typed batch helper over the generic version. */
   def closeOpenSessions(events: Dataset[SessionEvent], gapUs: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy("ts_us")
-    val withGap = events.toDF()
-      .withColumn("prev_us", lag("ts_us", 1).over(w))
-      .withColumn("new_session",
-        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1).otherwise(0))
-      .withColumn("session_id", sum("new_session").over(
-        w.rowsBetween(Window.unboundedPreceding, 0)))
-    withGap.groupBy("user_id", "session_id")
-      .agg(min("ts_us").as("start_us"), max("ts_us").as("end_us"), count(lit(1)).as("n_events"))
-      .withColumn("duration_us", col("end_us") - col("start_us"))
-      .select("user_id", "start_us", "end_us", "n_events", "duration_us")
-      .as[SessionOut]
+    closeOpenSessions(events.toDF(), "user_id", "ts_us", gapUs).as[SessionOut]
   }
 }

@@ -72,6 +72,19 @@ class ReconcilerSinkSpec extends SparkSpecBase {
     assert(out(2).user_id == 2)
   }
 
+  test("sessionize/closeOpenSessions: key and ts column names are parameters") {
+    val df = Seq((7L, 0L), (7L, 10L), (7L, 1000L), (9L, 5L))
+      .toDF("device_id", "t_us")
+    val out = StreamOps.closeOpenSessions(df, "device_id", "t_us", gapUs = 100)
+      .orderBy("device_id", "start_us")
+      .select("device_id", "start_us", "end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((7L, 0L, 10L, 2L), (7L, 1000L, 1000L, 1L),
+      (9L, 5L, 5L, 1L)))
+    assert(StreamOps.closeOpenSessions(df, "device_id", "t_us", gapUs = 100)
+      .columns.head === "device_id")
+  }
+
   test("streaming sessionize: an idle key's session closes by event-time timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
