@@ -78,12 +78,22 @@ object MultiTableReplication {
     def checkpoint(table: String): String = s"$base/$table/checkpoint"
   }
 
+  /** Per-table admission channel under a job-level prefix: FR-024's
+    * one-channel-per-table rule as a naming convention, so a degraded
+    * table's sink never throttles a sibling table's admission.
+    */
+  def channelFor(prefix: String, table: String): String = s"$prefix.$table"
+
   /** Build a complete per-table [[ReplicationJob.Config]] from the
     * registry's CURRENT schema version for `table` (pk from field
     * metadata, dirs from the naming rule). Per-table policy knobs
     * (validTypes, constrained column, ts unit, sink flavor) come in as
     * overrides on a `base` config; identity (table/schema/pk/dirs) is
-    * always registry-derived.
+    * always registry-derived. A `backpressureChannel` on the base is a
+    * job-level PREFIX: each table gets its own [[channelFor]] channel
+    * (the [[AdmissionControl]] design intent — one channel ties ONE
+    * sink's health to ONE source's admission), which the caller
+    * registers per table before starting.
     */
   def configFor(reg: SchemaRegistry, table: String, dirs: Dirs,
       base: ReplicationJob.Config = ReplicationJob.Config("", "", "", "")): ReplicationJob.Config = {
@@ -98,7 +108,8 @@ object MultiTableReplication {
       checkpointDir = dirs.checkpoint(table),
       table = table,
       schema = schema,
-      pk = pk)
+      pk = pk,
+      backpressureChannel = base.backpressureChannel.map(channelFor(_, table)))
   }
 
   /** Start one streaming query per table config; returns them in order.

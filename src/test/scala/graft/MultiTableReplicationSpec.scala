@@ -159,6 +159,61 @@ class MultiTableReplicationSpec extends SparkSpecBase {
       s"orders DLQ: $ordersDlq")
   }
 
+  test("FR-024 per-table channels: a tripped table-A breaker leaves table-B admission whole") {
+    import graft.streaming.AdmissionControl
+    val base = tmpDir("mtbp")
+    val dirs = Dirs(base)
+    val reg = registryWithBoth(base)
+    val withBp = ReplicationJob.Config("", "", "", "",
+      validTypes = cdcTypes, deleteType = "delete", truncateType = "truncate",
+      tsDivisorToMicros = 1L, valueCol = None,
+      backpressureChannel = Some("bp"))
+    val usersCfg = MultiTableReplication.configFor(reg, "users", dirs, withBp)
+    val ordersCfg = MultiTableReplication.configFor(reg, "orders", dirs,
+      withBp.copy(tsDivisorToMicros = 1000L, valueCol = Some("total"), maxValue = 500.0))
+    // configFor mints one channel per table under the job-level prefix
+    assert(usersCfg.backpressureChannel.contains("bp.users"))
+    assert(ordersCfg.backpressureChannel.contains("bp.orders"))
+
+    val usersBreaker = new graft.util.CircuitBreaker(failureThreshold = 1, openMs = 3600000L)
+    // users channel: near-zero latency target, so ANY real batch report
+    // lands it below full admission — observable proof the users sink
+    // reported to ITS channel; orders channel: default 2 s target stays
+    // at full admission for a healthy fast sink
+    AdmissionControl.register("bp.users",
+      AdmissionControl.SinkHealth(breaker = Some(usersBreaker),
+        targetBatchSeconds = 1e-9, probeRows = 64L))
+    AdmissionControl.register("bp.orders", AdmissionControl.SinkHealth())
+    try {
+      assert(AdmissionControl.admit("bp.users", 1000L) == 1000L)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dirs.source("users")))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dirs.source("orders")))
+      writeUsers(dirs.source("users"), "b0", Seq(
+        (1L, 1000L, "u1", "create", "alice", "a@x")))
+      writeOrders(dirs.source("orders"), "b0", Seq(
+        (11L, 1000000L, "A", "create", 10.0, "pending")))
+      MultiTableReplication.runAvailableNow(spark, Seq(usersCfg, ordersCfg))
+      assert(ReplicationJob.targetState(spark, usersCfg).count() == 1L)
+      assert(ReplicationJob.targetState(spark, ordersCfg).count() == 1L)
+      // each sink reported wall time to its own channel: users (impossible
+      // target) shrank to the probe floor, orders (sane target) stayed full
+      assert(AdmissionControl.admit("bp.users", 1000L) == 64L,
+        "users sink must have reported latency on bp.users")
+      assert(AdmissionControl.admit("bp.orders", 1000L) == 1000L)
+      // trip ONLY the users sink's breaker: users admission pauses to 0,
+      // orders admission is untouched — per-table isolation, the design
+      // intent the shared-channel shape would violate
+      intercept[RuntimeException](usersBreaker.call(
+        throw new RuntimeException("users sink down")))
+      assert(usersBreaker.state == usersBreaker.Open)
+      assert(AdmissionControl.admit("bp.users", 1000L) == 0L)
+      assert(AdmissionControl.admit("bp.orders", 1000L) == 1000L)
+    } finally {
+      AdmissionControl.clear("bp.users")
+      AdmissionControl.clear("bp.orders")
+    }
+  }
+
   test("per-table schema evolution: v2 column arrives without touching the other table") {
     val base = tmpDir("mtevo")
     val dirs = Dirs(base)
