@@ -243,8 +243,18 @@ final class EventLogMicroBatchStream(path: String, maxRows: Long,
   @volatile private var availableNowCap: Option[EventLogOffset] = None
   @volatile private var capCountsTail: Boolean = false
 
+  /** Bytes of unterminated tail line the AvailableNow snapshot EXCLUDED
+    * from its drain cap (0 = none). The exclusion is correct-by-default
+    * (a partial flush must not be committed as an event) but must never
+    * be silent: a drain that "completed" while this is non-zero left the
+    * final event behind, and the operator deciding whether the writer is
+    * really done — and whether `tailQuiesceMs` applies — needs to know.
+    */
+  @volatile var excludedTailBytes: Long = 0L
+
   override def prepareForTriggerAvailableNow(): Unit = {
     val ss = segs
+    excludedTailBytes = 0L
     availableNowCap = Some(
       if (ss.isEmpty) EventLogOffset(0, 0L)
       else {
@@ -267,6 +277,18 @@ final class EventLogMicroBatchStream(path: String, maxRows: Long,
         capCountsTail = quiescent
         val (rows, bytes, _) = EventLogSource.scanLines(
           tail, 0L, Long.MaxValue, countUnterminated = quiescent)
+        // the conservative default silently capping PAST an unterminated
+        // final line is a data-honesty hole on a finished log: surface
+        // exactly what was left behind and the knob that admits it
+        val left = (try Files.size(tail) catch { case _: Exception => bytes }) - bytes
+        if (!quiescent && left > 0) {
+          excludedTailBytes = left
+          System.err.println(s"[graft] AvailableNow drain cap for $path " +
+            s"excludes $left byte(s) of unterminated final line in " +
+            s"${ss.last}: the writer has not terminated its last event. " +
+            "If the log is finished, terminate the line or set " +
+            "tailQuiesceMs to admit a quiescent tail.")
+        }
         EventLogOffset(ss.length - 1, rows, ss.last, bytes)
       })
   }

@@ -213,12 +213,18 @@ class EventLogSourceSpec extends SparkSpecBase {
     assert(end.row == 2L, s"quiescent unterminated tail line must be admitted: $end")
 
     // DEFAULT (opt-in off): even a long-quiescent partial line is not
-    // admitted — mtime cannot prove the writer is done, only stalled
+    // admitted — mtime cannot prove the writer is done, only stalled —
+    // but the exclusion is NOT silent: the snapshot reports exactly how
+    // many tail bytes the drain cap left behind
     val streamDefault = new EventLogMicroBatchStream(dir, 100L)
     streamDefault.prepareForTriggerAvailableNow()
     val endD = streamDefault.latestOffset(EventLogOffset(0, 0L), ReadLimit.maxRows(100L))
       .asInstanceOf[EventLogOffset]
     assert(endD.row == 1L, s"default must stay conservative: $endD")
+    assert(streamDefault.excludedTailBytes == "{\"event_id\":1}".length.toLong,
+      s"the cap's exclusion must be surfaced: ${streamDefault.excludedTailBytes}")
+    // and the quiescent-admitting stream excluded nothing
+    assert(stream.excludedTailBytes == 0L)
 
     // opted in but the tail is FRESH (possibly mid-flush): conservative
     val dir2 = tmpDir("evfresh")
