@@ -853,4 +853,77 @@ object Similarity {
       .select(col("vid").as("vec_id"), col("cell"),
         coalesce(col("_dup"), lit(false)).as("is_dup"))
   }
+
+  // ──────────────────── SQ8 scalar quantization ────────────────────
+
+  /** SQ8 training statistics (the FAISS `ScalarQuantizer` QT_8bit
+    * rule): per-dimension min/max of the quantized corpus. ONE
+    * partial-agg pass — the 2·Dim aggregate columns combine map-side,
+    * no explode, no shuffle of vector payloads — producing a single
+    * row of two Dim-arrays, broadcast-sized by construction.
+    */
+  def sq8Stats(corpus: DataFrame): DataFrame =
+    Dedup.widen(corpus).select(quantize(col("embedding")).as("qv"))
+      .agg(
+        array((0 until Dim).map(i => min(col("qv")(i))): _*).as("mn"),
+        array((0 until Dim).map(i => max(col("qv")(i))): _*).as("mx"))
+
+  /** SQ8 encode: each vector compresses to Dim one-byte codes,
+    * code_d = clamp((v_d − mn_d)·255 div (mx_d − mn_d), 0, 255)
+    * (degenerate dimension → 0). All-integer arithmetic, identical in
+    * both engines, so the whole family is hash-oracle-gated. At 100 TB
+    * this is the MIDDLE tier of the quantization family: a narrow map
+    * against the broadcast one-row stats turns the 512 B int64 vector
+    * into 64 codes — 8× less candidate bandwidth at full dimensional
+    * resolution, where PQ's m=8 codes are 64× smaller but sub-space
+    * coarse. Corpus never exchanges.
+    */
+  def sq8Encode(corpus: DataFrame, stats: DataFrame): DataFrame =
+    Dedup.widen(corpus)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .crossJoin(broadcast(stats))
+      .withColumn("codes", expr(
+        """transform(arrays_zip(qv, mn, mx), s ->
+          |greatest(0L, least(255L, CASE WHEN s.mx = s.mn THEN 0L
+          |ELSE ((s.qv - s.mn) * 255) div (s.mx - s.mn) END)))"""
+          .stripMargin.replace("\n", " ")))
+      .select("vec_id", "codes")
+
+  /** SQ8 search against STORED codes (the production read path —
+    * [[sq8TopK]] composes train→encode→search for the gate): decode
+    * v̂_d = mn_d + (code_d·(mx_d − mn_d)) div 255 in the integer
+    * domain, then asymmetric exact-query-vs-decoded-corpus L2, ranked
+    * per query. Scale shape: codes + broadcast stats decode in a
+    * narrow map, queries broadcast (bounded side), WindowGroupLimit
+    * top-k — no corpus-sized exchange anywhere.
+    */
+  def sq8Search(codes: DataFrame, stats: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    val dec = codes.crossJoin(broadcast(stats))
+      .withColumn("vhat", expr(
+        """transform(arrays_zip(codes, mn, mx), s ->
+          |s.mn + (s.codes * (s.mx - s.mn)) div 255)"""
+          .stripMargin.replace("\n", " ")))
+      .select(col("vec_id").as("cid"), col("vhat"))
+    val q = queries.select(col("vec_id").as("qid"),
+      quantize(col("embedding")).as("qv"))
+    val win = Window.partitionBy("qid")
+      .orderBy(col("approx_dist").asc, col("cid"))
+    dec.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("approx_dist", l2Q("qv", "vhat"))
+      .withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
+      .select("qid", "cid", "rank", "approx_dist")
+  }
+
+  /** SQ8 ANN end to end: train stats, encode, search. The stats frame
+    * feeds both encode and decode, so it is materialized once
+    * (codebook-seam discipline, same as [[pqTopK]]).
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val st = graft.util.Materialize.stable(sq8Stats(corpus))
+    sq8Search(sq8Encode(corpus, st), st, queries, k)
+  }
 }

@@ -69,6 +69,14 @@ object LlmQueries3 {
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 50), k = 5)
     }),
 
+    // SQ8 scalar-quantization ANN (the FAISS QT_8bit tier): per-dim
+    // min/max train, one-byte codes, asymmetric integer L2 — the
+    // full-dimension middle tier between exact int64 and PQ codes
+    "ann_sq8_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 50), k = 5)
+    }),
+
     // eval-integrity view: per held-out doc, leakage into the train split
     "decontam_eval_report" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -235,6 +243,31 @@ object LlmQueries3 {
          |  WHERE enc.vec_id <> qd.qid GROUP BY 1, 2),
          |r AS (SELECT qid, cid, approx_dist, row_number() OVER (
          |    PARTITION BY qid ORDER BY approx_dist ASC, cid) AS rank FROM approx)
+         |SELECT qid, cid, rank, approx_dist FROM r WHERE rank <= 5"""
+        .stripMargin.replace("\n", " ")
+    },
+
+    "ann_sq8_topk" -> {
+      val quantDuck = Similarity.quantizeSqlDuck
+      // identical constant-for-constant arithmetic: clamp((v-mn)*255 //
+      // (mx-mn)) encode, mn + code*(mx-mn) // 255 decode (both engines
+      // truncate toward zero on non-negative operands), asymmetric L2
+      s"""WITH v AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
+         |d AS (SELECT i, min(qv[i]) AS mn, max(qv[i]) AS mx
+         |  FROM v, UNNEST(range(1, ${Similarity.Dim + 1})) AS r(i) GROUP BY i),
+         |st AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx FROM d),
+         |enc AS (SELECT vec_id, list_transform(list_zip(qv, mn, mx), s ->
+         |    greatest(0, least(255, CASE WHEN s[3] = s[2] THEN 0
+         |      ELSE ((s[1] - s[2]) * 255) // (s[3] - s[2]) END))) AS codes
+         |  FROM v, st),
+         |dec AS (SELECT vec_id AS cid, list_transform(list_zip(codes, mn, mx), s ->
+         |    s[2] + (s[1] * (s[3] - s[2])) // 255) AS vhat
+         |  FROM enc, st),
+         |q AS (SELECT vec_id AS qid, qv FROM v WHERE vec_id < 50),
+         |sc AS (SELECT qid, cid, ${Similarity.l2SqlDuck("qv", "vhat")} AS approx_dist
+         |  FROM dec, q WHERE cid <> qid),
+         |r AS (SELECT qid, cid, approx_dist, row_number() OVER (
+         |    PARTITION BY qid ORDER BY approx_dist ASC, cid) AS rank FROM sc)
          |SELECT qid, cid, rank, approx_dist FROM r WHERE rank <= 5"""
         .stripMargin.replace("\n", " ")
     },

@@ -383,6 +383,49 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("SQ8: codes bounded to a byte; asymmetric search recovers neighbors") {
+    import graft.llm.Similarity
+    val rows = (0 until 40).map { i =>
+      val base = Array.fill(Similarity.Dim)(0.01f)
+      base((i % 4) * 16) = 1f
+      base(i % 16) = base(i % 16) + 0.002f * (i % 5)
+      (i.toLong, base)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val st = Similarity.sq8Stats(emb)
+    val codes = Similarity.sq8Encode(emb, st).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(codes.length === 40, "one code row per vector")
+    codes.foreach { case (_, cs) =>
+      assert(cs.length === Similarity.Dim, "full-dimension codes")
+      assert(cs.forall(c => c >= 0 && c <= 255), "codes fit one byte")
+    }
+    // SQ8 keeps full dimensional resolution, so even on this clustered
+    // fixture the top-1 neighbor is from the query's own cluster
+    val top1 = Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 8), k = 1)
+      .select("qid", "cid").as[(Long, Long)].collect()
+    assert(top1.length === 8)
+    top1.foreach { case (q, c) =>
+      assert(q % 4 === c % 4, s"query $q matched cross-cluster candidate $c")
+    }
+  }
+
+  test("SQ8: degenerate constant dimension encodes to 0, never divides by zero") {
+    import graft.llm.Similarity
+    // all vectors share dim 0 exactly -> mx = mn on that dimension
+    val rows = (0 until 6).map { i =>
+      val base = Array.fill(Similarity.Dim)(0.5f)
+      base(1) = 0.1f * i
+      (i.toLong, base)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val codes = Similarity.sq8Encode(emb, Similarity.sq8Stats(emb))
+      .orderBy("vec_id").collect().map(_.getSeq[Long](1))
+    assert(codes.forall(_.head === 0L), "constant dim -> code 0")
+    // the varying dimension spans the full byte range at its extremes
+    assert(codes.head(1) === 0L && codes.last(1) === 255L)
+  }
+
   test("IVF-PQ: coarse cells bound candidates and ADC ranks within them (clustered data)") {
     import graft.llm.Similarity
     val rows = (0 until 40).map { i =>

@@ -110,6 +110,21 @@ class PlanAuditSpec extends SparkSpecBase {
       "query side must broadcast")
   }
 
+  test("SQ8 ANN: one-row stats + query side broadcast; corpus never exchanges") {
+    val p = plan("ann_sq8_topk")
+    // encode/decode are narrow maps against the broadcast one-row stats;
+    // the only nested-loop joins are those deliberate bounded-side cross
+    // joins (the brute-force audit precedent)
+    assert(p.contains("BroadcastExchange"), "stats and query side must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("WindowGroupLimit"), "per-query top-k must push the limit down")
+    // the ONLY keyed exchange is the final qid window — and the Partial
+    // WindowGroupLimit above it trims to <=k rows/partition first, so
+    // what moves is k*P rows, not the corpus
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      "encode/decode/score must not exchange the corpus")
+  }
+
   test("IVF: centroids broadcast; top-k windows use group-limit pushdown") {
     val p = plan("ann_ivf_topk")
     assert(p.contains("BroadcastExchange"), "fixed centroid table must broadcast")
