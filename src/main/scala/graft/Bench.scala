@@ -30,7 +30,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.driver.host", "127.0.0.1")
       .config("spark.driver.bindAddress", "127.0.0.1")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // default: one shuffle partition per core; SPARK_GRAFT_SHUFFLE
+      // overrides for cluster-shaped runs (the scale-audit artifact)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
