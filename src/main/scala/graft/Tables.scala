@@ -29,12 +29,23 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** `events` with `ts` kept as raw nanos (LongType) plus a normalized
-    * `ts_us` column (epoch microseconds, matches DuckDB `epoch_us(ts)`).
-    * Integer `div` — a double division would lose precision above 2^53 ns.
+  /** `events` with a normalized `ts_us` column (epoch microseconds,
+    * matches DuckDB `epoch_us(ts)`), robust to the fixture's timestamp
+    * physical type — the generator has shipped BOTH nanosecond parquet
+    * timestamps (read as raw-ns LongType under `nanosAsLong`; integer
+    * `div` because a double division would lose precision above 2^53 ns)
+    * and microsecond timestamps (read as TIMESTAMP/ TIMESTAMP_NTZ;
+    * `unix_micros` after a cast that binds the session's UTC zone, the
+    * same instant DuckDB's `epoch_us` yields on the naive value).
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "events")
+    val tsUs = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    df.withColumn("ts_us", tsUs)
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

@@ -310,11 +310,29 @@ object ReplicationJob {
             col("segment").as("_segment"), col("offset").as("_offset"))
           .select(col("e.*"), col("_segment"), col("_offset"))
           .withColumn("ts_us", tsUs)
-      case (None, None) => spark.readStream
-        .schema(cfg.schema)
-        .option("maxFilesPerTrigger", 1) // bounded batches ≈ ST6 backpressure
-        .parquet(cfg.sourceDir)
-        .withColumn("ts_us", tsUs)
+      case (None, None) =>
+        // The parquet-dir source declares its schema up front (a streaming
+        // requirement) — but the files' PHYSICAL timestamp type is the
+        // producer's choice (the fixture generator has shipped both raw-ns
+        // int64 and µs parquet timestamps). Probe the directory's footer
+        // once at start and adopt the file's type for any column where it
+        // differs, deriving ts_us by the matching rule: integer `div` for
+        // a raw long (divisor = source unit → µs), `unix_micros` for a
+        // timestamp. A declared LongType over a µs-timestamp file would
+        // otherwise silently read raw µs int64 and mis-divide by the ns
+        // divisor — a unit bug, not a crash.
+        val probed = spark.read.parquet(cfg.sourceDir).schema
+        val fileSchema = StructType(cfg.schema.map(f =>
+          probed.find(_.name == f.name).getOrElse(f)))
+        val tsUsFile = fileSchema(cfg.tsCol).dataType match {
+          case LongType => tsUs
+          case _ => unix_micros(col(cfg.tsCol).cast("timestamp"))
+        }
+        spark.readStream
+          .schema(fileSchema)
+          .option("maxFilesPerTrigger", 1) // bounded batches ≈ ST6 backpressure
+          .parquet(cfg.sourceDir)
+          .withColumn("ts_us", tsUsFile)
     }
     val writer = stream.writeStream
       .option("checkpointLocation", cfg.checkpointDir)

@@ -289,7 +289,12 @@ class EventLogSourceSpec extends SparkSpecBase {
     import graft.streaming.ReplicationJob
     import graft.ops.{EventOps, Lww}
     val sf01 = "/root/testdata/sf0.01"
+    // the commit-log envelope carries ts as a raw-ns long (the wire
+    // contract) — rebuild it from ts_us so the fixture's parquet physical
+    // timestamp type (ns in early generators, µs now) can't leak into the
+    // JSON lines
     val ev = Tables.events(spark, sf01)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("ts_us * 1000"))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
     // serialize the fixture stream into 4 commit-log segments
     val dir = tmpDir("evlogbig")
