@@ -15,6 +15,34 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Snapshot delta — the incremental-ingest primitive: classify every
+    * document id across two corpus snapshots as `added` (only in the
+    * new), `removed` (only in the old), `changed` (both, content hash
+    * differs) or `unchanged`. Content identity is md5 of the text — the
+    * same canonical-content key the exact-dedup family uses — so "change"
+    * means byte change, never a formatting-dependent equality test over
+    * long strings shipped through the join.
+    *
+    * Scale shape: both snapshots reduce to (id, 16-byte hash) in their
+    * scan (map-only, columns pruned to id + text), then ONE full-outer
+    * sort-merge join on the id key. At 100 TB the join carries ~24
+    * bytes/doc, not the corpus; with both snapshots bucketed by id on
+    * write the exchange disappears entirely. Downstream consumers filter
+    * `status <> 'unchanged'` to get the delta to re-process — which is
+    * the whole point: re-curate the delta, not the corpus.
+    */
+  def snapshotDelta(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol).as("doc_id"), md5(col(textCol)).as("old_hash"))
+    val n = newSnap.select(col(idCol).as("doc_id"), md5(col(textCol)).as("new_hash"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") =!= col("new_hash"), lit("changed"))
+          .otherwise(lit("unchanged")))
+  }
+
   /** Per-source corpus health: doc/token totals, docs passing the
     * quality filter, and exact-duplicate (non-canonical) copies.
     * Output: (source, n_docs, n_tokens, n_kept, n_dup).

@@ -73,6 +73,61 @@ object Sampling {
       .withColumn("rate_permille",
         least(lit(1000L), expr(s"${tokenBudget}L * 1000 div n_tokens")))
 
+  /** Exact integer square root of a non-negative long column: the float
+    * `sqrt` candidate corrected by ±1 so `s² ≤ n < (s+1)²` holds EXACTLY
+    * — `floor(sqrt(double))` alone can land one off near perfect squares
+    * once the double rounds, and the mix weights below must be
+    * engine-portable integers, not float approximations. The identical
+    * CASE correction runs in the DuckDB oracle.
+    */
+  def isqrt(n: Column): Column = {
+    val s0 = floor(sqrt(n.cast("double"))).cast("long")
+    when((s0 + 1) * (s0 + 1) <= n, s0 + 1)
+      .when(s0 * s0 > n, s0 - 1)
+      .otherwise(s0)
+  }
+
+  /** The matching DuckDB rendering of [[isqrt]] over SQL expression `e`
+    * (which must be free of side effects — it is repeated).
+    */
+  def isqrtSqlDuck(e: String): String = {
+    val s0 = s"CAST(floor(sqrt(CAST(($e) AS DOUBLE))) AS BIGINT)"
+    s"(CASE WHEN ($s0 + 1) * ($s0 + 1) <= ($e) THEN $s0 + 1 " +
+      s"WHEN $s0 * $s0 > ($e) THEN $s0 - 1 ELSE $s0 END)"
+  }
+
+  /** Temperature-scaled mixing (the multilingual-training mix of
+    * Devlin et al. 2019 / Conneau et al. 2020: sample stratum i with
+    * probability ∝ n_i^α, α < 1 flattening the head so low-resource
+    * strata are not drowned) at the exact-integer point α = ½ — weights
+    * are integer square roots of the per-stratum token counts, so the
+    * whole mix plan stays reproducible and oracle-gateable (a float
+    * n^0.7 is neither). Output per stratum:
+    * `mix_permille` (the temperature-flattened target share of the
+    * budget) and `rate_permille` (the per-stratum keep rate that hits
+    * that share, capped at 1000 — a stratum whose flattened share
+    * exceeds what it holds keeps everything; upsampling is the
+    * training loader's job, not the curation filter's).
+    *
+    * Scale shape: one partial-aggregated shuffle down to ≤|strata| rows,
+    * then a single-row total joined back by broadcast — the corpus is
+    * touched once and never exchanged on a content key. The rates feed
+    * [[stratifiedSample]] exactly like [[mixWeights]]' budget caps.
+    */
+  def temperatureMixWeights(df: DataFrame, strataCol: String, weight: Column,
+      tokenBudget: Long): DataFrame = {
+    val per = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"), sum(weight.cast("long")).as("n_tokens"))
+      .withColumn("w_sqrt", isqrt(col("n_tokens")))
+    val total = per.agg(sum("w_sqrt").as("w_total"))
+    per.crossJoin(broadcast(total))
+      .withColumn("mix_permille", expr("w_sqrt * 1000 div w_total"))
+      .withColumn("rate_permille",
+        least(lit(1000L),
+          expr(s"(${tokenBudget}L * w_sqrt div w_total) * 1000 div n_tokens")))
+      .drop("w_total")
+  }
+
   /** Hashed n-gram feature buckets — one row per (doc_id, bucket) feature
     * OCCURRENCE (multiplicity kept, unlike the dedup shingle postings):
     * every unigram and every bigram of the whitespace tokenization,
