@@ -695,4 +695,40 @@ object Dedup {
       .filter(col("pos") <= col("maxpos") - (w - 1))
       .select("doc_id", "fp").distinct()
   }
+
+  /** Paragraph-level exact dedup (the sub-document granularity of
+    * C4/CCNet/Dolma: boilerplate paragraphs — headers, footers, license
+    * blocks — repeat across millions of documents that are NOT document-
+    * level duplicates). Split on `sep`, keep each distinct paragraph's
+    * FIRST occurrence corpus-wide (first = smallest (doc_id, position) —
+    * a total, deterministic order), reassemble surviving paragraphs in
+    * original order, and drop documents left empty.
+    *
+    * Scale shape: one posexplode map stage, ONE shuffle keyed by the
+    * paragraph's md5 (the paragraph text rides the exchange exactly once
+    * — it must travel anyway to be reassembled; every row is kept for the
+    * per-doc counts, so this is a plain window rank, not a group-limit),
+    * then one doc-keyed shuffle to reassemble. Dedup state is never
+    * driver-side and never a broadcast: at 100 TB the paragraph key space
+    * IS the corpus.
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paras = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("para_no", "para")))
+    val w = Window.partitionBy(md5(col("para"))).orderBy(col("doc_id"), col("para_no"))
+    paras
+      .withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          expr("transform(array_sort(collect_list(CASE WHEN rn = 1 THEN " +
+            "struct(para_no, para) END)), x -> x.para)"),
+          sep).as("text_kept"))
+      .filter(col("n_kept") >= 1L)
+  }
 }

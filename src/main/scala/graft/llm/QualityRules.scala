@@ -170,9 +170,11 @@ object QualityRules {
 
   /** DuckDB SQL for [[c4LineFilter]] over a relation exposing
     * (doc_id, text) as `src`, generated from the same `minWords`.
+    * `withCtes` lets the caller prepend fixture-construction CTEs
+    * (DuckDB has no nested WITH).
     */
-  def c4SqlDuck(src: String, minWords: Int = 5): String =
-    s"""WITH ln AS (SELECT doc_id,
+  def c4SqlDuck(src: String, minWords: Int = 5, withCtes: String = ""): String =
+    s"""WITH ${withCtes}ln AS (SELECT doc_id,
        |    generate_subscripts(string_split(text, chr(10)), 1) AS line_no,
        |    unnest(string_split(text, chr(10))) AS line
        |  FROM $src),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Curation, QualityRules, Sampling}
+import graft.llm.{Curation, Dedup, QualityRules, Sampling}
 
 /** Fourth tranche of LLM-training-data pipeline gates: the published
   * quality-filter rulesets (Gopher document rules, C4 line rules),
@@ -33,6 +33,21 @@ object LlmQueries4 {
       Sampling.temperatureMixWeights(Tables.documents(s, dir), "source",
         graft.llm.TextAnalysis.tokenCount(col("text")), tokenBudget = 20000L)),
 
+    // C4 line rules over synthetic multi-line docs: doc s's lines are
+    // source texts s..s+2 suffixed by (source id % 4) ∈ {'.', '!', '',
+    // ' {'} — exercising the punctuation, brace, and word-count verdicts
+    // — plus a spliced "lorem ipsum" line on every 50th doc (doc kill)
+    "c4_line_filter" -> ((s, dir) =>
+      QualityRules.c4LineFilter(builtLineDocs(Tables.documents(s, dir)),
+        "doc_id", "text", minWords = 5)),
+
+    // paragraph-level exact dedup over synthetic 3-paragraph docs (doc
+    // s's paragraphs are source texts s..s+2, so neighbors share two
+    // paragraphs): keep first occurrence corpus-wide, reassemble
+    "dedup_paragraph" -> ((s, dir) =>
+      Dedup.paragraphDedup(builtParaDocs(Tables.documents(s, dir)),
+        "doc_id", "text")),
+
     // incremental-ingest delta between two synthetic snapshots: old =
     // ids ∤ 7, new = ids ∤ 5 with every 11th text uppercased (changed)
     "corpus_delta" -> ((s, dir) => {
@@ -44,6 +59,55 @@ object LlmQueries4 {
             .otherwise(col("text")))
       Curation.snapshotDelta(oldSnap, newSnap, "doc_id", "text")
     }))
+
+  /** Synthetic multi-line docs for the C4 gate: line i of doc s is the
+    * text of source doc s+i (i = 0..2) suffixed by source-id-determined
+    * punctuation, plus a "lorem ipsum" line on every 50th doc. The
+    * IDENTICAL construction runs as CTEs in the oracle.
+    */
+  private def builtLineDocs(docs: DataFrame): DataFrame = {
+    val suffix = expr(
+      "CASE doc_id % 4 WHEN 0 THEN '.' WHEN 1 THEN '!' WHEN 2 THEN '' ELSE ' {' END")
+    val shifted = (0 to 2).map { i =>
+      docs.select((col("doc_id") - i).as("doc_id"), lit(i).as("line_no"),
+        concat(col("text"), suffix).as("line"))
+    }.reduce(_ union _)
+    val lorem = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), lit(3).as("line_no"),
+        lit("lorem ipsum dolor sit amet.").as("line"))
+    shifted.union(lorem).filter(col("doc_id") >= 0)
+      .groupBy("doc_id")
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(line_no, line))), x -> x.line)"),
+        "\n").as("text"))
+  }
+
+  /** Synthetic 3-paragraph docs for the paragraph-dedup gate: paragraph
+    * i of doc s is the text of source doc s+i, so neighboring docs
+    * genuinely share paragraphs.
+    */
+  private def builtParaDocs(docs: DataFrame): DataFrame =
+    (0 to 2).map { i =>
+      docs.select((col("doc_id") - i).as("doc_id"), lit(i).as("para_no"),
+        col("text").as("para"))
+    }.reduce(_ union _)
+      .filter(col("doc_id") >= 0)
+      .groupBy("doc_id")
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(para_no, para))), x -> x.para)"),
+        "\n\n").as("text"))
+
+  private val lineDocsCtes =
+    """sh AS (SELECT d.doc_id - s.i AS doc_id, s.i AS line_no,
+      |    d.text || CASE d.doc_id % 4 WHEN 0 THEN '.' WHEN 1 THEN '!'
+      |      WHEN 2 THEN '' ELSE ' {' END AS line
+      |  FROM documents d, (SELECT unnest([0, 1, 2]) AS i) s
+      |  UNION ALL
+      |  SELECT doc_id, 3, 'lorem ipsum dolor sit amet.' FROM documents
+      |  WHERE doc_id % 50 = 0),
+      |built AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+      |  FROM sh WHERE doc_id >= 0 GROUP BY doc_id), """
+      .stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
     "quality_gopher" -> QualityRules.gopherSqlDuck("documents"),
@@ -61,6 +125,30 @@ object LlmQueries4 {
         |    AS rate_permille
         |FROM w, t""".stripMargin.replace("\n", " ").replace("ISQ", isq)
     },
+
+    "c4_line_filter" ->
+      QualityRules.c4SqlDuck("built", minWords = 5, withCtes = lineDocsCtes),
+
+    "dedup_paragraph" ->
+      """WITH sh AS (SELECT d.doc_id - s.i AS doc_id, s.i AS para_no, d.text AS para
+        |  FROM documents d, (SELECT unnest([0, 1, 2]) AS i) s),
+        |built AS (SELECT doc_id,
+        |    string_agg(para, chr(10) || chr(10) ORDER BY para_no) AS text
+        |  FROM sh WHERE doc_id >= 0 GROUP BY doc_id),
+        |paras AS (SELECT doc_id,
+        |    generate_subscripts(string_split(text, chr(10) || chr(10)), 1) AS para_no,
+        |    unnest(string_split(text, chr(10) || chr(10))) AS para
+        |  FROM built),
+        |r AS (SELECT doc_id, para_no, para,
+        |    row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, para_no) AS rn
+        |  FROM paras),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+        |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    string_agg(CASE WHEN rn = 1 THEN para END, chr(10) || chr(10)
+        |      ORDER BY para_no) AS text_kept
+        |  FROM r GROUP BY doc_id)
+        |SELECT doc_id, n_paras, n_kept, text_kept FROM agg WHERE n_kept >= 1"""
+        .stripMargin.replace("\n", " "),
 
     "corpus_delta" ->
       """WITH o AS (SELECT doc_id, md5(text) AS old_hash

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Curation, Dedup, QualityRules, Sampling}
+
+/** Round-8 curation operators: Gopher document rules, C4 line rules,
+  * paragraph-level dedup, temperature mixing, snapshot delta.
+  */
+class QualityRulesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // -------------------------------------------------- Gopher rules
+
+  test("gopher: word-count, word-length, stopword and bullet rules fire correctly") {
+    val good = (("the quick brown fox jumps over the lazy dog and then " * 6) +
+      "rests with that have be of").trim
+    val docs = Seq(
+      (1L, good),                                  // passes everything
+      (2L, "too short to pass the word count"),    // r_word_count fails
+      (3L, ("a b c d e " * 20).trim),              // avg word len 100 < 300
+      (4L, ("- bullet one line\n" * 19) + "the end of that with have be"), // bullets
+      (5L, ("the of and that have with be to " * 10).trim + " more..." ) // symbol-light, passes len
+    ).toDF("doc_id", "text")
+    val out = QualityRules.gopherQuality(docs, "doc_id", "text")
+      .select("doc_id", "r_word_count", "r_word_len", "r_stop", "r_bullet", "passes_gopher")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._6, "canonical good doc must pass all rules")
+    assert(!out(2L)._2 && !out(2L)._6, "short doc fails word count")
+    assert(!out(3L)._3, "1-char words fail the mean-word-length floor")
+    assert(!out(4L)._5, "19/20 bullet lines exceed the 90% ceiling")
+    assert(out(5L)._4, "doc 5 has >=2 distinct Gopher stopwords")
+  }
+
+  test("gopher: alphabetic-word fraction counts words with a letter, first token included") {
+    val docs = Seq((1L, "abc 123 456 789 x9")).toDF("doc_id", "text")
+    val r = QualityRules.gopherQuality(docs, "doc_id", "text")
+      .select("n_words", "n_alpha_words", "alpha_permille").head()
+    assert(r.getLong(0) == 5L && r.getLong(1) == 2L && r.getLong(2) == 400L)
+  }
+
+  // -------------------------------------------------- C4 line filter
+
+  test("c4: punctuation, word-count, brace and javascript line rules; lorem kills the doc") {
+    val docs = Seq(
+      (1L, Seq(
+        "this line ends with a period and is long enough.",
+        "this line has no terminal punctuation at all",
+        "short line.",
+        "function() { return javascript of doom; }",
+        "another good line survives the filter here!").mkString("\n")),
+      (2L, "good line with enough words to pass.\nlorem ipsum dolor sit amet."),
+      (3L, "nothing survives here")
+    ).toDF("doc_id", "text")
+    val out = QualityRules.c4LineFilter(docs, "doc_id", "text", minWords = 5)
+    val rows = out.select("doc_id", "n_lines", "n_kept", "text_kept")
+      .as[(Long, Long, Long, String)].collect().map(r => (r._1, r)).toMap
+    assert(rows.keySet == Set(1L), "lorem doc and empty doc must disappear")
+    val (_, n, k, text) = rows(1L)
+    assert(n == 5L && k == 2L)
+    assert(text == "this line ends with a period and is long enough.\n" +
+      "another good line survives the filter here!")
+  }
+
+  // -------------------------------------------------- paragraph dedup
+
+  test("paragraph dedup: first occurrence survives, later copies drop, order preserved") {
+    val docs = Seq(
+      (1L, "alpha para\n\nbeta para"),
+      (2L, "beta para\n\ngamma para"),   // beta already seen in doc 1
+      (3L, "alpha para\n\nbeta para"))   // fully duplicate -> dropped
+    .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .select("doc_id", "n_paras", "n_kept", "text_kept")
+      .as[(Long, Long, Long, String)].collect().map(r => (r._1, r)).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((1L, 2L, 2L, "alpha para\n\nbeta para")))
+    assert(out(2L) == ((2L, 2L, 1L, "gamma para")))
+  }
+
+  test("paragraph dedup: within-doc repeated paragraph keeps only the first position") {
+    val docs = Seq((7L, "same\n\nsame\n\nother")).toDF("doc_id", "text")
+    val r = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .select("n_paras", "n_kept", "text_kept").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getString(2) == "same\n\nother")
+  }
+
+  // -------------------------------------------------- temperature mixing
+
+  test("isqrt is exact at and around perfect squares") {
+    val n = Seq(0L, 1L, 2L, 3L, 4L, 99L, 100L, 101L, (1L << 40) - 1, 1L << 40)
+      .toDF("n")
+    val got = n.select(col("n"), Sampling.isqrt(col("n")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (v, s) =>
+      assert(s * s <= v && (s + 1) * (s + 1) > v, s"isqrt($v) = $s")
+    }
+  }
+
+  test("temperature mixing flattens the head relative to proportional rates") {
+    val docs = (1 to 90).map(i => (i.toLong, "big", ("w " * 10).trim)) ++
+      (1 to 10).map(i => (100L + i, "small", ("w " * 10).trim))
+    val out = Sampling.temperatureMixWeights(
+      docs.toDF("doc_id", "source", "text"), "source",
+      graft.llm.TextAnalysis.tokenCount(col("text")), tokenBudget = 500L)
+      .select("source", "n_tokens", "mix_permille", "rate_permille")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // sqrt flattening: big gets 750 permille of the mix (not 900),
+    // small gets 250 (not 100)
+    assert(out("big")._3 == 750L && out("small")._3 == 250L)
+    // small's flattened target (125 tokens) exceeds what stratified
+    // sampling must drop proportionally more from big
+    assert(out("big")._4 < 1000L, "over-budget stratum is downsampled")
+    assert(out("small")._4 == 1000L, "under-budget stratum keeps everything")
+  }
+
+  // -------------------------------------------------- snapshot delta
+
+  test("snapshot delta classifies added/removed/changed/unchanged") {
+    val oldS = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newS = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = Curation.snapshotDelta(oldS, newS, "doc_id", "text")
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
+}
