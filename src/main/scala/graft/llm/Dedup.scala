@@ -712,6 +712,41 @@ object Dedup {
     * driver-side and never a broadcast: at 100 TB the paragraph key space
     * IS the corpus.
     */
+  /** Keep-best-per-cluster representative selection — the step after
+    * fuzzy-dedup clustering in the published pipelines (FineWeb,
+    * SlimPajama): each near-duplicate cluster contributes exactly ONE
+    * document, chosen by a quality score instead of min-id, so dedup
+    * removes redundancy without systematically preferring the earliest
+    * crawl of a page. Deterministic total order: highest `qualityCol`,
+    * ties to the smallest doc id.
+    *
+    * `labels` is (doc_id, cluster_id) from either connected-components
+    * variant (singletons included by the caller's left-join+coalesce).
+    * Output: one row per cluster — (cluster_id, n_members,
+    * total_quality, rep_doc_id, rep_quality).
+    *
+    * Scale shape: one id-keyed join to attach the score, then one
+    * cluster-keyed exchange reused by both the stats aggregation (map-
+    * side partial) and the rank-1 window — whose filter compiles to
+    * WindowGroupLimit, so each map task forwards one candidate row per
+    * cluster, not the cluster's membership.
+    */
+  def clusterRepresentatives(labels: DataFrame, docs: DataFrame,
+      idCol: String, qualityCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = labels.join(
+      docs.select(col(idCol).as("doc_id"), col(qualityCol).cast("long").as("q")),
+      Seq("doc_id"))
+    val w = Window.partitionBy("cluster_id").orderBy(col("q").desc, col("doc_id"))
+    val rep = joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_doc_id"),
+        col("q").as("rep_quality"))
+    joined.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"), sum("q").as("total_quality"))
+      .join(rep, Seq("cluster_id"))
+  }
+
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
       sep: String = "\n\n"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

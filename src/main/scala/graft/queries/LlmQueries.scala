@@ -52,7 +52,7 @@ object LlmQueries {
     * split so `dedup_clusters` can build its recursive closure on top of
     * the identical pair graph.
     */
-  private val lshCtes: String = {
+  private[queries] val lshCtes: String = {
     val nBands = Dedup.MinhashA.length / Dedup.BandSize
     val bandSelects = (0 until nBands).map { j =>
       val cols = (0 until Dedup.BandSize).map(k => s"mh_${j * Dedup.BandSize + k}")
@@ -62,7 +62,7 @@ object LlmQueries {
       s"sig AS ($minhashSigSelect), bands AS ($bandSelects)"
   }
 
-  private val lshPairSelect: String =
+  private[queries] val lshPairSelect: String =
     """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |FROM bands a JOIN bands b ON a.band_idx = b.band_idx
       |  AND a.band_val = b.band_val AND a.doc_id < b.doc_id"""

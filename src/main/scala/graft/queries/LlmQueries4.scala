@@ -48,6 +48,20 @@ object LlmQueries4 {
       Dedup.paragraphDedup(builtParaDocs(Tables.documents(s, dir)),
         "doc_id", "text")),
 
+    // keep-best-per-cluster over the LSH near-dup graph: every cluster
+    // (singletons included) elects its highest-n_chars member, ties to
+    // the smallest id — the FineWeb-style canonical-doc selection
+    "dedup_cluster_rep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val labels = docs.select("doc_id")
+        .join(Dedup.connectedComponents(
+          Dedup.lshCandidatePairs(docs, "doc_id", "text"), "doc_a", "doc_b"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      Dedup.clusterRepresentatives(labels, docs, "doc_id", "n_chars")
+    }),
+
     // incremental-ingest delta between two synthetic snapshots: old =
     // ids ∤ 7, new = ids ∤ 5 with every 11th text uppercased (changed)
     "corpus_delta" -> ((s, dir) => {
@@ -148,6 +162,28 @@ object LlmQueries4 {
         |      ORDER BY para_no) AS text_kept
         |  FROM r GROUP BY doc_id)
         |SELECT doc_id, n_paras, n_kept, text_kept FROM agg WHERE n_kept >= 1"""
+        .stripMargin.replace("\n", " "),
+
+    "dedup_cluster_rep" ->
+      s"""WITH RECURSIVE ${LlmQueries.lshCtes}, prs AS (${LlmQueries.lshPairSelect}),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+         |  UNION ALL SELECT doc_b, doc_a FROM prs),
+         |reach(v, r) AS (SELECT src, src FROM edges
+         |  UNION SELECT e.src, rc.r FROM edges e JOIN reach rc ON rc.v = e.dst),
+         |lab0 AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+         |lab AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN lab0 l ON d.doc_id = l.doc_id),
+         |j AS (SELECT lab.cluster_id, lab.doc_id, CAST(d.n_chars AS BIGINT) AS q
+         |  FROM lab JOIN documents d ON lab.doc_id = d.doc_id),
+         |rk AS (SELECT cluster_id, doc_id, q,
+         |    row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn
+         |  FROM j),
+         |st AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         |    CAST(sum(q) AS BIGINT) AS total_quality
+         |  FROM j GROUP BY cluster_id)
+         |SELECT st.cluster_id, st.n_members, st.total_quality,
+         |  rk.doc_id AS rep_doc_id, rk.q AS rep_quality
+         |FROM st JOIN rk ON st.cluster_id = rk.cluster_id AND rk.rn = 1"""
         .stripMargin.replace("\n", " "),
 
     "corpus_delta" ->

@@ -87,6 +87,18 @@ class QualityRulesSpec extends SparkSpecBase {
     assert(r.getString(2) == "same\n\nother")
   }
 
+  // -------------------------------------------------- cluster representatives
+
+  test("cluster representatives: max quality wins, ties to smallest id, singletons kept") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L)).toDF("doc_id", "cluster_id")
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (9L, 5L)).toDF("doc_id", "n_chars")
+    val got = Dedup.clusterRepresentatives(labels, docs, "doc_id", "n_chars")
+      .select("cluster_id", "n_members", "total_quality", "rep_doc_id", "rep_quality")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 70L, 2L, 30L)), "doc 2 beats doc 3 on the id tiebreak")
+    assert(got(9L) == ((9L, 1L, 5L, 9L, 5L)))
+  }
+
   // -------------------------------------------------- temperature mixing
 
   test("isqrt is exact at and around perfect squares") {
