@@ -926,4 +926,62 @@ object Similarity {
     val st = graft.util.Materialize.stable(sq8Stats(corpus))
     sq8Search(sq8Encode(corpus, st), st, queries, k)
   }
+
+  /** Binary-hash ANN (Charikar 2002 sign-random-projection / the FAISS
+    * `IndexBinaryFlat` shape): stage 1 scans `nBits`-bit sign codes —
+    * ONE long per vector, 64× less bandwidth than the float vectors —
+    * ranking candidates by Hamming distance (`bit_count(xor)`, two
+    * codegen'd ALU ops per pair); stage 2 exact-reranks only the
+    * `candMult × k` Hamming survivors per query with the integer cosine.
+    *
+    * Scale shape: the code table is N × 8 bytes (100 TB of 768-dim
+    * floats → ~0.3 TB of codes), scanned once per query batch with the
+    * bounded query codes broadcast; the Hamming window pre-limits
+    * per-query candidates map-side (WindowGroupLimit), so the rerank
+    * join touches Q·C rows, never the corpus. Both stages are plain
+    * codegen'd expressions — no UDF, no state.
+    *
+    * Output: (qid, cid, hd, rank, cos_sim) — rank by exact cosine within
+    * the candidate set, ties to the smaller cid; `hd` is the candidate's
+    * Hamming distance (diagnostic: how coarse stage 1 was).
+    */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nBits: Int = 32, candMult: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && candMult > 0, s"need k, candMult > 0, got $k, $candMult")
+    require(nBits > 0 && nBits <= MaxPlanes, s"nBits must be in 1..$MaxPlanes")
+    // bucketSql's plane projections reference long_dot; register before
+    // the first analysis (the other entry points register via dotQ first)
+    graft.functions.ArrayFns.register(org.apache.spark.sql.SparkSession.active)
+    def prep(df: DataFrame, id: String, v: String) =
+      df.select(col("vec_id").as(id), quantize(col("embedding")).as(v))
+        .withColumn("code", expr(bucketSql(v, spark = true, nBits)))
+    // both frames feed two stages each — materialize once (tracked; the
+    // session's release discipline sweeps them between requests)
+    val q = graft.util.Materialize.stable(prep(queries, "qid", "qv")
+      .withColumn("nq", dotQ("qv", "qv")))
+    val c = graft.util.Materialize.stable(prep(Dedup.widen(corpus), "cid", "cv")
+      .withColumn("nc", dotQ("cv", "cv")))
+    // stage 1: Hamming scan over codes only — the projection drops the
+    // vectors BEFORE the window exchange so candidates travel as
+    // (qid, cid, hd) triples
+    val hw = Window.partitionBy("qid").orderBy(col("hd").asc, col("cid"))
+    val cand = c.select(col("cid"), col("code"))
+      .crossJoin(broadcast(q.select(col("qid"), col("code").as("qcode"))))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("hd", bit_count(col("code").bitwiseXOR(col("qcode"))))
+      .select("qid", "cid", "hd")
+      .withColumn("hrank", row_number().over(hw))
+      .filter(col("hrank") <= k * candMult)
+    // stage 2: exact integer-cosine rerank of the bounded candidates
+    val rw = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))
+    cand
+      .join(c.select(col("cid"), col("cv"), col("nc")), Seq("cid"))
+      .join(broadcast(q.select(col("qid"), col("qv"), col("nq"))), Seq("qid"))
+      .withColumn("dot", dotQ("qv", "cv"))
+      .withColumn("cos_sim", cosineFromInts(col("dot"), col("nq"), col("nc")))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "hd", "rank", "cos_sim")
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Curation, Dedup, QualityRules, Sampling}
+import graft.llm.{Curation, Dedup, QualityRules, Sampling, Similarity}
 
 /** Fourth tranche of LLM-training-data pipeline gates: the published
   * quality-filter rulesets (Gopher document rules, C4 line rules),
@@ -47,6 +47,15 @@ object LlmQueries4 {
     "dedup_paragraph" -> ((s, dir) =>
       Dedup.paragraphDedup(builtParaDocs(Tables.documents(s, dir)),
         "doc_id", "text")),
+
+    // binary-hash ANN: 32-bit sign codes, Hamming-distance candidate
+    // scan (bit_count(xor) over one long per vector), exact integer-
+    // cosine rerank of the 4k survivors per query
+    "ann_hamming_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hammingTopK(emb, emb.filter(col("vec_id") < 50), k = 5,
+        nBits = 32, candMult = 4)
+    }),
 
     // keep-best-per-cluster over the LSH near-dup graph: every cluster
     // (singletons included) elects its highest-n_chars member, ties to
@@ -163,6 +172,33 @@ object LlmQueries4 {
         |  FROM r GROUP BY doc_id)
         |SELECT doc_id, n_paras, n_kept, text_kept FROM agg WHERE n_kept >= 1"""
         .stripMargin.replace("\n", " "),
+
+    "ann_hamming_topk" -> {
+      val quant = Similarity.quantizeSqlDuck
+      val code = Similarity.bucketSql("qv", spark = false, nPlanes = 32)
+      def cos(dot: String, n1: String, n2: String) =
+        s"CAST($dot AS DOUBLE) / (sqrt(CAST($n1 AS DOUBLE)) * sqrt(CAST($n2 AS DOUBLE)))"
+      s"""WITH v AS (SELECT vec_id, $quant AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv, ${Similarity.dotQSqlDuck("qv", "qv")} AS nrm,
+         |    $code AS code FROM v),
+         |q AS (SELECT * FROM n WHERE vec_id < 50),
+         |cand AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    bit_count(xor(q.code, c.code)) AS hd,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY bit_count(xor(q.code, c.code)), c.vec_id) AS hrank
+         |  FROM q, n c WHERE c.vec_id <> q.vec_id),
+         |cl AS (SELECT qid, cid, hd FROM cand WHERE hrank <= 20),
+         |p AS (SELECT cl.qid, cl.cid, cl.hd,
+         |    ${Similarity.dotQSqlDuck("qn.qv", "cn.qv")} AS dot,
+         |    qn.nrm AS nq, cn.nrm AS nc
+         |  FROM cl JOIN n cn ON cl.cid = cn.vec_id JOIN n qn ON cl.qid = qn.vec_id),
+         |s AS (SELECT qid, cid, hd, ${cos("dot", "nq", "nc")} AS cos_sim FROM p),
+         |r AS (SELECT qid, cid, hd, cos_sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+         |  FROM s)
+         |SELECT qid, cid, hd, rank, cos_sim FROM r WHERE rank <= 5"""
+        .stripMargin.replace("\n", " ")
+    },
 
     "dedup_cluster_rep" ->
       s"""WITH RECURSIVE ${LlmQueries.lshCtes}, prs AS (${LlmQueries.lshPairSelect}),

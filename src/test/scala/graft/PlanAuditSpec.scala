@@ -248,6 +248,15 @@ class PlanAuditSpec extends SparkSpecBase {
       "the per-(vec, subspace) argmin and per-query top-k must pre-limit map-side")
   }
 
+  test("Hamming ANN: query codes broadcast into the code scan; rerank join bounded; no cartesian") {
+    val p = plan("ann_hamming_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the bounded query-code side must broadcast into the corpus code scan")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("WindowGroupLimit"),
+      "the Hamming candidate cut and the final top-k must pre-limit map-side")
+  }
+
   test("IVF-PQ: cell-bounded candidates, broadcast ADC, no cartesian") {
     val p = plan("ann_ivfpq_topk")
     assert(p.contains("BroadcastHashJoin"),
