@@ -257,6 +257,86 @@ object Retrieval {
     * whitespace tokens — a monotone relevance proxy the specs can reason
     * about exactly.
     */
+  /** MMR diversified re-ranking (Carbonell & Goldstein 1998, "The Use of
+    * MMR, Diversity-Based Reranking"): greedily select `k` of each
+    * query's candidates maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)` — relevance traded
+    * against redundancy with what's already picked. The selection is
+    * inherently sequential in k, so the k rounds are UNROLLED into the
+    * plan (k is a small constant — this is a top-of-funnel diversifier,
+    * not a scan): each round is one anti-join (drop selected), one
+    * equi-join onto the candidate-pair similarities restricted to the
+    * selected set (max-aggregated), and one rank-1 window — every stage
+    * keyed by qid, all candidate sets bounded by the upstream retriever's
+    * top-C, so per-round work is O(Q·C) rows regardless of corpus size.
+    *
+    * `cands`: (qid, cid, rel); `pairSims`: (qid, cid_a, cid_b, sim) over
+    * each query's candidate set. λ in per-mille; the MMR score is
+    * `(λ·rel − (1000−λ)·max_sim) / 1000.0` — the identical double
+    * expression the DuckDB oracle evaluates. Ties to the smaller cid.
+    * Output: (qid, cid, pick, rel), pick = selection order 1..k.
+    */
+  def mmrRerank(cands: DataFrame, pairSims: DataFrame, k: Int,
+      lambdaPermille: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambdaPermille >= 0 && lambdaPermille <= 1000,
+      s"lambdaPermille must be in 0..1000, got $lambdaPermille")
+    val c = graft.util.Materialize.stable(
+      cands.select(col("qid"), col("cid"), col("rel")))
+    val ps = graft.util.Materialize.stable(
+      pairSims.select(col("qid"), col("cid_a"), col("cid_b"), col("sim")))
+    val relW = Window.partitionBy("qid").orderBy(col("rel").desc, col("cid"))
+    var selected = c.withColumn("rn", row_number().over(relW))
+      .filter(col("rn") === 1).drop("rn")
+      .withColumn("pick", lit(1))
+    for (r <- 2 to k) {
+      val rem = c.join(selected.select("qid", "cid"), Seq("qid", "cid"), "left_anti")
+      val maxSim = ps
+        .join(selected.select(col("qid"), col("cid").as("cid_b")), Seq("qid", "cid_b"))
+        .groupBy(col("qid"), col("cid_a").as("cid"))
+        .agg(max("sim").as("max_sim"))
+      val mmrW = Window.partitionBy("qid").orderBy(col("mmr").desc, col("cid"))
+      val next = rem.join(maxSim, Seq("qid", "cid"))
+        .withColumn("mmr", expr(
+          s"($lambdaPermille * rel - ${1000 - lambdaPermille} * max_sim) / 1000.0"))
+        .withColumn("rn", row_number().over(mmrW))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("cid"), col("rel"))
+        .withColumn("pick", lit(r))
+      selected = selected.unionByName(next)
+    }
+    selected.select("qid", "cid", "pick", "rel")
+  }
+
+  /** The DuckDB rendering of [[mmrRerank]]'s unrolled rounds, generated
+    * from the SAME k and λ so the two engines cannot drift. `candsCte` /
+    * `pairsCte` name CTEs (defined by the caller's `withCtes` prefix)
+    * exposing (qid, cid, rel) and (qid, cid_a, cid_b, sim).
+    */
+  def mmrSqlDuck(candsCte: String, pairsCte: String, k: Int,
+      lambdaPermille: Int, withCtes: String): String = {
+    val rounds = (2 to k).map { r =>
+      s"""rem$r AS (SELECT c.* FROM $candsCte c LEFT JOIN selall${r - 1} s
+         |    ON c.qid = s.qid AND c.cid = s.cid WHERE s.cid IS NULL),
+         |ms$r AS (SELECT r.qid, r.cid, r.rel, max(p.sim) AS max_sim
+         |  FROM rem$r r JOIN $pairsCte p ON p.qid = r.qid AND p.cid_a = r.cid
+         |  JOIN selall${r - 1} s ON s.qid = p.qid AND s.cid = p.cid_b
+         |  GROUP BY r.qid, r.cid, r.rel),
+         |sel$r AS (SELECT qid, cid, rel, $r AS pick FROM
+         |  (SELECT qid, cid, rel, row_number() OVER (PARTITION BY qid ORDER BY
+         |     ($lambdaPermille * rel - ${1000 - lambdaPermille} * max_sim) / 1000.0 DESC,
+         |     cid) AS rn FROM ms$r) WHERE rn = 1),
+         |selall$r AS (SELECT * FROM selall${r - 1} UNION ALL SELECT * FROM sel$r)"""
+        .stripMargin.replace("\n", " ")
+    }.mkString(", ", ", ", "")
+    s"""WITH ${withCtes}sel1 AS (SELECT qid, cid, rel, 1 AS pick FROM
+       |  (SELECT qid, cid, rel, row_number() OVER (PARTITION BY qid
+       |     ORDER BY rel DESC, cid) AS rn FROM $candsCte) WHERE rn = 1),
+       |selall1 AS (SELECT * FROM sel1)$rounds
+       |SELECT qid, cid, pick, rel FROM selall$k""".stripMargin.replace("\n", " ")
+  }
+
   def stubCrossScore(query: String, doc: String): Double = {
     val q = query.split(" ").filter(_.nonEmpty).toSet
     if (q.isEmpty) 0.0

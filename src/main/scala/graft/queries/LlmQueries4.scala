@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Curation, Dedup, QualityRules, Sampling, Similarity}
+import graft.llm.{Curation, Dedup, QualityRules, Retrieval, Sampling, Similarity}
 
 /** Fourth tranche of LLM-training-data pipeline gates: the published
   * quality-filter rulesets (Gopher document rules, C4 line rules),
@@ -47,6 +47,28 @@ object LlmQueries4 {
     "dedup_paragraph" -> ((s, dir) =>
       Dedup.paragraphDedup(builtParaDocs(Tables.documents(s, dir)),
         "doc_id", "text")),
+
+    // MMR diversification: brute-force top-10 per query, then 5 greedy
+    // λ=0.7 selection rounds trading relevance against redundancy with
+    // the already-picked set (unrolled declarative rounds, qid-keyed)
+    "rerank_mmr" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cands = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 50), k = 10)
+        .select(col("qid"), col("cid"), col("cos_sim").as("rel"))
+      val vn = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+        .withColumn("nrm", Similarity.dotQ("qv", "qv"))
+      val ps = cands.select(col("qid"), col("cid").as("cid_a"))
+        .join(cands.select(col("qid"), col("cid").as("cid_b")), Seq("qid"))
+        .filter(col("cid_a") =!= col("cid_b"))
+        .join(vn.select(col("vec_id").as("cid_a"), col("qv").as("va"),
+          col("nrm").as("na")), Seq("cid_a"))
+        .join(vn.select(col("vec_id").as("cid_b"), col("qv").as("vb"),
+          col("nrm").as("nb")), Seq("cid_b"))
+        .withColumn("sim",
+          Similarity.cosineFromInts(Similarity.dotQ("va", "vb"), col("na"), col("nb")))
+        .select("qid", "cid_a", "cid_b", "sim")
+      Retrieval.mmrRerank(cands, ps, k = 5, lambdaPermille = 700)
+    }),
 
     // binary-hash ANN: 32-bit sign codes, Hamming-distance candidate
     // scan (bit_count(xor) over one long per vector), exact integer-
@@ -172,6 +194,27 @@ object LlmQueries4 {
         |  FROM r GROUP BY doc_id)
         |SELECT doc_id, n_paras, n_kept, text_kept FROM agg WHERE n_kept >= 1"""
         .stripMargin.replace("\n", " "),
+
+    "rerank_mmr" -> {
+      val quant = Similarity.quantizeSqlDuck
+      def cos(dot: String, n1: String, n2: String) =
+        s"CAST($dot AS DOUBLE) / (sqrt(CAST($n1 AS DOUBLE)) * sqrt(CAST($n2 AS DOUBLE)))"
+      val ctes =
+        s"""v AS (SELECT vec_id, $quant AS qv FROM embeddings),
+           |n AS (SELECT vec_id, qv, ${Similarity.dotQSqlDuck("qv", "qv")} AS nrm FROM v),
+           |bf AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+           |    ${cos(Similarity.dotQSqlDuck("q.qv", "c.qv"), "q.nrm", "c.nrm")} AS cos_sim
+           |  FROM n q, n c WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id),
+           |cands AS (SELECT qid, cid, cos_sim AS rel FROM
+           |  (SELECT qid, cid, cos_sim, row_number() OVER (PARTITION BY qid
+           |     ORDER BY cos_sim DESC, cid) AS rnk FROM bf) WHERE rnk <= 10),
+           |ps AS (SELECT a.qid, a.cid AS cid_a, b.cid AS cid_b,
+           |    ${cos(Similarity.dotQSqlDuck("na.qv", "nb.qv"), "na.nrm", "nb.nrm")} AS sim
+           |  FROM cands a JOIN cands b ON a.qid = b.qid AND a.cid <> b.cid
+           |  JOIN n na ON na.vec_id = a.cid JOIN n nb ON nb.vec_id = b.cid), """
+          .stripMargin.replace("\n", " ")
+      Retrieval.mmrSqlDuck("cands", "ps", k = 5, lambdaPermille = 700, withCtes = ctes)
+    },
 
     "ann_hamming_topk" -> {
       val quant = Similarity.quantizeSqlDuck

@@ -395,4 +395,33 @@ class RetrievalShufflingSpec extends SparkSpecBase {
     assert(s(1L) > 300, s"fluent doc should score high, got ${s(1L)}")
     assert(s(2L) === 0, s"gibberish should score 0, got ${s(2L)}")
   }
+
+  test("MMR: redundant runner-up deferred in favor of a diverse candidate") {
+    // cid 1 (rel .9) and cid 2 (rel .89) are near-duplicates (sim .95);
+    // cid 3 (rel .5) is orthogonal to both. λ=0.7:
+    //   pick 1 = cid 1 (pure relevance)
+    //   pick 2: cid 2 scores .7*.89-.3*.95 = .338 < cid 3's .7*.5-0 = .35
+    val cands = Seq((1L, 1L, 0.9), (1L, 2L, 0.89), (1L, 3L, 0.5))
+      .toDF("qid", "cid", "rel")
+    val sims = Seq(
+      (1L, 1L, 2L, 0.95), (1L, 2L, 1L, 0.95),
+      (1L, 1L, 3L, 0.0), (1L, 3L, 1L, 0.0),
+      (1L, 2L, 3L, 0.0), (1L, 3L, 2L, 0.0))
+      .toDF("qid", "cid_a", "cid_b", "sim")
+    val got = Retrieval.mmrRerank(cands, sims, k = 3, lambdaPermille = 700)
+      .orderBy("pick").select("cid").as[Long].collect().toSeq
+    assert(got == Seq(1L, 3L, 2L), s"expected diversity-first order, got $got")
+  }
+
+  test("MMR: λ=1000 degenerates to pure relevance ranking") {
+    val cands = Seq((1L, 1L, 0.9), (1L, 2L, 0.8), (1L, 3L, 0.7))
+      .toDF("qid", "cid", "rel")
+    val sims = Seq((1L, 1L, 2L, 0.99), (1L, 2L, 1L, 0.99),
+      (1L, 1L, 3L, 0.99), (1L, 3L, 1L, 0.99),
+      (1L, 2L, 3L, 0.99), (1L, 3L, 2L, 0.99))
+      .toDF("qid", "cid_a", "cid_b", "sim")
+    val got = Retrieval.mmrRerank(cands, sims, k = 3, lambdaPermille = 1000)
+      .orderBy("pick").select("cid").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
 }
