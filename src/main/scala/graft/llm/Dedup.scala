@@ -712,6 +712,34 @@ object Dedup {
     * driver-side and never a broadcast: at 100 TB the paragraph key space
     * IS the corpus.
     */
+  /** Incremental exact dedup — the batch form of the streaming novelty
+    * gate ([[StreamingDedup]]): admit a document from the new increment
+    * iff its content hash appears neither in the prior corpus nor
+    * earlier (by id) within the increment itself. This is how a
+    * continuously-crawled corpus grows WITHOUT re-deduplicating 100 TB
+    * per ingest: the prior side reduces to (hash) in its scan, the new
+    * increment anti-joins it on the hash key, and within-increment
+    * firsts come from the same md5-keyed aggregation shape as
+    * [[exactDuplicates]].
+    *
+    * Output: the surviving new rows (id, text_hash) plus
+    * `dup_of_prior` / `dup_within` counts are the caller's derivable
+    * diagnostics — kept lean here so the survivors frame composes
+    * directly into the curation pipeline.
+    */
+  def incrementalDedup(newDocs: DataFrame, priorDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prior = priorDocs.select(md5(col(textCol)).as("text_hash")).distinct()
+    val fresh = newDocs
+      .select(col(idCol).as("doc_id"), md5(col(textCol)).as("text_hash"))
+      .join(prior, Seq("text_hash"), "left_anti")
+    val w = Window.partitionBy("text_hash").orderBy("doc_id")
+    fresh.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "text_hash")
+  }
+
   /** Keep-best-per-cluster representative selection — the step after
     * fuzzy-dedup clustering in the published pipelines (FineWeb,
     * SlimPajama): each near-duplicate cluster contributes exactly ONE

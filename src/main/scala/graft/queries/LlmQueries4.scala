@@ -48,6 +48,17 @@ object LlmQueries4 {
       Dedup.paragraphDedup(builtParaDocs(Tables.documents(s, dir)),
         "doc_id", "text")),
 
+    // incremental ingest dedup: the "new crawl" (every 2nd doc, re-keyed
+    // +100000 so content dups exist across snapshots) admits only docs
+    // whose hash is absent from the prior corpus AND first within itself
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val prior = docs.filter(col("doc_id") % 3 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      Dedup.incrementalDedup(fresh, prior, "doc_id", "text")
+    }),
+
     // MMR diversification: brute-force top-10 per query, then 5 greedy
     // λ=0.7 selection rounds trading relevance against redundancy with
     // the already-picked set (unrolled declarative rounds, qid-keyed)
@@ -193,6 +204,20 @@ object LlmQueries4 {
         |      ORDER BY para_no) AS text_kept
         |  FROM r GROUP BY doc_id)
         |SELECT doc_id, n_paras, n_kept, text_kept FROM agg WHERE n_kept >= 1"""
+        .stripMargin.replace("\n", " "),
+
+    "dedup_incremental" ->
+      """WITH prior AS (SELECT DISTINCT md5(text) AS text_hash
+        |    FROM documents WHERE doc_id % 3 <> 0),
+        |fresh AS (SELECT doc_id + 100000 AS doc_id, md5(text) AS text_hash
+        |    FROM documents WHERE doc_id % 2 = 0),
+        |nov AS (SELECT f.doc_id, f.text_hash FROM fresh f
+        |    LEFT JOIN prior p ON f.text_hash = p.text_hash
+        |    WHERE p.text_hash IS NULL),
+        |r AS (SELECT doc_id, text_hash,
+        |    row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+        |  FROM nov)
+        |SELECT doc_id, text_hash FROM r WHERE rn = 1"""
         .stripMargin.replace("\n", " "),
 
     "rerank_mmr" -> {

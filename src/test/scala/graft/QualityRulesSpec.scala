@@ -87,6 +87,18 @@ class QualityRulesSpec extends SparkSpecBase {
     assert(r.getString(2) == "same\n\nother")
   }
 
+  // -------------------------------------------------- incremental dedup
+
+  test("incremental dedup: prior-known and within-increment duplicates both drop") {
+    val prior = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val fresh = Seq((10L, "a"), (11L, "c"), (12L, "c"), (13L, "d"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(fresh, prior, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(11L, 13L),
+      "10 dups prior 'a'; 12 dups within-increment 'c'; 11 is the first 'c'")
+  }
+
   // -------------------------------------------------- cluster representatives
 
   test("cluster representatives: max quality wins, ties to smallest id, singletons kept") {
