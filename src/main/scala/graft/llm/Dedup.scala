@@ -778,9 +778,11 @@ object Dedup {
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
       sep: String = "\n\n"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val paras = docs.select(col(idCol).as("doc_id"),
+    // widen below the split: the md5-window stage must not inherit a
+    // single-file scan's partition count (the explode-head rationale)
+    val paras = widen(docs.select(col(idCol).as("doc_id"),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-        .as(Seq("para_no", "para")))
+        .as(Seq("para_no", "para"))))
     val w = Window.partitionBy(md5(col("para"))).orderBy(col("doc_id"), col("para_no"))
     paras
       .withColumn("rn", row_number().over(w))
