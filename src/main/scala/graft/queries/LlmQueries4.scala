@@ -48,6 +48,21 @@ object LlmQueries4 {
       Dedup.paragraphDedup(builtParaDocs(Tables.documents(s, dir)),
         "doc_id", "text")),
 
+    // per-dimension embedding statistics — the feature-drift monitor for
+    // an embedding pipeline: explode inflates rows ×Dim but partial
+    // aggregation collapses each task to ≤Dim rows before the exchange,
+    // so the shuffle carries tasks×Dim rows at any corpus size
+    "emb_dim_stats" -> ((s, dir) => {
+      val v = Tables.embeddings(s, dir)
+        .select(Similarity.quantize(col("embedding")).as("qv"))
+      Dedup.widen(v)
+        .select(posexplode(col("qv")).as(Seq("dim", "x")))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum("x").as("sum_q"),
+          min("x").as("min_q"), max("x").as("max_q"),
+          sum(when(col("x") > 0, 1L).otherwise(0L)).as("n_pos"))
+    }),
+
     // incremental ingest dedup: the "new crawl" (every 2nd doc, re-keyed
     // +100000 so content dups exist across snapshots) admits only docs
     // whose hash is absent from the prior corpus AND first within itself
@@ -205,6 +220,14 @@ object LlmQueries4 {
         |  FROM r GROUP BY doc_id)
         |SELECT doc_id, n_paras, n_kept, text_kept FROM agg WHERE n_kept >= 1"""
         .stripMargin.replace("\n", " "),
+
+    "emb_dim_stats" ->
+      s"""WITH v AS (SELECT ${Similarity.quantizeSqlDuck} AS qv FROM embeddings),
+         |e AS (SELECT generate_subscripts(qv, 1) - 1 AS dim, unnest(qv) AS x FROM v)
+         |SELECT dim, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sum_q,
+         |  min(x) AS min_q, max(x) AS max_q,
+         |  CAST(sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+         |FROM e GROUP BY dim""".stripMargin.replace("\n", " "),
 
     "dedup_incremental" ->
       """WITH prior AS (SELECT DISTINCT md5(text) AS text_hash
