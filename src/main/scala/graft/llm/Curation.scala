@@ -43,6 +43,49 @@ object Curation {
           .otherwise(lit("unchanged")))
   }
 
+  /** Second-generation curation composition — the round-8 stage stack as
+    * ONE recipe: Gopher document rules → paragraph-level first-occurrence
+    * dedup → exact dedup on the post-paragraph text → temperature-α=½
+    * per-source token budgeting with deterministic hash sampling. Each
+    * stage is the already-gated operator; this composes them end to end
+    * (the `corpus_curated` discipline, second recipe).
+    *
+    * `stopWords` parameterizes Gopher's stopword-presence rule — the
+    * paper's list is English-specific config, not algorithm.
+    *
+    * Scale shape = the sum of its stages' audited shapes; the only new
+    * plumbing is the per-source rate table joined back by broadcast
+    * (bounded by |sources|) and a deterministic per-doc hash filter —
+    * no driver-side data at all (unlike [[curate]]'s collected rate map).
+    * Output: (doc_id, groupCol, n_paras, n_kept, text_hash).
+    */
+  def curateV2(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, tokenBudget: Long,
+      stopWords: Seq[String] = QualityRules.GopherStopWords,
+      sep: String = "\n\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ok = QualityRules.gopherQuality(docs, idCol, textCol, stopWords)
+      .filter(col("passes_gopher")).select("doc_id")
+    val kept = docs
+      .select(col(idCol).as("doc_id"), col(groupCol).as("_grp"),
+        col(textCol).as("_txt"))
+      .join(ok, Seq("doc_id"))
+    val para = Dedup.paragraphDedup(
+      kept.select(col("doc_id"), col("_txt")), "doc_id", "_txt", sep)
+    val w = Window.partitionBy(md5(col("text_kept"))).orderBy("doc_id")
+    val uniq = graft.util.Materialize.stable(
+      para.join(kept.select(col("doc_id"), col("_grp")), Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn"))
+    val rates = Sampling.temperatureMixWeights(uniq, "_grp",
+      TextAnalysis.tokenCount(col("text_kept")), tokenBudget)
+      .select(col("_grp"), col("rate_permille"))
+    uniq.join(broadcast(rates), Seq("_grp"))
+      .filter(Sampling.hashPermille(col("doc_id")) < col("rate_permille"))
+      .select(col("doc_id"), col("_grp").as(groupCol), col("n_paras"),
+        col("n_kept"), md5(col("text_kept")).as("text_hash"))
+  }
+
   /** Per-source corpus health: doc/token totals, docs passing the
     * quality filter, and exact-duplicate (non-canonical) copies.
     * Output: (source, n_docs, n_tokens, n_kept, n_dup).

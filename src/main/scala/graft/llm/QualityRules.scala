@@ -41,9 +41,11 @@ object QualityRules {
     * counts from `regexp_extract_all` sizes, and stopword presence from
     * `array_contains` per stopword — all codegen'd.
     */
-  def gopherQuality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def gopherQuality(docs: DataFrame, idCol: String, textCol: String,
+      stopWords: Seq[String] = GopherStopWords): DataFrame = {
+    require(stopWords.nonEmpty, "stopWords must be non-empty")
     val toks = col("_toks")
-    val nStopDistinct = GopherStopWords
+    val nStopDistinct = stopWords
       .map(s => array_contains(toks, lit(s)).cast("long"))
       .reduce(_ + _)
     docs
@@ -92,11 +94,15 @@ object QualityRules {
     * exposing (doc_id, text) as `src` — generated from the same constants
     * so thresholds can never drift between engines.
     */
-  def gopherSqlDuck(src: String): String = {
-    val stopSum = GopherStopWords
+  /** The f-stage feature SELECT shared by [[gopherSqlDuck]] and
+    * [[gopherPassSqlDuck]] — one definition so the full gate and the
+    * composable pass filter cannot drift.
+    */
+  private def gopherFeatureSelect(src: String, stopWords: Seq[String]): String = {
+    val stopSum = stopWords
       .map(s => s"CAST(list_contains(string_split(text, ' '), '$s') AS BIGINT)")
       .mkString(" + ")
-    s"""WITH f AS (SELECT doc_id,
+    s"""SELECT doc_id,
        |  CAST(length(text) AS BIGINT) AS n_chars,
        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
        |  CAST(len(regexp_extract_all(' ' || text, ' [^ ]*[a-zA-Z][^ ]*')) AS BIGINT) AS n_alpha_words,
@@ -105,7 +111,27 @@ object QualityRules {
        |  CAST(len(regexp_extract_all(chr(10) || text, chr(10) || '[\\-\\*' || chr(8226) || ']')) AS BIGINT) AS n_bullet_lines,
        |  CAST(len(regexp_extract_all(text || chr(10), '\\.\\.\\.' || chr(10))) AS BIGINT) AS n_ellipsis_lines,
        |  CAST($stopSum AS BIGINT) AS n_stop_distinct
-       |  FROM $src),
+       |  FROM $src""".stripMargin.replace("\n", " ")
+  }
+
+  /** Composable pass filter: `SELECT doc_id FROM (...)` of documents
+    * passing ALL Gopher rules — usable inside a larger WITH chain (no
+    * nested WITH in DuckDB).
+    */
+  def gopherPassSqlDuck(src: String,
+      stopWords: Seq[String] = GopherStopWords): String =
+    s"""SELECT doc_id FROM (${gopherFeatureSelect(src, stopWords)}) gf
+       |WHERE n_words BETWEEN 50 AND 100000
+       |  AND (n_chars - (n_words - 1)) * 100 // n_words BETWEEN 300 AND 1000
+       |  AND n_alpha_words * 1000 // n_words >= 800
+       |  AND n_symbols * 1000 // n_words <= 100
+       |  AND n_bullet_lines * 1000 // n_lines <= 900
+       |  AND n_ellipsis_lines * 1000 // n_lines <= 300
+       |  AND n_stop_distinct >= 2""".stripMargin.replace("\n", " ")
+
+  def gopherSqlDuck(src: String,
+      stopWords: Seq[String] = GopherStopWords): String = {
+    s"""WITH f AS (${gopherFeatureSelect(src, stopWords)}),
        |g AS (SELECT *,
        |  (n_chars - (n_words - 1)) * 100 // n_words AS avg_word_len_x100,
        |  n_alpha_words * 1000 // n_words AS alpha_permille,

@@ -48,6 +48,17 @@ object LlmQueries4 {
       Dedup.paragraphDedup(builtParaDocs(Tables.documents(s, dir)),
         "doc_id", "text")),
 
+    // round-8 composed curation: Gopher rules (fixture-tuned stop list)
+    // → paragraph dedup → exact dedup → temperature budget, end to end
+    // over the synthetic 3-paragraph corpus, vs ONE composed oracle
+    "corpus_curated_v2" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val built = builtParaDocs(docs)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      Curation.curateV2(built, "doc_id", "text", "source",
+        tokenBudget = 20000L, stopWords = Seq("the", "a"))
+    }),
+
     // per-dimension embedding statistics — the feature-drift monitor for
     // an embedding pipeline: explode inflates rows ×Dim but partial
     // aggregation collapses each task to ≤Dim rows before the exchange,
@@ -220,6 +231,47 @@ object LlmQueries4 {
         |  FROM r GROUP BY doc_id)
         |SELECT doc_id, n_paras, n_kept, text_kept FROM agg WHERE n_kept >= 1"""
         .stripMargin.replace("\n", " "),
+
+    "corpus_curated_v2" -> {
+      val pd = "chr(10) || chr(10)"
+      val isq = Sampling.isqrtSqlDuck("n_tokens")
+      val gopherPass = QualityRules.gopherPassSqlDuck("bs", Seq("the", "a"))
+      s"""WITH sh AS (SELECT d.doc_id - s.i AS doc_id, s.i AS para_no, d.text AS para
+         |  FROM documents d, (SELECT unnest([0, 1, 2]) AS i) s),
+         |built AS (SELECT doc_id, string_agg(para, $pd ORDER BY para_no) AS text
+         |  FROM sh WHERE doc_id >= 0 GROUP BY doc_id),
+         |bs AS (SELECT b.doc_id, b.text, d.source FROM built b
+         |  JOIN documents d ON b.doc_id = d.doc_id),
+         |gp AS ($gopherPass),
+         |keep AS (SELECT bs.* FROM bs JOIN gp ON bs.doc_id = gp.doc_id),
+         |paras AS (SELECT doc_id,
+         |    generate_subscripts(string_split(text, $pd), 1) AS para_no,
+         |    unnest(string_split(text, $pd)) AS para FROM keep),
+         |pr AS (SELECT doc_id, para_no, para,
+         |    row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, para_no) AS rn
+         |  FROM paras),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+         |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |    string_agg(CASE WHEN rn = 1 THEN para END, $pd ORDER BY para_no) AS text_kept
+         |  FROM pr GROUP BY doc_id),
+         |pd2 AS (SELECT * FROM agg WHERE n_kept >= 1),
+         |ex AS (SELECT pd2.*, row_number() OVER (PARTITION BY md5(text_kept)
+         |    ORDER BY doc_id) AS xrn FROM pd2),
+         |uq AS (SELECT e.doc_id, e.n_paras, e.n_kept, e.text_kept, k.source
+         |  FROM ex e JOIN keep k ON e.doc_id = k.doc_id WHERE e.xrn = 1),
+         |per AS (SELECT source, CAST(sum(len(string_split(text_kept, ' '))) AS BIGINT)
+         |    AS n_tokens FROM uq GROUP BY source),
+         |wt AS (SELECT source, n_tokens, $isq AS w_sqrt FROM per),
+         |tt AS (SELECT CAST(sum(w_sqrt) AS BIGINT) AS w_total FROM wt),
+         |rt AS (SELECT source,
+         |    CAST(least(1000, (20000 * w_sqrt // w_total) * 1000 // n_tokens) AS BIGINT)
+         |      AS rate FROM wt, tt)
+         |SELECT uq.doc_id, uq.source, uq.n_paras, uq.n_kept,
+         |  md5(uq.text_kept) AS text_hash
+         |FROM uq JOIN rt ON uq.source = rt.source
+         |WHERE CAST(concat('0x', substr(md5(CAST(uq.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |  % 1000 < rt.rate""".stripMargin.replace("\n", " ")
+    },
 
     "emb_dim_stats" ->
       s"""WITH v AS (SELECT ${Similarity.quantizeSqlDuck} AS qv FROM embeddings),
