@@ -140,6 +140,28 @@ class QualityRulesSpec extends SparkSpecBase {
     assert(out("small")._4 == 1000L, "under-budget stratum keeps everything")
   }
 
+  // -------------------------------------------------- curateV2 composition
+
+  test("curateV2: every stage bites — gopher drop, paragraph dedup, exact dedup, budget cap") {
+    // 64 words, mean word length 4.0 — passes every Gopher rule
+    val good = ("the brown foxes jumped over a lazy dogs " * 8).trim
+    val docs = Seq(
+      (1L, "s1", good + "\n\n" + "unique paragraph one here today"),
+      (2L, "s1", "unique paragraph one here today\n\n" + good), // both paras seen in 1
+      (3L, "s1", "too short"),                                  // gopher word count
+      (4L, "s2", good + "\n\n" + "second source paragraph body")
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.curateV2(docs, "doc_id", "text", "source",
+      tokenBudget = 100000L, stopWords = Seq("the", "a"))
+      .select("doc_id", "source", "n_paras", "n_kept")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 3 fails gopher; doc 2's paragraphs are both first-seen in doc 1
+    // -> zero kept -> dropped; docs 1 and 4 survive (budget ample)
+    assert(out.keySet == Set(1L, 4L), s"got ${out.keySet}")
+    assert(out(1L)._3 == 2L && out(1L)._4 == 2L)
+    assert(out(4L)._4 == 1L, "doc 4 keeps only its novel paragraph")
+  }
+
   // -------------------------------------------------- snapshot delta
 
   test("snapshot delta classifies added/removed/changed/unchanged") {
