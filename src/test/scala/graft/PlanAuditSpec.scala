@@ -248,6 +248,34 @@ class PlanAuditSpec extends SparkSpecBase {
       "the per-(vec, subspace) argmin and per-query top-k must pre-limit map-side")
   }
 
+  test("paragraph dedup: one content-keyed window exchange, no cartesian, no collect-shaped plan") {
+    val p = plan("dedup_paragraph")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Window"), "first-occurrence rank is a window, not a self-join")
+  }
+
+  test("cluster representatives: rank-1 filter pre-limits map-side") {
+    val p = plan("dedup_cluster_rep")
+    assert(p.contains("WindowGroupLimit"),
+      "the representative pick must forward one candidate per cluster per task")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("curateV2: rate table broadcasts back; no cartesian; no driver-side rates") {
+    val p = plan("corpus_curated_v2")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the per-source rate table must broadcast into the survivors scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("temperature mixing: scalar total joins by broadcast, aggregation is partial") {
+    val p = plan("mix_temperature")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the single-row total must broadcast, never shuffle the per-stratum table")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "per-stratum totals must partial-aggregate map-side")
+  }
+
   test("Hamming ANN: query codes broadcast into the code scan; rerank join bounded; no cartesian") {
     val p = plan("ann_hamming_topk")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
