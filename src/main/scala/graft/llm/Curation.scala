@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The end-to-end corpus curation pipeline — the published pretraining
@@ -33,8 +33,12 @@ object Curation {
     */
   def snapshotDelta(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val o = oldSnap.select(col(idCol).as("doc_id"), md5(col(textCol)).as("old_hash"))
-    val n = newSnap.select(col(idCol).as("doc_id"), md5(col(textCol)).as("new_hash"))
+    // NULL text hashes to a sentinel, not SQL NULL: a null hash is
+    // indistinguishable from "row absent" in the outer join (and a
+    // null<->text transition would fall through != to 'unchanged')
+    def h(c: Column) = coalesce(md5(c), lit("<null>"))
+    val o = oldSnap.select(col(idCol).as("doc_id"), h(col(textCol)).as("old_hash"))
+    val n = newSnap.select(col(idCol).as("doc_id"), h(col(textCol)).as("new_hash"))
     o.join(n, Seq("doc_id"), "full_outer")
       .withColumn("status",
         when(col("old_hash").isNull, lit("added"))
@@ -66,8 +70,11 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     val ok = QualityRules.gopherQuality(docs, idCol, textCol, stopWords)
       .filter(col("passes_gopher")).select("doc_id")
+    // stratum key normalized to a non-null string (the curate() rule):
+    // a NULL group would silently drop its docs at the inner rate join
     val kept = docs
-      .select(col(idCol).as("doc_id"), col(groupCol).as("_grp"),
+      .select(col(idCol).as("doc_id"),
+        coalesce(col(groupCol).cast("string"), lit("\u0000null")).as("_grp"),
         col(textCol).as("_txt"))
       .join(ok, Seq("doc_id"))
     val para = Dedup.paragraphDedup(

@@ -730,9 +730,13 @@ object Dedup {
   def incrementalDedup(newDocs: DataFrame, priorDocs: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val prior = priorDocs.select(md5(col(textCol)).as("text_hash")).distinct()
+    // NULL text hashes to a sentinel: a SQL-NULL key never matches in the
+    // anti-join, so null-text rows could neither be suppressed by prior
+    // null-text docs nor dedup against each other
+    def h(c: Column) = coalesce(md5(c), lit("<null>"))
+    val prior = priorDocs.select(h(col(textCol)).as("text_hash")).distinct()
     val fresh = newDocs
-      .select(col(idCol).as("doc_id"), md5(col(textCol)).as("text_hash"))
+      .select(col(idCol).as("doc_id"), h(col(textCol)).as("text_hash"))
       .join(prior, Seq("text_hash"), "left_anti")
     val w = Window.partitionBy("text_hash").orderBy("doc_id")
     fresh.withColumn("rn", row_number().over(w))

@@ -304,7 +304,10 @@ object Retrieval {
         .groupBy(col("qid"), col("cid_a").as("cid"))
         .agg(max("sim").as("max_sim"))
       val mmrW = Window.partitionBy("qid").orderBy(col("mmr").desc, col("cid"))
-      val next = rem.join(maxSim, Seq("qid", "cid"))
+      // left join: a candidate with no recorded similarity to any selected
+      // doc is maximally diverse — MMR convention sim = 0, not silent drop
+      val next = rem.join(maxSim, Seq("qid", "cid"), "left")
+        .withColumn("max_sim", coalesce(col("max_sim"), lit(0.0)))
         .withColumn("mmr", expr(
           s"($lambdaPermille * rel - ${1000 - lambdaPermille} * max_sim) / 1000.0"))
         .withColumn("rn", row_number().over(mmrW))
@@ -326,10 +329,10 @@ object Retrieval {
     val rounds = (2 to k).map { r =>
       s"""rem$r AS (SELECT c.* FROM $candsCte c LEFT JOIN selall${r - 1} s
          |    ON c.qid = s.qid AND c.cid = s.cid WHERE s.cid IS NULL),
-         |ms$r AS (SELECT r.qid, r.cid, r.rel, max(p.sim) AS max_sim
-         |  FROM rem$r r JOIN $pairsCte p ON p.qid = r.qid AND p.cid_a = r.cid
-         |  JOIN selall${r - 1} s ON s.qid = p.qid AND s.cid = p.cid_b
-         |  GROUP BY r.qid, r.cid, r.rel),
+         |ms$r AS (SELECT r.qid, r.cid, r.rel, coalesce(m.max_sim, 0) AS max_sim
+         |  FROM rem$r r LEFT JOIN (SELECT p.qid, p.cid_a, max(p.sim) AS max_sim
+         |    FROM $pairsCte p JOIN selall${r - 1} s ON s.qid = p.qid AND s.cid = p.cid_b
+         |    GROUP BY p.qid, p.cid_a) m ON m.qid = r.qid AND m.cid_a = r.cid),
          |sel$r AS (SELECT qid, cid, rel, $r AS pick FROM
          |  (SELECT qid, cid, rel, row_number() OVER (PARTITION BY qid ORDER BY
          |     ($lambdaPermille * rel - ${1000 - lambdaPermille} * max_sim) / 1000.0 DESC,

@@ -164,6 +164,25 @@ class QualityRulesSpec extends SparkSpecBase {
 
   // -------------------------------------------------- snapshot delta
 
+  test("snapshot delta: null-text transitions classify as changed, not unchanged") {
+    val oldS = Seq((1L, null: String), (2L, "b"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val newS = Seq((1L, "now present"), (2L, null: String), (3L, null: String))
+      .toDF("doc_id", "text")
+    val got = Curation.snapshotDelta(oldS, newS, "doc_id", "text")
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "changed", 2L -> "changed", 3L -> "unchanged"))
+  }
+
+  test("incremental dedup: null-text rows dedup against each other and prior nulls") {
+    val prior = Seq((1L, null: String)).toDF("doc_id", "text")
+    val fresh = Seq((10L, null: String), (11L, null: String), (12L, "real"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(fresh, prior, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(12L), "prior null suppresses both fresh nulls")
+  }
+
   test("snapshot delta classifies added/removed/changed/unchanged") {
     val oldS = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val newS = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")

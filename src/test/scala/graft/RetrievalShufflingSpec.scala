@@ -413,6 +413,18 @@ class RetrievalShufflingSpec extends SparkSpecBase {
     assert(got == Seq(1L, 3L, 2L), s"expected diversity-first order, got $got")
   }
 
+  test("MMR: candidate missing from pairSims is treated as maximally diverse, not dropped") {
+    val cands = Seq((1L, 1L, 0.9), (1L, 2L, 0.8), (1L, 3L, 0.7))
+      .toDF("qid", "cid", "rel")
+    // only the 1<->2 similarity is known; cid 3 has no rows at all
+    val sims = Seq((1L, 1L, 2L, 0.99), (1L, 2L, 1L, 0.99))
+      .toDF("qid", "cid_a", "cid_b", "sim")
+    val got = Retrieval.mmrRerank(cands, sims, k = 2, lambdaPermille = 700)
+      .orderBy("pick").select("cid").as[Long].collect().toSeq
+    // pick 2: cid 2 scores .7*.8-.3*.99=.263; cid 3 scores .7*.7-0=.49
+    assert(got == Seq(1L, 3L), s"unknown-sim candidate must win round 2, got $got")
+  }
+
   test("MMR: λ=1000 degenerates to pure relevance ranking") {
     val cands = Seq((1L, 1L, 0.9), (1L, 2L, 0.8), (1L, 3L, 0.7))
       .toDF("qid", "cid", "rel")
