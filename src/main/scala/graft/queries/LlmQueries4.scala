@@ -48,6 +48,45 @@ object LlmQueries4 {
       Dedup.paragraphDedup(builtParaDocs(Tables.documents(s, dir)),
         "doc_id", "text")),
 
+    // MinHash estimator calibration: per LSH candidate pair, the
+    // signature-agreement estimate (agree × 125‰ — 8 hash functions, so
+    // the estimate is integer-exact) alongside the exact shingle Jaccard
+    // — the quality audit a MinHash deployment runs before trusting its
+    // bands at scale. Pairs with zero shingle overlap (pure band
+    // collisions) are excluded by the inner exact join.
+    "dedup_minhash_est" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+      val agree = (0 until Dedup.MinhashA.length)
+        .map(i => when(col(s"sa.mh_$i") === col(s"sb.mh_$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val est = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+        .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (agree * lit(1000L / Dedup.MinhashA.length)).as("est_permille"))
+      val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+        thresholdNum = 0, thresholdDen = 1)
+        .select(col("doc_a"), col("doc_b"),
+          expr("inter * 1000 div uni").as("jac_permille"))
+      est.join(exact, Seq("doc_a", "doc_b"))
+    }),
+
+    // tumbling-window event rates via Spark's native window() — the
+    // per-minute ingest-rate panel; the oracle is the equivalent integer
+    // floor-bucket arithmetic (window() aligns to the epoch in UTC, so
+    // unix_micros(start) == (ts_us div 60e6) * 60e6 for positive ts)
+    "events_tumbling_rate" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.groupBy(
+        window(timestamp_micros(col("ts_us")), "1 minute").as("w"),
+        col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(value*100, 0) AS BIGINT)")).as("cents"))
+        .select(unix_micros(col("w.start")).as("bucket_us"),
+          col("event_type"), col("n"), col("cents"))
+    }),
+
     // round-8 composed curation: Gopher rules (fixture-tuned stop list)
     // → paragraph dedup → exact dedup → temperature budget, end to end
     // over the synthetic 3-paragraph corpus, vs ONE composed oracle
@@ -231,6 +270,35 @@ object LlmQueries4 {
         |  FROM r GROUP BY doc_id)
         |SELECT doc_id, n_paras, n_kept, text_kept FROM agg WHERE n_kept >= 1"""
         .stripMargin.replace("\n", " "),
+
+    "dedup_minhash_est" -> {
+      val perHash = 1000 / graft.llm.Dedup.MinhashA.length
+      val agreeSum = (0 until graft.llm.Dedup.MinhashA.length)
+        .map(i => s"(CASE WHEN a.mh_$i = b.mh_$i THEN $perHash ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH ${LlmQueries.lshCtes}, prs AS (${LlmQueries.lshPairSelect}),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+         |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |ex AS (SELECT ip.doc_a, ip.doc_b,
+         |    CAST(ip.inter * 1000 // (sa.n_sh + sb.n_sh - ip.inter) AS BIGINT)
+         |      AS jac_permille
+         |  FROM ip JOIN sizes sa ON sa.doc_id = ip.doc_a
+         |    JOIN sizes sb ON sb.doc_id = ip.doc_b),
+         |est AS (SELECT p.doc_a, p.doc_b, CAST($agreeSum AS BIGINT) AS est_permille
+         |  FROM prs p JOIN sig a ON a.doc_id = p.doc_a
+         |    JOIN sig b ON b.doc_id = p.doc_b)
+         |SELECT est.doc_a, est.doc_b, est.est_permille, ex.jac_permille
+         |FROM est JOIN ex ON est.doc_a = ex.doc_a AND est.doc_b = ex.doc_b"""
+        .stripMargin.replace("\n", " ")
+    },
+
+    "events_tumbling_rate" ->
+      """SELECT (epoch_us(ts) // 60000000) * 60000000 AS bucket_us, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1, 2""".stripMargin.replace("\n", " "),
 
     "corpus_curated_v2" -> {
       val pd = "chr(10) || chr(10)"
