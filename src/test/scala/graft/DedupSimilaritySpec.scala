@@ -732,6 +732,50 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(meta.getAs[Int]("width") == d0.width && meta.getAs[Int]("height") == d0.height)
   }
 
+  test("Hamming ANN: recall@5 vs brute force on the real fixture embeddings") {
+    import graft.llm.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < 20)
+    def top5(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "cid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = top5(Similarity.bruteForceTopK(emb, q, k = 5))
+    val ham = top5(Similarity.hammingTopK(emb, q, k = 5, nBits = 32, candMult = 8))
+    val recalls = brute.map { case (qid, b) =>
+      ham.getOrElse(qid, Set.empty).intersect(b).size.toDouble / b.size
+    }
+    val mean = recalls.sum / recalls.size
+    // uniform random embeddings are the HARDEST case for binary sketches
+    // (all cosines near 0, so 32-bit codes barely separate) — demand the
+    // sketch still beats random candidate picking by a wide margin:
+    // random 40-of-N recall ~ 40/corpus < 0.1
+    assert(mean >= 0.2, f"mean recall@5 $mean%.2f — sketch no better than random")
+  }
+
+  test("Hamming ANN: result invariant under input repartitioning") {
+    import graft.llm.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < 8)
+    def rows(c: org.apache.spark.sql.DataFrame) = c
+      .select("qid", "cid", "rank").as[(Long, Long, Int)].collect().toSet
+    val a = rows(Similarity.hammingTopK(emb, q, k = 3))
+    val b = rows(Similarity.hammingTopK(emb.repartition(7), q, k = 3))
+    assert(a == b, "partitioning must not change the selection")
+  }
+
+  test("paragraph dedup: result invariant under input repartitioning") {
+    import graft.llm.Dedup
+    val docs = Seq(
+      (1L, "alpha one\n\nbeta two"), (2L, "beta two\n\ngamma three"),
+      (3L, "gamma three\n\nalpha one"), (4L, "delta four"))
+      .toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select("doc_id", "n_kept", "text_kept")
+      .as[(Long, Long, String)].collect().toSet
+    assert(rows(Dedup.paragraphDedup(docs, "doc_id", "text")) ==
+      rows(Dedup.paragraphDedup(docs.repartition(5), "doc_id", "text")))
+  }
+
   test("Hamming ANN: identical vectors collide at distance 0; top-1 stays in-cluster") {
     import graft.llm.Similarity
     val rows = (0 until 40).map { i =>
