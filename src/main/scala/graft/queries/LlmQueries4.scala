@@ -48,6 +48,15 @@ object LlmQueries4 {
       Dedup.paragraphDedup(builtParaDocs(Tables.documents(s, dir)),
         "doc_id", "text")),
 
+    // next-fit-decreasing packing: same fold as pack_sequences, length-
+    // descending order — long sequences claim bins, short ones fill tails
+    "pack_sequences_ffd" -> ((s, dir) =>
+      graft.llm.Packing.packGreedyDecreasing(Tables.documents(s, dir),
+        "doc_id", "source", graft.llm.TextAnalysis.tokenCount(col("text")),
+        tokenBudget = 128L)
+        .select(col("doc_id"), col("grp").as("source"), col("n_tokens"),
+          col("bin_idx"))),
+
     // MinHash estimator calibration: per LSH candidate pair, the
     // signature-agreement estimate (agree × 125‰ — 8 hash functions, so
     // the estimate is integer-exact) alongside the exact shingle Jaccard
@@ -270,6 +279,23 @@ object LlmQueries4 {
         |  FROM r GROUP BY doc_id)
         |SELECT doc_id, n_paras, n_kept, text_kept FROM agg WHERE n_kept >= 1"""
         .stripMargin.replace("\n", " "),
+
+    "pack_sequences_ffd" ->
+      """WITH RECURSIVE toks AS (SELECT source, doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |t AS (SELECT source, doc_id, n_tokens, row_number() OVER (
+        |    PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS rn FROM toks),
+        |p(source, rn, doc_id, n_tokens, bin_idx, fill) AS (
+        |  SELECT source, rn, doc_id, n_tokens, CAST(0 AS BIGINT),
+        |    CAST(n_tokens AS BIGINT) FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.source, t.rn, t.doc_id, t.n_tokens,
+        |    CASE WHEN p.fill + t.n_tokens <= 128 THEN p.bin_idx ELSE p.bin_idx + 1 END,
+        |    CASE WHEN p.fill + t.n_tokens <= 128 THEN p.fill + t.n_tokens
+        |         ELSE CAST(t.n_tokens AS BIGINT) END
+        |  FROM t JOIN p ON t.source = p.source AND t.rn = p.rn + 1)
+        |SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens, bin_idx
+        |FROM p""".stripMargin.replace("\n", " "),
 
     "dedup_minhash_est" -> {
       val perHash = 1000 / graft.llm.Dedup.MinhashA.length

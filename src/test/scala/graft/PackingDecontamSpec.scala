@@ -20,6 +20,20 @@ class PackingDecontamSpec extends SparkSpecBase {
     assert(packOf(rows, 10).map(_._2).toSeq === Seq(0L, 0L, 1L, 2L, 3L, 4L, 5L))
   }
 
+  test("packGreedyDecreasing: length-descending order uses fewer bins than arrival order") {
+    // budget 10, lengths by id: 4,7,6. Arrival order folds (4),(7),(6)
+    // = 3 bins; decreasing order 7,6,4 folds (7),(6+4) = 2 bins.
+    val rows = Seq(("g", 1L, 4), ("g", 2L, 7), ("g", 3L, 6))
+    val arrival = packOf(rows, 10).map(_._2).max + 1
+    val nfd = Packing.packGreedyDecreasing(
+      rows.toDF("src", "id", "n"), "id", "src", col("n"), 10L)
+      .select("doc_id", "bin_idx").as[(Long, Long)].collect()
+    assert(arrival === 3L)
+    assert(nfd.map(_._2).max + 1 === 2L, "7 then 6+4 packs into two bins")
+    // and the assignment is the decreasing-order fold: 2->bin0, 3->bin1, 1->bin1
+    assert(nfd.sortBy(_._1).toSeq === Seq((1L, 1L), (2L, 0L), (3L, 1L)))
+  }
+
   test("packGreedy: null group key resets state like any other group") {
     // regression: the fold's initial sentinel is null, so a null group's
     // FIRST doc must still trigger the group-start reset — an oversized
