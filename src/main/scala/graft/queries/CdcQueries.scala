@@ -131,6 +131,16 @@ object CdcQueries {
 
     // J2/A3: full-outer checksum reconciliation between two LWW replicas,
     // classified with the reference's mismatch taxonomy.
+    // A-family sample validation (reconciliation_engine.py:380-408):
+    // deterministic modulus-10 pk sample reconciled with the full
+    // checksum taxonomy — the reference samples then probes per pk; one
+    // pre-filtered join here, stable across engines unlike TABLESAMPLE
+    "cdc_recon_sample" -> ((s, dir) =>
+      Reconciler.sampleValidation(
+        lwwState(s, dir, Some(101L)), lwwState(s, dir, Some(97L)),
+        "user_id", Seq("event_id", "event_type", "value_cents", "ts_us"),
+        modulus = 10L)),
+
     "cdc_recon_mismatch" -> ((s, dir) =>
       Reconciler.checksumMismatches(
         lwwState(s, dir, Some(101L)), lwwState(s, dir, Some(97L)),
@@ -265,6 +275,8 @@ object CdcQueries {
         |     (SELECT count(*) AS target_count FROM events WHERE event_id % 97 <> 0) t""".stripMargin.replace("\n", " "),
 
     "cdc_recon_mismatch" -> reconMismatchSql(statsOnly = false),
+    "cdc_recon_sample" ->
+      reconMismatchSql(statsOnly = false, sampleModulus = Some(10L)),
     "cdc_recon_mismatch_stats" -> reconMismatchSql(statsOnly = true),
 
     "cdc_soft_delete_state" ->
@@ -324,13 +336,15 @@ object CdcQueries {
         |FROM events""".stripMargin.replace("\n", " ")
   )
 
-  private def reconMismatchSql(statsOnly: Boolean): String = {
+  private def reconMismatchSql(statsOnly: Boolean,
+      sampleModulus: Option[Long] = None): String = {
     val cks = EventOps.checksumSqlDuck(Seq("event_id", "event_type", "value_cents", "ts_us"))
+    val sample = sampleModulus.fold("")(m => s" WHERE user_id % $m = 0")
     val core =
       s"""WITH s AS (SELECT user_id, $cks AS source_checksum
-         |          FROM ${lwwStateSql(Some(101L))} ss),
+         |          FROM ${lwwStateSql(Some(101L))} ss$sample),
          |t AS (SELECT user_id, $cks AS target_checksum
-         |          FROM ${lwwStateSql(Some(97L))} tt),
+         |          FROM ${lwwStateSql(Some(97L))} tt$sample),
          |m AS (SELECT coalesce(s.user_id, t.user_id) AS user_id, source_checksum, target_checksum,
          |  CASE WHEN target_checksum IS NULL THEN 'MISSING_IN_POSTGRES'
          |       WHEN source_checksum IS NULL THEN 'MISSING_IN_CASSANDRA'
