@@ -51,9 +51,14 @@ object ScaleAudit {
     val out = heavy.map { name =>
       stages = Nil
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).count(): Unit
-      // listener events are async; a short settle keeps counts complete
-      Thread.sleep(500)
+      // noop sink, not count(): count() lets Catalyst prune every
+      // unreferenced projection (e.g. a reassembly collect_list under a
+      // final groupBy), so the audit would measure a cheaper plan than
+      // the gate query actually runs
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      // listener events are async; settle before snapshotting the counts
+      Thread.sleep(2000)
       val dt = (System.nanoTime() - t0) / 1e9
       graft.util.Materialize.releaseTracked(spark)
       val st = stages

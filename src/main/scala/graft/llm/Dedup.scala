@@ -696,22 +696,6 @@ object Dedup {
       .select("doc_id", "fp").distinct()
   }
 
-  /** Paragraph-level exact dedup (the sub-document granularity of
-    * C4/CCNet/Dolma: boilerplate paragraphs — headers, footers, license
-    * blocks — repeat across millions of documents that are NOT document-
-    * level duplicates). Split on `sep`, keep each distinct paragraph's
-    * FIRST occurrence corpus-wide (first = smallest (doc_id, position) —
-    * a total, deterministic order), reassemble surviving paragraphs in
-    * original order, and drop documents left empty.
-    *
-    * Scale shape: one posexplode map stage, ONE shuffle keyed by the
-    * paragraph's md5 (the paragraph text rides the exchange exactly once
-    * — it must travel anyway to be reassembled; every row is kept for the
-    * per-doc counts, so this is a plain window rank, not a group-limit),
-    * then one doc-keyed shuffle to reassemble. Dedup state is never
-    * driver-side and never a broadcast: at 100 TB the paragraph key space
-    * IS the corpus.
-    */
   /** Incremental exact dedup — the batch form of the streaming novelty
     * gate ([[StreamingDedup]]): admit a document from the new increment
     * iff its content hash appears neither in the prior corpus nor
@@ -779,6 +763,22 @@ object Dedup {
       .join(rep, Seq("cluster_id"))
   }
 
+  /** Paragraph-level exact dedup (the sub-document granularity of
+    * C4/CCNet/Dolma: boilerplate paragraphs — headers, footers, license
+    * blocks — repeat across millions of documents that are NOT document-
+    * level duplicates). Split on `sep`, keep each distinct paragraph's
+    * FIRST occurrence corpus-wide (first = smallest (doc_id, position) —
+    * a total, deterministic order), reassemble surviving paragraphs in
+    * original order, and drop documents left empty.
+    *
+    * Scale shape: one posexplode map stage, ONE shuffle keyed by the
+    * paragraph's md5 (the paragraph text rides the exchange exactly once
+    * — it must travel anyway to be reassembled; every row is kept for the
+    * per-doc counts, so this is a plain window rank, not a group-limit),
+    * then one doc-keyed shuffle to reassemble. Dedup state is never
+    * driver-side and never a broadcast: at 100 TB the paragraph key space
+    * IS the corpus.
+    */
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
       sep: String = "\n\n"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -87,7 +87,6 @@ object QualityRules {
       .withColumn("passes_gopher",
         col("r_word_count") && col("r_word_len") && col("r_alpha") &&
           col("r_symbol") && col("r_bullet") && col("r_ellipsis") && col("r_stop"))
-      .drop("_toks")
   }
 
   /** The matching DuckDB SQL for [[gopherQuality]] over a relation

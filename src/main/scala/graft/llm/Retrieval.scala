@@ -339,7 +339,12 @@ object Retrieval {
          |     cid) AS rn FROM ms$r) WHERE rn = 1),
          |selall$r AS (SELECT * FROM selall${r - 1} UNION ALL SELECT * FROM sel$r)"""
         .stripMargin.replace("\n", " ")
-    }.mkString(", ", ", ", "")
+    } match {
+      // mkString(start, sep, end) on an EMPTY seq still emits the start —
+      // a trailing comma before the final SELECT at k = 1
+      case rs if rs.isEmpty => ""
+      case rs               => rs.mkString(", ", ", ", "")
+    }
     s"""WITH ${withCtes}sel1 AS (SELECT qid, cid, rel, 1 AS pick FROM
        |  (SELECT qid, cid, rel, row_number() OVER (PARTITION BY qid
        |     ORDER BY rel DESC, cid) AS rn FROM $candsCte) WHERE rn = 1),

@@ -50,7 +50,7 @@ object LlmQueries4 {
 
     // next-fit-decreasing packing: same fold as pack_sequences, length-
     // descending order — long sequences claim bins, short ones fill tails
-    "pack_sequences_ffd" -> ((s, dir) =>
+    "pack_sequences_nfd" -> ((s, dir) =>
       graft.llm.Packing.packGreedyDecreasing(Tables.documents(s, dir),
         "doc_id", "source", graft.llm.TextAnalysis.tokenCount(col("text")),
         tokenBudget = 128L)
@@ -280,7 +280,7 @@ object LlmQueries4 {
         |SELECT doc_id, n_paras, n_kept, text_kept FROM agg WHERE n_kept >= 1"""
         .stripMargin.replace("\n", " "),
 
-    "pack_sequences_ffd" ->
+    "pack_sequences_nfd" ->
       """WITH RECURSIVE toks AS (SELECT source, doc_id,
         |    len(string_split(text, ' ')) AS n_tokens FROM documents),
         |t AS (SELECT source, doc_id, n_tokens, row_number() OVER (
@@ -375,10 +375,12 @@ object LlmQueries4 {
          |  CAST(sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
          |FROM e GROUP BY dim""".stripMargin.replace("\n", " "),
 
+    // coalesce mirrors incrementalDedup's NULL-text sentinel
     "dedup_incremental" ->
-      """WITH prior AS (SELECT DISTINCT md5(text) AS text_hash
+      """WITH prior AS (SELECT DISTINCT coalesce(md5(text), '<null>') AS text_hash
         |    FROM documents WHERE doc_id % 3 <> 0),
-        |fresh AS (SELECT doc_id + 100000 AS doc_id, md5(text) AS text_hash
+        |fresh AS (SELECT doc_id + 100000 AS doc_id,
+        |    coalesce(md5(text), '<null>') AS text_hash
         |    FROM documents WHERE doc_id % 2 = 0),
         |nov AS (SELECT f.doc_id, f.text_hash FROM fresh f
         |    LEFT JOIN prior p ON f.text_hash = p.text_hash
@@ -459,11 +461,14 @@ object LlmQueries4 {
          |FROM st JOIN rk ON st.cluster_id = rk.cluster_id AND rk.rn = 1"""
         .stripMargin.replace("\n", " "),
 
+    // coalesce mirrors snapshotDelta's NULL-text sentinel (no nulls in
+    // the fixture, but the two engines must share the convention)
     "corpus_delta" ->
-      """WITH o AS (SELECT doc_id, md5(text) AS old_hash
+      """WITH o AS (SELECT doc_id, coalesce(md5(text), '<null>') AS old_hash
         |    FROM documents WHERE doc_id % 7 <> 0),
         |n AS (SELECT doc_id,
-        |    md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS new_hash
+        |    coalesce(md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END),
+        |      '<null>') AS new_hash
         |    FROM documents WHERE doc_id % 5 <> 0)
         |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_hash, new_hash,
         |  CASE WHEN old_hash IS NULL THEN 'added'

@@ -320,8 +320,12 @@ object ReplicationJob {
         // a raw long (divisor = source unit → µs), `unix_micros` for a
         // timestamp. A declared LongType over a µs-timestamp file would
         // otherwise silently read raw µs int64 and mis-divide by the ns
-        // divisor — a unit bug, not a crash.
-        val probed = spark.read.parquet(cfg.sourceDir).schema
+        // divisor — a unit bug, not a crash. An EMPTY/not-yet-written dir
+        // can't be probed (no footer to read) — fall back to the declared
+        // schema so the always-on deployment order (start stream, then
+        // start producer) keeps working as it always did.
+        val probed = scala.util.Try(spark.read.parquet(cfg.sourceDir).schema)
+          .getOrElse(cfg.schema)
         val fileSchema = StructType(cfg.schema.map(f =>
           probed.find(_.name == f.name).getOrElse(f)))
         val tsUsFile = fileSchema(cfg.tsCol).dataType match {

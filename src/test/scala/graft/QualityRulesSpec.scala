@@ -87,6 +87,23 @@ class QualityRulesSpec extends SparkSpecBase {
     assert(r.getString(2) == "same\n\nother")
   }
 
+  // -------------------------------------------------- stream startup
+
+  test("replication stream starts on an empty source dir (schema probe falls back)") {
+    import graft.streaming.ReplicationJob
+    val src = tmpDir("emptysrc")
+    val base = tmpDir("emptyrepl")
+    val cfg = ReplicationJob.Config(
+      sourceDir = src, targetDir = s"$base/target",
+      dlqDir = s"$base/dlq", checkpointDir = s"$base/ckpt")
+    // pre-probe regression: an unpopulated dir has no footer to read —
+    // start must fall back to the declared schema, not throw
+    val q = ReplicationJob.start(spark, cfg)
+    q.awaitTermination(60000)
+    assert(!new java.io.File(s"$base/target").exists() ||
+      spark.read.parquet(s"$base/target").count() == 0L)
+  }
+
   // -------------------------------------------------- incremental dedup
 
   test("incremental dedup: prior-known and within-increment duplicates both drop") {
