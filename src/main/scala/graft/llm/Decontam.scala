@@ -68,6 +68,52 @@ object Decontam {
       .select("doc_id", "n_hits", "n_eval_docs", "n_grams", "hit_permille")
   }
 
+  /** Surgical decontamination — trim the contaminated SPAN out of each
+    * training doc instead of dropping the doc (the C4-style remedy when
+    * contamination is a quoted benchmark snippet inside an otherwise
+    * clean document): positional corpus n-gram windows that appear in
+    * the eval set bound the affected token range [first_hit, last_hit +
+    * n − 1], which is cut out exactly like [[Dedup.trimDupSpans]] cuts
+    * duplicated spans. Docs the trim empties are dropped; clean docs
+    * pass through untouched. `maxGramEvalDf` drops boilerplate grams
+    * carried by more than that many eval docs (the [[overlapReport]]
+    * cap) so ubiquitous phrases don't shred the corpus.
+    *
+    * Scale shape: the positional-window map stage + ONE broadcast
+    * left-semi membership join (eval grams are MBs) + a per-doc min/max
+    * partial agg — the corpus never exchanges on the gram key; the only
+    * doc-keyed exchange attaches the two span bounds back to the text.
+    * The positional window hash and the eval shingle hash are the SAME
+    * `tokenHash(concat_ws(' ', window))`, so membership is exact.
+    */
+  def trimContaminated(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int, maxGramEvalDf: Long = 0): DataFrame = {
+    val ev0 = Dedup.shingleHashPostings(evalSet, idCol, textCol, n)
+    val evGrams =
+      if (maxGramEvalDf <= 0) ev0.select("h").distinct()
+      else {
+        val hot = ev0.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxGramEvalDf).select("h")
+        ev0.select("h").distinct().join(hot, Seq("h"), "left_anti")
+      }
+    val pos = Dedup.positionalWindowHashes(corpus, idCol, textCol, n)
+      .select(col("doc_id"), (col("pos") + 1).as("start"), col("h"))
+    val bounds = pos.join(broadcast(evGrams), Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(min("start").as("first_hit"), max("start").as("last_hit"))
+      .select(col("doc_id").as(idCol), col("first_hit"), col("last_hit"))
+    corpus.join(bounds, Seq(idCol), "left")
+      .withColumn("_toks", split(col(textCol), " "))
+      .withColumn(textCol,
+        when(col("first_hit").isNull, col(textCol)).otherwise(concat_ws(" ",
+          concat(
+            expr("slice(_toks, 1, first_hit - 1)"),
+            expr(s"slice(_toks, last_hit + $n, " +
+              s"greatest(0, size(_toks) - (last_hit + ${n - 1})))")))))
+      .filter(col("first_hit").isNull || length(col(textCol)) > 0)
+      .drop("_toks", "first_hit", "last_hit")
+  }
+
   /** The EVAL-side contamination view — per benchmark doc, how much of
     * it leaks into the training corpus (the table an eval-integrity
     * report actually publishes): distinct leaked grams, distinct

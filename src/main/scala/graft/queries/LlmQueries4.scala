@@ -57,6 +57,18 @@ object LlmQueries4 {
         .select(col("doc_id"), col("grp").as("source"), col("n_tokens"),
           col("bin_idx"))),
 
+    // surgical decontamination: trim the contaminated 3-gram span out of
+    // each training doc (eval = the src0 held-out split, boilerplate cap
+    // 20 like decontam_clean) instead of dropping the whole doc
+    "decontam_trim" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.llm.Decontam.trimContaminated(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 3, maxGramEvalDf = 20)
+        .select("doc_id", "source", "text")
+    }),
+
     // MinHash estimator calibration: per LSH candidate pair, the
     // signature-agreement estimate (agree × 125‰ — 8 hash functions, so
     // the estimate is integer-exact) alongside the exact shingle Jaccard
@@ -296,6 +308,27 @@ object LlmQueries4 {
         |  FROM t JOIN p ON t.source = p.source AND t.rn = p.rn + 1)
         |SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens, bin_idx
         |FROM p""".stripMargin.replace("\n", " "),
+
+    "decontam_trim" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |w AS (SELECT doc_id, source, i AS start, array_to_string(t[i:i+2], ' ') AS w
+        |  FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i) WHERE len(t) >= 3),
+        |wh AS (SELECT doc_id, source, start,
+        |  CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) AS h FROM w),
+        |evg AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM wh WHERE source = 'src0')
+        |  GROUP BY h HAVING count(*) <= 20),
+        |hit AS (SELECT doc_id, min(start) AS first_hit, max(start) AS last_hit
+        |  FROM wh WHERE source <> 'src0' AND h IN (SELECT h FROM evg) GROUP BY 1),
+        |trimmed AS (SELECT d.doc_id, d.source, hit.first_hit,
+        |  CASE WHEN first_hit IS NULL THEN d.text
+        |    ELSE array_to_string(list_concat(tk.t[1:first_hit - 1],
+        |      tk.t[last_hit + 3:]), ' ') END AS text
+        |  FROM documents d JOIN toks tk ON d.doc_id = tk.doc_id
+        |  LEFT JOIN hit ON d.doc_id = hit.doc_id
+        |  WHERE d.source <> 'src0')
+        |SELECT doc_id, source, text FROM trimmed
+        |WHERE first_hit IS NULL OR len(text) > 0"""
+        .stripMargin.replace("\n", " "),
 
     "dedup_minhash_est" -> {
       val perHash = 1000 / graft.llm.Dedup.MinhashA.length

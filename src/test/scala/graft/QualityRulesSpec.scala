@@ -157,6 +157,23 @@ class QualityRulesSpec extends SparkSpecBase {
     assert(out("small")._4 == 1000L, "under-budget stratum keeps everything")
   }
 
+  // -------------------------------------------------- surgical decontamination
+
+  test("trimContaminated: cuts the quoted eval span, keeps clean docs, drops emptied docs") {
+    import graft.llm.Decontam
+    val evalSet = Seq((100L, "secret answer tokens")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro words here secret answer tokens outro words after"),
+      (2L, "totally clean document with no overlap at all"),
+      (3L, "secret answer tokens")) // trim empties it -> dropped
+      .toDF("doc_id", "text")
+    val got = Decontam.trimContaminated(corpus, evalSet, "doc_id", "text", n = 3)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == "intro words here outro words after")
+    assert(got(2L) == "totally clean document with no overlap at all")
+  }
+
   // -------------------------------------------------- curateV2 composition
 
   test("curateV2: every stage bites — gopher drop, paragraph dedup, exact dedup, budget cap") {
