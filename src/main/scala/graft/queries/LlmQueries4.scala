@@ -57,6 +57,17 @@ object LlmQueries4 {
         .select(col("doc_id"), col("grp").as("source"), col("n_tokens"),
           col("bin_idx"))),
 
+    // bin utilization of the NFD pack — the number a packing-order
+    // decision is made on (vs pack_bin_stats' arrival-order fill)
+    "pack_bin_stats_nfd" -> ((s, dir) =>
+      graft.llm.Packing.binStats(
+        graft.llm.Packing.packGreedyDecreasing(Tables.documents(s, dir),
+          "doc_id", "source", graft.llm.TextAnalysis.tokenCount(col("text")),
+          tokenBudget = 128L),
+        tokenBudget = 128L)
+        .select(col("grp").as("source"), col("bin_idx"), col("n_docs"),
+          col("fill_tokens"), col("pad_tokens"))),
+
     // surgical decontamination: trim the contaminated 3-gram span out of
     // each training doc (eval = the src0 held-out split, boilerplate cap
     // 20 like decontam_clean) instead of dropping the whole doc
@@ -308,6 +319,25 @@ object LlmQueries4 {
         |  FROM t JOIN p ON t.source = p.source AND t.rn = p.rn + 1)
         |SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens, bin_idx
         |FROM p""".stripMargin.replace("\n", " "),
+
+    "pack_bin_stats_nfd" ->
+      """WITH RECURSIVE toks AS (SELECT source, doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |t AS (SELECT source, doc_id, n_tokens, row_number() OVER (
+        |    PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS rn FROM toks),
+        |p(source, rn, doc_id, n_tokens, bin_idx, fill) AS (
+        |  SELECT source, rn, doc_id, n_tokens, CAST(0 AS BIGINT),
+        |    CAST(n_tokens AS BIGINT) FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.source, t.rn, t.doc_id, t.n_tokens,
+        |    CASE WHEN p.fill + t.n_tokens <= 128 THEN p.bin_idx ELSE p.bin_idx + 1 END,
+        |    CASE WHEN p.fill + t.n_tokens <= 128 THEN p.fill + t.n_tokens
+        |         ELSE CAST(t.n_tokens AS BIGINT) END
+        |  FROM t JOIN p ON t.source = p.source AND t.rn = p.rn + 1)
+        |SELECT source, bin_idx, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS fill_tokens,
+        |  greatest(CAST(0 AS BIGINT), 128 - CAST(sum(n_tokens) AS BIGINT)) AS pad_tokens
+        |FROM p GROUP BY source, bin_idx""".stripMargin.replace("\n", " "),
 
     "decontam_trim" ->
       """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
