@@ -89,6 +89,53 @@ object TpchQueries {
     // fact joins + broadcast dims + agg + global top-k. The orderBy+limit
     // plans as TakeOrderedAndProject (per-task top-20, never a full
     // sort); customer/nation broadcast; facts shuffle once on orderkey.
+    // Q13-shape customer distribution: LEFT outer join (zero-order
+    // customers count in the 0 bucket) + two stacked aggregations — the
+    // first shuffles on the customer key, the second on the tiny count
+    // domain; count(o_orderkey) skips nulls identically in both engines.
+    "q13_custdist" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(c("c_custkey"))
+        .agg(count(o("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // Q14-shape promo revenue: month-bounded fact scan (pushed filter) ⋈
+    // broadcast part; both revenue sums exact DECIMAL → DOUBLE (the
+    // classic ratio is a trivial client-side division of the two).
+    "q14_promo_revenue" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .filter(expr("l_shipdate >= timestamp'1995-09-01'") &&
+          expr("l_shipdate < timestamp'1995-10-01'"))
+      l.join(broadcast(Tables.part(s, dir)), l("l_partkey") === col("p_partkey"))
+        .agg(
+          expr(s"CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN $Revenue " +
+            "ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)").as("promo_revenue"),
+          expr(s"CAST(sum($Revenue) AS DOUBLE)").as("total_revenue"))
+    }),
+
+    // Q18-shape large-volume orders: the HAVING-on-fact-agg pattern —
+    // per-order quantity sums partial-aggregate map-side, the >200
+    // filter prunes before the (broadcast) customer enrich, so the join
+    // sees only the big-order survivors.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)")
+          .as("sum_qty"))
+        .filter(col("sum_qty") > 200.0)
+      val o = Tables.orders(s, dir)
+      big.join(o, big("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)),
+          o("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("orderdate_us"),
+          col("o_totalprice"), col("sum_qty"))
+    }),
+
     "q10_returned_items" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
       val n = Tables.nation(s, dir)
@@ -161,6 +208,35 @@ object TpchQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q13_custdist" ->
+      """WITH pc AS (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM pc GROUP BY c_count""".stripMargin.replace("\n", " "),
+
+    "q14_promo_revenue" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+        |    ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS total_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+        |  AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin.replace("\n", " "),
+
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 200.0)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        |  epoch_us(o.o_orderdate) AS orderdate_us, o.o_totalprice, big.sum_qty
+        |FROM big JOIN orders o ON big.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey"""
+        .stripMargin.replace("\n", " "),
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
