@@ -248,6 +248,19 @@ class PlanAuditSpec extends SparkSpecBase {
       "the per-(vec, subspace) argmin and per-query top-k must pre-limit map-side")
   }
 
+  test("q18: per-order agg + HAVING prune sit below the customer join; no cartesian") {
+    val p = plan("q18_large_orders")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"), "quantity sums must partial-aggregate")
+    assert(p.contains("BroadcastHashJoin"), "customer enrich must broadcast")
+  }
+
+  test("q13: outer join aggregates partially, no cartesian") {
+    val p = plan("q13_custdist")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"))
+  }
+
   test("paragraph dedup: one content-keyed window exchange, no cartesian, no collect-shaped plan") {
     val p = plan("dedup_paragraph")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
