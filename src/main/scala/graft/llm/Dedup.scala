@@ -696,6 +696,33 @@ object Dedup {
       .select("doc_id", "fp").distinct()
   }
 
+  /** Winnowing candidate pairs — the MOSS-style near-dup blocking
+    * (Schleimer et al. 2003): docs sharing at least `minShared` selected
+    * fingerprints are candidates. Fingerprints are already a ~1/w sample
+    * of the window hashes, so the posting lists are w× smaller than the
+    * shingle family's for the same n — the cheap first pass when w is
+    * large. Same inverted-index discipline: ONE equi-join on the
+    * fingerprint key, never all-pairs, with `maxFpDocFreq` dropping
+    * degenerate boilerplate fingerprints before the join.
+    */
+  def winnowCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, w: Int, minShared: Long, maxFpDocFreq: Long = 0): DataFrame = {
+    val fp0 = winnowingFingerprints(docs, idCol, textCol, n, w)
+    val fp = graft.util.Materialize.stable(
+      if (maxFpDocFreq <= 0) fp0
+      else {
+        val hot = fp0.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxFpDocFreq).select("fp")
+        fp0.join(hot, Seq("fp"), "left_anti")
+      })
+    fp.as("a")
+      .join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Incremental exact dedup — the batch form of the streaming novelty
     * gate ([[StreamingDedup]]): admit a document from the new increment
     * iff its content hash appears neither in the prior corpus nor

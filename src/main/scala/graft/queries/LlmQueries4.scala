@@ -57,6 +57,12 @@ object LlmQueries4 {
         .select(col("doc_id"), col("grp").as("source"), col("n_tokens"),
           col("bin_idx"))),
 
+    // winnowing blocking (Schleimer et al. 2003): docs sharing >=2
+    // selected fingerprints, hot fingerprints (>50 docs) dropped
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowCandidatePairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, w = 4, minShared = 2L, maxFpDocFreq = 50L)),
+
     // bin utilization of the NFD pack — the number a packing-order
     // decision is made on (vs pack_bin_stats' arrival-order fill)
     "pack_bin_stats_nfd" -> ((s, dir) =>
@@ -319,6 +325,24 @@ object LlmQueries4 {
         |  FROM t JOIN p ON t.source = p.source AND t.rn = p.rn + 1)
         |SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens, bin_idx
         |FROM p""".stripMargin.replace("\n", " "),
+
+    "dedup_winnow_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, i AS pos,
+        |    CAST(concat('0x', substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 8)) AS BIGINT) AS h
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS r(i) WHERE len(t) >= 3),
+        |win AS (SELECT doc_id, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    max(pos) OVER (PARTITION BY doc_id) AS maxpos FROM sh),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE pos <= maxpos - 3),
+        |kept AS (SELECT doc_id, fp FROM fps WHERE fp IN
+        |  (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50)),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared FROM pr WHERE n_shared >= 2"""
+        .stripMargin.replace("\n", " "),
 
     "pack_bin_stats_nfd" ->
       """WITH RECURSIVE toks AS (SELECT source, doc_id,

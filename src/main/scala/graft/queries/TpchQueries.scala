@@ -89,6 +89,33 @@ object TpchQueries {
     // fact joins + broadcast dims + agg + global top-k. The orderBy+limit
     // plans as TakeOrderedAndProject (per-task top-20, never a full
     // sort); customer/nation broadcast; facts shuffle once on orderkey.
+    // Q7-shape nation-pair volume: the self-joined-dimension pattern —
+    // nation plays two roles (supplier side via lineitem.l_suppkey,
+    // customer side via orders.o_custkey), both broadcast; the
+    // direction-pair filter keeps both orderings, grouped by year.
+    "q7_nation_volume" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .filter(expr("l_shipdate >= timestamp'1995-01-01'") &&
+          expr("l_shipdate < timestamp'1997-01-01'"))
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val su = Tables.supplier(s, dir)
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n1), su("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), c("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate").cast("timestamp")).as("l_year"))
+        .agg(expr(s"CAST(sum($Revenue) AS DOUBLE)").as("revenue"))
+    }),
+
     // Q13-shape customer distribution: LEFT outer join (zero-order
     // customers count in the 0 bucket) + two stacked aggregations — the
     // first shuffles on the customer key, the second on the tiny count
@@ -208,6 +235,24 @@ object TpchQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)"""
+        .stripMargin.replace("\n", " "),
+
     "q13_custdist" ->
       """WITH pc AS (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
         |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
