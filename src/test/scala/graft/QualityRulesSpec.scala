@@ -104,6 +104,23 @@ class QualityRulesSpec extends SparkSpecBase {
       spark.read.parquet(s"$base/target").count() == 0L)
   }
 
+  // -------------------------------------------------- winnowing pairs
+
+  test("winnow pairs: shared-fingerprint floor filters weak matches") {
+    import graft.llm.Dedup
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, a),
+      (2L, a + " extra tail tokens here"),       // near-dup of 1: many shared fps
+      (3L, "unrelated words entirely different content stream okay"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowCandidatePairs(docs, "doc_id", "text",
+      n = 3, w = 4, minShared = 2L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "prefix-sharing docs must pair")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+  }
+
   // -------------------------------------------------- incremental dedup
 
   test("incremental dedup: prior-known and within-increment duplicates both drop") {
