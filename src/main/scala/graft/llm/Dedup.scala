@@ -228,6 +228,18 @@ object Dedup {
       // (local[n] fast path vs cluster-durable persist/checkpoint).
       graft.util.Materialize.stable(base)
     }
+    jaccardPairsFromPostings(sh, thresholdNum, thresholdDen)
+  }
+
+  /** [[jaccardPairs]] over an already-materialized postings frame
+    * (doc_id, h) — callers that also need the postings for another
+    * pipeline leg (e.g. the MinHash-estimate calibration, which derives
+    * signatures AND the exact join from one scan) pass their own
+    * [[graft.util.Materialize.stable]] frame here instead of paying a
+    * second tokenization.
+    */
+  private[graft] def jaccardPairsFromPostings(sh: DataFrame,
+      thresholdNum: Int, thresholdDen: Int): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -259,7 +271,7 @@ object Dedup {
     * shingles restore a sparse feature space, which is also the standard
     * MinHash construction.
     */
-  private val MinhashShingleN = 3
+  private[graft] val MinhashShingleN = 3
   private def shingleHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     shingleHashPostings(docs, idCol, textCol, MinhashShingleN)
 
@@ -268,8 +280,14 @@ object Dedup {
     * shuffle tiny at any SF. Docs shorter than the shingle width have no
     * signature (no features), matching the oracle.
     */
-  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val th = shingleHashes(docs, idCol, textCol)
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    minhashSignaturesFromShingles(shingleHashes(docs, idCol, textCol))
+
+  /** [[minhashSignatures]] over a precomputed shingle-hash postings frame
+    * (doc_id, h) with n = [[MinhashShingleN]] — the shared-scan entry for
+    * callers that reuse the postings elsewhere in the same plan.
+    */
+  private[graft] def minhashSignaturesFromShingles(th: DataFrame): DataFrame = {
     val mins = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % MinhashP).as(s"mh_$i")
     }
@@ -282,7 +300,15 @@ object Dedup {
     */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // signatures feed both sides of the band self-join — materialize once
-    val sig = graft.util.Materialize.stable(minhashSignatures(docs, idCol, textCol))
+    lshCandidatePairsFromSignatures(
+      graft.util.Materialize.stable(minhashSignatures(docs, idCol, textCol)))
+  }
+
+  /** Band self-join over an already-materialized signature frame — the
+    * shared-scan entry (signatures feed both join sides; the caller's
+    * stable() is the single materialization).
+    */
+  private[graft] def lshCandidatePairsFromSignatures(sig: DataFrame): DataFrame = {
     val nBands = MinhashA.length / BandSize
     val bands = (0 until nBands).map { j =>
       val cols = (0 until BandSize).map(k => col(s"mh_${j * BandSize + k}"))

@@ -94,16 +94,24 @@ object LlmQueries4 {
     // collisions) are excluded by the inner exact join.
     "dedup_minhash_est" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+      // ONE shingle-postings scan feeds BOTH legs (the r8 version
+      // tokenized the corpus twice — once for the LSH candidates, once
+      // for the exact join — and was the suite's heaviest query): the
+      // materialized postings derive the MinHash signatures (→ bands →
+      // candidates → agreement estimate) and the exact Jaccard join.
+      val postings = graft.util.Materialize.stable(
+        Dedup.shingleHashPostings(docs, "doc_id", "text", Dedup.MinhashShingleN))
+      val sig = graft.util.Materialize.stable(
+        Dedup.minhashSignaturesFromShingles(postings))
       val agree = (0 until Dedup.MinhashA.length)
         .map(i => when(col(s"sa.mh_$i") === col(s"sb.mh_$i"), 1L).otherwise(0L))
         .reduce(_ + _)
-      val est = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+      val est = Dedup.lshCandidatePairsFromSignatures(sig)
         .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
         .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
         .select(col("doc_a"), col("doc_b"),
           (agree * lit(1000L / Dedup.MinhashA.length)).as("est_permille"))
-      val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+      val exact = Dedup.jaccardPairsFromPostings(postings,
         thresholdNum = 0, thresholdDen = 1)
         .select(col("doc_a"), col("doc_b"),
           expr("inter * 1000 div uni").as("jac_permille"))

@@ -309,6 +309,52 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("q4: EXISTS decorrelates to a LeftSemi with the date predicate on the join") {
+    val p = plan("q4_order_priority")
+    assert(p.contains("LeftSemi"), "EXISTS must plan as a semi join")
+    assert(!p.contains("CartesianProduct"))
+    // the correlated l_shipdate > o_orderdate + 60d predicate must ride
+    // the semi join's condition, not a post-join filter (there IS no
+    // post-join row to filter in a semi join)
+    assert(p.contains("l_shipdate"), "correlated predicate must be in the plan")
+    // the 1-year order window still pushes to the orders scan
+    assert(p.contains("PushedFilters: [") && p.contains("o_orderdate"),
+      "order-date window must reach the parquet scan")
+  }
+
+  test("q17: correlated scalar avg becomes a broadcast per-part aggregate; one fact scan pattern") {
+    val p = plan("q17_small_qty_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "brand filter and per-part threshold must both broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_avg") || p.contains("partial_sum"),
+      "the per-part average must combine map-side")
+    // pruning: lineitem contributes only partkey/quantity/extendedprice
+    val schema = "lineitem\\.parquet.*?ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p.replaceAll("\n", " ")).map(_.group(1))
+    assert(schema.exists(_.split(",").length <= 3),
+      s"lineitem scan not pruned: $schema")
+  }
+
+  test("q21: nested EXISTS/NOT EXISTS plan as LeftSemi+LeftAnti on one key; top-20 is TakeOrdered") {
+    val p = plan("q21_waiting_suppliers")
+    assert("LeftSemi".r.findAllIn(p).size >= 2,
+      "order-status EXISTS and other-supplier EXISTS must both be semi joins")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as an anti join")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must be a per-task heap, not a full sort")
+  }
+
+  test("q22: NOT EXISTS is a LeftAnti; the global scalar is a 1-row broadcast, never a cartesian") {
+    val p = plan("q22_dormant_customers")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as an anti join")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row scalar must broadcast (BroadcastNestedLoopJoin), not cartesian")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the (Σ, n) scalar row must broadcast under every customer row")
+  }
+
   test("semantic dedup: the prune is a cell-keyed equi-join, no cartesian") {
     // the assignment stage's centroid broadcast is upstream of the
     // materialization barrier (it shares assignCells with the IVF plan,
