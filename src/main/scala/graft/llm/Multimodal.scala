@@ -93,6 +93,86 @@ object Multimodal {
         conv(substring(md5(concat_ws(":", col("doc_id"), col("frame_idx"))), 1, 8), 16, 10)
           .cast("long"))
 
+  /** aHash geometry: 16 sampled "pixels" per frame, one hash bit each.
+    * Pixel k of frame f is the char code at 1-based position
+    * `1 + (f*16 + k*7) % n_px` of the payload (the stub for an 8×8
+    * gray block; the ASCII fixture makes char code ≡ byte in both
+    * engines); bit k is set iff pixel_k ≥ mean, tested as the integer
+    * cross-multiplication `pixel_k · 16 ≥ Σ pixels` — the classic
+    * average-hash construction, integer-exact end to end.
+    */
+  val AHashBits = 16
+  private def pixelSql(k: Int, textExpr: String, idxExpr: String, nPxExpr: String): String =
+    s"ascii(substr($textExpr, 1 + ($idxExpr * $AHashBits + $k * 7) % $nPxExpr, 1))"
+  private def aHashSql(textExpr: String, idxExpr: String, nPxExpr: String): String = {
+    val px = (0 until AHashBits).map(pixelSql(_, textExpr, idxExpr, nPxExpr))
+    val sum = px.mkString("(", " + ", ")")
+    (0 until AHashBits).map { k =>
+      s"(CASE WHEN ${px(k)} * $AHashBits >= $sum THEN ${1L << k} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** Per-frame 16-bit average hash over the sampled video frames (the
+    * [[frameSample]] population at the same `stride`): one row per
+    * (doc, frame) with `fkey = doc_id·64 + frame_idx` (frame_idx < 30
+    * < 64, so the packing is collision-free) and the integer `phash`.
+    * Pure codegen'd expressions — the image-dedup code every multimodal
+    * pipeline computes before training.
+    */
+  def frameAHash(docs: DataFrame, idCol: String, textCol: String,
+      stride: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_t"))
+      .withColumn("n_px", length(col("_t")))
+      .filter(col("n_px") % 3 === 2) // media_type 'video' (see metadata)
+      .select(col("doc_id"), col("_t"), col("n_px"),
+        explode(sequence(lit(0), col("n_px") % 30, lit(stride))) // 0..n_frames-1
+          .as("frame_idx"))
+      .select(
+        (col("doc_id") * 64 + col("frame_idx")).as("fkey"),
+        expr(aHashSql("_t", "frame_idx", "n_px")).cast("long").as("phash"))
+  }
+
+  /** DuckDB closed form of [[frameAHash]]'s hash expression, rendered
+    * from the SAME pixel/threshold constants so the two engines cannot
+    * drift one-sided (`text`/`u.i`/`n_px` are the oracle CTE's columns).
+    */
+  def aHashSqlDuck(textExpr: String, idxExpr: String, nPxExpr: String): String =
+    aHashSql(textExpr, idxExpr, nPxExpr)
+
+  /** Cross-document near-duplicate frame pairs with Hamming distance ≤
+    * `maxHd` over the aHash codes, by pigeonhole chunk blocking (the
+    * [[Dedup.simhashPairs]] scale shape): split the 16-bit code into
+    * `maxHd+1` chunks — any pair within `maxHd` agrees on ≥1 chunk — so
+    * candidates come from an equi-join on (chunk_idx, chunk_val) and only
+    * candidates pay the exact `bit_count`. Never all-pairs; same-doc
+    * pairs (trivially similar strips) are excluded.
+    */
+  def phashNearDupPairs(codes: DataFrame, maxHd: Int): DataFrame = {
+    require(maxHd >= 0, s"maxHd must be >= 0, got $maxHd")
+    val nChunks = maxHd + 1
+    val bitsPer = AHashBits / nChunks
+    val chunks = (0 until nChunks).map { c =>
+      val width = if (c == nChunks - 1) AHashBits - bitsPer * (nChunks - 1) else bitsPer
+      struct(lit(c).as("ci"),
+        ((col("phash") / (1L << (c * bitsPer))).cast("long") % (1L << width)).as("cv"))
+    }
+    val blocked = codes.select(col("fkey"), col("phash"),
+      explode(array(chunks: _*)).as("ch"))
+      .select(col("fkey"), col("phash"), col("ch.ci"), col("ch.cv"))
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.fkey") < col("b.fkey"))
+      .filter((col("a.fkey") / 64).cast("long") =!= (col("b.fkey") / 64).cast("long"))
+      .select(col("a.fkey").as("frame_a"), col("a.phash").as("pa"),
+        col("b.fkey").as("frame_b"), col("b.phash").as("pb"))
+      .distinct()
+      .withColumn("hd", bit_count(col("pa").bitwiseXOR(col("pb"))))
+      .filter(col("hd") <= maxHd)
+      .select("frame_a", "frame_b", "hd")
+  }
+
   final case class ResizedMedia(
       doc_id: Long, src_width: Int, src_height: Int,
       width: Int, height: Int, payload: Array[Byte])

@@ -360,4 +360,25 @@ object Retrieval {
       q.intersect(d).size.toDouble / q.size
     }
   }
+
+  /** Non-trivial [[rerankBatched]] scorer: the payloads are comma-joined
+    * quantized embedding vectors (opaque to the seam, exactly as model
+    * input tensors would be); the "forward pass" parses them and computes
+    * the exact-int64 cosine `dot / (√nq·√nc)` — deterministic, and the
+    * identical IEEE sequence the DuckDB oracle's closed form evaluates
+    * (gated as `rerank_cross_topk`).
+    */
+  def intCosineScore(query: String, doc: String): Double = {
+    val q = query.split(',')
+    val d = doc.split(',')
+    var dot = 0L; var nq = 0L; var nc = 0L
+    var i = 0
+    while (i < q.length && i < d.length) {
+      val qi = q(i).toLong; val di = d(i).toLong
+      dot += qi * di; nq += qi * qi; nc += di * di
+      i += 1
+    }
+    if (nq == 0L || nc == 0L) 0.0
+    else dot.toDouble / (math.sqrt(nq.toDouble) * math.sqrt(nc.toDouble))
+  }
 }

@@ -945,6 +945,33 @@ object Similarity {
     * the candidate set, ties to the smaller cid; `hd` is the candidate's
     * Hamming distance (diagnostic: how coarse stage 1 was).
     */
+  /** Stage 1 of [[hammingTopK]] alone: the `nBits`-bit Hamming candidate
+    * set (qid, cid, hd, hrank ≤ c) with NO rerank — the coarse-retrieval
+    * feed for an external scorer (e.g. [[Retrieval.rerankBatched]]'s
+    * cross-encoder seam, gated as `rerank_cross_topk`). Same plan shape
+    * as the fused version: bounded query codes broadcast over one corpus
+    * code scan, WindowGroupLimit pre-limits candidates map-side.
+    */
+  def hammingCandidates(corpus: DataFrame, queries: DataFrame, c: Int,
+      nBits: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(c > 0, s"candidate count must be positive, got $c")
+    require(nBits > 0 && nBits <= MaxPlanes, s"nBits must be in 1..$MaxPlanes")
+    graft.functions.ArrayFns.register(org.apache.spark.sql.SparkSession.active)
+    def prep(df: DataFrame, id: String) =
+      df.select(col("vec_id").as(id), quantize(col("embedding")).as("_qv"))
+        .withColumn("code", expr(bucketSql("_qv", spark = true, nBits)))
+        .select(col(id), col("code"))
+    val hw = Window.partitionBy("qid").orderBy(col("hd").asc, col("cid"))
+    prep(Dedup.widen(corpus), "cid")
+      .crossJoin(broadcast(prep(queries, "qid").withColumnRenamed("code", "qcode")))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("hd", bit_count(col("code").bitwiseXOR(col("qcode"))))
+      .select("qid", "cid", "hd")
+      .withColumn("hrank", row_number().over(hw))
+      .filter(col("hrank") <= c)
+  }
+
   def hammingTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nBits: Int = 32, candMult: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window

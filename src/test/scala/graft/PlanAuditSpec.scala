@@ -355,6 +355,25 @@ class PlanAuditSpec extends SparkSpecBase {
       "the (Σ, n) scalar row must broadcast under every customer row")
   }
 
+  test("rerank stack: Hamming stage pre-limits candidates; query payloads broadcast; no cartesian") {
+    val p = plan("rerank_cross_topk")
+    // stage 1's deliberate bounded-query cross join is the hamming audit
+    // precedent; what must hold is the group-limit pushdown and that the
+    // rerank join stays keyed
+    assert(p.contains("WindowGroupLimit"),
+      "hrank <= C must pre-limit candidates map-side")
+    assert(p.contains("BroadcastExchange"),
+      "query codes and query payloads must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("phash dedup: chunk-blocked equi-join, never all-pairs") {
+    val p = plan("multimodal_phash_dedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "frame pairs must come from the (chunk_idx, chunk_val) equi-join")
+  }
+
   test("semantic dedup: the prune is a cell-keyed equi-join, no cartesian") {
     // the assignment stage's centroid broadcast is upstream of the
     // materialization barrier (it shares assignCells with the IVF plan,
