@@ -12,26 +12,34 @@ import org.apache.spark.sql.SparkSession
   * parallelism-bound preview, not a single-task fluke that would wall at
   * 100 TB.
   *
-  * Small final stages are expected (top-k outputs, broadcast builds,
-  * AQE-coalesced tiny exchanges); the audited signal is `max_tasks` —
-  * the widest stage of the query, which must track the forced width for
-  * scan/shuffle-heavy plans. One JSON line on stdout:
-  * `{"shuffle":N,"queries":{name:{"stages":n,"max_tasks":m,"wall_s":t}}}`.
+  * This is a CHECK, not a log (the round-8 advisor's point): AQE
+  * partition COALESCING is disabled (skew handling stays on), so a
+  * shuffle that honors the forced width runs exactly `width` tasks and
+  * anything narrower is a genuine plan collapse; scans are widened via a
+  * small `files.maxPartitionBytes` so the input side exercises many-task
+  * reads too. Every audited query must reach `max_tasks >= width` —
+  * failures print a COLLAPSED summary line and exit nonzero.
+  *
+  * One JSON line on stdout:
+  * `{"shuffle":N,"collapsed":[...],"queries":{name:{"stages":n,"max_tasks":m,"wall_s":t}}}`.
   */
 object ScaleAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val width = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "256")
+    val width = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "256").toInt
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.driver.host", "127.0.0.1")
       .config("spark.driver.bindAddress", "127.0.0.1")
-      .config("spark.sql.shuffle.partitions", width)
+      .config("spark.sql.shuffle.partitions", width.toString)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // cluster-shaped floor: AQE may coalesce below the forced width on
-      // local[32] volumes; keep the audit honest by letting it (the
-      // max_tasks signal reports what survived)
+      // coalescing OFF: a 256-wide exchange must RUN 256 tasks here, so a
+      // partial collapse (8 tasks) is observable instead of being folded
+      // into AQE's local-volume coalesce; skew splitting stays enabled.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // widen the scans too: sf0.1 files are small enough to read in 1-2
+      // tasks at the 128m default, which would hide a scan-side collapse
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
@@ -47,7 +55,9 @@ object ScaleAudit {
     val heavy = Seq(
       "semantic_dedup", "dedup_ngram_jaccard", "decontam_clean",
       "ann_ivfpq_topk", "corpus_curated", "dedup_clusters_chain",
-      "dedup_paragraph", "ann_hamming_topk")
+      "dedup_paragraph", "ann_hamming_topk", "dedup_minhash_est",
+      "rerank_cross_topk", "q21_waiting_suppliers")
+    var collapsed = List.empty[String]
     val out = heavy.map { name =>
       stages = Nil
       val t0 = System.nanoTime()
@@ -62,9 +72,17 @@ object ScaleAudit {
       val dt = (System.nanoTime() - t0) / 1e9
       graft.util.Materialize.releaseTracked(spark)
       val st = stages
-      f""""$name":{"stages":${st.size},"max_tasks":${if (st.isEmpty) 0 else st.max},"wall_s":$dt%.2f}"""
+      val maxTasks = if (st.isEmpty) 0 else st.max
+      if (maxTasks < width) collapsed ::= name
+      f""""$name":{"stages":${st.size},"max_tasks":$maxTasks,"wall_s":$dt%.2f}"""
     }
-    println(s"""{"shuffle":$width,"queries":{${out.mkString(",")}}}""")
+    val coll = collapsed.reverse.map(n => s""""$n"""").mkString("[", ",", "]")
+    println(s"""{"shuffle":$width,"collapsed":$coll,"queries":{${out.mkString(",")}}}""")
+    if (collapsed.nonEmpty) {
+      System.err.println(s"COLLAPSED (max_tasks < $width): ${collapsed.reverse.mkString(", ")}")
+      spark.stop()
+      sys.exit(1)
+    }
     spark.stop()
   }
 }

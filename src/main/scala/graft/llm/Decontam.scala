@@ -79,6 +79,14 @@ object Decontam {
     * carried by more than that many eval docs (the [[overlapReport]]
     * cap) so ubiquitous phrases don't shred the corpus.
     *
+    * HULL SEMANTICS — deliberately conservative: the cut is the single
+    * convex hull [min first_hit, max last_hit + n − 1] over ALL hits,
+    * not per-span islands. A doc quoting two small eval snippets near
+    * its start and end therefore loses the clean middle too. That is
+    * the safe default for decontamination (anything between two leaks
+    * is suspect context); callers who need island/gap precision should
+    * run [[Dedup.trimDupSpans]]'s shape over the hit positions instead.
+    *
     * Scale shape: the positional-window map stage + ONE broadcast
     * left-semi membership join (eval grams are MBs) + a per-doc min/max
     * partial agg — the corpus never exchanges on the gram key; the only

@@ -29,8 +29,10 @@ object QualityRules {
 
   /** Gopher document-level quality features + rule verdicts. Thresholds
     * are the paper's (word count 50..100k, mean word length 3..10 chars,
-    * ≥80% words with an alphabetic character, symbol-to-word ratio ≤0.1,
-    * ≤90% bullet-starting lines, ≤30% ellipsis-ending lines, ≥2 distinct
+    * ≥80% words with an alphabetic character, symbol-to-word ratio ≤0.1
+    * applied to EACH symbol ('#', '...') separately — Rae et al. §A1.1
+    * states the ratio per symbol, not over their sum — ≤90%
+    * bullet-starting lines, ≤30% ellipsis-ending lines, ≥2 distinct
     * stopwords), expressed in integer per-mille / ×100 fixed point.
     *
     * Feature extraction avoids interpreted higher-order lambdas on the
@@ -56,10 +58,12 @@ object QualityRules {
         // tokens containing >=1 ASCII letter, counted by one regex scan
         size(regexp_extract_all(concat(lit(" "), col(textCol)),
           lit(" [^ ]*[a-zA-Z][^ ]*"), lit(0))).cast("long").as("n_alpha_words"),
-        // Gopher's symbol set: hash marks and ellipses
-        (size(regexp_extract_all(col(textCol), lit("#"), lit(0))) +
-          size(regexp_extract_all(col(textCol), lit("\\.\\.\\."), lit(0))))
-          .cast("long").as("n_symbols"),
+        // Gopher's symbol set: hash marks and ellipses, counted per
+        // symbol (the ≤0.1 ratio applies to each independently)
+        size(regexp_extract_all(col(textCol), lit("#"), lit(0)))
+          .cast("long").as("n_hash"),
+        size(regexp_extract_all(col(textCol), lit("\\.\\.\\."), lit(0)))
+          .cast("long").as("n_ellipsis_sym"),
         size(split(col(textCol), "\n")).cast("long").as("n_lines"),
         size(regexp_extract_all(concat(lit("\n"), col(textCol)),
           lit("\n[\\-\\*•]"), lit(0))).cast("long").as("n_bullet_lines"),
@@ -68,19 +72,21 @@ object QualityRules {
       .select(
         col("doc_id"), col("n_chars"),
         size(toks).cast("long").as("n_words"),
-        col("n_alpha_words"), col("n_symbols"),
+        col("n_alpha_words"), col("n_hash"), col("n_ellipsis_sym"),
         col("n_lines"), col("n_bullet_lines"), col("n_ellipsis_lines"),
         nStopDistinct.as("n_stop_distinct"))
       .withColumn("avg_word_len_x100",
         expr("(n_chars - (n_words - 1)) * 100 div n_words"))
       .withColumn("alpha_permille", expr("n_alpha_words * 1000 div n_words"))
-      .withColumn("symbol_permille", expr("n_symbols * 1000 div n_words"))
+      .withColumn("hash_permille", expr("n_hash * 1000 div n_words"))
+      .withColumn("ellipsis_sym_permille", expr("n_ellipsis_sym * 1000 div n_words"))
       .withColumn("bullet_permille", expr("n_bullet_lines * 1000 div n_lines"))
       .withColumn("ellipsis_permille", expr("n_ellipsis_lines * 1000 div n_lines"))
       .withColumn("r_word_count", col("n_words").between(50L, 100000L))
       .withColumn("r_word_len", col("avg_word_len_x100").between(300L, 1000L))
       .withColumn("r_alpha", col("alpha_permille") >= 800L)
-      .withColumn("r_symbol", col("symbol_permille") <= 100L)
+      .withColumn("r_symbol",
+        col("hash_permille") <= 100L && col("ellipsis_sym_permille") <= 100L)
       .withColumn("r_bullet", col("bullet_permille") <= 900L)
       .withColumn("r_ellipsis", col("ellipsis_permille") <= 300L)
       .withColumn("r_stop", col("n_stop_distinct") >= 2L)
@@ -105,7 +111,8 @@ object QualityRules {
        |  CAST(length(text) AS BIGINT) AS n_chars,
        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
        |  CAST(len(regexp_extract_all(' ' || text, ' [^ ]*[a-zA-Z][^ ]*')) AS BIGINT) AS n_alpha_words,
-       |  CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_symbols,
+       |  CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash,
+       |  CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_ellipsis_sym,
        |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
        |  CAST(len(regexp_extract_all(chr(10) || text, chr(10) || '[\\-\\*' || chr(8226) || ']')) AS BIGINT) AS n_bullet_lines,
        |  CAST(len(regexp_extract_all(text || chr(10), '\\.\\.\\.' || chr(10))) AS BIGINT) AS n_ellipsis_lines,
@@ -123,7 +130,8 @@ object QualityRules {
        |WHERE n_words BETWEEN 50 AND 100000
        |  AND (n_chars - (n_words - 1)) * 100 // n_words BETWEEN 300 AND 1000
        |  AND n_alpha_words * 1000 // n_words >= 800
-       |  AND n_symbols * 1000 // n_words <= 100
+       |  AND n_hash * 1000 // n_words <= 100
+       |  AND n_ellipsis_sym * 1000 // n_words <= 100
        |  AND n_bullet_lines * 1000 // n_lines <= 900
        |  AND n_ellipsis_lines * 1000 // n_lines <= 300
        |  AND n_stop_distinct >= 2""".stripMargin.replace("\n", " ")
@@ -134,35 +142,38 @@ object QualityRules {
        |g AS (SELECT *,
        |  (n_chars - (n_words - 1)) * 100 // n_words AS avg_word_len_x100,
        |  n_alpha_words * 1000 // n_words AS alpha_permille,
-       |  n_symbols * 1000 // n_words AS symbol_permille,
+       |  n_hash * 1000 // n_words AS hash_permille,
+       |  n_ellipsis_sym * 1000 // n_words AS ellipsis_sym_permille,
        |  n_bullet_lines * 1000 // n_lines AS bullet_permille,
        |  n_ellipsis_lines * 1000 // n_lines AS ellipsis_permille
        |  FROM f)
-       |SELECT doc_id, n_chars, n_words, n_alpha_words, n_symbols, n_lines,
-       |  n_bullet_lines, n_ellipsis_lines, n_stop_distinct,
-       |  avg_word_len_x100, alpha_permille, symbol_permille, bullet_permille,
-       |  ellipsis_permille,
+       |SELECT doc_id, n_chars, n_words, n_alpha_words, n_hash, n_ellipsis_sym,
+       |  n_lines, n_bullet_lines, n_ellipsis_lines, n_stop_distinct,
+       |  avg_word_len_x100, alpha_permille, hash_permille, ellipsis_sym_permille,
+       |  bullet_permille, ellipsis_permille,
        |  n_words BETWEEN 50 AND 100000 AS r_word_count,
        |  avg_word_len_x100 BETWEEN 300 AND 1000 AS r_word_len,
        |  alpha_permille >= 800 AS r_alpha,
-       |  symbol_permille <= 100 AS r_symbol,
+       |  hash_permille <= 100 AND ellipsis_sym_permille <= 100 AS r_symbol,
        |  bullet_permille <= 900 AS r_bullet,
        |  ellipsis_permille <= 300 AS r_ellipsis,
        |  n_stop_distinct >= 2 AS r_stop,
        |  (n_words BETWEEN 50 AND 100000) AND (avg_word_len_x100 BETWEEN 300 AND 1000)
-       |    AND alpha_permille >= 800 AND symbol_permille <= 100
+       |    AND alpha_permille >= 800
+       |    AND hash_permille <= 100 AND ellipsis_sym_permille <= 100
        |    AND bullet_permille <= 900 AND ellipsis_permille <= 300
        |    AND n_stop_distinct >= 2 AS passes_gopher
        |FROM g""".stripMargin.replace("\n", " ")
   }
 
   /** C4 line-level filtering (Raffel et al. 2020 §2.2): keep a line iff
-    * it ends in terminal punctuation, has ≥ `minWords` words, and
-    * mentions neither a curly brace nor the word "javascript"; drop the
-    * whole document if any line contains "lorem ipsum". Kept lines are
-    * reassembled in original order; documents with zero surviving lines
-    * disappear (C4 additionally drops <3-sentence docs — that is the
-    * caller's threshold on `n_kept`).
+    * it ends in terminal punctuation, has ≥ `minWords` words, and does
+    * not mention "javascript" (the paper's only line-level kill); drop
+    * the whole document if any line contains "lorem ipsum" OR a curly
+    * brace (both are PAGE kills in §2.2 — '{' flags source code). Kept
+    * lines are reassembled in original order; documents with zero
+    * surviving lines disappear (C4 additionally drops <3-sentence docs —
+    * that is the caller's threshold on `n_kept`).
     *
     * Scale shape: one `posexplode` map stage (a line's verdict depends
     * only on itself), one doc-keyed shuffle for reassembly with partial
@@ -174,12 +185,15 @@ object QualityRules {
       minWords: Int = 5): DataFrame = {
     val keep = col("line").rlike("[.!?\"]$") &&
       size(split(col("line"), " ")) >= minWords &&
-      !col("line").contains("{") && !col("line").contains("javascript")
+      !col("line").contains("javascript")
     docs
       .select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
       .withColumn("keep", keep)
-      .withColumn("bad_doc", col("line").contains("lorem ipsum"))
+      // '{' kills the PAGE (Raffel §2.2 — code marker), like 'lorem
+      // ipsum'; only the 'javascript' rule is line-level
+      .withColumn("bad_doc",
+        col("line").contains("lorem ipsum") || col("line").contains("{"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_lines"),
@@ -206,8 +220,8 @@ object QualityRules {
        |v AS (SELECT doc_id, line_no, line,
        |    regexp_matches(line, '[.!?"]$$')
        |      AND len(string_split(line, ' ')) >= $minWords
-       |      AND NOT contains(line, '{') AND NOT contains(line, 'javascript') AS keep,
-       |    contains(line, 'lorem ipsum') AS bad_doc
+       |      AND NOT contains(line, 'javascript') AS keep,
+       |    contains(line, 'lorem ipsum') OR contains(line, '{') AS bad_doc
        |  FROM ln),
        |agg AS (SELECT doc_id,
        |    CAST(count(*) AS BIGINT) AS n_lines,

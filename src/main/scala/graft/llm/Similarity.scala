@@ -256,6 +256,13 @@ object Similarity {
     * into one true cluster, and Lloyd can never split them apart again —
     * farthest-point guarantees spread. Cost: k-1 broadcast scans, k
     * bounded and small.
+    *
+    * NOT the production path — [[farthestPointSeedsSampled]] (wired into
+    * [[kmeansCentroids]]) computes the same greedy selection over a
+    * bounded sample in ONE job instead of 2(k−1); this full-corpus
+    * variant exists as the exactness reference for the parity test in
+    * `DedupSimilaritySpec` ("sampled seeding equals full seeding on a
+    * corpus smaller than the sample"). Reach for the sampled one.
     */
   def farthestPointSeeds(corpus: DataFrame, k: Int): DataFrame = {
     val base = graft.util.Materialize.stable(

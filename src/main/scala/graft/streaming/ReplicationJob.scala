@@ -124,7 +124,16 @@ object ReplicationJob {
         * Opt-in here (the reference connector defaults it on) because it
         * adds a catalog-metadata read per micro-batch.
         */
-      autoEvolveTarget: Boolean = false)
+      autoEvolveTarget: Boolean = false,
+      /** Unit-sanity guard for the derived ts_us: the source's physical
+        * timestamp type is probed ONCE at stream start, so a producer
+        * flipping ns↔µs MID-stream would silently mis-derive every later
+        * batch's position by ×1000 with no error. When set, each batch
+        * asserts its valid rows' ts_us within [lo, hi] (epoch µs) and
+        * fails the stream loudly instead. Off by default — direct batch
+        * tests use tiny synthetic positions.
+        */
+      tsSanityBoundsUs: Option[(Long, Long)] = None)
 
   /** One micro-batch of the sink side: validation split → DLQ append →
     * LWW compaction → idempotent upsert. Exposed for batch tests and
@@ -190,7 +199,19 @@ object ReplicationJob {
         .as("dlq_max_ts"),
       count(when(col("error_type").isNull && col("_is_truncate"), 1)).as("trunc_n"),
       max(when(col("error_type").isNull && col("_is_truncate"),
-        struct(col("ts_us"), col("event_id")))).as("trunc_max")).head()
+        struct(col("ts_us"), col("event_id")))).as("trunc_max"),
+      min(when(col("error_type").isNull, col("ts_us"))).as("ts_min"),
+      max(when(col("error_type").isNull, col("ts_us"))).as("ts_max")).head()
+    // Mid-stream unit-flip guard (see Config.tsSanityBoundsUs): rides the
+    // existing control aggregate — zero extra jobs.
+    cfg.tsSanityBoundsUs.foreach { case (lo, hi) =>
+      if (!ctl.isNullAt(ctl.fieldIndex("ts_min"))) {
+        val (mn, mx) = (ctl.getAs[Long]("ts_min"), ctl.getAs[Long]("ts_max"))
+        if (mn < lo || mx > hi) throw new IllegalStateException(
+          s"batch $batchId ts_us range [$mn, $mx] outside sane [$lo, $hi] — " +
+            "source timestamp unit likely flipped mid-stream (re-probe the footer)")
+      }
+    }
     val valid = tagged.filter(col("error_type").isNull).drop("error_type", "_is_truncate")
     val dlq = tagged.filter(col("error_type").isNotNull).drop("_is_truncate")
     // Truncate events are table-wide control operations, not rows: they

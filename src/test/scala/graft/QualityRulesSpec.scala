@@ -42,21 +42,24 @@ class QualityRulesSpec extends SparkSpecBase {
 
   // -------------------------------------------------- C4 line filter
 
-  test("c4: punctuation, word-count, brace and javascript line rules; lorem kills the doc") {
+  test("c4: punctuation, word-count and javascript line rules; lorem and '{' kill the doc") {
     val docs = Seq(
       (1L, Seq(
         "this line ends with a period and is long enough.",
         "this line has no terminal punctuation at all",
         "short line.",
-        "function() { return javascript of doom; }",
+        "the word javascript makes this line disappear quietly.",
         "another good line survives the filter here!").mkString("\n")),
       (2L, "good line with enough words to pass.\nlorem ipsum dolor sit amet."),
-      (3L, "nothing survives here")
+      (3L, "nothing survives here"),
+      // '{' is a PAGE kill (Raffel §2.2), not a line kill — the good
+      // first line must not save this doc
+      (4L, "a perfectly fine line with plenty of words.\nfunction() { return; }")
     ).toDF("doc_id", "text")
     val out = QualityRules.c4LineFilter(docs, "doc_id", "text", minWords = 5)
     val rows = out.select("doc_id", "n_lines", "n_kept", "text_kept")
       .as[(Long, Long, Long, String)].collect().map(r => (r._1, r)).toMap
-    assert(rows.keySet == Set(1L), "lorem doc and empty doc must disappear")
+    assert(rows.keySet == Set(1L), "lorem, empty and brace docs must disappear")
     val (_, n, k, text) = rows(1L)
     assert(n == 5L && k == 2L)
     assert(text == "this line ends with a period and is long enough.\n" +
