@@ -261,10 +261,14 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("HashAggregate"))
   }
 
-  test("paragraph dedup: one content-keyed window exchange, no cartesian, no collect-shaped plan") {
+  test("paragraph dedup: first-occurrence is a partial-aggregated min, never a window sort") {
     val p = plan("dedup_paragraph")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
-    assert(p.contains("Window"), "first-occurrence rank is a window, not a self-join")
+    assert(p.contains("partial_min"),
+      "the keep-first must combine map-side — a hot boilerplate paragraph " +
+        "would serialize in a window partition")
+    assert(!p.contains("Window"),
+      "row_number-over-md5 puts every instance of a hot paragraph in one task")
   }
 
   test("cluster representatives: rank-1 filter pre-limits map-side") {
