@@ -378,6 +378,42 @@ class PlanAuditSpec extends SparkSpecBase {
       "frame pairs must come from the (chunk_idx, chunk_val) equi-join")
   }
 
+  test("q8: snowflake dims all broadcast; one fact shuffle; map-side combine") {
+    val p = plan("q8_market_share")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5,
+      "part/customer/nation x2/region/supplier must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_sum"), "both volume sums must combine map-side")
+  }
+
+  test("q12: non-equi lateness predicate rides the keyed join; counts partial-aggregate") {
+    val p = plan("q12_late_lines")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the lateness predicate must ride the l_orderkey equi-join")
+    assert(p.contains("partial_sum"))
+  }
+
+  test("q15: the 1-row max broadcasts; the aggregated view is reused, not recomputed") {
+    val p = plan("q15_top_supplier")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the scalar max must broadcast under the per-supplier rows")
+    // the materialized view appears as a checkpoint scan on BOTH sides —
+    // exactly one lineitem parquet scan may remain in the plan
+    assert("lineitem\\.parquet".r.findAllIn(p).size <= 1,
+      "rev view must be materialized once, not re-derived per side")
+  }
+
+  test("q19: disjunctive branches prune the part build side; no cartesian") {
+    val p = plan("q19_disjunctive_revenue")
+    assert(p.contains("BroadcastHashJoin"), "part must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    val partSchema = "part\\.parquet.*?ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p.replaceAll("\n", " ")).map(_.group(1))
+    assert(partSchema.exists(_.split(",").length <= 3),
+      s"part scan must prune to partkey/brand/size: $partSchema")
+  }
+
   test("semantic dedup: the prune is a cell-keyed equi-join, no cartesian") {
     // the assignment stage's centroid broadcast is upstream of the
     // materialization barrier (it shares assignCells with the IVF plan,

@@ -11,7 +11,8 @@ import org.apache.spark.sql.DataFrame
 class TpchDecorrelationSpec extends SparkSpecBase {
 
   private def registerViews(): Unit =
-    for (t <- Seq("orders", "lineitem", "part", "supplier", "customer"))
+    for (t <- Seq("orders", "lineitem", "part", "supplier", "customer",
+        "nation", "region"))
       Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
 
   private def assertSameRows(df: DataFrame, sql: String, sortCols: Seq[String]): Unit = {
@@ -64,6 +65,80 @@ class TpchDecorrelationSpec extends SparkSpecBase {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
       Seq("s_name"))
+  }
+
+  test("q8: market-share ratio equals Spark SQL's CASE-in-aggregate form") {
+    assertSameRows(
+      SparkEntry.queries("q8_market_share")(spark, sfDir),
+      """SELECT year(o_orderdate) AS o_year,
+        |  CAST(sum(CASE WHEN n2.n_name = 'NATION_1'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+        |    ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS nation_volume,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS total_volume,
+        |  CAST(sum(CASE WHEN n2.n_name = 'NATION_1'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+        |    ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+        |  AND o_orderdate >= timestamp'1995-01-01'
+        |  AND o_orderdate < timestamp'1997-01-01'
+        |GROUP BY year(o_orderdate)""".stripMargin,
+      Seq("o_year"))
+  }
+
+  test("q12: late-line classification equals Spark SQL") {
+    assertSameRows(
+      SparkEntry.queries("q12_late_lines")(spark, sfDir),
+      """SELECT year(l_shipdate) AS l_year,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1L ELSE 0L END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1L ELSE 0L END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAYS
+        |GROUP BY year(l_shipdate)""".stripMargin,
+      Seq("l_year"))
+  }
+
+  test("q15: materialized view + broadcast max equals Spark's scalar subquery") {
+    assertSameRows(
+      SparkEntry.queries("q15_top_supplier")(spark, sfDir),
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= timestamp'1996-01-01'
+        |    AND l_shipdate < timestamp'1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+      Seq("s_suppkey"))
+  }
+
+  test("q19: disjunctive join predicate equals Spark SQL's WHERE form") {
+    assertSameRows(
+      SparkEntry.queries("q19_disjunctive_revenue")(spark, sfDir),
+      """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+      Seq("revenue"))
   }
 
   test("q22: anti join + scalar broadcast equals Spark's NOT EXISTS + uncorrelated scalar") {
