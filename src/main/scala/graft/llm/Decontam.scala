@@ -94,16 +94,24 @@ object Decontam {
     * The positional window hash and the eval shingle hash are the SAME
     * `tokenHash(concat_ws(' ', window))`, so membership is exact.
     */
+  /** Distinct eval-set gram hashes, minus grams carried by more than
+    * `maxGramEvalDf` eval docs (0 = keep all) — the broadcast membership
+    * set both trim variants probe.
+    */
+  private def evalGramSet(evalSet: DataFrame, idCol: String, textCol: String,
+      n: Int, maxGramEvalDf: Long): DataFrame = {
+    val ev0 = Dedup.shingleHashPostings(evalSet, idCol, textCol, n)
+    if (maxGramEvalDf <= 0) ev0.select("h").distinct()
+    else {
+      val hot = ev0.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxGramEvalDf).select("h")
+      ev0.select("h").distinct().join(hot, Seq("h"), "left_anti")
+    }
+  }
+
   def trimContaminated(corpus: DataFrame, evalSet: DataFrame, idCol: String,
       textCol: String, n: Int, maxGramEvalDf: Long = 0): DataFrame = {
-    val ev0 = Dedup.shingleHashPostings(evalSet, idCol, textCol, n)
-    val evGrams =
-      if (maxGramEvalDf <= 0) ev0.select("h").distinct()
-      else {
-        val hot = ev0.groupBy("h").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxGramEvalDf).select("h")
-        ev0.select("h").distinct().join(hot, Seq("h"), "left_anti")
-      }
+    val evGrams = evalGramSet(evalSet, idCol, textCol, n, maxGramEvalDf)
     val pos = Dedup.positionalWindowHashes(corpus, idCol, textCol, n)
       .select(col("doc_id"), (col("pos") + 1).as("start"), col("h"))
     val bounds = pos.join(broadcast(evGrams), Seq("h"), "left_semi")
@@ -120,6 +128,55 @@ object Decontam {
               s"greatest(0, size(_toks) - (last_hit + ${n - 1})))")))))
       .filter(col("first_hit").isNull || length(col(textCol)) > 0)
       .drop("_toks", "first_hit", "last_hit")
+  }
+
+  /** Per-SPAN surgical decontamination — the island/gap upgrade over
+    * [[trimContaminated]]'s hull: contaminated n-gram windows are merged
+    * into islands (two hits merge when the next window starts within
+    * `mergeGap` tokens of the previous window's end) and ONLY the island
+    * spans are cut, so a doc quoting two small eval snippets near its
+    * start and end keeps its clean middle. Gaps-and-islands is the
+    * classic window construction: a break flag per hit (start further
+    * than `n + mergeGap` past the previous hit's start), a running sum
+    * numbering the islands, min/max per island → span list per doc, and
+    * one higher-order-function pass drops tokens inside any span.
+    *
+    * Scale shape: same as the hull variant (positional windows + ONE
+    * broadcast semi join; the corpus never exchanges on the gram key)
+    * plus a doc-keyed window over HIT rows only — bounded by hits per
+    * doc, not doc length — and the span list rides a per-doc array
+    * (quote counts, not corpus-sized state).
+    */
+  def trimContaminatedSpans(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int, maxGramEvalDf: Long = 0,
+      mergeGap: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(mergeGap >= 0, s"mergeGap must be >= 0, got $mergeGap")
+    val evGrams = evalGramSet(evalSet, idCol, textCol, n, maxGramEvalDf)
+    val hits = Dedup.positionalWindowHashes(corpus, idCol, textCol, n)
+      .select(col("doc_id"), (col("pos") + 1).as("start"), col("h"))
+      .join(broadcast(evGrams), Seq("h"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("start")
+    val prev = lag("start", 1).over(w)
+    val spans = hits
+      .withColumn("_brk",
+        when(prev.isNull || col("start") > prev + (n + mergeGap), 1L).otherwise(0L))
+      .withColumn("_isl", sum("_brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("_isl"))
+      .agg(min("start").as("s"), (max("start") + (n - 1)).as("e"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("_spans"))
+      .withColumnRenamed("doc_id", idCol)
+    corpus.join(spans, Seq(idCol), "left")
+      .withColumn("_toks", split(col(textCol), " "))
+      .withColumn(textCol,
+        when(col("_spans").isNull, col(textCol)).otherwise(concat_ws(" ",
+          expr("transform(filter(transform(_toks, (t, i) -> " +
+            "struct(t AS t, i + 1 AS p)), x -> NOT exists(_spans, " +
+            "sp -> x.p >= sp.s AND x.p <= sp.e)), x -> x.t)"))))
+      .filter(col("_spans").isNull || length(col(textCol)) > 0)
+      .drop("_toks", "_spans")
   }
 
   /** The EVAL-side contamination view — per benchmark doc, how much of

@@ -38,6 +38,19 @@ object LlmQueries5 {
         "vec_id", "payload", k = RerankK, Retrieval.intCosineScore)
     }),
 
+    // Per-span surgical decontamination (the island/gap upgrade over
+    // decontam_trim's hull): only the contaminated islands are cut, so
+    // clean text BETWEEN two quoted eval snippets survives. Same eval
+    // split/cap as decontam_trim for comparability.
+    "decontam_trim_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.llm.Decontam.trimContaminatedSpans(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 3, maxGramEvalDf = 20)
+        .select("doc_id", "source", "text")
+    }),
+
     // Perceptual-hash (average-hash) dedup over the sampled video
     // frames: 16-bit integer aHash per frame, cross-doc near-dup pairs
     // at Hamming ≤ 2 via pigeonhole chunk blocking — the image-dedup
@@ -73,6 +86,43 @@ object LlmQueries5 {
          |SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= $RerankK"""
         .stripMargin.replace("\n", " ")
     },
+
+    // gaps-and-islands over hit starts: break when the next window
+    // starts more than n (=3, mergeGap 0) past the previous start; the
+    // kept text is the ordered tokens outside every island span
+    "decontam_trim_spans" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |w AS (SELECT doc_id, source, i AS start, array_to_string(t[i:i+2], ' ') AS w
+        |  FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i) WHERE len(t) >= 3),
+        |wh AS (SELECT doc_id, source, start,
+        |  CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) AS h FROM w),
+        |evg AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM wh WHERE source = 'src0')
+        |  GROUP BY h HAVING count(*) <= 20),
+        |hit AS (SELECT doc_id, start FROM wh
+        |  WHERE source <> 'src0' AND h IN (SELECT h FROM evg)),
+        |brk AS (SELECT doc_id, start,
+        |  CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start) IS NULL
+        |    OR start > lag(start) OVER (PARTITION BY doc_id ORDER BY start) + 3
+        |    THEN 1 ELSE 0 END AS b FROM hit),
+        |isl AS (SELECT doc_id, start, sum(b) OVER (PARTITION BY doc_id
+        |  ORDER BY start ROWS UNBOUNDED PRECEDING) AS g FROM brk),
+        |spans AS (SELECT doc_id, g, min(start) AS s, max(start) + 2 AS e
+        |  FROM isl GROUP BY doc_id, g),
+        |tp AS (SELECT doc_id, source, p, t[p] AS tok
+        |  FROM toks, UNNEST(range(1, len(t) + 1)) AS r(p) WHERE source <> 'src0'),
+        |kept AS (SELECT tp.doc_id, array_to_string(list(tp.tok ORDER BY tp.p), ' ') AS text
+        |  FROM tp WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |    WHERE sp.doc_id = tp.doc_id AND tp.p BETWEEN sp.s AND sp.e)
+        |  GROUP BY tp.doc_id),
+        |sd AS (SELECT DISTINCT doc_id FROM spans)
+        |SELECT d.doc_id, d.source,
+        |  CASE WHEN sd.doc_id IS NULL THEN d.text ELSE k.text END AS text
+        |FROM documents d
+        |LEFT JOIN sd ON d.doc_id = sd.doc_id
+        |LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |WHERE d.source <> 'src0'
+        |  AND (sd.doc_id IS NULL OR (k.text IS NOT NULL AND len(k.text) > 0))"""
+        .stripMargin.replace("\n", " "),
 
     "multimodal_phash_dedup" -> {
       val hash = Multimodal.aHashSqlDuck("text", "u.i", "n_px")

@@ -194,6 +194,29 @@ class QualityRulesSpec extends SparkSpecBase {
     assert(got(2L) == "totally clean document with no overlap at all")
   }
 
+  test("trimContaminatedSpans: clean middle between two quoted snippets survives the island cut") {
+    import graft.llm.Decontam
+    val evalSet = Seq((100L, "ea eb ec"), (101L, "ed ee ef")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "ea eb ec m1 m2 m3 m4 ed ee ef"), // two islands, clean middle
+      (2L, "totally clean document here"),
+      (3L, "ea eb ec ed ee ef"))             // islands touch -> emptied -> dropped
+      .toDF("doc_id", "text")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.select("doc_id", "text").as[(Long, String)].collect().toMap
+    val spans = run(Decontam.trimContaminatedSpans(corpus, evalSet, "doc_id", "text", n = 3))
+    assert(spans.keySet == Set(1L, 2L))
+    assert(spans(1L) == "m1 m2 m3 m4", "the clean middle must survive")
+    // the hull variant cuts [first, last+n-1] = everything -> doc 1 dropped
+    val hull = run(Decontam.trimContaminated(corpus, evalSet, "doc_id", "text", n = 3))
+    assert(!hull.contains(1L), "hull semantics must differ on the two-snippet doc")
+    // mergeGap: a 1-token gap between islands merges them into one cut
+    val merged = run(Decontam.trimContaminatedSpans(
+      Seq((1L, "ea eb ec gap ed ee ef tail1 tail2")).toDF("doc_id", "text"),
+      evalSet, "doc_id", "text", n = 3, mergeGap = 1))
+    assert(merged(1L) == "tail1 tail2", s"gap token must merge into the cut: $merged")
+  }
+
   // -------------------------------------------------- curateV2 composition
 
   test("curateV2: every stage bites — gopher drop, paragraph dedup, exact dedup, budget cap") {
