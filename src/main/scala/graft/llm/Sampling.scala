@@ -39,6 +39,35 @@ object Sampling {
     df.filter(hashPermille(col(keyCol)) < rate)
   }
 
+  /** Leakage-free train/val/test split: the split is decided by the
+    * near-dup CLUSTER's hash, not the document's, so every member of a
+    * cluster lands in the same split — the guard against train/test
+    * contamination through near-duplicates (a doc and its near-copy in
+    * different splits defeats held-out evaluation; cf. Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" §6).
+    *
+    * `labels` is (docCol, clusterCol) — e.g. [[Dedup.connectedComponents]]
+    * output with singletons coalesced to their own id. Thresholds are
+    * integer per-mille: bucket < `trainPermille` → train, <
+    * train+val → val, else test. Pure codegen'd projection — no shuffle,
+    * no state: at 100 TB the split is a free column on the labels scan,
+    * and re-running it is bit-identical (the property that lets separate
+    * pipeline stages agree on membership without coordination).
+    */
+  def clusterSplit(labels: DataFrame, docCol: String, clusterCol: String,
+      trainPermille: Int, valPermille: Int): DataFrame = {
+    require(trainPermille >= 0 && valPermille >= 0 &&
+      trainPermille + valPermille <= 1000,
+      s"per-mille thresholds must partition [0,1000): $trainPermille/$valPermille")
+    labels
+      .withColumn("bucket", hashPermille(col(clusterCol)))
+      .withColumn("split",
+        when(col("bucket") < trainPermille, lit("train"))
+          .when(col("bucket") < trainPermille + valPermille, lit("val"))
+          .otherwise(lit("test")))
+      .select(col(docCol), col(clusterCol), col("bucket"), col("split"))
+  }
+
   /** Exactly `k` rows per stratum, chosen by hash order (ties broken by
     * the key itself, so selection is total and deterministic). The rank
     * filter compiles to Spark's WindowGroupLimit physical rewrite: each

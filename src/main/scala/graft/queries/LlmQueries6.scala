@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.llm.{Bpe, Dedup, Sampling}
+
+/** Sixth tranche: BPE tokenizer training, leakage-free cluster-aware
+  * splits, and per-language quantile quality calibration. The k BPE
+  * merge rounds are generated from the SAME constant on both sides
+  * ([[Bpe.mergesSqlDuck]]), mirroring the MMR unroll discipline; the
+  * split/calibration constants are shared fields referenced by both the
+  * Spark plan and the rendered oracle.
+  */
+object LlmQueries6 {
+
+  private val MergeRounds = 6 // learned merges; rounds unrolled in-plan
+  private val PairTopN = 20   // initial pair-count audit rows
+
+  private val TrainPermille = 800 // cluster-split thresholds
+  private val ValPermille = 100
+
+  private val KeepPermille = 400 // per-language quality keep rate
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Initial adjacent-character pair counts (the round-1 input of BPE
+    // training): corpus collapses to the word-frequency dict in its one
+    // scan; the counts are vocab-sized.
+    "bpe_pair_counts" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pc = Bpe.pairCounts(
+        Bpe.initialForms(Bpe.wordFreqs(Tables.documents(s, dir), "text")))
+      val w = Window.orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+      pc.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= PairTopN)
+    }),
+
+    // The learned merge table after k rounds — the tokenizer artifact a
+    // training pipeline ships (subword-nmt's merges.txt).
+    "bpe_merges" -> ((s, dir) =>
+      Bpe.learnMerges(Tables.documents(s, dir), "text", MergeRounds)._1),
+
+    // Final per-word segmentation under those merges: the encode side,
+    // over the same vocab-sized dict.
+    "bpe_segment" -> ((s, dir) =>
+      Bpe.segmented(
+        Bpe.learnMerges(Tables.documents(s, dir), "text", MergeRounds)._2)
+        .select("word", "freq", "form", "n_tokens")),
+
+    // Leakage-free train/val/test split: split membership decided by the
+    // near-dup CLUSTER hash (LSH graph, singletons = own cluster), so a
+    // doc and its near-copy can never straddle the held-out boundary.
+    "split_cluster_assign" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val labels = docs.select("doc_id")
+        .join(Dedup.connectedComponents(
+          Dedup.lshCandidatePairs(docs, "doc_id", "text"), "doc_a", "doc_b"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      Sampling.clusterSplit(labels, "doc_id", "cluster_id",
+        TrainPermille, ValPermille)
+    }),
+
+    // Per-language quality-quantile calibration: keep the top p‰ of each
+    // language by unique-token count — the threshold ADAPTS to each
+    // language's population (a fixed global cutoff over-filters
+    // low-resource languages). Exact integer rank test rnk·1000 ≤ p·n,
+    // no float percentile; rank-1-per-group machinery compiles map-side.
+    "quality_quantile_cal" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val scored = docs.select(col("doc_id"), col("lang"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("score"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("score").desc, col("doc_id"))
+      val cw = Window.partitionBy("lang")
+      scored
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("n_lang", count(lit(1)).over(cw))
+        .filter(col("rnk") * 1000 <= lit(KeepPermille) * col("n_lang"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "bpe_pair_counts" ->
+      Bpe.pairCountsSqlDuck("documents", "text", PairTopN),
+    "bpe_merges" -> Bpe.mergesSqlDuck("documents", "text", MergeRounds),
+    "bpe_segment" -> Bpe.segmentedSqlDuck("documents", "text", MergeRounds),
+
+    // same recursive-CTE closure as dedup_clusters / dedup_cluster_rep;
+    // bucket arithmetic is the hashPermille idiom over the cluster id
+    "split_cluster_assign" ->
+      s"""WITH RECURSIVE ${LlmQueries.lshCtes}, prs AS (${LlmQueries.lshPairSelect}),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+         |  UNION ALL SELECT doc_b, doc_a FROM prs),
+         |reach(v, r) AS (SELECT src, src FROM edges
+         |  UNION SELECT e.src, rc.r FROM edges e JOIN reach rc ON rc.v = e.dst),
+         |lab0 AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+         |lab AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN lab0 l ON d.doc_id = l.doc_id),
+         |b AS (SELECT doc_id, cluster_id,
+         |  CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |    % 1000 AS bucket FROM lab)
+         |SELECT doc_id, cluster_id, bucket,
+         |  CASE WHEN bucket < $TrainPermille THEN 'train'
+         |       WHEN bucket < ${TrainPermille + ValPermille} THEN 'val'
+         |       ELSE 'test' END AS split FROM b"""
+        .stripMargin.replace("\n", " "),
+
+    "quality_quantile_cal" ->
+      s"""WITH sc AS (SELECT doc_id, lang,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS score
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang, score,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+         |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+         |  FROM sc)
+         |SELECT doc_id, lang, score, rnk, n_lang FROM r
+         |WHERE rnk * 1000 <= $KeepPermille * n_lang"""
+        .stripMargin.replace("\n", " ")
+  )
+}
