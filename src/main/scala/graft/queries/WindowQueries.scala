@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Window-function breadth over the relational fixtures: running
+  * (prefix) aggregation, partitioned ntile bucketing, and lag-based
+  * event-gap derivation — the §2.5 analytic shapes beyond rank-k.
+  *
+  * Scale notes: every window here is PARTITIONED (customer, nation,
+  * user) — no global ORDER BY window, which would serialize the corpus
+  * through one task. Running sums are exact DECIMAL prefix sums cast to
+  * DOUBLE only at the end (the rollup_orders discipline); gap arithmetic
+  * stays in integer microseconds.
+  */
+object WindowQueries {
+
+  private val NtileBuckets = 4 // per-nation balance quartiles
+
+  private val AttributionWindowUs = 86400000000L // 24 h click→purchase
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-customer running order total in date order — the classic
+    // cumulative-balance statement shape (ROWS UNBOUNDED PRECEDING).
+    "window_running_balance" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .withColumn("running_total",
+          sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).over(w)
+            .cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          // o_orderdate is TIMESTAMP_NTZ in the fixture; session TZ is
+          // UTC on both engines so the cast is instant-preserving
+          unix_micros(col("o_orderdate").cast("timestamp")).as("order_date_us"),
+          col("running_total"))
+    }),
+
+    // Per-nation balance quartiles: ntile within each nation partition,
+    // then quartile population stats. min/max are picked values (no
+    // float arithmetic); the sum goes through exact integer cents.
+    "ntile_nation_balance" -> ((s, dir) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, dir)
+        .withColumn("quartile", ntile(NtileBuckets).over(w))
+        .groupBy("c_nationkey", "quartile")
+        .agg(count(lit(1)).as("n"),
+          min("c_acctbal").as("min_bal"),
+          max("c_acctbal").as("max_bal"),
+          sum(expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)")).as("sum_cents"))
+    }),
+
+    // Per-user inter-event gaps via lag(): the session-gap profile that
+    // feeds gap-threshold sessionization — all integer microseconds.
+    "events_gap_stats" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum("gap_us").as("sum_gap_us"),
+          min("gap_us").as("min_gap_us"),
+          max("gap_us").as("max_gap_us"))
+    }),
+
+    // Click→purchase attribution through the stream-stream-capable
+    // interval join (same plan runs on streaming inputs with watermarked
+    // state — StreamAttributionSpec proves batch/stream parity): per
+    // purchase, clicks by the same user in the prior 24 h and the latest
+    // such click.
+    "events_click_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.streaming.StreamOps.clickAttribution(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        AttributionWindowUs)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "window_running_balance" ->
+      """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_date_us,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+        |FROM orders""".stripMargin.replace("\n", " "),
+
+    "ntile_nation_balance" ->
+      s"""WITH q AS (SELECT c_nationkey, c_acctbal,
+         |    ntile($NtileBuckets) OVER (PARTITION BY c_nationkey
+         |      ORDER BY c_acctbal, c_custkey) AS quartile
+         |  FROM customer)
+         |SELECT c_nationkey, quartile, count(*) AS n,
+         |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+         |  CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+         |FROM q GROUP BY c_nationkey, quartile"""
+        .stripMargin.replace("\n", " "),
+
+    "events_gap_stats" ->
+      """WITH g AS (SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_gaps,
+        |  CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+        |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY user_id"""
+        .stripMargin.replace("\n", " "),
+
+    "events_click_attribution" ->
+      s"""WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS cts
+         |    FROM events WHERE event_type = 'click'),
+         |p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pts
+         |    FROM events WHERE event_type = 'purchase'),
+         |j AS (SELECT p.purchase_id, p.user_id, p.pts, c.click_id, c.cts
+         |  FROM p LEFT JOIN c ON c.user_id = p.user_id
+         |    AND c.cts >= p.pts - $AttributionWindowUs AND c.cts < p.pts),
+         |agg AS (SELECT purchase_id, user_id, pts,
+         |    count(click_id) AS n_clicks FROM j GROUP BY 1, 2, 3),
+         |r AS (SELECT purchase_id, click_id, cts, row_number() OVER (
+         |    PARTITION BY purchase_id
+         |    ORDER BY cts DESC NULLS LAST, click_id DESC) AS rn FROM j)
+         |SELECT a.purchase_id, a.user_id, a.pts AS purchase_ts_us,
+         |  a.n_clicks, r.click_id AS last_click_id, r.cts AS last_click_ts_us
+         |FROM agg a JOIN r ON a.purchase_id = r.purchase_id AND r.rn = 1"""
+        .stripMargin.replace("\n", " ")
+  )
+}

@@ -143,4 +143,81 @@ object StreamOps {
     import events.sparkSession.implicits._
     closeOpenSessions(events.toDF(), "user_id", "ts_us", gapUs).as[SessionOut]
   }
+
+  /** Stream-stream event-time interval join (attribution shape): each
+    * `right` row joins the `left` rows with the same key whose timestamp
+    * falls in `[right_ts - windowUs, right_ts)` — "clicks in the 24 h
+    * before this purchase". On STREAMING inputs both sides get a
+    * watermark of `windowUs + lateness` so Spark's stream-stream join can
+    * age out left-side state once no future right row can reach it (the
+    * interval condition + watermark is what bounds the state store — an
+    * unbounded stream-stream join never GCs). On BATCH inputs the same
+    * plan is an equi-join on the key with the interval as a join-time
+    * filter: the shuffle partitions by key, never a cartesian.
+    *
+    * Input columns: `left` = (key, left_id, left_ts_us); `right` =
+    * (key, right_id, right_ts_us). Output: one row per matched pair,
+    * (key, right_id, right_ts_us, left_id, left_ts_us). INNER join —
+    * right rows with no partner don't appear (the batch aggregation
+    * layer reattaches them; a streaming outer interval join would emit
+    * nulls only at watermark expiry).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftIdCol: String, leftTsCol: String, rightIdCol: String,
+      rightTsCol: String, windowUs: Long,
+      latenessUs: Long = 0L): DataFrame = {
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    val streaming = left.isStreaming || right.isStreaming
+    val l0 = left.select(col(keyCol).as("_k"),
+      col(leftIdCol).as(leftIdCol), col(leftTsCol).as(leftTsCol),
+      timestamp_micros(col(leftTsCol)).as("_l_time"))
+    val r0 = right.select(col(keyCol).as("_r_k"),
+      col(rightIdCol).as(rightIdCol), col(rightTsCol).as(rightTsCol),
+      timestamp_micros(col(rightTsCol)).as("_r_time"))
+    val (l, r) =
+      if (streaming) {
+        val wm = s"${(windowUs + latenessUs) / 1000000L + 1L} seconds"
+        (l0.withWatermark("_l_time", wm), r0.withWatermark("_r_time", wm))
+      } else (l0, r0)
+    l.join(r,
+        col("_k") === col("_r_k") &&
+          col("_l_time") >= col("_r_time") - expr(s"INTERVAL $windowUs MICROSECOND") &&
+          col("_l_time") < col("_r_time"))
+      .select(col("_k").as(keyCol), col(rightIdCol), col(rightTsCol),
+        col(leftIdCol), col(leftTsCol))
+  }
+
+  /** Click→purchase attribution over [[intervalJoin]]: per purchase, the
+    * number of same-user clicks in the `windowUs` before it and the
+    * latest such click (ties to the larger click id). Purchases with no
+    * attributable click keep n_clicks = 0 and null click columns — the
+    * left join back onto the purchase set restores them after the inner
+    * interval join. Batch shape (the streaming path stops at the
+    * per-pair [[intervalJoin]] emission; aggregation over it would need
+    * its own watermarked window).
+    */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+      windowUs: Long): DataFrame = {
+    val pairs = intervalJoin(
+      clicks.select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("click_ts_us")),
+      purchases.select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("purchase_ts_us")),
+      "user_id", "click_id", "click_ts_us", "purchase_id", "purchase_ts_us",
+      windowUs)
+    val perPurchase = pairs
+      .groupBy("purchase_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        max(struct(col("click_ts_us"), col("click_id"))).as("_last"))
+      .select(col("purchase_id"), col("n_clicks"),
+        col("_last.click_id").as("last_click_id"),
+        col("_last.click_ts_us").as("last_click_ts_us"))
+    purchases
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("purchase_ts_us"))
+      .join(perPurchase, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts_us"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        col("last_click_id"), col("last_click_ts_us"))
+  }
 }
