@@ -68,6 +68,48 @@ object Decontam {
       .select("doc_id", "n_hits", "n_eval_docs", "n_grams", "hit_permille")
   }
 
+  /** Multi-eval contamination matrix: one row per (corpus doc, eval
+    * set) with ≥1 shared n-gram — the "which benchmark leaks into which
+    * doc" report a release pipeline runs once over ALL its eval suites
+    * instead of once per suite. `setCol` labels each eval doc's suite.
+    *
+    * Scale shape: the corpus postings are computed ONCE and materialized
+    * (they feed the per-set hit join AND the per-doc denominator — the
+    * [[Dedup]] postings discipline); the eval side reduces to a
+    * broadcast distinct (set, gram) table with the per-SET
+    * `maxGramEvalDf` boilerplate cap, so adding an eval suite adds
+    * broadcast rows, never a corpus scan. The corpus never exchanges on
+    * the gram key.
+    */
+  def overlapMatrix(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, setCol: String, n: Int,
+      maxGramEvalDf: Long = 0): DataFrame = {
+    val corp = graft.util.Materialize.stable(
+      Dedup.shingleHashPostings(corpus, idCol, textCol, n))
+    // per-set distinct grams: postings keyed by eval doc, set re-attached
+    // from the (eval_id → set) map, then the per-set df cap
+    val evPost = Dedup.shingleHashPostings(evalSet, idCol, textCol, n)
+      .withColumnRenamed("doc_id", "eval_id")
+      .join(broadcast(evalSet.select(col(idCol).as("eval_id"),
+        col(setCol).as("eval_set")).distinct()), Seq("eval_id"))
+    val evGrams0 = evPost.select("eval_set", "h").distinct()
+    val evGrams =
+      if (maxGramEvalDf <= 0) evGrams0
+      else {
+        val hot = evPost.groupBy("eval_set", "h")
+          .agg(countDistinct("eval_id").as("df"))
+          .filter(col("df") > maxGramEvalDf).select("eval_set", "h")
+        evGrams0.join(hot, Seq("eval_set", "h"), "left_anti")
+      }
+    val hits = corp.join(broadcast(evGrams), Seq("h"))
+      .groupBy(col("doc_id"), col("eval_set"))
+      .agg(countDistinct("h").as("n_hits"))
+    val sizes = corp.groupBy("doc_id").agg(countDistinct("h").as("n_grams"))
+    hits.join(sizes, Seq("doc_id"))
+      .withColumn("hit_permille", expr("n_hits * 1000 div n_grams"))
+      .select("doc_id", "eval_set", "n_hits", "n_grams", "hit_permille")
+  }
+
   /** Surgical decontamination — trim the contaminated SPAN out of each
     * training doc instead of dropping the doc (the C4-style remedy when
     * contamination is a quoted benchmark snippet inside an otherwise

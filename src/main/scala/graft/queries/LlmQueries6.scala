@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Bpe, Dedup, Sampling}
+import graft.llm.{Bpe, Decontam, Dedup, Sampling}
 
 /** Sixth tranche: BPE tokenizer training, leakage-free cluster-aware
   * splits, and per-language quantile quality calibration. The k BPE
@@ -80,6 +80,18 @@ object LlmQueries6 {
         .withColumn("rnk", row_number().over(w).cast("long"))
         .withColumn("n_lang", count(lit(1)).over(cw))
         .filter(col("rnk") * 1000 <= lit(KeepPermille) * col("n_lang"))
+    }),
+
+    // Multi-eval contamination matrix: src0 and src1 as two eval suites
+    // screened against the rest of the corpus in ONE postings pass —
+    // per (doc, suite) overlap with the same per-suite boilerplate cap
+    // decontam_overlap uses.
+    "decontam_multi_eval" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Decontam.overlapMatrix(
+        docs.filter(!col("source").isin("src0", "src1")),
+        docs.filter(col("source").isin("src0", "src1")),
+        "doc_id", "text", "source", n = 3, maxGramEvalDf = 20)
     })
   )
 
@@ -120,6 +132,25 @@ object LlmQueries6 {
          |  FROM sc)
          |SELECT doc_id, lang, score, rnk, n_lang FROM r
          |WHERE rnk * 1000 <= $KeepPermille * n_lang"""
+        .stripMargin.replace("\n", " "),
+
+    "decontam_multi_eval" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, source, concat_ws(' ', t[i], t[i+1], t[i+2]) AS sh
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS r(i) WHERE len(t) >= 3),
+        |shh AS (SELECT DISTINCT doc_id, source,
+        |  CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h FROM sh),
+        |corp AS (SELECT doc_id, h FROM shh WHERE source NOT IN ('src0', 'src1')),
+        |ev AS (SELECT doc_id AS eval_id, source AS eval_set, h FROM shh
+        |  WHERE source IN ('src0', 'src1')),
+        |cap AS (SELECT eval_set, h FROM ev GROUP BY eval_set, h
+        |  HAVING count(DISTINCT eval_id) <= 20),
+        |hits AS (SELECT c.doc_id, e.eval_set, count(DISTINCT c.h) AS n_hits
+        |  FROM corp c JOIN cap e ON c.h = e.h GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY doc_id)
+        |SELECT h.doc_id, h.eval_set, n_hits, s.n_grams,
+        |  n_hits * 1000 // s.n_grams AS hit_permille
+        |FROM hits h JOIN sizes s ON h.doc_id = s.doc_id"""
         .stripMargin.replace("\n", " ")
   )
 }

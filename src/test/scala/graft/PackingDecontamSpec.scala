@@ -158,4 +158,43 @@ class PackingDecontamSpec extends SparkSpecBase {
       (64L, 1L, 64L), (128L, 1L, 65L),
       ((1L << 20), 1L, (1L << 21))))
   }
+
+  test("overlapMatrix: per-suite rows agree with single-suite overlapReport") {
+    val corpus = Seq(
+      (1L, "x y a b c z"),  // hits suite A's "a b c"
+      (2L, "u v d e f w"),  // hits suite B's "d e f"
+      (3L, "p q r s"))      // clean
+      .toDF("doc_id", "text")
+    val evals = Seq(
+      (100L, "a b c d", "suiteA"),
+      (200L, "c d e f g", "suiteB"))
+      .toDF("doc_id", "text", "suite")
+    val m = Decontam.overlapMatrix(corpus, evals, "doc_id", "text",
+      "suite", n = 3)
+      .orderBy("doc_id", "eval_set")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(m === Seq(
+      (1L, "suiteA", 1L, 4L, 250L),
+      (2L, "suiteB", 1L, 4L, 250L)))
+    // single-suite consistency: matrix restricted to suiteA == the
+    // overlapReport numerator over that suite alone
+    val single = Decontam.overlapReport(corpus,
+      evals.filter($"suite" === "suiteA"), "doc_id", "text", n = 3)
+      .select("doc_id", "n_hits").as[(Long, Long)].collect().toSeq
+    assert(single === Seq((1L, 1L)))
+  }
+
+  test("overlapMatrix: per-suite boilerplate cap is independent per suite") {
+    // the same gram is ubiquitous in suite A (2 eval docs > cap 1) but
+    // rare in suite B (1 doc ≤ cap) — it must be dropped ONLY for A
+    val corpus = Seq((1L, "x a b c y")).toDF("doc_id", "text")
+    val evals = Seq(
+      (100L, "a b c d", "suiteA"), (101L, "e a b c", "suiteA"),
+      (200L, "a b c f", "suiteB"))
+      .toDF("doc_id", "text", "suite")
+    val m = Decontam.overlapMatrix(corpus, evals, "doc_id", "text",
+      "suite", n = 3, maxGramEvalDf = 1)
+      .select("doc_id", "eval_set").as[(Long, String)].collect().toSeq
+    assert(m === Seq((1L, "suiteB")))
+  }
 }
