@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Lww
-import graft.queries.{Cdc2Queries, CdcQueries, LlmQueries, LlmQueries2, LlmQueries3, LlmQueries4, LlmQueries5, LlmQueries6, TpchQueries, TpchQueries2, WindowQueries}
+import graft.queries.{Cdc2Queries, CdcQueries, LlmQueries, LlmQueries2, LlmQueries3, LlmQueries4, LlmQueries5, LlmQueries6, TpchQueries, TpchQueries2, TpchQueries3, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,14 +27,14 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.queries ++ Cdc2Queries.queries ++
-      TpchQueries.queries ++ TpchQueries2.queries ++
+      TpchQueries.queries ++ TpchQueries2.queries ++ TpchQueries3.queries ++
       LlmQueries.queries ++ LlmQueries2.queries ++
       LlmQueries3.queries ++ LlmQueries4.queries ++ LlmQueries5.queries ++
       LlmQueries6.queries ++ WindowQueries.queries
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracleSql ++ Cdc2Queries.oracleSql ++
-      TpchQueries.oracleSql ++ TpchQueries2.oracleSql ++
+      TpchQueries.oracleSql ++ TpchQueries2.oracleSql ++ TpchQueries3.oracleSql ++
       LlmQueries.oracleSql ++ LlmQueries2.oracleSql ++
       LlmQueries3.oracleSql ++ LlmQueries4.oracleSql ++ LlmQueries5.oracleSql ++
       LlmQueries6.oracleSql ++ WindowQueries.oracleSql

@@ -414,6 +414,58 @@ class PlanAuditSpec extends SparkSpecBase {
       s"part scan must prune to partkey/brand/size: $partSchema")
   }
 
+  test("q9: derived partsupp joins by composite key; dims broadcast; no cartesian beyond the 1-row count") {
+    val p = plan("q9_product_profit")
+    // the only nested-loop allowed is the broadcast of the 1-row supplier
+    // count that parameterizes the partsupp derivation
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "part filter, supplier, nation must broadcast")
+    assert(p.contains("partial_sum"), "profit must combine map-side")
+  }
+
+  test("q16: NOT IN is a LeftAnti against the broadcast bad-supplier set") {
+    val p = plan("q16_supplier_parts")
+    assert(p.contains("LeftAnti"), "NOT IN must plan as an anti join")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count"),
+      "count(DISTINCT) must partial-aggregate before the exchange")
+  }
+
+  test("q20: supplier promotion is a LeftSemi; red-part filter broadcasts; no cartesian") {
+    val p = plan("q20_excess_stock_suppliers")
+    assert(p.contains("LeftSemi"), "IN-chain must plan as a semi join")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("PushedFilters: [") && p.contains("l_shipdate"),
+      "ship-year window must reach the lineitem scan")
+  }
+
+  test("q11: global stock total is a 1-row broadcast, never a cartesian over parts") {
+    val p = plan("q11_important_stock")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the scalar total must attach by broadcast")
+    assert(p.contains("partial_sum"), "stock value must combine map-side")
+  }
+
+  test("click attribution: interval join is key-partitioned, never a cartesian") {
+    val p = plan("events_click_attribution")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the interval condition must ride the user-key equi-join, not a " +
+        "nested loop over all pairs")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "equi-join on user_id expected")
+  }
+
+  test("multi-eval matrix: eval grams broadcast; the corpus never exchanges on the gram key") {
+    val p = plan("decontam_multi_eval")
+    assert(p.contains("BroadcastHashJoin"), "eval gram set must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.replaceAll("\n", " ").matches(".*Exchange hashpartitioning\\(h#.*"),
+      "corpus postings must not shuffle on the gram hash")
+  }
+
   test("semantic dedup: the prune is a cell-keyed equi-join, no cartesian") {
     // the assignment stage's centroid broadcast is upstream of the
     // materialization barrier (it shares assignCells with the IVF plan,

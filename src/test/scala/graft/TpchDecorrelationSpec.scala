@@ -157,4 +157,72 @@ class TpchDecorrelationSpec extends SparkSpecBase {
         |GROUP BY c_nationkey""".stripMargin,
       Seq("c_nationkey"))
   }
+
+  // --- partsupp family: the derived table registers as a view so Spark
+  // SQL can plan the textbook correlated forms over it ---
+
+  private def assertSameRowsAt(dir: String, df: DataFrame, sql: String,
+      sortCols: Seq[String]): Unit = {
+    for (t <- Seq("orders", "lineitem", "part", "supplier", "customer",
+        "nation", "region"))
+      Tables.load(spark, dir, t).createOrReplaceTempView(t)
+    graft.queries.TpchQueries3.partsupp(spark, dir)
+      .createOrReplaceTempView("partsupp")
+    val got = df.orderBy(sortCols.head, sortCols.tail: _*).collect().toSeq
+    val want = spark.sql(sql).orderBy(sortCols.head, sortCols.tail: _*).collect().toSeq
+    assert(want.nonEmpty, "degenerate oracle: correlated SQL returned no rows")
+    assert(got == want, s"decorrelated plan diverges from Spark SQL:\n got=$got\nwant=$want")
+  }
+
+  test("q2: per-part min join equals Spark's correlated MIN subquery") {
+    assertSameRowsAt(sfDir,
+      SparkEntry.queries("q2_min_cost_supplier")(spark, sfDir),
+      """SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+        |FROM partsupp ps, supplier s, nation n, region r, part p
+        |WHERE ps.ps_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+        |  AND n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+        |  AND ps.ps_partkey = p.p_partkey AND p.p_type = 'LARGE'
+        |  AND ps.ps_supplycost = (
+        |    SELECT min(ps2.ps_supplycost)
+        |    FROM partsupp ps2, supplier s2, nation n2, region r2
+        |    WHERE ps2.ps_partkey = ps.ps_partkey
+        |      AND ps2.ps_suppkey = s2.s_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')""".stripMargin,
+      Seq("p_partkey", "s_name"))
+  }
+
+  test("q16: LeftAnti equals Spark's NOT IN decorrelation") {
+    assertSameRowsAt(sfDir,
+      SparkEntry.queries("q16_supplier_parts")(spark, sfDir),
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM partsupp JOIN part ON ps_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#4' AND p_size <= 8
+        |  AND ps_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+      Seq("p_brand", "p_type", "p_size"))
+  }
+
+  test("q20: semi chain equals Spark's nested IN + correlated scalar (sf0.01)") {
+    // sf0.01: the NATION_9 supplier set is non-empty there
+    val dir = "/root/testdata/sf0.01"
+    assertSameRowsAt(dir,
+      SparkEntry.queries("q20_excess_stock_suppliers")(spark, dir),
+      """SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_9'
+        |  AND s_suppkey IN (
+        |    SELECT ps_suppkey FROM partsupp
+        |    WHERE ps_partkey IN
+        |      (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |      AND ps_availqty > (
+        |        SELECT 0.5 * sum(l_quantity) FROM lineitem
+        |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |          AND l_shipdate >= timestamp'1997-01-01'
+        |          AND l_shipdate < timestamp'1998-01-01'))""".stripMargin,
+      Seq("s_suppkey"))
+  }
 }
