@@ -141,6 +141,55 @@ object Similarity {
       .select("qid", "cid", "rank", "cos_sim")
   }
 
+  /** Matryoshka-truncated top-k (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning", arXiv:2205.13147): brute-force integer
+    * cosine over only the FIRST `dim` dimensions of each vector — the
+    * cheap first stage of MRL retrieval, where a 4× truncation cuts the
+    * candidate-scan bandwidth 4× and a full-dim rerank (or
+    * [[matryoshkaRecall]]'s audit) follows. Same plan shape as
+    * [[bruteForceTopK]]; the truncation is a `slice` before the norm/dot,
+    * so the scan moves `dim`-long arrays, not the full vectors.
+    */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val tq = slice(quantize(col("embedding")), 1, dim)
+    val q = queries.select(col("vec_id").as("qid"), tq.as("qv"))
+      .withColumn("nq", dotQ("qv", "qv"))
+    val c = Dedup.widen(corpus).select(col("vec_id").as("cid"), tq.as("cv"))
+      .withColumn("nc", dotQ("cv", "cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("dot", dotQ("qv", "cv"))
+      .withColumn("cos_sim", cosineFromInts(col("dot"), col("nq"), col("nc")))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "rank", "cos_sim")
+  }
+
+  /** Per-query recall@k of the `dim`-truncated ranking against the
+    * full-dimension ranking — the audit run before trusting a truncation
+    * level in production. Both rankings are k-bounded per query, so the
+    * overlap join carries Q·k rows however big the corpus.
+    */
+  def matryoshkaRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int): DataFrame = {
+    val full = bruteForceTopK(corpus, queries, k).select("qid", "cid")
+    val trunc = matryoshkaTopK(corpus, queries, k, dim)
+      .select(col("qid"), col("cid"))
+    val common = full.join(trunc, Seq("qid", "cid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_common"))
+    // zero-recall queries must APPEAR in the audit (silently dropping
+    // them overstates the truncation's quality) — left join from the
+    // full query list
+    queries.select(col("vec_id").as("qid"))
+      .join(common, Seq("qid"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("recall_permille", expr(s"n_common * 1000 div $k"))
+  }
+
   /** Single-table LSH bucket join (oracle-checked shape): candidates =
     * same bucket, ranked by exact cosine within bucket. Pass
     * `nPlanes = planesForCorpus(N)` at scale (see [[bucketSql]]).

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Bpe, Decontam, Dedup, Sampling}
+import graft.llm.{Bpe, Decontam, Dedup, Sampling, Similarity}
 
 /** Sixth tranche: BPE tokenizer training, leakage-free cluster-aware
   * splits, and per-language quantile quality calibration. The k BPE
@@ -22,6 +22,9 @@ object LlmQueries6 {
   private val ValPermille = 100
 
   private val KeepPermille = 400 // per-language quality keep rate
+
+  private val MatDim = 16 // matryoshka truncation: first 16 of 64 dims
+  private val MatK = 5
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Initial adjacent-character pair counts (the round-1 input of BPE
@@ -92,6 +95,22 @@ object LlmQueries6 {
         docs.filter(!col("source").isin("src0", "src1")),
         docs.filter(col("source").isin("src0", "src1")),
         "doc_id", "text", "source", n = 3, maxGramEvalDf = 20)
+    }),
+
+    // Matryoshka-truncated retrieval (first 16 of 64 dims): the 4×
+    // bandwidth-cut first stage of MRL search.
+    "ann_matryoshka_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.matryoshkaTopK(emb, emb.filter(col("vec_id") < 50),
+        k = MatK, dim = MatDim)
+    }),
+
+    // ...and its recall@k audit against the full-dimension ranking —
+    // run before trusting a truncation level at scale.
+    "ann_matryoshka_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.matryoshkaRecall(emb, emb.filter(col("vec_id") < 50),
+        k = MatK, dim = MatDim)
     })
   )
 
@@ -151,6 +170,44 @@ object LlmQueries6 {
         |SELECT h.doc_id, h.eval_set, n_hits, s.n_grams,
         |  n_hits * 1000 // s.n_grams AS hit_permille
         |FROM hits h JOIN sizes s ON h.doc_id = s.doc_id"""
+        .stripMargin.replace("\n", " "),
+
+    "ann_matryoshka_topk" -> {
+      val quant = Similarity.quantizeSqlDuck
+      s"""WITH v AS (SELECT vec_id, ($quant)[1:$MatDim] AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv, ${Similarity.dotQSqlDuck("qv", "qv")} AS nrm FROM v),
+         |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    ${Similarity.dotQSqlDuck("q.qv", "c.qv")} AS dot, q.nrm AS nq, c.nrm AS nc
+         |  FROM n q, n c WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id),
+         |s AS (SELECT qid, cid,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) AS cos_sim FROM p),
+         |r AS (SELECT qid, cid, cos_sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank FROM s)
+         |SELECT qid, cid, rank, cos_sim FROM r WHERE rank <= $MatK"""
         .stripMargin.replace("\n", " ")
+    },
+
+    "ann_matryoshka_recall" -> {
+      val quant = Similarity.quantizeSqlDuck
+      def ranked(cte: String, vecExpr: String) =
+        s"""${cte}v AS (SELECT vec_id, $vecExpr AS qv FROM embeddings),
+           |${cte}n AS (SELECT vec_id, qv, ${Similarity.dotQSqlDuck("qv", "qv")} AS nrm FROM ${cte}v),
+           |${cte}r AS (SELECT qid, cid FROM (
+           |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+           |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |      CAST(${Similarity.dotQSqlDuck("q.qv", "c.qv")} AS DOUBLE)
+           |        / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) DESC,
+           |      c.vec_id) AS rank
+           |  FROM ${cte}n q, ${cte}n c WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id)
+           |  WHERE rank <= $MatK)""".stripMargin.replace("\n", " ")
+      s"""WITH ${ranked("f", quant)}, ${ranked("t", s"($quant)[1:$MatDim]")},
+         |cm AS (SELECT f.qid, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM fr f JOIN tr t ON f.qid = t.qid AND f.cid = t.cid
+         |  GROUP BY f.qid)
+         |SELECT q.vec_id AS qid, coalesce(cm.n_common, 0) AS n_common,
+         |  coalesce(cm.n_common, 0) * 1000 // $MatK AS recall_permille
+         |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 50) q
+         |LEFT JOIN cm ON q.vec_id = cm.qid""".stripMargin.replace("\n", " ")
+    }
   )
 }
