@@ -56,7 +56,9 @@ object ScaleAudit {
       "semantic_dedup", "dedup_ngram_jaccard", "decontam_clean",
       "ann_ivfpq_topk", "corpus_curated", "dedup_clusters_chain",
       "dedup_paragraph", "ann_hamming_topk", "dedup_minhash_est",
-      "rerank_cross_topk", "q21_waiting_suppliers")
+      "rerank_cross_topk", "q21_waiting_suppliers",
+      "q9_product_profit", "window_running_balance",
+      "events_click_attribution", "decontam_multi_eval")
     var collapsed = List.empty[String]
     val out = heavy.map { name =>
       stages = Nil

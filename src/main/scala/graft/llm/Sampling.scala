@@ -157,6 +157,48 @@ object Sampling {
       .drop("w_total")
   }
 
+  /** Epoch plan: how many (milli-)epochs of each source a training run
+    * consumes to hit `tokenBudget` at the given temperature mix — the
+    * scheduling table a 100 T-token run is provisioned from (sources
+    * smaller than their mix share repeat: epochs > 1000‰; cf. the
+    * repeated-epochs accounting in Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models"). Pure integer arithmetic over
+    * [[temperatureMixWeights]]'s per-source table: target tokens =
+    * budget·mix‰/1000, epochs_permille = target·1000 div n_tokens.
+    * Output adds `target_tokens` and `epochs_permille` to the mix table.
+    */
+  def epochPlan(df: DataFrame, strataCol: String, weight: Column,
+      tokenBudget: Long): DataFrame =
+    temperatureMixWeights(df, strataCol, weight, tokenBudget)
+      .withColumn("target_tokens",
+        expr(s"${tokenBudget}L * mix_permille div 1000"))
+      .withColumn("epochs_permille",
+        expr("target_tokens * 1000 div n_tokens"))
+
+  /** Source-reputation filter: a document survives iff its SOURCE's mean
+    * lexical-diversity score clears `minSrcPermille` — the domain-level
+    * quality gate (a page on a content-farm domain is dropped for the
+    * company it keeps, not its own text; cf. the URL/domain-level
+    * filtering stage in Penedo et al. 2024, FineWeb). Two stages: the
+    * per-doc integer score aggregates to a per-source mean (one tiny
+    * partial-agg shuffle), and the source table re-attaches by BROADCAST
+    * — the corpus itself never exchanges.
+    *
+    * Score: distinct tokens ×1000 div tokens (integer per-mille lexical
+    * diversity). Output: surviving docs with doc_score and src_score.
+    */
+  def sourceReputationFilter(docs: DataFrame, idCol: String,
+      textCol: String, srcCol: String, minSrcPermille: Long): DataFrame = {
+    val scored = docs.select(col(idCol), col(srcCol),
+      expr(s"size(array_distinct(split($textCol, ' '))) * 1000 div " +
+        s"size(split($textCol, ' '))").cast("long").as("doc_score"))
+    val bySrc = scored.groupBy(srcCol)
+      .agg(expr("sum(doc_score) div count(1)").as("src_score"))
+      .filter(col("src_score") >= minSrcPermille)
+    scored.join(broadcast(bySrc), Seq(srcCol))
+      .select(col(idCol), col(srcCol), col("doc_score"), col("src_score"))
+  }
+
   /** Hashed n-gram feature buckets — one row per (doc_id, bucket) feature
     * OCCURRENCE (multiplicity kept, unlike the dedup shingle postings):
     * every unigram and every bigram of the whitespace tokenization,

@@ -26,6 +26,11 @@ object LlmQueries6 {
   private val MatDim = 16 // matryoshka truncation: first 16 of 64 dims
   private val MatK = 5
 
+  private val EpochBudget = 100000L // tokens; >> corpus so epochs > 1000‰
+  private val MinSrcPermille = 500L // source-reputation floor (the
+  // fixture's per-source diversity means span ~450-560‰, so 500 divides
+  // the sources non-trivially at both gate scales)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Initial adjacent-character pair counts (the round-1 input of BPE
     // training): corpus collapses to the word-frequency dict in its one
@@ -111,7 +116,21 @@ object LlmQueries6 {
       val emb = Tables.embeddings(s, dir)
       Similarity.matryoshkaRecall(emb, emb.filter(col("vec_id") < 50),
         k = MatK, dim = MatDim)
-    })
+    }),
+
+    // Epoch plan: milli-epochs per source to hit the token budget at
+    // the n^½ temperature mix — budget >> corpus so sources repeat
+    // (epochs_permille > 1000).
+    "mix_epoch_plan" -> ((s, dir) =>
+      Sampling.epochPlan(Tables.documents(s, dir), "source",
+        graft.llm.TextAnalysis.tokenCount(col("text")), EpochBudget)),
+
+    // Domain-level reputation gate: a doc survives iff its SOURCE's mean
+    // lexical diversity clears the floor — corpus never exchanges, the
+    // per-source table broadcasts back.
+    "source_reputation_filter" -> ((s, dir) =>
+      Sampling.sourceReputationFilter(Tables.documents(s, dir),
+        "doc_id", "text", "source", MinSrcPermille))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -208,6 +227,37 @@ object LlmQueries6 {
          |  coalesce(cm.n_common, 0) * 1000 // $MatK AS recall_permille
          |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 50) q
          |LEFT JOIN cm ON q.vec_id = cm.qid""".stripMargin.replace("\n", " ")
-    }
+    },
+
+    "mix_epoch_plan" -> {
+      val isq = Sampling.isqrtSqlDuck("n_tokens")
+      s"""WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |w AS (SELECT source, n_docs, n_tokens, ISQ AS w_sqrt FROM per),
+         |t AS (SELECT CAST(sum(w_sqrt) AS BIGINT) AS w_total FROM w),
+         |m AS (SELECT source, n_docs, n_tokens, w_sqrt,
+         |    CAST(w_sqrt * 1000 // w_total AS BIGINT) AS mix_permille,
+         |    CAST(least(1000, ($EpochBudget * w_sqrt // w_total) * 1000 // n_tokens) AS BIGINT)
+         |      AS rate_permille
+         |  FROM w, t)
+         |SELECT source, n_docs, n_tokens, w_sqrt, mix_permille, rate_permille,
+         |  CAST($EpochBudget * mix_permille // 1000 AS BIGINT) AS target_tokens,
+         |  CAST(($EpochBudget * mix_permille // 1000) * 1000 // n_tokens AS BIGINT)
+         |    AS epochs_permille
+         |FROM m""".stripMargin.replace("\n", " ").replace("ISQ", isq)
+    },
+
+    "source_reputation_filter" ->
+      s"""WITH sc AS (SELECT doc_id, source,
+         |    CAST(len(list_distinct(string_split(text, ' '))) * 1000
+         |      // len(string_split(text, ' ')) AS BIGINT) AS doc_score
+         |  FROM documents),
+         |bs AS (SELECT source,
+         |    CAST(sum(doc_score) // count(*) AS BIGINT) AS src_score
+         |  FROM sc GROUP BY source HAVING sum(doc_score) // count(*) >= $MinSrcPermille)
+         |SELECT sc.doc_id, sc.source, sc.doc_score, bs.src_score
+         |FROM sc JOIN bs ON sc.source = bs.source"""
+        .stripMargin.replace("\n", " ")
   )
 }
