@@ -283,4 +283,34 @@ object TextAnalysis {
   def lmFluency(corpus: DataFrame, reference: DataFrame, idCol: String,
       textCol: String): DataFrame =
     scoreFluency(corpus, lmModel(reference, idCol, textCol), idCol, textCol)
+
+  /** CCNet-style per-language fluency terciles (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets" §4.4: split
+    * each language's corpus into head/middle/tail by LM score, then
+    * sample mostly from the head). `scores` is [[lmFluency]] output;
+    * `langs` maps doc → language. The tercile test is exact integer rank
+    * arithmetic (rnk·3 ≤ n → head, ≤ 2n → middle, else tail) per
+    * language partition — no float quantile, no global sort; the window
+    * partitions by language so every task is one language's ranking.
+    * Output: one row per (lang, bucket) with population stats — the
+    * table CCNet's per-bucket sampling rates are set from.
+    */
+  def fluencyBuckets(scores: DataFrame, langs: DataFrame, idCol: String,
+      langCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(langCol)
+      .orderBy(col("score_permille").desc, col(idCol))
+    val cw = Window.partitionBy(langCol)
+    scores.join(langs.select(col(idCol), col(langCol)), Seq(idCol))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n_lang", count(lit(1)).over(cw))
+      .withColumn("bucket",
+        when(col("rnk") * 3 <= col("n_lang"), lit("head"))
+          .when(col("rnk") * 3 <= col("n_lang") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy(col(langCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min("score_permille").as("min_score"),
+        max("score_permille").as("max_score"))
+  }
 }

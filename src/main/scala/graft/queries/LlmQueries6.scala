@@ -130,7 +130,19 @@ object LlmQueries6 {
     // per-source table broadcasts back.
     "source_reputation_filter" -> ((s, dir) =>
       Sampling.sourceReputationFilter(Tables.documents(s, dir),
-        "doc_id", "text", "source", MinSrcPermille))
+        "doc_id", "text", "source", MinSrcPermille)),
+
+    // CCNet head/middle/tail: per-language fluency terciles over the
+    // src0-trained LM scores — the table per-bucket sampling rates are
+    // set from (Wenzek et al. 2020 §4.4).
+    "ccnet_lang_buckets" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.llm.TextAnalysis.fluencyBuckets(
+        graft.llm.TextAnalysis.lmFluency(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "doc_id", "text"),
+        docs, "doc_id", "lang")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -258,6 +270,35 @@ object LlmQueries6 {
          |  FROM sc GROUP BY source HAVING sum(doc_score) // count(*) >= $MinSrcPermille)
          |SELECT sc.doc_id, sc.source, sc.doc_score, bs.src_score
          |FROM sc JOIN bs ON sc.source = bs.source"""
-        .stripMargin.replace("\n", " ")
+        .stripMargin.replace("\n", " "),
+
+    // lm_fluency's score CTEs + lang attach + integer tercile window
+    "ccnet_lang_buckets" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |big AS (SELECT doc_id, source,
+        |  CAST(concat('0x', substr(md5(t[i]), 1, 8)) AS BIGINT) AS h1,
+        |  CAST(concat('0x', substr(md5(concat_ws(' ', t[i], t[i+1])), 1, 8)) AS BIGINT) AS h12
+        |  FROM toks, UNNEST(range(1, len(t))) AS r(i) WHERE len(t) >= 2),
+        |ref AS (SELECT h1, h12 FROM big WHERE source = 'src0'),
+        |c12 AS (SELECT h12, count(*) AS c12 FROM ref GROUP BY h12),
+        |c1 AS (SELECT h1, count(*) AS c1 FROM ref GROUP BY h1),
+        |sc AS (SELECT doc_id,
+        |  coalesce(c12.c12, 0) * 1000 // (coalesce(c1.c1, 0) + 1) AS p_permille
+        |  FROM big LEFT JOIN c12 USING (h12) LEFT JOIN c1 USING (h1)
+        |  WHERE big.source <> 'src0'),
+        |fl AS (SELECT doc_id, CAST(sum(p_permille) AS BIGINT) // count(*) AS score_permille
+        |  FROM sc GROUP BY doc_id),
+        |rk AS (SELECT d.lang, fl.doc_id, fl.score_permille,
+        |    CAST(row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY fl.score_permille DESC, fl.doc_id) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY d.lang) AS BIGINT) AS n_lang
+        |  FROM fl JOIN documents d ON fl.doc_id = d.doc_id),
+        |bk AS (SELECT lang, score_permille,
+        |    CASE WHEN rnk * 3 <= n_lang THEN 'head'
+        |         WHEN rnk * 3 <= n_lang * 2 THEN 'middle'
+        |         ELSE 'tail' END AS bucket FROM rk)
+        |SELECT lang, bucket, count(*) AS n_docs,
+        |  min(score_permille) AS min_score, max(score_permille) AS max_score
+        |FROM bk GROUP BY lang, bucket""".stripMargin.replace("\n", " ")
   )
 }
