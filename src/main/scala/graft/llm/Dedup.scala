@@ -749,6 +749,49 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Winnow→verify: winnowing candidate pairs CONFIRMED by the exact
+    * shingle Jaccard, both legs derived from ONE materialized
+    * positional-hash scan (the [[winnowCandidatePairs]] +
+    * [[jaccardPairs]] composition without the second corpus
+    * tokenization — the same shared-scan discipline as the MinHash
+    * estimator). The exact join runs over distinct postings of the same
+    * n-gram hashes the fingerprints sampled, so "verified" means the
+    * true Jaccard of exactly the blocked feature space. Output:
+    * (doc_a, doc_b, n_shared, jac_permille), candidate-bounded.
+    */
+  def winnowVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, w: Int, minShared: Long, maxFpDocFreq: Long,
+      minJacPermille: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = graft.util.Materialize.stable(
+      positionalWindowHashes(docs, idCol, textCol, n))
+    val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    val fp0 = pos
+      .withColumn("fp", min("h").over(win))
+      .filter(col("pos") <= col("maxpos") - (w - 1))
+      .select("doc_id", "fp").distinct()
+    val fp = graft.util.Materialize.stable(
+      if (maxFpDocFreq <= 0) fp0
+      else {
+        val hot = fp0.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxFpDocFreq).select("fp")
+        fp0.join(hot, Seq("fp"), "left_anti")
+      })
+    val cand = fp.as("a")
+      .join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    val exact = jaccardPairsFromPostings(
+      pos.select("doc_id", "h").distinct(), thresholdNum = 0, thresholdDen = 1)
+      .select(col("doc_a"), col("doc_b"),
+        expr("inter * 1000 div uni").as("jac_permille"))
+    cand.join(exact, Seq("doc_a", "doc_b"))
+      .filter(col("jac_permille") >= minJacPermille)
+      .select("doc_a", "doc_b", "n_shared", "jac_permille")
+  }
+
   /** Incremental exact dedup — the batch form of the streaming novelty
     * gate ([[StreamingDedup]]): admit a document from the new increment
     * iff its content hash appears neither in the prior corpus nor

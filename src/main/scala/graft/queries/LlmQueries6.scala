@@ -132,6 +132,15 @@ object LlmQueries6 {
       Sampling.sourceReputationFilter(Tables.documents(s, dir),
         "doc_id", "text", "source", MinSrcPermille)),
 
+    // Winnow→verify: winnowing candidates confirmed by exact shingle
+    // Jaccard from ONE positional-hash scan — the verification pass
+    // completing the winnowing blocking family (same shared-scan
+    // discipline as dedup_minhash_est).
+    "dedup_winnow_verified" -> ((s, dir) =>
+      Dedup.winnowVerifiedPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, w = 4, minShared = 2L, maxFpDocFreq = 50L,
+        minJacPermille = 200L)),
+
     // CCNet head/middle/tail: per-language fluency terciles over the
     // src0-trained LM scores — the table per-bucket sampling rates are
     // set from (Wenzek et al. 2020 §4.4).
@@ -270,6 +279,38 @@ object LlmQueries6 {
          |  FROM sc GROUP BY source HAVING sum(doc_score) // count(*) >= $MinSrcPermille)
          |SELECT sc.doc_id, sc.source, sc.doc_score, bs.src_score
          |FROM sc JOIN bs ON sc.source = bs.source"""
+        .stripMargin.replace("\n", " "),
+
+    // the winnow-pairs CTEs + a Jaccard leg over the same distinct
+    // n-gram postings
+    "dedup_winnow_verified" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, i AS pos,
+        |    CAST(concat('0x', substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 8)) AS BIGINT) AS h
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS r(i) WHERE len(t) >= 3),
+        |win AS (SELECT doc_id, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    max(pos) OVER (PARTITION BY doc_id) AS maxpos FROM sh),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE pos <= maxpos - 3),
+        |kept AS (SELECT doc_id, fp FROM fps WHERE fp IN
+        |  (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50)),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |post AS (SELECT DISTINCT doc_id, h FROM sh),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM post GROUP BY doc_id),
+        |intr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (SELECT i.doc_a, i.doc_b,
+        |    i.inter * 1000 // (sa.n_sh + sb.n_sh - i.inter) AS jac_permille
+        |  FROM intr i JOIN sz sa ON i.doc_a = sa.doc_id
+        |  JOIN sz sb ON i.doc_b = sb.doc_id)
+        |SELECT p.doc_a, p.doc_b, p.n_shared, j.jac_permille
+        |FROM pr p JOIN jac j ON p.doc_a = j.doc_a AND p.doc_b = j.doc_b
+        |WHERE p.n_shared >= 2 AND j.jac_permille >= 200"""
         .stripMargin.replace("\n", " "),
 
     // lm_fluency's score CTEs + lang attach + integer tercile window
