@@ -22,6 +22,8 @@ object WindowQueries {
 
   private val AttributionWindowUs = 86400000000L // 24 h click→purchase
 
+  private val TrailingWindowUs = 2592000000000L // 30 d RANGE frame
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-customer running order total in date order — the classic
     // cumulative-balance statement shape (ROWS UNBOUNDED PRECEDING).
@@ -70,6 +72,22 @@ object WindowQueries {
           max("gap_us").as("max_gap_us"))
     }),
 
+    // Trailing-30-day spend per order: a RANGE frame over the epoch-µs
+    // order date — the moving-window shape ROWS frames can't express
+    // (ties and gaps in dates are handled by value, not position).
+    "window_trailing_spend" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("order_date_us"))
+        .rangeBetween(-TrailingWindowUs, 0L)
+      Tables.orders(s, dir)
+        .withColumn("order_date_us",
+          unix_micros(col("o_orderdate").cast("timestamp")))
+        .withColumn("trailing_spend",
+          sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).over(w)
+            .cast("double"))
+        .select("o_custkey", "o_orderkey", "order_date_us", "trailing_spend")
+    }),
+
     // Click→purchase attribution through the stream-stream-capable
     // interval join (same plan runs on streaming inputs with watermarked
     // state — StreamAttributionSpec proves batch/stream parity): per
@@ -113,6 +131,15 @@ object WindowQueries {
         |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
         |FROM g WHERE gap_us IS NOT NULL GROUP BY user_id"""
         .stripMargin.replace("\n", " "),
+
+    "window_trailing_spend" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |  epoch_us(o_orderdate) AS order_date_us,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         |    PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+         |    RANGE BETWEEN $TrailingWindowUs PRECEDING AND CURRENT ROW)
+         |    AS DOUBLE) AS trailing_spend
+         |FROM orders""".stripMargin.replace("\n", " "),
 
     "events_click_attribution" ->
       s"""WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS cts
