@@ -87,4 +87,33 @@ class SkewAuditSpec extends SparkSpecBase {
     // is O(1) per row inside mapPartitions — no sort amplification, no
     // per-key state beyond (bin, fill)
   }
+
+  test("interval join, one hot user: counts stay exact; expansion bounded by the window") {
+    import spark.implicits._
+    // user 1: 2000 clicks over 2000 s + 50 purchases; window 10 s → each
+    // purchase matches ≈10 clicks, never the full click history. The
+    // quadratic blow-up an unwindowed per-user join would produce (2000 ×
+    // 50 = 100k pairs) is cut to ~500 by the range predicate.
+    val clicks = (0 until 2000).map(i =>
+      (1L, 10000L + i, i.toLong * 1000000L)).toDF("user_id", "event_id", "ts_us")
+    val purchases = (0 until 50).map(i =>
+      (1L, 90000L + i, i.toLong * 40000000L + 500000L)).toDF("user_id", "event_id", "ts_us")
+    val out = graft.streaming.StreamOps.clickAttribution(
+      clicks, purchases, windowUs = 10000000L).collect()
+    assert(out.length === 50)
+    // purchase at t=i·40s+0.5s sees clicks in [t−10s, t): 10 of them
+    // (ticks every 1 s), except the first purchase (only 0.5 s of history)
+    val byId = out.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(byId(90000L) === 1L)
+    assert((1 until 50).forall(i => byId(90000L + i) === 10L),
+      s"window must bound the per-purchase click fan-in, got ${byId.toSeq.sorted.take(5)}")
+    // the pair stream the aggregation consumed is window-bounded: 491
+    // pairs, not clicks × purchases
+    val pairs = graft.streaming.StreamOps.intervalJoin(
+      clicks.select($"user_id", $"event_id".as("click_id"), $"ts_us".as("click_ts_us")),
+      purchases.select($"user_id", $"event_id".as("purchase_id"), $"ts_us".as("purchase_ts_us")),
+      "user_id", "click_id", "click_ts_us", "purchase_id", "purchase_ts_us",
+      10000000L).count()
+    assert(pairs === 491L, s"expected 1 + 49*10 window-bounded pairs, got $pairs")
+  }
 }
