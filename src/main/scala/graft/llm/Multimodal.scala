@@ -173,6 +173,22 @@ object Multimodal {
       .select("frame_a", "frame_b", "hd")
   }
 
+  /** Frame near-dup CLUSTERS over the perceptual-hash pair graph: the
+    * image-dedup endgame — transitive closure of [[phashNearDupPairs]]
+    * via [[Dedup.connectedComponents]], one row per cluster with its
+    * size. The cluster id IS the representative (min-label convention =
+    * min frame key — the canonical frame a multimodal pipeline keeps,
+    * discarding the near-copies). Singleton frames don't appear: at
+    * 100 TB the interesting output is the dup groups, and the keep-set
+    * is derivable by anti-join.
+    */
+  def frameDupClusters(codes: DataFrame, maxHd: Int): DataFrame =
+    graft.llm.Dedup.connectedComponents(
+      phashNearDupPairs(codes, maxHd).select("frame_a", "frame_b"),
+      "frame_a", "frame_b")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_frames"))
+
   final case class ResizedMedia(
       doc_id: Long, src_width: Int, src_height: Int,
       width: Int, height: Int, payload: Array[Byte])

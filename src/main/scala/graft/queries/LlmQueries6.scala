@@ -141,6 +141,13 @@ object LlmQueries6 {
         n = 3, w = 4, minShared = 2L, maxFpDocFreq = 50L,
         minJacPermille = 200L)),
 
+    // Frame near-dup clusters: transitive closure of the phash pair
+    // graph; cluster id = representative frame (min-label).
+    "multimodal_frame_clusters" -> ((s, dir) =>
+      graft.llm.Multimodal.frameDupClusters(
+        graft.llm.Multimodal.frameAHash(Tables.documents(s, dir),
+          "doc_id", "text", stride = 5), maxHd = 2)),
+
     // CCNet head/middle/tail: per-language fluency terciles over the
     // src0-trained LM scores — the table per-bucket sampling rates are
     // set from (Wenzek et al. 2020 §4.4).
@@ -312,6 +319,33 @@ object LlmQueries6 {
         |FROM pr p JOIN jac j ON p.doc_a = j.doc_a AND p.doc_b = j.doc_b
         |WHERE p.n_shared >= 2 AND j.jac_permille >= 200"""
         .stripMargin.replace("\n", " "),
+
+    // the phash-pair CTEs (multimodal_phash_dedup) + recursive closure
+    "multimodal_frame_clusters" -> {
+      val hash = graft.llm.Multimodal.aHashSqlDuck("text", "u.i", "n_px")
+      s"""WITH RECURSIVE meta AS (SELECT doc_id, text, length(text) AS n_px,
+         |    length(text) % 30 + 1 AS n_frames
+         |  FROM documents WHERE length(text) % 3 = 2),
+         |fr AS (SELECT doc_id * 64 + u.i AS fkey, $hash AS phash
+         |  FROM meta, UNNEST(range(0, n_frames, 5)) u(i)),
+         |bl AS (SELECT fkey, phash, 0 AS ci, phash % 32 AS cv FROM fr
+         |  UNION ALL SELECT fkey, phash, 1, (phash // 32) % 32 FROM fr
+         |  UNION ALL SELECT fkey, phash, 2, phash // 1024 FROM fr),
+         |pr AS (SELECT DISTINCT a.fkey AS frame_a, a.phash AS pa,
+         |    b.fkey AS frame_b, b.phash AS pb
+         |  FROM bl a JOIN bl b ON a.ci = b.ci AND a.cv = b.cv
+         |    AND a.fkey < b.fkey
+         |  WHERE a.fkey // 64 <> b.fkey // 64),
+         |pp AS (SELECT frame_a, frame_b FROM pr
+         |  WHERE bit_count(xor(pa, pb)) <= 2),
+         |edges AS (SELECT frame_a AS src, frame_b AS dst FROM pp
+         |  UNION ALL SELECT frame_b, frame_a FROM pp),
+         |reach(v, r) AS (SELECT src, src FROM edges
+         |  UNION SELECT e.src, rc.r FROM edges e JOIN reach rc ON rc.v = e.dst),
+         |lab AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v)
+         |SELECT cluster_id, count(*) AS n_frames FROM lab GROUP BY cluster_id"""
+        .stripMargin.replace("\n", " ")
+    },
 
     // lm_fluency's score CTEs + lang attach + integer tercile window
     "ccnet_lang_buckets" ->
