@@ -109,6 +109,26 @@ object Bpe {
     forms.withColumn("n_tokens", size(toks).cast("long"))
   }
 
+  /** Encode the corpus under the learned merges: per-doc BPE token
+    * accounting — the number every packing/budget decision downstream of
+    * tokenizer training uses. The dict (word → n_tokens) is vocab-sized
+    * and BROADCASTS back onto the corpus word stream, so encoding is one
+    * corpus scan + a map-side join; only dictionary words ([a-z]+, the
+    * training vocabulary) are counted — the same admission rule
+    * [[wordFreqs]] trained under. Output: (id, n_words, n_bpe_tokens).
+    */
+  def encodeCorpus(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val (_, forms) = learnMerges(docs, textCol, k)
+    val dict = segmented(forms).select("word", "n_tokens")
+    docs
+      .select(col(idCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .join(broadcast(dict), Seq("word"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"), sum("n_tokens").as("n_bpe_tokens"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** DuckDB CTE prefix `f0 AS (word, freq, form)` — the initial forms
@@ -177,4 +197,20 @@ object Bpe {
        |SELECT word, freq, form,
        |  len(string_split(form[2:length(form)-1], ')(')) AS n_tokens
        |  FROM f$k""".stripMargin.replace("\n", " ")
+
+  /** The oracle for [[encodeCorpus]]: round-k dict joined back onto the
+    * corpus word stream.
+    */
+  def encodeCorpusSqlDuck(table: String, idCol: String, textCol: String,
+      k: Int): String =
+    s"""${roundChainDuck(table, textCol, k)},
+       |dict AS (SELECT word,
+       |  CAST(len(string_split(form[2:length(form)-1], ')(')) AS BIGINT)
+       |    AS n_tokens FROM f$k),
+       |ws AS (SELECT $idCol, unnest(string_split_regex(lower($textCol),
+       |  '\\s+')) AS word FROM $table)
+       |SELECT ws.$idCol, count(*) AS n_words,
+       |  CAST(sum(d.n_tokens) AS BIGINT) AS n_bpe_tokens
+       |FROM ws JOIN dict d ON ws.word = d.word GROUP BY ws.$idCol"""
+      .stripMargin.replace("\n", " ")
 }

@@ -56,6 +56,13 @@ object LlmQueries6 {
         Bpe.learnMerges(Tables.documents(s, dir), "text", MergeRounds)._2)
         .select("word", "freq", "form", "n_tokens")),
 
+    // Per-doc token accounting under the learned merges: the number every
+    // downstream packing/budget decision uses; the vocab-sized dict
+    // broadcasts back onto the corpus word stream.
+    "bpe_encode_corpus" -> ((s, dir) =>
+      Bpe.encodeCorpus(Tables.documents(s, dir), "doc_id", "text",
+        MergeRounds)),
+
     // Leakage-free train/val/test split: split membership decided by the
     // near-dup CLUSTER hash (LSH graph, singletons = own cluster), so a
     // doc and its near-copy can never straddle the held-out boundary.
@@ -166,6 +173,8 @@ object LlmQueries6 {
       Bpe.pairCountsSqlDuck("documents", "text", PairTopN),
     "bpe_merges" -> Bpe.mergesSqlDuck("documents", "text", MergeRounds),
     "bpe_segment" -> Bpe.segmentedSqlDuck("documents", "text", MergeRounds),
+    "bpe_encode_corpus" ->
+      Bpe.encodeCorpusSqlDuck("documents", "doc_id", "text", MergeRounds),
 
     // same recursive-CTE closure as dedup_clusters / dedup_cluster_rep;
     // bucket arithmetic is the hashPermille idiom over the cluster id
