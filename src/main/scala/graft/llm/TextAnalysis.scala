@@ -284,6 +284,40 @@ object TextAnalysis {
       textCol: String): DataFrame =
     scoreFluency(corpus, lmModel(reference, idCol, textCol), idCol, textCol)
 
+  /** Spelling-variant candidate pairs over the corpus VOCABULARY —
+    * typo/variant mining (the SymSpell-style cleanup pass): distinct
+    * word pairs within `maxDist` edits. The join runs over the
+    * vocabulary, not the corpus (|V| is sub-linear in corpus size, so
+    * the op is corpus-scale-independent after the one word-count scan),
+    * and blocks on LENGTH — an edit-distance-≤d pair can differ by at
+    * most d characters of length, so the longer word explodes to the
+    * d+1 candidate lengths and the join is a plain equi-join, never
+    * vocab × vocab. levenshtein() is unit-cost in both engines.
+    */
+  def vocabEditPairs(docs: DataFrame, textCol: String, maxDist: Int,
+      minFreq: Long): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val vocab = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+    val a = vocab.select(col("word").as("word_a"), col("freq").as("freq_a"),
+      length(col("word")).as("len_a"),
+      explode(expr(s"sequence(length(word) - $maxDist, length(word))"))
+        .as("blk"))
+    val b = vocab.select(col("word").as("word_b"), col("freq").as("freq_b"),
+      length(col("word")).as("len_b"))
+    a.join(b, col("blk") === col("len_b"))
+      // each unordered pair exactly once: the longer word owns the pair,
+      // ties broken lexicographically
+      .filter(col("len_a") > col("len_b") ||
+        (col("len_a") === col("len_b") && col("word_a") < col("word_b")))
+      .withColumn("dist", levenshtein(col("word_a"), col("word_b")))
+      .filter(col("dist") <= maxDist)
+      .select("word_a", "word_b", "freq_a", "freq_b", "dist")
+  }
+
   /** CCNet-style per-language fluency terciles (Wenzek et al. 2020,
     * "CCNet: Extracting High Quality Monolingual Datasets" §4.4: split
     * each language's corpus into head/middle/tail by LM score, then

@@ -148,6 +148,13 @@ object LlmQueries6 {
         n = 3, w = 4, minShared = 2L, maxFpDocFreq = 50L,
         minJacPermille = 200L)),
 
+    // Typo/variant mining over the vocabulary: edit-distance-≤2 word
+    // pairs, length-blocked equi-join over the vocab table (corpus-
+    // scale-independent after the word-count scan).
+    "vocab_edit_pairs" -> ((s, dir) =>
+      graft.llm.TextAnalysis.vocabEditPairs(Tables.documents(s, dir),
+        "text", maxDist = 2, minFreq = 1L)),
+
     // Frame near-dup clusters: transitive closure of the phash pair
     // graph; cluster id = representative frame (min-label).
     "multimodal_frame_clusters" -> ((s, dir) =>
@@ -327,6 +334,23 @@ object LlmQueries6 {
         |SELECT p.doc_a, p.doc_b, p.n_shared, j.jac_permille
         |FROM pr p JOIN jac j ON p.doc_a = j.doc_a AND p.doc_b = j.doc_b
         |WHERE p.n_shared >= 2 AND j.jac_permille >= 200"""
+        .stripMargin.replace("\n", " "),
+
+    "vocab_edit_pairs" ->
+      """WITH wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+        |    FROM documents) WHERE regexp_matches(word, '^[a-z]+$')
+        |  GROUP BY word HAVING count(*) >= 1),
+        |a AS (SELECT word AS word_a, freq AS freq_a, length(word) AS len_a,
+        |    u.b AS blk
+        |  FROM wf, UNNEST(range(length(word) - 2, length(word) + 1)) u(b)),
+        |b AS (SELECT word AS word_b, freq AS freq_b, length(word) AS len_b
+        |  FROM wf)
+        |SELECT word_a, word_b, freq_a, freq_b,
+        |  CAST(levenshtein(word_a, word_b) AS INTEGER) AS dist
+        |FROM a JOIN b ON a.blk = b.len_b
+        |WHERE (len_a > len_b OR (len_a = len_b AND word_a < word_b))
+        |  AND levenshtein(word_a, word_b) <= 2"""
         .stripMargin.replace("\n", " "),
 
     // the phash-pair CTEs (multimodal_phash_dedup) + recursive closure
