@@ -61,6 +61,21 @@ class BpeSpec extends SparkSpecBase {
     assert(byWord === Map("abc" -> 2L, "ab" -> 1L))
   }
 
+  test("encodeCorpus counts BPE tokens per doc under the learned merges") {
+    // corpus: "abab abab ab" ×2 docs; k=2 learns (a,b) then (ab,ab):
+    // "abab" → 1 token, "ab" → 1 token
+    val docs = corpus("abab abab ab", "abab ab")
+    val enc = Bpe.encodeCorpus(docs, "doc_id", "text", 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(enc === Seq((0L, 3L, 3L), (1L, 2L, 2L)))
+    // with k=1 (only (a,b) learned): "abab" → (ab)(ab) = 2 tokens
+    val enc1 = Bpe.encodeCorpus(docs, "doc_id", "text", 1)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(enc1 === Seq((0L, 5L), (1L, 3L)))
+  }
+
   test("merge result is invariant to input partitioning") {
     val docs = corpus("spark scan scan batch", "spark spark batch scan")
     val a = Bpe.learnMerges(docs.repartition(1), "text", 4)._1

@@ -466,6 +466,22 @@ class PlanAuditSpec extends SparkSpecBase {
       "corpus postings must not shuffle on the gram hash")
   }
 
+  test("vocab edit pairs: length-blocked equi-join over the vocab, never vocab x vocab") {
+    val p = plan("vocab_edit_pairs")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the length block must ride an equi-join, not an all-pairs loop")
+    assert(p.contains("partial_count"), "word counts must combine map-side")
+  }
+
+  test("bpe corpus encoding: the dict broadcasts onto the word stream") {
+    val p = plan("bpe_encode_corpus")
+    assert(p.contains("BroadcastHashJoin"), "vocab dict must broadcast")
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "only the 1-row merge broadcasts may nested-loop")
+  }
+
   test("semantic dedup: the prune is a cell-keyed equi-join, no cartesian") {
     // the assignment stage's centroid broadcast is upstream of the
     // materialization barrier (it shares assignCells with the IVF plan,
