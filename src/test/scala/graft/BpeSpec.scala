@@ -76,6 +76,18 @@ class BpeSpec extends SparkSpecBase {
     assert(enc1 === Seq((0L, 5L), (1L, 3L)))
   }
 
+  test("corpus token count is monotonically non-increasing in merge rounds") {
+    // every merge can only contract occurrences — the invariant a
+    // tokenizer-training run sanity-checks per round
+    val docs = Tables.documents(spark, sfDir)
+    val totals = Seq(1, 3, 6).map { k =>
+      Bpe.encodeCorpus(docs, "doc_id", "text", k)
+        .agg(sum("n_bpe_tokens")).head().getLong(0)
+    }
+    assert(totals.sliding(2).forall { case Seq(a, b) => b <= a },
+      s"token totals must not grow with k: $totals")
+  }
+
   test("merge result is invariant to input partitioning") {
     val docs = corpus("spark scan scan batch", "spark spark batch scan")
     val a = Bpe.learnMerges(docs.repartition(1), "text", 4)._1
