@@ -58,7 +58,8 @@ object ScaleAudit {
       "dedup_paragraph", "ann_hamming_topk", "dedup_minhash_est",
       "rerank_cross_topk", "q21_waiting_suppliers",
       "q9_product_profit", "window_running_balance",
-      "events_click_attribution", "decontam_multi_eval")
+      "events_click_attribution", "decontam_multi_eval",
+      "novelty_score", "select_token_budget", "split_proportions")
     var collapsed = List.empty[String]
     val out = heavy.map { name =>
       stages = Nil

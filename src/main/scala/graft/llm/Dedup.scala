@@ -824,6 +824,35 @@ object Dedup {
       .select("doc_id", "text_hash")
   }
 
+  /** Per-document n-gram novelty vs a PRIOR corpus: for each incoming
+    * doc, how many of its distinct word-`n`-gram hashes were never seen
+    * in the prior corpus — the content-freshness score an incremental
+    * ingest ranks new crawls by (a doc that is 95% previously-seen
+    * n-grams adds little even if its exact text is new; the score
+    * generalizes [[incrementalDedup]]'s whole-text hash to partial
+    * overlap). Output: (doc_id, n_shingles, n_novel, novelty_permille),
+    * one row per incoming doc with ≥ n tokens.
+    *
+    * Scale shape: the prior corpus reduces to its DISTINCT shingle-hash
+    * set in its own scan (8-byte rows after the map-side md5 — the
+    * [[shingleHashPostings]] discipline), the incoming postings LEFT-join
+    * it on the hash (a big-big equi-join, hash-partitioned — the honest
+    * shape when both sides are corpus-scale; no broadcast pretense), and
+    * the per-doc counts partial-aggregate map-side. Nothing carries text
+    * past the tokenize stage.
+    */
+  def noveltyProfile(newDocs: DataFrame, priorDocs: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val prior = shingleHashPostings(priorDocs, idCol, textCol, n)
+      .select("h").distinct().withColumn("_seen", lit(1L))
+    shingleHashPostings(newDocs, idCol, textCol, n)
+      .join(prior, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_permille", expr("n_novel * 1000 div n_shingles"))
+  }
+
   /** Keep-best-per-cluster representative selection — the step after
     * fuzzy-dedup clustering in the published pipelines (FineWeb,
     * SlimPajama): each near-duplicate cluster contributes exactly ONE

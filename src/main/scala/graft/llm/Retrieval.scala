@@ -60,6 +60,34 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Per-document out-of-vocabulary rate under the top-`k` corpus
+    * vocabulary (the [[vocabulary]] selection: occurrence-count order,
+    * ties by term): for each doc, its token count, how many of those
+    * token OCCURRENCES fall outside the vocabulary, and the integer
+    * per-mille OOV rate — the coverage audit run before freezing a
+    * tokenizer/vocab size (a rising OOV rate is the signal to grow `k`
+    * or retrain).
+    *
+    * Scale shape: the vocabulary is k-bounded whatever the corpus
+    * (TakeOrdered, never a global sort of the full term table) and
+    * re-attaches by BROADCAST left join onto the exploded token stream;
+    * the only corpus-sized exchange is the final doc-keyed partial-agg
+    * count, which map-side-combines to ≤ one row per doc per task.
+    */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val vocab = vocabulary(docs, idCol, textCol, k)
+      .select(col("term"), lit(1L).as("_in_vocab"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_permille", expr("n_oov * 1000 div n_tokens"))
+  }
+
   /** Distinct (query_id, term) rows of the query set — the small side. */
   private def queryTerms(queries: DataFrame, idCol: String, textCol: String): DataFrame =
     queries.select(col(idCol).as("query_id"),

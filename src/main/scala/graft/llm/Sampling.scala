@@ -199,6 +199,52 @@ object Sampling {
       .select(col(idCol), col(srcCol), col("doc_score"), col("src_score"))
   }
 
+  /** Greedy quality-ordered selection under a token budget: walk the
+    * corpus in (score DESC, doc id ASC) order and keep every document
+    * whose INCLUSIVE running token total still fits `tokenBudget` — the
+    * "best docs first until the budget is spent" selection step that
+    * follows any scoring stage (quality filtering, DSIR, fluency).
+    *
+    * Scale shape — deliberately NOT a global-sort window (a bare
+    * `ORDER BY` window serializes the corpus through one task): the
+    * cumulative sum is split into (a) a per-score-bucket token total
+    * (one partial-agg shuffle down to ≤ |distinct scores| rows — integer
+    * per-mille scores bound this at 1001), (b) an exclusive prefix sum
+    * over that TINY table (single-partition window over ≤ 1001 rows —
+    * the Q11 bounded-global-threshold idiom), re-attached by BROADCAST,
+    * and (c) a within-score cumulative sum windowed PARTITION BY score —
+    * each partition is one score stratum, never the corpus. A doc's
+    * global inclusive cum = prefix(score) + within-stratum cum.
+    *
+    * Worst-case stratum = all docs sharing one score; with coarse scores
+    * pre-bucket the id into the score key if a stratum outgrows a task.
+    *
+    * Output: the selected rows only — (id, score, n_tokens, cum_tokens)
+    * with `cum_tokens` the global inclusive running total (≤ budget).
+    */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, score: Column,
+      tokens: Column, tokenBudget: Long): DataFrame = {
+    require(tokenBudget >= 0, s"tokenBudget must be >= 0, got $tokenBudget")
+    val scored = docs.select(col(idCol).as("_id"),
+      score.cast("long").as("score"), tokens.cast("long").as("n_tokens"))
+    val perScore = scored.groupBy("score")
+      .agg(sum("n_tokens").as("_bucket_tokens"))
+    val wPfx = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pfx = perScore
+      .withColumn("_pfx_tokens",
+        coalesce(sum("_bucket_tokens").over(wPfx), lit(0L)))
+      .select("score", "_pfx_tokens")
+    val wIn = Window.partitionBy("score").orderBy("_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .join(broadcast(pfx), Seq("score"))
+      .withColumn("cum_tokens", col("_pfx_tokens") + sum("n_tokens").over(wIn))
+      .filter(col("cum_tokens") <= tokenBudget)
+      .select(col("_id").as(idCol), col("score"), col("n_tokens"),
+        col("cum_tokens"))
+  }
+
   /** Hashed n-gram feature buckets — one row per (doc_id, bucket) feature
     * OCCURRENCE (multiplicity kept, unlike the dedup shingle postings):
     * every unigram and every bigram of the whitespace tokenization,

@@ -284,6 +284,27 @@ object Similarity {
       .select("qid", "cid", "cell", "rank", "cos_sim")
   }
 
+  /** Per-query recall@k of the IVF search against the brute-force
+    * ranking — the audit a pipeline runs before trusting a
+    * (numCentroids, nprobe) operating point at scale (FAISS publishes
+    * exactly this curve per index config). Same Q·k-bounded overlap
+    * shape as [[matryoshkaRecall]]; zero-recall queries are kept via
+    * the left join from the full query list (dropping them overstates
+    * the index's quality).
+    */
+  def ivfRecall(corpus: DataFrame, queries: DataFrame,
+      numCentroids: Int, nprobe: Int, k: Int): DataFrame = {
+    val full = bruteForceTopK(corpus, queries, k).select("qid", "cid")
+    val approx = ivfTopK(corpus, queries, numCentroids, nprobe, k)
+      .select("qid", "cid")
+    val common = full.join(approx, Seq("qid", "cid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_common"))
+    queries.select(col("vec_id").as("qid"))
+      .join(common, Seq("qid"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("recall_permille", expr(s"n_common * 1000 div $k"))
+  }
+
   /** Lloyd refinement of the IVF codebook: `iters` rounds of
     * assign-to-nearest (broadcast centroids, exact integer cosine) +
     * per-cell elementwise mean. The production step the fixed-sample

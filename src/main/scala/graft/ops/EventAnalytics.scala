@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel and cohort-retention analytics over the event stream —
+  * the two product-analytics aggregates every event warehouse serves
+  * (reference scope: the events table's analytic consumers,
+  * `specs/001-cass-cdc-pg/spec.md` reporting queries; the operators
+  * themselves are the classic shapes, not reference inventions).
+  *
+  * Scale shape (both): every join and aggregate is keyed on the user
+  * column — after the first exchange the per-user frames are
+  * co-partitioned, so the stage chain reuses one partitioning (AQE
+  * coalesces the tiny per-user sides), and nothing is ever ordered
+  * globally. Per-user event counts bound each task's work; a hot user
+  * bounds one task at its own event count, never the corpus.
+  */
+object EventAnalytics {
+
+  /** Per-user earliest time of each funnel stage, where stage k must
+    * occur STRICTLY AFTER the user's stage-(k-1) time and within
+    * `windowUs` of it — the ordered conversion funnel with a conversion
+    * window (a purchase logged before the first view, or a week after
+    * the click, does not count as funnel progress). One (join + min-agg)
+    * round per stage beyond the first, all user-keyed. Output: one row
+    * per user who completed stage 1, with nullable `t1..tN` epoch-µs
+    * columns.
+    */
+  def stageTimes(events: DataFrame, userCol: String, typeCol: String,
+      tsUsCol: String, stages: Seq[String], windowUs: Long): DataFrame = {
+    require(stages.nonEmpty, "stages must be non-empty")
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    val ev = events.select(col(userCol).as("_u"), col(typeCol).as("_t"),
+      col(tsUsCol).cast("long").as("_ts"))
+    var acc = ev.filter(col("_t") === stages.head)
+      .groupBy("_u").agg(min("_ts").as("t1"))
+    stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val k = i + 1
+      val nxt = ev.filter(col("_t") === st)
+        .join(acc.select(col("_u"), col(s"t$i")), Seq("_u"))
+        .filter(col("_ts") > col(s"t$i") &&
+          col("_ts") <= col(s"t$i") + windowUs)
+        .groupBy("_u").agg(min("_ts").as(s"t$k"))
+      acc = acc.join(nxt, Seq("_u"), "left")
+    }
+    acc.withColumnRenamed("_u", userCol)
+  }
+
+  /** Funnel conversion counts: how many users reached each stage (in
+    * order, each within the conversion window of the previous stage).
+    * Output: (stage_no, stage, n_users), one row per stage — stage
+    * populations are nested by construction.
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsUsCol: String, stages: Seq[String], windowUs: Long): DataFrame = {
+    val times = stageTimes(events, userCol, typeCol, tsUsCol, stages, windowUs)
+    val counts = times.agg(
+      count(lit(1)).as("c1"),
+      stages.indices.drop(1).map(i =>
+        count(col(s"t${i + 1}")).as(s"c${i + 1}")): _*)
+    // one row in, |stages| rows out — a bounded explode of the 1-row agg
+    val pairs = stages.zipWithIndex.map { case (st, i) =>
+      struct(lit(i + 1).as("stage_no"), lit(st).as("stage"),
+        col(s"c${i + 1}").as("n_users"))
+    }
+    counts.select(explode(array(pairs: _*)).as("s"))
+      .select(col("s.stage_no"), col("s.stage"), col("s.n_users"))
+  }
+
+  /** Cohort retention triangle: cohort = the user's FIRST active period
+    * (`ts div periodUs`, exact integer arithmetic in both engines), and
+    * a user is retained at offset `w` iff they have any event in cohort
+    * period + w. Output: (cohort_period, period_offset, n_users). Two
+    * user-keyed aggregates and one co-partitioned join; the final
+    * aggregate is ≤ periods² rows however large the corpus.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String,
+      tsUsCol: String, periodUs: Long): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    val periods = events.select(col(userCol).as("_u"),
+      expr(s"CAST($tsUsCol AS BIGINT) div ${periodUs}L").as("period"))
+      .distinct()
+    val first = periods.groupBy("_u").agg(min("period").as("cohort_period"))
+    periods.join(first, Seq("_u"))
+      .select(col("cohort_period"),
+        (col("period") - col("cohort_period")).as("period_offset"), col("_u"))
+      .groupBy("cohort_period", "period_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

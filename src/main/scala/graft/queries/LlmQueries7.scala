@@ -1,0 +1,262 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.llm.{Dedup, Retrieval, Sampling, Similarity, TextAnalysis}
+
+/** Seventh tranche: budgeted corpus selection, vocabulary-coverage and
+  * novelty audits, split-proportion accounting, and the IVF recall
+  * curve — the "decide what to train on, then audit the decision"
+  * closing stages of a curation pipeline. Constants are shared fields
+  * referenced by both the Spark plan and the rendered oracle.
+  */
+object LlmQueries7 {
+
+  private val TokenBudget = 6000L // greedy fill target (corpus sf0.01
+  // carries ~27k tokens, sf0.1 ~271k — the budget binds at both scales)
+
+  private val VocabK = 10 // fixture vocab is 31 distinct words, so a
+  // 10-word vocabulary leaves a real OOV tail at any SF
+
+  private val NoveltyN = 3 // word-n-gram order for the novelty profile
+
+  private val TrainPermille = 800 // split thresholds (the
+  private val ValPermille = 100   // split_cluster_assign constants)
+
+  private val IvfCentroids = 16 // the ann_ivf_topk operating point —
+  private val IvfProbe = 3      // the recall audit grades exactly the
+  private val IvfK = 5          // gated index configuration
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Greedy quality-ordered selection under a token budget: best docs
+    // first (integer lexical-diversity score) until the budget is spent.
+    // The cumulative sum is split bucket-prefix + within-bucket so no
+    // global-sort window appears in the plan.
+    "select_token_budget" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Sampling.tokenBudgetSelect(docs, "doc_id",
+        expr("size(array_distinct(split(text, ' '))) * 1000 div " +
+          "size(split(text, ' '))"),
+        TextAnalysis.tokenCount(col("text")), TokenBudget)
+    }),
+
+    // Vocabulary-coverage audit: per-doc OOV rate under the top-k corpus
+    // vocabulary — k-bounded vocab broadcasts onto the token stream.
+    "vocab_oov_rate" -> ((s, dir) =>
+      Retrieval.oovRate(Tables.documents(s, dir), "doc_id", "text",
+        VocabK)),
+
+    // Content novelty of an incoming batch vs the prior corpus (src0 as
+    // the prior): per-doc share of never-seen word-3-gram hashes — the
+    // partial-overlap generalization of incremental exact dedup.
+    "novelty_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.noveltyProfile(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", NoveltyN)
+    }),
+
+    // Split-proportion audit over the leakage-free cluster split: per
+    // (lang, split) doc and token totals — the table that catches a
+    // skewed split before training does (cluster-hash splitting only
+    // approximates the 80/10/10 target; this is the check).
+    "split_proportions" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val labels = docs.select("doc_id")
+        .join(Dedup.connectedComponents(
+          Dedup.lshCandidatePairs(docs, "doc_id", "text"), "doc_a", "doc_b"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      Sampling.clusterSplit(labels, "doc_id", "cluster_id",
+        TrainPermille, ValPermille)
+        .join(docs.select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("_tok")),
+          Seq("doc_id"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("_tok").as("n_tokens"))
+    }),
+
+    // Declared-vs-detected language confusion matrix: the audit that
+    // catches mislabeled-language strata before per-language curation
+    // rules fire on them (the heuristic detector only claims en/und —
+    // the matrix quantifies exactly how far that claim disagrees with
+    // the declared labels). Corpus scans once; the matrix is
+    // ≤ langs × preds rows.
+    "lang_confusion" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.languageId(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .groupBy("lang", "predicted_lang")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // Per-source exact-duplication report: how much of each source is
+    // copies (of anything in the corpus, cross-source included) — the
+    // table that decides which ingest feed is worth its storage. A doc
+    // is a duplicate iff its text hash occurs elsewhere AND it is not
+    // the hash's first (min-id) occurrence.
+    "dedup_source_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val h = docs.select(col("doc_id"), col("source"),
+        md5(col("text")).as("text_hash"))
+      val firsts = h.groupBy("text_hash")
+        .agg(min("doc_id").as("_first_id"))
+      h.join(firsts, Seq("text_hash"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") =!= col("_first_id"), 1L).otherwise(0L))
+            .as("n_dup_docs"))
+        .withColumn("dup_permille", expr("n_dup_docs * 1000 div n_docs"))
+    }),
+
+    // Recall@k of the gated IVF operating point (16 cells, nprobe 3)
+    // against the brute-force ranking — the audit before trusting the
+    // index config at scale; zero-recall queries kept.
+    "ann_ivf_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfRecall(emb, emb.filter(col("vec_id") < 50),
+        IvfCentroids, IvfProbe, IvfK)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "select_token_budget" ->
+      s"""WITH sc AS (SELECT doc_id,
+         |    CAST(len(list_distinct(string_split(text, ' '))) * 1000
+         |      // len(string_split(text, ' ')) AS BIGINT) AS score,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, score, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM sc)
+         |SELECT doc_id, score, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= $TokenBudget""".stripMargin.replace("\n", " "),
+
+    "vocab_oov_rate" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |wf AS (SELECT term, count(*) AS c FROM tk GROUP BY term),
+         |v AS (SELECT term FROM wf ORDER BY c DESC, term LIMIT $VocabK),
+         |j AS (SELECT tk.doc_id,
+         |    CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM tk LEFT JOIN v ON tk.term = v.term)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(oov) AS BIGINT) AS n_oov,
+         |  CAST(sum(oov) * 1000 // count(*) AS BIGINT) AS oov_permille
+         |FROM j GROUP BY doc_id""".stripMargin.replace("\n", " "),
+
+    "novelty_score" ->
+      s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+         |  FROM documents),
+         |sh AS (SELECT doc_id, source,
+         |    concat_ws(' ', t[i], t[i+1], t[i+2]) AS sh
+         |  FROM toks, UNNEST(range(1, len(t)-1)) AS r(i)
+         |  WHERE len(t) >= $NoveltyN),
+         |shh AS (SELECT DISTINCT doc_id, source,
+         |    CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h
+         |  FROM sh),
+         |prior AS (SELECT DISTINCT h FROM shh WHERE source = 'src0'),
+         |inc AS (SELECT doc_id, h FROM shh WHERE source <> 'src0')
+         |SELECT i.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN p.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  CAST(sum(CASE WHEN p.h IS NULL THEN 1 ELSE 0 END) * 1000
+         |    // count(*) AS BIGINT) AS novelty_permille
+         |FROM inc i LEFT JOIN prior p ON i.h = p.h
+         |GROUP BY i.doc_id""".stripMargin.replace("\n", " "),
+
+    "lang_confusion" -> {
+      val stopList = TextAnalysis.StopWords.map(w => s"'$w'").mkString(", ")
+      s"""WITH f AS (SELECT doc_id, lang,
+         |    len(list_filter(string_split(text, ' '), x -> x IN ($stopList))) * 1000
+         |      // len(string_split(text, ' ')) AS spm
+         |  FROM documents)
+         |SELECT lang,
+         |  CASE WHEN spm >= 50 THEN 'en' ELSE 'und' END AS predicted_lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM f GROUP BY 1, 2""".stripMargin.replace("\n", " ")
+    },
+
+    "dedup_source_stats" ->
+      """WITH h AS (SELECT doc_id, source, md5(text) AS text_hash FROM documents),
+        |f AS (SELECT text_hash, min(doc_id) AS first_id FROM h GROUP BY text_hash),
+        |m AS (SELECT h.source,
+        |    CASE WHEN h.doc_id <> f.first_id THEN 1 ELSE 0 END AS is_dup
+        |  FROM h JOIN f ON h.text_hash = f.text_hash)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+        |  CAST(sum(is_dup) * 1000 // count(*) AS BIGINT) AS dup_permille
+        |FROM m GROUP BY source""".stripMargin.replace("\n", " "),
+
+    // the split_cluster_assign closure CTEs + lang/token rollup
+    "split_proportions" ->
+      s"""WITH RECURSIVE ${LlmQueries.lshCtes}, prs AS (${LlmQueries.lshPairSelect}),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+         |  UNION ALL SELECT doc_b, doc_a FROM prs),
+         |reach(v, r) AS (SELECT src, src FROM edges
+         |  UNION SELECT e.src, rc.r FROM edges e JOIN reach rc ON rc.v = e.dst),
+         |lab0 AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+         |lab AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN lab0 l ON d.doc_id = l.doc_id),
+         |b AS (SELECT doc_id,
+         |  CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |    % 1000 AS bucket FROM lab),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN bucket < $TrainPermille THEN 'train'
+         |       WHEN bucket < ${TrainPermille + ValPermille} THEN 'val'
+         |       ELSE 'test' END AS split FROM b)
+         |SELECT d.lang, sp.split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens
+         |FROM sp JOIN documents d ON sp.doc_id = d.doc_id
+         |GROUP BY d.lang, sp.split""".stripMargin.replace("\n", " "),
+
+    "ann_ivf_recall" -> {
+      val quant = Similarity.quantizeSqlDuck
+      def cos(dot: String, n1: String, n2: String) =
+        s"CAST($dot AS DOUBLE) / (sqrt(CAST($n1 AS DOUBLE)) * sqrt(CAST($n2 AS DOUBLE)))"
+      s"""WITH v AS (SELECT vec_id, $quant AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv, ${Similarity.dotQSqlDuck("qv", "qv")} AS nrm FROM v),
+         |fr AS (SELECT qid, cid FROM (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${cos(Similarity.dotQSqlDuck("q.qv", "c.qv"), "q.nrm", "c.nrm")} DESC,
+         |      c.vec_id) AS rank
+         |  FROM n q, n c WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id)
+         |  WHERE rank <= $IvfK),
+         |cents AS (SELECT vec_id AS cent_id, qv AS centv, nrm AS ncent FROM
+         |  (SELECT vec_id, qv, nrm FROM n
+         |   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $IvfCentroids)),
+         |ca AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM (
+         |  SELECT n.vec_id, n.qv, n.nrm, c.cent_id,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ${cos(Similarity.dotQSqlDuck("n.qv", "c.centv"), "n.nrm", "c.ncent")} DESC,
+         |      c.cent_id) AS crn
+         |  FROM n, cents c) WHERE crn = 1),
+         |qa AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM (
+         |  SELECT nq.vec_id, nq.qv, nq.nrm, c.cent_id,
+         |    row_number() OVER (PARTITION BY nq.vec_id ORDER BY
+         |      ${cos(Similarity.dotQSqlDuck("nq.qv", "c.centv"), "nq.nrm", "c.ncent")} DESC,
+         |      c.cent_id) AS crn
+         |  FROM (SELECT * FROM n WHERE vec_id < 50) nq, cents c) WHERE crn <= $IvfProbe),
+         |ir AS (SELECT qid, cid FROM (
+         |  SELECT qa.vec_id AS qid, ca.vec_id AS cid,
+         |    row_number() OVER (PARTITION BY qa.vec_id ORDER BY
+         |      ${cos(Similarity.dotQSqlDuck("qa.qv", "ca.qv"), "qa.nrm", "ca.nrm")} DESC,
+         |      ca.vec_id) AS rank
+         |  FROM qa JOIN ca ON qa.cell = ca.cell AND ca.vec_id <> qa.vec_id)
+         |  WHERE rank <= $IvfK),
+         |cm AS (SELECT fr.qid, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM fr JOIN ir ON fr.qid = ir.qid AND fr.cid = ir.cid
+         |  GROUP BY fr.qid)
+         |SELECT q.vec_id AS qid,
+         |  CAST(coalesce(cm.n_common, 0) AS BIGINT) AS n_common,
+         |  CAST(coalesce(cm.n_common, 0) * 1000 // $IvfK AS BIGINT) AS recall_permille
+         |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 50) q
+         |LEFT JOIN cm ON q.vec_id = cm.qid""".stripMargin.replace("\n", " ")
+    }
+  )
+}

@@ -213,6 +213,23 @@ object TpchQueries {
           count(lit(1)).as("n_orders"),
           expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("sum_price"))),
 
+    // Explicit GROUPING SETS (the rollup/cube generalization): the
+    // (flag, status) detail grid, per-flag subtotals, and the grand
+    // total in ONE pass — grouping_id() disambiguates NULL-as-subtotal
+    // from NULL-as-value. Same single-shuffle partial-agg shape as
+    // rollup; DuckDB's GROUPING() shares Spark's bit order (first
+    // grouping column = MSB).
+    "grouping_sets_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n_lines"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)")
+            .as("sum_price"))),
+
     // Exact percentiles (reference A7 latency histogram shape):
     // P50/P95/P99 of event value per type. Spark `percentile` and DuckDB
     // `quantile_cont` both do linear interpolation on the sorted set.
@@ -355,6 +372,15 @@ object TpchQueries {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin.replace("\n", " "),
+
+    "grouping_sets_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"""
+        .stripMargin.replace("\n", " "),
 
     "percentile_event_value" ->
       """SELECT event_type,
