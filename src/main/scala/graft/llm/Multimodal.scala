@@ -142,11 +142,16 @@ object Multimodal {
 
   /** Cross-document near-duplicate frame pairs with Hamming distance ≤
     * `maxHd` over the aHash codes, by pigeonhole chunk blocking (the
-    * [[Dedup.simhashPairs]] scale shape): split the 16-bit code into
-    * `maxHd+1` chunks — any pair within `maxHd` agrees on ≥1 chunk — so
-    * candidates come from an equi-join on (chunk_idx, chunk_val) and only
-    * candidates pay the exact `bit_count`. Never all-pairs; same-doc
-    * pairs (trivially similar strips) are excluded.
+    * [[Dedup.simhashPairs]] shape) run at the CODE level, not the frame
+    * level: the aHash space is bounded (2^16 values), so the distinct
+    * code table — and therefore all candidate generation — is
+    * corpus-size-INDEPENDENT. Blocking a corpus-scale frame table
+    * directly would funnel N frames through ≤ 2^⌈16/(maxHd+1)⌉ block
+    * keys (~128 for maxHd 2) and go quadratic in N; here the quadratic
+    * work is confined to the ≤ 65536-row code table, and frames re-enter
+    * only through two hash joins on the verified (code_a, code_b) pairs.
+    * Same-doc pairs (trivially similar strips) are excluded; each
+    * unordered frame pair is emitted exactly once (fkey order).
     */
   def phashNearDupPairs(codes: DataFrame, maxHd: Int): DataFrame = {
     require(maxHd >= 0, s"maxHd must be >= 0, got $maxHd")
@@ -157,19 +162,32 @@ object Multimodal {
       struct(lit(c).as("ci"),
         ((col("phash") / (1L << (c * bitsPer))).cast("long") % (1L << width)).as("cv"))
     }
-    val blocked = codes.select(col("fkey"), col("phash"),
-      explode(array(chunks: _*)).as("ch"))
-      .select(col("fkey"), col("phash"), col("ch.ci"), col("ch.cv"))
-    blocked.as("a")
-      .join(blocked.as("b"),
-        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
-          col("a.fkey") < col("b.fkey"))
-      .filter((col("a.fkey") / 64).cast("long") =!= (col("b.fkey") / 64).cast("long"))
-      .select(col("a.fkey").as("frame_a"), col("a.phash").as("pa"),
-        col("b.fkey").as("frame_b"), col("b.phash").as("pb"))
+    val codeVals = codes.select("phash").distinct()
+    val blocked = codeVals.select(col("phash"), explode(array(chunks: _*)).as("ch"))
+      .select(col("phash"), col("ch.ci"), col("ch.cv"))
+    // verified DISTINCT-code pairs, one order (pa < pb); bit_count is
+    // paid on the bounded code table's candidates only
+    val half = blocked.as("x")
+      .join(blocked.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.phash") < col("y.phash"))
+      .select(col("x.phash").as("pa"), col("y.phash").as("pb"))
       .distinct()
-      .withColumn("hd", bit_count(col("pa").bitwiseXOR(col("pb"))))
+      .withColumn("hd", bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int"))
       .filter(col("hd") <= maxHd)
+    // symmetrize + the equal-code pair so the frame joins below see every
+    // (code_a, code_b) direction; the three legs are disjoint by
+    // construction (pa<pb, pa>pb, pa=pb)
+    val codePairs = half
+      .unionByName(half.select(col("pb").as("pa"), col("pa").as("pb"), col("hd")))
+      .unionByName(codeVals.select(col("phash").as("pa"),
+        col("phash").as("pb"), lit(0).cast("int").as("hd")))
+    codes.select(col("fkey").as("frame_a"), col("phash").as("pa"))
+      .join(codePairs, Seq("pa"))
+      .join(codes.select(col("fkey").as("frame_b"), col("phash").as("pb")),
+        Seq("pb"))
+      .filter(col("frame_a") < col("frame_b") &&
+        (col("frame_a") / 64).cast("long") =!= (col("frame_b") / 64).cast("long"))
       .select("frame_a", "frame_b", "hd")
   }
 
@@ -181,9 +199,16 @@ object Multimodal {
     * discarding the near-copies). Singleton frames don't appear: at
     * 100 TB the interesting output is the dup groups, and the keep-set
     * is derivable by anti-join.
+    *
+    * Uses the star-contraction CC (same (vertex, min-id) contract as
+    * min-label): a Hamming-ball graph at these parameters is DENSE
+    * (~60 edges/frame at sf0.1) with near-complete giant components, so
+    * min-label's O(diameter) rounds each re-join the full edge set,
+    * while star rounds contract it geometrically and the bounded
+    * union-find finish absorbs the tail.
     */
   def frameDupClusters(codes: DataFrame, maxHd: Int): DataFrame =
-    graft.llm.Dedup.connectedComponents(
+    graft.llm.Dedup.connectedComponentsStars(
       phashNearDupPairs(codes, maxHd).select("frame_a", "frame_b"),
       "frame_a", "frame_b")
       .groupBy("cluster_id")
