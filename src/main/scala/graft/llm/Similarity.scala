@@ -175,20 +175,9 @@ object Similarity {
     * overlap join carries Q·k rows however big the corpus.
     */
   def matryoshkaRecall(corpus: DataFrame, queries: DataFrame, k: Int,
-      dim: Int): DataFrame = {
-    val full = bruteForceTopK(corpus, queries, k).select("qid", "cid")
-    val trunc = matryoshkaTopK(corpus, queries, k, dim)
-      .select(col("qid"), col("cid"))
-    val common = full.join(trunc, Seq("qid", "cid"), "left_semi")
-      .groupBy("qid").agg(count(lit(1)).as("n_common"))
-    // zero-recall queries must APPEAR in the audit (silently dropping
-    // them overstates the truncation's quality) — left join from the
-    // full query list
-    queries.select(col("vec_id").as("qid"))
-      .join(common, Seq("qid"), "left")
-      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
-      .withColumn("recall_permille", expr(s"n_common * 1000 div $k"))
-  }
+      dim: Int): DataFrame =
+    recallOverlap(bruteForceTopK(corpus, queries, k),
+      matryoshkaTopK(corpus, queries, k, dim), queries, k)
 
   /** Single-table LSH bucket join (oracle-checked shape): candidates =
     * same bucket, ranked by exact cosine within bucket. Pass
@@ -284,6 +273,46 @@ object Similarity {
       .select("qid", "cid", "cell", "rank", "cos_sim")
   }
 
+  /** Shared recall@k overlap: |reference ∩ approx| per query against
+    * the full query list (a query the index returns NOTHING for must
+    * appear with recall 0 — dropping it overstates the index). Both
+    * inputs are k-bounded per query, so the join carries Q·k rows
+    * however big the corpus.
+    */
+  private def recallOverlap(reference: DataFrame, approx: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    val common = reference.select("qid", "cid")
+      .join(approx.select("qid", "cid"), Seq("qid", "cid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_common"))
+    queries.select(col("vec_id").as("qid"))
+      .join(common, Seq("qid"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("recall_permille", expr(s"n_common * 1000 div $k"))
+  }
+
+  /** Exact integer-L2 brute-force top-k — the reference ranking for the
+    * L2-metric indexes (PQ/SQ8 approximate L2, so their recall must be
+    * judged against the exact L2 order, not the cosine one: the two
+    * orders differ whenever norms differ). Same broadcast-query scan
+    * shape as [[bruteForceTopK]]; `long_l2` is the fused codegen
+    * expression.
+    */
+  def bruteForceL2TopK(corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("qid"),
+      quantize(col("embedding")).as("qv"))
+    val c = Dedup.widen(corpus).select(col("vec_id").as("cid"),
+      quantize(col("embedding")).as("cv"))
+    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("cid"))
+    c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("dist", l2Q("qv", "cv"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "rank", "dist")
+  }
+
   /** Per-query recall@k of the IVF search against the brute-force
     * ranking — the audit a pipeline runs before trusting a
     * (numCentroids, nprobe) operating point at scale (FAISS publishes
@@ -293,17 +322,19 @@ object Similarity {
     * the index's quality).
     */
   def ivfRecall(corpus: DataFrame, queries: DataFrame,
-      numCentroids: Int, nprobe: Int, k: Int): DataFrame = {
-    val full = bruteForceTopK(corpus, queries, k).select("qid", "cid")
-    val approx = ivfTopK(corpus, queries, numCentroids, nprobe, k)
-      .select("qid", "cid")
-    val common = full.join(approx, Seq("qid", "cid"), "left_semi")
-      .groupBy("qid").agg(count(lit(1)).as("n_common"))
-    queries.select(col("vec_id").as("qid"))
-      .join(common, Seq("qid"), "left")
-      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
-      .withColumn("recall_permille", expr(s"n_common * 1000 div $k"))
-  }
+      numCentroids: Int, nprobe: Int, k: Int): DataFrame =
+    recallOverlap(bruteForceTopK(corpus, queries, k),
+      ivfTopK(corpus, queries, numCentroids, nprobe, k), queries, k)
+
+  /** Per-query recall@k of the PQ (asymmetric-distance) search against
+    * the EXACT-L2 brute-force ranking — the quantization-loss audit for
+    * the lossiest index tier. Judged in PQ's own metric (L2), so the
+    * number isolates code-approximation error from metric mismatch.
+    */
+  def pqRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8): DataFrame =
+    recallOverlap(bruteForceL2TopK(corpus, queries, k),
+      pqTopK(corpus, queries, k, m), queries, k)
 
   /** Lloyd refinement of the IVF codebook: `iters` rounds of
     * assign-to-nearest (broadcast centroids, exact integer cosine) +

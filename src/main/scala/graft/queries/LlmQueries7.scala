@@ -120,6 +120,14 @@ object LlmQueries7 {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfRecall(emb, emb.filter(col("vec_id") < 50),
         IvfCentroids, IvfProbe, IvfK)
+    }),
+
+    // Recall@k of the PQ tier vs the EXACT-L2 ranking (PQ's own metric)
+    // — the quantization-loss audit for the lossiest index; completes
+    // the per-tier audit family (matryoshka / IVF / PQ).
+    "ann_pq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqRecall(emb, emb.filter(col("vec_id") < 50), k = IvfK)
     })
   )
 
@@ -249,6 +257,55 @@ object LlmQueries7 {
          |      ca.vec_id) AS rank
          |  FROM qa JOIN ca ON qa.cell = ca.cell AND ca.vec_id <> qa.vec_id)
          |  WHERE rank <= $IvfK),
+         |cm AS (SELECT fr.qid, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM fr JOIN ir ON fr.qid = ir.qid AND fr.cid = ir.cid
+         |  GROUP BY fr.qid)
+         |SELECT q.vec_id AS qid,
+         |  CAST(coalesce(cm.n_common, 0) AS BIGINT) AS n_common,
+         |  CAST(coalesce(cm.n_common, 0) * 1000 // $IvfK AS BIGINT) AS recall_permille
+         |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 50) q
+         |LEFT JOIN cm ON q.vec_id = cm.qid""".stripMargin.replace("\n", " ")
+    },
+
+    // the ann_pq_topk CTEs + an exact-L2 reference leg + overlap
+    "ann_pq_recall" -> {
+      val m = 8
+      val w = Similarity.Dim / m
+      val quant = Similarity.quantizeSqlDuck
+      def slices(src: String, out: String) = (0 until m).map { i =>
+        s"SELECT vec_id, $i AS m, $src[${i * w + 1}:${(i + 1) * w}] AS $out FROM n"
+      }.mkString(" UNION ALL ")
+      s"""WITH v AS (SELECT vec_id, $quant AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv FROM v),
+         |fr AS (SELECT qid, cid FROM (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${Similarity.l2SqlDuck("q.qv", "c.qv")} ASC, c.vec_id) AS rank
+         |  FROM n q, n c WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id)
+         |  WHERE rank <= $IvfK),
+         |cents AS (SELECT vec_id, qv FROM n
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |cb AS (SELECT vec_id AS code, m, cv FROM (
+         |  ${(0 until m).map(i =>
+             s"SELECT vec_id, $i AS m, qv[${i * w + 1}:${(i + 1) * w}] AS cv FROM cents")
+             .mkString(" UNION ALL ")})),
+         |subs AS (${slices("qv", "sv")}),
+         |enc AS (SELECT vec_id, m, code FROM (
+         |  SELECT s.vec_id, s.m, cb.code, row_number() OVER (
+         |    PARTITION BY s.vec_id, s.m
+         |    ORDER BY ${Similarity.l2SqlDuck("s.sv", "cb.cv")} ASC, cb.code) AS rn
+         |  FROM subs s JOIN cb ON s.m = cb.m) WHERE rn = 1),
+         |qd AS (SELECT s.vec_id AS qid, cb.m, cb.code,
+         |    ${Similarity.l2SqlDuck("s.sv", "cb.cv")} AS d
+         |  FROM subs s JOIN cb ON s.m = cb.m WHERE s.vec_id < 50),
+         |approx AS (SELECT qd.qid, enc.vec_id AS cid,
+         |    CAST(sum(qd.d) AS BIGINT) AS approx_dist
+         |  FROM enc JOIN qd ON enc.m = qd.m AND enc.code = qd.code
+         |  WHERE enc.vec_id <> qd.qid GROUP BY 1, 2),
+         |ir AS (SELECT qid, cid FROM (
+         |  SELECT qid, cid, row_number() OVER (
+         |    PARTITION BY qid ORDER BY approx_dist ASC, cid) AS rank
+         |  FROM approx) WHERE rank <= $IvfK),
          |cm AS (SELECT fr.qid, CAST(count(*) AS BIGINT) AS n_common
          |  FROM fr JOIN ir ON fr.qid = ir.qid AND fr.cid = ir.cid
          |  GROUP BY fr.qid)

@@ -175,6 +175,17 @@ class CurationSelectSpec extends SparkSpecBase {
       (1L, 0L, 1L), (1L, 2L, 1L)))
   }
 
+  test("pqRecall: a corpus the codebook represents exactly has recall 1000") {
+    // 16 corpus vectors + 16 sampled centroids → every sub-vector IS a
+    // codeword, encoding is lossless, ADC distance == exact L2, so the
+    // PQ ranking must equal the exact-L2 reference on every query
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 16)
+    val recalls = Similarity.pqRecall(emb, emb.filter(col("vec_id") < 5),
+      k = 3).select("recall_permille").as[Long].collect()
+    assert(recalls.length === 5)
+    assert(recalls.forall(_ === 1000L), recalls.toSeq.toString)
+  }
+
   // ---- dedup_source_stats / grouping sets ----
 
   test("per-source dup stats: first occurrence is never charged, cross-source dups are") {
