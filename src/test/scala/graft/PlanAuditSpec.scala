@@ -492,4 +492,44 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "the pair search must key on the cell, not loop")
   }
+
+  test("novelty score: honest hash-keyed equi-join, no broadcast of the corpus-scale prior") {
+    val p = plan("novelty_score")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "postings join must be an equi-join")
+    assert(p.contains("partial_count"), "per-doc counts must combine map-side")
+  }
+
+  test("oov rate: vocab is TakeOrdered then broadcast; counts combine map-side") {
+    val p = plan("vocab_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k vocab must be a bounded TakeOrdered, not a global sort")
+    assert(p.contains("BroadcastHashJoin"), "vocab must broadcast")
+    assert(p.contains("partial_count"), "doc counts must combine map-side")
+  }
+
+  test("funnel: user-keyed equi-joins only; the 1-row count explode is the sole bounded loop") {
+    val p = plan("events_funnel")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_min"), "stage times must combine map-side")
+  }
+
+  test("retention: distinct + two user-keyed aggregates, no cartesian") {
+    val p = plan("events_retention_cohort")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_min"), "first-period must combine map-side")
+  }
+
+  test("pq recall: both rankings are WindowGroupLimit-pruned before the Q·k overlap") {
+    val p = plan("ann_pq_recall")
+    assert(p.contains("WindowGroupLimit"),
+      "per-query rank filters must pre-limit map-side")
+    // the candidate scans cross only against the BROADCAST query side
+    // (BroadcastNestedLoopJoin); a plain CartesianProduct would mean an
+    // unbounded side lost its broadcast
+    assert(!p.contains("CartesianProduct"))
+  }
 }
