@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{LongArrayDot, LongArrayL2}
-import graft.plans.RewriteHofDotProduct
+import graft.functions.{LongArrayDot, LongArrayL2, TokenCount}
+import graft.plans.{RewriteHofDotProduct, RewriteTokenCount}
 
 /** The engine's `SparkSessionExtensions` entry point — the no-code
   * deployment hook:
@@ -19,7 +19,11 @@ import graft.plans.RewriteHofDotProduct
   *    the similarity and PQ operators), and
   *  - [[RewriteHofDotProduct]], so the declarative
   *    `aggregate(zip_with(...))` dot-product idiom is rewritten to the
-  *    same fused loop automatically.
+  *    same fused loop automatically,
+  *  - `token_count(string) -> int` (the one-pass whitespace token
+  *    counter) and [[RewriteTokenCount]], so `size(split(s, ' '))` —
+  *    the token-count idiom all over text curation SQL — skips the
+  *    array materialization.
   *
   * `ArrayFns.register` remains the per-session programmatic equivalent
   * for hosts that cannot set the config.
@@ -49,6 +53,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"arguments, got ${exprs.length}")
         LongArrayL2(exprs(0), exprs(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("token_count"),
+      new ExpressionInfo(classOf[TokenCount].getName, "token_count"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"token_count(string) takes exactly 1 argument, got ${exprs.length}")
+        TokenCount(exprs.head)
+      }))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+    ext.injectOptimizerRule(_ => RewriteTokenCount)
   }
 }

@@ -15,7 +15,16 @@ object TextAnalysis {
 
   def tokens(textCol: Column): Column = split(textCol, " ")
 
-  def tokenCount(textCol: Column): Column = size(tokens(textCol))
+  /** Native one-pass token count ([[graft.functions.TokenCount]]) —
+    * bit-identical to `size(split(s, ' '))` on non-null input (and on
+    * NULL under the ANSI `size` contract this engine runs with), without
+    * materializing the token array. Call sites that also need the array
+    * keep using [[tokens]].
+    */
+  def tokenCount(textCol: Column): Column = {
+    graft.functions.TextFns.register(org.apache.spark.sql.SparkSession.active)
+    call_function("token_count", textCol)
+  }
 
   /** BPE-style pre-tokenization pattern (the GPT-2 family's split shape:
     * contraction suffixes, space-prefixed letter runs, digit runs,

@@ -130,4 +130,42 @@ class ExtensionsSpec extends SparkSpecBase {
       assert(df.head().getLong(0) == 0L)
     }
   }
+
+  test("token_count equals size(split(s, ' ')) on every edge shape, incl. multi-byte") {
+    withExtendedSession { s =>
+      // trailing/leading/double spaces, empty string, and multi-byte
+      // UTF-8 (no 0x20 inside a sequence) — parity with the split form
+      val df = s.sql(
+        """SELECT t, token_count(t) AS tc, size(split(t, ' ')) AS sz FROM VALUES
+          |  ('a b c'), ('a  b'), (' a'), ('a '), (''), (' '),
+          |  ('héllo wörld 縦書き'), ('縦 書 き') AS v(t)""".stripMargin)
+      df.collect().foreach { r =>
+        assert(r.getInt(1) === r.getInt(2), s"mismatch on '${r.getString(0)}'")
+      }
+      // NULL propagates (ANSI size contract)
+      val n = s.sql("SELECT token_count(CAST(NULL AS STRING))").head()
+      assert(n.isNullAt(0))
+    }
+  }
+
+  test("size(split(s, ' ')) is rewritten to token_count; other patterns are not") {
+    withExtendedSession { s =>
+      // non-foldable input so the expression survives constant folding
+      val hit = s.sql(
+        "SELECT size(split(concat('a b ', id), ' ')) AS n FROM range(1, 2)")
+      assert(hit.queryExecution.optimizedPlan.toString.contains("token_count"),
+        "the single-space idiom must fuse")
+      assert(hit.head().getInt(0) === 3)
+      // a regex pattern has different semantics — must NOT rewrite
+      val miss = s.sql(
+        "SELECT size(split(concat('a  b', id), '\\\\s+')) AS n FROM range(1, 2)")
+      assert(!miss.queryExecution.optimizedPlan.toString.contains("token_count"))
+      assert(miss.head().getInt(0) === 2)
+      // a non-default limit changes trailing-empty handling — must NOT rewrite
+      val lim = s.sql(
+        "SELECT size(split(concat('a b c', id), ' ', 2)) AS n FROM range(1, 2)")
+      assert(!lim.queryExecution.optimizedPlan.toString.contains("token_count"))
+      assert(lim.head().getInt(0) === 2)
+    }
+  }
 }
