@@ -777,17 +777,37 @@ object Dedup {
           .filter(col("df") > maxFpDocFreq).select("fp")
         fp0.join(hot, Seq("fp"), "left_anti")
       })
-    val cand = fp.as("a")
-      .join(fp.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
-    val exact = jaccardPairsFromPostings(
-      pos.select("doc_id", "h").distinct(), thresholdNum = 0, thresholdDen = 1)
+    val cand = graft.util.Materialize.stable(
+      fp.as("a")
+        .join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared))
+    // exact Jaccard CANDIDATE-BOUNDED, not corpus-wide: joining the full
+    // postings self-join and then filtering to candidates would compute
+    // intersections for every co-occurring pair in the corpus — the
+    // blocking stage exists precisely to avoid that. Instead each
+    // candidate pair pulls its two posting lists through equi-joins
+    // (doc_a replicates its postings once per candidate partner — degree
+    // is bounded by the hot-fingerprint cap above). A shared fingerprint
+    // IS a shared window hash, so every candidate pair has inter ≥ 1 and
+    // the inner joins lose nothing.
+    val post = graft.util.Materialize.stable(
+      pos.select("doc_id", "h").distinct())
+    val sizes = post.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = post.as("a")
+      .join(cand.select("doc_a", "doc_b"), col("a.doc_id") === col("doc_a"))
+      .join(post.as("b"),
+        col("a.h") === col("b.h") && col("b.doc_id") === col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    val jac = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        expr("inter * 1000 div uni").as("jac_permille"))
-    cand.join(exact, Seq("doc_a", "doc_b"))
+        expr("inter * 1000 div (n_a + n_b - inter)").as("jac_permille"))
+    cand.join(jac, Seq("doc_a", "doc_b"))
       .filter(col("jac_permille") >= minJacPermille)
       .select("doc_a", "doc_b", "n_shared", "jac_permille")
   }
