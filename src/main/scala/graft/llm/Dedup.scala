@@ -784,32 +784,46 @@ object Dedup {
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= minShared))
-    // exact Jaccard CANDIDATE-BOUNDED, not corpus-wide: joining the full
-    // postings self-join and then filtering to candidates would compute
-    // intersections for every co-occurring pair in the corpus — the
-    // blocking stage exists precisely to avoid that. Instead each
-    // candidate pair pulls its two posting lists through equi-joins
-    // (doc_a replicates its postings once per candidate partner — degree
-    // is bounded by the hot-fingerprint cap above). A shared fingerprint
-    // IS a shared window hash, so every candidate pair has inter ≥ 1 and
-    // the inner joins lose nothing.
+    // exact Jaccard CANDIDATE-BOUNDED via [[jaccardForPairs]] — a shared
+    // fingerprint IS a shared window hash, so every candidate pair has
+    // inter ≥ 1 and the inner join loses nothing
     val post = graft.util.Materialize.stable(
       pos.select("doc_id", "h").distinct())
+    cand.join(jaccardForPairs(post, cand.select("doc_a", "doc_b")),
+        Seq("doc_a", "doc_b"))
+      .filter(col("jac_permille") >= minJacPermille)
+      .select("doc_a", "doc_b", "n_shared", "jac_permille")
+  }
+
+  /** Exact integer Jaccard for a GIVEN pair set only — the verification
+    * leg of every blocking family (winnowing, MinHash calibration). The
+    * corpus-wide alternative — the full postings self-join filtered to
+    * the pairs afterwards — computes intersections for every
+    * co-occurring pair in the corpus, which is exactly the quadratic
+    * work the blocking stage exists to avoid. Here each candidate pair
+    * pulls its two posting lists through equi-joins (a doc's postings
+    * replicate once per candidate partner — degree is bounded by the
+    * caller's hot-key caps), so exact work is proportional to the
+    * candidate set at any corpus size.
+    *
+    * `post` is the distinct (doc_id, h) postings; `pairs` is
+    * (doc_a, doc_b). Output: (doc_a, doc_b, jac_permille), pairs with
+    * ZERO shared hashes omitted (no `inter` row — callers wanting them
+    * left-join and coalesce to 0).
+    */
+  private[graft] def jaccardForPairs(post: DataFrame,
+      pairs: DataFrame): DataFrame = {
     val sizes = post.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = post.as("a")
-      .join(cand.select("doc_a", "doc_b"), col("a.doc_id") === col("doc_a"))
+    post.as("a")
+      .join(pairs, col("a.doc_id") === col("doc_a"))
       .join(post.as("b"),
         col("a.h") === col("b.h") && col("b.doc_id") === col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
-    val jac = inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         expr("inter * 1000 div (n_a + n_b - inter)").as("jac_permille"))
-    cand.join(jac, Seq("doc_a", "doc_b"))
-      .filter(col("jac_permille") >= minJacPermille)
-      .select("doc_a", "doc_b", "n_shared", "jac_permille")
   }
 
   /** Incremental exact dedup — the batch form of the streaming novelty

@@ -106,16 +106,19 @@ object LlmQueries4 {
       val agree = (0 until Dedup.MinhashA.length)
         .map(i => when(col(s"sa.mh_$i") === col(s"sb.mh_$i"), 1L).otherwise(0L))
         .reduce(_ + _)
-      val est = Dedup.lshCandidatePairsFromSignatures(sig)
-        .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          (agree * lit(1000L / Dedup.MinhashA.length)).as("est_permille"))
-      val exact = Dedup.jaccardPairsFromPostings(postings,
-        thresholdNum = 0, thresholdDen = 1)
-        .select(col("doc_a"), col("doc_b"),
-          expr("inter * 1000 div uni").as("jac_permille"))
-      est.join(exact, Seq("doc_a", "doc_b"))
+      val est = graft.util.Materialize.stable(
+        Dedup.lshCandidatePairsFromSignatures(sig)
+          .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            (agree * lit(1000L / Dedup.MinhashA.length)).as("est_permille")))
+      // exact leg CANDIDATE-BOUNDED (Dedup.jaccardForPairs): intersections
+      // only for the LSH candidate pairs, never the corpus-wide postings
+      // self-join; zero-overlap band collisions drop out of the inner
+      // join exactly as before (jaccardForPairs omits inter-0 pairs)
+      est.join(
+        Dedup.jaccardForPairs(postings, est.select("doc_a", "doc_b")),
+        Seq("doc_a", "doc_b"))
     }),
 
     // tumbling-window event rates via Spark's native window() — the
