@@ -93,6 +93,47 @@ object Curation {
         col("n_kept"), md5(col("text_kept")).as("text_hash"))
   }
 
+  /** Third-generation composed pipeline — the round-9 selection stages
+    * chained end to end: domain reputation gate
+    * ([[Sampling.sourceReputationFilter]]: a doc dies with its source's
+    * mean) → Gopher quality rules → exact dedup (first occurrence by id)
+    * → greedy token-budget selection
+    * ([[Sampling.tokenBudgetSelect]]: best lexical-diversity docs first
+    * until the budget is spent). Demonstrates the tranche COMPOSES: the
+    * budget selection's cumulative order is computed over exactly the
+    * survivors of the three filters.
+    *
+    * Scale shape = the sum of its stages' audited shapes: broadcast
+    * per-source table, codegen'd rules, one md5-keyed exchange for the
+    * dedup, and the decomposed (never global-sort) cumulative sum.
+    * Output: (doc_id, source, score, n_tokens, cum_tokens, text_hash).
+    */
+  def curateV3(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, minSrcPermille: Long, tokenBudget: Long,
+      stopWords: Seq[String] = QualityRules.GopherStopWords): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val reput = Sampling.sourceReputationFilter(docs, idCol, textCol,
+      srcCol, minSrcPermille).select(col(idCol))
+    val qualified = docs.join(reput, Seq(idCol))
+    val ok = QualityRules.gopherQuality(qualified, idCol, textCol, stopWords)
+      .filter(col("passes_gopher")).select("doc_id")
+    val kept = qualified
+      .select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        col(textCol).as("_txt"))
+      .join(ok, Seq("doc_id"))
+    val w = Window.partitionBy(md5(col("_txt"))).orderBy("doc_id")
+    val uniq = kept.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+    val sel = Sampling.tokenBudgetSelect(uniq, "doc_id",
+      expr("size(array_distinct(split(_txt, ' '))) * 1000 div " +
+        "size(split(_txt, ' '))"),
+      TextAnalysis.tokenCount(col("_txt")), tokenBudget)
+    sel.join(uniq.select(col("doc_id"), col("source"),
+        md5(col("_txt")).as("text_hash")), Seq("doc_id"))
+      .select("doc_id", "source", "score", "n_tokens", "cum_tokens",
+        "text_hash")
+  }
+
   /** Per-source corpus health: doc/token totals, docs passing the
     * quality filter, and exact-duplicate (non-canonical) copies.
     * Output: (source, n_docs, n_tokens, n_kept, n_dup).

@@ -29,6 +29,12 @@ object LlmQueries7 {
   private val IvfProbe = 3      // the recall audit grades exactly the
   private val IvfK = 5          // gated index configuration
 
+  private val V3MinSrc = 500L  // curateV3: reputation floor (splits the
+  private val V3Budget = 3000L // fixture sources) and a budget that
+  // binds at both gate scales (survivors carry 8.4k / 107k tokens)
+  private val V3Stops = Seq("the", "a") // fixture-tuned Gopher stoplist
+  // (the corpus_curated_v2 constant)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Greedy quality-ordered selection under a token budget: best docs
     // first (integer lexical-diversity score) until the budget is spent.
@@ -128,7 +134,14 @@ object LlmQueries7 {
     "ann_pq_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.pqRecall(emb, emb.filter(col("vec_id") < 50), k = IvfK)
-    })
+    }),
+
+    // Third composed pipeline: reputation gate → Gopher rules → exact
+    // dedup → token-budget selection — the round-9 selection stages
+    // proven to COMPOSE against one assembled oracle.
+    "corpus_curated_v3" -> ((s, dir) =>
+      graft.llm.Curation.curateV3(Tables.documents(s, dir), "doc_id",
+        "text", "source", V3MinSrc, V3Budget, V3Stops))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -314,6 +327,33 @@ object LlmQueries7 {
          |  CAST(coalesce(cm.n_common, 0) * 1000 // $IvfK AS BIGINT) AS recall_permille
          |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 50) q
          |LEFT JOIN cm ON q.vec_id = cm.qid""".stripMargin.replace("\n", " ")
+    },
+
+    // reputation CTE + gopher pass + exact-dup rn + the budget cumsum
+    "corpus_curated_v3" -> {
+      val gopherPass = graft.llm.QualityRules.gopherPassSqlDuck("qual", V3Stops)
+      s"""WITH sc AS (SELECT doc_id, source,
+         |    CAST(len(list_distinct(string_split(text, ' '))) * 1000
+         |      // len(string_split(text, ' ')) AS BIGINT) AS doc_score
+         |  FROM documents),
+         |bsrc AS (SELECT source FROM sc GROUP BY source
+         |  HAVING sum(doc_score) // count(*) >= $V3MinSrc),
+         |qual AS (SELECT d.doc_id, d.source, d.text FROM documents d
+         |  JOIN bsrc USING (source)),
+         |gp AS ($gopherPass),
+         |keep AS (SELECT q.* FROM qual q JOIN gp USING (doc_id)),
+         |uq AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+         |    ORDER BY doc_id) AS rn FROM keep),
+         |u AS (SELECT doc_id, source, text FROM uq WHERE rn = 1),
+         |s2 AS (SELECT doc_id, source, md5(text) AS text_hash,
+         |    CAST(len(list_distinct(string_split(text, ' '))) * 1000
+         |      // len(string_split(text, ' ')) AS BIGINT) AS score,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM u),
+         |c AS (SELECT *, CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM s2)
+         |SELECT doc_id, source, score, n_tokens, cum_tokens, text_hash
+         |FROM c WHERE cum_tokens <= $V3Budget""".stripMargin.replace("\n", " ")
     }
   )
 }

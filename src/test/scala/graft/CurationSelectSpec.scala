@@ -186,6 +186,25 @@ class CurationSelectSpec extends SparkSpecBase {
     assert(recalls.forall(_ === 1000L), recalls.toSeq.toString)
   }
 
+  test("curateV3: every stage bites and the invariants hold end to end") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = graft.llm.Curation.curateV3(docs, "doc_id", "text", "source",
+      minSrcPermille = 500L, tokenBudget = 3000L, stopWords = Seq("the", "a"))
+      .collect()
+    assert(out.nonEmpty, "pipeline must select something at sf0.001")
+    assert(out.length < docs.count(), "the filters must remove something")
+    // budget respected (inclusive cumulative)
+    assert(out.map(_.getAs[Long]("cum_tokens")).max <= 3000L)
+    // exact dedup held: one row per text hash
+    val hashes = out.map(_.getAs[String]("text_hash"))
+    assert(hashes.distinct.length === hashes.length)
+    // reputation gate held: no surviving doc from a below-floor source
+    val okSrc = graft.llm.Sampling.sourceReputationFilter(docs, "doc_id",
+      "text", "source", 500L).select("source").distinct()
+      .as[String].collect().toSet
+    assert(out.map(_.getAs[String]("source")).forall(okSrc))
+  }
+
   // ---- dedup_source_stats / grouping sets ----
 
   test("per-source dup stats: first occurrence is never charged, cross-source dups are") {
