@@ -116,4 +116,43 @@ class SkewAuditSpec extends SparkSpecBase {
       10000000L).count()
     assert(pairs === 491L, s"expected 1 + 49*10 window-bounded pairs, got $pairs")
   }
+
+  test("token budget select, 90%-hot score stratum: selection stays exact") {
+    import spark.implicits._
+    // 90% of docs share one score — the documented worst case (one
+    // stratum = one window partition). The decomposed cumsum must still
+    // produce the exact greedy selection, bit-for-bit.
+    val rows = (1L to 500L).map { i =>
+      val score = if (i % 10 == 0) 900L else 100L + (i % 7) // 90% at 100+k
+      (i, score, 5L + i % 4)
+    }
+    val hot = rows.map { case (i, s, t) => (i, if (s < 900) 100L else 900L, t) }
+    val df = hot.toDF("doc_id", "s", "t").repartition(7)
+    val got = graft.llm.Sampling
+      .tokenBudgetSelect(df, "doc_id", col("s"), col("t"), 600L)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    var cum = 0L
+    val want = hot.sortBy(r => (-r._2, r._1)).flatMap { case (id, _, t) =>
+      cum += t; if (cum <= 600L) Some(id -> cum) else None
+    }.toMap
+    assert(got === want)
+  }
+
+  test("source reputation filter, one source holding 90% of docs: exact and map-side combined") {
+    import spark.implicits._
+    val docs = (1L to 400L).map { i =>
+      val src = if (i <= 360) "mega" else s"s${i % 4}"
+      // mega's mean diversity is LOW (repeated token), others high
+      val txt = if (src == "mega") "x x x x y" else "p q r s t"
+      (i, txt, src)
+    }.toDF("doc_id", "text", "source").repartition(8)
+    val kept = graft.llm.Sampling.sourceReputationFilter(
+      docs, "doc_id", "text", "source", minSrcPermille = 600L)
+    // the hot source dies as a unit; the 40 long-tail docs all survive
+    assert(kept.count() === 40L)
+    assert(!kept.select("source").as[String].collect().contains("mega"))
+    val p = kept.queryExecution.executedPlan.toString
+    assert(p.contains("partial_"), "per-source mean must combine map-side " +
+      "(the hot source reduces inside each task, never in one reducer row)")
+  }
 }
