@@ -68,6 +68,36 @@ object EventAnalytics {
       .select(col("s.stage_no"), col("s.stage"), col("s.n_users"))
   }
 
+  /** Per-stage conversion latency: for every stage k ≥ 2, how many users
+    * converted and the EXACT lower-median time from stage k−1 — the
+    * funnel's "where do users stall" panel. The median is the
+    * ⌈n/2⌉-th smallest duration (integer-exact, engine-portable; no
+    * interpolated float percentile), computed with a per-stage window
+    * over the converting users — each partition is one stage's
+    * durations, bounded by that stage's population.
+    * Output: (stage_no, stage, n_users, median_gap_us).
+    */
+  def funnelLatency(events: DataFrame, userCol: String, typeCol: String,
+      tsUsCol: String, stages: Seq[String], windowUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(stages.size >= 2, "need at least two stages for latencies")
+    val times = stageTimes(events, userCol, typeCol, tsUsCol, stages, windowUs)
+    val gaps = stages.indices.drop(1).map { i =>
+      val k = i + 1
+      times.filter(col(s"t$k").isNotNull)
+        .select(lit(k).as("stage_no"), lit(stages(i)).as("stage"),
+          (col(s"t$k") - col(s"t$i")).as("gap_us"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy("stage_no").orderBy("gap_us")
+    val cw = Window.partitionBy("stage_no")
+    gaps
+      .withColumn("_rk", row_number().over(w).cast("long"))
+      .withColumn("n_users", count(lit(1)).over(cw))
+      .filter(col("_rk") === expr("(n_users + 1) div 2"))
+      .select(col("stage_no"), col("stage"), col("n_users"),
+        col("gap_us").as("median_gap_us"))
+  }
+
   /** Cohort retention triangle: cohort = the user's FIRST active period
     * (`ts div periodUs`, exact integer arithmetic in both engines), and
     * a user is retained at offset `w` iff they have any event in cohort

@@ -36,7 +36,13 @@ object EventQueries {
       EventAnalytics.retentionCohorts(Tables.events(s, dir), "user_id",
         "ts_us", RetentionPeriodUs)
         .withColumnRenamed("cohort_period", "cohort_day")
-        .withColumnRenamed("period_offset", "day_offset"))
+        .withColumnRenamed("period_offset", "day_offset")),
+
+    // Where users stall: exact lower-median conversion latency per
+    // funnel stage (integer rank median, no float percentile).
+    "events_funnel_latency" -> ((s, dir) =>
+      EventAnalytics.funnelLatency(Tables.events(s, dir), "user_id",
+        "event_type", "ts_us", FunnelStages, ConversionWindowUs))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -52,6 +58,33 @@ object EventQueries {
       val unions = FunnelStages.zipWithIndex.map { case (st, i) =>
         s"SELECT ${i + 1} AS stage_no, '$st' AS stage, " +
           s"CAST(count(*) AS BIGINT) AS n_users FROM s${i + 1}"
+      }.mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+         |    FROM events),
+         |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+         |  WHERE event_type = '${FunnelStages.head}' GROUP BY user_id),
+         |$stageCtes
+         |$unions""".stripMargin.replace("\n", " ")
+    },
+
+    "events_funnel_latency" -> {
+      val w = ConversionWindowUs
+      val stageCtes = FunnelStages.zipWithIndex.drop(1).map { case (st, i) =>
+        val k = i + 1
+        s"""s$k AS (SELECT e.user_id, min(e.ts_us) AS t$k
+           |  FROM e JOIN s$i ON e.user_id = s$i.user_id
+           |    AND e.ts_us > s$i.t$i AND e.ts_us <= s$i.t$i + $w
+           |  WHERE e.event_type = '$st' GROUP BY e.user_id)""".stripMargin
+      }.mkString(", ")
+      val unions = FunnelStages.zipWithIndex.drop(1).map { case (st, i) =>
+        val k = i + 1
+        s"""SELECT $k AS stage_no, '$st' AS stage,
+           |  CAST(n AS BIGINT) AS n_users, CAST(gap AS BIGINT) AS median_gap_us
+           |FROM (SELECT s$k.t$k - s$i.t$i AS gap,
+           |    row_number() OVER (ORDER BY s$k.t$k - s$i.t$i) AS rk,
+           |    count(*) OVER () AS n
+           |  FROM s$k JOIN s$i ON s$k.user_id = s$i.user_id)
+           |WHERE rk = (n + 1) // 2""".stripMargin
       }.mkString(" UNION ALL ")
       s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
          |    FROM events),

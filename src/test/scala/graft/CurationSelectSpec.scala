@@ -158,6 +158,24 @@ class CurationSelectSpec extends SparkSpecBase {
     assert(t(1L).isEmpty && t(2L) === Some(11L))
   }
 
+  test("funnelLatency: exact lower median per stage, odd and even counts") {
+    val ev = Seq(
+      // three converters with gaps 10, 30, 20 → lower median 20
+      (1L, "s1", 0L), (1L, "s2", 10L),
+      (2L, "s1", 0L), (2L, "s2", 30L),
+      (3L, "s1", 0L), (3L, "s2", 20L),
+      // stage 3: two converters, gaps 5 and 9 → lower median 5
+      (1L, "s3", 15L), (2L, "s3", 39L),
+      // a non-converter at stage 1 only
+      (4L, "s1", 0L))
+      .toDF("user_id", "event_type", "ts_us")
+    val got = EventAnalytics.funnelLatency(ev, "user_id", "event_type",
+      "ts_us", Seq("s1", "s2", "s3"), windowUs = 100L)
+      .select("stage_no", "n_users", "median_gap_us")
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === Map(2 -> ((3L, 20L)), 3 -> ((2L, 5L))))
+  }
+
   // ---- retention ----
 
   test("retentionCohorts: first-period cohort, distinct offsets, exact counts") {
