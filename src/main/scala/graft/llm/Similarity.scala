@@ -336,6 +336,24 @@ object Similarity {
     recallOverlap(bruteForceL2TopK(corpus, queries, k),
       pqTopK(corpus, queries, k, m), queries, k)
 
+  /** IVF cell-balance audit: per-cell population plus its per-mille
+    * share — the load-balance check run alongside [[ivfRecall]] before
+    * trusting an IVF layout (a cell holding half the corpus makes nprobe
+    * meaningless: every probe of it scans N/2). One broadcast-assign
+    * scan and a ≤ numCentroids-row aggregate.
+    */
+  def ivfCellBalance(corpus: DataFrame, numCentroids: Int): DataFrame = {
+    val cells = assignCells(corpus,
+      graft.util.Materialize.stable(sampledCentroids(corpus, numCentroids)),
+      "cid", "cv", "nc", keep = 1)
+    val counts = cells.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    // 1-row broadcast total (the Q11 idiom) — no driver-side count action
+    val total = counts.agg(sum("n_vecs").as("_total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share_permille", expr("n_vecs * 1000 div _total"))
+      .drop("_total")
+  }
+
   /** Lloyd refinement of the IVF codebook: `iters` rounds of
     * assign-to-nearest (broadcast centroids, exact integer cosine) +
     * per-cell elementwise mean. The production step the fixed-sample

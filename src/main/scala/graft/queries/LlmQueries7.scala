@@ -136,6 +136,12 @@ object LlmQueries7 {
       Similarity.pqRecall(emb, emb.filter(col("vec_id") < 50), k = IvfK)
     }),
 
+    // IVF cell-balance audit: per-cell population share — a cell holding
+    // half the corpus makes nprobe meaningless; run alongside the recall
+    // audit before trusting the layout.
+    "ann_cell_balance" -> ((s, dir) =>
+      Similarity.ivfCellBalance(Tables.embeddings(s, dir), IvfCentroids)),
+
     // Third composed pipeline: reputation gate → Gopher rules → exact
     // dedup → token-budget selection — the round-9 selection stages
     // proven to COMPOSE against one assembled oracle.
@@ -327,6 +333,28 @@ object LlmQueries7 {
          |  CAST(coalesce(cm.n_common, 0) * 1000 // $IvfK AS BIGINT) AS recall_permille
          |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 50) q
          |LEFT JOIN cm ON q.vec_id = cm.qid""".stripMargin.replace("\n", " ")
+    },
+
+    // the ann_ivf_topk assignment CTEs + a per-cell rollup
+    "ann_cell_balance" -> {
+      val quant = Similarity.quantizeSqlDuck
+      def cos(dot: String, n1: String, n2: String) =
+        s"CAST($dot AS DOUBLE) / (sqrt(CAST($n1 AS DOUBLE)) * sqrt(CAST($n2 AS DOUBLE)))"
+      s"""WITH v AS (SELECT vec_id, $quant AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv, ${Similarity.dotQSqlDuck("qv", "qv")} AS nrm FROM v),
+         |cents AS (SELECT vec_id AS cent_id, qv AS centv, nrm AS ncent FROM
+         |  (SELECT vec_id, qv, nrm FROM n
+         |   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $IvfCentroids)),
+         |ca AS (SELECT vec_id, cent_id AS cell FROM (
+         |  SELECT n.vec_id, c.cent_id,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ${cos(Similarity.dotQSqlDuck("n.qv", "c.centv"), "n.nrm", "c.ncent")} DESC,
+         |      c.cent_id) AS crn
+         |  FROM n, cents c) WHERE crn = 1)
+         |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(count(*) * 1000 // (SELECT count(*) FROM ca) AS BIGINT)
+         |    AS share_permille
+         |FROM ca GROUP BY cell""".stripMargin.replace("\n", " ")
     },
 
     // reputation CTE + gopher pass + exact-dup rn + the budget cumsum
