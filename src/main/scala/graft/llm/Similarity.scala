@@ -336,6 +336,23 @@ object Similarity {
     recallOverlap(bruteForceL2TopK(corpus, queries, k),
       pqTopK(corpus, queries, k, m), queries, k)
 
+  /** Recall@k of the Hamming-code two-stage search against the
+    * brute-force COSINE ranking (the metric its sign codes approximate
+    * and its rerank stage scores in). With this, every approximate tier
+    * ships its recall audit: matryoshka, IVF, PQ, SQ8, Hamming.
+    */
+  def hammingRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+      nBits: Int = 32, candMult: Int = 4): DataFrame =
+    recallOverlap(bruteForceTopK(corpus, queries, k),
+      hammingTopK(corpus, queries, k, nBits, candMult), queries, k)
+
+  /** Recall@k of the SQ8 scalar-quantized search against the EXACT-L2
+    * ranking (its own metric — the [[pqRecall]] rationale).
+    */
+  def sq8Recall(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    recallOverlap(bruteForceL2TopK(corpus, queries, k),
+      sq8TopK(corpus, queries, k), queries, k)
+
   /** IVF cell-balance audit: per-cell population plus its per-mille
     * share — the load-balance check run alongside [[ivfRecall]] before
     * trusting an IVF layout (a cell holding half the corpus makes nprobe

@@ -136,6 +136,19 @@ object LlmQueries7 {
       Similarity.pqRecall(emb, emb.filter(col("vec_id") < 50), k = IvfK)
     }),
 
+    // Recall audits for the remaining approximate tiers — with these,
+    // every tier (matryoshka/IVF/PQ/SQ8/Hamming) ships its audit.
+    "ann_hamming_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hammingRecall(emb, emb.filter(col("vec_id") < 50),
+        k = IvfK, nBits = 32, candMult = 4)
+    }),
+
+    "ann_sq8_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.sq8Recall(emb, emb.filter(col("vec_id") < 50), k = IvfK)
+    }),
+
     // IVF cell-balance audit: per-cell population share — a cell holding
     // half the corpus makes nprobe meaningless; run alongside the recall
     // audit before trusting the layout.
@@ -333,6 +346,79 @@ object LlmQueries7 {
          |  CAST(coalesce(cm.n_common, 0) * 1000 // $IvfK AS BIGINT) AS recall_permille
          |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 50) q
          |LEFT JOIN cm ON q.vec_id = cm.qid""".stripMargin.replace("\n", " ")
+    },
+
+    // the ann_hamming_topk CTEs as the approx leg + a cosine reference
+    "ann_hamming_recall" -> {
+      val quant = Similarity.quantizeSqlDuck
+      val code = Similarity.bucketSql("qv", spark = false, nPlanes = 32)
+      def cos(dot: String, n1: String, n2: String) =
+        s"CAST($dot AS DOUBLE) / (sqrt(CAST($n1 AS DOUBLE)) * sqrt(CAST($n2 AS DOUBLE)))"
+      s"""WITH v AS (SELECT vec_id, $quant AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv, ${Similarity.dotQSqlDuck("qv", "qv")} AS nrm,
+         |    $code AS code FROM v),
+         |fr AS (SELECT qid, cid FROM (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${cos(Similarity.dotQSqlDuck("q.qv", "c.qv"), "q.nrm", "c.nrm")} DESC,
+         |      c.vec_id) AS rank
+         |  FROM n q, n c WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id)
+         |  WHERE rank <= $IvfK),
+         |q AS (SELECT * FROM n WHERE vec_id < 50),
+         |cand AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY bit_count(xor(q.code, c.code)), c.vec_id) AS hrank
+         |  FROM q, n c WHERE c.vec_id <> q.vec_id),
+         |cl AS (SELECT qid, cid FROM cand WHERE hrank <= ${4 * IvfK}),
+         |ir AS (SELECT qid, cid FROM (
+         |  SELECT cl.qid, cl.cid, row_number() OVER (PARTITION BY cl.qid
+         |      ORDER BY ${cos(Similarity.dotQSqlDuck("qn.qv", "cn.qv"), "qn.nrm", "cn.nrm")} DESC,
+         |      cl.cid) AS rank
+         |  FROM cl JOIN n cn ON cl.cid = cn.vec_id JOIN n qn ON cl.qid = qn.vec_id)
+         |  WHERE rank <= $IvfK),
+         |cm AS (SELECT fr.qid, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM fr JOIN ir ON fr.qid = ir.qid AND fr.cid = ir.cid
+         |  GROUP BY fr.qid)
+         |SELECT qv.vec_id AS qid,
+         |  CAST(coalesce(cm.n_common, 0) AS BIGINT) AS n_common,
+         |  CAST(coalesce(cm.n_common, 0) * 1000 // $IvfK AS BIGINT) AS recall_permille
+         |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 50) qv
+         |LEFT JOIN cm ON qv.vec_id = cm.qid""".stripMargin.replace("\n", " ")
+    },
+
+    // the ann_sq8_topk CTEs as the approx leg + an exact-L2 reference
+    "ann_sq8_recall" -> {
+      val quant = Similarity.quantizeSqlDuck
+      s"""WITH v AS (SELECT vec_id, $quant AS qv FROM embeddings),
+         |fr AS (SELECT qid, cid FROM (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${Similarity.l2SqlDuck("q.qv", "c.qv")} ASC, c.vec_id) AS rank
+         |  FROM v q, v c WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id)
+         |  WHERE rank <= $IvfK),
+         |d AS (SELECT i, min(qv[i]) AS mn, max(qv[i]) AS mx
+         |  FROM v, UNNEST(range(1, ${Similarity.Dim + 1})) AS r(i) GROUP BY i),
+         |st AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx FROM d),
+         |enc AS (SELECT vec_id, list_transform(list_zip(qv, mn, mx), s ->
+         |    greatest(0, least(255, CASE WHEN s[3] = s[2] THEN 0
+         |      ELSE ((s[1] - s[2]) * 255) // (s[3] - s[2]) END))) AS codes
+         |  FROM v, st),
+         |dec AS (SELECT vec_id AS cid, list_transform(list_zip(codes, mn, mx), s ->
+         |    s[2] + (s[1] * (s[3] - s[2])) // 255) AS vhat
+         |  FROM enc, st),
+         |q AS (SELECT vec_id AS qid, qv FROM v WHERE vec_id < 50),
+         |ir AS (SELECT qid, cid FROM (
+         |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY
+         |      ${Similarity.l2SqlDuck("qv", "vhat")} ASC, cid) AS rank
+         |  FROM dec, q WHERE cid <> qid) WHERE rank <= $IvfK),
+         |cm AS (SELECT fr.qid, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM fr JOIN ir ON fr.qid = ir.qid AND fr.cid = ir.cid
+         |  GROUP BY fr.qid)
+         |SELECT qv2.vec_id AS qid,
+         |  CAST(coalesce(cm.n_common, 0) AS BIGINT) AS n_common,
+         |  CAST(coalesce(cm.n_common, 0) * 1000 // $IvfK AS BIGINT) AS recall_permille
+         |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 50) qv2
+         |LEFT JOIN cm ON qv2.vec_id = cm.qid""".stripMargin.replace("\n", " ")
     },
 
     // the ann_ivf_topk assignment CTEs + a per-cell rollup
