@@ -42,7 +42,18 @@ object EventQueries {
     // funnel stage (integer rank median, no float percentile).
     "events_funnel_latency" -> ((s, dir) =>
       EventAnalytics.funnelLatency(Tables.events(s, dir), "user_id",
-        "event_type", "ts_us", FunnelStages, ConversionWindowUs))
+        "event_type", "ts_us", FunnelStages, ConversionWindowUs)),
+
+    // Z-order layout key: the Morton interleave of (user, hour) — the
+    // 2-D data-skipping sort key; exact magic-bit arithmetic shared with
+    // the oracle. The write-side layout (range partition + sort on this
+    // value) is asserted in CurationSelectSpec.
+    "events_zorder_key" -> ((s, dir) =>
+      Tables.events(s, dir).select(col("event_id"),
+        pmod(col("user_id"), lit(65536L)).as("zx"),
+        pmod(expr("ts_us div 3600000000"), lit(65536L)).as("zy"))
+        .withColumn("zvalue",
+          graft.warehouse.ZOrder.zValue(col("zx"), col("zy"))))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -92,6 +103,16 @@ object EventQueries {
          |  WHERE event_type = '${FunnelStages.head}' GROUP BY user_id),
          |$stageCtes
          |$unions""".stripMargin.replace("\n", " ")
+    },
+
+    "events_zorder_key" -> {
+      val z = graft.warehouse.ZOrder.zValueSqlDuck("zx", "zy")
+      s"""WITH b AS (SELECT event_id,
+         |    user_id % 65536 AS zx,
+         |    (epoch_us(ts) // 3600000000) % 65536 AS zy
+         |  FROM events)
+         |SELECT event_id, CAST(zx AS BIGINT) AS zx, CAST(zy AS BIGINT) AS zy,
+         |  CAST($z AS BIGINT) AS zvalue FROM b""".stripMargin.replace("\n", " ")
     },
 
     "events_retention_cohort" ->

@@ -193,6 +193,42 @@ class CurationSelectSpec extends SparkSpecBase {
       (1L, 0L, 1L), (1L, 2L, 1L)))
   }
 
+  // ---- z-order layout ----
+
+  test("zValue: exact Morton interleave, monotone per dimension, bijective on 16 bits") {
+    import graft.warehouse.ZOrder
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (0xAAAAL, 0x5555L), (12345L, 54321L))
+    val got = pts.toDF("x", "y")
+      .withColumn("z", ZOrder.zValue(col("x"), col("y")))
+      .select("x", "y", "z").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    def ref(x: Long, y: Long): Long = {
+      var z = 0L
+      for (b <- 0 until 16) {
+        z |= ((x >> b) & 1L) << (2 * b)
+        z |= ((y >> b) & 1L) << (2 * b + 1)
+      }
+      z
+    }
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) === ref(x, y), s"($x, $y)")
+    }
+    // interleave is a bijection: distinct inputs → distinct z
+    assert(got.values.toSeq.distinct.size === pts.size)
+  }
+
+  test("zorder layout plan: one range exchange on the curve value, sorted within") {
+    val ev = Tables.events(spark, sfDir)
+    val p = graft.warehouse.ZOrder.layout(ev,
+      pmod(col("user_id"), lit(65536L)),
+      pmod(expr("ts_us div 3600000000"), lit(65536L)), numFiles = 4)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning(_z"),
+      s"layout must range-partition on the z value:\n${p.take(1500)}")
+    assert(p.contains("Sort [_z"), "files must be sorted by the z value")
+  }
+
   test("pqRecall: a corpus the codebook represents exactly has recall 1000") {
     // 16 corpus vectors + 16 sampled centroids → every sub-vector IS a
     // codeword, encoding is lossless, ADC distance == exact L2, so the
