@@ -122,8 +122,12 @@ object Curation {
         col(textCol).as("_txt"))
       .join(ok, Seq("doc_id"))
     val w = Window.partitionBy(md5(col("_txt"))).orderBy("doc_id")
-    val uniq = kept.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
+    // three plan branches read `uniq` (the budget selection's prefix
+    // table, its main scan, and the final re-attach join) — materialize
+    // once, the curateV2 multi-branch discipline
+    val uniq = graft.util.Materialize.stable(
+      kept.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1))
     val sel = Sampling.tokenBudgetSelect(uniq, "doc_id",
       expr("size(array_distinct(split(_txt, ' '))) * 1000 div " +
         "size(split(_txt, ' '))"),

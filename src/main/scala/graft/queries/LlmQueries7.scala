@@ -107,14 +107,15 @@ object LlmQueries7 {
     // the hash's first (min-id) occurrence.
     "dedup_source_stats" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val h = docs.select(col("doc_id"), col("source"),
-        md5(col("text")).as("text_hash"))
-      val firsts = h.groupBy("text_hash")
-        .agg(min("doc_id").as("_first_id"))
-      h.join(firsts, Seq("text_hash"))
+      // canonical rule REUSED from exactDuplicates (min-id first
+      // occurrence) so n_dup can never drift from the dedup gates
+      docs.select(col("doc_id"), col("source"),
+          md5(col("text")).as("text_hash"))
+        .join(Dedup.exactDuplicates(docs, "doc_id", "text"),
+          Seq("text_hash"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("doc_id") =!= col("_first_id"), 1L).otherwise(0L))
+          sum(when(col("doc_id") =!= col("canonical_id"), 1L).otherwise(0L))
             .as("n_dup_docs"))
         .withColumn("dup_permille", expr("n_dup_docs * 1000 div n_docs"))
     }),

@@ -64,9 +64,13 @@ object ZOrder {
   def layout(df: DataFrame, x: Column, y: Column,
       numFiles: Int): DataFrame = {
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
-    df.withColumn("_z", zValue(x, y))
-      .repartitionByRange(numFiles, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
+    // fresh temp name: a caller column literally named "_z" must survive
+    // the round trip, not be clobbered then dropped
+    val zc = Iterator.from(0).map(i => if (i == 0) "_z" else s"_z$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(zc, zValue(x, y))
+      .repartitionByRange(numFiles, col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
   }
 }
