@@ -79,9 +79,21 @@ object Bpe {
     */
   def learnMerges(docs: DataFrame, textCol: String, k: Int)
       : (DataFrame, DataFrame) = {
+    val (merges, rounds) = learnMergesWithRounds(docs, textCol, k)
+    (merges, rounds.last)
+  }
+
+  /** [[learnMerges]] plus every intermediate: the forms table AFTER each
+    * round 0..k (index 0 = character-split initial forms). The per-round
+    * tables back the compression-curve audit ([[mergeCurve]]) without a
+    * second training run; each is already materialized by the loop.
+    */
+  def learnMergesWithRounds(docs: DataFrame, textCol: String, k: Int)
+      : (DataFrame, Vector[DataFrame]) = {
     require(k >= 1, s"k must be >= 1, got $k")
     var forms = graft.util.Materialize.stable(
       initialForms(wordFreqs(docs, textCol)))
+    var rounds = Vector(forms)
     var merges: DataFrame = null
     for (r <- 1 to k) {
       val top1 = pairCounts(forms)
@@ -99,8 +111,24 @@ object Bpe {
               expr("replace(form, concat('(', lhs, ')(', rhs, ')'), " +
                 "concat('(', lhs, rhs, ')'))")))
           .select("word", "freq", "form"))
+      rounds :+= forms
     }
-    (merges.select("round", "lhs", "rhs", "cnt"), forms)
+    (merges.select("round", "lhs", "rhs", "cnt"), rounds)
+  }
+
+  /** Tokenizer compression curve: total corpus tokens (Σ freq·n_tokens
+    * over the vocab dict) after each merge round 0..k — the artifact a
+    * tokenizer training run is sized by (where the curve flattens is
+    * where more merges stop paying). Each round's total is a 1-row
+    * aggregate over the vocab-sized dict; the corpus is scanned once,
+    * by the shared training loop. Output: (round, total_tokens).
+    */
+  def mergeCurve(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val (_, rounds) = learnMergesWithRounds(docs, textCol, k)
+    rounds.zipWithIndex.map { case (f, r) =>
+      segmented(f).agg(sum(expr("freq * n_tokens")).as("total_tokens"))
+        .select(lit(r).as("round"), col("total_tokens"))
+    }.reduce(_ unionByName _)
   }
 
   /** Final segmentation view: (word, freq, form, n_tokens). */
@@ -197,6 +225,18 @@ object Bpe {
        |SELECT word, freq, form,
        |  len(string_split(form[2:length(form)-1], ')(')) AS n_tokens
        |  FROM f$k""".stripMargin.replace("\n", " ")
+
+  /** The oracle for [[mergeCurve]]: per-round totals over the same
+    * unrolled round chain.
+    */
+  def mergeCurveSqlDuck(table: String, textCol: String, k: Int): String = {
+    val sel = (0 to k).map { r =>
+      s"""SELECT $r AS round, CAST(sum(freq *
+         |  len(string_split(form[2:length(form)-1], ')('))) AS BIGINT)
+         |  AS total_tokens FROM f$r""".stripMargin.replace("\n", " ")
+    }.mkString(" UNION ALL ")
+    s"${roundChainDuck(table, textCol, k)} $sel"
+  }
 
   /** The oracle for [[encodeCorpus]]: round-k dict joined back onto the
     * corpus word stream.

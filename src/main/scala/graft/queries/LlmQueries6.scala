@@ -56,6 +56,11 @@ object LlmQueries6 {
         Bpe.learnMerges(Tables.documents(s, dir), "text", MergeRounds)._2)
         .select("word", "freq", "form", "n_tokens")),
 
+    // Tokenizer compression curve: corpus token totals after each merge
+    // round — where the curve flattens is where more merges stop paying.
+    "bpe_merge_curve" -> ((s, dir) =>
+      Bpe.mergeCurve(Tables.documents(s, dir), "text", MergeRounds)),
+
     // Per-doc token accounting under the learned merges: the number every
     // downstream packing/budget decision uses; the vocab-sized dict
     // broadcasts back onto the corpus word stream.
@@ -182,6 +187,8 @@ object LlmQueries6 {
     "bpe_segment" -> Bpe.segmentedSqlDuck("documents", "text", MergeRounds),
     "bpe_encode_corpus" ->
       Bpe.encodeCorpusSqlDuck("documents", "doc_id", "text", MergeRounds),
+    "bpe_merge_curve" ->
+      Bpe.mergeCurveSqlDuck("documents", "text", MergeRounds),
 
     // same recursive-CTE closure as dedup_clusters / dedup_cluster_rep;
     // bucket arithmetic is the hashPermille idiom over the cluster id

@@ -88,6 +88,23 @@ class BpeSpec extends SparkSpecBase {
       s"token totals must not grow with k: $totals")
   }
 
+  test("mergeCurve: one training run yields the whole non-increasing curve") {
+    val docs = Tables.documents(spark, sfDir)
+    val curve = Bpe.mergeCurve(docs, "text", 4)
+      .orderBy("round").collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+    assert(curve.map(_._1).toSeq === (0 to 4))
+    val totals = curve.map(_._2).toSeq
+    assert(totals.sliding(2).forall { case Seq(a, b) => b <= a },
+      s"curve must be non-increasing: $totals")
+    // round 0 = character count of the training vocab occurrences;
+    // round k agrees with the separately-encoded corpus total over
+    // dictionary words
+    val enc = Bpe.encodeCorpus(docs, "doc_id", "text", 4)
+      .agg(sum("n_bpe_tokens")).head().getLong(0)
+    assert(totals.last === enc, "curve tail must equal the encode total")
+  }
+
   test("merge result is invariant to input partitioning") {
     val docs = corpus("spark scan scan batch", "spark spark batch scan")
     val a = Bpe.learnMerges(docs.repartition(1), "text", 4)._1
