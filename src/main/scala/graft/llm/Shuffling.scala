@@ -94,6 +94,27 @@ object Shuffling {
       .withColumn("shard", pmod(col("pos"), lit(numShards.toLong)))
   }
 
+  /** Per-shard integrity manifest — the verify-after-copy artifact a
+    * shard transfer is checked against: for every shard of the
+    * deterministic permutation, its row count and an order-independent
+    * content checksum (Σ of the 8-byte content hashes — int64-exact at
+    * any shard size that fits a cluster). A receiver recomputes the same
+    * two numbers from what landed; any dropped, duplicated, or corrupted
+    * row moves at least one of them. One id-keyed join onto the
+    * permutation + a ≤ numShards-row aggregate.
+    * Output: (shard, n_docs, content_sum, min_pos, max_pos).
+    */
+  def shardManifest(df: DataFrame, idCol: String, content: Column,
+      numShards: Int): DataFrame = {
+    val perm = deterministicShuffle(df, idCol, numShards)
+    df.select(idAsLong(idCol).as("doc_id"),
+        graft.llm.Dedup.tokenHash(content).as("_ch"))
+      .join(perm, Seq("doc_id"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("_ch").as("content_sum"),
+        min("pos").as("min_pos"), max("pos").as("max_pos"))
+  }
+
   /** Materialize the shuffled corpus as `numShards` hive-partitioned
     * parquet shard directories (`shard=K/`), each carrying the full rows
     * plus their permutation `pos` — the "write N training shards" step.

@@ -69,6 +69,12 @@ object LlmQueries2 {
       Shuffling.deterministicShuffle(Tables.documents(s, dir), "doc_id",
         numShards = 8)),
 
+    // per-shard integrity manifest over the same permutation — the
+    // verify-after-copy artifact (count + order-independent content sum)
+    "corpus_shard_manifest" -> ((s, dir) =>
+      Shuffling.shardManifest(Tables.documents(s, dir), "doc_id",
+        col("text"), numShards = 8)),
+
     // composite quality filter: C4/Gopher-style keep/drop with first
     // failing rule as the reason (thresholds chosen to bind on the
     // fixture: tokens in [20,90], >=350‰ unique, <=150‰ top token)
@@ -213,6 +219,21 @@ object LlmQueries2 {
          |SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 10"""
         .stripMargin.replace("\n", " ")
     },
+
+    "corpus_shard_manifest" ->
+      """WITH h AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hh
+        |  FROM documents),
+        |p AS (SELECT doc_id, row_number() OVER (ORDER BY hh, doc_id) - 1 AS pos FROM h),
+        |sh AS (SELECT doc_id, pos, pos % 8 AS shard FROM p),
+        |c AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS ch
+        |  FROM documents)
+        |SELECT sh.shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(c.ch) AS BIGINT) AS content_sum,
+        |  min(sh.pos) AS min_pos, max(sh.pos) AS max_pos
+        |FROM sh JOIN c ON sh.doc_id = c.doc_id
+        |GROUP BY sh.shard""".stripMargin.replace("\n", " "),
 
     "corpus_shuffle" ->
       """WITH h AS (SELECT doc_id,
