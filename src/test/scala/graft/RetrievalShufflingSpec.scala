@@ -436,4 +436,30 @@ class RetrievalShufflingSpec extends SparkSpecBase {
       .orderBy("pick").select("cid").as[Long].collect().toSeq
     assert(got == Seq(1L, 2L, 3L))
   }
+
+  test("shardManifest: count + content sum catch drop, duplicate, and corruption") {
+    import spark.implicits._
+    import graft.llm.Shuffling
+    val docs = (1L to 40L).map(i => (i, s"doc body number $i"))
+      .toDF("doc_id", "text")
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      Shuffling.shardManifest(df, "doc_id", col("text"), numShards = 4)
+        .select("shard", "n_docs", "content_sum")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val base = manifest(docs)
+    assert(base.keySet === Set(0L, 1L, 2L, 3L))
+    assert(base.values.map(_._1).sum === 40L)
+    // corrupting ONE row's content moves exactly its shard's content_sum
+    // (count unchanged — the case a pure row count would miss)
+    val corrupted = manifest(docs.withColumn("text",
+      when(col("doc_id") === 17L, lit("flipped bits")).otherwise(col("text"))))
+    val moved = base.keys.filter(k => base(k) != corrupted(k)).toSeq
+    assert(moved.size === 1, s"exactly one shard must move: $moved")
+    assert(base(moved.head)._1 === corrupted(moved.head)._1,
+      "the count alone does NOT catch corruption — the content sum does")
+    // dropping a row moves its shard's count (and sum)
+    val dropped = manifest(docs.filter(col("doc_id") =!= 17L))
+    assert(dropped.values.map(_._1).sum === 39L)
+    assert(base !== dropped)
+  }
 }
