@@ -97,8 +97,11 @@ object Shuffling {
   /** Per-shard integrity manifest — the verify-after-copy artifact a
     * shard transfer is checked against: for every shard of the
     * deterministic permutation, its row count and an order-independent
-    * content checksum (Σ of the 8-byte content hashes — int64-exact at
-    * any shard size that fits a cluster). A receiver recomputes the same
+    * content checksum (Σ of the per-row [[graft.llm.Dedup.tokenHash]]
+    * values — 32-bit hashes carried as int64, so the sum is int64-exact
+    * up to ~2³¹ rows per shard; a true 64-bit row hash would need an
+    * explicit wrapping sum to survive ANSI overflow). A receiver
+    * recomputes the same
     * two numbers from what landed; any dropped, duplicated, or corrupted
     * row moves at least one of them. One id-keyed join onto the
     * permutation + a ≤ numShards-row aggregate.

@@ -41,8 +41,8 @@ object Similarity {
     * pair scan.
     */
   def dotQ(a: String, b: String): Column = {
-    graft.functions.ArrayFns.register(org.apache.spark.sql.SparkSession.active)
-    expr(s"long_dot($a, $b)")
+    import org.apache.spark.sql.GraftExpressionBridge._
+    column(graft.functions.LongArrayDot(expression(expr(a)), expression(expr(b))))
   }
 
   def dotQSqlDuck(a: String, b: String): String =
@@ -186,6 +186,10 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nPlanes: Int = NumPlanes): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // bucketSql's plane projections reference long_dot by NAME (SQL
+    // string) — register on the session that owns the frames, not
+    // SparkSession.active (a multi-session driver can interleave builds)
+    graft.functions.ArrayFns.register(corpus.sparkSession)
     def prep(df: DataFrame, id: String, v: String, n: String) =
       df.select(col("vec_id").as(id), quantize(col("embedding")).as(v))
         .withColumn(n, dotQ(v, v))
@@ -572,6 +576,9 @@ object Similarity {
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       bitsK: Int = BitsK): DataFrame = {
+    // tableBucketSql references long_dot by NAME (SQL string) — register
+    // on the frame's own session
+    graft.functions.ArrayFns.register(corpus.sparkSession)
     // both frames feed multiple plan branches (self-join sides + the two
     // payload re-joins) — materialize so AQE's concurrent branch launch
     // can't recompute the quantize + L×k plane projections per branch
@@ -598,6 +605,9 @@ object Similarity {
   def lshMultiTableTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       bitsK: Int = BitsK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // tableBucketSql references long_dot by NAME (SQL string) — register
+    // on the frames' own session
+    graft.functions.ArrayFns.register(corpus.sparkSession)
     def prep(df: DataFrame, id: String, v: String, n: String) =
       df.select(col("vec_id").as(id), quantize(col("embedding")).as(v))
         .withColumn(n, dotQ(v, v))
@@ -628,8 +638,8 @@ object Similarity {
     * for the oracle by [[l2SqlDuck]].
     */
   def l2Q(a: String, b: String): Column = {
-    graft.functions.ArrayFns.register(org.apache.spark.sql.SparkSession.active)
-    expr(s"long_l2($a, $b)")
+    import org.apache.spark.sql.GraftExpressionBridge._
+    column(graft.functions.LongArrayL2(expression(expr(a)), expression(expr(b))))
   }
 
   def l2SqlDuck(a: String, b: String): String =
@@ -1100,7 +1110,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(c > 0, s"candidate count must be positive, got $c")
     require(nBits > 0 && nBits <= MaxPlanes, s"nBits must be in 1..$MaxPlanes")
-    graft.functions.ArrayFns.register(org.apache.spark.sql.SparkSession.active)
+    graft.functions.ArrayFns.register(corpus.sparkSession)
     def prep(df: DataFrame, id: String) =
       df.select(col("vec_id").as(id), quantize(col("embedding")).as("_qv"))
         .withColumn("code", expr(bucketSql("_qv", spark = true, nBits)))
@@ -1120,9 +1130,9 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(k > 0 && candMult > 0, s"need k, candMult > 0, got $k, $candMult")
     require(nBits > 0 && nBits <= MaxPlanes, s"nBits must be in 1..$MaxPlanes")
-    // bucketSql's plane projections reference long_dot; register before
-    // the first analysis (the other entry points register via dotQ first)
-    graft.functions.ArrayFns.register(org.apache.spark.sql.SparkSession.active)
+    // bucketSql's plane projections reference long_dot by NAME (SQL
+    // string); register on the session that owns the frames
+    graft.functions.ArrayFns.register(corpus.sparkSession)
     def prep(df: DataFrame, id: String, v: String) =
       df.select(col("vec_id").as(id), quantize(col("embedding")).as(v))
         .withColumn("code", expr(bucketSql(v, spark = true, nBits)))

@@ -22,8 +22,8 @@ object TextAnalysis {
     * keep using [[tokens]].
     */
   def tokenCount(textCol: Column): Column = {
-    graft.functions.TextFns.register(org.apache.spark.sql.SparkSession.active)
-    call_function("token_count", textCol)
+    import org.apache.spark.sql.GraftExpressionBridge._
+    column(graft.functions.TokenCount(expression(textCol)))
   }
 
   /** BPE-style pre-tokenization pattern (the GPT-2 family's split shape:

@@ -75,7 +75,10 @@ object EventAnalytics {
     * interpolated float percentile), computed with a per-stage window
     * over the converting users — each partition is one stage's
     * durations, bounded by that stage's population.
-    * Output: (stage_no, stage, n_users, median_gap_us).
+    * Output: (stage_no, stage, n_users, median_gap_us). A stage with
+    * ZERO converters emits NO row (there is no duration to take a
+    * median of) — consumers needing an explicit n_users=0 panel row
+    * should left-join the stage list onto this result.
     */
   def funnelLatency(events: DataFrame, userCol: String, typeCol: String,
       tsUsCol: String, stages: Seq[String], windowUs: Long): DataFrame = {

@@ -18,8 +18,11 @@ import graft.functions.TokenCount
   *
   * Null contract preserved exactly: ANSI `size(NULL)` is NULL, which
   * [[TokenCount]] propagates natively; a legacy-flagged `Size`
-  * (`size(NULL) = -1`) is rewritten to the guarded form
-  * `if(s IS NULL, -1, token_count(s))`.
+  * (`size(NULL) = -1`) is rewritten to `coalesce(token_count(s), -1)` —
+  * token_count yields NULL ONLY for NULL input, so the coalesce is
+  * exactly the legacy contract while evaluating `s` ONCE (an
+  * `if(isnull(s), …)` guard would evaluate it twice: wrong for a
+  * non-deterministic child, 2× the cost for an expensive one).
   */
 object RewriteTokenCount extends Rule[LogicalPlan] {
 
@@ -39,7 +42,7 @@ object RewriteTokenCount extends Rule[LogicalPlan] {
           if str.dataType == StringType && isSpaceLiteral(pat) &&
             isDefaultLimit(limit) =>
         if (legacy)
-          If(IsNull(str), Literal(-1, IntegerType), TokenCount(str))
+          Coalesce(Seq(TokenCount(str), Literal(-1, IntegerType)))
         else TokenCount(str)
     }
 }
