@@ -1,0 +1,148 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational graph analytics over event-derived interaction graphs —
+  * the host/domain-reputation machinery a crawl-scale curation pipeline
+  * ranks its sources with (Common Crawl publishes exactly this artifact:
+  * a centrality ranking of hosts used to prioritize fetch and to weight
+  * corpus admission).
+  *
+  * Everything is the Pregel-as-join+agg shape: one corpus-sized scan
+  * derives a weighted edge table; each iteration is ONE key-partitioned
+  * join (mass onto outgoing edges) plus ONE partial-aggregated shuffle
+  * (inflow per destination). No driver-side loops over vertices, no
+  * `collect()` — vertex and edge tables stay distributed, so the same
+  * plan runs at 150 vertices or 10^9. Per-iteration results are
+  * materialized ([[graft.util.Materialize.stable]]) so the unrolled loop
+  * stays LINEAR in plan size (the MMR/BPE lazy-plan-growth lesson:
+  * without the barrier each round re-reads the previous round's plan
+  * twice and analysis goes exponential).
+  *
+  * All mass arithmetic is INTEGER (scaled fixed-point): per-edge
+  * transfers are `(mass * w) div out_w` and damping is
+  * `(num * inflow) div den`, so results are bit-identical across
+  * engines and partitionings — integer sums are order-independent where
+  * float sums are not (the engine-wide integer-first discipline; cf.
+  * integer BM25/cosine). The flooring leaks ≤ out_degree milli-units of
+  * mass per vertex per round — PageRank VALUES are therefore a
+  * deterministic approximation of the real-valued iteration, while the
+  * RANKING is stable for any gap wider than the leak (spec-pinned).
+  */
+object GraphOps {
+
+  /** Item vertex ids live above this base; user vertices below it. */
+  val ItemBase: Long = 1000000L
+
+  /** Bipartite co-visitation edges from an event log: one weighted edge
+    * per distinct (user, item) pair in EACH direction (user→item and
+    * item→user), weight = interaction count. The symmetric construction
+    * makes every vertex's out-degree ≥ 1, so the PageRank iteration has
+    * no dangling-mass term. One scan + one partial-agg shuffle on the
+    * (user, item) key; output is bounded by distinct interacting pairs.
+    */
+  def covisitEdges(events: DataFrame, userCol: String,
+      itemCol: Column): DataFrame = {
+    val pairs = events
+      .select(col(userCol).cast("long").as("u"), itemCol.cast("long").as("it"))
+      .filter(col("u").isNotNull && col("it").isNotNull)
+      .groupBy("u", "it").agg(count(lit(1)).as("w"))
+    pairs.select(col("u").as("src"), (col("it") + ItemBase).as("dst"), col("w"))
+      .unionByName(pairs.select((col("it") + ItemBase).as("src"),
+        col("u").as("dst"), col("w")))
+  }
+
+  /** Integer damped PageRank over a weighted directed edge table
+    * (src, dst, w): `iters` unrolled rounds of
+    * {{{ mass'(v) = base*(den-num)/den + (num * Σ_u floor(mass(u)*w_uv / out_w(u))) div den }}}
+    * starting from `base` mass per vertex. Vertices = distinct edge
+    * sources (callers whose graphs have sink vertices must add
+    * self-loops or symmetric edges — [[covisitEdges]] does the latter).
+    *
+    * Scale shape: `out_w` and each round's mass are vertex-sized tables
+    * joined onto the edge table BY src — the one honest big-big join per
+    * round; inflow aggregates map-side per dst. A hot vertex (celebrity
+    * item) concentrates its IN-edges into one reduce key, but the agg is
+    * a partial-aggregated sum, so the hot key costs a merge of partial
+    * sums, not a single-task scan.
+    * Output: (vertex, mass) — integer micro-mass, Σ ≈ base × |V|.
+    */
+  def pageRankInt(edges: DataFrame, iters: Int, base: Long = 1000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    require(dampNum > 0 && dampNum < dampDen, s"damping must be in (0,1)")
+    import org.apache.spark.sql.expressions.Window
+    // edge table + out-weights feed every round — materialize once;
+    // out_w via a src-partitioned window (bounded by out-degree) so the
+    // edge derivation is scanned ONCE, not once per side of a self-join
+    val e = graft.util.Materialize.stable(
+      edges.select("src", "dst", "w")
+        .withColumn("out_w", sum("w").over(Window.partitionBy("src"))))
+    val teleport = base * (dampDen - dampNum) / dampDen
+    var mass = e.select(col("src").as("v")).distinct()
+      .withColumn("mass", lit(base))
+    for (_ <- 1 to iters) {
+      mass = graft.util.Materialize.stable(
+        e.join(mass, e("src") === mass("v"))
+          .select(col("dst"),
+            expr("(mass * w) div out_w").as("tx"))
+          .groupBy("dst").agg(sum("tx").as("inflow"))
+          .select(col("dst").as("v"),
+            (lit(teleport) +
+              expr(s"($dampNum * inflow) div $dampDen")).as("mass")))
+    }
+    mass.select(col("v").as("vertex"), col("mass"))
+  }
+
+  /** The DuckDB rendering of [[covisitEdges]] + [[pageRankInt]] as one
+    * unrolled CTE chain — identical integer arithmetic (`//` is
+    * DuckDB's floor-div on BIGINT; positive operands make it equal to
+    * Spark's `div`). `itemSql` must extract the item id as BIGINT from
+    * an `events` row.
+    */
+  def pageRankSqlDuck(itemSql: String, iters: Int, base: Long = 1000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): String = {
+    val teleport = base * (dampDen - dampNum) / dampDen
+    // every sum() is CAST back to BIGINT: DuckDB widens sum(BIGINT) to
+    // HUGEINT, which its client exports as a non-int64 type and the
+    // driver's hash compare would then mismatch Spark's LongType
+    val rounds = (1 to iters).map { i =>
+      val prev = s"m${i - 1}"
+      s"""m$i AS (
+         |  SELECT e.dst AS v,
+         |    $teleport + ($dampNum *
+         |      CAST(sum((m.mass * e.w) // e.out_w) AS BIGINT)) // $dampDen AS mass
+         |  FROM e JOIN $prev m ON e.src = m.v GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT user_id AS u, $itemSql AS it, count(*) AS w
+       |  FROM events WHERE user_id IS NOT NULL AND $itemSql IS NOT NULL
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT u AS src, it + $ItemBase AS dst, w FROM pairs
+       |  UNION ALL
+       |  SELECT it + $ItemBase AS src, u AS dst, w FROM pairs),
+       |e AS (
+       |  SELECT edges.src, dst, w, o.out_w FROM edges
+       |  JOIN (SELECT src, CAST(sum(w) AS BIGINT) AS out_w
+       |        FROM edges GROUP BY src) o
+       |    ON edges.src = o.src),
+       |m0 AS (SELECT DISTINCT src AS v, CAST($base AS BIGINT) AS mass FROM e),
+       |$rounds
+       |SELECT v AS vertex, mass FROM m$iters""".stripMargin.replace("\n", " ")
+  }
+
+  /** Degree/strength profile of a weighted directed graph: per vertex,
+    * out-degree (distinct destinations), out-strength (Σ w), and the
+    * share of out-strength concentrated on the single heaviest edge —
+    * the "is this host a link farm" triage columns next to the
+    * centrality score. One partial-agg shuffle on src.
+    */
+  def degreeProfile(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src").as("vertex"))
+      .agg(count(lit(1)).as("out_degree"), sum("w").as("out_strength"),
+        max("w").as("max_edge_w"))
+      .withColumn("top_edge_permille",
+        expr("(1000 * max_edge_w) div out_strength"))
+}

@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.graph.GraphOps
+import graft.llm.Dedup
+import graft.ops.Scd
+import graft.sketch.Sketches
+
+/** Round-10 families: relational graph centrality (the host-reputation
+  * artifact crawl curation ranks sources with), deterministic
+  * distinct/frequency sketches (the sublinear profile pass a 100 TB
+  * corpus is summarized by), and the SCD2 history fold (the
+  * warehouse-side materialization of the CDC stream). Every gate is
+  * exact-integer end-to-end, so the DuckDB oracle reproduces the
+  * sketch/iteration bit-for-bit — and the sketch gates double as
+  * calibration audits (estimate next to exact), the ANN-recall
+  * discipline applied to cardinality/frequency estimation.
+  */
+object GraphSketchQueries {
+
+  /** The co-visitation item id: events.props carries `{"k": <int>}`. */
+  private def itemCol = get_json_object(col("props"), "$.k").cast("long")
+  private val itemSqlDuck =
+    "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)"
+
+  private val PrIters = 3
+
+  /** (source, shingle-hash) rows — the sketch universe for the
+    * distinct-count gates: word-3-shingles restore a sparse feature
+    * space over the fixture's tiny token vocabulary (~31 distinct
+    * tokens/source vs ~1.3k distinct shingles/source), mirroring the
+    * MinHash construction. The widen exchange keeps `split()` bound
+    * once per doc (the CollapseProject O(len²) trap —
+    * [[Dedup.shingleHashPostings]]).
+    */
+  private def sourceShingleHashes(s: SparkSession, dir: String): DataFrame =
+    Dedup.widen(Tables.documents(s, dir)
+        .select(col("source"), split(col("text"), " ").as("_toks")))
+      .filter(size(col("_toks")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(_toks) - 2), " +
+          "i -> concat_ws(' ', slice(_toks, i, 3)))")).as("sh"))
+      .select(col("source"), Dedup.tokenHash(col("sh")).as("h"))
+
+  /** The matching DuckDB CTE chain: (source, h) distinct shingle hashes. */
+  private val shingleHashCteDuck =
+    """toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT source, concat_ws(' ', t[i], t[i+1], t[i+2]) AS sh
+      |  FROM toks, UNNEST(range(1, len(t)-1)) AS r(i) WHERE len(t) >= 3),
+      |shh AS (SELECT DISTINCT source,
+      |  CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h FROM sh)"""
+      .stripMargin.replace("\n", " ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Integer damped PageRank (3 unrolled rounds) over the bipartite
+    // user↔item co-visitation graph from the event log — the
+    // source-reputation centrality. Pregel-as-join+agg: each round is
+    // one src-keyed join + one dst-keyed partial-agg shuffle.
+    "graph_pagerank_covisit" -> ((s, dir) =>
+      GraphOps.pageRankInt(
+        GraphOps.covisitEdges(Tables.events(s, dir), "user_id", itemCol),
+        PrIters)),
+
+    // Degree/strength triage profile of the same graph: out-degree,
+    // out-strength, and the per-mille share of the heaviest edge (the
+    // "is this host a link farm" column).
+    "graph_degree_profile" -> ((s, dir) =>
+      GraphOps.degreeProfile(
+        GraphOps.covisitEdges(Tables.events(s, dir), "user_id", itemCol))),
+
+    // KMV distinct-shingle estimate per source next to the exact count
+    // — the calibration-gate shape (estimate must be reproducible AND
+    // judged). k = 64 minimum hash values per group.
+    "sketch_kmv_distinct" -> ((s, dir) =>
+      Sketches.kmvCalibration(sourceShingleHashes(s, dir), Seq("source"),
+        col("h"), k = 64, preHashed = true)),
+
+    // HyperLogLog (m = 64 registers) distinct-shingle estimate per
+    // source, integer fixed-point estimator, exact count alongside.
+    "sketch_hll_distinct" -> ((s, dir) =>
+      Sketches.hllDistinct(sourceShingleHashes(s, dir), Seq("source"),
+        col("h"), p = 6, alphaMilli = 709L, preHashed = true)),
+
+    // Count-Min (4×256 int64 cells) frequency estimates for the exact
+    // top-20 corpus tokens — est ≥ exact by construction; the gap is
+    // the collision overestimate the gate reports.
+    "sketch_cms_heavy" -> ((s, dir) =>
+      Sketches.cmsTopKCalibration(
+        Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("tok")),
+        col("tok"), d = 4, w = 256, topN = 20)),
+
+    // SCD2 history fold of the CDC stream: one version row per
+    // non-delete change, valid [ts, next change); 'error' plays DELETE
+    // (closes the interval, emits nothing) as in the CdcQueries
+    // conventions.
+    "cdc_scd2_history" -> ((s, dir) =>
+      Scd.scd2History(
+        Tables.events(s, dir).select(col("user_id"), col("event_id"),
+          col("ts_us"), col("event_type"),
+          graft.ops.EventOps.cents(col("value")).as("value_cents")),
+        keyCols = Seq("user_id"),
+        orderCols = Seq(col("ts_us"), col("event_id")),
+        tsUsCol = "ts_us",
+        isDelete = col("event_type") === "error",
+        payloadCols = Seq("event_type", "value_cents")))
+  )
+
+  private def pairsEdgesCteDuck: String =
+    s"""pairs AS (
+       |  SELECT user_id AS u, $itemSqlDuck AS it, count(*) AS w
+       |  FROM events
+       |  WHERE user_id IS NOT NULL AND $itemSqlDuck IS NOT NULL
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT u AS src, it + ${GraphOps.ItemBase} AS dst, w FROM pairs
+       |  UNION ALL
+       |  SELECT it + ${GraphOps.ItemBase} AS src, u AS dst, w FROM pairs)"""
+      .stripMargin.replace("\n", " ")
+
+  val oracleSql: Map[String, String] = Map(
+    "graph_pagerank_covisit" ->
+      GraphOps.pageRankSqlDuck(itemSqlDuck, PrIters),
+
+    "graph_degree_profile" ->
+      s"""WITH $pairsEdgesCteDuck
+         |SELECT src AS vertex, count(*) AS out_degree,
+         |  CAST(sum(w) AS BIGINT) AS out_strength,
+         |  max(w) AS max_edge_w,
+         |  (1000 * max(w)) // CAST(sum(w) AS BIGINT) AS top_edge_permille
+         |FROM edges GROUP BY src""".stripMargin.replace("\n", " "),
+
+    "sketch_kmv_distinct" ->
+      s"""WITH $shingleHashCteDuck,
+         |ex AS (SELECT source, count(*) AS n_exact FROM shh GROUP BY 1),
+         |rk AS (SELECT source, h,
+         |  row_number() OVER (PARTITION BY source ORDER BY h) AS rk FROM shh),
+         |sk AS (SELECT source, count(*) AS kmv_k, max(h) AS hk
+         |  FROM rk WHERE rk <= 64 GROUP BY 1)
+         |SELECT sk.source, n_exact, kmv_k,
+         |  CASE WHEN kmv_k < 64 THEN kmv_k
+         |       ELSE ((kmv_k - 1) * ${Sketches.HashSpace}) // hk END
+         |    AS kmv_estimate
+         |FROM sk JOIN ex ON sk.source = ex.source"""
+        .stripMargin.replace("\n", " "),
+
+    "sketch_hll_distinct" -> {
+      val m = 64; val restBits = 32 - 6
+      val numer = 709L * m * m * 1073741824L
+      s"""WITH $shingleHashCteDuck,
+         |ex AS (SELECT source, count(*) AS n_exact FROM shh GROUP BY 1),
+         |regs AS (SELECT source, h % $m AS bucket,
+         |  max(CASE WHEN h // $m = 0 THEN ${restBits + 1}
+         |      ELSE ${restBits + 1} - length(bin(h // $m)) END) AS r
+         |  FROM shh GROUP BY 1, 2),
+         |den AS (SELECT source,
+         |  CAST(sum(1073741824 // (1 << r)) AS BIGINT)
+         |    + ($m - count(*)) * 1073741824 AS denom
+         |  FROM regs GROUP BY 1)
+         |SELECT den.source, n_exact,
+         |  $numer // (1000 * denom) AS hll_estimate
+         |FROM den JOIN ex ON den.source = ex.source"""
+        .stripMargin.replace("\n", " ")
+    },
+
+    "sketch_cms_heavy" -> {
+      val rows = (0 until 4).map { i =>
+        val (a, b) = (Dedup.MinhashA(i), Dedup.MinhashB(i))
+        s"SELECT key, $i AS r, (($a * hh + $b) % ${Dedup.MinhashP}) % 256 AS b FROM h"
+      }.mkString(" UNION ALL ")
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS key FROM documents),
+         |h AS (SELECT key,
+         |  CAST(concat('0x', substr(md5(key), 1, 8)) AS BIGINT) AS hh FROM t),
+         |hb AS ($rows),
+         |cells AS (SELECT r, b, count(*) AS c FROM hb GROUP BY 1, 2),
+         |top AS (SELECT key, any_value(hh) AS hh, count(*) AS n_exact
+         |  FROM h GROUP BY key ORDER BY n_exact DESC, key LIMIT 20),
+         |probes AS (${(0 until 4).map { i =>
+             val (a, b) = (Dedup.MinhashA(i), Dedup.MinhashB(i))
+             s"SELECT key, n_exact, $i AS r, (($a * hh + $b) % ${Dedup.MinhashP}) % 256 AS b FROM top"
+           }.mkString(" UNION ALL ")})
+         |SELECT key, n_exact, min(c) AS cms_estimate
+         |FROM probes JOIN cells USING (r, b)
+         |GROUP BY key, n_exact""".stripMargin.replace("\n", " ")
+    },
+
+    "cdc_scd2_history" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  event_type, CAST(round(value*100, 0) AS BIGINT) AS value_cents
+        |  FROM events),
+        |v AS (SELECT *, lead(ts_us) OVER (PARTITION BY user_id
+        |  ORDER BY ts_us, event_id) AS valid_to_us FROM c)
+        |SELECT user_id, event_type, value_cents,
+        |  ts_us AS valid_from_us, valid_to_us,
+        |  valid_to_us IS NULL AS is_current
+        |FROM v WHERE event_type <> 'error'""".stripMargin.replace("\n", " ")
+  )
+}

@@ -1,0 +1,180 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.llm.Dedup
+
+/** Deterministic streaming sketches — the sublinear-memory summaries a
+  * 100 TB profile pass actually runs (exact per-group distincts and
+  * full frequency tables don't fit anywhere at that scale): KMV distinct
+  * estimation (Bar-Yossef et al. 2002's k-minimum-values), HyperLogLog
+  * register tables (Flajolet et al. 2007), and Count-Min frequency
+  * estimation (Cormode & Muthukrishnan 2005).
+  *
+  * Every sketch here is DETERMINISTIC: the "randomness" is the md5-based
+  * [[Dedup.tokenHash]] (a fixed 32-bit hash), the estimators are scaled
+  * INTEGER arithmetic end-to-end, and each gate emits the exact value
+  * next to the estimate — so the oracle reproduces the sketch bit-for-
+  * bit AND the gate doubles as a calibration audit (estimate vs truth),
+  * the same audit discipline as the ANN recall family.
+  *
+  * Scale shapes: KMV is a distinct + per-group bounded top-k (the heap
+  * any executor keeps is k values per group); HLL registers are a
+  * (group, bucket)-keyed MAX — fully partial-aggregated, the canonical
+  * mergeable sketch; CMS is a (row, bucket)-keyed SUM of d·w cells that
+  * broadcasts back onto the query keys. None of them ever holds a
+  * per-group distinct set.
+  */
+object Sketches {
+
+  /** 2^32 — tokenHash values are uniform in [0, HashSpace). */
+  val HashSpace: Long = 4294967296L
+
+  private def groupCols(gs: Seq[String]) = gs.map(col)
+
+  /** The distinct (groups…, hash) universe a distinct-count sketch is
+    * built over. `preHashed = true` accepts an already-computed 32-bit
+    * [[Dedup.tokenHash]] column (e.g. shingle-hash postings reused from
+    * the dedup pipeline) — hashing a hash would be a DIFFERENT sketch.
+    */
+  private def hashedDistinct(df: DataFrame, groups: Seq[String],
+      valueCol: Column, preHashed: Boolean): DataFrame =
+    df.select(groupCols(groups) :+
+        (if (preHashed) valueCol.cast("long")
+         else Dedup.tokenHash(valueCol)).as("_h"): _*)
+      .distinct()
+
+  /** KMV (k-minimum-values) distinct-count estimate per group, next to
+    * the exact distinct for calibration: with the k smallest DISTINCT
+    * hash values of a group, the k-th smallest `h_k` estimates
+    * `distinct ≈ (k-1) · 2^32 / h_k` (the k-th order statistic of k
+    * uniform draws). Groups with < k distinct values report exactly
+    * (the sketch holds them all).
+    * Output: (group…, n_exact, kmv_k, kmv_estimate).
+    */
+  /** [[kmvCalibration]] without the exact-count leg — the pure sketch. */
+  def kmvDistinct(df: DataFrame, groups: Seq[String], valueCol: Column,
+      k: Int, preHashed: Boolean = false): DataFrame =
+    kmvOverHashed(hashedDistinct(df, groups, valueCol, preHashed), groups, k)
+
+  private def kmvOverHashed(hashed: DataFrame, groups: Seq[String],
+      k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groups.map(col): _*).orderBy(col("_h"))
+    hashed
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k) // ≤ k rows per group survive
+      .groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("kmv_k"), max("_h").as("_hk"))
+      .withColumn("kmv_estimate",
+        when(col("kmv_k") < k, col("kmv_k")) // sketch is exhaustive
+          .otherwise(expr(s"((kmv_k - 1) * ${HashSpace}L) div _hk")))
+      .drop("_hk")
+  }
+
+  /** [[kmvDistinct]] plus the exact distinct count per group — the
+    * calibration gate shape. The distinct-hash table is computed ONCE
+    * and feeds both the sketch and the exact count (it is NOT re-hashed
+    * — tokenHash(tokenHash(x)) would be a different sketch).
+    */
+  def kmvCalibration(df: DataFrame, groups: Seq[String], valueCol: Column,
+      k: Int, preHashed: Boolean = false): DataFrame = {
+    val hashed = graft.util.Materialize.stable(
+      hashedDistinct(df, groups, valueCol, preHashed))
+    val exact = hashed.groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("n_exact"))
+    kmvOverHashed(hashed, groups, k)
+      .join(exact, groups)
+      .select(groups.map(col) ++
+        Seq(col("n_exact"), col("kmv_k"), col("kmv_estimate")): _*)
+  }
+
+  /** HyperLogLog register table + integer-scaled estimate per group.
+    * Bucket = hash mod m (m = 2^p registers); rank ρ = leading-zero
+    * count of the remaining 32−p bits + 1, computed PORTABLY as
+    * `(32 − p + 1) − length(bin(rest))` (both engines' `bin()` renders
+    * without leading zeros; rest = 0 ⇒ the max rank). The estimate is
+    * the standard α·m²/Σ2^−ρ_j in fixed point: each register
+    * contributes `2^30 >> ρ_j` (absent registers contribute `2^30`),
+    * `hll_estimate = (α_milli · m² · 2^30) div (1000 · Σ)`.
+    * Output: (group…, n_exact, hll_estimate) — exact alongside, same
+    * calibration-gate shape as KMV.
+    */
+  def hllDistinct(df: DataFrame, groups: Seq[String], valueCol: Column,
+      p: Int = 4, alphaMilli: Long = 673L,
+      preHashed: Boolean = false): DataFrame = {
+    require(p >= 2 && p <= 12, s"p must be in 2..12, got $p")
+    val m = 1 << p
+    val restBits = 32 - p
+    val hashed = graft.util.Materialize.stable(
+      hashedDistinct(df, groups, valueCol, preHashed))
+    val exact = hashed.groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("n_exact"))
+    val regs = hashed
+      .withColumn("_bucket", pmod(col("_h"), lit(m.toLong)))
+      .withColumn("_rest", expr(s"_h div $m"))
+      .withColumn("_rho",
+        when(col("_rest") === 0, lit(restBits + 1))
+          .otherwise(lit(restBits + 1) - length(bin(col("_rest")))))
+      .groupBy(groups.map(col) :+ col("_bucket"): _*)
+      .agg(max("_rho").as("_r"))
+    // Σ over ALL m registers: present ones contribute 2^30 >> ρ, the
+    // (m − present) absent ones contribute 2^30 each
+    val denom = regs.groupBy(groups.map(col): _*)
+      .agg(sum(expr("1073741824 div shiftleft(1, _r)")).as("_s"),
+        count(lit(1)).as("_present"))
+      .withColumn("_denom",
+        col("_s") + (lit(m.toLong) - col("_present")) * lit(1073741824L))
+    // numerator computed HERE in Long arithmetic — as an SQL literal
+    // product it would be int×int overflow (1073741824 is an INT literal)
+    val numer = alphaMilli * m.toLong * m.toLong * 1073741824L
+    denom
+      .withColumn("hll_estimate", expr(s"${numer}L div (1000 * _denom)"))
+      .join(exact, groups)
+      .select(groups.map(col) ++
+        Seq(col("n_exact"), col("hll_estimate")): _*)
+  }
+
+  /** Count-Min frequency sketch: d hash rows × w buckets of int64
+    * counters built in ONE partial-agg pass (d·w cells total — 1024
+    * BIGINTs at the default 4×256, whatever the corpus size), then the
+    * point-query estimate for each of the exact top-`topN` keys:
+    * `est = min_i cell[i][h_i(key)]` — an overestimate by construction
+    * (collisions only ADD), so the gate asserts `est ≥ exact` row by
+    * row and reports the overestimate for calibration.
+    * Row hashes are the engine's MinHash family (a_i·h + b_i mod p) mod w.
+    * Output: (key, n_exact, cms_estimate).
+    */
+  def cmsTopKCalibration(df: DataFrame, valueCol: Column, d: Int = 4,
+      w: Int = 256, topN: Int = 20): DataFrame = {
+    require(d >= 1 && d <= Dedup.MinhashA.size, s"d must be 1..${Dedup.MinhashA.size}")
+    require(w >= 2, s"need at least 2 buckets, got $w")
+    val hashed = graft.util.Materialize.stable(
+      df.select(valueCol.as("key")).withColumn("_h", Dedup.tokenHash(col("key"))))
+    def rowBucket(i: Int): Column =
+      pmod(pmod(lit(Dedup.MinhashA(i)) * col("_h") + lit(Dedup.MinhashB(i)),
+        lit(Dedup.MinhashP)), lit(w.toLong))
+    // one Expand (d rows per input row) → (row, bucket) partial-agg sum
+    val cells = hashed.select(explode(array((0 until d).map(i =>
+        struct(lit(i).as("r"), rowBucket(i).as("b"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    // exact top-N keys (deterministic tie-break on the key text)
+    val top = hashed.groupBy("key", "_h")
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("key"))
+      .limit(topN)
+    // probe: each top key joins its d cells (broadcast the 1024-cell
+    // table), estimate = min over rows
+    val probes = top.select(col("key"), col("n_exact"),
+      explode(array((0 until d).map(i =>
+        struct(lit(i).as("r"), rowBucket(i).as("b"))): _*)).as("rb"))
+      .select(col("key"), col("n_exact"),
+        col("rb.r").as("r"), col("rb.b").as("b"))
+    probes.join(broadcast(cells), Seq("r", "b"))
+      .groupBy("key", "n_exact")
+      .agg(min("c").as("cms_estimate"))
+  }
+}

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.GraphOps
+import graft.llm.Dedup
+import graft.ops.{Lww, Scd}
+import graft.sketch.Sketches
+
+/** Round-10 families: graph centrality, deterministic sketches, SCD2.
+  * The PageRank test is the strongest shape: the distributed
+  * join+agg iteration must equal a sequential in-memory reference
+  * implementation of the SAME integer recurrence, vertex by vertex.
+  */
+class GraphSketchSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def itemCol = get_json_object(col("props"), "$.k").cast("long")
+  private def events = Tables.events(spark, sfDir)
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("pageRankInt equals a sequential reference of the same recurrence") {
+    val edgesDf = GraphOps.covisitEdges(events, "user_id", itemCol)
+    val edges = edgesDf.select("src", "dst", "w").as[(Long, Long, Long)].collect()
+    // sequential reference: identical integer arithmetic, plain maps
+    val outW = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var mass = outW.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val inflow = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (s, d, w) =>
+        inflow(d) += mass(s) * w / outW(s)
+      }
+      mass = inflow.map { case (v, in) => v -> (150000L + 85L * in / 100L) }.toMap
+    }
+    val got = GraphOps.pageRankInt(edgesDf, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === mass)
+    // teleport floor holds for every vertex
+    assert(got.values.forall(_ >= 150000L))
+  }
+
+  test("covisit PageRank ranks the busiest item above the least-connected") {
+    val pr = GraphOps.pageRankInt(
+      GraphOps.covisitEdges(events, "user_id", itemCol), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val strength = GraphOps.covisitEdges(events, "user_id", itemCol)
+      .groupBy("src").agg(sum("w").as("s")).as[(Long, Long)].collect().toMap
+    val items = strength.keys.filter(_ >= GraphOps.ItemBase)
+    val hot = items.maxBy(strength)
+    val cold = items.minBy(strength)
+    assert(pr(hot) > pr(cold),
+      s"hot item ${hot} mass ${pr(hot)} not above cold ${cold} mass ${pr(cold)}")
+  }
+
+  test("degreeProfile: degree counts distinct destinations, permille bounded") {
+    val e = GraphOps.covisitEdges(events, "user_id", itemCol)
+    val prof = GraphOps.degreeProfile(e).collect()
+    val expectDeg = e.groupBy("src").agg(countDistinct("dst").as("d"))
+      .as[(Long, Long)].collect().toMap
+    prof.foreach { r =>
+      assert(r.getAs[Long]("out_degree") === expectDeg(r.getAs[Long]("vertex")))
+      val pm = r.getAs[Long]("top_edge_permille")
+      assert(pm >= 1 && pm <= 1000)
+    }
+  }
+
+  private def shingleHashes = {
+    Dedup.widen(docs.select(col("source"), split(col("text"), " ").as("_toks")))
+      .filter(size(col("_toks")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(_toks) - 2), " +
+          "i -> concat_ws(' ', slice(_toks, i, 3)))")).as("sh"))
+      .select(col("source"), Dedup.tokenHash(col("sh")).as("h"))
+  }
+
+  test("KMV: exhaustive below k, calibrated above, deterministic") {
+    val r = Sketches.kmvCalibration(shingleHashes, Seq("source"), col("h"),
+      k = 64, preHashed = true).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (exact, kk, est) = (row.getAs[Long]("n_exact"),
+        row.getAs[Long]("kmv_k"), row.getAs[Long]("kmv_estimate"))
+      if (kk < 64) assert(est === exact, s"sub-k group must be exact: $row")
+      else assert(est >= exact / 3 && est <= exact * 3,
+        s"KMV estimate off by >3x: $row")
+    }
+    // small-group exactness: one source restricted to < k shingles
+    val tiny = Sketches.kmvCalibration(
+      shingleHashes.limit(10), Seq("source"), col("h"), k = 64,
+      preHashed = true).collect()
+    tiny.foreach(row => assert(
+      row.getAs[Long]("kmv_estimate") === row.getAs[Long]("n_exact")))
+  }
+
+  test("HLL: integer estimator lands within sketch error of exact") {
+    val r = Sketches.hllDistinct(shingleHashes, Seq("source"), col("h"),
+      p = 6, alphaMilli = 709L, preHashed = true).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (exact, est) =
+        (row.getAs[Long]("n_exact"), row.getAs[Long]("hll_estimate"))
+      assert(est >= exact / 4 && est <= exact * 4,
+        s"HLL estimate implausible: $row")
+    }
+  }
+
+  test("CMS: every estimate >= exact (collisions only add); heavy keys tight") {
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val r = Sketches.cmsTopKCalibration(toks, col("tok"), d = 4, w = 256,
+      topN = 10).collect()
+    assert(r.length === 10)
+    r.foreach { row =>
+      val (exact, est) =
+        (row.getAs[Long]("n_exact"), row.getAs[Long]("cms_estimate"))
+      assert(est >= exact, s"CMS must overestimate: $row")
+      // the corpus' heavy keys dominate their cells — the overestimate
+      // is collision mass from a ~31-token universe into 256 buckets
+      assert(est <= exact * 2, s"CMS overestimate implausibly large: $row")
+    }
+  }
+
+  test("SCD2: intervals chain per key; is_current agrees with the LWW fold") {
+    val changes = events.select(col("user_id"), col("event_id"), col("ts_us"),
+      col("event_type"), graft.ops.EventOps.cents(col("value")).as("value_cents"))
+    val hist = Scd.scd2History(changes, Seq("user_id"),
+      Seq(col("ts_us"), col("event_id")), "ts_us",
+      col("event_type") === "error", Seq("event_type", "value_cents"))
+    val rows = hist.collect()
+    assert(rows.nonEmpty)
+    // every closed interval is non-negative-length and versions nest in order
+    rows.foreach { r =>
+      Option(r.getAs[java.lang.Long]("valid_to_us")).foreach(to =>
+        assert(to >= r.getAs[Long]("valid_from_us")))
+    }
+    // at most one open (current) version per key
+    val openPerKey = rows.filter(_.getAs[Boolean]("is_current"))
+      .groupBy(_.getAs[Long]("user_id")).view.mapValues(_.length)
+    openPerKey.foreach { case (k, n) => assert(n === 1, s"key $k has $n open versions") }
+    // a key whose LWW-latest change is non-delete has exactly that row current
+    val lww = Lww.latestPerKey(changes, Seq("user_id"),
+      Seq(col("ts_us"), col("event_id"))).collect()
+    val current = rows.filter(_.getAs[Boolean]("is_current"))
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("valid_from_us"), r.getAs[String]("event_type"))).toMap
+    lww.foreach { r =>
+      val k = r.getAs[Long]("user_id")
+      if (r.getAs[String]("event_type") != "error") {
+        assert(current.contains(k), s"key $k lost its current version")
+        assert(current(k) === (r.getAs[Long]("ts_us"), r.getAs[String]("event_type")))
+      } else assert(!current.contains(k),
+        s"key $k deleted last but still has a current version")
+    }
+  }
+}
