@@ -59,7 +59,8 @@ object ScaleAudit {
       "rerank_cross_topk", "q21_waiting_suppliers",
       "q9_product_profit", "window_running_balance",
       "events_click_attribution", "decontam_multi_eval",
-      "novelty_score", "select_token_budget", "split_proportions")
+      "novelty_score", "select_token_budget", "split_proportions",
+      "graph_pagerank_covisit", "sketch_kmv_distinct", "cdc_scd2_history")
     var collapsed = List.empty[String]
     val out = heavy.map { name =>
       stages = Nil

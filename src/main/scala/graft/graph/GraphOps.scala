@@ -84,16 +84,24 @@ object GraphOps {
       .withColumn("mass", lit(base))
     for (_ <- 1 to iters) {
       mass = graft.util.Materialize.stable(
-        e.join(mass, e("src") === mass("v"))
-          .select(col("dst"),
-            expr("(mass * w) div out_w").as("tx"))
-          .groupBy("dst").agg(sum("tx").as("inflow"))
-          .select(col("dst").as("v"),
-            (lit(teleport) +
-              expr(s"($dampNum * inflow) div $dampDen")).as("mass")))
+        pageRankStep(e, mass, teleport, dampNum, dampDen))
     }
     mass.select(col("v").as("vertex"), col("mass"))
   }
+
+  /** One PageRank round over the prepared edge table (src,dst,w,out_w)
+    * and the current mass (v,mass) — the un-materialized plan
+    * [[pageRankInt]] iterates (exposed so the plan audit can assert its
+    * shuffle shape; the loop's materialization barrier hides it).
+    */
+  private[graft] def pageRankStep(e: DataFrame, mass: DataFrame,
+      teleport: Long, dampNum: Long, dampDen: Long): DataFrame =
+    e.join(mass, e("src") === mass("v"))
+      .select(col("dst"), expr("(mass * w) div out_w").as("tx"))
+      .groupBy("dst").agg(sum("tx").as("inflow"))
+      .select(col("dst").as("v"),
+        (lit(teleport) +
+          expr(s"($dampNum * inflow) div $dampDen")).as("mass"))
 
   /** The DuckDB rendering of [[covisitEdges]] + [[pageRankInt]] as one
     * unrolled CTE chain — identical integer arithmetic (`//` is
@@ -131,6 +139,123 @@ object GraphOps {
        |m0 AS (SELECT DISTINCT src AS v, CAST($base AS BIGINT) AS mass FROM e),
        |$rounds
        |SELECT v AS vertex, mass FROM m$iters""".stripMargin.replace("\n", " ")
+  }
+
+  /** DuckDB rendering of [[personalizedPageRankInt]] over the
+    * [[covisitEdges]] graph: same unrolled integer recurrence;
+    * `seedSql(v)` renders the seed predicate over a vertex-id column.
+    */
+  def pprSqlDuck(itemSql: String, seedSql: String => String, iters: Int,
+      base: Long = 1000000L, dampNum: Long = 85L,
+      dampDen: Long = 100L): String = {
+    val teleport = base * (dampDen - dampNum) / dampDen
+    val rounds = (1 to iters).map { i =>
+      val prev = s"m${i - 1}"
+      s"""s$i AS (
+         |  SELECT e.dst AS v,
+         |    CAST(sum((m.mass * e.w) // e.out_w) AS BIGINT) AS infl
+         |  FROM e JOIN $prev m ON e.src = m.v GROUP BY e.dst),
+         |m$i AS (
+         |  SELECT verts.v,
+         |    CASE WHEN ${seedSql("verts.v")} THEN $teleport ELSE 0 END
+         |      + ($dampNum * coalesce(infl, 0)) // $dampDen AS mass
+         |  FROM verts LEFT JOIN s$i ON verts.v = s$i.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT user_id AS u, $itemSql AS it, count(*) AS w
+       |  FROM events WHERE user_id IS NOT NULL AND $itemSql IS NOT NULL
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT u AS src, it + $ItemBase AS dst, w FROM pairs
+       |  UNION ALL
+       |  SELECT it + $ItemBase AS src, u AS dst, w FROM pairs),
+       |e AS (
+       |  SELECT edges.src, dst, w, o.out_w FROM edges
+       |  JOIN (SELECT src, CAST(sum(w) AS BIGINT) AS out_w
+       |        FROM edges GROUP BY src) o
+       |    ON edges.src = o.src),
+       |verts AS (SELECT DISTINCT src AS v FROM e),
+       |m0 AS (SELECT v, CASE WHEN ${seedSql("v")}
+       |  THEN CAST($base AS BIGINT) ELSE 0 END AS mass FROM verts),
+       |$rounds
+       |SELECT v AS vertex, mass FROM m$iters""".stripMargin.replace("\n", " ")
+  }
+
+  /** Item–item co-visitation pairs: (i, j, common_users) for i < j —
+    * the projection of the bipartite interaction graph onto items. The
+    * user-keyed self-join is quadratic PER USER (a user interacting
+    * with d items emits d·(d−1)/2 pairs); at crawl scale the standard
+    * cap applies — drop or sample hyper-active users upstream (the
+    * LSH-block hot-key-cap discipline). One (user)-keyed join + one
+    * (i, j)-keyed partial-agg shuffle.
+    */
+  def itemCopairs(events: DataFrame, userCol: String,
+      itemCol: Column): DataFrame = {
+    val ui = events
+      .select(col(userCol).cast("long").as("u"), itemCol.cast("long").as("it"))
+      .filter(col("u").isNotNull && col("it").isNotNull)
+      .distinct()
+    ui.as("a").join(ui.as("b"),
+        col("a.u") === col("b.u") && col("a.it") < col("b.it"))
+      .groupBy(col("a.it").as("i"), col("b.it").as("j"))
+      .agg(count(lit(1)).as("t"))
+  }
+
+  /** Triangles of the co-visitation BACKBONE: keep the `topK` heaviest
+    * item pairs (deterministic tie-break on the ids — a bounded
+    * TakeOrdered, scale-independent where a fixed weight threshold is
+    * not), then enumerate ordered triangles i<j<k among them with two
+    * broadcast self-joins over the ≤ topK-row edge list. The
+    * corpus-sized work is the pair derivation; everything after is
+    * bounded by topK however large the log.
+    * Output: (i, j, k), one row per triangle.
+    */
+  def backboneTriangles(pairs: DataFrame, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val top = graft.util.Materialize.stable(
+      pairs.orderBy(col("t").desc, col("i"), col("j"))
+        .limit(topK).select("i", "j"))
+    top.as("e1")
+      .join(broadcast(top.as("e2")), col("e1.j") === col("e2.i"))
+      .join(broadcast(top.as("e3")),
+        col("e3.i") === col("e1.i") && col("e3.j") === col("e2.j"))
+      .select(col("e1.i").as("i"), col("e1.j").as("j"), col("e2.j").as("k"))
+  }
+
+  /** Personalized (topic-sensitive) integer PageRank: teleport mass
+    * lands ONLY on the seed set — the "related to THESE items" ranking
+    * retrieval mixes into recommendations. Identical integer recurrence
+    * to [[pageRankInt]] with the teleport term `seed(v) ? base·(den−num)/den : 0`
+    * and the initial mass concentrated on the seeds; non-seed vertices
+    * keep a row (mass 0 until inflow reaches them) via the left join
+    * onto the vertex table.
+    */
+  def personalizedPageRankInt(edges: DataFrame, isSeed: Column => Column,
+      iters: Int, base: Long = 1000000L, dampNum: Long = 85L,
+      dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.util.Materialize.stable(
+      edges.select("src", "dst", "w")
+        .withColumn("out_w", sum("w").over(Window.partitionBy("src"))))
+    val teleport = base * (dampDen - dampNum) / dampDen
+    val verts = graft.util.Materialize.stable(
+      e.select(col("src").as("v")).distinct()
+        .withColumn("tele", when(isSeed(col("v")), lit(teleport))
+          .otherwise(lit(0L))))
+    var mass = verts.select(col("v"),
+      when(isSeed(col("v")), lit(base)).otherwise(lit(0L)).as("mass"))
+    for (_ <- 1 to iters) {
+      val inflow = e.join(mass, e("src") === mass("v"))
+        .select(col("dst"), expr("(mass * w) div out_w").as("tx"))
+        .groupBy("dst").agg(sum("tx").as("inflow"))
+      mass = graft.util.Materialize.stable(
+        verts.join(inflow, verts("v") === inflow("dst"), "left")
+          .select(verts("v"),
+            (col("tele") + expr(
+              s"($dampNum * coalesce(inflow, 0L)) div $dampDen")).as("mass")))
+    }
+    mass.select(col("v").as("vertex"), col("mass"))
   }
 
   /** Degree/strength profile of a weighted directed graph: per vertex,

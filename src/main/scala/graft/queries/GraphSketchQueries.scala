@@ -64,6 +64,23 @@ object GraphSketchQueries {
         GraphOps.covisitEdges(Tables.events(s, dir), "user_id", itemCol),
         PrIters)),
 
+    // Personalized (topic-sensitive) PageRank: teleport only to the
+    // seed items (every 5th item id) — "related to THESE" centrality.
+    "graph_ppr_seeded" -> ((s, dir) =>
+      GraphOps.personalizedPageRankInt(
+        GraphOps.covisitEdges(Tables.events(s, dir), "user_id", itemCol),
+        v => v >= GraphOps.ItemBase &&
+          pmod(v - GraphOps.ItemBase, lit(5L)) === 0,
+        iters = PrIters)),
+
+    // Triangles of the top-150 co-visitation backbone: corpus-scale
+    // pair derivation, then bounded triangle enumeration (two broadcast
+    // self-joins over the ≤150-row edge list).
+    "graph_item_triangles" -> ((s, dir) =>
+      GraphOps.backboneTriangles(
+        GraphOps.itemCopairs(Tables.events(s, dir), "user_id", itemCol),
+        topK = 150)),
+
     // Degree/strength triage profile of the same graph: out-degree,
     // out-strength, and the per-mille share of the heaviest edge (the
     // "is this host a link farm" column).
@@ -124,6 +141,23 @@ object GraphSketchQueries {
   val oracleSql: Map[String, String] = Map(
     "graph_pagerank_covisit" ->
       GraphOps.pageRankSqlDuck(itemSqlDuck, PrIters),
+
+    "graph_ppr_seeded" ->
+      GraphOps.pprSqlDuck(itemSqlDuck,
+        v => s"($v >= ${GraphOps.ItemBase} AND ($v - ${GraphOps.ItemBase}) % 5 = 0)",
+        PrIters),
+
+    "graph_item_triangles" ->
+      s"""WITH ev AS (SELECT DISTINCT user_id AS u, $itemSqlDuck AS it
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND $itemSqlDuck IS NOT NULL),
+         |pr AS (SELECT a.it AS i, b.it AS j, count(*) AS t
+         |  FROM ev a JOIN ev b ON a.u = b.u AND a.it < b.it GROUP BY 1, 2),
+         |top AS (SELECT i, j FROM pr ORDER BY t DESC, i, j LIMIT 150)
+         |SELECT e1.i AS i, e1.j AS j, e2.j AS k
+         |FROM top e1 JOIN top e2 ON e1.j = e2.i
+         |JOIN top e3 ON e3.i = e1.i AND e3.j = e2.j"""
+        .stripMargin.replace("\n", " "),
 
     "graph_degree_profile" ->
       s"""WITH $pairsEdgesCteDuck

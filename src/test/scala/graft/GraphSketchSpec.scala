@@ -52,6 +52,42 @@ class GraphSketchSpec extends SparkSpecBase {
       s"hot item ${hot} mass ${pr(hot)} not above cold ${cold} mass ${pr(cold)}")
   }
 
+  test("personalized PageRank equals its sequential reference; seeds hold the floor") {
+    val edgesDf = GraphOps.covisitEdges(events, "user_id", itemCol)
+    val edges = edgesDf.select("src", "dst", "w").as[(Long, Long, Long)].collect()
+    def seed(v: Long) = v >= GraphOps.ItemBase && (v - GraphOps.ItemBase) % 5 == 0
+    val outW = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var mass = outW.keys.map(v => v -> (if (seed(v)) 1000000L else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val inflow = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (s, d, w) => inflow(d) += mass(s) * w / outW(s) }
+      mass = outW.keys.map(v =>
+        v -> ((if (seed(v)) 150000L else 0L) + 85L * inflow(v) / 100L)).toMap
+    }
+    val got = GraphOps.personalizedPageRankInt(edgesDf,
+      v => v >= GraphOps.ItemBase && pmod(v - GraphOps.ItemBase, lit(5L)) === 0,
+      iters = 3).as[(Long, Long)].collect().toMap
+    assert(got === mass)
+    got.foreach { case (v, m) =>
+      if (seed(v)) assert(m >= 150000L, s"seed $v lost its teleport floor")
+      assert(m >= 0L)
+    }
+  }
+
+  test("backbone triangles: every emitted triple is an ordered triangle, and all are found") {
+    val pairs = GraphOps.itemCopairs(events, "user_id", itemCol)
+    val top = pairs.orderBy(col("t").desc, col("i"), col("j")).limit(150)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val expected = for {
+      (i, j) <- top; (j2, k) <- top
+      if j2 == j && top.contains((i, k))
+    } yield (i, j, k)
+    val got = GraphOps.backboneTriangles(pairs, topK = 150)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    got.foreach { case (i, j, k) => assert(i < j && j < k) }
+  }
+
   test("degreeProfile: degree counts distinct destinations, permille bounded") {
     val e = GraphOps.covisitEdges(events, "user_id", itemCol)
     val prof = GraphOps.degreeProfile(e).collect()

@@ -532,4 +532,61 @@ class PlanAuditSpec extends SparkSpecBase {
     // unbounded side lost its broadcast
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("pagerank: keyed equi-joins + map-side-combined inflow, no cartesian, no global sort") {
+    // the gate query materializes each round (linear-plan discipline), so
+    // its FINAL plan is just the checkpoint scan — audit the constituent
+    // plans the loop executes instead: the edge derivation and one
+    // un-materialized round
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val edges = graft.graph.GraphOps.covisitEdges(Tables.events(spark, sfDir),
+      "user_id", get_json_object(col("props"), "$.k").cast("long"))
+    val pe = edges.queryExecution.executedPlan.toString
+    assert(pe.contains("partial_count"),
+      "pair weights must combine map-side before the (user,item) shuffle")
+    assert(!pe.contains("CartesianProduct"))
+    val e = edges.select("src", "dst", "w")
+      .withColumn("out_w", sum("w").over(Window.partitionBy("src")))
+    val mass = e.select(col("src").as("v")).distinct()
+      .withColumn("mass", lit(1000000L))
+    val p = graft.graph.GraphOps.pageRankStep(e, mass, 150000L, 85L, 100L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_sum"),
+      "per-round inflow must combine map-side before the dst shuffle")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "nothing in the iteration needs a global sort")
+  }
+
+  test("kmv sketch: per-group heap via partitioned window; exact leg combines map-side") {
+    val p = plan("sketch_kmv_distinct")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k must prune map-side — shipping every distinct hash to the " +
+        "window sort is the thing a k-bounded sketch exists to avoid")
+    assert(p.contains("partial_count"), "exact distinct combines map-side")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "the window is group-partitioned, never a global sort")
+  }
+
+  test("cms sketch: 1024-cell table broadcasts back onto the bounded probe side") {
+    val p = plan("sketch_cms_heavy")
+    assert(p.contains("BroadcastHashJoin"), "the d·w cell table must broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "exact top-N keys must be a bounded TakeOrdered, not a global sort")
+    assert(p.contains("partial_count"), "cell counts combine map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("scd2: one key shuffle feeds a key-partitioned window — never a global sort") {
+    val p = plan("cdc_scd2_history")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "exactly one shuffle (by business key) expected")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "version ordering is per-key, not global")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      "the lead() fold is a window, not a self-join")
+  }
 }
