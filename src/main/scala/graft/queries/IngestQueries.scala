@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.Tables
+import graft.sources.TextIngest
+
+/** Raw-corpus ingest seam, gated: the documents fixture is re-serialized
+  * to JSONL IN the query (to_json), a deterministic 10% of lines is
+  * replaced with a malformed payload, and the [[TextIngest]] parse +
+  * split runs over the result. The gate aggregates PARSED fields only —
+  * per-language counts, id sums, and a text-content hash sum — so any
+  * value the JSON round-trip corrupts (escaping, field order, type
+  * coercion) moves a sum the oracle computes from the ORIGINAL columns.
+  * Corrupt lines land in the `__corrupt__` bucket with NULL sums (no
+  * parsed fields exist to aggregate).
+  */
+object IngestQueries {
+
+  private val CorruptLine = "not json {{{"
+
+  private val DocSchema =
+    StructType.fromDDL("doc_id BIGINT, text STRING, lang STRING, source STRING")
+
+  private def ingested(s: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.documents(s, dir)
+      .select(when(pmod(col("doc_id"), lit(10L)) === 0, lit(CorruptLine))
+        .otherwise(to_json(struct(col("doc_id"), col("text"), col("lang"),
+          col("source")))).as("line"))
+    TextIngest.parseJsonl(lines, DocSchema)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "jsonl_ingest_stats" -> ((s, dir) => {
+      val parsed = ingested(s, dir)
+      val (valid, dlq) = TextIngest.split(parsed, Seq("doc_id", "text"))
+      val v = valid.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).as("sum_doc_id"),
+          sum(graft.llm.Dedup.tokenHash(col("text"))).as("text_hash_sum"))
+      val d = dlq.groupBy(lit("__corrupt__").as("lang"))
+        .agg(count(lit(1)).as("n"),
+          lit(null).cast("long").as("sum_doc_id"),
+          lit(null).cast("long").as("text_hash_sum"))
+      v.unionByName(d)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // the oracle never parses JSON — it partitions the ORIGINAL rows by
+    // the same doc_id % 10 rule and aggregates the original columns, so
+    // it checks that serialize → corrupt → parse → split is LOSSLESS on
+    // the surviving 90% and routes exactly the other 10%
+    "jsonl_ingest_stats" ->
+      """SELECT CASE WHEN doc_id % 10 = 0 THEN '__corrupt__' ELSE lang END AS lang,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN doc_id % 10 = 0 THEN NULL ELSE doc_id END)
+        |    AS BIGINT) AS sum_doc_id,
+        |  CAST(sum(CASE WHEN doc_id % 10 = 0 THEN NULL
+        |    ELSE CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) END)
+        |    AS BIGINT) AS text_hash_sum
+        |FROM documents
+        |GROUP BY 1""".stripMargin.replace("\n", " ")
+  )
+}

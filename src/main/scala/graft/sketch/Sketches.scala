@@ -112,14 +112,7 @@ object Sketches {
       hashedDistinct(df, groups, valueCol, preHashed))
     val exact = hashed.groupBy(groups.map(col): _*)
       .agg(count(lit(1)).as("n_exact"))
-    val regs = hashed
-      .withColumn("_bucket", pmod(col("_h"), lit(m.toLong)))
-      .withColumn("_rest", expr(s"_h div $m"))
-      .withColumn("_rho",
-        when(col("_rest") === 0, lit(restBits + 1))
-          .otherwise(lit(restBits + 1) - length(bin(col("_rest")))))
-      .groupBy(groups.map(col) :+ col("_bucket"): _*)
-      .agg(max("_rho").as("_r"))
+    val regs = hllRegistersOverHashed(hashed, groups, p)
     // Σ over ALL m registers: present ones contribute 2^30 >> ρ, the
     // (m − present) absent ones contribute 2^30 each
     val denom = regs.groupBy(groups.map(col): _*)
@@ -135,6 +128,32 @@ object Sketches {
       .join(exact, groups)
       .select(groups.map(col) ++
         Seq(col("n_exact"), col("hll_estimate")): _*)
+  }
+
+  /** The HLL register table (groups…, _bucket, _r) — exposed because
+    * register MAX-MERGE is the sketch's 100 TB story: registers built
+    * over disjoint partitions of a corpus, max-merged per (group,
+    * bucket), equal the registers built over the whole corpus — the
+    * property that lets a fleet sketch shards independently and union
+    * the results (spec-pinned).
+    */
+  def hllRegisters(df: DataFrame, groups: Seq[String], valueCol: Column,
+      p: Int, preHashed: Boolean = false): DataFrame =
+    hllRegistersOverHashed(hashedDistinct(df, groups, valueCol, preHashed),
+      groups, p)
+
+  private def hllRegistersOverHashed(hashed: DataFrame, groups: Seq[String],
+      p: Int): DataFrame = {
+    val m = 1 << p
+    val restBits = 32 - p
+    hashed
+      .withColumn("_bucket", pmod(col("_h"), lit(m.toLong)))
+      .withColumn("_rest", expr(s"_h div $m"))
+      .withColumn("_rho",
+        when(col("_rest") === 0, lit(restBits + 1))
+          .otherwise(lit(restBits + 1) - length(bin(col("_rest")))))
+      .groupBy(groups.map(col) :+ col("_bucket"): _*)
+      .agg(max("_rho").as("_r"))
   }
 
   /** Count-Min frequency sketch: d hash rows × w buckets of int64

@@ -140,6 +140,20 @@ class GraphSketchSpec extends SparkSpecBase {
     }
   }
 
+  test("HLL registers max-merge across disjoint shards to the whole-corpus registers") {
+    val all = shingleHashes
+    val half1 = all.filter(pmod(col("h"), lit(2L)) === 0)
+    val half2 = all.filter(pmod(col("h"), lit(2L)) === 1)
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(df, Seq("source"), col("h"), p = 6, preHashed = true)
+    val merged = regs(half1).unionByName(regs(half2))
+      .groupBy("source", "_bucket").agg(max("_r").as("_r"))
+      .as[(String, Long, Int)].collect().toSet
+    val whole = regs(all).as[(String, Long, Int)].collect().toSet
+    assert(merged === whole,
+      "shard-wise sketching + max-merge must equal the one-pass sketch")
+  }
+
   test("CMS: every estimate >= exact (collisions only add); heavy keys tight") {
     val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
     val r = Sketches.cmsTopKCalibration(toks, col("tok"), d = 4, w = 256,
