@@ -189,12 +189,24 @@ object GraphOps {
     * LSH-block hot-key-cap discipline). One (user)-keyed join + one
     * (i, j)-keyed partial-agg shuffle.
     */
-  def itemCopairs(events: DataFrame, userCol: String,
-      itemCol: Column): DataFrame = {
-    val ui = events
+  def itemCopairs(events: DataFrame, userCol: String, itemCol: Column,
+      maxUserDegree: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = events
       .select(col(userCol).cast("long").as("u"), itemCol.cast("long").as("it"))
       .filter(col("u").isNotNull && col("it").isNotNull)
       .distinct()
+    // the hot-key cap, IMPLEMENTED (not just documented): a user with
+    // more than maxUserDegree distinct items contributes no pairs — a
+    // hyper-connector's d²/2 pairs are co-visitation noise (everything
+    // co-occurs with everything through it) AND the straggler that
+    // wrecks the self-join; same rule as the LSH block caps. 0 = off.
+    val ui =
+      if (maxUserDegree <= 0) raw
+      else raw
+        .withColumn("_deg", count(lit(1)).over(Window.partitionBy("u")))
+        .filter(col("_deg") <= maxUserDegree)
+        .drop("_deg")
     ui.as("a").join(ui.as("b"),
         col("a.u") === col("b.u") && col("a.it") < col("b.it"))
       .groupBy(col("a.it").as("i"), col("b.it").as("j"))

@@ -142,19 +142,33 @@ object Sketches {
     hllRegistersOverHashed(hashedDistinct(df, groups, valueCol, preHashed),
       groups, p)
 
-  private def hllRegistersOverHashed(hashed: DataFrame, groups: Seq[String],
-      p: Int): DataFrame = {
+  /** Per-row register bucket for a 32-bit hash: `h mod 2^p`. Together
+    * with [[hllRho]] this is the whole per-row projection — and it is
+    * duplicate-INSENSITIVE under the max-aggregate, so a STREAMING
+    * register build needs no distinct pass: project + ONE streaming max
+    * aggregate is the entire sketch (spec-pinned against batch).
+    */
+  def hllBucket(h: Column, p: Int): Column =
+    pmod(h, lit((1L << p)))
+
+  /** Per-row register rank ρ = leading-zero count of the non-bucket
+    * bits + 1, via the portable `bin()` length (no float log).
+    */
+  def hllRho(h: Column, p: Int): Column = {
     val m = 1 << p
     val restBits = 32 - p
+    val rest = floor(h / lit(m.toLong)).cast("long") // positive: trunc == floor
+    when(rest === 0, lit(restBits + 1))
+      .otherwise(lit(restBits + 1) - length(bin(rest)))
+  }
+
+  private def hllRegistersOverHashed(hashed: DataFrame, groups: Seq[String],
+      p: Int): DataFrame =
     hashed
-      .withColumn("_bucket", pmod(col("_h"), lit(m.toLong)))
-      .withColumn("_rest", expr(s"_h div $m"))
-      .withColumn("_rho",
-        when(col("_rest") === 0, lit(restBits + 1))
-          .otherwise(lit(restBits + 1) - length(bin(col("_rest")))))
+      .withColumn("_bucket", hllBucket(col("_h"), p))
+      .withColumn("_rho", hllRho(col("_h"), p))
       .groupBy(groups.map(col) :+ col("_bucket"): _*)
       .agg(max("_rho").as("_r"))
-  }
 
   /** Count-Min frequency sketch: d hash rows × w buckets of int64
     * counters built in ONE partial-agg pass (d·w cells total — 1024

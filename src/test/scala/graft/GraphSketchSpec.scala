@@ -169,6 +169,51 @@ class GraphSketchSpec extends SparkSpecBase {
     }
   }
 
+  test("itemCopairs degree cap removes exactly the hyper-connector's pairs") {
+    // a synthetic hyper-user touching every item would connect ALL items
+    val base = events.select(col("user_id"), itemCol.as("it"))
+      .filter(col("it").isNotNull)
+    val hyper = base.select(lit(999999L).as("user_id"), col("it")).distinct()
+    val withHyper = base.unionByName(hyper)
+      .select(col("user_id"), col("it"))
+    val capped = GraphOps.itemCopairs(
+      withHyper.select(col("user_id"), col("it")), "user_id", col("it"),
+      maxUserDegree = 80)
+      .as[(Long, Long, Long)].collect()
+      .map { case (i, j, t) => (i, j) -> t }.toMap
+    val clean = GraphOps.itemCopairs(base, "user_id", col("it"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (i, j, t) => (i, j) -> t }.toMap
+    assert(capped === clean,
+      "capping must restore exactly the hyper-user-free pair counts")
+  }
+
+  test("streaming HLL: project + one max-agg equals the batch registers, across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = shingleHashes.as[(String, Long)].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[(String, Long)]
+    val regs = in.toDF().toDF("source", "h")
+      .select(col("source"), Sketches.hllBucket(col("h"), 6).as("_bucket"),
+        Sketches.hllRho(col("h"), 6).as("_rho"))
+      .groupBy("source", "_bucket").agg(max("_rho").as("_r"))
+    assert(regs.isStreaming)
+    val q = regs.writeStream.format("memory").queryName("hll_regs")
+      .outputMode("complete").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("hll_regs")
+        .as[(String, Long, Int)].collect().toSet
+      val batch = Sketches.hllRegisters(shingleHashes, Seq("source"),
+        col("h"), p = 6, preHashed = true)
+        .as[(String, Long, Int)].collect().toSet
+      assert(streamed === batch,
+        "the streaming register build must equal the batch sketch")
+    } finally q.stop()
+  }
+
   test("SCD2: intervals chain per key; is_current agrees with the LWW fold") {
     val changes = events.select(col("user_id"), col("event_id"), col("ts_us"),
       col("event_type"), graft.ops.EventOps.cents(col("value")).as("value_cents"))
