@@ -222,11 +222,18 @@ object GraphOps {
     * bounded by topK however large the log.
     * Output: (i, j, k), one row per triangle.
     */
-  def backboneTriangles(pairs: DataFrame, topK: Int): DataFrame = {
+  /** The `topK` heaviest pairs (deterministic tie-break), materialized —
+    * the bounded backbone the triangle and component analyses run over.
+    */
+  def backboneEdges(pairs: DataFrame, topK: Int): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
-    val top = graft.util.Materialize.stable(
+    graft.util.Materialize.stable(
       pairs.orderBy(col("t").desc, col("i"), col("j"))
         .limit(topK).select("i", "j"))
+  }
+
+  def backboneTriangles(pairs: DataFrame, topK: Int): DataFrame = {
+    val top = backboneEdges(pairs, topK)
     top.as("e1")
       .join(broadcast(top.as("e2")), col("e1.j") === col("e2.i"))
       .join(broadcast(top.as("e3")),

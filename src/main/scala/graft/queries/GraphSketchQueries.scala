@@ -81,6 +81,17 @@ object GraphSketchQueries {
         GraphOps.itemCopairs(Tables.events(s, dir), "user_id", itemCol),
         topK = 150)),
 
+    // Connected components of the same backbone (star-contraction CC —
+    // the engine's O(log n)-round machinery — over the bounded edge
+    // list): the item-community map.
+    "graph_backbone_components" -> ((s, dir) =>
+      graft.llm.Dedup.connectedComponentsStars(
+        GraphOps.backboneEdges(
+          GraphOps.itemCopairs(Tables.events(s, dir), "user_id", itemCol),
+          topK = 150),
+        "i", "j")
+        .select(col("doc_id").as("vertex"), col("cluster_id").as("component"))),
+
     // Degree/strength triage profile of the same graph: out-degree,
     // out-strength, and the per-mille share of the heaviest edge (the
     // "is this host a link farm" column).
@@ -157,6 +168,20 @@ object GraphSketchQueries {
          |SELECT e1.i AS i, e1.j AS j, e2.j AS k
          |FROM top e1 JOIN top e2 ON e1.j = e2.i
          |JOIN top e3 ON e3.i = e1.i AND e3.j = e2.j"""
+        .stripMargin.replace("\n", " "),
+
+    "graph_backbone_components" ->
+      s"""WITH RECURSIVE ev AS (SELECT DISTINCT user_id AS u, $itemSqlDuck AS it
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND $itemSqlDuck IS NOT NULL),
+         |pr AS (SELECT a.it AS i, b.it AS j, count(*) AS t
+         |  FROM ev a JOIN ev b ON a.u = b.u AND a.it < b.it GROUP BY 1, 2),
+         |top AS (SELECT i, j FROM pr ORDER BY t DESC, i, j LIMIT 150),
+         |edges AS (SELECT i AS src, j AS dst FROM top
+         |  UNION ALL SELECT j, i FROM top),
+         |reach(v, r) AS (SELECT src, src FROM edges
+         |  UNION SELECT e.src, rc.r FROM edges e JOIN reach rc ON rc.v = e.dst)
+         |SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v"""
         .stripMargin.replace("\n", " "),
 
     "graph_degree_profile" ->

@@ -169,6 +169,30 @@ class GraphSketchSpec extends SparkSpecBase {
     }
   }
 
+  test("backbone components equal a union-find over the same edges") {
+    val pairs = GraphOps.itemCopairs(events, "user_id", itemCol)
+    val edges = GraphOps.backboneEdges(pairs, 150).as[(Long, Long)].collect()
+    // reference union-find
+    val parent = collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val expected = verts.map(v => v -> find(v)).toMap
+    val got = graft.llm.Dedup.connectedComponentsStars(
+      GraphOps.backboneEdges(pairs, 150), "i", "j")
+      .select(col("doc_id"), col("cluster_id"))
+      .as[(Long, Long)].collect().toMap
+    // same partition: the engine labels by min member, as does the
+    // path-compressed min-union reference
+    assert(got === expected)
+  }
+
   test("itemCopairs degree cap removes exactly the hyper-connector's pairs") {
     // a synthetic hyper-user touching every item would connect ALL items
     val base = events.select(col("user_id"), itemCol.as("it"))
