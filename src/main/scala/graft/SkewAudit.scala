@@ -60,7 +60,21 @@ object SkewAudit {
         .as("source"),
       col("text"))
 
+    // a hyper-user owning 10% of the event log, over a wide synthetic
+    // item space (event_id % 10000) so its co-visitation degree is
+    // ~10,000 → ~5·10^7 pairs if admitted; the production degree cap
+    // (normal users sit near 66 distinct items at sf0.1) must drop it
+    // BEFORE the self-join, keeping the stage flat
+    val events = Tables.events(spark, sfDir)
+    val hyperEvents = events.select(
+      when(col("event_id") % 10 === 0, lit(424242L))
+        .otherwise(col("user_id")).as("user_id"),
+      pmod(col("event_id"), lit(10000L)).as("item"))
+
     val runs: Seq[(String, () => DataFrame)] = Seq(
+      "covisit_pairs_hyper_user" -> (() =>
+        graft.graph.GraphOps.itemCopairs(hyperEvents, "user_id",
+          col("item"), maxUserDegree = 2000)),
       "paragraph_dedup_hot" -> (() =>
         Dedup.paragraphDedup(skewedDocs, "doc_id", "text")),
       "cc_stars_hub" -> (() =>

@@ -104,10 +104,10 @@ object GraphOps {
           expr(s"($dampNum * inflow) div $dampDen")).as("mass"))
 
   /** The DuckDB rendering of [[covisitEdges]] + [[pageRankInt]] as one
-    * unrolled CTE chain — identical integer arithmetic (`//` is
-    * DuckDB's floor-div on BIGINT; positive operands make it equal to
-    * Spark's `div`). `itemSql` must extract the item id as BIGINT from
-    * an `events` row.
+    * unrolled CTE chain — identical integer arithmetic (DuckDB's `//`
+    * truncates toward zero on BIGINT, as does Spark's `div`; all
+    * operands here are non-negative, where the two are equal anyway).
+    * `itemSql` must extract the item id as BIGINT from an `events` row.
     */
   def pageRankSqlDuck(itemSql: String, iters: Int, base: Long = 1000000L,
       dampNum: Long = 85L, dampDen: Long = 100L): String = {

@@ -218,6 +218,72 @@ object Multimodal {
       doc_id: Long, src_width: Int, src_height: Int,
       width: Int, height: Int, payload: Array[Byte])
 
+  /** Audio leg: per-window ENERGY profile + silence trim over the
+    * payload's stub PCM — the VAD-ish preprocessing every speech
+    * pipeline runs before training. Sample t (of nWindows·winLen) is
+    * the centered byte `ascii(payload[1 + (t·stride) mod n_px]) − 96`
+    * (the ASCII fixture stands in for int16 PCM exactly as the aHash
+    * pixels stand in for gray blocks); window j's energy is the integer
+    * Σ s², and a window is VOICED iff `energy · nWindows > Σ energies`
+    * (strict cross-multiplied mean test — an all-equal profile has no
+    * voiced windows, matching a silence-only clip). Output one row per
+    * audio doc: (doc_id, n_voiced, first_voiced_w, last_voiced_w,
+    * total_energy) — the trim decision columns.
+    *
+    * Scale shape: one explode (nWindows·winLen rows per doc, a
+    * constant), one (doc, window) partial-agg, one doc-partitioned
+    * window for the mean test — no corpus-wide exchange beyond the
+    * doc-keyed aggregates; everything is codegen'd integer arithmetic.
+    */
+  def audioEnergyProfile(docs: DataFrame, idCol: String, textCol: String,
+      nWindows: Int = 16, winLen: Int = 64, stride: Int = 5): DataFrame = {
+    require(nWindows > 0 && winLen > 0 && stride > 0, "positive geometry")
+    import org.apache.spark.sql.expressions.Window
+    val n = nWindows * winLen
+    val energies = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_t"))
+      .withColumn("n_px", length(col("_t")))
+      .filter(col("n_px") % 3 === 1) // media_type 'audio' (see metadata)
+      .select(col("doc_id"), col("_t"), col("n_px"),
+        explode(sequence(lit(0), lit(n - 1))).as("t"))
+      .select(col("doc_id"), expr("t div " + winLen).as("w"),
+        expr(s"ascii(substr(_t, 1 + ((t * $stride) % n_px), 1)) - 96").as("s"))
+      .groupBy("doc_id", "w").agg(sum(expr("s * s")).as("energy"))
+    val withTotal = energies.withColumn("total",
+      sum("energy").over(Window.partitionBy("doc_id")))
+    val voiced = col("energy") * nWindows > col("total")
+    withTotal.groupBy("doc_id")
+      .agg(sum(when(voiced, 1L).otherwise(0L)).as("n_voiced"),
+        min(when(voiced, col("w"))).as("first_voiced_w"),
+        max(when(voiced, col("w"))).as("last_voiced_w"),
+        max("total").as("total_energy"))
+  }
+
+  /** DuckDB closed form of [[audioEnergyProfile]] (same geometry
+    * constants interpolated — the engines cannot drift one-sided).
+    */
+  def audioEnergySqlDuck(nWindows: Int = 16, winLen: Int = 64,
+      stride: Int = 5): String = {
+    val n = nWindows * winLen
+    s"""WITH a AS (SELECT doc_id, text AS txt, length(text) AS n_px
+       |  FROM documents WHERE length(text) % 3 = 1),
+       |s AS (SELECT doc_id, u.t // $winLen AS w,
+       |    (ascii(substr(txt, 1 + ((u.t * $stride) % n_px), 1)) - 96) AS sv
+       |  FROM a, unnest(range(0, $n)) AS u(t)),
+       |e AS (SELECT doc_id, w, CAST(sum(sv * sv) AS BIGINT) AS energy
+       |  FROM s GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, CAST(sum(energy) AS BIGINT) AS total
+       |  FROM e GROUP BY 1)
+       |SELECT e.doc_id,
+       |  CAST(sum(CASE WHEN energy * $nWindows > total THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_voiced,
+       |  min(CASE WHEN energy * $nWindows > total THEN w END) AS first_voiced_w,
+       |  max(CASE WHEN energy * $nWindows > total THEN w END) AS last_voiced_w,
+       |  max(total) AS total_energy
+       |FROM e JOIN tot USING (doc_id) GROUP BY e.doc_id"""
+      .stripMargin.replace("\n", " ")
+  }
+
   /** Resize plumbing: batched per-partition transform emitting a
     * target-dims payload per media row (aspect-preserving fit inside
     * `maxW`×`maxH`, never upscaled). The pixel resample is the stub —

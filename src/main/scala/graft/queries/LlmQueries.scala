@@ -208,7 +208,12 @@ object LlmQueries {
 
     // frame-extraction fan-out: every 5th frame of each "video" payload
     "multimodal_frames" -> ((s, dir) =>
-      Multimodal.frameSample(Tables.documents(s, dir), "doc_id", "text", stride = 5))
+      Multimodal.frameSample(Tables.documents(s, dir), "doc_id", "text", stride = 5)),
+
+    // audio leg: windowed energy + silence trim over the stub PCM —
+    // (doc, n_voiced, first/last voiced window, total energy)
+    "multimodal_audio_energy" -> ((s, dir) =>
+      Multimodal.audioEnergyProfile(Tables.documents(s, dir), "doc_id", "text"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -472,6 +477,8 @@ object LlmQueries {
         |  FROM documents WHERE octet_length(text::BLOB) % 3 = 2)
         |SELECT doc_id, n_frames, u.i AS frame_idx,
         |  CAST(concat('0x', substr(md5(concat(doc_id, ':', u.i)), 1, 8)) AS BIGINT) AS frame_id
-        |FROM meta, UNNEST(range(0, n_frames, 5)) u(i)""".stripMargin.replace("\n", " ")
+        |FROM meta, UNNEST(range(0, n_frames, 5)) u(i)""".stripMargin.replace("\n", " "),
+
+    "multimodal_audio_energy" -> Multimodal.audioEnergySqlDuck()
   )
 }

@@ -74,4 +74,29 @@ class MultimodalRerankSpec extends SparkSpecBase {
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("audio energy profile: audio docs only, voiced windows bounded and ordered") {
+    import org.apache.spark.sql.functions._
+    val prof = Multimodal.audioEnergyProfile(docs, "doc_id", "text").collect()
+    assert(prof.nonEmpty)
+    val audioIds = docs.filter(length(col("text")) % 3 === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(prof.map(_.getAs[Long]("doc_id")).toSet === audioIds,
+      "exactly the 'audio' payloads get a profile row")
+    prof.foreach { r =>
+      val nv = r.getAs[Long]("n_voiced")
+      assert(nv >= 0 && nv <= 16)
+      assert(r.getAs[Long]("total_energy") >= 0)
+      if (nv > 0) {
+        val (f, l) = (r.getAs[Long]("first_voiced_w"), r.getAs[Long]("last_voiced_w"))
+        assert(f >= 0 && l <= 15 && f <= l,
+          s"voiced window bounds out of order: $r")
+      } else {
+        assert(r.isNullAt(r.fieldIndex("first_voiced_w")) &&
+          r.isNullAt(r.fieldIndex("last_voiced_w")))
+      }
+    }
+    // the strict mean test can't mark everything voiced
+    assert(prof.forall(_.getAs[Long]("n_voiced") < 16))
+  }
 }
