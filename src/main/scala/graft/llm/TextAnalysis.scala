@@ -356,4 +356,45 @@ object TextAnalysis {
         min("score_permille").as("min_score"),
         max("score_permille").as("max_score"))
   }
+
+  /** Per-source distribution-drift audit: a scaled χ²-style distance
+    * between each source's token distribution and the whole corpus —
+    * the "did this feed change character" check run before admitting a
+    * new crawl batch into the mix. For every token the SOURCE uses
+    * (present-token χ²; absent tokens contribute nothing, documented),
+    * expected count `e = corpus_count · source_tokens div corpus_total`
+    * and term `(o − e)² · 1000 div (e + 1)` — all integer (order-
+    * independent sums, oracle-exact; the +1 makes rare-token terms
+    * finite instead of a division by a floored-to-zero expectation).
+    * Int64-exactness bound: the `c · st` and `(o−e)²` products stay in
+    * range while corpus_total² < 2⁶³ (≈ 3·10⁹ tokens); past that,
+    * widen the two products to DECIMAL(38,0) — the CC-checksum
+    * discipline — before the div.
+    *
+    * Scale shape: token counts partial-agg per (source, hash); the
+    * vocab-sized corpus table joins back by hash (honest equi-join —
+    * at web scale the vocab is still ≪ the corpus); the 1-row corpus
+    * total broadcasts. Output: (source, n_tokens, n_distinct,
+    * chi2_scaled).
+    */
+  def sourceDriftChi2(docs: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    val tok = graft.util.Materialize.stable(
+      docs.select(col(srcCol).as("source"),
+          explode(tokens(col(textCol))).as("_t"))
+        .select(col("source"), Dedup.tokenHash(col("_t")).as("h"))
+        .groupBy("source", "h").agg(count(lit(1)).as("o")))
+    val corpus = tok.groupBy("h").agg(sum("o").as("c"))
+    val srcTotals = tok.groupBy("source").agg(sum("o").as("st"),
+      count(lit(1)).as("n_distinct"))
+    val total = tok.agg(sum("o").as("tt"))
+    tok.join(corpus, "h")
+      .join(broadcast(srcTotals), "source")
+      .crossJoin(broadcast(total))
+      .withColumn("e", expr("(c * st) div tt"))
+      .withColumn("term", expr("((o - e) * (o - e) * 1000) div (e + 1)"))
+      .groupBy("source")
+      .agg(max("st").as("n_tokens"), max("n_distinct").as("n_distinct"),
+        sum("term").as("chi2_scaled"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Ordered-funnel and cohort-retention analytics over the event stream —
@@ -120,5 +120,49 @@ object EventAnalytics {
         (col("period") - col("cohort_period")).as("period_offset"), col("_u"))
       .groupBy("cohort_period", "period_offset")
       .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Robust per-key outlier profile by median absolute deviation — the
+    * data-quality triage that survives the outliers it hunts (a mean/
+    * stddev rule is dragged by the very points it should flag; the
+    * median/MAD pair has a 50% breakdown point). All integer: both
+    * medians are the engine's exact lower-median idiom (the
+    * ⌈n/2⌉-th smallest, no float percentile), and the flag is the
+    * cross-multiplied strict test `|v − median| > k · MAD` — with
+    * MAD = 0 (over half the key's values identical) ANY deviation
+    * flags, the right degenerate behavior.
+    *
+    * Scale shape: two key-partitioned windows (value rank, deviation
+    * rank) + one key aggregate — state bounded by a single key's rows,
+    * never a global sort.
+    * Output: (key, n_events, median_v, mad_v, n_anomalies).
+    */
+  def madOutliers(events: DataFrame, keyCol: String, valueCol: Column,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    val base = events.select(col(keyCol).as("_k"), valueCol.as("_v"))
+      .filter(col("_v").isNotNull)
+    val wv = Window.partitionBy("_k").orderBy(col("_v"))
+    val cw = Window.partitionBy("_k")
+    val med = base
+      .withColumn("_rk", row_number().over(wv).cast("long"))
+      .withColumn("_n", count(lit(1)).over(cw))
+      .filter(col("_rk") === expr("(_n + 1) div 2"))
+      .select(col("_k"), col("_v").as("median_v"))
+    val dev = base.join(med, "_k")
+      .withColumn("_d", abs(col("_v") - col("median_v")))
+    val wd = Window.partitionBy("_k").orderBy(col("_d"))
+    val mad = dev
+      .withColumn("_rk", row_number().over(wd).cast("long"))
+      .withColumn("_n", count(lit(1)).over(cw))
+      .filter(col("_rk") === expr("(_n + 1) div 2"))
+      .select(col("_k"), col("_d").as("mad_v"))
+    dev.join(mad, "_k")
+      .groupBy(col("_k").as(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        max("median_v").as("median_v"), max("mad_v").as("mad_v"),
+        sum(when(col("_d") > lit(k) * col("mad_v"), 1L).otherwise(0L))
+          .as("n_anomalies"))
   }
 }

@@ -23,6 +23,11 @@ object EventQueries {
   private val RetentionPeriodUs = 86400000000L // daily cohorts — weekly
   // periods saturate (every fixture user is active every week)
 
+  /** Explicit pivot value list (alphabetical — the deterministic column
+    * set; a pivot without one costs a driver-side distinct at scale).
+    */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Ordered conversion funnel: stage k strictly after stage k-1 and
     // within the 24 h conversion window of it; per-stage user counts.
@@ -43,6 +48,33 @@ object EventQueries {
     "events_funnel_latency" -> ((s, dir) =>
       EventAnalytics.funnelLatency(Tables.events(s, dir), "user_id",
         "event_type", "ts_us", FunnelStages, ConversionWindowUs)),
+
+    // Relational PIVOT: per-user event-type count matrix with an
+    // EXPLICIT value list (the only scale-sane pivot — value discovery
+    // is a driver-side distinct collect) and zero-filled empty cells.
+    "events_type_pivot" -> ((s, dir) => {
+      val p = Tables.events(s, dir).groupBy("user_id")
+        .pivot("event_type", EventTypes).agg(count(lit(1)))
+      p.select(col("user_id") +:
+        EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    }),
+
+    // UNPIVOT (melt) of the same matrix back to (user, type, n) — the
+    // wide↔long round trip, zero cells included.
+    "events_type_unpivot" -> ((s, dir) => {
+      val p = Tables.events(s, dir).groupBy("user_id")
+        .pivot("event_type", EventTypes).agg(count(lit(1)))
+        .select(col("user_id") +:
+          EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      p.unpivot(Array(col("user_id")), EventTypes.map(col).toArray,
+        "event_type", "n")
+    }),
+
+    // Robust per-user outlier profile: exact lower-median + MAD over
+    // integer cents, strict |v−med| > 3·MAD flag.
+    "events_anomaly_mad" -> ((s, dir) =>
+      EventAnalytics.madOutliers(Tables.events(s, dir), "user_id",
+        graft.ops.EventOps.cents(col("value")), k = 3)),
 
     // Z-order layout key: the Morton interleave of (user, hour) — the
     // 2-D data-skipping sort key; exact magic-bit arithmetic shared with
@@ -104,6 +136,47 @@ object EventQueries {
          |$stageCtes
          |$unions""".stripMargin.replace("\n", " ")
     },
+
+    "events_type_pivot" -> {
+      val cols = EventTypes.map(t =>
+        s"CAST(count(CASE WHEN event_type = '$t' THEN 1 END) AS BIGINT) AS \"$t\"")
+        .mkString(", ")
+      s"SELECT user_id, $cols FROM events GROUP BY user_id"
+    },
+
+    "events_type_unpivot" -> {
+      val vals = EventTypes.map(t => s"('$t')").mkString(", ")
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |t(event_type) AS (VALUES $vals),
+         |c AS (SELECT user_id, event_type, count(*) AS n
+         |  FROM events GROUP BY 1, 2)
+         |SELECT u.user_id, t.event_type,
+         |  CAST(coalesce(c.n, 0) AS BIGINT) AS n
+         |FROM u CROSS JOIN t
+         |LEFT JOIN c ON c.user_id = u.user_id
+         |  AND c.event_type = t.event_type""".stripMargin.replace("\n", " ")
+    },
+
+    "events_anomaly_mad" ->
+      """WITH b AS (SELECT user_id AS k,
+        |    CAST(round(value*100, 0) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT k, v AS median_v FROM (
+        |    SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v) AS rk,
+        |      count(*) OVER (PARTITION BY k) AS n FROM b)
+        |  WHERE rk = (n + 1) // 2),
+        |d AS (SELECT b.k, abs(b.v - m.median_v) AS dd, m.median_v
+        |  FROM b JOIN m ON b.k = m.k),
+        |md AS (SELECT k, dd AS mad_v FROM (
+        |    SELECT k, dd, row_number() OVER (PARTITION BY k ORDER BY dd) AS rk,
+        |      count(*) OVER (PARTITION BY k) AS n FROM d)
+        |  WHERE rk = (n + 1) // 2)
+        |SELECT d.k AS user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  max(d.median_v) AS median_v, max(md.mad_v) AS mad_v,
+        |  CAST(sum(CASE WHEN d.dd > 3 * md.mad_v THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_anomalies
+        |FROM d JOIN md ON d.k = md.k GROUP BY d.k"""
+        .stripMargin.replace("\n", " "),
 
     "events_zorder_key" -> {
       val z = graft.warehouse.ZOrder.zValueSqlDuck("zx", "zy")

@@ -121,6 +121,13 @@ object GraphSketchQueries {
           .select(explode(split(col("text"), " ")).as("tok")),
         col("tok"), d = 4, w = 256, topN = 20)),
 
+    // Per-source distribution drift: scaled present-token χ² between
+    // each source's token distribution and the corpus — the
+    // "did this feed change character" admission audit, integer-exact.
+    "source_drift_chi2" -> ((s, dir) =>
+      graft.llm.TextAnalysis.sourceDriftChi2(
+        Tables.documents(s, dir), "source", "text")),
+
     // SCD2 history fold of the CDC stream: one version row per
     // non-delete change, valid [ts, next change); 'error' plays DELETE
     // (closes the interval, emits nothing) as in the CdcQueries
@@ -245,6 +252,25 @@ object GraphSketchQueries {
          |FROM probes JOIN cells USING (r, b)
          |GROUP BY key, n_exact""".stripMargin.replace("\n", " ")
     },
+
+    "source_drift_chi2" ->
+      """WITH tokh AS (SELECT source,
+        |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)),
+        |tok AS (SELECT source, h, CAST(count(*) AS BIGINT) AS o
+        |  FROM tokh GROUP BY 1, 2),
+        |corpus AS (SELECT h, CAST(sum(o) AS BIGINT) AS c FROM tok GROUP BY 1),
+        |stt AS (SELECT source, CAST(sum(o) AS BIGINT) AS st,
+        |    CAST(count(*) AS BIGINT) AS n_distinct FROM tok GROUP BY 1),
+        |tt AS (SELECT CAST(sum(o) AS BIGINT) AS total FROM tok),
+        |j AS (SELECT tok.source, o, st, n_distinct,
+        |    (c * st) // tt.total AS e
+        |  FROM tok JOIN corpus USING (h) JOIN stt USING (source), tt)
+        |SELECT source, max(st) AS n_tokens, max(n_distinct) AS n_distinct,
+        |  CAST(sum(((o - e) * (o - e) * 1000) // (e + 1)) AS BIGINT)
+        |    AS chi2_scaled
+        |FROM j GROUP BY source""".stripMargin.replace("\n", " "),
 
     "cdc_scd2_history" ->
       """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -238,6 +238,34 @@ class GraphSketchSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("MAD outliers: exact medians, strict flag, known-outlier injection") {
+    val df = (Seq.fill(9)(100L) :+ 10000L).zipWithIndex
+      .map { case (v, i) => (1L, i.toLong, v) }
+      .toDF("user_id", "event_id", "v")
+    val r = graft.ops.EventAnalytics.madOutliers(df, "user_id", col("v"))
+      .collect().head
+    assert(r.getAs[Long]("median_v") === 100L)
+    assert(r.getAs[Long]("mad_v") === 0L) // >half identical → MAD 0
+    assert(r.getAs[Long]("n_anomalies") === 1L,
+      "with MAD 0 any deviation flags — exactly the injected outlier")
+    assert(r.getAs[Long]("n_events") === 10L)
+  }
+
+  test("chi2 drift: identical distributions score 0; disjoint vocabularies score high") {
+    val same = Seq(("a", "x y z x y z"), ("b", "x y z x y z"))
+      .toDF("source", "text")
+    graft.llm.TextAnalysis.sourceDriftChi2(same, "source", "text")
+      .collect().foreach(r =>
+        assert(r.getAs[Long]("chi2_scaled") === 0L,
+          s"a source distributed like the corpus must score 0: $r"))
+    val skew = Seq(("a", "x x x x x x"), ("b", "y y y y y y"))
+      .toDF("source", "text")
+    // e = 6·6 div 12 = 3 for the one present token; term = 9·1000 div 4
+    graft.llm.TextAnalysis.sourceDriftChi2(skew, "source", "text")
+      .collect().foreach(r =>
+        assert(r.getAs[Long]("chi2_scaled") === 2250L, r.toString))
+  }
+
   test("SCD2: intervals chain per key; is_current agrees with the LWW fold") {
     val changes = events.select(col("user_id"), col("event_id"), col("ts_us"),
       col("event_type"), graft.ops.EventOps.cents(col("value")).as("value_cents"))
