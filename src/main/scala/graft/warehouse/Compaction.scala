@@ -48,8 +48,10 @@ object Compaction {
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = dir.stripSuffix("/") + ".compact_tmp"
     val df = spark.read.parquet(dir)
-    val rows = df.count()
     df.repartition(nOut).write.mode("overwrite").parquet(tmp)
+    // row count from the REWRITTEN files' footers — metadata-only (a
+    // count() before the rewrite would scan the data a second time)
+    val rows = spark.read.parquet(tmp).count()
     // swap: remove originals, move compacted files in. Listing-based —
     // local-fs semantics here; on an object store this is the commit
     // service's job (the point of the temp dir is that the READ above
