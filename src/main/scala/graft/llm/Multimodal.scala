@@ -153,7 +153,12 @@ object Multimodal {
     * Same-doc pairs (trivially similar strips) are excluded; each
     * unordered frame pair is emitted exactly once (fkey order).
     */
-  def phashNearDupPairs(codes: DataFrame, maxHd: Int): DataFrame = {
+  /** Verified near-dup DISTINCT-code pairs (pa < pb, hd ≤ maxHd) by
+    * pigeonhole chunk blocking over the ≤ 2^16-row code table — shared
+    * by the pair and cluster paths; bit_count is paid on the bounded
+    * candidates only.
+    */
+  private def nearDupCodePairs(codeVals: DataFrame, maxHd: Int): DataFrame = {
     require(maxHd >= 0, s"maxHd must be >= 0, got $maxHd")
     val nChunks = maxHd + 1
     val bitsPer = AHashBits / nChunks
@@ -162,12 +167,9 @@ object Multimodal {
       struct(lit(c).as("ci"),
         ((col("phash") / (1L << (c * bitsPer))).cast("long") % (1L << width)).as("cv"))
     }
-    val codeVals = codes.select("phash").distinct()
     val blocked = codeVals.select(col("phash"), explode(array(chunks: _*)).as("ch"))
       .select(col("phash"), col("ch.ci"), col("ch.cv"))
-    // verified DISTINCT-code pairs, one order (pa < pb); bit_count is
-    // paid on the bounded code table's candidates only
-    val half = blocked.as("x")
+    blocked.as("x")
       .join(blocked.as("y"),
         col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
           col("x.phash") < col("y.phash"))
@@ -175,6 +177,11 @@ object Multimodal {
       .distinct()
       .withColumn("hd", bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int"))
       .filter(col("hd") <= maxHd)
+  }
+
+  def phashNearDupPairs(codes: DataFrame, maxHd: Int): DataFrame = {
+    val codeVals = codes.select("phash").distinct()
+    val half = nearDupCodePairs(codeVals, maxHd)
     // symmetrize + the equal-code pair so the frame joins below see every
     // (code_a, code_b) direction; the three legs are disjoint by
     // construction (pa<pb, pa>pb, pa=pb)
@@ -207,12 +214,49 @@ object Multimodal {
     * while star rounds contract it geometrically and the bounded
     * union-find finish absorbs the tail.
     */
-  def frameDupClusters(codes: DataFrame, maxHd: Int): DataFrame =
+  /** Frame near-dup clusters, computed ENTIRELY at the code level: the
+    * frame graph never materializes. Equivalence argument (exact, not
+    * heuristic): a frame edge exists between codes a, b (hd ≤ maxHd,
+    * possibly a = b) iff some frame of a and some frame of b sit in
+    * DIFFERENT docs — i.e. unless both codes are confined to the same
+    * single doc (`nd_a = 1 ∧ nd_b = 1 ∧ mind_a = mind_b`). When the
+    * edge exists, ALL frames of both codes land in one component: two
+    * frames of a multi-doc code connect directly (different docs) or
+    * via its third frame in another doc; a single-doc code's frames
+    * all connect cross-doc to the realized partner. So CC over the
+    * REALIZED code graph (plus self-pairs for multi-doc codes, which
+    * keep lone hub codes) partitions frames exactly as CC over the
+    * frame graph — with the vertex set bounded by 2^16 codes however
+    * many frames the corpus holds, and the per-code frame population
+    * folded back arithmetically. (Was CC over frame pairs: ~2× slower
+    * at sf0.1 and frame-population-sized where this is code-bounded.)
+    */
+  def frameDupClusters(codes: DataFrame, maxHd: Int): DataFrame = {
+    val stats = graft.util.Materialize.stable(
+      codes.select(col("fkey"), col("phash"),
+          expr("fkey div 64").as("_doc"))
+        .groupBy("phash")
+        .agg(count(lit(1)).as("nf"), countDistinct("_doc").as("nd"),
+          min("_doc").as("mind"), min("fkey").as("minf")))
+    val half = nearDupCodePairs(stats.select("phash"), maxHd)
+      .select("pa", "pb")
+    val realized = half
+      .join(stats.select(col("phash").as("pa"), col("nd").as("nda"),
+        col("mind").as("minda")), "pa")
+      .join(stats.select(col("phash").as("pb"), col("nd").as("ndb"),
+        col("mind").as("mindb")), "pb")
+      .filter(col("nda") > 1 || col("ndb") > 1 ||
+        col("minda") =!= col("mindb"))
+      .select("pa", "pb")
+    val selfPairs = stats.filter(col("nd") > 1)
+      .select(col("phash").as("pa"), col("phash").as("pb"))
     graft.llm.Dedup.connectedComponentsStars(
-      phashNearDupPairs(codes, maxHd).select("frame_a", "frame_b"),
-      "frame_a", "frame_b")
-      .groupBy("cluster_id")
-      .agg(count(lit(1)).as("n_frames"))
+      realized.unionByName(selfPairs), "pa", "pb")
+      .join(stats, col("doc_id") === stats("phash"))
+      .groupBy(col("cluster_id"))
+      .agg(min("minf").as("_cluster"), sum("nf").as("n_frames"))
+      .select(col("_cluster").as("cluster_id"), col("n_frames"))
+  }
 
   final case class ResizedMedia(
       doc_id: Long, src_width: Int, src_height: Int,
