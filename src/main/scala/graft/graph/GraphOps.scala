@@ -189,24 +189,32 @@ object GraphOps {
     * LSH-block hot-key-cap discipline). One (user)-keyed join + one
     * (i, j)-keyed partial-agg shuffle.
     */
-  def itemCopairs(events: DataFrame, userCol: String, itemCol: Column,
-      maxUserDegree: Int = 0): DataFrame = {
+  /** Distinct (user, item) pairs with the hyper-connector cap applied —
+    * the shared base of every co-visitation derivation, so pair counts
+    * and degrees always see the SAME user population. The cap is
+    * IMPLEMENTED (not just documented): a user with more than
+    * `maxUserDegree` distinct items contributes nothing — a
+    * hyper-connector's d²/2 pairs are co-visitation noise (everything
+    * co-occurs with everything through it) AND the straggler that
+    * wrecks the self-join; same rule as the LSH block caps. 0 = off.
+    */
+  private def cappedUserItems(events: DataFrame, userCol: String,
+      itemCol: Column, maxUserDegree: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val raw = events
       .select(col(userCol).cast("long").as("u"), itemCol.cast("long").as("it"))
       .filter(col("u").isNotNull && col("it").isNotNull)
       .distinct()
-    // the hot-key cap, IMPLEMENTED (not just documented): a user with
-    // more than maxUserDegree distinct items contributes no pairs — a
-    // hyper-connector's d²/2 pairs are co-visitation noise (everything
-    // co-occurs with everything through it) AND the straggler that
-    // wrecks the self-join; same rule as the LSH block caps. 0 = off.
-    val ui =
-      if (maxUserDegree <= 0) raw
-      else raw
-        .withColumn("_deg", count(lit(1)).over(Window.partitionBy("u")))
-        .filter(col("_deg") <= maxUserDegree)
-        .drop("_deg")
+    if (maxUserDegree <= 0) raw
+    else raw
+      .withColumn("_deg", count(lit(1)).over(Window.partitionBy("u")))
+      .filter(col("_deg") <= maxUserDegree)
+      .drop("_deg")
+  }
+
+  def itemCopairs(events: DataFrame, userCol: String, itemCol: Column,
+      maxUserDegree: Int = 0): DataFrame = {
+    val ui = cappedUserItems(events, userCol, itemCol, maxUserDegree)
     ui.as("a").join(ui.as("b"),
         col("a.u") === col("b.u") && col("a.it") < col("b.it"))
       .groupBy(col("a.it").as("i"), col("b.it").as("j"))
@@ -275,6 +283,44 @@ object GraphOps {
               s"($dampNum * coalesce(inflow, 0L)) div $dampDen")).as("mass")))
     }
     mass.select(col("v").as("vertex"), col("mass"))
+  }
+
+  /** Item–item Jaccard similarity top-k — the co-visitation
+    * recommender table: sim(i, j) = |users(i) ∩ users(j)| /
+    * |users(i) ∪ users(j)| as exact per-mille
+    * (`t·1000 div (du_i + du_j − t)`). Built from [[itemCopairs]]
+    * (which carries t = the intersection) plus per-item distinct-user
+    * degrees; both directions unioned so every item ranks its own
+    * neighbors; per-item top-k via a WindowGroupLimit-pruned window.
+    * Inherits itemCopairs' per-user quadratic hazard → same
+    * `maxUserDegree` cap.
+    */
+  def itemSimilarityTopK(events: DataFrame, userCol: String,
+      itemCol: Column, k: Int, maxUserDegree: Int = 0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    // pairs and degrees from the SAME capped base — a dropped
+    // hyper-user must vanish from both, or its degree contribution
+    // deflates every neighbor's similarity
+    val ui = graft.util.Materialize.stable(
+      cappedUserItems(events, userCol, itemCol, maxUserDegree))
+    val pairs = graft.util.Materialize.stable(
+      ui.as("a").join(ui.as("b"),
+          col("a.u") === col("b.u") && col("a.it") < col("b.it"))
+        .groupBy(col("a.it").as("i"), col("b.it").as("j"))
+        .agg(count(lit(1)).as("t")))
+    val deg = ui.groupBy("it").agg(count(lit(1)).as("du"))
+    val sym = pairs.select(col("i"), col("j"), col("t"))
+      .unionByName(pairs.select(col("j").as("i"), col("i").as("j"), col("t")))
+    val w = Window.partitionBy("i")
+      .orderBy(col("sim_permille").desc, col("j"))
+    sym
+      .join(deg.select(col("it").as("i"), col("du").as("di")), "i")
+      .join(deg.select(col("it").as("j"), col("du").as("dj")), "j")
+      .withColumn("sim_permille", expr("(t * 1000) div (di + dj - t)"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("i", "j", "sim_permille", "rk")
   }
 
   /** Degree/strength profile of a weighted directed graph: per vertex,

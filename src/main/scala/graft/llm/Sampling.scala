@@ -39,6 +39,37 @@ object Sampling {
     df.filter(hashPermille(col(keyCol)) < rate)
   }
 
+  /** Weighted without-replacement sample, k per stratum, DETERMINISTIC:
+    * the integer analog of Efraimidis–Spirakis priority sampling (keys
+    * `u^{1/w}` with u random ⇔ rank by w/(-ln u); here the "random" u is
+    * the doc's 32-bit hash and the priority is the integer
+    * `w · 2³² div (h + 1)` — monotone in w for fixed h, monotone in the
+    * hash draw for fixed w, so heavier rows win proportionally more
+    * often while any fixed row's selection is reproducible bit-for-bit
+    * across runs and engines (the stratifiedSample determinism
+    * discipline, extended to weights). Ties (identical priority) break
+    * by key. Per-stratum top-k via a partitioned window —
+    * WindowGroupLimit prunes map-side, so the exchange moves ≤ k rows
+    * per stratum per input partition, never the corpus.
+    */
+  def weightedPrioritySample(df: DataFrame, keyCol: String,
+      strataCol: String, weight: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val hSql =
+      s"CAST(conv(substring(CAST(md5(CAST($keyCol AS STRING)) AS STRING), " +
+        "1, 8), 16, 10) AS BIGINT)"
+    val withP = df
+      .withColumn("_w", weight.cast("long"))
+      .filter(col("_w") > 0) // zero-weight rows can never be drawn
+      .withColumn("priority", expr(s"(_w * 4294967296L) div ($hSql + 1)"))
+    val w = Window.partitionBy(strataCol)
+      .orderBy(col("priority").desc, col(keyCol))
+    withP.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("_w")
+  }
+
   /** Leakage-free train/val/test split: the split is decided by the
     * near-dup CLUSTER's hash, not the document's, so every member of a
     * cluster lands in the same split — the guard against train/test

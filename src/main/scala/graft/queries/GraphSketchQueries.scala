@@ -121,6 +121,22 @@ object GraphSketchQueries {
           .select(explode(split(col("text"), " ")).as("tok")),
         col("tok"), d = 4, w = 256, topN = 20)),
 
+    // Item–item Jaccard similarity top-3 — the co-visitation
+    // recommender table, exact per-mille.
+    "graph_item_similarity_topk" -> ((s, dir) =>
+      GraphOps.itemSimilarityTopK(Tables.events(s, dir), "user_id",
+        itemCol, k = 3)),
+
+    // Weighted without-replacement sample (integer Efraimidis–Spirakis
+    // priorities): 10 docs per language, selection ∝ n_chars,
+    // reproducible bit-for-bit.
+    "sample_weighted_priority" -> ((s, dir) =>
+      graft.llm.Sampling.weightedPrioritySample(
+        Tables.documents(s, dir), "doc_id", "lang", col("n_chars"), k = 10)
+        .select(col("lang"), col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"),
+          col("priority"), col("rk").cast("long").as("rk"))),
+
     // Per-source distribution drift: scaled present-token χ² between
     // each source's token distribution and the corpus — the
     // "did this feed change character" admission audit, integer-exact.
@@ -252,6 +268,33 @@ object GraphSketchQueries {
          |FROM probes JOIN cells USING (r, b)
          |GROUP BY key, n_exact""".stripMargin.replace("\n", " ")
     },
+
+    "graph_item_similarity_topk" ->
+      s"""WITH ev AS (SELECT DISTINCT user_id AS u, $itemSqlDuck AS it
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND $itemSqlDuck IS NOT NULL),
+         |pr AS (SELECT a.it AS i, b.it AS j, CAST(count(*) AS BIGINT) AS t
+         |  FROM ev a JOIN ev b ON a.u = b.u AND a.it < b.it GROUP BY 1, 2),
+         |deg AS (SELECT it, CAST(count(*) AS BIGINT) AS du FROM ev GROUP BY 1),
+         |sym AS (SELECT i, j, t FROM pr UNION ALL SELECT j, i, t FROM pr),
+         |sc AS (SELECT sym.i, sym.j,
+         |    (t * 1000) // (di.du + dj.du - t) AS sim_permille
+         |  FROM sym JOIN deg di ON sym.i = di.it JOIN deg dj ON sym.j = dj.it),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY i
+         |    ORDER BY sim_permille DESC, j) AS BIGINT) AS rk FROM sc)
+         |SELECT i, j, sim_permille, rk FROM r WHERE rk <= 3"""
+        .stripMargin.replace("\n", " "),
+
+    "sample_weighted_priority" ->
+      """WITH b AS (SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    (CAST(n_chars AS BIGINT) * 4294967296) //
+        |      (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) + 1) AS priority
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY priority DESC, doc_id) AS BIGINT) AS rk FROM b)
+        |SELECT lang, doc_id, n_chars, priority, rk FROM r WHERE rk <= 10"""
+        .stripMargin.replace("\n", " "),
 
     "source_drift_chi2" ->
       """WITH tokh AS (SELECT source,

@@ -42,6 +42,46 @@ object WindowQueries {
           col("running_total"))
     }),
 
+    // Integer percent_rank / cume_dist per nation over account balance
+    // — both rendered as exact per-mille from rank()/count() (the float
+    // window built-ins don't hash-compare across engines; the integer
+    // forms are the same statistics).
+    "window_percent_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("bal_cents"), col("c_custkey"))
+      val cw = Window.partitionBy("c_nationkey")
+      Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_custkey"),
+          expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").as("bal_cents"))
+        .withColumn("_rk", row_number().over(w).cast("long"))
+        .withColumn("_n", count(lit(1)).over(cw))
+        .withColumn("pr_permille",
+          when(col("_n") === 1, 0L)
+            .otherwise(expr("((_rk - 1) * 1000) div (_n - 1)")))
+        .withColumn("cd_permille", expr("(_rk * 1000) div _n"))
+        .drop("_rk", "_n")
+    }),
+
+    // Per-source doc-length deciles: boundary d (1..10) = the token
+    // count at exact rank ceil(n*d/10) — the distribution profile a
+    // curation run eyeballs, no float percentile.
+    "source_token_deciles" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          graft.llm.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_tok"), col("doc_id"))
+      val cw = Window.partitionBy("source")
+      docs
+        .withColumn("_rk", row_number().over(w).cast("long"))
+        .withColumn("_n", count(lit(1)).over(cw))
+        .select(col("source"), col("_rk"), col("_n"), col("n_tok"),
+          explode(sequence(lit(1), lit(10))).as("decile"))
+        .filter(col("_rk") === expr("(_n * decile + 9) div 10"))
+        .select(col("source"), col("decile").cast("long").as("decile"),
+          col("n_tok").as("boundary_tokens"))
+    }),
+
     // Per-nation balance quartiles: ntile within each nation partition,
     // then quartile population stats. min/max are picked values (no
     // float arithmetic); the sum goes through exact integer cents.
@@ -109,6 +149,34 @@ object WindowQueries {
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
         |FROM orders""".stripMargin.replace("\n", " "),
+
+    "window_percent_rank" ->
+      """WITH b AS (SELECT c_nationkey, c_custkey,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY c_nationkey
+        |    ORDER BY bal_cents, c_custkey) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n
+        |  FROM b)
+        |SELECT c_nationkey, c_custkey, bal_cents,
+        |  CASE WHEN n = 1 THEN 0 ELSE ((rk - 1) * 1000) // (n - 1) END
+        |    AS pr_permille,
+        |  (rk * 1000) // n AS cd_permille
+        |FROM r""".stripMargin.replace("\n", " "),
+
+    "source_token_deciles" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, n_tok,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_tok, doc_id) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM d)
+        |SELECT source, CAST(u.d AS BIGINT) AS decile,
+        |  n_tok AS boundary_tokens
+        |FROM r, unnest(range(1, 11)) AS u(d)
+        |WHERE rk = (n * u.d + 9) // 10""".stripMargin.replace("\n", " "),
 
     "ntile_nation_balance" ->
       s"""WITH q AS (SELECT c_nationkey, c_acctbal,
