@@ -116,6 +116,53 @@ class SketchGraphPropertySpec extends SparkSpecBase {
 
   private val Dedup = graft.llm.Dedup
 
+  test("weighted priority sample property: random corpora match the sequential draw") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val k = 2 + rnd.nextInt(5)
+      val rows = (1L to (30 + rnd.nextInt(80))).map { i =>
+        (i, s"s${rnd.nextInt(3)}", 1L + rnd.nextInt(500))
+      }
+      val got = graft.llm.Sampling.weightedPrioritySample(
+        rows.toDF("id", "st", "wt").repartition(1 + rnd.nextInt(5)),
+        "id", "st", col("wt"), k)
+        .select("st", "id", "priority", "rk")
+        .as[(String, Long, Long, Long)].collect()
+        .map { case (s, id, p, r) => (s, r) -> (id, p) }.toMap
+      val want = rows.groupBy(_._2).toSeq.flatMap { case (s, rs) =>
+        rs.map { case (id, _, w) =>
+          (id, w * 4294967296L / (refHash(id.toString) + 1))
+        }.sortBy { case (id, p) => (-p, id) }.take(k).zipWithIndex
+          .map { case ((id, p), i) => (s, i + 1L) -> (id, p) }
+      }.toMap
+      assert(got === want, s"seed=$seed k=$k")
+    }
+  }
+
+  test("item similarity property: random logs match the sequential Jaccard fold") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val k = 1 + rnd.nextInt(3)
+      val log = (1 to (40 + rnd.nextInt(120))).map { _ =>
+        (rnd.nextInt(10).toLong, rnd.nextInt(7).toLong)
+      }.distinct
+      val got = GraphOps.itemSimilarityTopK(
+        log.toDF("user_id", "it").repartition(1 + rnd.nextInt(4)),
+        "user_id", col("it"), k)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val byItem = log.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+      val want = byItem.keys.toSeq.flatMap { i =>
+        byItem.keys.toSeq.filter(_ != i).flatMap { j =>
+          val t = (byItem(i) & byItem(j)).size.toLong
+          if (t == 0) None
+          else Some((j, t * 1000L / (byItem(i).size + byItem(j).size - t)))
+        }.sortBy { case (j, s) => (-s, j) }.take(k).zipWithIndex
+          .map { case ((j, s), r) => (i, j, s, r + 1L) }
+      }.toSet
+      assert(got === want, s"seed=$seed k=$k")
+    }
+  }
+
   test("PageRank property: random bipartite logs match the sequential recurrence") {
     for (seed <- 1 to 5) {
       val rnd = new scala.util.Random(seed)
