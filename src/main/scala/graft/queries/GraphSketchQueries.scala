@@ -112,6 +112,17 @@ object GraphSketchQueries {
       Sketches.hllDistinct(sourceShingleHashes(s, dir), Seq("source"),
         col("h"), p = 6, alphaMilli = 709L, preHashed = true)),
 
+    // The same HLL on the TIME axis: distinct active users per day,
+    // estimate next to exact — the daily-actives panel a 100 TB event
+    // log can afford (registers merge across shards and ship as 64
+    // ints/day).
+    "sketch_hll_daily_users" -> ((s, dir) =>
+      Sketches.hllDistinct(
+        Tables.events(s, dir)
+          .select(expr("ts_us div 86400000000").as("day"),
+            col("user_id").cast("string").as("u")),
+        Seq("day"), col("u"), p = 6, alphaMilli = 709L)),
+
     // Count-Min (4×256 int64 cells) frequency estimates for the exact
     // top-20 corpus tokens — est ≥ exact by construction; the gap is
     // the collision overestimate the gate reports.
@@ -245,6 +256,28 @@ object GraphSketchQueries {
          |SELECT den.source, n_exact,
          |  $numer // (1000 * denom) AS hll_estimate
          |FROM den JOIN ex ON den.source = ex.source"""
+        .stripMargin.replace("\n", " ")
+    },
+
+    "sketch_hll_daily_users" -> {
+      val m = 64; val restBits = 32 - 6
+      val numer = 709L * m * m * 1073741824L
+      s"""WITH hsh AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+         |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) AS h
+         |  FROM events),
+         |ex AS (SELECT day, count(*) AS n_exact FROM hsh GROUP BY 1),
+         |regs AS (SELECT day, h % $m AS bucket,
+         |  max(CASE WHEN h // $m = 0 THEN ${restBits + 1}
+         |      ELSE ${restBits + 1} - length(bin(h // $m)) END) AS r
+         |  FROM hsh GROUP BY 1, 2),
+         |den AS (SELECT day,
+         |  CAST(sum(1073741824 // (1 << r)) AS BIGINT)
+         |    + ($m - count(*)) * 1073741824 AS denom
+         |  FROM regs GROUP BY 1)
+         |SELECT den.day, n_exact,
+         |  $numer // (1000 * denom) AS hll_estimate
+         |FROM den JOIN ex ON den.day = ex.day"""
         .stripMargin.replace("\n", " ")
     },
 

@@ -580,6 +580,29 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("weighted sample: per-stratum top-k prunes map-side (WindowGroupLimit)") {
+    val p = plan("sample_weighted_priority")
+    assert(p.contains("WindowGroupLimit"),
+      "rk<=k must pre-limit before the stratum exchange — shipping every " +
+        "row to the window sort defeats a k-bounded sampler")
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
+  test("item similarity: keyed equi-joins, WindowGroupLimit top-k, no cartesian") {
+    val p = plan("graph_item_similarity_topk")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("percent_rank: one nation exchange; partitioned window, never global sort") {
+    val p = plan("window_percent_rank")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "rank and count windows share the nation partition — no global sort")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "both windows must reuse ONE partition exchange")
+  }
+
   test("scd2: one key shuffle feeds a key-partitioned window — never a global sort") {
     val p = plan("cdc_scd2_history")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
