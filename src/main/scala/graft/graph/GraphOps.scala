@@ -123,7 +123,20 @@ object GraphOps {
          |      CAST(sum((m.mass * e.w) // e.out_w) AS BIGINT)) // $dampDen AS mass
          |  FROM e JOIN $prev m ON e.src = m.v GROUP BY e.dst)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (
+    s"""WITH ${covisitCtesDuck(itemSql)},
+       |m0 AS (SELECT DISTINCT src AS v, CAST($base AS BIGINT) AS mass FROM e),
+       |$rounds
+       |SELECT v AS vertex, mass FROM m$iters""".stripMargin.replace("\n", " ")
+  }
+
+  /** The shared pairs→edges→out-weighted-edge CTE prefix of both
+    * PageRank oracles (one source of truth for the graph derivation —
+    * the errSql discipline). Sums CAST to BIGINT: DuckDB widens
+    * sum(BIGINT) to HUGEINT, which exports as a non-int64 type and the
+    * driver's hash compare would then mismatch Spark's LongType.
+    */
+  private def covisitCtesDuck(itemSql: String): String =
+    s"""pairs AS (
        |  SELECT user_id AS u, $itemSql AS it, count(*) AS w
        |  FROM events WHERE user_id IS NOT NULL AND $itemSql IS NOT NULL
        |  GROUP BY 1, 2),
@@ -135,11 +148,7 @@ object GraphOps {
        |  SELECT edges.src, dst, w, o.out_w FROM edges
        |  JOIN (SELECT src, CAST(sum(w) AS BIGINT) AS out_w
        |        FROM edges GROUP BY src) o
-       |    ON edges.src = o.src),
-       |m0 AS (SELECT DISTINCT src AS v, CAST($base AS BIGINT) AS mass FROM e),
-       |$rounds
-       |SELECT v AS vertex, mass FROM m$iters""".stripMargin.replace("\n", " ")
-  }
+       |    ON edges.src = o.src)""".stripMargin
 
   /** DuckDB rendering of [[personalizedPageRankInt]] over the
     * [[covisitEdges]] graph: same unrolled integer recurrence;
@@ -161,19 +170,7 @@ object GraphOps {
          |      + ($dampNum * coalesce(infl, 0)) // $dampDen AS mass
          |  FROM verts LEFT JOIN s$i ON verts.v = s$i.v)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (
-       |  SELECT user_id AS u, $itemSql AS it, count(*) AS w
-       |  FROM events WHERE user_id IS NOT NULL AND $itemSql IS NOT NULL
-       |  GROUP BY 1, 2),
-       |edges AS (
-       |  SELECT u AS src, it + $ItemBase AS dst, w FROM pairs
-       |  UNION ALL
-       |  SELECT it + $ItemBase AS src, u AS dst, w FROM pairs),
-       |e AS (
-       |  SELECT edges.src, dst, w, o.out_w FROM edges
-       |  JOIN (SELECT src, CAST(sum(w) AS BIGINT) AS out_w
-       |        FROM edges GROUP BY src) o
-       |    ON edges.src = o.src),
+    s"""WITH ${covisitCtesDuck(itemSql)},
        |verts AS (SELECT DISTINCT src AS v FROM e),
        |m0 AS (SELECT v, CASE WHEN ${seedSql("v")}
        |  THEN CAST($base AS BIGINT) ELSE 0 END AS mass FROM verts),
@@ -181,14 +178,6 @@ object GraphOps {
        |SELECT v AS vertex, mass FROM m$iters""".stripMargin.replace("\n", " ")
   }
 
-  /** Item–item co-visitation pairs: (i, j, common_users) for i < j —
-    * the projection of the bipartite interaction graph onto items. The
-    * user-keyed self-join is quadratic PER USER (a user interacting
-    * with d items emits d·(d−1)/2 pairs); at crawl scale the standard
-    * cap applies — drop or sample hyper-active users upstream (the
-    * LSH-block hot-key-cap discipline). One (user)-keyed join + one
-    * (i, j)-keyed partial-agg shuffle.
-    */
   /** Distinct (user, item) pairs with the hyper-connector cap applied —
     * the shared base of every co-visitation derivation, so pair counts
     * and degrees always see the SAME user population. The cap is
@@ -212,6 +201,13 @@ object GraphOps {
       .drop("_deg")
   }
 
+  /** Item–item co-visitation pairs: (i, j, common_users) for i < j —
+    * the projection of the bipartite interaction graph onto items. The
+    * user-keyed self-join is quadratic PER USER (d items → d·(d−1)/2
+    * pairs), which is why [[cappedUserItems]]' hyper-connector cap sits
+    * under it. One (user)-keyed join + one (i, j)-keyed partial-agg
+    * shuffle.
+    */
   def itemCopairs(events: DataFrame, userCol: String, itemCol: Column,
       maxUserDegree: Int = 0): DataFrame = {
     val ui = cappedUserItems(events, userCol, itemCol, maxUserDegree)
