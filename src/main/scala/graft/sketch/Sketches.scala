@@ -37,6 +37,10 @@ object Sketches {
     * built over. `preHashed = true` accepts an already-computed 32-bit
     * [[Dedup.tokenHash]] column (e.g. shingle-hash postings reused from
     * the dedup pipeline) — hashing a hash would be a DIFFERENT sketch.
+    * Pre-hashed values MUST lie in [0, 2³²): the estimators divide by
+    * the hash as a position in that space, so a wider value silently
+    * miscalibrates (it is cast, not validated — validation would cost
+    * a pass).
     */
   private def hashedDistinct(df: DataFrame, groups: Seq[String],
       valueCol: Column, preHashed: Boolean): DataFrame =
