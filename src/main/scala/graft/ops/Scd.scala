@@ -46,4 +46,15 @@ object Scd {
         col(tsUsCol).as("valid_from_us"), col("valid_to_us"),
         col("valid_to_us").isNull.as("is_current")): _*)
   }
+
+  /** Point-in-time (AS OF) lookup against an [[scd2History]] table: the
+    * version live at instant `tUs` per key — `valid_from ≤ t < valid_to`
+    * with an open interval counting as live. A key deleted before `t`
+    * (its last version's interval closed by the delete) yields no row,
+    * exactly the reference's read-after-delete semantics. Pure filter —
+    * pushes into the history scan, no shuffle of its own.
+    */
+  def asOf(history: DataFrame, tUs: Long): DataFrame =
+    history.filter(col("valid_from_us") <= tUs &&
+      (col("valid_to_us").isNull || col("valid_to_us") > tUs))
 }

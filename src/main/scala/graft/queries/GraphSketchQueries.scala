@@ -155,21 +155,34 @@ object GraphSketchQueries {
       graft.llm.TextAnalysis.sourceDriftChi2(
         Tables.documents(s, dir), "source", "text")),
 
+    // Point-in-time lookup on the SCD2 table: the version live at
+    // 2024-01-15T00:00Z per key (mid-fixture; a key deleted before T
+    // yields no row) — the standard consumer query of the history.
+    "cdc_scd2_asof" -> ((s, dir) =>
+      Scd.asOf(scd2(s, dir), AsOfUs)),
+
     // SCD2 history fold of the CDC stream: one version row per
     // non-delete change, valid [ts, next change); 'error' plays DELETE
     // (closes the interval, emits nothing) as in the CdcQueries
     // conventions.
-    "cdc_scd2_history" -> ((s, dir) =>
-      Scd.scd2History(
-        Tables.events(s, dir).select(col("user_id"), col("event_id"),
-          col("ts_us"), col("event_type"),
-          graft.ops.EventOps.cents(col("value")).as("value_cents")),
-        keyCols = Seq("user_id"),
-        orderCols = Seq(col("ts_us"), col("event_id")),
-        tsUsCol = "ts_us",
-        isDelete = col("event_type") === "error",
-        payloadCols = Seq("event_type", "value_cents")))
+    "cdc_scd2_history" -> ((s, dir) => scd2(s, dir))
   )
+
+  /** 2024-01-15T00:00:00Z — mid-fixture AS-OF instant (the CdcQueries
+    * fixed-now discipline).
+    */
+  private val AsOfUs = 1705276800000000L
+
+  private def scd2(s: SparkSession, dir: String): DataFrame =
+    Scd.scd2History(
+      Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        col("ts_us"), col("event_type"),
+        graft.ops.EventOps.cents(col("value")).as("value_cents")),
+      keyCols = Seq("user_id"),
+      orderCols = Seq(col("ts_us"), col("event_id")),
+      tsUsCol = "ts_us",
+      isDelete = col("event_type") === "error",
+      payloadCols = Seq("event_type", "value_cents"))
 
   private def pairsEdgesCteDuck: String =
     s"""pairs AS (
@@ -347,6 +360,20 @@ object GraphSketchQueries {
         |  CAST(sum(((o - e) * (o - e) * 1000) // (e + 1)) AS BIGINT)
         |    AS chi2_scaled
         |FROM j GROUP BY source""".stripMargin.replace("\n", " "),
+
+    "cdc_scd2_asof" ->
+      s"""WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  event_type, CAST(round(value*100, 0) AS BIGINT) AS value_cents
+        |  FROM events),
+        |v AS (SELECT *, lead(ts_us) OVER (PARTITION BY user_id
+        |  ORDER BY ts_us, event_id) AS valid_to_us FROM c)
+        |SELECT user_id, event_type, value_cents,
+        |  ts_us AS valid_from_us, valid_to_us,
+        |  valid_to_us IS NULL AS is_current
+        |FROM v WHERE event_type <> 'error'
+        |  AND ts_us <= $AsOfUs
+        |  AND (valid_to_us IS NULL OR valid_to_us > $AsOfUs)"""
+        .stripMargin.replace("\n", " "),
 
     "cdc_scd2_history" ->
       """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,

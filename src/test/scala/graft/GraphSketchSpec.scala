@@ -266,6 +266,30 @@ class GraphSketchSpec extends SparkSpecBase {
         assert(r.getAs[Long]("chi2_scaled") === 2250L, r.toString))
   }
 
+  test("SCD2 as-of: exactly the last pre-T non-delete version per key, else no row") {
+    val t = 1705276800000000L // 2024-01-15T00:00Z, mid-fixture
+    val changes = events.select(col("user_id"), col("event_id"), col("ts_us"),
+      col("event_type"), graft.ops.EventOps.cents(col("value")).as("value_cents"))
+    val hist = Scd.scd2History(changes, Seq("user_id"),
+      Seq(col("ts_us"), col("event_id")), "ts_us",
+      col("event_type") === "error", Seq("event_type", "value_cents"))
+    val live = Scd.asOf(hist, t).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("valid_from_us"), r.getAs[String]("event_type"))).toMap
+    assert(live.size === Scd.asOf(hist, t).count(),
+      "at most one live version per key")
+    // reference: per user, the latest change at or before t
+    val expected = changes.filter(col("ts_us") <= t)
+      .collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .flatMap { case (u, rows) =>
+        val last = rows.maxBy(r => (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id")))
+        if (last.getAs[String]("event_type") == "error") None
+        else Some(u -> (last.getAs[Long]("ts_us"), last.getAs[String]("event_type")))
+      }
+    assert(live === expected)
+  }
+
   test("SCD2: intervals chain per key; is_current agrees with the LWW fold") {
     val changes = events.select(col("user_id"), col("event_id"), col("ts_us"),
       col("event_type"), graft.ops.EventOps.cents(col("value")).as("value_cents"))
