@@ -36,8 +36,9 @@ object GraphSketchQueries {
     * once per doc (the CollapseProject O(len²) trap —
     * [[Dedup.shingleHashPostings]]).
     */
-  private def sourceShingleHashes(s: SparkSession, dir: String): DataFrame =
-    Dedup.widen(Tables.documents(s, dir)
+  private def sourceShingleHashes(s: SparkSession, dir: String,
+      docPred: org.apache.spark.sql.Column = lit(true)): DataFrame =
+    Dedup.widen(Tables.documents(s, dir).filter(docPred)
         .select(col("source"), split(col("text"), " ").as("_toks")))
       .filter(size(col("_toks")) >= 3)
       .select(col("source"), explode(expr(
@@ -112,6 +113,27 @@ object GraphSketchQueries {
       Sketches.hllDistinct(sourceShingleHashes(s, dir), Seq("source"),
         col("h"), p = 6, alphaMilli = 709L, preHashed = true)),
 
+    // Incremental sketch maintenance: registers built over the PRIOR
+    // corpus (90% of docs) and over an arriving DELTA (10%) max-merge
+    // into registers IDENTICAL to the one-pass sketch — the oracle IS
+    // the full-corpus sketch_hll_distinct SQL, so the gate proves the
+    // incremental path bit-equal cross-engine (the property that lets
+    // a daily ingest update a corpus profile without rescanning it).
+    "sketch_hll_incremental" -> ((s, dir) => {
+      val delta = pmod(col("doc_id"), lit(10L)) === 0
+      def regs(pred: org.apache.spark.sql.Column) =
+        Sketches.hllRegisters(sourceShingleHashes(s, dir, pred),
+          Seq("source"), col("h"), p = 6, preHashed = true)
+      val merged = regs(!delta).unionByName(regs(delta))
+        .groupBy("source", "_bucket").agg(max("_r").as("_r"))
+      val est = Sketches.hllEstimateFromRegisters(
+        merged, Seq("source"), p = 6, alphaMilli = 709L)
+      val exact = sourceShingleHashes(s, dir).distinct()
+        .groupBy("source").agg(count(lit(1)).as("n_exact"))
+      est.join(exact, Seq("source"))
+        .select(col("source"), col("n_exact"), col("hll_estimate"))
+    }),
+
     // The same HLL on the TIME axis: distinct active users per day,
     // estimate next to exact — the daily-actives panel a 100 TB event
     // log can afford (registers merge across shards and ship as 64
@@ -184,6 +206,29 @@ object GraphSketchQueries {
       isDelete = col("event_type") === "error",
       payloadCols = Seq("event_type", "value_cents"))
 
+  /** The full-corpus per-source HLL oracle — shared by the one-pass and
+    * the incremental gate (whose whole claim is landing on this exact
+    * result).
+    */
+  private val hllSourceSqlDuck: String = {
+    val m = 64; val restBits = 32 - 6
+    val numer = 709L * m * m * 1073741824L
+    s"""WITH $shingleHashCteDuck,
+       |ex AS (SELECT source, count(*) AS n_exact FROM shh GROUP BY 1),
+       |regs AS (SELECT source, h % $m AS bucket,
+       |  max(CASE WHEN h // $m = 0 THEN ${restBits + 1}
+       |      ELSE ${restBits + 1} - length(bin(h // $m)) END) AS r
+       |  FROM shh GROUP BY 1, 2),
+       |den AS (SELECT source,
+       |  CAST(sum(1073741824 // (1 << r)) AS BIGINT)
+       |    + ($m - count(*)) * 1073741824 AS denom
+       |  FROM regs GROUP BY 1)
+       |SELECT den.source, n_exact,
+       |  $numer // (1000 * denom) AS hll_estimate
+       |FROM den JOIN ex ON den.source = ex.source"""
+      .stripMargin.replace("\n", " ")
+  }
+
   private def pairsEdgesCteDuck: String =
     s"""pairs AS (
        |  SELECT user_id AS u, $itemSqlDuck AS it, count(*) AS w
@@ -253,24 +298,11 @@ object GraphSketchQueries {
          |FROM sk JOIN ex ON sk.source = ex.source"""
         .stripMargin.replace("\n", " "),
 
-    "sketch_hll_distinct" -> {
-      val m = 64; val restBits = 32 - 6
-      val numer = 709L * m * m * 1073741824L
-      s"""WITH $shingleHashCteDuck,
-         |ex AS (SELECT source, count(*) AS n_exact FROM shh GROUP BY 1),
-         |regs AS (SELECT source, h % $m AS bucket,
-         |  max(CASE WHEN h // $m = 0 THEN ${restBits + 1}
-         |      ELSE ${restBits + 1} - length(bin(h // $m)) END) AS r
-         |  FROM shh GROUP BY 1, 2),
-         |den AS (SELECT source,
-         |  CAST(sum(1073741824 // (1 << r)) AS BIGINT)
-         |    + ($m - count(*)) * 1073741824 AS denom
-         |  FROM regs GROUP BY 1)
-         |SELECT den.source, n_exact,
-         |  $numer // (1000 * denom) AS hll_estimate
-         |FROM den JOIN ex ON den.source = ex.source"""
-        .stripMargin.replace("\n", " ")
-    },
+    "sketch_hll_distinct" -> hllSourceSqlDuck,
+
+    // the incremental path must land EXACTLY on the one-pass sketch —
+    // same oracle by construction
+    "sketch_hll_incremental" -> hllSourceSqlDuck,
 
     "sketch_hll_daily_users" -> {
       val m = 64; val restBits = 32 - 6

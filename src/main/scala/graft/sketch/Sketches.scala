@@ -117,6 +117,21 @@ object Sketches {
     val exact = hashed.groupBy(groups.map(col): _*)
       .agg(count(lit(1)).as("n_exact"))
     val regs = hllRegistersOverHashed(hashed, groups, p)
+    hllEstimateFromRegisters(regs, groups, p, alphaMilli)
+      .join(exact, groups)
+      .select(groups.map(col) ++
+        Seq(col("n_exact"), col("hll_estimate")): _*)
+  }
+
+  /** The fixed-point estimator over a register table (groups…,
+    * _bucket, _r) — separated from the register build because registers
+    * are the MERGEABLE artifact: shards/deltas max-merge their register
+    * tables and estimate once at the end (the incremental gate).
+    * Output: (groups…, hll_estimate).
+    */
+  def hllEstimateFromRegisters(regs: DataFrame, groups: Seq[String],
+      p: Int, alphaMilli: Long): DataFrame = {
+    val m = 1 << p
     // Σ over ALL m registers: present ones contribute 2^30 >> ρ, the
     // (m − present) absent ones contribute 2^30 each
     val denom = regs.groupBy(groups.map(col): _*)
@@ -129,9 +144,7 @@ object Sketches {
     val numer = alphaMilli * m.toLong * m.toLong * 1073741824L
     denom
       .withColumn("hll_estimate", expr(s"${numer}L div (1000 * _denom)"))
-      .join(exact, groups)
-      .select(groups.map(col) ++
-        Seq(col("n_exact"), col("hll_estimate")): _*)
+      .select(groups.map(col) :+ col("hll_estimate"): _*)
   }
 
   /** The HLL register table (groups…, _bucket, _r) — exposed because
