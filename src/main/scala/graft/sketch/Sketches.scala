@@ -109,7 +109,10 @@ object Sketches {
   def hllDistinct(df: DataFrame, groups: Seq[String], valueCol: Column,
       p: Int = 4, alphaMilli: Long = 673L,
       preHashed: Boolean = false): DataFrame = {
-    require(p >= 2 && p <= 12, s"p must be in 2..12, got $p")
+    // p ≤ 11: the estimator numerator α_milli·m²·2³⁰ must fit int64 —
+    // at p = 12 (m = 4096) with the standard α_milli ≈ 721 it is
+    // ~1.2·10¹⁹ > Long.MaxValue and would wrap silently negative
+    require(p >= 2 && p <= 11, s"p must be in 2..11, got $p")
     val m = 1 << p
     val restBits = 32 - p
     val hashed = graft.util.Materialize.stable(
@@ -131,6 +134,7 @@ object Sketches {
     */
   def hllEstimateFromRegisters(regs: DataFrame, groups: Seq[String],
       p: Int, alphaMilli: Long): DataFrame = {
+    require(p >= 2 && p <= 11, s"p must be in 2..11, got $p")
     val m = 1 << p
     // Σ over ALL m registers: present ones contribute 2^30 >> ρ, the
     // (m − present) absent ones contribute 2^30 each
@@ -142,6 +146,8 @@ object Sketches {
     // numerator computed HERE in Long arithmetic — as an SQL literal
     // product it would be int×int overflow (1073741824 is an INT literal)
     val numer = alphaMilli * m.toLong * m.toLong * 1073741824L
+    require(numer > 0 && numer / (m.toLong * m.toLong) / 1073741824L == alphaMilli,
+      s"alphaMilli=$alphaMilli overflows the int64 estimator numerator at p=$p")
     denom
       .withColumn("hll_estimate", expr(s"${numer}L div (1000 * _denom)"))
       .select(groups.map(col) :+ col("hll_estimate"): _*)

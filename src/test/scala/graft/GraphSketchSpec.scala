@@ -30,7 +30,9 @@ class GraphSketchSpec extends SparkSpecBase {
       edges.foreach { case (s, d, w) =>
         inflow(d) += mass(s) * w / outW(s)
       }
-      mass = inflow.map { case (v, in) => v -> (150000L + 85L * in / 100L) }.toMap
+      // every vertex retains a row (teleport floor), inflow or not —
+      // the left-join-onto-verts semantics
+      mass = outW.keys.map(v => v -> (150000L + 85L * inflow(v) / 100L)).toMap
     }
     val got = GraphOps.pageRankInt(edgesDf, iters = 3)
       .as[(Long, Long)].collect().toMap
@@ -75,7 +77,7 @@ class GraphSketchSpec extends SparkSpecBase {
   }
 
   test("backbone triangles: every emitted triple is an ordered triangle, and all are found") {
-    val pairs = GraphOps.itemCopairs(events, "user_id", itemCol)
+    val pairs = GraphOps.itemCopairs(events, "user_id", itemCol, maxUserDegree = 0)
     val top = pairs.orderBy(col("t").desc, col("i"), col("j")).limit(150)
       .select("i", "j").as[(Long, Long)].collect().toSet
     val expected = for {
@@ -170,7 +172,7 @@ class GraphSketchSpec extends SparkSpecBase {
   }
 
   test("backbone components equal a union-find over the same edges") {
-    val pairs = GraphOps.itemCopairs(events, "user_id", itemCol)
+    val pairs = GraphOps.itemCopairs(events, "user_id", itemCol, maxUserDegree = 0)
     val edges = GraphOps.backboneEdges(pairs, 150).as[(Long, Long)].collect()
     // reference union-find
     val parent = collection.mutable.Map.empty[Long, Long]
@@ -205,7 +207,8 @@ class GraphSketchSpec extends SparkSpecBase {
       maxUserDegree = 80)
       .as[(Long, Long, Long)].collect()
       .map { case (i, j, t) => (i, j) -> t }.toMap
-    val clean = GraphOps.itemCopairs(base, "user_id", col("it"))
+    val clean = GraphOps.itemCopairs(base, "user_id", col("it"),
+      maxUserDegree = 0)
       .as[(Long, Long, Long)].collect()
       .map { case (i, j, t) => (i, j) -> t }.toMap
     assert(capped === clean,

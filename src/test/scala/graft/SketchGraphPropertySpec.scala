@@ -148,7 +148,7 @@ class SketchGraphPropertySpec extends SparkSpecBase {
       }.distinct
       val got = GraphOps.itemSimilarityTopK(
         log.toDF("user_id", "it").repartition(1 + rnd.nextInt(4)),
-        "user_id", col("it"), k)
+        "user_id", col("it"), k, maxUserDegree = 0)
         .as[(Long, Long, Long, Long)].collect().toSet
       val byItem = log.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
       val want = byItem.keys.toSeq.flatMap { i =>
@@ -182,7 +182,9 @@ class SketchGraphPropertySpec extends SparkSpecBase {
       for (_ <- 1 to iters) {
         val in = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
         edges.foreach { case (s, dd, w) => in(dd) += mass(s) * w / outW(s) }
-        mass = in.map { case (v, x) => v -> (150000L + 85L * x / 100L) }.toMap
+        // every vertex keeps a row (teleport floor) whether or not it
+        // received inflow this round — the left-join-onto-verts semantics
+        mass = outW.keys.map(v => v -> (150000L + 85L * in(v) / 100L)).toMap
       }
       val got = GraphOps.pageRankInt(edgesDf, iters)
         .as[(Long, Long)].collect().toMap

@@ -155,4 +155,34 @@ class SkewAuditSpec extends SparkSpecBase {
     assert(p.contains("partial_"), "per-source mean must combine map-side " +
       "(the hot source reduces inside each task, never in one reducer row)")
   }
+
+  test("pageRank, celebrity out-vertex: exact under a hot src; out-weights partial-agg, never a window") {
+    import spark.implicits._
+    // vertex 0 owns 5000 out-edges (a celebrity's out-list); a src-
+    // partitioned window would land all of them on ONE task that AQE
+    // cannot split — the partial-agg + join out-weight derivation
+    // combines them map-side and the join key stays skew-splittable
+    val hot = (1L to 5000L).map(d => (0L, d, 1L + d % 3))
+    val tail = (1L to 200L).flatMap(s => Seq((s, s % 50 + 5000L, 1L)))
+    val back = Seq((6000L, 0L, 1L)) // vertex 0 keeps an in-edge
+    val edges = (hot ++ tail ++ back).toDF("src", "dst", "w").repartition(8)
+    val pw = graft.graph.GraphOps.outWeighted(edges)
+      .queryExecution.executedPlan.toString
+    assert(!pw.contains("Window"),
+      "hot-src out-weights must never serialize into a window partition")
+    assert(pw.contains("partial_sum"))
+    // exactness under the hot key: distributed == sequential recurrence
+    val e = edges.as[(Long, Long, Long)].collect()
+    val outW = e.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var mass = outW.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 2) {
+      val in = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      e.foreach { case (s, d, w) =>
+        if (mass.contains(s)) in(d) += mass(s) * w / outW(s) }
+      mass = outW.keys.map(v => v -> (150000L + 85L * in(v) / 100L)).toMap
+    }
+    val got = graft.graph.GraphOps.pageRankInt(edges, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === mass, "hot-src graph: distributed PageRank diverged")
+  }
 }
