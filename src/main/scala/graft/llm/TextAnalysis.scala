@@ -366,10 +366,18 @@ object TextAnalysis {
     * and term `(o − e)² · 1000 div (e + 1)` — all integer (order-
     * independent sums, oracle-exact; the +1 makes rare-token terms
     * finite instead of a division by a floored-to-zero expectation).
-    * Int64-exactness bound: the `c · st` and `(o−e)²` products stay in
-    * range while corpus_total² < 2⁶³ (≈ 3·10⁹ tokens); past that,
-    * widen the two products to DECIMAL(38,0) — the CC-checksum
-    * discipline — before the div.
+    *
+    * Arithmetic width — built for the operator's own target regime (a
+    * 100 TB corpus is ~2·10¹³ tokens, far past the 3·10⁹-token bound
+    * int64 products would impose): the `c·st` and `(o−e)²` products are
+    * computed in DECIMAL(38,0) (exact to 10³⁸, room for a 10¹⁹-token
+    * corpus), and each div quotient provably fits int64 — `e ≤ st` and
+    * `term < 1000·corpus_total` (case e=0: o² ≤ c·st < tt; case e≥1:
+    * e+1 > c·st/tt bounds the quotient by 1000·tt) — so only the
+    * per-source SUM of terms can exceed int64; it is summed in
+    * DECIMAL(38,0) and cast to BIGINT at the end, where ANSI mode fails
+    * LOUDLY instead of wrapping (overflow-regime unit test in
+    * QualityRulesSpec).
     *
     * Scale shape: token counts partial-agg per (source, hash); the
     * vocab-sized corpus table joins back by hash (honest equi-join —
@@ -378,12 +386,20 @@ object TextAnalysis {
     * chi2_scaled).
     */
   def sourceDriftChi2(docs: DataFrame, srcCol: String,
-      textCol: String): DataFrame = {
-    val tok = graft.util.Materialize.stable(
+      textCol: String): DataFrame =
+    driftChi2FromCounts(graft.util.Materialize.stable(
       docs.select(col(srcCol).as("source"),
           explode(tokens(col(textCol))).as("_t"))
         .select(col("source"), Dedup.tokenHash(col("_t")).as("h"))
-        .groupBy("source", "h").agg(count(lit(1)).as("o")))
+        .groupBy("source", "h").agg(count(lit(1)).as("o"))))
+
+  /** The χ² core over a pre-aggregated (source, h, o) count table —
+    * split out so the overflow regime (counts whose products exceed
+    * int64) is unit-testable without materializing 10⁹ rows, and so a
+    * pipeline that already holds token counts skips the tokenize pass.
+    * Arithmetic discipline documented at [[sourceDriftChi2]].
+    */
+  def driftChi2FromCounts(tok: DataFrame): DataFrame = {
     val corpus = tok.groupBy("h").agg(sum("o").as("c"))
     val srcTotals = tok.groupBy("source").agg(sum("o").as("st"),
       count(lit(1)).as("n_distinct"))
@@ -391,10 +407,16 @@ object TextAnalysis {
     tok.join(corpus, "h")
       .join(broadcast(srcTotals), "source")
       .crossJoin(broadcast(total))
-      .withColumn("e", expr("(c * st) div tt"))
-      .withColumn("term", expr("((o - e) * (o - e) * 1000) div (e + 1)"))
+      // DECIMAL(38,0) products; int64 quotients (bounds proven in doc)
+      .withColumn("e",
+        expr("(CAST(c AS DECIMAL(38,0)) * st) div tt"))
+      .withColumn("term",
+        expr("(CAST(o - e AS DECIMAL(38,0)) * (o - e) * 1000) div (e + 1)"))
       .groupBy("source")
       .agg(max("st").as("n_tokens"), max("n_distinct").as("n_distinct"),
-        sum("term").as("chi2_scaled"))
+        sum(col("term").cast("decimal(38,0)")).as("_chi2"))
+      // ANSI: an int64-overflowing total fails loudly, never wraps
+      .withColumn("chi2_scaled", col("_chi2").cast("long"))
+      .drop("_chi2")
   }
 }

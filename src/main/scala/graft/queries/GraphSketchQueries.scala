@@ -166,6 +166,28 @@ object GraphSketchQueries {
           .select(explode(split(col("text"), " ")).as("tok")),
         col("tok"), d = 4, w = 256, topN = 20)),
 
+    // Log₂-histogram quantile sketch (the latency-histogram shape —
+    // reference scripts/benchmark.py:109-120): P50/P90/P99 of the
+    // event value per type from ≤65 sum-mergeable int64 registers,
+    // estimate next to the exact rank value — the calibration-gate
+    // discipline. The fixed-splits guarantee (estimate and truth share
+    // a power-of-two bin) is what the est/exact columns exhibit.
+    "sketch_quantile_value" -> ((s, dir) =>
+      quantileCalibration(quantileRegs(s, dir, lit(true)), s, dir)),
+
+    // Incremental maintenance: registers over the PRIOR events (90%)
+    // and an arriving DELTA (10%) SUM-merge into registers identical to
+    // the one-pass sketch — the oracle IS sketch_quantile_value's SQL,
+    // so the gate proves the shard-merge path bit-equal cross-engine
+    // (the HLL-incremental discipline applied to rank statistics).
+    "sketch_quantile_merge" -> ((s, dir) => {
+      val delta = pmod(col("event_id"), lit(10L)) === 0
+      val merged = quantileRegs(s, dir, !delta)
+        .unionByName(quantileRegs(s, dir, delta))
+        .groupBy("event_type", "_bin").agg(sum("_cnt").as("_cnt"))
+      quantileCalibration(merged, s, dir)
+    }),
+
     // Item–item Jaccard similarity top-3 — the co-visitation
     // recommender table, exact per-mille; hyper-connector cap ON (the
     // capped user population feeds pairs AND degrees identically).
@@ -208,6 +230,43 @@ object GraphSketchQueries {
     */
   private val AsOfUs = 1705276800000000L
 
+  /** P50/P90/P99 — the reference benchmark panel's percentiles. */
+  private val QuantilesPm = Seq(500, 900, 990)
+
+  /** (event_type, vc) integer event values — the quantile-sketch input. */
+  private def eventValues(s: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column): DataFrame =
+    Tables.events(s, dir).filter(pred)
+      .select(col("event_id"), col("event_type"),
+        graft.ops.EventOps.cents(col("value")).as("vc"))
+
+  private def quantileRegs(s: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column): DataFrame =
+    Sketches.logHistogram(eventValues(s, dir, pred), Seq("event_type"),
+      col("vc"))
+
+  /** Estimate-next-to-exact quantile gate body: sketch estimates joined
+    * with the true value at the same target rank (the exact leg is
+    * gate-only calibration — a full per-group rank, affordable because
+    * it IS the audit the sketch exists to approximate sublinearly).
+    */
+  private def quantileCalibration(regs: DataFrame, s: SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val est = Sketches.quantilesFromLogHistogram(regs, Seq("event_type"),
+        QuantilesPm)
+      .withColumn("_target",
+        greatest(lit(1L), expr("(q_permille * n + 999) div 1000")))
+    val ranked = eventValues(s, dir, lit(true))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy("vc")).cast("long"))
+    est.join(ranked,
+        est("event_type") === ranked("event_type") &&
+          ranked("rk") === est("_target"))
+      .select(est("event_type"), col("q_permille"), col("n"),
+        col("vc").as("exact_v"), col("est"))
+  }
+
   private def scd2(s: SparkSession, dir: String): DataFrame =
     Scd.scd2History(
       Tables.events(s, dir).select(col("user_id"), col("event_id"),
@@ -218,6 +277,44 @@ object GraphSketchQueries {
       tsUsCol = "ts_us",
       isDelete = col("event_type") === "error",
       payloadCols = Seq("event_type", "value_cents"))
+
+  /** The one-pass log₂-histogram quantile oracle — shared by the
+    * one-pass and the sum-merge gate (whose whole claim is landing on
+    * this exact result). Every window sum and the estimator arithmetic
+    * CAST back to BIGINT (DuckDB HUGEINT export discipline).
+    */
+  private val quantileSqlDuck: String = {
+    val qsValues = QuantilesPm.map(q => s"($q)").mkString(",")
+    s"""WITH v AS (SELECT event_type,
+       |    CAST(round(value*100, 0) AS BIGINT) AS vc FROM events),
+       |r AS (SELECT event_type,
+       |    CAST(CASE WHEN vc = 0 THEN 0 ELSE length(bin(vc)) END AS BIGINT)
+       |      AS bin, count(*) AS cnt
+       |  FROM v GROUP BY 1, 2),
+       |c AS (SELECT event_type, bin, cnt,
+       |    CAST(coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before,
+       |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |  FROM r),
+       |q AS (SELECT q_permille FROM (VALUES $qsValues) t(q_permille)),
+       |sel AS (SELECT event_type, CAST(q_permille AS BIGINT) AS q_permille,
+       |    n, bin, cnt, cum_before,
+       |    greatest(1, (q_permille * n + 999) // 1000) AS target
+       |  FROM c, q
+       |  WHERE cum_before < greatest(1, (q_permille * n + 999) // 1000)
+       |    AND greatest(1, (q_permille * n + 999) // 1000) <= cum_before + cnt),
+       |est AS (SELECT event_type, q_permille, n, target,
+       |    CAST((CASE WHEN bin = 0 THEN 0 ELSE 1 << (bin - 1) END)
+       |      + ((CASE WHEN bin = 0 THEN 1 ELSE 1 << (bin - 1) END)
+       |         * (target - cum_before - 1)) // cnt AS BIGINT) AS est
+       |  FROM sel),
+       |rk AS (SELECT event_type, vc, row_number() OVER (
+       |    PARTITION BY event_type ORDER BY vc) AS rk FROM v)
+       |SELECT est.event_type, q_permille, n, rk.vc AS exact_v, est
+       |FROM est JOIN rk ON est.event_type = rk.event_type
+       |  AND rk.rk = est.target""".stripMargin.replace("\n", " ")
+  }
 
   /** The full-corpus per-source HLL oracle — shared by the one-pass and
     * the incremental gate (whose whole claim is landing on this exact
@@ -369,6 +466,12 @@ object GraphSketchQueries {
          |GROUP BY key, n_exact""".stripMargin.replace("\n", " ")
     },
 
+    "sketch_quantile_value" -> quantileSqlDuck,
+
+    // the sum-merged shards must land EXACTLY on the one-pass sketch —
+    // same oracle by construction (the HLL-incremental discipline)
+    "sketch_quantile_merge" -> quantileSqlDuck,
+
     "graph_item_similarity_topk" ->
       s"""WITH $cappedEvCteDuck,
          |pr AS (SELECT a.it AS i, b.it AS j, CAST(count(*) AS BIGINT) AS t
@@ -406,11 +509,11 @@ object GraphSketchQueries {
         |    CAST(count(*) AS BIGINT) AS n_distinct FROM tok GROUP BY 1),
         |tt AS (SELECT CAST(sum(o) AS BIGINT) AS total FROM tok),
         |j AS (SELECT tok.source, o, st, n_distinct,
-        |    (c * st) // tt.total AS e
+        |    CAST((CAST(c AS HUGEINT) * st) // tt.total AS BIGINT) AS e
         |  FROM tok JOIN corpus USING (h) JOIN stt USING (source), tt)
         |SELECT source, max(st) AS n_tokens, max(n_distinct) AS n_distinct,
-        |  CAST(sum(((o - e) * (o - e) * 1000) // (e + 1)) AS BIGINT)
-        |    AS chi2_scaled
+        |  CAST(sum((CAST(o - e AS HUGEINT) * (o - e) * 1000) // (e + 1))
+        |    AS BIGINT) AS chi2_scaled
         |FROM j GROUP BY source""".stripMargin.replace("\n", " "),
 
     "cdc_scd2_asof" ->

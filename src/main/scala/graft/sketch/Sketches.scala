@@ -193,6 +193,83 @@ object Sketches {
       .groupBy(groups.map(col) :+ col("_bucket"): _*)
       .agg(max("_rho").as("_r"))
 
+  /** Log₂-histogram register table (groups…, _bin, _cnt) — the
+    * mergeable RANK sketch completing the family (KMV/HLL = distinct,
+    * CMS = frequency): fixed power-of-two splits over non-negative
+    * int64 values, bin 0 = {0}, bin b ≥ 1 = [2^(b−1), 2^b). ≤ 65
+    * int64 registers per group, whatever the corpus size — the
+    * latency-histogram shape (cf. reference
+    * `scripts/benchmark.py:109-120`, whose P50/P95/P99 panel this
+    * serves sublinearly), and the fixed-splits analog of a KLL sketch
+    * with DETERMINISTIC splits instead of sampled ones (no randomness
+    * ⇒ bit-reproducible across engines, the family discipline).
+    *
+    * Registers are SUM-mergeable: counts built over disjoint shards of
+    * a corpus, added per (group, bin), equal the one-pass counts — the
+    * property that lets a fleet histogram shards independently
+    * (spec-pinned, and the merge gate's oracle IS the one-pass SQL).
+    *
+    * Scale shape: one partial-aggregated shuffle down to ≤ 65 rows per
+    * group; the per-row projection (`length(bin(v))`) is pure codegen.
+    * Values must be non-negative; a negative value raises (never a
+    * silently wrong two's-complement bin).
+    */
+  def logHistogram(df: DataFrame, groups: Seq[String],
+      valueCol: Column): DataFrame =
+    df.select(groupCols(groups) :+ valueCol.cast("long").as("_v"): _*)
+      .filter(col("_v").isNotNull)
+      .withColumn("_bin",
+        when(col("_v") < 0, raise_error(concat(
+          lit("logHistogram: negative value "), col("_v").cast("string"))))
+          .when(col("_v") === 0, lit(0))
+          .otherwise(length(bin(col("_v")))).cast("long"))
+      .groupBy(groupCols(groups) :+ col("_bin"): _*)
+      .agg(count(lit(1)).as("_cnt"))
+
+  /** Quantile estimates from a [[logHistogram]] register table, next to
+    * nothing — the pure estimator (gates add the exact leg). For each
+    * `q` ‰: target rank = ⌈q·n/1000⌉ (≥ 1), walk the cumulative counts
+    * to the covering bin, then interpolate INTEGER-uniformly within it:
+    * `est = lo + (width · (pos − 1)) div cnt` with pos the 1-based rank
+    * inside the bin — so the estimate always lands in the same
+    * power-of-two bin as the true rank-target value (relative error
+    * ≤ 2×, the fixed-splits guarantee; spec-pinned).
+    *
+    * The cumulative window runs over the REGISTER table (≤ 65 rows per
+    * group), not the corpus — sublinear however large the input.
+    * Output: (groups…, q_permille, n, est).
+    */
+  def quantilesFromLogHistogram(regs: DataFrame, groups: Seq[String],
+      qsPermille: Seq[Int]): DataFrame = {
+    require(qsPermille.nonEmpty && qsPermille.forall(q => q >= 1 && q <= 1000),
+      s"quantiles must be 1..1000 permille, got $qsPermille")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groups.map(col): _*).orderBy(col("_bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = regs
+      .withColumn("_cum_before", coalesce(sum("_cnt").over(w), lit(0L)))
+      .withColumn("_n", sum("_cnt").over(
+        Window.partitionBy(groups.map(col): _*)))
+    cum
+      .select(groupCols(groups) ++ Seq(col("_bin"), col("_cnt"),
+        col("_cum_before"), col("_n"),
+        explode(typedLit(qsPermille.sorted)).as("q_permille")): _*)
+      .withColumn("_target",
+        greatest(lit(1L), expr("(q_permille * _n + 999) div 1000")))
+      .filter(col("_cum_before") < col("_target") &&
+        col("_target") <= col("_cum_before") + col("_cnt"))
+      .withColumn("_lo",
+        when(col("_bin") === 0, lit(0L))
+          .otherwise(expr("shiftleft(1L, CAST(_bin - 1 AS INT))")))
+      .withColumn("_width",
+        when(col("_bin") === 0, lit(1L))
+          .otherwise(expr("shiftleft(1L, CAST(_bin - 1 AS INT))")))
+      .withColumn("est", expr(
+        "_lo + (_width * (_target - _cum_before - 1)) div _cnt"))
+      .select(groupCols(groups) ++ Seq(col("q_permille").cast("long"),
+        col("_n").as("n"), col("est")): _*)
+  }
+
   /** Count-Min frequency sketch: d hash rows × w buckets of int64
     * counters built in ONE partial-agg pass (d·w cells total — 1024
     * BIGINTs at the default 4×256, whatever the corpus size), then the

@@ -269,6 +269,79 @@ class GraphSketchSpec extends SparkSpecBase {
         assert(r.getAs[Long]("chi2_scaled") === 2250L, r.toString))
   }
 
+  test("log-histogram quantiles: shard sum-merge == one-pass; estimate shares the truth's bin") {
+    val vals = events.select(col("event_type"),
+      graft.ops.EventOps.cents(col("value")).as("vc"))
+    val onePass = Sketches.logHistogram(vals, Seq("event_type"), col("vc"))
+    // shard-merge property: registers over 3 disjoint shards, summed,
+    // equal the one-pass registers bit-for-bit
+    val merged = (0L to 2L).map(i =>
+        Sketches.logHistogram(vals.filter(pmod(col("vc"), lit(3L)) === i),
+          Seq("event_type"), col("vc")))
+      .reduce(_ unionByName _)
+      .groupBy("event_type", "_bin").agg(sum("_cnt").as("_cnt"))
+    def regSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long)].collect().toSet
+    assert(regSet(merged) === regSet(onePass))
+    // fixed-splits guarantee: the estimate lands in the same power-of-2
+    // bin as the true rank-target value → ratio within [1/2, 2]
+    val est = Sketches.quantilesFromLogHistogram(onePass,
+      Seq("event_type"), Seq(500, 900, 990))
+      .as[(String, Long, Long, Long)].collect()
+    assert(est.length === 15, "3 quantiles × 5 event types")
+    val byType = vals.as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    est.foreach { case (et, q, n, e) =>
+      val sortedVals = byType(et)
+      assert(n === sortedVals.length)
+      val target = math.max(1L, (q * n + 999) / 1000).toInt
+      val exact = sortedVals(target - 1)
+      assert(e <= 2 * exact && exact <= 2 * e,
+        s"$et q=$q: est $e vs exact $exact outside the 2x bin bound")
+      // monotone in q within a group is implied by cum-walk; check anyway
+    }
+    val byGroup = est.groupBy(_._1).values
+    byGroup.foreach { rows =>
+      val sorted = rows.sortBy(_._2).map(_._4)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b },
+        "quantile estimates must be monotone in q")
+    }
+  }
+
+  test("log-histogram rejects negative values loudly") {
+    val bad = Seq(("a", -5L)).toDF("g", "v")
+    val e = intercept[Exception] {
+      Sketches.logHistogram(bad, Seq("g"), col("v")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("negative value")))
+  }
+
+  test("chi2 drift overflow regime: billion-scale counts whose products exceed int64 stay exact") {
+    // c·st = 7e9 · 5e9 = 3.5e19 > Long.MaxValue — the pre-round-11 int64
+    // product would wrap; DECIMAL(38,0) must reproduce the BigInt fold
+    val counts = Seq(
+      ("A", 1L, 4000000000L), ("A", 2L, 1000000000L),
+      ("B", 1L, 3000000000L), ("B", 3L, 2000000000L))
+    val got = graft.llm.TextAnalysis.driftChi2FromCounts(
+        counts.toDF("source", "h", "o"))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("chi2_scaled"))).toMap
+    // sequential BigInt reference of the same recurrence
+    val c = counts.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val st = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val tt = counts.map(_._3).sum
+    val want = counts.groupBy(_._1).map { case (s, rows) =>
+      val chi2 = rows.map { case (_, h, o) =>
+        val e = (BigInt(c(h)) * st(s) / tt).toLong
+        (BigInt(o - e) * (o - e) * 1000 / (e + 1)).toLong
+      }.sum
+      s -> (st(s), chi2)
+    }
+    assert(got === want)
+  }
+
   test("SCD2 as-of: exactly the last pre-T non-delete version per key, else no row") {
     val t = 1705276800000000L // 2024-01-15T00:00Z, mid-fixture
     val changes = events.select(col("user_id"), col("event_id"), col("ts_us"),

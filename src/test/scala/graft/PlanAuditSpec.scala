@@ -567,6 +567,17 @@ class PlanAuditSpec extends SparkSpecBase {
       "nothing in the iteration needs a global sort")
   }
 
+  test("quantile sketch: registers partial-agg to <=65 rows/group; no cartesian, no global sort") {
+    val p = plan("sketch_quantile_value")
+    assert(p.contains("partial_count"),
+      "histogram registers must combine map-side — the sketch's whole " +
+        "point is the corpus reduces inside each task")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "nothing here needs a global sort — the exact leg ranks inside " +
+        "hash-partitioned event_type windows")
+  }
+
   test("kmv sketch: per-group heap via partitioned window; exact leg combines map-side") {
     val p = plan("sketch_kmv_distinct")
     assert(!p.contains("CartesianProduct"))
