@@ -51,6 +51,11 @@ object Sampling {
     * by key. Per-stratum top-k via a partitioned window —
     * WindowGroupLimit prunes map-side, so the exchange moves ≤ k rows
     * per stratum per input partition, never the corpus.
+    *
+    * Weights must be < 2³¹ — the priority `w · 2³²` must fit int64.
+    * A larger weight raises a runtime error (codegen'd guard) rather
+    * than wrapping to a wrong negative priority; weights that large
+    * mean the caller wants a deterministic-include list, not a sample.
     */
   def weightedPrioritySample(df: DataFrame, keyCol: String,
       strataCol: String, weight: Column, k: Int): DataFrame = {
@@ -62,7 +67,11 @@ object Sampling {
     val withP = df
       .withColumn("_w", weight.cast("long"))
       .filter(col("_w") > 0) // zero-weight rows can never be drawn
-      .withColumn("priority", expr(s"(_w * 4294967296L) div ($hSql + 1)"))
+      .withColumn("priority", expr(
+        "CASE WHEN _w >= 2147483648L THEN raise_error(" +
+          "'weightedPrioritySample: weight must be < 2^31 " +
+          "(w * 2^32 must fit int64)') " +
+          s"ELSE (_w * 4294967296L) div ($hSql + 1) END"))
     val w = Window.partitionBy(strataCol)
       .orderBy(col("priority").desc, col(keyCol))
     withP.withColumn("rk", row_number().over(w))

@@ -32,7 +32,37 @@ object IngestQueries {
     TextIngest.parseJsonl(lines, DocSchema)
   }
 
+  /** Deterministic per-doc URL over the fixture columns — subdomain
+    * variants (www/news/none/two-level), three TLD shapes incl. a
+    * multi-label public suffix, a port on every 5th doc, path + query:
+    * the url shape zoo the eTLD+1 extractor must collapse correctly.
+    * Identical expression rendered into the oracle (same CASE chain).
+    */
+  private def docUrl = concat(lit("https://"),
+    expr("CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'www.' WHEN 1 THEN 'news.' " +
+      "WHEN 2 THEN '' ELSE 'a.b.' END"),
+    col("source"), lit("."),
+    expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' " +
+      "ELSE 'org' END"),
+    expr("CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END"),
+    lit("/p/"), col("doc_id").cast("string"), lit("?q=1"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Registrable-domain (eTLD+1) quality grouping — the FineWeb-style
+    // domain-level reputation unit: hosts news.X.co.uk / www.X.co.uk /
+    // a.b.X.co.uk collapse to X.co.uk while X.com stays separate; stats
+    // per domain are the admission table sourceReputationFilter keys on
+    // at crawl scale. Pure codegen extraction (regexp + split + IN) —
+    // one partial-agg shuffle on the derived domain.
+    "domain_quality_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("domain", graft.functions.Domains.urlDomain(docUrl))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("tot_chars"),
+          expr("sum(size(array_distinct(split(text, ' '))) * 1000 div " +
+            "size(split(text, ' '))) div count(1)").as("mean_diversity_permille"))),
+
     "jsonl_ingest_stats" -> ((s, dir) => {
       val parsed = ingested(s, dir)
       val (valid, dlq) = TextIngest.split(parsed, Seq("doc_id", "text"))
@@ -49,6 +79,32 @@ object IngestQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "domain_quality_stats" -> {
+      val urlSql =
+        """'https://' ||
+          |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'www.' WHEN 1 THEN 'news.'
+          |    WHEN 2 THEN '' ELSE 'a.b.' END
+          |  || source || '.' ||
+          |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+          |    ELSE 'org' END
+          |  || CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END
+          |  || '/p/' || CAST(doc_id AS VARCHAR) || '?q=1'"""
+          .stripMargin.replace("\n", " ")
+      s"""WITH u AS (SELECT doc_id, text, n_chars, ($urlSql) AS url
+         |  FROM documents),
+         |hh AS (SELECT *, ${graft.functions.Domains.hostSqlDuck("url")} AS h
+         |  FROM u),
+         |dd AS (SELECT *,
+         |  ${graft.functions.Domains.registrableDomainSqlDuck("h")} AS domain
+         |  FROM hh)
+         |SELECT domain, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS tot_chars,
+         |  CAST(sum(len(list_distinct(string_split(text, ' '))) * 1000
+         |    // len(string_split(text, ' '))) // count(*) AS BIGINT)
+         |    AS mean_diversity_permille
+         |FROM dd GROUP BY domain""".stripMargin.replace("\n", " ")
+    },
+
     // the oracle never parses JSON — it partitions the ORIGINAL rows by
     // the same doc_id % 10 rule and aggregates the original columns, so
     // it checks that serialize → corrupt → parse → split is LOSSLESS on

@@ -52,17 +52,28 @@ object Compaction {
     // row count from the REWRITTEN files' footers — metadata-only (a
     // count() before the rewrite would scan the data a second time)
     val rows = spark.read.parquet(tmp).count()
-    // swap: remove originals, move compacted files in. Listing-based —
-    // local-fs semantics here; on an object store this is the commit
-    // service's job (the point of the temp dir is that the READ above
-    // finished before anything is deleted).
+    // swap: move the compacted data files IN first (fresh UUID part
+    // names — no collision with originals), THEN delete the originals,
+    // so a crash mid-swap leaves a readable superset rather than an
+    // empty table. Files.move throws on failure where File.renameTo
+    // silently returns false (e.g. tmp on a different filesystem).
+    // Listing-based — local-fs semantics here; on an object store this
+    // is the commit service's job (the point of the temp dir is that
+    // the READ above finished before anything is deleted).
     val dirF = new java.io.File(dir)
-    Option(dirF.listFiles()).getOrElse(Array.empty)
-      .filter(_.isFile).foreach(f => { f.delete(); () })
+    val originals = Option(dirF.listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile)
     val tmpF = new java.io.File(tmp)
     Option(tmpF.listFiles()).getOrElse(Array.empty)
-      .filter(_.isFile)
-      .foreach(f => { f.renameTo(new java.io.File(dirF, f.getName)); () })
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(dirF, f.getName).toPath)
+        ()
+      }
+    originals.foreach(f => { f.delete(); () })
+    Option(tmpF.listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile).foreach(f => { f.delete(); () })
     tmpF.delete()
     val after = Option(dirF.listFiles()).getOrElse(Array.empty)
       .count(f => f.isFile && f.getName.endsWith(".parquet"))

@@ -139,6 +139,16 @@ class SketchGraphPropertySpec extends SparkSpecBase {
     }
   }
 
+  test("weighted priority sample: a weight >= 2^31 fails loudly, not negative") {
+    val df = Seq((1L, "a", 10L), (2L, "a", 2147483648L)).toDF("id", "st", "wt")
+    val e = intercept[Exception] {
+      graft.llm.Sampling.weightedPrioritySample(df, "id", "st", col("wt"), 1)
+        .collect()
+    }
+    assert(e.getMessage.contains("weight must be < 2^31"),
+      s"expected the overflow guard, got: ${e.getMessage}")
+  }
+
   test("item similarity property: random logs match the sequential Jaccard fold") {
     for (seed <- 1 to 5) {
       val rnd = new scala.util.Random(seed)
