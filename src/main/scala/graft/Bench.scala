@@ -95,6 +95,33 @@ object Bench {
     noteSpread(replTrials.map(eps => if (eps > 0) 1.0 / eps else -1.0))
     val eventsPerSec = if (replTrials.exists(_ > 0)) replTrials.max else -1.0
 
+    // ---- 1b. Reference workload-mix leg. The reference bench drives a
+    // 70% INSERT / 20% UPDATE / 10% DELETE client mix
+    // (scripts/benchmark.py:293-408); the replay above preserves the
+    // fixture log's own op mix instead. Derive a deterministic 70/20/10
+    // stream from the same events: event_id % 10 ∈ 0..6 → INSERT (a
+    // fresh key, so the upsert creates a row), 7..8 → UPDATE (the
+    // existing key space), 9 → DELETE (the deleteType op on an existing
+    // key). Same validate → compact → upsert pipeline, same row count.
+    val mixed = ev
+      .withColumn("event_type",
+        org.apache.spark.sql.functions.expr(
+          "CASE WHEN event_id % 10 = 9 THEN 'error' ELSE 'view' END"))
+      .withColumn("user_id",
+        org.apache.spark.sql.functions.expr(
+          "CASE WHEN event_id % 10 <= 6 THEN event_id + 10000000 ELSE user_id END"))
+    val mixTrials: Seq[Double] = (1 to 3).map { i =>
+      val base = java.nio.file.Files.createTempDirectory("bench_repl_mix").toString
+      val cfg = graft.streaming.ReplicationJob.Config(
+        sourceDir = sfDir, targetDir = s"$base/target",
+        dlqDir = s"$base/dlq", checkpointDir = s"$base/ckpt")
+      timeOnce(s"replication_mix_trial_$i") {
+        graft.streaming.ReplicationJob.processBatch(spark, mixed, cfg)
+      }.fold(_ => -1.0, dt => nEvents / dt)
+    }
+    noteSpread(mixTrials.map(eps => if (eps > 0) 1.0 / eps else -1.0))
+    val eventsPerSecMix = if (mixTrials.exists(_ > 0)) mixTrials.max else -1.0
+
     // ---- 2. Per-query pass, then min-of-up-to-3 re-measure of slow entries,
     // cheapest first so the budget reaches every candidate.
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -107,7 +134,8 @@ object Bench {
     // in the JSON so a contention-contaminated round is diagnosable per
     // query, not just via the global contention_ratio.
     val trialLog = scala.collection.mutable.Map[String, List[Double]](
-      "_replication_events_per_sec" -> replTrials.toList)
+      "_replication_events_per_sec" -> replTrials.toList,
+      "_replication_mix702010_events_per_sec" -> mixTrials.toList)
     val results: Map[String, Either[String, Double]] = {
       val slow = sorted.collect {
         case (n, fn) if pass1(n).exists(_ > 2.0) => (n, fn, pass1(n).getOrElse(0.0))
@@ -143,7 +171,8 @@ object Bench {
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""events_per_sec":$eventsPerSec,"failed":$failed,""" +
+      s""""events_per_sec":$eventsPerSec,""" +
+      s""""events_per_sec_mix702010":$eventsPerSecMix,"failed":$failed,""" +
       s""""contention_ratio":${math.round(contentionRatio * 100) / 100.0},""" +
       s""""trials":$trialsJson,""" +
       s""""sf":"$sfDir"}""")
