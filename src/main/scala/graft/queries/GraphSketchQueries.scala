@@ -7,7 +7,7 @@ import graft.Tables
 import graft.graph.GraphOps
 import graft.llm.Dedup
 import graft.ops.Scd
-import graft.sketch.Sketches
+import graft.sketch.{Bloom, Sketches}
 
 /** Round-10 families: relational graph centrality (the host-reputation
   * artifact crawl curation ranks sources with), deterministic
@@ -63,6 +63,72 @@ object GraphSketchQueries {
       |shh AS (SELECT DISTINCT source,
       |  CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h FROM sh)"""
       .stripMargin.replace("\n", " ")
+
+  /** Bloom gate parameters: 4096 bits / 3 probes over the "flagged
+    * users" key set (user_id % 13 = 0) — dozens to hundreds of keys at
+    * the fixture SFs, so the filter is sparse enough that FPs are rare
+    * but the fill is nonzero at both scales.
+    */
+  private val BloomM = 4096
+  private val BloomK = 3
+
+  private def bloomKeys(ev: DataFrame): DataFrame =
+    ev.filter(pmod(col("user_id"), lit(13L)) === 0)
+      .select(col("user_id").cast("string").as("key")).distinct()
+
+  /** Per-type audit: events, Bloom candidates, true members, FPs. */
+  private def bloomAudit(ev: DataFrame, words: Array[Long]): DataFrame =
+    ev.groupBy("event_type").agg(
+        count(lit(1)).as("n_events"),
+        count(when(graft.sketch.Bloom.mightContain(
+          words, BloomM, BloomK, col("user_id").cast("string")), 1))
+          .as("n_candidates"),
+        count(when(pmod(col("user_id"), lit(13L)) === 0, 1)).as("n_members"))
+      .withColumn("n_false_pos", col("n_candidates") - col("n_members"))
+
+  /** The DuckDB rebuild of filter + probe: words CTE via the identical
+    * salted-md5 positions, probe via a positions⋈words LEFT JOIN
+    * (candidate ⇔ all k probed bits set — the join-based rendering of
+    * [[Bloom.mightContain]]'s AND). sum() casts to BIGINT — DuckDB
+    * sums integers into HUGEINT.
+    */
+  private val bloomAuditSqlDuck: String = {
+    def pos(keySql: String, i: Int) = Bloom.positionSqlDuck(keySql, i, BloomM)
+    // DuckDB raises on 1 << 63 where Spark wraps to Long.MinValue —
+    // special-case the sign bit to the same two's-complement value
+    def shift1 = "(CASE WHEN p % 64 = 63 " +
+      "THEN CAST(-9223372036854775807 - 1 AS BIGINT) " +
+      "ELSE CAST(1 AS BIGINT) << CAST(p % 64 AS INT) END)"
+    def bitTest = s"(w._bits & $shift1) <> 0"
+    val keyPs = (0 until BloomK)
+      .map(i => s"SELECT ${pos("key", i)} AS p FROM ks").mkString(" UNION ALL ")
+    val evPs = (0 until BloomK)
+      .map(i => s"SELECT event_id, event_type, user_id, " +
+        s"${pos("user_id", i)} AS p FROM events").mkString(" UNION ALL ")
+    s"""WITH ks AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS key
+       |    FROM events WHERE user_id % 13 = 0),
+       |ps AS ($keyPs),
+       |w AS (SELECT p // 64 AS _word,
+       |    bit_or((CASE WHEN p % 64 = 63
+       |      THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+       |      ELSE CAST(1 AS BIGINT) << CAST(p % 64 AS INT) END)) AS _bits
+       |  FROM ps GROUP BY 1),
+       |ep AS ($evPs),
+       |hits AS (SELECT event_id, any_value(event_type) AS event_type,
+       |    any_value(user_id) AS user_id,
+       |    sum(CASE WHEN w._bits IS NOT NULL AND $bitTest
+       |        THEN 1 ELSE 0 END) AS nbits
+       |  FROM ep LEFT JOIN w ON w._word = p // 64 GROUP BY event_id)
+       |SELECT event_type, count(*) AS n_events,
+       |  CAST(sum(CASE WHEN nbits = $BloomK THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_candidates,
+       |  CAST(sum(CASE WHEN user_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_members,
+       |  CAST(sum(CASE WHEN nbits = $BloomK THEN 1 ELSE 0 END)
+       |    - sum(CASE WHEN user_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_false_pos
+       |FROM hits GROUP BY event_type""".stripMargin.replace("\n", " ")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Integer damped PageRank (3 unrolled rounds) over the bipartite
@@ -186,6 +252,35 @@ object GraphSketchQueries {
         .unionByName(quantileRegs(s, dir, delta))
         .groupBy("event_type", "_bin").agg(sum("_cnt").as("_cnt"))
       quantileCalibration(merged, s, dir)
+    }),
+
+    // Bloom-filter semi-join pruning + false-positive audit: a filter
+    // built over a small key set (the "deleted users" sweep / prior-
+    // corpus / eval-set shape) probes the full event stream with ZERO
+    // corpus-side shuffle — per type, Bloom candidates next to the true
+    // member count (candidates ≥ members ALWAYS: no false negatives;
+    // the gap is the audited FP price). The explicit, cross-engine-
+    // checkable version of a broadcast runtime filter.
+    "bloom_prune_audit" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val words = Bloom.collectWords(
+        Bloom.buildWords(bloomKeys(ev), col("key"), BloomM, BloomK), BloomM)
+      bloomAudit(ev, words)
+    }),
+
+    // Incremental filter maintenance: words built over two key-set
+    // shards BIT_OR-merge into exactly the one-pass filter — the oracle
+    // IS bloom_prune_audit's SQL, so the gate proves the shard-merge
+    // path bit-equal cross-engine (the HLL/quantile-merge discipline).
+    "bloom_incremental" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val ks = bloomKeys(ev)
+      def shard(pred: org.apache.spark.sql.Column) =
+        Bloom.buildWords(ks.filter(pred), col("key"), BloomM, BloomK)
+      val even = pmod(col("key").cast("long"), lit(2L)) === 0
+      val words = Bloom.collectWords(
+        Bloom.mergeWords(shard(even), shard(!even)), BloomM)
+      bloomAudit(ev, words)
     }),
 
     // Item–item Jaccard similarity top-3 — the co-visitation
@@ -471,6 +566,12 @@ object GraphSketchQueries {
     // the sum-merged shards must land EXACTLY on the one-pass sketch —
     // same oracle by construction (the HLL-incremental discipline)
     "sketch_quantile_merge" -> quantileSqlDuck,
+
+    "bloom_prune_audit" -> bloomAuditSqlDuck,
+
+    // the BIT_OR-merged shards must land EXACTLY on the one-pass
+    // filter — same oracle by construction
+    "bloom_incremental" -> bloomAuditSqlDuck,
 
     "graph_item_similarity_topk" ->
       s"""WITH $cappedEvCteDuck,
