@@ -84,6 +84,50 @@ object Domains {
   /** [[registrableDomain]] ∘ [[host]] — URL straight to eTLD+1. */
   def urlDomain(url: Column): Column = registrableDomain(host(url))
 
+  /** Query parameters dropped by [[canonicalUrl]] — the tracking
+    * decorations that make one page crawl as many URLs (the dominant
+    * source of URL-level duplicates in web corpora).
+    */
+  val TrackingParamRe: String =
+    "^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref)="
+
+  /** Canonical URL for dedup keying: lowercased host with a leading
+    * `www.` stripped, scheme/userinfo/port/fragment dropped, trailing
+    * slashes on the path stripped, tracking parameters
+    * ([[TrackingParamRe]]) removed and the surviving query parameters
+    * SORTED (param order is presentation, not identity). Two crawls of
+    * one page land on one key; distinct pages never merge. Pure Column
+    * composition (regexp + split + HOF filter + array_sort) — codegen'd,
+    * zero shuffle.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val h = regexp_replace(host(url), "^www\\.", "")
+    // strip scheme + userinfo + host[:port] → path?query#fragment
+    val rest = regexp_replace(url,
+      "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?[^/?#]*", "")
+    val path = regexp_replace(regexp_extract(rest, "^([^?#]*)", 1), "/+$", "")
+    val q = regexp_extract(rest, "\\?([^#]*)", 1)
+    val kept = array_join(array_sort(filter(split(q, "&"),
+      x => !x.rlike(TrackingParamRe) && x =!= "")), "&")
+    concat(h, path,
+      when(kept =!= "", concat(lit("?"), kept)).otherwise(lit("")))
+  }
+
+  /** The DuckDB rendering of [[canonicalUrl]] over a URL SQL
+    * expression — identical regexes, list_filter/list_sort for the
+    * parameter set (binary collation both engines).
+    */
+  def canonicalUrlSqlDuck(urlSql: String): String = {
+    val h = s"regexp_replace(${hostSqlDuck(urlSql)}, '^www\\.', '')"
+    val rest = s"regexp_replace($urlSql, " +
+      "'^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?[^/?#]*', '')"
+    val path = s"regexp_replace(regexp_extract($rest, '^([^?#]*)', 1), '/+$$', '')"
+    val q = s"regexp_extract($rest, '\\?([^#]*)', 1)"
+    val kept = s"array_to_string(list_sort(list_filter(string_split($q, '&'), " +
+      s"x -> NOT regexp_matches(x, '$TrackingParamRe') AND x <> '')), '&')"
+    s"($h || $path || (CASE WHEN $kept <> '' THEN '?' || $kept ELSE '' END))"
+  }
+
   /** The DuckDB rendering of [[host]] over a URL SQL expression —
     * identical semantics (RE2 regexes match the Java ones used here).
     * Compose in a CTE chain: `SELECT …, ${hostSqlDuck("url")} AS h`.

@@ -47,7 +47,49 @@ object IngestQueries {
     expr("CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END"),
     lit("/p/"), col("doc_id").cast("string"), lit("?q=1"))
 
+  /** A decorated crawl-URL per doc over SHARED pages (doc_id % 50):
+    * scheme flip, www variant, trailing slash, a real `id` param, utm/
+    * fragment decorations — many raw URLs per canonical page, so the
+    * canonicalizer has real collapsing to do. Identical CASE chain
+    * rendered into the oracle.
+    */
+  private def docUrlDecorated = concat(
+    expr("CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END"),
+    expr("CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END"),
+    col("source"), lit(".com/page/"),
+    expr("CAST(doc_id % 50 AS STRING)"),
+    expr("CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END"),
+    expr("CASE WHEN doc_id % 4 = 0 THEN '?id=' || CAST(doc_id % 5 AS STRING) " +
+      "|| '&utm_source=feed' WHEN doc_id % 2 = 0 " +
+      "THEN '?utm_medium=rss' ELSE '' END"),
+    expr("CASE WHEN doc_id % 9 = 0 THEN '#top' ELSE '' END"))
+
+  private val docUrlDecoratedSqlDuck: String =
+    """CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END
+      |  || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+      |  || source || '.com/page/' || CAST(doc_id % 50 AS VARCHAR)
+      |  || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+      |  || CASE WHEN doc_id % 4 = 0 THEN '?id=' || CAST(doc_id % 5 AS VARCHAR)
+      |       || '&utm_source=feed' WHEN doc_id % 2 = 0
+      |       THEN '?utm_medium=rss' ELSE '' END
+      |  || CASE WHEN doc_id % 9 = 0 THEN '#top' ELSE '' END"""
+      .stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Canonical-URL dedup — URL-level exact dedup done RIGHT: raw crawl
+    // URLs collapse to canonical page keys (scheme/www/port/fragment/
+    // tracking-param/trailing-slash invariance), per source the raw vs
+    // canonical distinct counts = the dedup win. Zero-shuffle
+    // canonicalization; one countDistinct exchange.
+    "url_canonical_dedup" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("url", docUrlDecorated)
+        .withColumn("cu", graft.functions.Domains.canonicalUrl(col("url")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url")).as("n_raw_distinct"),
+          countDistinct(col("cu")).as("n_canon_distinct"))),
+
     // Registrable-domain (eTLD+1) quality grouping — the FineWeb-style
     // domain-level reputation unit: hosts news.X.co.uk / www.X.co.uk /
     // a.b.X.co.uk collapse to X.co.uk while X.com stays separate; stats
@@ -79,6 +121,17 @@ object IngestQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "url_canonical_dedup" ->
+      s"""WITH u AS (SELECT source, ($docUrlDecoratedSqlDuck) AS url
+         |  FROM documents),
+         |c AS (SELECT source, url,
+         |  ${graft.functions.Domains.canonicalUrlSqlDuck("url")} AS cu
+         |  FROM u)
+         |SELECT source, count(*) AS n_docs,
+         |  count(DISTINCT url) AS n_raw_distinct,
+         |  count(DISTINCT cu) AS n_canon_distinct
+         |FROM c GROUP BY source""".stripMargin.replace("\n", " "),
+
     "domain_quality_stats" -> {
       val urlSql =
         """'https://' ||

@@ -55,6 +55,31 @@ class DomainsSpec extends SparkSpecBase {
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"))
   }
 
+  private val canonCases: Seq[(String, String)] = Seq(
+    // scheme/www/port/fragment stripped, tracking params dropped,
+    // surviving params sorted, trailing slashes stripped
+    ("https://www.Example.com/a/b/?utm_source=x&id=3#frag", "example.com/a/b?id=3"),
+    ("http://example.com:80/a/b?id=3", "example.com/a/b?id=3"),
+    ("https://example.com/a/b?id=3&utm_medium=rss&gclid=z", "example.com/a/b?id=3"),
+    ("https://example.com/a/b?z=1&a=2", "example.com/a/b?a=2&z=1"),
+    ("https://example.com/a/b", "example.com/a/b"),
+    ("https://example.com/", "example.com"),
+    ("https://example.com///", "example.com"),
+    ("example.com/x?fbclid=abc", "example.com/x"),
+    ("https://user@www.example.com/x?ref=tw", "example.com/x"),
+    // a page whose real param merely STARTS like a tracking name stays
+    ("https://example.com/x?utmost=1", "example.com/x?utmost=1"),
+    ("", ""))
+
+  test("canonicalUrl: two crawls of one page land on one key") {
+    val got = canonCases.map(_._1).toDF("url")
+      .select(col("url"), Domains.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    canonCases.foreach { case (url, want) =>
+      assert(got(url) === want, s"url=$url")
+    }
+  }
+
   test("IPv6 brackets: the bracket branch never bleeds into bracket-free hosts") {
     // a '[' later in the url (query string) must not trigger the branch
     val tricky = Seq("https://ex.com/a?b=[1]", "https://u@ex.org:1/[x]")
