@@ -85,8 +85,31 @@ object EventQueries {
         pmod(col("user_id"), lit(65536L)).as("zx"),
         pmod(expr("ts_us div 3600000000"), lit(65536L)).as("zy"))
         .withColumn("zvalue",
-          graft.warehouse.ZOrder.zValue(col("zx"), col("zy"))))
+          graft.warehouse.ZOrder.zValue(col("zx"), col("zy")))),
+
+    // Zone-map pruning audit — per range predicate: zones kept by the
+    // min/max manifest, rows the kept zones force you to SCAN, rows
+    // that actually MATCH. Zones are insertion-order blocks (event_id
+    // div 1024), so the time predicates prune hard (the fixture log is
+    // time-ordered) while the uncorrelated user/value predicates keep
+    // every zone — the audit exhibits exactly when zone maps pay and
+    // when a re-cluster (Z-order) is needed.
+    "zonemap_prune_audit" -> ((s, dir) =>
+      graft.warehouse.ZoneMap.pruneAudit(Tables.events(s, dir),
+        expr("event_id div 1024"), ZonePreds))
   )
+
+  /** Audited predicates: two time ranges (zone-correlated), a user and
+    * a value range (uncorrelated). Epoch-µs bounds: Jan 2–3 and Jan 15
+    * of the fixture's 2024-01 month.
+    */
+  private val ZonePreds = Seq(
+    graft.warehouse.ZoneMap.RangePred(
+      "ts_jan02_03", "ts_us", 1704153600000000L, 1704326399999999L),
+    graft.warehouse.ZoneMap.RangePred(
+      "ts_jan15", "ts_us", 1705276800000000L, 1705363199999999L),
+    graft.warehouse.ZoneMap.RangePred("user_lt100", "user_id", 0L, 99L),
+    graft.warehouse.ZoneMap.RangePred("value_100_150", "value", 100L, 150L))
 
   val oracleSql: Map[String, String] = Map(
     "events_funnel" -> {
@@ -186,6 +209,27 @@ object EventQueries {
          |  FROM events)
          |SELECT event_id, CAST(zx AS BIGINT) AS zx, CAST(zy AS BIGINT) AS zy,
          |  CAST($z AS BIGINT) AS zvalue FROM b""".stripMargin.replace("\n", " ")
+    },
+
+    "zonemap_prune_audit" -> {
+      val statCols = ZonePreds.map(_.column).distinct
+        .map(c => s"min($c) AS ${c}_min, max($c) AS ${c}_max").mkString(", ")
+      val predRows = ZonePreds.map { p =>
+        val keep = s"${p.column}_max >= ${p.lo} AND ${p.column}_min <= ${p.hi}"
+        s"""SELECT '${p.id}' AS pred_id,
+           |  (SELECT count(*) FROM st) AS zones_total,
+           |  (SELECT count(*) FROM st WHERE $keep) AS zones_kept,
+           |  (SELECT CAST(COALESCE(sum(n_rows), 0) AS BIGINT) FROM st
+           |    WHERE $keep) AS rows_scanned,
+           |  (SELECT count(*) FROM z
+           |    WHERE ${p.column} BETWEEN ${p.lo} AND ${p.hi}) AS rows_match"""
+          .stripMargin
+      }.mkString(" UNION ALL ")
+      s"""WITH z AS (SELECT event_id // 1024 AS zone, epoch_us(ts) AS ts_us,
+         |    user_id, value FROM events),
+         |st AS (SELECT zone, count(*) AS n_rows, $statCols
+         |  FROM z GROUP BY 1)
+         |$predRows""".stripMargin.replace("\n", " ")
     },
 
     "events_retention_cohort" ->
