@@ -151,6 +151,43 @@ object Decontam {
     }
   }
 
+  /** Bloom pre-filter + audit for the overlap join: the eval gram set
+    * compressed to an m-bit filter ([[graft.sketch.Bloom]]) probes the
+    * corpus gram stream BEFORE any join — the shape for when even the
+    * distinct eval/prior-corpus hash set outgrows a comfortable raw
+    * broadcast (the filter is a fixed ≤ 512 KiB whatever the key count;
+    * 10⁹ grams broadcast raw is 8 GB). A doc is a CANDIDATE iff any of
+    * its grams passes the filter; no false negatives means the exact
+    * overlap join downstream can run on candidates only. Per `groupCol`
+    * the audit reports candidates next to the exact contaminated count —
+    * the admitted-FP price, the [[graft.sketch.Bloom]] gate discipline.
+    *
+    * Output: (group, n_docs, n_candidates, n_contaminated, n_false_pos)
+    * over docs long enough to have an n-gram.
+    */
+  def bloomPrefilterAudit(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int, groupCol: String,
+      mBits: Int = 1 << 20, k: Int = 3): DataFrame = {
+    import graft.sketch.Bloom
+    val corp = Dedup.shingleHashPostings(corpus, idCol, textCol, n)
+    val ev = evalGramSet(evalSet, idCol, textCol, n, maxGramEvalDf = 0)
+    val words = Bloom.collectWords(
+      Bloom.buildWords(ev, col("h"), mBits, k), mBits)
+    val perDoc = corp
+      .withColumn("_cand", Bloom.mightContain(words, mBits, k, col("h")))
+      .join(broadcast(ev.withColumn("_in_eval", lit(1))), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(max(when(col("_cand"), 1).otherwise(0)).as("_is_cand"),
+        max(when(col("_in_eval") === 1, 1).otherwise(0)).as("_is_cont"))
+    corpus.select(col(idCol).cast("long").as("doc_id"), col(groupCol))
+      .join(perDoc, Seq("doc_id"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("_is_cand").as("n_candidates"),
+        sum("_is_cont").as("n_contaminated"))
+      .withColumn("n_false_pos", col("n_candidates") - col("n_contaminated"))
+  }
+
   def trimContaminated(corpus: DataFrame, evalSet: DataFrame, idCol: String,
       textCol: String, n: Int, maxGramEvalDf: Long = 0): DataFrame = {
     val evGrams = evalGramSet(evalSet, idCol, textCol, n, maxGramEvalDf)

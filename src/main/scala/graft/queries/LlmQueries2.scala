@@ -27,6 +27,20 @@ object LlmQueries2 {
         "doc_id", "text", n = 3, maxGramEvalDf = 20)
     }),
 
+    // Bloom pre-filter for the overlap join (5-grams, where real
+    // contamination is rare): the eval gram set compressed to a 2^20-bit
+    // filter probes every corpus gram map-side — per source, candidate
+    // docs next to the exact contaminated count. Candidates ⊇
+    // contaminated ALWAYS (no false negatives); the FP column is the
+    // price of never broadcasting the raw gram set.
+    "decontam_bloom_prefilter" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Decontam.bloomPrefilterAudit(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 5, groupCol = "source")
+    }),
+
     // mixing: cap every source at 800 tokens → per-source keep rates
     // (sources run ~1.3k tokens at sf0.01, so the cap genuinely binds)
     "mix_token_weights" -> ((s, dir) =>
@@ -147,6 +161,49 @@ object LlmQueries2 {
         |  n_hits * 1000 // s.n_grams AS hit_permille
         |FROM hits h JOIN sizes s ON h.doc_id = s.doc_id"""
         .stripMargin.replace("\n", " "),
+
+    "decontam_bloom_prefilter" -> {
+      import graft.sketch.Bloom
+      val m = 1 << 20
+      def pos(i: Int) = Bloom.positionSqlDuck("h", i, m)
+      val bitTest = s"(w._bits & ${Bloom.shift1SqlDuck("p % 64")}) <> 0"
+      val keyPs = (0 until 3)
+        .map(i => s"SELECT ${pos(i)} AS p FROM ev").mkString(" UNION ALL ")
+      val evPs = (0 until 3)
+        .map(i => s"SELECT doc_id, source, h, ${pos(i)} AS p FROM corp")
+        .mkString(" UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+         |    FROM documents),
+         |sh AS (SELECT doc_id, source,
+         |    concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS sh
+         |  FROM toks, UNNEST(range(1, len(t)-3)) AS r(i) WHERE len(t) >= 5),
+         |shh AS (SELECT DISTINCT doc_id, source,
+         |  CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h FROM sh),
+         |corp AS (SELECT doc_id, source, h FROM shh WHERE source <> 'src0'),
+         |ev AS (SELECT DISTINCT h FROM shh WHERE source = 'src0'),
+         |ps AS ($keyPs),
+         |w AS (SELECT p // 64 AS _word,
+         |    bit_or(${Bloom.shift1SqlDuck("p % 64")}) AS _bits
+         |  FROM ps GROUP BY 1),
+         |ep AS ($evPs),
+         |gb AS (SELECT doc_id, source, h,
+         |    sum(CASE WHEN w._bits IS NOT NULL AND $bitTest
+         |      THEN 1 ELSE 0 END) AS nb
+         |  FROM ep LEFT JOIN w ON w._word = p // 64
+         |  GROUP BY doc_id, source, h),
+         |pd AS (SELECT doc_id, any_value(source) AS source,
+         |    max(CASE WHEN nb = 3 THEN 1 ELSE 0 END) AS c
+         |  FROM gb GROUP BY doc_id),
+         |ct AS (SELECT doc_id,
+         |    max(CASE WHEN h IN (SELECT h FROM ev) THEN 1 ELSE 0 END) AS t
+         |  FROM corp GROUP BY doc_id)
+         |SELECT pd.source, count(*) AS n_docs,
+         |  CAST(sum(c) AS BIGINT) AS n_candidates,
+         |  CAST(sum(t) AS BIGINT) AS n_contaminated,
+         |  CAST(sum(c) - sum(t) AS BIGINT) AS n_false_pos
+         |FROM pd JOIN ct USING (doc_id) GROUP BY pd.source"""
+        .stripMargin.replace("\n", " ")
+    },
 
     "mix_token_weights" ->
       """SELECT source, count(*) AS n_docs,

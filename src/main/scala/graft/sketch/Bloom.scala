@@ -57,6 +57,16 @@ object Bloom {
     s"(CAST(concat('0x', substr(md5(CAST($keySql AS VARCHAR) || ':$i'), " +
       s"1, 15)) AS BIGINT) % $mBits)"
 
+  /** DuckDB rendering of `1L << bit` for a bit index expression in
+    * [0, 64): DuckDB raises on `1 << 63` where Spark wraps to
+    * Long.MinValue, so the sign bit is special-cased to the same
+    * two's-complement value.
+    */
+  def shift1SqlDuck(bitSql: String): String =
+    s"(CASE WHEN ($bitSql) = 63 " +
+      "THEN CAST(-9223372036854775807 - 1 AS BIGINT) " +
+      s"ELSE CAST(1 AS BIGINT) << CAST(($bitSql) AS INT) END)"
+
   /** The mergeable word table of the key set: (_word INT, _bits BIGINT)
     * with `_word = pos div 64` and `_bits = BIT_OR(1 << (pos mod 64))`
     * over all k positions of all keys. Absent words are all-zero (the
