@@ -76,6 +76,21 @@ class BloomSpec extends SparkSpecBase {
         Bloom.buildWords(keys.toDF("key"), col("key"), M, K), M).toSeq)
   }
 
+  test("streaming maintenance: batches land on the one-pass filter, replays are no-ops") {
+    val dir = java.nio.file.Files.createTempDirectory("bloom_stream").toString
+    val sb = new graft.sketch.StreamingBloom(spark, dir, M, K)
+    val batches = keys.grouped(30).toSeq
+    batches.zipWithIndex.foreach { case (b, i) =>
+      sb.recordBatch(b.toDF("key"), col("key"), i.toLong)
+    }
+    val want = refWords(keys).toSeq
+    assert(sb.collect().toSeq === want)
+    // at-least-once replay: re-delivering batch 1 rewrites its own
+    // partition with identical words — the merged filter is unchanged
+    sb.recordBatch(batches(1).toDF("key"), col("key"), 1L)
+    assert(sb.collect().toSeq === want)
+  }
+
   test("probe plan is pure codegen: no UDF, zero shuffle on the corpus side") {
     val words = refWords(keys)
     val df = keys.toDF("key").repartition(2)

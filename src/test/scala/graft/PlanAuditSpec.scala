@@ -630,4 +630,46 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"),
       "the lead() fold is a window, not a self-join")
   }
+
+  test("bloom audit: literal-filter probe — one type exchange, corpus never shuffles for membership") {
+    val p = plan("bloom_prune_audit")
+    // the filter is a collected literal (built before planning); the
+    // only exchange left is the tiny per-type aggregation
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "probe must add NO exchange beyond the event_type agg")
+    assert(p.contains("partial_count"), "conditional counts combine map-side")
+    assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"))
+  }
+
+  test("domain quality: codegen extraction feeds one partial-agg exchange") {
+    val p = plan("domain_quality_stats")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "one shuffle on the derived domain key")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "stats must combine map-side")
+    assert(!p.contains("ScalaUDF"))
+  }
+
+  test("canonical-url dedup: codegen canonicalization, no UDF, no cartesian") {
+    val p = plan("url_canonical_dedup")
+    assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"))
+    assert(p.contains("partial_count"), "distinct counts partial-aggregate")
+  }
+
+  test("zonemap audit: decisions on the stats table; exact counts broadcast-joined") {
+    val p = plan("zonemap_prune_audit")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the one-row exact-count frame must broadcast onto the pred rows")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
+  test("decontam bloom prefilter: eval grams broadcast once; corpus gram stream probed map-side") {
+    val p = plan("decontam_bloom_prefilter")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "exact-membership leg broadcasts the eval gram hashes")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("ScalaUDF"))
+  }
 }
