@@ -72,6 +72,32 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
 
+  /** Dedup-loss attribution: after exact dedup (canonical = minimum id
+    * per text hash), how many docs does each SOURCE lose, and what
+    * fraction of its corpus is that — the per-feed duplication report a
+    * crawl operator reads to find mirror sites and syndicated feeds
+    * before paying to fetch them again. Output: (source, n_docs,
+    * n_lost, lost_permille).
+    *
+    * Scale shape: one partial-agg `groupBy` on the md5 hash (never the
+    * text — shuffle keys stay 32 bytes), a hash-equi-join back that
+    * reuses the same key (AQE-splittable if one boilerplate text is
+    * corpus-hot), then one partial-agg rollup on source. No self-join,
+    * no collect.
+    */
+  def exactDupLossBySource(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String): DataFrame = {
+    val hashed = docs.select(col(idCol).as("_id"), col(srcCol).as("source"),
+      md5(col(textCol)).as("text_hash"))
+    val reps = hashed.groupBy("text_hash").agg(min("_id").as("canonical_id"))
+    hashed.join(reps, "text_hash")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_id") =!= col("canonical_id"), lit(1L))
+          .otherwise(lit(0L))).as("n_lost"))
+      .withColumn("lost_permille", expr("n_lost * 1000 div n_docs"))
+  }
+
   /** Cross-document duplicate-window profile — the exact-substring-dedup
     * signal (Lee et al. 2022, "Deduplicating Training Data Makes
     * Language Models Better"): for each doc with ≥ `n` tokens, how many

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.llm.{Dedup, Privacy}
+
+/** Data-governance gates: the release-audit artifacts a training-data
+  * pipeline publishes alongside the corpus — re-identification risk
+  * (k-anonymity / l-diversity over the replicated user tables, the
+  * structured-column tier next to [[graft.llm.PiiScrub]]'s free-text
+  * tier) and dedup-loss attribution (which feeds pay for duplication).
+  * Same discipline as every other tranche: integer-exact statistics,
+  * the identical derivation rendered into the DuckDB oracle.
+  */
+object GovernanceQueries {
+
+  private val K = 5L    // k-anonymity target
+  private val LMin = 2L // l-diversity floor
+
+  /** Balance band = (floor(balance) + 1000) div 1000 — shifted
+    * NON-NEGATIVE before the integer division (acctbal ≥ −1000), so
+    * Spark's `div` and DuckDB's `//` (which disagree on negatives)
+    * never see a negative operand. Spark's floor(double) returns
+    * BIGINT; DuckDB's returns DOUBLE, hence the CAST on that side —
+    * integral doubles cast exactly.
+    */
+  private def bandCol = expr("(floor(c_acctbal) + 1000) div 1000")
+  private val bandSqlDuck = "(CAST(floor(c_acctbal) AS BIGINT) + 1000) // 1000"
+  private def dollarsCol = expr("floor(c_acctbal)")
+  private val dollarsSqlDuck = "CAST(floor(c_acctbal) AS BIGINT)"
+
+  /** The ladder: each level's classes are unions of the previous
+    * level's (band is a function of dollars; l2 drops columns), so
+    * at_risk_rows is non-increasing down the ladder by construction.
+    */
+  private def ladderLevels = Seq(
+    "l0_exact" -> Seq("nation" -> col("c_nationkey").cast("long"),
+      "segment" -> col("c_mktsegment"), "dollars" -> dollarsCol),
+    "l1_band" -> Seq("nation" -> col("c_nationkey").cast("long"),
+      "segment" -> col("c_mktsegment"), "band" -> bandCol),
+    "l2_segment" -> Seq("segment" -> col("c_mktsegment")))
+
+  /** Spliced duplicate text: every doc_id ≡ 3 (mod 11) collapses onto a
+    * small per-source set of synthetic texts (17 classes per source),
+    * so exact dedup has real losers to attribute; all other docs keep
+    * their fixture text. Identical CASE rendered into the oracle.
+    */
+  private def splicedText = when(pmod(col("doc_id"), lit(11L)) === 3,
+    concat(lit("dup "), col("source"), lit(" "),
+      pmod(col("doc_id"), lit(17L)).cast("string"))).otherwise(col("text"))
+  private val splicedTextSqlDuck =
+    "CASE WHEN doc_id % 11 = 3 THEN 'dup ' || source || ' ' || " +
+      "CAST(doc_id % 17 AS VARCHAR) ELSE text END"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // k-anonymity equivalence classes over the replicated customer
+    // table: QI = (nation, segment, balance band), sensitive = the
+    // exact balance. One partial-agg shuffle on the QI tuple; the class
+    // table is bounded by distinct QI tuples, not rows.
+    "privacy_k_anonymity" -> ((s, dir) =>
+      Privacy.kAnonymityClasses(Tables.customer(s, dir),
+        Seq("nation" -> col("c_nationkey").cast("long"),
+          "segment" -> col("c_mktsegment"), "band" -> bandCol),
+        col("c_acctbal"), k = K)),
+
+    // The generalization ladder: risk summary at three QI granularities
+    // — the curve an auditor reads to pick the cheapest generalization
+    // that reaches the k target. One shuffle per level, 1-row summaries.
+    "privacy_generalization_ladder" -> ((s, dir) =>
+      Privacy.generalizationLadder(Tables.customer(s, dir), ladderLevels,
+        col("c_acctbal"), k = K, lMin = LMin)),
+
+    // Dedup-loss attribution: after exact dedup (canonical = min id per
+    // text hash), docs lost per source and the per-mille share — the
+    // mirror-site/syndicated-feed report. Dup classes spliced in-query.
+    "dedup_loss_by_source" -> ((s, dir) =>
+      Dedup.exactDupLossBySource(
+        Tables.documents(s, dir).withColumn("text", splicedText),
+        "doc_id", "text", "source"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "privacy_k_anonymity" ->
+      s"""SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         |  c_mktsegment AS segment, $bandSqlDuck AS band,
+         |  count(*) AS class_size,
+         |  count(DISTINCT c_acctbal) AS l_distinct,
+         |  CAST(CASE WHEN count(*) < $K THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+         |FROM customer GROUP BY 1, 2, 3""".stripMargin.replace("\n", " "),
+
+    "privacy_generalization_ladder" -> {
+      def level(name: String, quasi: String) =
+        s"""SELECT '$name' AS level, CAST(sum(class_size) AS BIGINT) AS total_rows,
+           |  count(*) AS n_classes, min(class_size) AS min_class_size,
+           |  CAST(sum(CASE WHEN class_size < $K THEN class_size ELSE 0 END)
+           |    AS BIGINT) AS at_risk_rows,
+           |  CAST(sum(CASE WHEN class_size < $K THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS at_risk_classes,
+           |  CAST(sum(CASE WHEN l_distinct < $LMin THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS low_l_classes
+           |FROM (SELECT count(*) AS class_size,
+           |    count(DISTINCT c_acctbal) AS l_distinct
+           |  FROM customer GROUP BY $quasi) c""".stripMargin
+      Seq(level("l0_exact", s"c_nationkey, c_mktsegment, $dollarsSqlDuck"),
+        level("l1_band", s"c_nationkey, c_mktsegment, $bandSqlDuck"),
+        level("l2_segment", "c_mktsegment"))
+        .mkString(" UNION ALL ").replace("\n", " ")
+    },
+
+    "dedup_loss_by_source" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    ($splicedTextSqlDuck) AS text FROM documents),
+         |h AS (SELECT doc_id, source, md5(text) AS th FROM d),
+         |r AS (SELECT th, min(doc_id) AS cid FROM h GROUP BY th)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN h.doc_id <> r.cid THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_lost,
+         |  CAST(sum(CASE WHEN h.doc_id <> r.cid THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1000 // count(*) AS lost_permille
+         |FROM h JOIN r ON h.th = r.th
+         |GROUP BY source""".stripMargin.replace("\n", " ")
+  )
+}

@@ -308,6 +308,34 @@ class GraphSketchSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming quantile maintenance: batches land on the one-pass " +
+      "registers, replays are no-ops, panel reads match") {
+    val dir = java.nio.file.Files.createTempDirectory("quant_stream").toString
+    val sq = new graft.sketch.StreamingQuantile(spark, dir, Seq("event_type"))
+    val vals = events.select(col("event_type"),
+      graft.ops.EventOps.cents(col("value")).as("vc"))
+    (0L to 2L).foreach { i =>
+      sq.recordBatch(vals.filter(pmod(col("vc"), lit(3L)) === i), col("vc"), i)
+    }
+    val onePass = Sketches.logHistogram(vals, Seq("event_type"), col("vc"))
+    def regSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_type", "_bin", "_cnt")
+        .as[(String, Long, Long)].collect().toSet
+    val want = regSet(onePass)
+    assert(regSet(sq.mergedRegisters()) === want)
+    // at-least-once replay: re-delivering batch 1 rewrites its own
+    // partition with identical registers — the merged counts are
+    // unchanged (counts are duplicate-sensitive; the partition
+    // overwrite is what makes this a no-op)
+    sq.recordBatch(vals.filter(pmod(col("vc"), lit(3L)) === 1), col("vc"), 1L)
+    assert(regSet(sq.mergedRegisters()) === want)
+    val panel = Sketches.quantilesFromLogHistogram(onePass,
+      Seq("event_type"), Seq(500, 950)).as[(String, Long, Long, Long)]
+      .collect().toSet
+    assert(sq.quantiles(Seq(500, 950)).as[(String, Long, Long, Long)]
+      .collect().toSet === panel)
+  }
+
   test("log-histogram rejects negative values loudly") {
     val bad = Seq(("a", -5L)).toDF("g", "v")
     val e = intercept[Exception] {
