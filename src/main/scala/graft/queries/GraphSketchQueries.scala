@@ -254,6 +254,45 @@ object GraphSketchQueries {
       quantileCalibration(merged, s, dir)
     }),
 
+    // KMV set-algebra overlap audit — the set operation HLL cannot
+    // serve (registers union but never intersect): each source's
+    // shingle universe vs src0's, intersection/union/Jaccard estimated
+    // from ≤64-value sketches next to the exact legs — the "how much
+    // does this feed duplicate the anchor feed" admission audit. src0
+    // rides along as its own row (jaccard 1000, the self-check).
+    "sketch_set_overlap" -> ((s, dir) =>
+      Sketches.kmvSetOps(
+        sourceShingleHashes(s, dir), Seq("source"), col("h"),
+        sourceShingleHashes(s, dir).filter(col("source") === "src0")
+          .select(col("h")),
+        col("h"), k = 64, preHashed = true)),
+
+    // Rolling 7-day distinct actives per day: the daily HLL registers
+    // max-merged over a sliding day window — the windowed-distinct
+    // panel served from 64 ints/day (the events are scanned ONCE for
+    // the daily registers; every window after that is register
+    // arithmetic), estimate next to the exact windowed distinct.
+    "sketch_hll_rolling_users" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(expr("ts_us div 86400000000").as("day"),
+          col("user_id").cast("string").as("u"))
+      // the register table feeds three branches (roll-up, day scaffold,
+      // exact-leg day list) — materialize once, days × 64 rows
+      val regs = graft.util.Materialize.stable(
+        Sketches.hllRegisters(daily, Seq("day"), col("u"), p = 6))
+      val est = Sketches.hllEstimateFromRegisters(
+        Sketches.hllRollingRegisters(regs, "day", windowDays = 7, p = 6),
+        Seq("day"), p = 6, alphaMilli = 709L)
+      val hsh = daily.select(col("day"), Dedup.tokenHash(col("u")).as("h"))
+        .distinct()
+      val ex = broadcast(regs.select("day").distinct().toDF("wday"))
+        .join(hsh, col("day").between(col("wday") - 6, col("wday")))
+        .groupBy("wday").agg(count_distinct(col("h")).as("n_exact"))
+        .withColumnRenamed("wday", "day")
+      est.join(ex, Seq("day"))
+        .select(col("day"), col("n_exact"), col("hll_estimate"))
+    }),
+
     // Bloom-filter semi-join pruning + false-positive audit: a filter
     // built over a small key set (the "deleted users" sweep / prior-
     // corpus / eval-set shape) probes the full event stream with ZERO
@@ -559,6 +598,80 @@ object GraphSketchQueries {
          |SELECT key, n_exact, min(c) AS cms_estimate
          |FROM probes JOIN cells USING (r, b)
          |GROUP BY key, n_exact""".stripMargin.replace("\n", " ")
+    },
+
+    "sketch_set_overlap" ->
+      s"""WITH $shingleHashCteDuck,
+         |bu AS (SELECT h FROM shh WHERE source = 'src0'),
+         |ask AS (SELECT source, h FROM (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+         |  FROM shh) t WHERE rk <= 64),
+         |bsk AS (SELECT h FROM (SELECT h,
+         |    row_number() OVER (ORDER BY h) AS rk FROM bu) t WHERE rk <= 64),
+         |gs AS (SELECT DISTINCT source FROM shh),
+         |mrg AS (SELECT source, h, max(ina) AS ina, max(inb) AS inb FROM (
+         |    SELECT source, h, 1 AS ina, 0 AS inb FROM ask
+         |    UNION ALL SELECT gs.source, bsk.h, 0, 1 FROM gs, bsk) u
+         |  GROUP BY 1, 2),
+         |usk AS (SELECT source, h, ina, inb FROM (SELECT source, h, ina, inb,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+         |  FROM mrg) t WHERE rk <= 64),
+         |sk AS (SELECT source, count(*) AS ku, max(h) AS theta,
+         |    CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS kint
+         |  FROM usk GROUP BY 1),
+         |na AS (SELECT source, count(*) AS n_a FROM shh GROUP BY 1),
+         |nb AS (SELECT count(*) AS n_b FROM bu),
+         |ix AS (SELECT a.source, count(*) AS inter_exact
+         |  FROM shh a JOIN bu b ON a.h = b.h GROUP BY 1),
+         |ext AS (SELECT na.source, na.n_a AS n_a_exact, nb.n_b AS n_b_exact,
+         |    coalesce(ix.inter_exact, 0) AS inter_exact
+         |  FROM na CROSS JOIN nb LEFT JOIN ix ON ix.source = na.source),
+         |est AS (SELECT source, ku, kint,
+         |    CASE WHEN ku < 64 THEN ku
+         |         ELSE ((ku - 1) * ${Sketches.HashSpace}) // theta END
+         |      AS kmv_union_est
+         |  FROM sk)
+         |SELECT e.source, n_a_exact, n_b_exact, inter_exact,
+         |  n_a_exact + n_b_exact - inter_exact AS union_exact,
+         |  (1000 * inter_exact) // (n_a_exact + n_b_exact - inter_exact)
+         |    AS jacc_pm_exact,
+         |  kmv_union_est,
+         |  CASE WHEN ku < 64 THEN kint
+         |       ELSE (kint * kmv_union_est) // 64 END AS kmv_inter_est,
+         |  (1000 * kint) // ku AS kmv_jacc_pm_est
+         |FROM est JOIN ext e ON est.source = e.source"""
+        .stripMargin.replace("\n", " "),
+
+    "sketch_hll_rolling_users" -> {
+      val m = 64; val restBits = 32 - 6
+      val numer = 709L * m * m * 1073741824L
+      s"""WITH hsh AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+         |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) AS h
+         |  FROM events),
+         |regs AS (SELECT day, h % $m AS bucket,
+         |  max(CASE WHEN h // $m = 0 THEN ${restBits + 1}
+         |      ELSE ${restBits + 1} - length(bin(h // $m)) END) AS r
+         |  FROM hsh GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT day FROM regs),
+         |scaf AS (SELECT day, b AS bucket
+         |  FROM days, UNNEST(range(0, $m)) AS t(b)),
+         |j AS (SELECT s.day, s.bucket, regs.r FROM scaf s
+         |  LEFT JOIN regs ON regs.day = s.day AND regs.bucket = s.bucket),
+         |roll AS (SELECT day, bucket, max(r) OVER (PARTITION BY bucket
+         |    ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS r
+         |  FROM j),
+         |den AS (SELECT day,
+         |  CAST(sum(1073741824 // (1 << r)) AS BIGINT)
+         |    + ($m - count(r)) * 1073741824 AS denom
+         |  FROM roll GROUP BY 1),
+         |ex AS (SELECT d.day, count(DISTINCT e.h) AS n_exact
+         |  FROM days d JOIN hsh e ON e.day BETWEEN d.day - 6 AND d.day
+         |  GROUP BY 1)
+         |SELECT den.day, n_exact, $numer // (1000 * denom) AS hll_estimate
+         |FROM den JOIN ex ON den.day = ex.day"""
+        .stripMargin.replace("\n", " ")
     },
 
     "sketch_quantile_value" -> quantileSqlDuck,

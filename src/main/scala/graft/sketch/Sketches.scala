@@ -270,6 +270,117 @@ object Sketches {
         col("_n").as("n"), col("est")): _*)
   }
 
+  /** KMV set-algebra estimates per group against a base key set — the
+    * set operation HLL registers cannot serve: INTERSECTION (and
+    * Jaccard) between two key universes, from k-bounded sketches only
+    * (Beyer et al. 2007, "On synopses for distinct-value estimation
+    * under multiset operations"). For each group A and the base set B:
+    * the union sketch is the k smallest hashes of sketch(A) ∪ sketch(B)
+    * — provably the k smallest of A ∪ B (any of the true k minima of
+    * A ∪ B is among its own side's k minima), so
+    * `union_est = (k−1)·2³²/θ` with θ the union sketch's max. Every
+    * union-sketch member h ≤ θ that lies in A is in sketch(A) (θ ≤ θ_A
+    * since the k-th minimum of a superset is no larger), so the
+    * membership flags carried by the sketch rows are EXACT and
+    * `K∩ = |{h ∈ union sketch : h ∈ A ∧ h ∈ B}|` needs no second look
+    * at the data: `inter_est = K∩·union_est/k`, `jaccard ≈ K∩/k_u`.
+    * When the union sketch is exhaustive (k_u < k) every estimate
+    * collapses to the exact value.
+    *
+    * Scale shape: each side reduces to ≤ k rows BEFORE any cross-side
+    * work — the A side via the per-group bounded window, the base via
+    * a partial top-k (`orderBy.limit`, map-side bounded); the merge is
+    * sketch-sized (groups × ≤ 2k rows). The exact legs (gate-only
+    * calibration, the family discipline) are the one full-width
+    * equi-join this audit exists to make unnecessary in production.
+    * Output: (groups…, n_a_exact, n_b_exact, inter_exact, union_exact,
+    * jacc_pm_exact, kmv_union_est, kmv_inter_est, kmv_jacc_pm_est).
+    */
+  def kmvSetOps(a: DataFrame, groups: Seq[String], aValue: Column,
+      base: DataFrame, baseValue: Column, k: Int,
+      preHashed: Boolean = false): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val ah = graft.util.Materialize.stable(
+      hashedDistinct(a, groups, aValue, preHashed))
+    val bh = graft.util.Materialize.stable(
+      hashedDistinct(base, Nil, baseValue, preHashed))
+    val wa = Window.partitionBy(groups.map(col): _*).orderBy(col("_h"))
+    val aSk = ah.withColumn("_rk", row_number().over(wa))
+      .filter(col("_rk") <= k).drop("_rk")
+    // partial top-k (TakeOrderedAndProject): the base's k minima without
+    // a single-partition global sort
+    val bSk = bh.orderBy(col("_h")).limit(k)
+    val groupsDf = ah.select(groups.map(col): _*).distinct()
+    val merged = aSk.withColumn("_ina", lit(1)).withColumn("_inb", lit(0))
+      .unionByName(groupsDf.crossJoin(broadcast(bSk))
+        .withColumn("_ina", lit(0)).withColumn("_inb", lit(1)))
+      .groupBy(groups.map(col) :+ col("_h"): _*)
+      .agg(max("_ina").as("_ina"), max("_inb").as("_inb"))
+    val sk = merged.withColumn("_rk", row_number().over(wa))
+      .filter(col("_rk") <= k)
+      .groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("_ku"), max("_h").as("_theta"),
+        sum(when(col("_ina") === 1 && col("_inb") === 1, 1L)
+          .otherwise(0L)).as("_kint"))
+    val est = sk
+      .withColumn("kmv_union_est",
+        when(col("_ku") < k, col("_ku"))
+          .otherwise(expr(s"((_ku - 1) * ${HashSpace}L) div _theta")))
+      .withColumn("kmv_inter_est",
+        when(col("_ku") < k, col("_kint"))
+          .otherwise(expr(s"(_kint * kmv_union_est) div $k")))
+      .withColumn("kmv_jacc_pm_est", expr("(1000 * _kint) div _ku"))
+    val na = ah.groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("n_a_exact"))
+    val nb = bh.agg(count(lit(1)).as("n_b_exact"))
+    val ix = ah.join(bh, "_h")
+      .groupBy(groups.map(col): _*).agg(count(lit(1)).as("inter_exact"))
+    val exact = na.join(ix, groups, "left")
+      .withColumn("inter_exact", coalesce(col("inter_exact"), lit(0L)))
+      .crossJoin(broadcast(nb))
+      .withColumn("union_exact",
+        col("n_a_exact") + col("n_b_exact") - col("inter_exact"))
+      .withColumn("jacc_pm_exact", expr("(1000 * inter_exact) div union_exact"))
+    est.join(exact, groups)
+      .select(groups.map(col) ++ Seq(col("n_a_exact"), col("n_b_exact"),
+        col("inter_exact"), col("union_exact"), col("jacc_pm_exact"),
+        col("kmv_union_est"), col("kmv_inter_est"),
+        col("kmv_jacc_pm_est")): _*)
+  }
+
+  /** Sliding-window register roll-up over a per-day [[hllRegisters]]
+    * table: for each day d, the max-merged registers of days
+    * [d−windowDays+1, d] — the rolling-7-day-actives panel from 64
+    * ints/day instead of re-scanning the event log once per window
+    * (max-merge == one-pass is the HLL contract, so the rolled
+    * registers EQUAL the registers of the window's union, spec-pinned).
+    *
+    * Scale shape: the scaffold and the window run over the REGISTER
+    * table (m rows per day), never the events; `rangeBetween` on the
+    * day value keeps gap days honest (an absent day contributes
+    * nothing, it doesn't stretch the frame). Output: (dayCol, _bucket,
+    * _r) — feed [[hllEstimateFromRegisters]].
+    */
+  def hllRollingRegisters(regs: DataFrame, dayCol: String,
+      windowDays: Int, p: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    require(p >= 2 && p <= 11, s"p must be in 2..11, got $p")
+    val m = 1 << p
+    import org.apache.spark.sql.expressions.Window
+    // days × all m buckets: a bucket silent on day d still sees the
+    // window's earlier days (absent registers must roll forward)
+    val scaffold = regs.select(col(dayCol)).distinct()
+      .select(col(dayCol),
+        explode(sequence(lit(0L), lit((m - 1).toLong))).as("_bucket"))
+    val w = Window.partitionBy("_bucket").orderBy(col(dayCol))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    scaffold.join(regs, Seq(dayCol, "_bucket"), "left")
+      .withColumn("_rr", max("_r").over(w)) // max ignores nulls
+      .filter(col("_rr").isNotNull)
+      .select(col(dayCol), col("_bucket"), col("_rr").as("_r"))
+  }
+
   /** Count-Min frequency sketch: d hash rows × w buckets of int64
     * counters built in ONE partial-agg pass (d·w cells total — 1024
     * BIGINTs at the default 4×256, whatever the corpus size), then the
@@ -286,9 +397,7 @@ object Sketches {
     require(w >= 2, s"need at least 2 buckets, got $w")
     val hashed = graft.util.Materialize.stable(
       df.select(valueCol.as("key")).withColumn("_h", Dedup.tokenHash(col("key"))))
-    def rowBucket(i: Int): Column =
-      pmod(pmod(lit(Dedup.MinhashA(i)) * col("_h") + lit(Dedup.MinhashB(i)),
-        lit(Dedup.MinhashP)), lit(w.toLong))
+    def rowBucket(i: Int): Column = cmsRowBucket(col("_h"), i, w)
     // one Expand (d rows per input row) → (row, bucket) partial-agg sum
     val cells = hashed.select(explode(array((0 until d).map(i =>
         struct(lit(i).as("r"), rowBucket(i).as("b"))): _*)).as("rb"))
@@ -309,5 +418,48 @@ object Sketches {
     probes.join(broadcast(cells), Seq("r", "b"))
       .groupBy("key", "n_exact")
       .agg(min("c").as("cms_estimate"))
+  }
+
+  /** CMS row hash i of a 32-bit key hash: `((a_i·h + b_i) mod p) mod w`
+    * — the engine's MinHash family, shared by the one-pass and the
+    * streaming cell builds (they must agree bit-for-bit for the merged
+    * cells to be probe-compatible).
+    */
+  def cmsRowBucket(h: Column, i: Int, w: Int): Column =
+    pmod(pmod(lit(Dedup.MinhashA(i)) * h + lit(Dedup.MinhashB(i)),
+      lit(Dedup.MinhashP)), lit(w.toLong))
+
+  /** The bare CMS cell table (r, b, c) over `df` — exposed because cell
+    * SUM-MERGE is the sketch's incremental story (counts over disjoint
+    * shards, added per cell, equal the one-pass cells — the
+    * log-histogram discipline applied to frequency): shards/batches
+    * build d·w cells each and fold by addition.
+    */
+  def cmsCells(df: DataFrame, valueCol: Column, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && d <= Dedup.MinhashA.size, s"d must be 1..${Dedup.MinhashA.size}")
+    require(w >= 2, s"need at least 2 buckets, got $w")
+    df.select(Dedup.tokenHash(valueCol).as("_h"))
+      .select(explode(array((0 until d).map(i =>
+        struct(lit(i).as("r"), cmsRowBucket(col("_h"), i, w).as("b"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-query estimates over a [[cmsCells]] table for a key set:
+    * `est = min_i cell[i][h_i(key)]` (overestimate by construction —
+    * absent cells read 0). `keys` must carry a string column named
+    * `key`; output (key, cms_estimate).
+    */
+  def cmsEstimate(cells: DataFrame, keys: DataFrame, d: Int,
+      w: Int): DataFrame = {
+    require(d >= 1 && d <= Dedup.MinhashA.size, s"d must be 1..${Dedup.MinhashA.size}")
+    keys.select(col("key")).distinct()
+      .withColumn("_h", Dedup.tokenHash(col("key")))
+      .select(col("key"), explode(array((0 until d).map(i =>
+        struct(lit(i).as("r"), cmsRowBucket(col("_h"), i, w).as("b"))): _*)).as("rb"))
+      .select(col("key"), col("rb.r").as("r"), col("rb.b").as("b"))
+      .join(broadcast(cells), Seq("r", "b"), "left")
+      .groupBy("key")
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_estimate"))
   }
 }

@@ -426,4 +426,110 @@ class GraphSketchSpec extends SparkSpecBase {
         s"key $k deleted last but still has a current version")
     }
   }
+
+  test("kmvSetOps equals a sequential reference of the same sketch algebra") {
+    val k = 8
+    val rnd = new scala.util.Random(42)
+    def draw() = math.abs(rnd.nextLong()) % Sketches.HashSpace
+    // g0 small (union < k → every estimate must collapse to exact);
+    // g2 shares 20 hashes with the base (nontrivial intersection)
+    val aRows =
+      (1 to 3).map(i => ("g0", i.toLong * 17L)) ++
+        (for (g <- Seq("g1", "g2"); _ <- 1 to 40) yield (g, draw()))
+    val bRows = ((1 to 3).map(_.toLong * 17L) ++ (1 to 35).map(_ => draw()) ++
+      aRows.filter(_._1 == "g2").map(_._2).take(20)).distinct
+    val got = Sketches.kmvSetOps(aRows.toDF("g", "h"), Seq("g"), col("h"),
+        bRows.toDF("h"), col("h"), k, preHashed = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val bSet = bRows.sorted
+    val bSk = bSet.take(k).toSet
+    aRows.groupBy(_._1).foreach { case (g, rows) =>
+      val aSet = rows.map(_._2).distinct.sorted
+      val aSk = aSet.take(k).toSet
+      val usk = (aSk ++ bSk).toSeq.sorted.take(k)
+      val ku = usk.size
+      val kint = usk.count(h => aSk(h) && bSk(h)).toLong
+      val unionEst =
+        if (ku < k) ku.toLong
+        else ((ku - 1).toLong * Sketches.HashSpace) / usk.max
+      val interEst = if (ku < k) kint else kint * unionEst / k
+      val nA = aSet.size.toLong
+      val nB = bSet.size.toLong
+      val inter = aSet.toSet.intersect(bSet.toSet).size.toLong
+      val r = got(g)
+      assert(r.getAs[Long]("n_a_exact") === nA, g)
+      assert(r.getAs[Long]("n_b_exact") === nB, g)
+      assert(r.getAs[Long]("inter_exact") === inter, g)
+      assert(r.getAs[Long]("union_exact") === nA + nB - inter, g)
+      assert(r.getAs[Long]("jacc_pm_exact") === 1000L * inter / (nA + nB - inter), g)
+      assert(r.getAs[Long]("kmv_union_est") === unionEst, g)
+      assert(r.getAs[Long]("kmv_inter_est") === interEst, g)
+      assert(r.getAs[Long]("kmv_jacc_pm_est") === 1000L * kint / ku, g)
+      if (ku < k) { // exhaustive sketch ⇒ estimates ARE the truth
+        assert(r.getAs[Long]("kmv_union_est") === nA + nB - inter, g)
+        assert(r.getAs[Long]("kmv_inter_est") === inter, g)
+      }
+    }
+  }
+
+  test("kmvSetOps of a set against itself estimates Jaccard 1000") {
+    val sh = docs.select(lit("all").as("g"), col("text"))
+    val got = Sketches.kmvSetOps(sh, Seq("g"), col("text"),
+        docs.select(col("text")), col("text"), k = 16)
+      .collect().head
+    assert(got.getAs[Long]("kmv_jacc_pm_est") === 1000L)
+    assert(got.getAs[Long]("jacc_pm_exact") === 1000L)
+    assert(got.getAs[Long]("inter_exact") === got.getAs[Long]("union_exact"))
+    assert(got.getAs[Long]("kmv_inter_est") === got.getAs[Long]("kmv_union_est"))
+  }
+
+  test("rolling HLL registers equal the one-pass registers of each window's union") {
+    val daily = events.select(expr("ts_us div 86400000000").as("day"),
+      col("user_id").cast("string").as("u"))
+    val regs = Sketches.hllRegisters(daily, Seq("day"), col("u"), p = 4)
+    val rolled = Sketches.hllRollingRegisters(regs, "day", windowDays = 7, p = 4)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    val days = rolled.keys.toSeq.sorted
+    assert(days.nonEmpty)
+    // max-merge == one-pass: spot-check first / middle / last windows
+    Seq(days.head, days(days.size / 2), days.last).distinct.foreach { d =>
+      val want = Sketches.hllRegisters(
+          daily.filter(col("day").between(d - 6, d)), Nil, col("u"), p = 4)
+        .as[(Long, Long)].collect().toSet
+      assert(rolled(d).map(t => (t._2, t._3)).toSet === want,
+        s"day $d rolled registers != one-pass window registers")
+    }
+  }
+
+  test("streaming CMS maintenance: batches land on the one-pass cells, " +
+      "replays are no-ops, estimates >= exact") {
+    val dir = tmpDir("cms_stream")
+    val sc = new graft.sketch.StreamingCms(spark, dir, d = 4, w = 64)
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    def batchPred(i: Long) =
+      pmod(Dedup.tokenHash(col("tok")), lit(3L)) === i
+    (0L to 2L).foreach { i =>
+      sc.recordBatch(toks.filter(batchPred(i)), col("tok"), i)
+    }
+    val onePass = Sketches.cmsCells(toks, col("tok"), 4, 64)
+    def cellSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("r", "b", "c").as[(Int, Long, Long)].collect().toSet
+    val want = cellSet(onePass)
+    assert(cellSet(sc.mergedCells()) === want)
+    // at-least-once replay: batch 1 redelivered rewrites its own
+    // partition with identical cells — merged counts unchanged
+    sc.recordBatch(toks.filter(batchPred(1L)), col("tok"), 1L)
+    assert(cellSet(sc.mergedCells()) === want)
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(10)
+    val est = sc.estimates(top.select(col("tok").as("key")))
+      .as[(String, Long)].collect().toMap
+    val exact = top.as[(String, Long)].collect().toMap
+    exact.foreach { case (tok, n) =>
+      assert(est(tok) >= n, s"CMS underestimated '$tok': ${est(tok)} < $n")
+    }
+    assert(est === Sketches.cmsEstimate(onePass,
+      top.select(col("tok").as("key")), 4, 64)
+      .as[(String, Long)].collect().toMap)
+  }
 }

@@ -672,4 +672,44 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("ScalaUDF"))
   }
+
+  test("kmv set ops: base minima via TakeOrdered, group sketches via " +
+      "WindowGroupLimit, no cartesian, no global sort") {
+    val p = plan("sketch_set_overlap")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the base set's k minima must be a partial top-k — a global sort " +
+        "of the base universe is what the sketch exists to avoid")
+    assert(p.contains("WindowGroupLimit"),
+      "per-group rank<=k must prune map-side before the window sort")
+    assert(p.contains("partial_count"), "exact legs combine map-side")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "windows are group-partitioned; the base top-k is TakeOrdered — " +
+        "nothing here may globally sort")
+  }
+
+  test("rolling HLL: register build combines map-side; the day window " +
+      "never touches the event stream") {
+    // the gate eagerly materializes the register table (it feeds three
+    // branches), which truncates its lineage out of the gate plan —
+    // audit the register build on its own plan
+    val daily = Tables.events(spark, sfDir)
+      .select(org.apache.spark.sql.functions.expr("ts_us div 86400000000").as("day"),
+        org.apache.spark.sql.functions.col("user_id").cast("string").as("u"))
+    val regPlan = graft.sketch.Sketches
+      .hllRegisters(daily, Seq("day"), org.apache.spark.sql.functions.col("u"), p = 6)
+      .queryExecution.executedPlan.toString
+    assert(regPlan.contains("partial_max"),
+      "daily registers must max-combine inside each task")
+    val p = plan("sketch_hll_rolling_users")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "the rolling window is bucket-partitioned over the register " +
+        "table, never a global sort")
+    // exactly one scan of the event log feeds the register path; the
+    // gate's exact leg re-reads it once more for calibration — at most
+    // two scans, never one per window/day
+    val scans = "events\\.parquet".r.findAllIn(p).size
+    assert(scans <= 3, s"expected <=3 event scans, saw $scans")
+  }
 }
