@@ -359,4 +359,65 @@ object GraphOps {
         max("w").as("max_edge_w"))
       .withColumn("top_edge_permille",
         expr("(1000 * max_edge_w) div out_strength"))
+
+  /** Deterministic synchronous label propagation (Raghavan et al. 2007,
+    * made engine-reproducible): labels start as the vertex id; each
+    * round every vertex adopts the label held by MOST of its distinct
+    * neighbors, ties broken by the SMALLEST label — so the update is a
+    * pure function of the previous round and both engines land on
+    * identical labels after any fixed round count (async/random-order
+    * LPA is not oracle-able; this variant is). Communities differ from
+    * connected components: a bridge vertex joins whichever side
+    * out-votes the other, so dense blocks separate even when connected.
+    *
+    * Scale shape per round: one dst-keyed equi-join attaching the
+    * previous labels, one (vertex, label) partial-agg count, one
+    * vertex-partitioned WindowGroupLimit rank-1 — never a global sort,
+    * never driver data; per-round materialization keeps the plan linear
+    * in rounds. Output: (vertex, label).
+    *
+    * Sync LPA can oscillate on bipartite-ish structure (the classic
+    * caveat) — `rounds` is a fixed budget, not a convergence claim; the
+    * gate contract is bit-parity at the SAME round count.
+    */
+  def labelPropagation(undirected: DataFrame, iCol: String, jCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need at least one round, got $rounds")
+    import org.apache.spark.sql.expressions.Window
+    val e0 = undirected.select(col(iCol).as("src"), col(jCol).as("dst"))
+    val sym = graft.util.Materialize.stable(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct())
+    var labels = sym.select(col("src").as("vertex")).distinct()
+      .withColumn("label", col("vertex"))
+    val w = Window.partitionBy("vertex").orderBy(col("_c").desc, col("label"))
+    for (_ <- 1 to rounds) {
+      labels = graft.util.Materialize.barrier(
+        sym.join(labels.select(col("vertex").as("dst"), col("label")), "dst")
+          .groupBy(col("src").as("vertex"), col("label"))
+          .agg(count(lit(1)).as("_c"))
+          .withColumn("_rk", row_number().over(w))
+          .filter(col("_rk") === 1)
+          .select("vertex", "label"))
+    }
+    labels
+  }
+
+  /** The DuckDB rendering of [[labelPropagation]] round updates, given a
+    * CTE named `edges` carrying symmetrized (src, dst) rows: returns the
+    * `l0..lR` CTE chain; select from `l$rounds`. Shared with the gate
+    * oracle so the round semantics live in one place.
+    */
+  def lpaCtesDuck(rounds: Int): String = {
+    val l0 = "l0 AS (SELECT DISTINCT src AS v, src AS lab FROM edges)"
+    val steps = (1 to rounds).map { r =>
+      s"""l$r AS (SELECT v, lab FROM (
+         |  SELECT e.src AS v, l.lab, count(*) AS c,
+         |    row_number() OVER (PARTITION BY e.src
+         |      ORDER BY count(*) DESC, l.lab) AS rk
+         |  FROM edges e JOIN l${r - 1} l ON l.v = e.dst
+         |  GROUP BY e.src, l.lab) t WHERE rk = 1)""".stripMargin
+    }
+    (l0 +: steps).mkString(", ").replace("\n", " ")
+  }
 }

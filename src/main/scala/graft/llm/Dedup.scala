@@ -728,6 +728,65 @@ object Dedup {
       .select(col("doc_id").cast(aType), col("cluster_id").cast(aType))
   }
 
+  /** Incremental connected-components maintenance: fold a DELTA edge
+    * batch into an existing (doc_id, cluster_id) label table without
+    * re-running CC over the corpus — the cluster-state analog of the
+    * incremental HLL/quantile/Bloom/CMS gates (maintenance cost scales
+    * with the delta, not the corpus). Contract: the result EQUALS a
+    * full recompute over (every edge the prior labels summarize) ∪
+    * `deltaPairs`, provided the prior labels follow the engine's CC
+    * contract (cluster_id = component-minimum doc_id — what
+    * [[connectedComponents]] / [[connectedComponentsStars]] emit).
+    *
+    * Construction (cluster contraction): (1) each delta endpoint is
+    * mapped onto its prior label (unknown vertices stay themselves —
+    * new docs enter as their own id); (2) CC runs over the CONTRACTED
+    * graph — delta-sized, never corpus-sized (star-contraction, so
+    * merge chains across many prior clusters stay O(log n) rounds);
+    * (3) the corpus state is touched by exactly ONE equi-join against
+    * the root map (bounded by the touched clusters). Correctness of the
+    * min-label: a prior label is ≤ every member of its cluster, so the
+    * contracted component minimum IS the merged component's global
+    * minimum — labels match the full recompute bit-for-bit.
+    *
+    * Replay-idempotent by construction: re-applying an already-folded
+    * delta maps every endpoint to an already-merged label, the
+    * contracted graph collapses to self-loops, and the root map is the
+    * identity — at-least-once delivery needs no dedup guard.
+    */
+  def incrementalComponents(priorLabels: DataFrame, deltaPairs: DataFrame,
+      aCol: String, bCol: String, maxIter: Int = 50): DataFrame = {
+    val prior = graft.util.Materialize.stable(
+      priorLabels.select(col("doc_id"), col("cluster_id")))
+    val d0 = graft.util.Materialize.stable(
+      deltaPairs.select(col(aCol).as("a"), col(bCol).as("b")))
+    val mapped = d0
+      .join(prior.select(col("doc_id").as("a"), col("cluster_id").as("_la")),
+        Seq("a"), "left")
+      .join(prior.select(col("doc_id").as("b"), col("cluster_id").as("_lb")),
+        Seq("b"), "left")
+      .select(coalesce(col("_la"), col("a")).as("a"),
+        coalesce(col("_lb"), col("b")).as("b"))
+    // roots of the contracted graph: (label → merged-component minimum)
+    val roots = graft.util.Materialize.stable(
+      connectedComponentsStars(mapped, "a", "b", maxIter))
+    val updatedPrior = prior
+      .join(roots.select(col("doc_id").as("cluster_id"),
+        col("cluster_id").as("_new")), Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_new"), col("cluster_id")).as("cluster_id"))
+    // delta vertices the prior table has never seen: labels straight off
+    // the contracted CC (their contracted id is their own doc_id)
+    val newVerts = d0.select(col("a").as("doc_id"))
+      .union(d0.select(col("b")))
+      .distinct()
+      .join(prior.select("doc_id"), Seq("doc_id"), "left_anti")
+    val newLabels = newVerts
+      .join(roots.withColumnRenamed("cluster_id", "_new"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("_new"), col("doc_id")).as("cluster_id"))
+    updatedPrior.union(newLabels)
+  }
+
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
     * standard rolling-hash fingerprint the reference's checksum validation
     * approximates per-row): hash every positional n-gram, keep the min of

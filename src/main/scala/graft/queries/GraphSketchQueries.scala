@@ -27,6 +27,7 @@ object GraphSketchQueries {
     "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)"
 
   private val PrIters = 3
+  private val LpaRounds = 4
 
   /** Hyper-connector degree cap for every co-visitation gate — the
     * scale-safe configuration IS the oracled contract (round-10 judge):
@@ -170,6 +171,19 @@ object GraphSketchQueries {
           topK = 150),
         "i", "j")
         .select(col("doc_id").as("vertex"), col("cluster_id").as("component"))),
+
+    // Label-propagation communities of the same backbone (deterministic
+    // sync LPA, min tie-break, 4 rounds): the density-sensitive
+    // community map next to the pure-connectivity components — a bridge
+    // vertex joins whichever side out-votes it, so dense blocks
+    // separate even when connected.
+    "graph_label_communities" -> ((s, dir) =>
+      GraphOps.labelPropagation(
+        GraphOps.backboneEdges(
+          GraphOps.itemCopairs(Tables.events(s, dir), "user_id", itemCol,
+            maxUserDegree = MaxDeg),
+          topK = 150),
+        "i", "j", rounds = LpaRounds)),
 
     // Degree/strength triage profile of the same graph: out-degree,
     // out-strength, and the per-mille share of the heaviest edge (the
@@ -527,6 +541,17 @@ object GraphSketchQueries {
          |reach(v, r) AS (SELECT src, src FROM edges
          |  UNION SELECT e.src, rc.r FROM edges e JOIN reach rc ON rc.v = e.dst)
          |SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v"""
+        .stripMargin.replace("\n", " "),
+
+    "graph_label_communities" ->
+      s"""WITH $cappedEvCteDuck,
+         |pr AS (SELECT a.it AS i, b.it AS j, count(*) AS t
+         |  FROM evc a JOIN evc b ON a.u = b.u AND a.it < b.it GROUP BY 1, 2),
+         |top AS (SELECT i, j FROM pr ORDER BY t DESC, i, j LIMIT 150),
+         |edges AS (SELECT i AS src, j AS dst FROM top
+         |  UNION ALL SELECT j, i FROM top),
+         |${GraphOps.lpaCtesDuck(LpaRounds)}
+         |SELECT v AS vertex, lab AS label FROM l$LpaRounds"""
         .stripMargin.replace("\n", " "),
 
     "graph_degree_profile" ->

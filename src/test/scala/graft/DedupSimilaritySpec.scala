@@ -802,4 +802,49 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(selfHd.nonEmpty && selfHd.forall(_ <= 8),
       "in-cluster codes must be Hamming-near")
   }
+
+  test("incremental CC: folding delta batches equals the full recompute; " +
+      "replay is a no-op") {
+    // seeded random graphs split into 3 arrival batches: fold batches 2
+    // and 3 incrementally onto batch 1's labels and compare against CC
+    // over the union — covers cluster merges, brand-new vertices, and
+    // multi-cluster merge chains
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(100 + seed)
+      val ids = Array.fill(30)(rnd.nextInt(120).toLong)
+      val all = Seq.fill(60)(
+        (ids(rnd.nextInt(ids.length)), ids(rnd.nextInt(ids.length))))
+      val batches = all.zipWithIndex.groupMap(_._2 % 3)(_._1)
+      var labels = Dedup.connectedComponents(
+        batches(0).toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      Seq(1, 2).foreach { b =>
+        labels = Dedup.incrementalComponents(labels,
+          batches(b).toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      }
+      val got = labels.as[(Long, Long)].collect()
+      assert(got.map(_._1).distinct.length === got.length,
+        s"seed=$seed duplicate doc_ids in incremental output")
+      val want = Dedup.connectedComponents(all.toDF("doc_a", "doc_b"),
+        "doc_a", "doc_b").as[(Long, Long)].collect().toMap
+      assert(got.toMap === want, s"seed=$seed incremental != full recompute")
+      // at-least-once replay: re-folding an already-folded batch must
+      // leave every label untouched
+      val replayed = Dedup.incrementalComponents(labels,
+        batches(2).toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toMap
+      assert(replayed === want, s"seed=$seed replay changed labels")
+    }
+  }
+
+  test("incremental CC: a delta edge merging two prior clusters relabels " +
+      "both to the merged minimum") {
+    val prior = Dedup.connectedComponents(
+      Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("doc_a", "doc_b"),
+      "doc_a", "doc_b")
+    val got = Dedup.incrementalComponents(prior,
+        Seq((12L, 21L), (30L, 31L)).toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 10L,
+      21L -> 10L, 30L -> 30L, 31L -> 30L))
+  }
 }

@@ -532,4 +532,68 @@ class GraphSketchSpec extends SparkSpecBase {
       top.select(col("tok").as("key")), 4, 64)
       .as[(String, Long)].collect().toMap)
   }
+
+  private def lpaRef(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter(e => e._1 != e._2).distinct
+    val nbrs = sym.groupMap(_._1)(_._2)
+    var lab = nbrs.keys.map(v => v -> v).toMap
+    for (_ <- 1 to rounds)
+      lab = nbrs.map { case (v, ns) =>
+        val cnt = ns.groupBy(lab).view.mapValues(_.size)
+        v -> cnt.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    lab
+  }
+
+  test("label propagation separates dense blocks that components merge") {
+    // two triangles joined by one bridge: a single connected component,
+    // but each triangle out-votes the bridge — two communities
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val got = graft.graph.GraphOps.labelPropagation(
+        edges.toDF("i", "j"), "i", "j", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === lpaRef(edges, 4))
+    assert(got(1L) === got(2L) && got(2L) === got(3L))
+    assert(got(4L) === got(5L) && got(5L) === got(6L))
+    assert(got(1L) !== got(4L), "the two triangles must separate")
+    val cc = Dedup.connectedComponents(edges.toDF("i", "j"), "i", "j")
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet.size === 1, "CC merges the whole bridge graph")
+  }
+
+  test("label propagation equals the sequential reference on random graphs") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(7 + seed)
+      val edges = Seq.fill(50)(
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(e => e._1 != e._2)
+      val got = graft.graph.GraphOps.labelPropagation(
+          edges.toDF("i", "j"), "i", "j", rounds = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(got === lpaRef(edges, 3), s"seed=$seed")
+    }
+  }
+
+  test("key skew profile: closed-form shares and hot factors, " +
+      "deterministic tie-break") {
+    val rows = Seq.fill(50)(1L) ++ Seq.fill(30)(2L) ++ Seq.fill(10)(3L) ++
+      (4L to 13L) // 10 singleton keys; 13 keys, 100 rows total
+    val got = graft.ops.SkewProfile.keySkewProfile(
+        rows.toDF("k"), col("k"), topN = 4)
+      .orderBy("rank").collect()
+    assert(got.length === 4)
+    val r1 = got(0)
+    assert(r1.getAs[Long]("key") === 1L && r1.getAs[Long]("n_rows") === 50L)
+    assert(r1.getAs[Long]("share_permille") === 500L)
+    assert(r1.getAs[Long]("hot_factor_permille") === 50L * 13 * 1000 / 100)
+    assert(got(1).getAs[Long]("key") === 2L &&
+      got(1).getAs[Long]("share_permille") === 300L)
+    assert(got(2).getAs[Long]("key") === 3L)
+    // singletons tie at n_rows=1 — rank 4 must be the smallest key
+    assert(got(3).getAs[Long]("key") === 4L)
+    assert(got.forall(r => r.getAs[Long]("n_keys") === 13L &&
+      r.getAs[Long]("n_total") === 100L))
+  }
 }

@@ -712,4 +712,25 @@ class PlanAuditSpec extends SparkSpecBase {
     val scans = "events\\.parquet".r.findAllIn(p).size
     assert(scans <= 3, s"expected <=3 event scans, saw $scans")
   }
+
+  test("skew profile: key counts combine map-side, top-N is TakeOrdered, " +
+      "totals broadcast") {
+    val p = plan("skew_key_profile")
+    assert(p.contains("partial_count"),
+      "per-key counts must combine inside each task")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the heavy-key head must be a partial top-N, not a global sort")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "nothing in a skew audit may itself globally sort")
+  }
+
+  test("incremental CC re-expansion: corpus state joins the root map " +
+      "once, no cartesian") {
+    val p = plan("dedup_clusters_incremental")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("ScalaUDF"))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "label re-expansion is equi-join work only — no global sort")
+  }
 }
