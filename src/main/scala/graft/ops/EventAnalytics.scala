@@ -165,4 +165,37 @@ object EventAnalytics {
         sum(when(col("_d") > lit(k) * col("mad_v"), 1L).otherwise(0L))
           .as("n_anomalies"))
   }
+
+  /** Out-of-order-arrival profile — the measurement a streaming
+    * watermark is SIZED by, instead of guessed: within each key's
+    * arrival order (`seqCol` — the CDC event id / log offset), how
+    * often does event time regress, and by how much? `late_permille`
+    * says whether order can be assumed; `max_regression_us` bounds the
+    * watermark delay that would have lost nothing;
+    * `total_regression_us` is the aggregate disorder budget. The
+    * unbounded-lateness LWW path ([[graft.streaming.CrossBatchLww]])
+    * exists precisely for the tail this profile quantifies.
+    *
+    * Scale shape: ONE key-partitioned window (lag — the LWW exchange
+    * shape, AQE-skewed keys notwithstanding bounded per-row state) into
+    * one partial-agg rollup per `groupCol`; integers end-to-end.
+    * Output: (groupCol, n_events, n_pairs, n_late, late_permille,
+    * max_regression_us, total_regression_us).
+    */
+  def latenessProfile(events: DataFrame, keyCol: String, seqCol: String,
+      tsUsCol: String, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(seqCol)
+    val reg = when(col(tsUsCol) < col("_prev"),
+      col("_prev") - col(tsUsCol)).otherwise(lit(0L))
+    events.withColumn("_prev", lag(tsUsCol, 1).over(w))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_events"),
+        count("_prev").as("n_pairs"),
+        sum(when(col(tsUsCol) < col("_prev"), 1L).otherwise(0L)).as("n_late"),
+        max(reg).as("max_regression_us"),
+        sum(reg).as("total_regression_us"))
+      .withColumn("late_permille", when(col("n_pairs") === 0, 0L)
+        .otherwise(expr("(1000 * n_late) div n_pairs")))
+  }
 }

@@ -47,7 +47,36 @@ object MaintenanceQueries {
     // hot-factor (n_rows over the uniform per-key expectation, ×1000).
     "skew_key_profile" -> ((s, dir) =>
       SkewProfile.keySkewProfile(Tables.events(s, dir), col("user_id"),
-        topN = 20)))
+        topN = 20)),
+
+    // Referential-integrity orphan audit over the replicated warehouse:
+    // parents pruned by deterministic retention predicates (the CDC
+    // delete/TTL shape) so the audit has real orphans to count — one
+    // LEFT-join pass per relation, dimension parents broadcast.
+    "ri_orphan_audit" -> ((s, dir) =>
+      graft.recon.Integrity.orphanAudit(Seq(
+        ("orders->customer", Tables.orders(s, dir), Seq("o_custkey"),
+          Tables.customer(s, dir).filter(col("c_custkey") % 7 =!= 0),
+          Seq("c_custkey")),
+        ("lineitem->orders", Tables.lineitem(s, dir), Seq("l_orderkey"),
+          Tables.orders(s, dir), Seq("o_orderkey")),
+        ("lineitem->part", Tables.lineitem(s, dir), Seq("l_partkey"),
+          Tables.part(s, dir).filter(col("p_partkey") % 3 =!= 0),
+          Seq("p_partkey")),
+        ("lineitem->supplier", Tables.lineitem(s, dir), Seq("l_suppkey"),
+          Tables.supplier(s, dir).filter(col("s_suppkey") % 5 =!= 0),
+          Seq("s_suppkey")),
+        ("customer->nation", Tables.customer(s, dir), Seq("c_nationkey"),
+          Tables.nation(s, dir), Seq("n_nationkey"))))),
+
+    // Out-of-order-arrival profile per event type: event-time
+    // regressions within each user's arrival (event_id) order — the
+    // watermark-sizing audit (late share, worst regression, total
+    // disorder budget), integer µs end-to-end.
+    "event_lateness_profile" -> ((s, dir) =>
+      graft.ops.EventAnalytics.latenessProfile(Tables.events(s, dir),
+        keyCol = "user_id", seqCol = "event_id", tsUsCol = "ts_us",
+        groupCol = "event_type")))
 
   val oracleSql: Map[String, String] = Map(
     // the full-corpus closure — incremental == full recompute IS the
@@ -77,5 +106,47 @@ object MaintenanceQueries {
         |  CAST((CAST(n_rows AS HUGEINT) * n_keys * 1000) // n_total
         |    AS BIGINT) AS hot_factor_permille,
         |  n_keys, n_total
-        |FROM top CROSS JOIN t""".stripMargin.replace("\n", " "))
+        |FROM top CROSS JOIN t""".stripMargin.replace("\n", " "),
+
+    "ri_orphan_audit" -> {
+      def leg(name: String, childSql: String, ck: String,
+          parentSql: String, pk: String): String =
+        s"""SELECT '$name' AS relation, count(*) AS n_child,
+           |  CAST(sum(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_orphans,
+           |  (1000 * CAST(sum(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT)) // count(*) AS orphan_permille
+           |FROM ($childSql) c LEFT JOIN
+           |  (SELECT DISTINCT $pk FROM ($parentSql)) p ON c.$ck = p.$pk"""
+          .stripMargin
+      Seq(
+        leg("orders->customer", "SELECT * FROM orders", "o_custkey",
+          "SELECT * FROM customer WHERE c_custkey % 7 <> 0", "c_custkey"),
+        leg("lineitem->orders", "SELECT * FROM lineitem", "l_orderkey",
+          "SELECT * FROM orders", "o_orderkey"),
+        leg("lineitem->part", "SELECT * FROM lineitem", "l_partkey",
+          "SELECT * FROM part WHERE p_partkey % 3 <> 0", "p_partkey"),
+        leg("lineitem->supplier", "SELECT * FROM lineitem", "l_suppkey",
+          "SELECT * FROM supplier WHERE s_suppkey % 5 <> 0", "s_suppkey"),
+        leg("customer->nation", "SELECT * FROM customer", "c_nationkey",
+          "SELECT * FROM nation", "n_nationkey"))
+        .mkString(" UNION ALL ").replace("\n", " ")
+    },
+
+    "event_lateness_profile" ->
+      """WITH l AS (SELECT event_type, epoch_us(ts) AS ts_us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY event_id) AS prev
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_events, count(prev) AS n_pairs,
+        |  CAST(sum(CASE WHEN ts_us < prev THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_late,
+        |  CAST(max(CASE WHEN ts_us < prev THEN prev - ts_us ELSE 0 END)
+        |    AS BIGINT) AS max_regression_us,
+        |  CAST(sum(CASE WHEN ts_us < prev THEN prev - ts_us ELSE 0 END)
+        |    AS BIGINT) AS total_regression_us,
+        |  CASE WHEN count(prev) = 0 THEN 0
+        |       ELSE (1000 * CAST(sum(CASE WHEN ts_us < prev THEN 1 ELSE 0
+        |         END) AS BIGINT)) // count(prev) END AS late_permille
+        |FROM l GROUP BY 1""".stripMargin.replace("\n", " "))
 }

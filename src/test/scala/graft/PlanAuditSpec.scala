@@ -725,6 +725,25 @@ class PlanAuditSpec extends SparkSpecBase {
       "nothing in a skew audit may itself globally sort")
   }
 
+  test("orphan audit: dimension parents broadcast, counts combine " +
+      "map-side, no cartesian") {
+    val p = plan("ri_orphan_audit")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "dimension-sized parent key sets must broadcast")
+    assert(p.contains("partial_count"),
+      "orphan counts fold map-side, never a materialized orphan list")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("lateness profile: key-partitioned window, no global sort") {
+    val p = plan("event_lateness_profile")
+    assert(p.contains("partial_count"),
+      "per-type rollup must combine inside each task")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "the lag window is user-partitioned — nothing may globally sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("incremental CC re-expansion: corpus state joins the root map " +
       "once, no cartesian") {
     val p = plan("dedup_clusters_incremental")

@@ -123,4 +123,49 @@ class ReconcilerSinkSpec extends SparkSpecBase {
     val total = w.agg(sum("n")).as[Long].collect().head
     assert(total == ev.count())
   }
+
+  test("orphan audit: closed-form counts, null child keys are orphans") {
+    val child = Seq(Some(1L), Some(2L), Some(3L), Some(3L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L, 3L).toDF("pk") // dup parent keys dedupe
+    val got = graft.recon.Integrity.orphanAudit(Seq(
+        ("c->p", child, Seq("fk"), parent, Seq("pk")),
+        ("self", parent, Seq("pk"), parent, Seq("pk"))))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val cp = got("c->p")
+    assert(cp.getAs[Long]("n_child") === 6L)
+    assert(cp.getAs[Long]("n_orphans") === 2L) // 9 and NULL
+    assert(cp.getAs[Long]("orphan_permille") === 1000L * 2 / 6)
+    val self = got("self")
+    assert(self.getAs[Long]("n_orphans") === 0L &&
+      self.getAs[Long]("orphan_permille") === 0L)
+  }
+
+  test("lateness profile: hand-computed regressions per group") {
+    val rows = Seq(
+      // user 1, type a: arrival ts 10,20,15,30,5 -> 2 late of 4 pairs,
+      // regressions 5 and 25
+      (1L, 1L, 10L, "a"), (1L, 2L, 20L, "a"), (1L, 3L, 15L, "a"),
+      (1L, 4L, 30L, "a"), (1L, 5L, 5L, "a"),
+      // user 2, type b: perfectly ordered
+      (2L, 1L, 100L, "b"), (2L, 2L, 200L, "b"),
+      // user 3, type c: a single event has no pair
+      (3L, 1L, 7L, "c"))
+      .toDF("user_id", "event_id", "ts_us", "event_type")
+    val got = graft.ops.EventAnalytics.latenessProfile(rows,
+        "user_id", "event_id", "ts_us", "event_type")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("n_events") === 5L && a.getAs[Long]("n_pairs") === 4L)
+    assert(a.getAs[Long]("n_late") === 2L &&
+      a.getAs[Long]("late_permille") === 500L)
+    assert(a.getAs[Long]("max_regression_us") === 25L &&
+      a.getAs[Long]("total_regression_us") === 30L)
+    val b = got("b")
+    assert(b.getAs[Long]("n_late") === 0L &&
+      b.getAs[Long]("total_regression_us") === 0L)
+    val c = got("c")
+    assert(c.getAs[Long]("n_pairs") === 0L &&
+      c.getAs[Long]("late_permille") === 0L)
+  }
 }
