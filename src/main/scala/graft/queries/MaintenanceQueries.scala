@@ -69,6 +69,29 @@ object MaintenanceQueries {
         ("customer->nation", Tables.customer(s, dir), Seq("c_nationkey"),
           Tables.nation(s, dir), Seq("n_nationkey"))))),
 
+    // Lost-range detection over the CDC sequence: deterministic
+    // retention predicates carve gaps out of the event-id space, and
+    // the audit reports the top-20 lost RANGES (not just a count) —
+    // bucket-decomposed so nothing corpus-sized globally sorts. The
+    // oracle computes the same ranges with the naive full-sequence lag,
+    // proving the decomposition exact.
+    "cdc_gap_ranges" -> ((s, dir) =>
+      graft.recon.Completeness.gapRanges(
+        Tables.events(s, dir).filter(col("event_id") % 97 =!= 13 &&
+          expr("((event_id div 64) % 50)") =!= 7),
+        col("event_id"), topK = 20, bucketSize = 4096)),
+
+    // Duplicate-delivery profile: two deterministic redelivery slices
+    // unioned onto the stream (the at-least-once shape), audited per
+    // event type — redelivery rate, worst id, extra-row per-mille.
+    "cdc_dup_delivery" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.recon.Completeness.duplicateDeliveryAudit(
+        ev.unionByName(ev.filter(col("event_id") % 11 === 3))
+          .unionByName(ev.filter(col("event_id") % 101 === 5)),
+        col("event_id"), "event_type")
+    }),
+
     // Out-of-order-arrival profile per event type: event-time
     // regressions within each user's arrival (event_id) order — the
     // watermark-sizing audit (late share, worst regression, total
@@ -132,6 +155,33 @@ object MaintenanceQueries {
           "SELECT * FROM nation", "n_nationkey"))
         .mkString(" UNION ALL ").replace("\n", " ")
     },
+
+    "cdc_gap_ranges" ->
+      """WITH ids AS (SELECT DISTINCT event_id AS id FROM events
+        |  WHERE event_id % 97 <> 13 AND ((event_id // 64) % 50) <> 7),
+        |g AS (SELECT lag(id) OVER (ORDER BY id) AS p, id FROM ids)
+        |SELECT p + 1 AS gap_start, id - 1 AS gap_end, id - p - 1 AS gap_len
+        |FROM g WHERE p IS NOT NULL AND id > p + 1
+        |ORDER BY gap_len DESC, gap_start LIMIT 20"""
+        .stripMargin.replace("\n", " "),
+
+    "cdc_dup_delivery" ->
+      """WITH r AS (SELECT event_type, event_id FROM events
+        |  UNION ALL SELECT event_type, event_id FROM events
+        |    WHERE event_id % 11 = 3
+        |  UNION ALL SELECT event_type, event_id FROM events
+        |    WHERE event_id % 101 = 5),
+        |c AS (SELECT event_type, event_id, count(*) AS c
+        |  FROM r GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(c) AS BIGINT) AS n_rows,
+        |  count(*) AS n_ids,
+        |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_ids,
+        |  CAST(sum(c - 1) AS BIGINT) AS n_extra_rows,
+        |  CAST(max(c) AS BIGINT) AS max_copies,
+        |  (1000 * CAST(sum(c - 1) AS BIGINT)) // CAST(sum(c) AS BIGINT)
+        |    AS dup_permille
+        |FROM c GROUP BY 1""".stripMargin.replace("\n", " "),
 
     "event_lateness_profile" ->
       """WITH l AS (SELECT event_type, epoch_us(ts) AS ts_us,

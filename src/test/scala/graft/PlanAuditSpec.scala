@@ -744,6 +744,25 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("gap ranges: id sort is bucket-partitioned, head is TakeOrdered") {
+    val p = plan("cdc_gap_ranges")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-K gaps must be a partial top-k, not a full sort of the gaps")
+    assert(!p.contains("CartesianProduct"))
+    // the corpus-sized id table sorts only within buckets; the one
+    // ordered window runs over the per-bucket summary table
+    assert(!p.contains("Exchange rangepartitioning"),
+      "nothing corpus-sized may globally range-sort")
+  }
+
+  test("duplicate delivery audit: two-level partial aggregation") {
+    val p = plan("cdc_dup_delivery")
+    assert(p.contains("partial_count"),
+      "per-(group,id) counts must combine inside each task")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
   test("incremental CC re-expansion: corpus state joins the root map " +
       "once, no cartesian") {
     val p = plan("dedup_clusters_incremental")

@@ -141,6 +141,41 @@ class ReconcilerSinkSpec extends SparkSpecBase {
       self.getAs[Long]("orphan_permille") === 0L)
   }
 
+  test("gap ranges: bucket decomposition equals the naive full-sequence " +
+      "scan, including gaps spanning empty buckets") {
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 5000L, 9000L)
+    // gaps: 4..9 (6), 12..4999 (4988, spans many empty 16-wide buckets),
+    // 5001..8999 (3999)
+    def got(bucket: Long) = graft.recon.Completeness.gapRanges(
+        ids.toDF("id"), col("id"), topK = 10, bucketSize = bucket)
+      .as[(Long, Long, Long)].collect().toList
+    val want = List((12L, 4999L, 4988L), (5001L, 8999L, 3999L), (4L, 9L, 6L))
+    assert(got(16L) === want, "small buckets (boundary path)")
+    assert(got(1L << 20) === want, "one bucket (inner path only)")
+    // topK truncation is by (len desc, start asc)
+    assert(graft.recon.Completeness.gapRanges(ids.toDF("id"), col("id"),
+        topK = 1, bucketSize = 16).as[(Long, Long, Long)].collect().toList
+      === want.take(1))
+  }
+
+  test("duplicate delivery audit: closed-form redelivery counts") {
+    val rows = Seq(("a", 1L), ("a", 1L), ("a", 1L), ("a", 2L),
+      ("b", 5L), ("b", 5L), ("b", 6L), ("b", 7L)).toDF("g", "id")
+    val got = graft.recon.Completeness.duplicateDeliveryAudit(
+        rows, col("id"), "g")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("n_rows") === 4L && a.getAs[Long]("n_ids") === 2L)
+    assert(a.getAs[Long]("n_dup_ids") === 1L &&
+      a.getAs[Long]("n_extra_rows") === 2L)
+    assert(a.getAs[Long]("max_copies") === 3L &&
+      a.getAs[Long]("dup_permille") === 500L)
+    val b = got("b")
+    assert(b.getAs[Long]("n_dup_ids") === 1L &&
+      b.getAs[Long]("max_copies") === 2L)
+    assert(b.getAs[Long]("dup_permille") === 250L)
+  }
+
   test("lateness profile: hand-computed regressions per group") {
     val rows = Seq(
       // user 1, type a: arrival ts 10,20,15,30,5 -> 2 late of 4 pairs,
