@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Lww
-import graft.queries.{Cdc2Queries, CdcQueries, GovernanceQueries, GraphSketchQueries, IngestQueries, LlmQueries, LlmQueries2, LlmQueries3, LlmQueries4, LlmQueries5, LlmQueries6, LlmQueries7, EventQueries, MaintenanceQueries, TpchQueries, TpchQueries2, TpchQueries3, WindowQueries}
+import graft.queries.{AuditQueries, Cdc2Queries, CdcQueries, GovernanceQueries, GraphSketchQueries, IngestQueries, LlmQueries, LlmQueries2, LlmQueries3, LlmQueries4, LlmQueries5, LlmQueries6, LlmQueries7, EventQueries, MaintenanceQueries, TpchQueries, TpchQueries2, TpchQueries3, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,7 +33,8 @@ object SparkEntry {
       LlmQueries6.queries ++ LlmQueries7.queries ++
       EventQueries.queries ++ WindowQueries.queries ++
       GraphSketchQueries.queries ++ IngestQueries.queries ++
-      GovernanceQueries.queries ++ MaintenanceQueries.queries
+      GovernanceQueries.queries ++ MaintenanceQueries.queries ++
+      AuditQueries.queries
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracleSql ++ Cdc2Queries.oracleSql ++
@@ -43,5 +44,6 @@ object SparkEntry {
       LlmQueries6.oracleSql ++ LlmQueries7.oracleSql ++
       EventQueries.oracleSql ++ WindowQueries.oracleSql ++
       GraphSketchQueries.oracleSql ++ IngestQueries.oracleSql ++
-      GovernanceQueries.oracleSql ++ MaintenanceQueries.oracleSql
+      GovernanceQueries.oracleSql ++ MaintenanceQueries.oracleSql ++
+      AuditQueries.oracleSql
 }

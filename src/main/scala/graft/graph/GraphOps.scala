@@ -215,16 +215,22 @@ object GraphOps {
     */
   private def cappedUserItems(events: DataFrame, userCol: String,
       itemCol: Column, maxUserDegree: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val raw = events
       .select(col(userCol).cast("long").as("u"), itemCol.cast("long").as("it"))
       .filter(col("u").isNotNull && col("it").isNotNull)
       .distinct()
     if (maxUserDegree <= 0) raw
-    else raw
-      .withColumn("_deg", count(lit(1)).over(Window.partitionBy("u")))
-      .filter(col("_deg") <= maxUserDegree)
-      .drop("_deg")
+    else {
+      // degree via partial-agg + semi-join, NOT a u-partitioned window:
+      // the hyper-connector this cap exists to catch is exactly the key
+      // a window would pin to one task (windows are AQE-unsplittable;
+      // the count partial-aggregates map-side and the join splits) —
+      // the same rewrite as pageRank's out-weights.
+      val ok = raw.groupBy("u").agg(count(lit(1)).as("_deg"))
+        .filter(col("_deg") <= maxUserDegree)
+        .select("u")
+      raw.join(ok, Seq("u"), "left_semi")
+    }
   }
 
   /** Item–item co-visitation pairs: (i, j, common_users) for i < j —

@@ -108,6 +108,51 @@ object Sampling {
       .select(col(docCol), col(clusterCol), col("bucket"), col("split"))
   }
 
+  /** Train/test LEAKAGE audit over a near-duplicate pair graph — the
+    * measurement [[clusterSplit]] exists to win: a near-dup pair whose
+    * endpoints land in different splits leaks training text into eval.
+    * Compares two assignment schemes over the SAME pairs:
+    * `doc_hash` (split each doc by its own id hash — the naive scheme)
+    * vs `cluster` (split by the component label, so connected docs move
+    * together and cross-split pairs are structurally impossible).
+    * Output one row per scheme: (scheme, n_pairs, cross_pairs,
+    * cross_permille) — the cluster row's 0 is computed, not assumed:
+    * both endpoints join the label table independently.
+    *
+    * Scale shape: the pair table is the near-dup candidate set (already
+    * blocking-bounded by its producer); each scheme is two equi-joins
+    * at most plus one partial-agg count — no corpus-sized shuffle
+    * beyond the label join the split itself needs.
+    */
+  def splitLeakageAudit(pairs: DataFrame, aCol: String, bCol: String,
+      labels: DataFrame, docCol: String, clusterCol: String,
+      trainPermille: Int, valPermille: Int): DataFrame = {
+    require(trainPermille >= 0 && valPermille >= 0 &&
+      trainPermille + valPermille <= 1000,
+      s"per-mille thresholds must partition [0,1000): $trainPermille/$valPermille")
+    def splitOf(key: Column): Column = {
+      val b = hashPermille(key)
+      when(b < trainPermille, lit("train"))
+        .when(b < trainPermille + valPermille, lit("val"))
+        .otherwise(lit("test"))
+    }
+    def audit(scheme: String, sa: DataFrame): DataFrame =
+      sa.agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("_sa") =!= col("_sb"), 1L).otherwise(0L))
+            .as("cross_pairs"))
+        .select(lit(scheme).as("scheme"), col("n_pairs"), col("cross_pairs"),
+          expr("1000 * cross_pairs div n_pairs").as("cross_permille"))
+    val naive = audit("doc_hash", pairs.select(
+      splitOf(col(aCol)).as("_sa"), splitOf(col(bCol)).as("_sb")))
+    val lab = labels.select(col(docCol).as("_d"), col(clusterCol).as("_c"))
+    val clustered = audit("cluster", pairs
+      .join(lab.select(col("_d"), splitOf(col("_c")).as("_sa")),
+        col(aCol) === col("_d")).drop("_d")
+      .join(lab.select(col("_d"), splitOf(col("_c")).as("_sb")),
+        col(bCol) === col("_d")))
+    naive.unionByName(clustered)
+  }
+
   /** Exactly `k` rows per stratum, chosen by hash order (ties broken by
     * the key itself, so selection is total and deterministic). The rank
     * filter compiles to Spark's WindowGroupLimit physical rewrite: each

@@ -188,6 +188,43 @@ object TextAnalysis {
         when(col("stop_per_mille") >= thresholdPerMille, lit("en")).otherwise(lit("und")))
       .select("doc_id", "stop_per_mille", "predicted_lang")
 
+  /** Tokenizer fertility per predicted language: BPE-ish tokens per
+    * 1000 whitespace words (`fertility_permille`) and chars per token
+    * ×100 — the standard "how expensive is this language under my
+    * tokenizer" audit (fertility drives per-language training cost and
+    * context-window reach; tokenizer-parity studies report exactly this
+    * ratio). Language is the engine's own [[languageId]] verdict,
+    * inlined so the whole audit is ONE map pass over the corpus into a
+    * languages-sized partial agg — no join, no second scan, no state.
+    *
+    * All-integer and overflow-safe by construction at 100 TB: the
+    * summed terms are per-doc counts (int64 holds 9.2·10¹⁸; a 100 TB
+    * corpus is ~10¹⁴ chars) and the ×1000/×100 numerators stay three
+    * orders below the bound.
+    */
+  def tokenizerFertility(docs: DataFrame, idCol: String, textCol: String,
+      thresholdPerMille: Int = 50): DataFrame = {
+    val toks = col("_toks")
+    val nStop = StopWords
+      .map(s => size(toks) - size(array_remove(toks, lit(s))))
+      .reduce(_ + _)
+    docs
+      .withColumn("_toks", split(col(textCol), " "))
+      .select(
+        size(col("_toks")).cast("long").as("n_words"),
+        nStop.cast("long").as("n_stop"),
+        bpeishTokenCount(col(textCol)).cast("long").as("n_bpe"),
+        length(col(textCol)).cast("long").as("n_chars"))
+      .withColumn("predicted_lang",
+        when(expr("n_stop * 1000 div n_words") >= thresholdPerMille,
+          lit("en")).otherwise(lit("und")))
+      .groupBy("predicted_lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+        sum("n_bpe").as("n_bpe_tokens"), sum("n_chars").as("n_chars"))
+      .withColumn("fertility_permille", expr("1000 * n_bpe_tokens div n_words"))
+      .withColumn("chars_per_token_x100", expr("100 * n_chars div n_bpe_tokens"))
+  }
+
   /** Canonical text normalization — the standard pre-stage that makes
     * near-dup detection robust to case/punctuation variance (every
     * published dedup pipeline normalizes before shingling): lowercase,

@@ -462,4 +462,48 @@ object Sketches {
       .groupBy("key")
       .agg(min(coalesce(col("c"), lit(0L))).as("cms_estimate"))
   }
+
+  /** Equi-join CARDINALITY estimate from two CMS cell tables — the
+    * inner-product estimator (Cormode & Muthukrishnan 2005 §4.2):
+    * `|A ⋈_k B| = Σ_k f_A(k)·f_B(k)`, estimated per sketch row as
+    * `Σ_b cellA[i][b]·cellB[i][b]` and taken as the MIN over the d
+    * rows. Hash collisions only ADD cross terms, so the estimate is an
+    * overestimate of the true join size for every row — `min` keeps the
+    * tightest — and the calibration output carries the exact legs next
+    * to it (the family's estimate-next-to-exact discipline).
+    *
+    * Why it matters at 100 TB: the exact join size needs the full
+    * per-key frequency join this estimator exists to avoid — the
+    * pre-flight "will this equi-join explode" decision (together with
+    * [[graft.ops.SkewProfile]]'s per-key view) reads 2·d·w integers
+    * instead. Cross-products and their sums run in DECIMAL(38,0)
+    * (join sizes are quadratic in frequency — the χ² lesson); the final
+    * cast to BIGINT is ANSI-loud if a true >2⁶³ estimate ever lands.
+    *
+    * Scale shape: each side collapses to d·w cells via one partial-agg
+    * pass ([[cmsCells]]); the product join is cell-table-sized and
+    * broadcast. The exact leg is per-key partial-agg counts joined once
+    * — gate-only calibration, not the production path.
+    * Output single row: (n_a, n_b, join_exact, cms_join_est).
+    */
+  def cmsJoinSize(a: DataFrame, aValue: Column, b: DataFrame,
+      bValue: Column, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && d <= Dedup.MinhashA.size, s"d must be 1..${Dedup.MinhashA.size}")
+    require(w >= 2, s"need at least 2 buckets, got $w")
+    val dec = "CAST(c AS DECIMAL(38,0))"
+    val ca = cmsCells(a, aValue, d, w).withColumn("ca", expr(dec)).drop("c")
+    val cb = cmsCells(b, bValue, d, w).withColumn("cb", expr(dec)).drop("c")
+    val est = ca.join(broadcast(cb), Seq("r", "b"))
+      .groupBy("r").agg(sum(expr("ca * cb")).as("rowsum"))
+      .agg(min("rowsum").cast("long").as("cms_join_est"))
+    val fa = a.select(aValue.as("k")).groupBy("k").agg(count(lit(1)).as("fa"))
+    val fb = b.select(bValue.as("k")).groupBy("k").agg(count(lit(1)).as("fb"))
+    val exact = fa.join(fb, "k")
+      .agg(coalesce(sum(expr(
+        "CAST(fa AS DECIMAL(38,0)) * fb")), lit(0)).cast("long")
+        .as("join_exact"))
+    val na = a.agg(count(lit(1)).as("n_a"))
+    val nb = b.agg(count(lit(1)).as("n_b"))
+    na.crossJoin(nb).crossJoin(exact).crossJoin(est)
+  }
 }

@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Sampling, TextAnalysis}
+import graft.ops.TableProfile
+import graft.sketch.Sketches
+
+/** Round-11 late-wave audits: CMS join-size estimation, split-leakage
+  * measurement, tokenizer fertility — each against a sequential
+  * reference of the identical arithmetic.
+  */
+class AuditSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // ---- cmsJoinSize -------------------------------------------------
+
+  test("cmsJoinSize: exact leg == sequential inner product; est >= exact") {
+    val rnd = new scala.util.Random(11)
+    val a = Seq.fill(400)(s"k${rnd.nextInt(40)}")
+    val b = Seq.fill(300)(s"k${rnd.nextInt(60)}")
+    val row = Sketches.cmsJoinSize(
+      a.toDF("k"), col("k"), b.toDF("k"), col("k"), d = 4, w = 64)
+      .collect().head
+    val fa = a.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fb = b.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val exact = fa.iterator.map { case (k, n) => n * fb.getOrElse(k, 0L) }.sum
+    assert(row.getAs[Long]("n_a") === 400L)
+    assert(row.getAs[Long]("n_b") === 300L)
+    assert(row.getAs[Long]("join_exact") === exact)
+    assert(row.getAs[Long]("cms_join_est") >= exact,
+      "inner-product estimate must overestimate (collisions only add)")
+  }
+
+  test("cmsJoinSize: disjoint key spaces -> exact 0, est still >= 0; " +
+    "identical sides -> est tight when w exceeds key count") {
+    val a = (0 until 50).map(i => s"a$i")
+    val b = (0 until 50).map(i => s"b$i")
+    val disjoint = Sketches.cmsJoinSize(
+      a.toDF("k"), col("k"), b.toDF("k"), col("k"), d = 4, w = 64)
+      .collect().head
+    assert(disjoint.getAs[Long]("join_exact") === 0L)
+    assert(disjoint.getAs[Long]("cms_join_est") >= 0L)
+    // same side twice: exact = sum f^2 = 50; with w=256 >> 50 keys the
+    // min-row estimate should not blow past the collision-free value by
+    // much (loose 4x sanity bound, deterministic hashes)
+    val self = Sketches.cmsJoinSize(
+      a.toDF("k"), col("k"), a.toDF("k"), col("k"), d = 4, w = 256)
+      .collect().head
+    assert(self.getAs[Long]("join_exact") === 50L)
+    assert(self.getAs[Long]("cms_join_est") >= 50L)
+    assert(self.getAs[Long]("cms_join_est") <= 200L)
+  }
+
+  test("cmsJoinSize: shard-merged cells give the identical estimate " +
+    "(cells sum-merge, products distribute over the merged table)") {
+    val rnd = new scala.util.Random(7)
+    val a = Seq.fill(500)(s"k${rnd.nextInt(30)}")
+    val b = Seq.fill(200)(s"k${rnd.nextInt(30)}")
+    // one-pass estimate
+    val onePass = Sketches.cmsJoinSize(
+      a.toDF("k"), col("k"), b.toDF("k"), col("k"), d = 4, w = 32)
+      .collect().head.getAs[Long]("cms_join_est")
+    // the a-side built from two shards whose cells SUM-merge
+    val s1 = Sketches.cmsCells(a.take(250).toDF("k"), col("k"), 4, 32)
+    val s2 = Sketches.cmsCells(a.drop(250).toDF("k"), col("k"), 4, 32)
+    val merged = s1.unionByName(s2).groupBy("r", "b")
+      .agg(sum("c").as("c"))
+    val cb = Sketches.cmsCells(b.toDF("k"), col("k"), 4, 32)
+    val mergedEst = merged.withColumnRenamed("c", "ca")
+      .join(cb.withColumnRenamed("c", "cb"), Seq("r", "b"))
+      .groupBy("r")
+      .agg(sum(expr("CAST(ca AS DECIMAL(38,0)) * cb")).as("rowsum"))
+      .agg(min("rowsum").cast("long").as("est"))
+      .collect().head.getAs[Long]("est")
+    assert(mergedEst === onePass)
+  }
+
+  // ---- splitLeakageAudit -------------------------------------------
+
+  test("splitLeakageAudit: cluster scheme has zero crossings on " +
+    "component-consistent labels; doc_hash matches brute force") {
+    // pairs form chains 1-2-3 and 10-11; labels = component minima
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (1L, 3L))
+      .toDF("doc_a", "doc_b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val rows = Sampling.splitLeakageAudit(pairs, "doc_a", "doc_b",
+      labels, "doc_id", "cluster_id", 800, 100)
+      .collect().map(r => r.getAs[String]("scheme") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("cross_pairs"))).toMap
+    assert(rows("cluster") === (4L, 0L))
+    // brute-force the doc_hash scheme with the same md5 per-mille
+    def bucket(x: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.toString.getBytes("UTF-8"))
+      val hex = h.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 1000
+    }
+    def split(x: Long): String = {
+      val b = bucket(x)
+      if (b < 800) "train" else if (b < 900) "val" else "test"
+    }
+    val expectCross = Seq((1L, 2L), (2L, 3L), (10L, 11L), (1L, 3L))
+      .count { case (x, y) => split(x) != split(y) }
+    assert(rows("doc_hash") === (4L, expectCross.toLong))
+  }
+
+  test("splitLeakageAudit: permille column = 1000*cross div pairs") {
+    val pairs = (1L to 40L).map(i => (i, i + 100L)).toDF("doc_a", "doc_b")
+    val labels = (1L to 200L).map(i => (i, i)).toDF("doc_id", "cluster_id")
+    val rows = Sampling.splitLeakageAudit(pairs, "doc_a", "doc_b",
+      labels, "doc_id", "cluster_id", 500, 200).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cross_permille") ===
+        1000L * r.getAs[Long]("cross_pairs") / r.getAs[Long]("n_pairs"))
+    }
+    // independent ids with independent hashes: naive scheme must leak
+    val naive = rows.find(_.getAs[String]("scheme") == "doc_hash").get
+    assert(naive.getAs[Long]("cross_pairs") > 0L)
+  }
+
+  // ---- tokenizerFertility ------------------------------------------
+
+  test("tokenizerFertility: closed form on a two-language corpus") {
+    // doc1: stopword-free -> und; doc2/3: 'the ... ' -> en
+    val docs = Seq(
+      (1L, "zebra quagga"),                 // 2 words
+      (2L, "the cat sat on the mat"),       // 6 words, 2 stops
+      (3L, "the dog and the fox")           // 5 words, 3 stops
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.tokenizerFertility(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[String]("predicted_lang") -> r).toMap
+    assert(rows.keySet === Set("en", "und"))
+    val en = rows("en")
+    assert(en.getAs[Long]("n_docs") === 2L)
+    assert(en.getAs[Long]("n_words") === 11L)
+    // closed-form BPE-ish token counts: every word is ' ?letters', so
+    // tokens == words for these texts
+    assert(en.getAs[Long]("n_bpe_tokens") === 11L)
+    assert(en.getAs[Long]("fertility_permille") === 1000L)
+    val und = rows("und")
+    assert(und.getAs[Long]("n_docs") === 1L)
+    assert(und.getAs[Long]("n_words") === 2L)
+    val chars = "zebra quagga".length.toLong
+    assert(und.getAs[Long]("n_chars") === chars)
+    assert(und.getAs[Long]("chars_per_token_x100") === 100L * chars / 2L)
+  }
+
+  test("tokenizerFertility: punctuation and digits raise fertility " +
+    "above 1000 per-mille (BPE-ish splits beyond whitespace)") {
+    val docs = Seq((1L, "it's 2024, v2.0 works!")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenizerFertility(docs, "doc_id", "text")
+      .collect().head
+    // 4 whitespace words, >4 BPE-ish tokens
+    assert(r.getAs[Long]("n_words") === 4L)
+    assert(r.getAs[Long]("n_bpe_tokens") > 4L)
+    assert(r.getAs[Long]("fertility_permille") > 1000L)
+  }
+
+  // ---- columnProfile -------------------------------------------------
+
+  test("columnProfile: exact counts/nulls/distincts/minmax per column, " +
+    "one row each, nulls excluded from distinct and minmax") {
+    val df = Seq(
+      (1L, Some("b"), Some(10L)),
+      (2L, None, Some(10L)),
+      (3L, Some("a"), None),
+      (4L, Some("a"), Some(30L))
+    ).toDF("id", "s", "v")
+    val rows = TableProfile.columnProfile(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(rows.size === 3)
+    rows.values.foreach(r => assert(r.getAs[Long]("n_rows") === 4L))
+    assert(rows("id").getAs[Long]("n_nonnull") === 4L)
+    assert(rows("id").getAs[Long]("n_distinct") === 4L)
+    assert(rows("id").getAs[String]("min_s") === "1")
+    assert(rows("id").getAs[String]("max_s") === "4")
+    assert(rows("s").getAs[Long]("n_nonnull") === 3L)
+    assert(rows("s").getAs[Long]("n_distinct") === 2L)
+    assert(rows("s").getAs[String]("min_s") === "a")
+    assert(rows("s").getAs[String]("max_s") === "b")
+    assert(rows("v").getAs[Long]("n_nonnull") === 3L)
+    assert(rows("v").getAs[Long]("n_distinct") === 2L)
+    assert(rows("v").getAs[String]("min_s") === "10")
+    assert(rows("v").getAs[String]("max_s") === "30")
+  }
+
+  test("columnProfile: all-null column profiles to 0 distinct, null minmax") {
+    val df = Seq((1L, Option.empty[String]), (2L, None)).toDF("id", "s")
+    val r = TableProfile.columnProfile(df, Seq("s")).collect().head
+    assert(r.getAs[Long]("n_rows") === 2L)
+    assert(r.getAs[Long]("n_nonnull") === 0L)
+    assert(r.getAs[Long]("n_distinct") === 0L)
+    assert(r.getAs[String]("min_s") === null)
+    assert(r.getAs[String]("max_s") === null)
+  }
+}

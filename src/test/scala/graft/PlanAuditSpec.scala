@@ -567,6 +567,24 @@ class PlanAuditSpec extends SparkSpecBase {
       "nothing in the iteration needs a global sort")
   }
 
+  test("hyper-connector cap: degree via partial agg + semi-join, never a u-window") {
+    // the cap exists to catch the one key a u-partitioned window would
+    // pin to a single unsplittable task — its own derivation must not
+    // recreate that hazard (same rewrite discipline as out_w above)
+    import org.apache.spark.sql.functions._
+    val p = graft.graph.GraphOps.itemCopairs(
+      Tables.events(spark, sfDir), "user_id",
+      get_json_object(col("props"), "$.k").cast("long"),
+      maxUserDegree = 100)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      "degree cap must be a partial agg + semi-join, never a window partition")
+    assert(p.contains("partial_count"),
+      "per-user degree must combine map-side before the u shuffle")
+    assert(p.contains("LeftSemi"), "cap filter should prune via semi-join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("quantile sketch: registers partial-agg to <=65 rows/group; no cartesian, no global sort") {
     val p = plan("sketch_quantile_value")
     assert(p.contains("partial_count"),
