@@ -27,6 +27,9 @@ object AuditQueries {
   private val ValPermille = 100   // point — the audited configuration
   private val JoinD = 4   // CMS shape for the join-size estimate:
   private val JoinW = 64  // 4 rows × 64 buckets = 256 ints per side
+  private val RollD = 4   // CMS shape for the rolling heavy-hitter
+  private val RollW = 64  // panel: 256 ints per DAY
+  private val RollQuantilesPm = Seq(500, 900, 990)
 
   /** Corpus doc → component label over the LSH candidate graph,
     * singletons labeled themselves (the split_cluster_assign label
@@ -91,7 +94,92 @@ object AuditQueries {
         Tables.orders(s, dir).withColumn("o_orderdate_us",
           unix_micros(col("o_orderdate").cast("timestamp"))),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
-          "o_orderdate_us")))
+          "o_orderdate_us"))),
+
+    // Rolling 7-day per-user event counts for the exact top-10 users,
+    // served from daily CMS cell tables SUM-merged over the sliding
+    // window — the frequency twin of sketch_hll_rolling_users (HLL
+    // registers MAX-merge; CMS cells SUM-merge). Events are scanned
+    // ONCE for the daily cells; every window after that is register
+    // arithmetic on days × d·w ints. est ≥ exact per (day, user) by
+    // construction; the gap is the audited collision price.
+    "sketch_cms_rolling_heavy" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(expr("ts_us div 86400000000").as("day"),
+          col("user_id").cast("string").as("u"))
+      val cells = graft.util.Materialize.stable(
+        Sketches.cmsCellsBy(daily, Seq("day"), col("u"), d = RollD, w = RollW))
+      val rolled = Sketches.rollingSumRegisters(
+        cells, "day", Seq("r", "b"), "c", windowDays = 7)
+      val top = daily.groupBy("u").agg(count(lit(1)).as("n_total"))
+        .orderBy(col("n_total").desc, col("u")).limit(10)
+      val days = cells.select("day").distinct()
+      val probes = broadcast(top.select("u")).crossJoin(broadcast(days))
+        .withColumn("_h", Dedup.tokenHash(col("u")))
+        .select(col("day"), col("u"),
+          explode(array((0 until RollD).map(i => struct(lit(i).as("r"),
+            Sketches.cmsRowBucket(col("_h"), i, RollW).as("b"))): _*)).as("rb"))
+        .select(col("day"), col("u"), col("rb.r").as("r"), col("rb.b").as("b"))
+      val est = probes.join(broadcast(rolled), Seq("day", "r", "b"), "left")
+        .groupBy("day", "u")
+        .agg(min(coalesce(col("c"), lit(0L))).as("cms_estimate"))
+      val exact = broadcast(days.withColumnRenamed("day", "wday"))
+        .join(daily.join(broadcast(top.select("u")), Seq("u"), "left_semi"),
+          col("day").between(col("wday") - 6, col("wday")))
+        .groupBy(col("wday"), col("u")).agg(count(lit(1)).as("n_exact"))
+        .withColumnRenamed("wday", "day")
+      est.join(exact, Seq("day", "u"), "left")
+        .select(col("day"), col("u"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          col("cms_estimate"))
+    }),
+
+    // Rolling 7-day P50/P90/P99 of the event value per day, from daily
+    // log₂-histogram registers SUM-merged over the sliding window
+    // (registers are sum-mergeable, so the rolling panel is pure
+    // register arithmetic: days × ≤65 ints — the corpus is scanned
+    // once). Estimate next to the exact windowed rank value; the exact
+    // leg is gate-only calibration (it IS the full windowed rank the
+    // sketch exists to avoid).
+    "sketch_quantile_rolling" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val vals = Tables.events(s, dir)
+        .select(expr("ts_us div 86400000000").as("day"),
+          graft.ops.EventOps.cents(col("value")).as("vc"))
+      val regs = graft.util.Materialize.stable(
+        Sketches.logHistogram(vals, Seq("day"), col("vc")))
+      val rolled = Sketches.rollingSumRegisters(
+        regs, "day", Seq("_bin"), "_cnt", windowDays = 7)
+      val est = Sketches.quantilesFromLogHistogram(rolled, Seq("day"),
+          RollQuantilesPm)
+        .withColumn("_target",
+          greatest(lit(1L), expr("(q_permille * n + 999) div 1000")))
+      val days = regs.select("day").distinct()
+      val ranked = broadcast(days.withColumnRenamed("day", "wday"))
+        .join(vals, col("day").between(col("wday") - 6, col("wday")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("wday").orderBy("vc")).cast("long"))
+      est.join(ranked,
+          est("day") === ranked("wday") && col("rk") === est("_target"))
+        .select(est("day"), col("q_permille"), col("n"),
+          col("vc").as("exact_v"), col("est"))
+    }),
+
+    // Pairwise Pearson correlation from EXACT integer sums (cents /
+    // per-mille derivations, never raw doubles): the feature-redundancy
+    // pre-flight. qty↔price is the strongly-correlated pair (price =
+    // qty × unit price); the discount/tax pairs calibrate near zero.
+    // One scan, one partial agg; the only floating step is the final
+    // r from six exact integers — bit-identical cross-engine.
+    "profile_corr_lineitem" -> ((s, dir) =>
+      TableProfile.pearsonCorr(
+        Tables.lineitem(s, dir).select(
+          col("l_quantity").cast("long").as("qty"),
+          graft.ops.EventOps.cents(col("l_extendedprice")).as("price_cents"),
+          round(col("l_discount") * 1000, 0).cast("long").as("disc_pm"),
+          round(col("l_tax") * 1000, 0).cast("long").as("tax_pm")),
+        Seq("qty" -> "price_cents", "price_cents" -> "disc_pm",
+          "qty" -> "tax_pm")))
   )
 
   private val bpePatternDuck =
@@ -202,6 +290,108 @@ object AuditQueries {
         "o_orderpriority" -> "o_orderpriority",
         "o_orderdate_us" -> "epoch_us(o_orderdate)")
         .map { case (c, e) => leg(c, e) }.mkString(" UNION ALL ")
+    },
+
+    "sketch_cms_rolling_heavy" -> {
+      def rows(src: String, extra: String) = (0 until RollD).map { i =>
+        val (a, b) = (Dedup.MinhashA(i), Dedup.MinhashB(i))
+        s"SELECT $extra, $i AS r, (($a * hh + $b) % ${Dedup.MinhashP}) % $RollW AS b FROM $src"
+      }.mkString(" UNION ALL ")
+      s"""WITH dl AS (SELECT epoch_us(ts) // 86400000000 AS day,
+         |    CAST(user_id AS VARCHAR) AS u FROM events),
+         |h AS (SELECT day, u,
+         |  CAST(concat('0x', substr(md5(u), 1, 8)) AS BIGINT) AS hh FROM dl),
+         |hb AS (${rows("h", "day")}),
+         |cells AS (SELECT day, r, b, count(*) AS c FROM hb GROUP BY 1, 2, 3),
+         |days AS (SELECT DISTINCT day FROM cells),
+         |rbs AS (SELECT DISTINCT r, b FROM cells),
+         |scaf AS (SELECT day, r, b FROM days, rbs),
+         |jj AS (SELECT s.day, s.r, s.b, coalesce(c, 0) AS c
+         |  FROM scaf s LEFT JOIN cells USING (day, r, b)),
+         |roll AS (SELECT day, r, b, CAST(sum(c) OVER (PARTITION BY r, b
+         |    ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS c FROM jj),
+         |top AS (SELECT u, any_value(hh) AS hh, count(*) AS n_total
+         |  FROM h GROUP BY u ORDER BY n_total DESC, u LIMIT 10),
+         |tp AS (SELECT t.u, t.hh, d.day FROM top t, days d),
+         |probes AS (${rows("tp", "day, u")}),
+         |est AS (SELECT day, u,
+         |    CAST(min(coalesce(roll.c, 0)) AS BIGINT) AS cms_estimate
+         |  FROM probes LEFT JOIN roll USING (day, r, b) GROUP BY 1, 2),
+         |ex AS (SELECT d.day, dl.u, count(*) AS n_exact FROM days d
+         |  JOIN dl ON dl.day BETWEEN d.day - 6 AND d.day
+         |  JOIN top t ON t.u = dl.u GROUP BY 1, 2)
+         |SELECT est.day, est.u,
+         |  CAST(coalesce(ex.n_exact, 0) AS BIGINT) AS n_exact, cms_estimate
+         |FROM est LEFT JOIN ex ON est.day = ex.day AND est.u = ex.u"""
+        .stripMargin.replace("\n", " ")
+    },
+
+    "sketch_quantile_rolling" -> {
+      val qsValues = RollQuantilesPm.map(q => s"($q)").mkString(",")
+      s"""WITH v AS (SELECT epoch_us(ts) // 86400000000 AS day,
+         |    CAST(round(value*100, 0) AS BIGINT) AS vc FROM events),
+         |r AS (SELECT day,
+         |    CAST(CASE WHEN vc = 0 THEN 0 ELSE length(bin(vc)) END AS BIGINT)
+         |      AS bin, count(*) AS cnt
+         |  FROM v GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT day FROM r),
+         |bins AS (SELECT DISTINCT bin FROM r),
+         |scaf AS (SELECT day, bin FROM days, bins),
+         |jj AS (SELECT s.day, s.bin, coalesce(cnt, 0) AS cnt
+         |  FROM scaf s LEFT JOIN r USING (day, bin)),
+         |roll0 AS (SELECT day, bin, CAST(sum(cnt) OVER (PARTITION BY bin
+         |    ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS cnt FROM jj),
+         |roll AS (SELECT * FROM roll0 WHERE cnt > 0),
+         |c AS (SELECT day, bin, cnt,
+         |    CAST(coalesce(sum(cnt) OVER (PARTITION BY day ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS cum_before,
+         |    CAST(sum(cnt) OVER (PARTITION BY day) AS BIGINT) AS n
+         |  FROM roll),
+         |q AS (SELECT q_permille FROM (VALUES $qsValues) t(q_permille)),
+         |sel AS (SELECT day, CAST(q_permille AS BIGINT) AS q_permille,
+         |    n, bin, cnt, cum_before,
+         |    greatest(1, (q_permille * n + 999) // 1000) AS target
+         |  FROM c, q
+         |  WHERE cum_before < greatest(1, (q_permille * n + 999) // 1000)
+         |    AND greatest(1, (q_permille * n + 999) // 1000) <= cum_before + cnt),
+         |est AS (SELECT day, q_permille, n, target,
+         |    CAST((CASE WHEN bin = 0 THEN 0 ELSE 1 << (bin - 1) END)
+         |      + ((CASE WHEN bin = 0 THEN 1 ELSE 1 << (bin - 1) END)
+         |         * (target - cum_before - 1)) // cnt AS BIGINT) AS est
+         |  FROM sel),
+         |rk AS (SELECT d.day AS wday, vc, row_number() OVER (
+         |    PARTITION BY d.day ORDER BY vc) AS rk
+         |  FROM days d JOIN v ON v.day BETWEEN d.day - 6 AND d.day)
+         |SELECT est.day, q_permille, n, rk.vc AS exact_v, est
+         |FROM est JOIN rk ON est.day = rk.wday AND rk.rk = est.target"""
+        .stripMargin.replace("\n", " ")
+    },
+
+    "profile_corr_lineitem" -> {
+      def leg(x: String, y: String) =
+        s"""SELECT '$x' AS x_col, '$y' AS y_col, n,
+           |  CASE WHEN n < 2 OR n * sxx = sx * sx OR n * syy = sy * sy
+           |    THEN NULL
+           |  ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+           |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+           |         * CAST(n * syy - sy * sy AS DOUBLE)) END AS corr
+           |FROM (SELECT CAST(count(*) AS BIGINT) AS n,
+           |  sum(CAST($x AS HUGEINT)) AS sx, sum(CAST($y AS HUGEINT)) AS sy,
+           |  sum(CAST($x AS HUGEINT) * $y) AS sxy,
+           |  sum(CAST($x AS HUGEINT) * $x) AS sxx,
+           |  sum(CAST($y AS HUGEINT) * $y) AS syy
+           |  FROM li WHERE $x IS NOT NULL AND $y IS NOT NULL)"""
+          .stripMargin.replace("\n", " ")
+      s"""WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+         |  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents,
+         |  CAST(round(l_discount * 1000, 0) AS BIGINT) AS disc_pm,
+         |  CAST(round(l_tax * 1000, 0) AS BIGINT) AS tax_pm FROM lineitem)
+         |${leg("qty", "price_cents")} UNION ALL
+         |${leg("price_cents", "disc_pm")} UNION ALL
+         |${leg("qty", "tax_pm")}""".stripMargin.replace("\n", " ")
     }
   )
 }

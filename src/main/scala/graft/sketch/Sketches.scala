@@ -435,14 +435,55 @@ object Sketches {
     * log-histogram discipline applied to frequency): shards/batches
     * build d·w cells each and fold by addition.
     */
-  def cmsCells(df: DataFrame, valueCol: Column, d: Int, w: Int): DataFrame = {
+  def cmsCells(df: DataFrame, valueCol: Column, d: Int, w: Int): DataFrame =
+    cmsCellsBy(df, Seq.empty, valueCol, d, w)
+
+  /** [[cmsCells]] with grouping columns — one d×w cell table per group
+    * (per day, per source, per shard): the unit the rolling and
+    * incremental maintenance paths merge. Same single partial-agg pass;
+    * output (groups…, r, b, c).
+    */
+  def cmsCellsBy(df: DataFrame, groups: Seq[String], valueCol: Column,
+      d: Int, w: Int): DataFrame = {
     require(d >= 1 && d <= Dedup.MinhashA.size, s"d must be 1..${Dedup.MinhashA.size}")
     require(w >= 2, s"need at least 2 buckets, got $w")
-    df.select(Dedup.tokenHash(valueCol).as("_h"))
-      .select(explode(array((0 until d).map(i =>
-        struct(lit(i).as("r"), cmsRowBucket(col("_h"), i, w).as("b"))): _*)).as("rb"))
-      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+    df.select(groupCols(groups) :+ Dedup.tokenHash(valueCol).as("_h"): _*)
+      .select(groupCols(groups) :+ explode(array((0 until d).map(i =>
+        struct(lit(i).as("r"), cmsRowBucket(col("_h"), i, w).as("b"))): _*))
+        .as("rb"): _*)
+      .groupBy(groupCols(groups) ++ Seq(col("rb.r").as("r"),
+        col("rb.b").as("b")): _*)
       .agg(count(lit(1)).as("c"))
+  }
+
+  /** Sliding-window SUM over a per-day register table — the shared
+    * roll-up for every sum-mergeable sketch (CMS cells, log₂-histogram
+    * bins): each key's count on day D becomes the sum over
+    * [D−windowDays+1, D]. The scaffold (distinct days × distinct key
+    * combos) exists because a key silent on day D must still see the
+    * window's earlier days — without it the windowed row is simply
+    * absent and the estimate silently UNDERCOUNTS, breaking CMS's
+    * overestimate guarantee. Both scaffold sides are register-bounded
+    * (days × ≤ d·w cells or ≤ 65 bins), so the cross join and the
+    * per-key window run on sketch-sized tables, never the corpus —
+    * the same discipline as [[hllRollingRegisters]] (whose merge is
+    * MAX; this is the SUM twin). Zero-count scaffold rows are dropped
+    * on output (a missing cell reads as 0 downstream either way).
+    */
+  def rollingSumRegisters(regs: DataFrame, dayCol: String,
+      keyCols: Seq[String], cntCol: String, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    require(keyCols.nonEmpty, "need at least one register key column")
+    import org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    val scaffold = regs.select(col(dayCol)).distinct()
+      .crossJoin(regs.select(keys: _*).distinct())
+    val w = Window.partitionBy(keys: _*).orderBy(col(dayCol))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    scaffold.join(regs, dayCol +: keyCols, "left")
+      .withColumn("_rs", sum(coalesce(col(cntCol), lit(0L))).over(w))
+      .filter(col("_rs") > 0)
+      .select(col(dayCol) +: keys :+ col("_rs").as(cntCol): _*)
   }
 
   /** Point-query estimates over a [[cmsCells]] table for a key set:

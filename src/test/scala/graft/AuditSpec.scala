@@ -158,6 +158,83 @@ class AuditSpec extends SparkSpecBase {
     assert(r.getAs[Long]("fertility_permille") > 1000L)
   }
 
+  // ---- rollingSumRegisters -------------------------------------------
+
+  test("rollingSumRegisters: brute-force parity incl. day gaps and " +
+    "keys silent on a day (scaffold rolls them forward)") {
+    // key A: days 1,2,9 (gap); key B: day 2 only
+    val regs = Seq((1L, "A", 5L), (2L, "A", 3L), (9L, "A", 7L),
+      (2L, "B", 10L)).toDF("day", "k", "cnt")
+    val got = Sketches.rollingSumRegisters(regs, "day", Seq("k"), "cnt", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val raw = Map((1L, "A") -> 5L, (2L, "A") -> 3L, (9L, "A") -> 7L,
+      (2L, "B") -> 10L)
+    val days = Seq(1L, 2L, 9L); val keys = Seq("A", "B")
+    val expect = (for {
+      d <- days; k <- keys
+      s = (d - 2 to d).map(dd => raw.getOrElse((dd, k), 0L)).sum
+      if s > 0
+    } yield (d, k) -> s).toMap
+    assert(got === expect)
+    // day 2 rolls day 1's A count in; day 9 sees nothing from day 2
+    assert(got((2L, "A")) === 8L)
+    assert(got((9L, "A")) === 7L)
+    assert(!got.contains((1L, "B")), "B has no mass in day 1's window")
+  }
+
+  test("rolling log-histogram == one-pass histogram over each window " +
+    "(sum-merge distributes over the day decomposition)") {
+    val rnd = new scala.util.Random(42)
+    val vals = (1 to 300).map(_ => (rnd.nextInt(5).toLong + 1L,
+      rnd.nextInt(2000).toLong))
+    val df = vals.toDF("day", "v")
+    val rolled = Sketches.rollingSumRegisters(
+      Sketches.logHistogram(df, Seq("day"), col("v")),
+      "day", Seq("_bin"), "_cnt", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    for (d <- 1L to 5L) {
+      val windowVals = vals.filter { case (dd, _) => dd >= d - 2 && dd <= d }
+        .map(_._2)
+      val onePass = Sketches.logHistogram(
+        windowVals.map(Tuple1(_)).toDF("v"), Seq.empty, col("v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rolledDay = rolled.collect { case ((dd, b), c) if dd == d => b -> c }
+      assert(rolledDay.toMap === onePass, s"day $d window mismatch")
+    }
+  }
+
+  test("rolling CMS estimate >= exact windowed count for every probe " +
+    "(the scaffold preserves the overestimate guarantee across days)") {
+    val rnd = new scala.util.Random(3)
+    val events = (1 to 600).map(_ =>
+      (rnd.nextInt(6).toLong + 1L, s"u${rnd.nextInt(25)}"))
+    val df = events.toDF("day", "u")
+    val rolled = Sketches.rollingSumRegisters(
+      Sketches.cmsCellsBy(df, Seq("day"), col("u"), d = 4, w = 32),
+      "day", Seq("r", "b"), "c", 7)
+    val probes = (1L to 6L).flatMap(d => (0 until 25).map(u => (d, s"u$u")))
+      .toDF("day", "u")
+      .withColumn("_h", graft.llm.Dedup.tokenHash(col("u")))
+      .select(col("day"), col("u"), explode(array((0 until 4).map(i =>
+        struct(lit(i).as("r"),
+          Sketches.cmsRowBucket(col("_h"), i, 32).as("b"))): _*)).as("rb"))
+      .select(col("day"), col("u"), col("rb.r").as("r"), col("rb.b").as("b"))
+    val est = probes.join(rolled, Seq("day", "r", "b"), "left")
+      .groupBy("day", "u")
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val exact = (for {
+      d <- 1L to 6L; u <- 0 until 25
+      n = events.count { case (dd, uu) => uu == s"u$u" && dd >= d - 6 && dd <= d }
+    } yield (d, s"u$u") -> n.toLong).toMap
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"probe $k: est ${est(k)} < exact $n")
+    }
+  }
+
   // ---- columnProfile -------------------------------------------------
 
   test("columnProfile: exact counts/nulls/distincts/minmax per column, " +
@@ -194,5 +271,46 @@ class AuditSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n_distinct") === 0L)
     assert(r.getAs[String]("min_s") === null)
     assert(r.getAs[String]("max_s") === null)
+  }
+
+  // ---- pearsonCorr ---------------------------------------------------
+
+  test("pearsonCorr: exact +1/-1 on linear columns, constant -> NULL, " +
+    "pairwise null exclusion, sequential parity on random data") {
+    val rnd = new scala.util.Random(5)
+    val xs = (1 to 200).map(_ => rnd.nextInt(1000).toLong)
+    val df = xs.map(x => (x, 2 * x + 7, -3 * x + 50, 42L,
+      rnd.nextInt(100).toLong)).toDF("x", "y2", "yneg", "c", "z")
+    val rows = TableProfile.pearsonCorr(df,
+      Seq("x" -> "y2", "x" -> "yneg", "x" -> "c", "x" -> "z"))
+      .collect()
+      .map(r => (r.getAs[String]("x_col"), r.getAs[String]("y_col")) -> r)
+      .toMap
+    assert(rows(("x", "y2")).getAs[Double]("corr") === 1.0)
+    assert(rows(("x", "yneg")).getAs[Double]("corr") === -1.0)
+    assert(rows(("x", "c")).isNullAt(rows(("x", "c")).fieldIndex("corr")),
+      "zero-variance side must yield NULL, not NaN")
+    // sequential reference from the same exact-integer formula
+    val zs = df.select("z").collect().map(_.getLong(0))
+    val n = xs.size.toLong
+    def bd(v: BigInt) = v.toDouble
+    val (sx, sz) = (BigInt(xs.sum), BigInt(zs.sum))
+    val sxz = xs.zip(zs).map { case (a, b) => BigInt(a) * b }.sum
+    val sxx = xs.map(a => BigInt(a) * a).sum
+    val szz = zs.map(b => BigInt(b) * b).sum
+    val expect = bd(n * sxz - sx * sz) /
+      math.sqrt(bd(n * sxx - sx * sx) * bd(n * szz - sz * sz))
+    assert(rows(("x", "z")).getAs[Double]("corr") === expect)
+    assert(rows(("x", "z")).getAs[Long]("n") === n)
+  }
+
+  test("pearsonCorr: rows with a NULL on either side drop pairwise") {
+    val df = Seq(
+      (Some(1L), Some(10L)), (Some(2L), Some(20L)), (Some(3L), None),
+      (None, Some(40L)), (Some(5L), Some(50L))
+    ).toDF("x", "y")
+    val r = TableProfile.pearsonCorr(df, Seq("x" -> "y")).collect().head
+    assert(r.getAs[Long]("n") === 3L)
+    assert(r.getAs[Double]("corr") === 1.0)
   }
 }

@@ -585,6 +585,26 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("rolling sketch panels: daily registers partial-agg map-side; " +
+    "probe joins broadcast; window runs on register-sized tables only") {
+    // the corpus is touched exactly once (daily cells/bins); the
+    // scaffold cross join and the day window are register-bounded —
+    // the plan must show the corpus side combining BEFORE any exchange
+    // and every probe-side join broadcasting the sketch table
+    val pc = plan("sketch_cms_rolling_heavy")
+    assert(pc.contains("partial_count"),
+      "daily CMS cells must combine map-side before the (day,r,b) shuffle")
+    assert(pc.contains("BroadcastHashJoin") || pc.contains("BroadcastExchange"),
+      "probe joins must broadcast the register-sized side")
+    assert(!pc.contains("Exchange rangepartitioning"),
+      "nothing in the rolling panel needs a global sort")
+    // the daily-register build itself is behind a materialization
+    // barrier (its partial agg is pinned by the one-pass quantile plan
+    // test); here assert the panel side stays sort-free
+    val pq = plan("sketch_quantile_rolling")
+    assert(!pq.contains("Exchange rangepartitioning"))
+  }
+
   test("quantile sketch: registers partial-agg to <=65 rows/group; no cartesian, no global sort") {
     val p = plan("sketch_quantile_value")
     assert(p.contains("partial_count"),
