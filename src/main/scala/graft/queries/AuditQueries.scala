@@ -179,7 +179,31 @@ object AuditQueries {
           round(col("l_discount") * 1000, 0).cast("long").as("disc_pm"),
           round(col("l_tax") * 1000, 0).cast("long").as("tax_pm")),
         Seq("qty" -> "price_cents", "price_cents" -> "disc_pm",
-          "qty" -> "tax_pm")))
+          "qty" -> "tax_pm"))),
+
+    // Functional-dependency audit across three declared FDs: the
+    // join-safety pre-flight (a violated "key" silently duplicates rows
+    // through every join that assumes it). o_orderkey→o_custkey holds
+    // (primary key); the other two are honest violations whose fan-out
+    // the audit bounds.
+    "fd_audit" -> ((s, dir) =>
+      TableProfile.fdAudit(Tables.orders(s, dir), "o_orderkey", "o_custkey")
+        .unionByName(TableProfile.fdAudit(
+          Tables.lineitem(s, dir), "l_orderkey", "l_suppkey"))
+        .unionByName(TableProfile.fdAudit(
+          Tables.events(s, dir), "user_id", "event_type"))),
+
+    // Per-event-type time trend of the daily mean value (cents): OLS
+    // slope over daily means as the exact integer num/den pair — the
+    // "which way is this stream drifting" monitor next to the χ²/MAD
+    // "is it different" audits. The corpus collapses to the daily
+    // table in one partial-agg pass; the regression runs on that.
+    "events_value_trend" -> ((s, dir) =>
+      TableProfile.dailyTrend(
+        Tables.events(s, dir).select(col("event_type"),
+          expr("ts_us div 86400000000").as("day"),
+          graft.ops.EventOps.cents(col("value")).as("vc")),
+        Seq("event_type"), "day", col("vc")))
   )
 
   private val bpePatternDuck =
@@ -392,6 +416,36 @@ object AuditQueries {
          |${leg("qty", "price_cents")} UNION ALL
          |${leg("price_cents", "disc_pm")} UNION ALL
          |${leg("qty", "tax_pm")}""".stripMargin.replace("\n", " ")
-    }
+    },
+
+    "fd_audit" -> {
+      def leg(table: String, lhs: String, rhs: String) =
+        s"""SELECT '$lhs' AS lhs_col, '$rhs' AS rhs_col,
+           |  CAST(count(*) AS BIGINT) AS n_lhs,
+           |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating,
+           |  CAST(max(nd) AS BIGINT) AS max_rhs_distinct
+           |FROM (SELECT $lhs, count(DISTINCT
+           |    coalesce(CAST($rhs AS VARCHAR), ' null')) AS nd
+           |  FROM $table GROUP BY 1)""".stripMargin.replace("\n", " ")
+      s"""${leg("orders", "o_orderkey", "o_custkey")} UNION ALL
+         |${leg("lineitem", "l_orderkey", "l_suppkey")} UNION ALL
+         |${leg("events", "user_id", "event_type")}"""
+        .stripMargin.replace("\n", " ")
+    },
+
+    "events_value_trend" ->
+      s"""WITH daily AS (SELECT event_type,
+         |    epoch_us(ts) // 86400000000 AS d,
+         |    sum(CAST(round(value*100, 0) AS BIGINT)) // count(*) AS y
+         |  FROM events GROUP BY 1, 2),
+         |b AS (SELECT event_type,
+         |    d - min(d) OVER (PARTITION BY event_type) AS t, y FROM daily)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         |  CAST(count(*) * sum(t*y) - sum(t) * sum(y) AS BIGINT)
+         |    AS slope_num,
+         |  CAST(count(*) * sum(t*t) - sum(t) * sum(t) AS BIGINT)
+         |    AS slope_den
+         |FROM b GROUP BY 1""".stripMargin.replace("\n", " ")
   )
 }

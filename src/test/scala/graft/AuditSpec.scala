@@ -313,4 +313,59 @@ class AuditSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n") === 3L)
     assert(r.getAs[Double]("corr") === 1.0)
   }
+
+  // ---- fdAudit -------------------------------------------------------
+
+  test("fdAudit: holding FD -> 0 violations; violated FD counts keys " +
+    "and bounds the worst fan-out; NULL rhs is a distinct behavior") {
+    val df = Seq(
+      (1L, Some("a")), (1L, Some("a")),          // 1 -> {a}: holds
+      (2L, Some("a")), (2L, Some("b")), (2L, Some("c")), // 2 -> 3 values
+      (3L, Some("x")), (3L, None)                // 3 -> {x, NULL}: violates
+    ).toDF("k", "v")
+    val r = TableProfile.fdAudit(df, "k", "v").collect().head
+    assert(r.getAs[String]("lhs_col") === "k")
+    assert(r.getAs[Long]("n_lhs") === 3L)
+    assert(r.getAs[Long]("n_violating") === 2L)
+    assert(r.getAs[Long]("max_rhs_distinct") === 3L)
+    val hold = TableProfile.fdAudit(
+      df.filter(col("k") === 1L), "k", "v").collect().head
+    assert(hold.getAs[Long]("n_violating") === 0L)
+    assert(hold.getAs[Long]("max_rhs_distinct") === 1L)
+  }
+
+  // ---- dailyTrend ----------------------------------------------------
+
+  test("dailyTrend: exact num/den on closed-form slopes; day re-base " +
+    "per group; daily mean is integer div") {
+    // group up: daily means 10,20,30 at days 100,101,102 -> slope 10/1
+    // group down: means 9,5,1 at days 7,8,9 -> slope -4/1
+    // group flat: single day -> den 0
+    val df = Seq(
+      ("up", 100L, 10L), ("up", 101L, 20L), ("up", 102L, 30L),
+      ("down", 7L, 9L), ("down", 8L, 5L), ("down", 9L, 1L),
+      ("flat", 50L, 77L)
+    ).toDF("g", "day", "v")
+    val rows = TableProfile.dailyTrend(df, Seq("g"), "day", col("v"))
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    // slope = num/den with n=3, t=0,1,2: den = 3*5 - 9 = 6
+    val up = rows("up")
+    assert(up.getAs[Long]("n_days") === 3L)
+    assert(up.getAs[Long]("slope_num") === 60L) // 3*(0+20+60) - 3*60
+    assert(up.getAs[Long]("slope_den") === 6L)  // slope 10/day
+    val down = rows("down")
+    assert(down.getAs[Long]("slope_num") === -24L) // slope -4/day
+    assert(down.getAs[Long]("slope_den") === 6L)
+    val flat = rows("flat")
+    assert(flat.getAs[Long]("n_days") === 1L)
+    assert(flat.getAs[Long]("slope_den") === 0L)
+    // daily mean is integer div: two rows same day -> (3+4) div 2 = 3
+    val m = TableProfile.dailyTrend(
+      Seq(("m", 1L, 3L), ("m", 1L, 4L), ("m", 2L, 10L))
+        .toDF("g", "day", "v"),
+      Seq("g"), "day", col("v")).collect().head
+    // means 3,10 at t=0,1: num = 2*10 - 1*13 = 7, den = 2*1 - 1 = 1
+    assert(m.getAs[Long]("slope_num") === 7L)
+    assert(m.getAs[Long]("slope_den") === 1L)
+  }
 }
