@@ -60,7 +60,13 @@ object ScaleAudit {
       "q9_product_profit", "window_running_balance",
       "events_click_attribution", "decontam_multi_eval",
       "novelty_score", "select_token_budget", "split_proportions",
-      "graph_pagerank_covisit", "sketch_kmv_distinct", "cdc_scd2_history")
+      "graph_pagerank_covisit", "sketch_kmv_distinct", "cdc_scd2_history",
+      // round-11 additions (ops with keyed exchanges; pure single-row
+      // global aggs like profile_corr are excluded by design — their
+      // width IS the scan width, data-proportional by construction)
+      "sketch_cms_rolling_heavy", "sketch_quantile_rolling",
+      "split_leakage_audit", "fd_audit", "events_value_trend",
+      "table_profile_orders", "graph_item_similarity_topk")
     var collapsed = List.empty[String]
     val out = heavy.map { name =>
       stages = Nil
