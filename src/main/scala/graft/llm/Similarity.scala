@@ -264,17 +264,60 @@ object Similarity {
     * codebook) without changing the plan shape.
     */
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame, cents: DataFrame,
-      nprobe: Int, k: Int): DataFrame = {
+      nprobe: Int, k: Int): DataFrame =
+    ivfSearchCells(assignCells(corpus, cents, "cid", "cv", "nc", keep = 1),
+      queries, cents, nprobe, k)
+
+  /** IVF search against PRE-ASSIGNED corpus cells — the seam the
+    * recall curve shares one corpus assignment across operating points
+    * through (assignment is the O(N·C) pass; probing is query-sized).
+    */
+  private def ivfSearchCells(corpusCells: DataFrame, queries: DataFrame,
+      cents: DataFrame, nprobe: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = assignCells(corpus, cents, "cid", "cv", "nc", keep = 1)
     val q = assignCells(queries, cents, "qid", "qv", "nq", keep = nprobe)
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))
-    c.join(q, Seq("cell"))
+    corpusCells.join(q, Seq("cell"))
       .filter(col("cid") =!= col("qid"))
       .withColumn("cos_sim", cosineFromInts(dotQ("qv", "cv"), col("nq"), col("nc")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "cid", "cell", "rank", "cos_sim")
+  }
+
+  /** Recall-vs-nprobe TUNING CURVE: mean recall@k per probe count, in
+    * one pass over each expensive input — the brute-force reference is
+    * computed ONCE and the corpus is cell-assigned ONCE (both
+    * materialized), then each operating point pays only its query-sized
+    * probe + Q·k-bounded overlap. This is the table a pipeline reads to
+    * pick nprobe ("how much recall does the next probe buy?") — FAISS
+    * publishes exactly this curve per index; the single-point
+    * [[ivfRecall]] grades the shipped configuration, this grades the
+    * configuration SPACE. Zero-recall queries count (left join from the
+    * full query list), so the mean is honest.
+    * Output per probe: (nprobe, n_queries, sum_common,
+    * mean_recall_permille = 1000·Σcommon div (Q·k)).
+    */
+  def ivfRecallCurve(corpus: DataFrame, queries: DataFrame,
+      numCentroids: Int, probes: Seq[Int], k: Int): DataFrame = {
+    require(probes.nonEmpty && probes.forall(_ >= 1),
+      s"probes must be >= 1, got $probes")
+    require(probes.distinct.size == probes.size, s"duplicate probes: $probes")
+    val cents = graft.util.Materialize.stable(
+      sampledCentroids(corpus, numCentroids))
+    val c = graft.util.Materialize.stable(
+      assignCells(corpus, cents, "cid", "cv", "nc", keep = 1))
+    val ref = graft.util.Materialize.stable(
+      bruteForceTopK(corpus, queries, k).select("qid", "cid"))
+    probes.sorted.map { p =>
+      recallOverlap(ref, ivfSearchCells(c, queries, cents, p, k), queries, k)
+        .agg(count(lit(1)).as("n_queries"),
+          sum("n_common").as("sum_common"))
+        .select(lit(p).cast("long").as("nprobe"), col("n_queries"),
+          col("sum_common"),
+          expr(s"sum_common * 1000 div (n_queries * $k)")
+            .as("mean_recall_permille"))
+    }.reduce(_ unionByName _)
   }
 
   /** Shared recall@k overlap: |reference ∩ approx| per query against

@@ -203,7 +203,18 @@ object AuditQueries {
         Tables.events(s, dir).select(col("event_type"),
           expr("ts_us div 86400000000").as("day"),
           graft.ops.EventOps.cents(col("value")).as("vc")),
-        Seq("event_type"), "day", col("vc")))
+        Seq("event_type"), "day", col("vc"))),
+
+    // Recall-vs-nprobe tuning curve for the gated IVF index (16 cells,
+    // k=5): mean recall@k at nprobe 1/3/6 — the table that prices each
+    // additional probe. The brute-force reference and the corpus cell
+    // assignment are computed once and shared across operating points.
+    "ann_ivf_recall_curve" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.llm.Similarity.ivfRecallCurve(emb,
+        emb.filter(col("vec_id") < 50), numCentroids = 16,
+        probes = Seq(1, 3, 6), k = 5)
+    })
   )
 
   private val bpePatternDuck =
@@ -446,6 +457,60 @@ object AuditQueries {
          |    AS slope_num,
          |  CAST(count(*) * sum(t*t) - sum(t) * sum(t) AS BIGINT)
          |    AS slope_den
-         |FROM b GROUP BY 1""".stripMargin.replace("\n", " ")
+         |FROM b GROUP BY 1""".stripMargin.replace("\n", " "),
+
+    "ann_ivf_recall_curve" -> {
+      import graft.llm.Similarity
+      val (cN, k) = (16, 5)
+      def cos(dot: String, n1: String, n2: String) =
+        s"CAST($dot AS DOUBLE) / (sqrt(CAST($n1 AS DOUBLE)) * sqrt(CAST($n2 AS DOUBLE)))"
+      s"""WITH v AS (SELECT vec_id, ${Similarity.quantizeSqlDuck} AS qv
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, qv,
+         |  ${Similarity.dotQSqlDuck("qv", "qv")} AS nrm FROM v),
+         |fr AS (SELECT qid, cid FROM (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${cos(Similarity.dotQSqlDuck("q.qv", "c.qv"), "q.nrm", "c.nrm")} DESC,
+         |      c.vec_id) AS rank
+         |  FROM n q, n c WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id)
+         |  WHERE rank <= $k),
+         |cents AS (SELECT vec_id AS cent_id, qv AS centv, nrm AS ncent FROM
+         |  (SELECT vec_id, qv, nrm FROM n
+         |   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $cN)),
+         |ca AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM (
+         |  SELECT n.vec_id, n.qv, n.nrm, c.cent_id,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ${cos(Similarity.dotQSqlDuck("n.qv", "c.centv"), "n.nrm", "c.ncent")} DESC,
+         |      c.cent_id) AS crn
+         |  FROM n, cents c) WHERE crn = 1),
+         |qr AS (SELECT nq.vec_id, nq.qv, nq.nrm, c.cent_id,
+         |    row_number() OVER (PARTITION BY nq.vec_id ORDER BY
+         |      ${cos(Similarity.dotQSqlDuck("nq.qv", "c.centv"), "nq.nrm", "c.ncent")} DESC,
+         |      c.cent_id) AS crn
+         |  FROM (SELECT * FROM n WHERE vec_id < 50) nq, cents c),
+         |pv AS (SELECT p FROM (VALUES (1), (3), (6)) t(p)),
+         |qa AS (SELECT pv.p, qr.vec_id, qr.qv, qr.nrm, qr.cent_id AS cell
+         |  FROM qr, pv WHERE qr.crn <= pv.p),
+         |ir AS (SELECT p, qid, cid FROM (
+         |  SELECT qa.p, qa.vec_id AS qid, ca.vec_id AS cid,
+         |    row_number() OVER (PARTITION BY qa.p, qa.vec_id ORDER BY
+         |      ${cos(Similarity.dotQSqlDuck("qa.qv", "ca.qv"), "qa.nrm", "ca.nrm")} DESC,
+         |      ca.vec_id) AS rank
+         |  FROM qa JOIN ca ON qa.cell = ca.cell AND ca.vec_id <> qa.vec_id)
+         |  WHERE rank <= $k),
+         |cm AS (SELECT ir.p, fr.qid, count(*) AS n_common
+         |  FROM fr JOIN ir ON fr.qid = ir.qid AND fr.cid = ir.cid
+         |  GROUP BY 1, 2),
+         |base AS (SELECT pv.p, q.vec_id FROM pv,
+         |  (SELECT vec_id FROM embeddings WHERE vec_id < 50) q)
+         |SELECT CAST(b.p AS BIGINT) AS nprobe,
+         |  CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(coalesce(cm.n_common, 0)) AS BIGINT) AS sum_common,
+         |  CAST(sum(coalesce(cm.n_common, 0)) AS BIGINT) * 1000
+         |    // (count(*) * $k) AS mean_recall_permille
+         |FROM base b LEFT JOIN cm ON cm.p = b.p AND cm.qid = b.vec_id
+         |GROUP BY b.p""".stripMargin.replace("\n", " ")
+    }
   )
 }

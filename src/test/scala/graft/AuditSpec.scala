@@ -368,4 +368,29 @@ class AuditSpec extends SparkSpecBase {
     assert(m.getAs[Long]("slope_num") === 7L)
     assert(m.getAs[Long]("slope_den") === 1L)
   }
+
+  // ---- ivfRecallCurve --------------------------------------------------
+
+  test("ivfRecallCurve: monotone non-decreasing in nprobe; probing " +
+    "every cell lands at exactly 1000; matches single-point ivfRecall") {
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 100)
+    val q = emb.filter(col("vec_id") < 10)
+    val curve = graft.llm.Similarity.ivfRecallCurve(emb, q,
+      numCentroids = 4, probes = Seq(1, 2, 4), k = 3)
+      .collect().map(r => r.getAs[Long]("nprobe") ->
+        (r.getAs[Long]("n_queries"), r.getAs[Long]("sum_common"),
+          r.getAs[Long]("mean_recall_permille"))).toMap
+    assert(curve.keySet === Set(1L, 2L, 4L))
+    curve.values.foreach { case (nq, _, _) => assert(nq === 10L) }
+    assert(curve(1L)._3 <= curve(2L)._3 && curve(2L)._3 <= curve(4L)._3,
+      "more probes can only add candidates")
+    assert(curve(4L)._3 === 1000L,
+      "nprobe = numCentroids scans every cell -> perfect recall")
+    // the curve's point at nprobe=2 must equal the aggregated
+    // single-point audit at the same operating point
+    val single = graft.llm.Similarity.ivfRecall(emb, q,
+        numCentroids = 4, nprobe = 2, k = 3)
+      .agg(sum("n_common")).collect().head.getLong(0)
+    assert(curve(2L)._2 === single)
+  }
 }
