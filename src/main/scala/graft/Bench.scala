@@ -51,7 +51,23 @@ object Bench {
     def clearCaches(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
+      // One GC per timing too: across three controlled runs, the
+      // per-timing GC produced the cleanest profile (contention 4.7 vs
+      // 34-57 with GC only at phase boundaries) — dead localCheckpoint
+      // blocks from earlier queries otherwise stall a later query's
+      // allocation mid-trial, which reads as a random 10-60× outlier.
+      System.gc()
     }
+
+    // Let the ContextCleaner actually reclaim unpersisted blocks:
+    // cleaning is driven by GC of the RDD objects, so late in a
+    // 200-query session thousands of dead localCheckpoint blocks still
+    // occupy storage memory — measured as a 60× retry-phase blow-up
+    // (2.7 s → 151 s) on a collect-finishing CC query that declines
+    // normally in a fresh session. A GC inside every timing fixes that
+    // but adds its own stall noise to short queries, so settle only at
+    // PHASE BOUNDARIES and periodically through the retry batch.
+    def settle(): Unit = { System.gc(); Thread.sleep(300) }
 
     /** Wall-clock one action; Left(error) on throw (never a fake time). */
     def timeOnce(label: String)(body: => Unit): Either[String, Double] = {
@@ -121,6 +137,7 @@ object Bench {
     }
     noteSpread(mixTrials.map(eps => if (eps > 0) 1.0 / eps else -1.0))
     val eventsPerSecMix = if (mixTrials.exists(_ > 0)) mixTrials.max else -1.0
+    settle() // replication leaves six micro-batch runs of state behind
 
     // ---- 2. Per-query pass, then min-of-up-to-3 re-measure of slow entries,
     // cheapest first so the budget reaches every candidate.
@@ -140,7 +157,11 @@ object Bench {
       val slow = sorted.collect {
         case (n, fn) if pass1(n).exists(_ > 2.0) => (n, fn, pass1(n).getOrElse(0.0))
       }.sortBy(_._3)
+      settle() // drain the 200-query pass's garbage before re-measuring
+      var sinceSettle = 0
       val retried = slow.map { case (n, fn, t1) =>
+        if (sinceSettle >= 8) { settle(); sinceSettle = 0 }
+        sinceSettle += 1
         var trials = List(t1)
         var k = 0
         while (k < 2 && rebudget > 0 && trials.min > 2.0) {
