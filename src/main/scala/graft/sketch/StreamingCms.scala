@@ -40,6 +40,23 @@ final class StreamingCms(spark: SparkSession, stateDir: String,
       .partitionBy("_batch_id")
       .parquet(stateDir)
 
+  /** [[recordBatch]] with grouping columns (per day/source/shard) —
+    * the state a ROLLING panel reads: a grouped batch's cells land in
+    * the same batch partition (replay contract unchanged), and
+    * [[mergedCellsBy]] hands `Sketches.rollingSumRegisters` exactly the
+    * (groups…, r, b, c) table it windows. Closes the loop from the
+    * continuously-fed stream to the sliding-window heavy-hitter panel
+    * without ever re-scanning history.
+    */
+  def recordBatchBy(df: DataFrame, groups: Seq[String], valueCol: Column,
+      batchId: Long): Unit =
+    Sketches.cmsCellsBy(df, groups, valueCol, d, w)
+      .withColumn("_batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch_id")
+      .parquet(stateDir)
+
   /** The merged cell table over every recorded batch — identical to
     * the one-pass [[Sketches.cmsCells]] over the union of all batches'
     * rows.
@@ -47,6 +64,15 @@ final class StreamingCms(spark: SparkSession, stateDir: String,
   def mergedCells(): DataFrame =
     spark.read.parquet(stateDir)
       .groupBy("r", "b")
+      .agg(sum("c").as("c"))
+
+  /** Merged per-group cells over every recorded batch — identical to
+    * one-pass [[Sketches.cmsCellsBy]] over the union (SUM is
+    * associative across any batch grouping).
+    */
+  def mergedCellsBy(groups: Seq[String]): DataFrame =
+    spark.read.parquet(stateDir)
+      .groupBy(groups.map(col) ++ Seq(col("r"), col("b")): _*)
       .agg(sum("c").as("c"))
 
   /** Current frequency estimates for a key set (a string column named

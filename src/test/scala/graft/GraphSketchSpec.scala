@@ -533,6 +533,36 @@ class GraphSketchSpec extends SparkSpecBase {
       .as[(String, Long)].collect().toMap)
   }
 
+  test("streaming day-grouped CMS state feeds the rolling panel: " +
+      "stream fold + replay == one-pass grouped cells == batch rolling") {
+    val dir = tmpDir("cms_stream_day")
+    val sc = new graft.sketch.StreamingCms(spark, dir, d = 4, w = 32)
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 500).map(_ =>
+      (rnd.nextInt(5).toLong + 1L, s"u${rnd.nextInt(20)}"))
+    val all = rows.toDF("day", "u")
+    // three arrival batches cut ACROSS days (late data lands a day's
+    // cells in a later batch — the shape that makes grouped state earn
+    // its keep), plus a replay of batch 1
+    def batchPred(i: Long) = pmod(Dedup.tokenHash(col("u")), lit(3L)) === i
+    (0L to 2L).foreach { i =>
+      sc.recordBatchBy(all.filter(batchPred(i)), Seq("day"), col("u"), i)
+    }
+    sc.recordBatchBy(all.filter(batchPred(1L)), Seq("day"), col("u"), 1L)
+    def cellSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("day", "r", "b", "c").as[(Long, Int, Long, Long)]
+        .collect().toSet
+    val onePass = Sketches.cmsCellsBy(all, Seq("day"), col("u"), 4, 32)
+    assert(cellSet(sc.mergedCellsBy(Seq("day"))) === cellSet(onePass),
+      "stream-folded day cells must equal the one-pass grouped cells")
+    // and the rolling panel read off the STREAM state equals the panel
+    // read off the batch cells
+    def rolled(cells: org.apache.spark.sql.DataFrame) =
+      Sketches.rollingSumRegisters(cells, "day", Seq("r", "b"), "c", 3)
+        .as[(Long, Int, Long, Long)].collect().toSet
+    assert(rolled(sc.mergedCellsBy(Seq("day"))) === rolled(onePass))
+  }
+
   private def lpaRef(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
     val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
       .filter(e => e._1 != e._2).distinct
