@@ -214,7 +214,17 @@ object AuditQueries {
       graft.llm.Similarity.ivfRecallCurve(emb,
         emb.filter(col("vec_id") < 50), numCentroids = 16,
         probes = Seq(1, 3, 6), k = 5)
-    })
+    }),
+
+    // Equi-width histogram of lineitem price cents over DECLARED bounds
+    // (stable bucket edges across snapshots — two runs compare
+    // bar-for-bar; out-of-range rows clamp into the edge buckets, and
+    // empty buckets emit 0). 20 buckets over [0, 12,000,000) cents.
+    "profile_price_histogram" -> ((s, dir) =>
+      TableProfile.histogram(
+        Tables.lineitem(s, dir),
+        graft.ops.EventOps.cents(col("l_extendedprice")),
+        lo = 0L, hi = 12000000L, buckets = 20))
   )
 
   private val bpePatternDuck =
@@ -511,6 +521,24 @@ object AuditQueries {
          |    // (count(*) * $k) AS mean_recall_permille
          |FROM base b LEFT JOIN cm ON cm.p = b.p AND cm.qid = b.vec_id
          |GROUP BY b.p""".stripMargin.replace("\n", " ")
+    },
+
+    "profile_price_histogram" -> {
+      val (lo, hi, nb) = (0L, 12000000L, 20)
+      val width = hi - lo
+      s"""WITH v AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+         |    AS vc FROM lineitem),
+         |c AS (SELECT least(${nb - 1}, greatest(0,
+         |    (vc - $lo) * $nb // $width)) AS bucket, count(*) AS n
+         |  FROM v GROUP BY 1),
+         |s AS (SELECT CAST(b AS BIGINT) AS bucket
+         |  FROM UNNEST(range(0, $nb)) AS t(b))
+         |SELECT s.bucket,
+         |  CAST($lo + s.bucket * $width // $nb AS BIGINT) AS lo_v,
+         |  CAST($lo + (s.bucket + 1) * $width // $nb AS BIGINT) AS hi_v,
+         |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_rows
+         |FROM s LEFT JOIN c ON s.bucket = c.bucket"""
+        .stripMargin.replace("\n", " ")
     }
   )
 }

@@ -369,6 +369,24 @@ class AuditSpec extends SparkSpecBase {
     assert(m.getAs[Long]("slope_den") === 1L)
   }
 
+  // ---- histogram -------------------------------------------------------
+
+  test("histogram: closed-form buckets, edge clamping, empty buckets " +
+    "emitted, integer edges, counts sum to row count") {
+    // [0, 100) in 4 buckets of width 25; values outside clamp to edges
+    val df = Seq(-5L, 0L, 10L, 24L, 25L, 77L, 99L, 100L, 250L).toDF("v")
+    val rows = TableProfile.histogram(df, col("v"), 0L, 100L, 4)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("lo_v"), r.getAs[Long]("hi_v"),
+          r.getAs[Long]("n_rows"))).toMap
+    assert(rows.keySet === Set(0L, 1L, 2L, 3L))
+    assert(rows(0L) === ((0L, 25L, 4L)))   // -5 (clamped), 0, 10, 24
+    assert(rows(1L) === ((25L, 50L, 1L)))  // 25
+    assert(rows(2L) === ((50L, 75L, 0L)))  // empty bucket still emitted
+    assert(rows(3L) === ((75L, 100L, 4L))) // 77, 99, 100+250 (clamped)
+    assert(rows.values.map(_._3).sum === 9L)
+  }
+
   // ---- ivfRecallCurve --------------------------------------------------
 
   test("ivfRecallCurve: monotone non-decreasing in nprobe; probing " +
