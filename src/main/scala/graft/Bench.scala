@@ -177,26 +177,54 @@ object Bench {
       pass1 ++ retried
     }
 
-    val qs = results.toSeq.sortBy(_._1).map {
-      case (k, Right(v)) => "\"" + k + "\":" + v
-      case (k, Left(_))  => "\"" + k + "\":-1"
-    }.mkString("{", ",", "}")
+    def fmt(v: Double): String =
+      // Locale.ROOT: the default-locale formatter renders a comma
+      // decimal separator on e.g. de_DE JVMs — invalid JSON
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def qsJson(entries: Seq[(String, Either[String, Double])]): String =
+      entries.map {
+        case (k, Right(v)) => "\"" + k + "\":" + fmt(v)
+        case (k, Left(_))  => "\"" + k + "\":-1"
+      }.mkString("{", ",", "}")
+    val allQs = results.toSeq.sortBy(_._1)
     val failed = results.toSeq.collect { case (k, Left(_)) => "\"" + k + "\"" }
       .sorted.mkString("[", ",", "]")
     val total = results.values.collect { case Right(v) => v }.sum
     val trialsJson = trialLog.toSeq.sortBy(_._1).map { case (k, ts) =>
-      // Locale.ROOT: the default-locale f interpolator renders a comma
-      // decimal separator on e.g. de_DE JVMs — invalid JSON
-      "\"" + k + "\":" + ts.map(t =>
-        String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
-        .mkString("[", ",", "]")
+      "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""events_per_sec":$eventsPerSec,""" +
-      s""""events_per_sec_mix702010":$eventsPerSecMix,"failed":$failed,""" +
-      s""""contention_ratio":${math.round(contentionRatio * 100) / 100.0},""" +
-      s""""trials":$trialsJson,""" +
-      s""""sf":"$sfDir"}""")
+    def headline(qs: String, extra: String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""n_queries":${allQs.size},"queries":$qs,""" +
+        s""""events_per_sec":${fmt(eventsPerSec)},""" +
+        s""""events_per_sec_mix702010":${fmt(eventsPerSecMix)},""" +
+        s""""failed":$failed,""" +
+        s""""contention_ratio":${math.round(contentionRatio * 100) / 100.0}""" +
+        s"""$extra,"sf":"$sfDir"}"""
+    // Full per-query detail (all queries + trial spreads) goes to a
+    // repo file: the driver keeps only the LAST ~2000 chars of stdout,
+    // so a 200-query map on stdout is unparseable there by construction
+    // (rounds 10-11 recorded "parsed": null for exactly this reason).
+    val full = headline(qsJson(allQs), s""","trials":$trialsJson""")
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      (full + "\n").getBytes("UTF-8"))
+    // stdout gets ONE compact line sized to survive that tail window:
+    // headline metrics + the slowest queries, biggest first, topped up
+    // until the line would exceed the budget.
+    val budget = 1500
+    val bySlowest = allQs.sortBy {
+      case (_, Right(v)) => -v
+      case (_, Left(_))  => Double.NegativeInfinity // failures first
+    }
+    var kept = Vector.empty[(String, Either[String, Double])]
+    var line = headline(qsJson(kept), s""","detail":"bench_full.json"""")
+    for (e <- bySlowest) {
+      val cand = kept :+ e
+      val candLine = headline(qsJson(cand.sortBy(_._1)),
+        s""","detail":"bench_full.json"""")
+      if (candLine.length <= budget) { kept = cand; line = candLine }
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -288,9 +288,11 @@ object AuditQueries {
     "sketch_join_size" ->
       s"""WITH ${cmsCellsDuck("va", "event_type = 'view'")},
          |${cmsCellsDuck("pb", "event_type = 'purchase'")},
-         |est AS (SELECT CAST(min(rowsum) AS BIGINT) AS cms_join_est FROM (
-         |  SELECT a.r, sum(CAST(a.c AS HUGEINT) * b.c) AS rowsum
-         |  FROM va_c a JOIN pb_c b ON a.r = b.r AND a.b = b.b GROUP BY a.r)),
+         |rsum AS (SELECT a.r, sum(CAST(a.c AS HUGEINT) * b.c) AS rowsum
+         |  FROM va_c a JOIN pb_c b ON a.r = b.r AND a.b = b.b GROUP BY a.r),
+         |est AS (SELECT CAST(min(coalesce(rowsum, 0)) AS BIGINT) AS cms_join_est
+         |  FROM (SELECT CAST(range AS INTEGER) AS r FROM range($JoinD)) rows
+         |  LEFT JOIN rsum USING (r)),
          |fa AS (SELECT user_id, count(*) AS fa FROM events
          |  WHERE event_type = 'view' GROUP BY user_id),
          |fb AS (SELECT user_id, count(*) AS fb FROM events
@@ -447,7 +449,7 @@ object AuditQueries {
            |    AS n_violating,
            |  CAST(max(nd) AS BIGINT) AS max_rhs_distinct
            |FROM (SELECT $lhs, count(DISTINCT
-           |    coalesce(CAST($rhs AS VARCHAR), ' null')) AS nd
+           |    coalesce(CAST($rhs AS VARCHAR), chr(0) || 'null')) AS nd
            |  FROM $table GROUP BY 1)""".stripMargin.replace("\n", " ")
       s"""${leg("orders", "o_orderkey", "o_custkey")} UNION ALL
          |${leg("lineitem", "l_orderkey", "l_suppkey")} UNION ALL

@@ -349,6 +349,26 @@ object Sketches {
         col("kmv_jacc_pm_est")): _*)
   }
 
+  /** Panel-day scaffold shared by the rolling register roll-ups:
+    * observed register days by default, or — when `dayRange =
+    * Some((lo, hi))` — every day in [lo, hi] inclusive, cast to the
+    * register table's own day type so the left join and the
+    * `rangeBetween` frame see one consistent type. A declared range is
+    * how a monitoring panel keeps emitting rows through fully-silent
+    * days (the observed-days default omits exactly those). Bounded:
+    * the scaffold is a driver-declared day count, never data-sized.
+    */
+  private def scaffoldDays(regs: DataFrame, dayCol: String,
+      dayRange: Option[(Long, Long)]): DataFrame = dayRange match {
+    case None => regs.select(col(dayCol)).distinct()
+    case Some((lo, hi)) =>
+      require(lo <= hi, s"need lo <= hi, got [$lo, $hi]")
+      require(hi - lo < 100000L,
+        s"day scaffold bounded at 100000 days, got ${hi - lo + 1}")
+      regs.sparkSession.range(lo, hi + 1)
+        .select(col("id").cast(regs.schema(dayCol).dataType).as(dayCol))
+  }
+
   /** Sliding-window register roll-up over a per-day [[hllRegisters]]
     * table: for each day d, the max-merged registers of days
     * [d−windowDays+1, d] — the rolling-7-day-actives panel from 64
@@ -361,16 +381,25 @@ object Sketches {
     * day value keeps gap days honest (an absent day contributes
     * nothing, it doesn't stretch the frame). Output: (dayCol, _bucket,
     * _r) — feed [[hllEstimateFromRegisters]].
+    *
+    * Day scaffold contract: by default panel days are the OBSERVED
+    * register days — a day with zero events emits no panel row even
+    * when its trailing window is nonempty, which is exactly the
+    * anomalous silent day a monitoring panel wants to show. Pass
+    * `dayRange = Some((lo, hi))` to scaffold every day in [lo, hi]
+    * instead: silent days then emit the max-merge of their window's
+    * earlier days (and nothing if the whole window is empty).
     */
   def hllRollingRegisters(regs: DataFrame, dayCol: String,
-      windowDays: Int, p: Int): DataFrame = {
+      windowDays: Int, p: Int,
+      dayRange: Option[(Long, Long)] = None): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     require(p >= 2 && p <= 11, s"p must be in 2..11, got $p")
     val m = 1 << p
     import org.apache.spark.sql.expressions.Window
     // days × all m buckets: a bucket silent on day d still sees the
     // window's earlier days (absent registers must roll forward)
-    val scaffold = regs.select(col(dayCol)).distinct()
+    val scaffold = scaffoldDays(regs, dayCol, dayRange)
       .select(col(dayCol),
         explode(sequence(lit(0L), lit((m - 1).toLong))).as("_bucket"))
     val w = Window.partitionBy("_bucket").orderBy(col(dayCol))
@@ -469,14 +498,20 @@ object Sketches {
     * the same discipline as [[hllRollingRegisters]] (whose merge is
     * MAX; this is the SUM twin). Zero-count scaffold rows are dropped
     * on output (a missing cell reads as 0 downstream either way).
+    *
+    * Day scaffold contract: same as [[hllRollingRegisters]] — observed
+    * register days by default (a fully-silent day emits no panel rows);
+    * pass `dayRange = Some((lo, hi))` to scaffold every day in
+    * [lo, hi] so silent days still window their earlier days.
     */
   def rollingSumRegisters(regs: DataFrame, dayCol: String,
-      keyCols: Seq[String], cntCol: String, windowDays: Int): DataFrame = {
+      keyCols: Seq[String], cntCol: String, windowDays: Int,
+      dayRange: Option[(Long, Long)] = None): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     require(keyCols.nonEmpty, "need at least one register key column")
     import org.apache.spark.sql.expressions.Window
     val keys = keyCols.map(col)
-    val scaffold = regs.select(col(dayCol)).distinct()
+    val scaffold = scaffoldDays(regs, dayCol, dayRange)
       .crossJoin(regs.select(keys: _*).distinct())
     val w = Window.partitionBy(keys: _*).orderBy(col(dayCol))
       .rangeBetween(-(windowDays - 1).toLong, 0L)
@@ -511,7 +546,10 @@ object Sketches {
     * rows. Hash collisions only ADD cross terms, so the estimate is an
     * overestimate of the true join size for every row — `min` keeps the
     * tightest — and the calibration output carries the exact legs next
-    * to it (the family's estimate-next-to-exact discipline).
+    * to it (the family's estimate-next-to-exact discipline). All d rows
+    * reach the min via a scaffold: a row with ZERO overlapping (r,b)
+    * cells has inner product 0 and is the row PROVING the join empty —
+    * disjoint key sets report the true 0, never a collision artifact.
     *
     * Why it matters at 100 TB: the exact join size needs the full
     * per-key frequency join this estimator exists to avoid — the
@@ -534,9 +572,17 @@ object Sketches {
     val dec = "CAST(c AS DECIMAL(38,0))"
     val ca = cmsCells(a, aValue, d, w).withColumn("ca", expr(dec)).drop("c")
     val cb = cmsCells(b, bValue, d, w).withColumn("cb", expr(dec)).drop("c")
-    val est = ca.join(broadcast(cb), Seq("r", "b"))
-      .groupBy("r").agg(sum(expr("ca * cb")).as("rowsum"))
-      .agg(min("rowsum").cast("long").as("cms_join_est"))
+    // Scaffold all d rows before the min: a hash row with ZERO
+    // overlapping (r,b) cells is dropped by the inner join, and a row
+    // whose true inner product is 0 is exactly the one PROVING the join
+    // is empty — without the scaffold, disjoint key sets could report
+    // whatever the colliding rows happen to sum to.
+    val allRows = a.sparkSession.range(d).select(col("id").cast("int").as("r"))
+    val rowSums = ca.join(broadcast(cb), Seq("r", "b"))
+      .groupBy("r").agg(sum(expr("ca * cb")).as("_ps"))
+    val est = allRows.join(rowSums, Seq("r"), "left")
+      .agg(min(coalesce(col("_ps"), expr("CAST(0 AS DECIMAL(38,0))")))
+        .cast("long").as("cms_join_est"))
     val fa = a.select(aValue.as("k")).groupBy("k").agg(count(lit(1)).as("fa"))
     val fb = b.select(bValue.as("k")).groupBy("k").agg(count(lit(1)).as("fb"))
     val exact = fa.join(fb, "k")

@@ -41,6 +41,16 @@ class AuditSpec extends SparkSpecBase {
       .collect().head
     assert(disjoint.getAs[Long]("join_exact") === 0L)
     assert(disjoint.getAs[Long]("cms_join_est") >= 0L)
+    // one key per side: some hash row has zero overlapping cells, and
+    // the d-row scaffold must let its zero rowsum reach the min — a
+    // truly empty join reports 0, never a collision artifact
+    val one = Sketches.cmsJoinSize(
+      Seq("only_a").toDF("k"), col("k"),
+      Seq("only_b").toDF("k"), col("k"), d = 4, w = 64)
+      .collect().head
+    assert(one.getAs[Long]("join_exact") === 0L)
+    assert(one.getAs[Long]("cms_join_est") === 0L,
+      "zero-overlap hash rows must scaffold into the min")
     // same side twice: exact = sum f^2 = 50; with w=256 >> 50 keys the
     // min-row estimate should not blow past the collision-free value by
     // much (loose 4x sanity bound, deterministic hashes)
@@ -181,6 +191,53 @@ class AuditSpec extends SparkSpecBase {
     assert(got((2L, "A")) === 8L)
     assert(got((9L, "A")) === 7L)
     assert(!got.contains((1L, "B")), "B has no mass in day 1's window")
+  }
+
+  test("rollingSumRegisters dayRange: a fully-silent day emits its " +
+    "window's panel row; the observed-days default omits it") {
+    val regs = Seq((1L, "A", 5L), (2L, "A", 3L), (9L, "A", 7L),
+      (2L, "B", 10L)).toDF("day", "k", "cnt")
+    val byDefault = Sketches.rollingSumRegisters(
+      regs, "day", Seq("k"), "cnt", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(!byDefault.exists(_._1 == 3L),
+      "observed-days default must not invent day 3")
+    val ranged = Sketches.rollingSumRegisters(
+      regs, "day", Seq("k"), "cnt", 3, dayRange = Some((1L, 9L)))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // day 3 is silent but its window [1..3] holds A:5+3 and B:10
+    assert(ranged((3L, "A")) === 8L)
+    assert(ranged((3L, "B")) === 10L)
+    // day 4's window [2..4] still sees day 2; day 5..8 windows are empty
+    assert(ranged((4L, "A")) === 3L)
+    assert(ranged((4L, "B")) === 10L)
+    assert(!(5L to 8L).exists(d => ranged.contains((d, "A")) ||
+      ranged.contains((d, "B"))), "empty windows emit nothing")
+    // observed days carry identical values under both scaffolds
+    val obs = Sketches.rollingSumRegisters(regs, "day", Seq("k"), "cnt", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    obs.foreach { case (k, v) => assert(ranged(k) === v) }
+  }
+
+  test("hllRollingRegisters dayRange: a silent day's registers equal " +
+    "the max-merge of its window's earlier days") {
+    val daily = Seq((1L, "u1"), (1L, "u2"), (2L, "u3"), (9L, "u4"))
+      .toDF("day", "u")
+    val regs = Sketches.hllRegisters(daily, Seq("day"), col("u"), p = 4)
+    val rolled = Sketches.hllRollingRegisters(regs, "day", windowDays = 3,
+      p = 4, dayRange = Some((1L, 9L)))
+      .as[(Long, Long, Long)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    // day 3 is silent; its window [1..3] unions days 1-2
+    val want = Sketches.hllRegisters(
+        daily.filter(col("day") <= 2), Nil, col("u"), p = 4)
+      .as[(Long, Long)].collect().toMap
+    val day3 = rolled.collect { case ((3L, b), v) => b -> v }.toMap
+    assert(day3 === want)
+    // days 5..8 have empty windows: no rows
+    assert(!(5L to 8L).exists(d => rolled.keys.exists(_._1 == d)))
   }
 
   test("rolling log-histogram == one-pass histogram over each window " +
