@@ -66,7 +66,10 @@ object ScaleAudit {
       // width IS the scan width, data-proportional by construction)
       "sketch_cms_rolling_heavy", "sketch_quantile_rolling",
       "split_leakage_audit", "fd_audit", "events_value_trend",
-      "table_profile_orders", "graph_item_similarity_topk")
+      "table_profile_orders", "graph_item_similarity_topk",
+      // round-12: the bucketed interval join (equi-key exchange both
+      // sides) and the score-keyed AUC partial agg
+      "events_range_join", "quality_auc_lang")
     var collapsed = List.empty[String]
     val out = heavy.map { name =>
       stages = Nil

@@ -259,6 +259,26 @@ object Similarity {
       graft.util.Materialize.stable(sampledCentroids(corpus, numCentroids)),
       nprobe, k)
 
+  /** Public assignment seam: each corpus vector's single nearest cell
+    * against a FIXED centroid table — the unit of incremental IVF
+    * maintenance ([[graft.streaming.StreamingIvf]]): assignment is
+    * per-row against broadcast centroids, so it distributes over any
+    * batch decomposition of the corpus (union of per-batch assignments
+    * == one-pass assignment, spec-pinned). Output (cid, cv, nc, cell)
+    * — feed [[ivfSearchAssigned]].
+    */
+  def ivfAssign(corpus: DataFrame, cents: DataFrame): DataFrame =
+    assignCells(corpus, cents, "cid", "cv", "nc", keep = 1)
+
+  /** Public search seam over PRE-ASSIGNED corpus cells (the
+    * [[ivfAssign]] output, one-pass or batch-folded): probe `nprobe`
+    * query cells, exact integer cosine within candidates, top-k per
+    * query. The index-build / search split every vector store ships.
+    */
+  def ivfSearchAssigned(corpusCells: DataFrame, queries: DataFrame,
+      cents: DataFrame, nprobe: Int, k: Int): DataFrame =
+    ivfSearchCells(corpusCells, queries, cents, nprobe, k)
+
   /** IVF search against a CALLER-SUPPLIED centroid table — the seam that
     * takes [[kmeansCentroids]]' refined centroids (or any external
     * codebook) without changing the plan shape.

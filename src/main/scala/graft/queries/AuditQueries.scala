@@ -224,7 +224,42 @@ object AuditQueries {
       TableProfile.histogram(
         Tables.lineitem(s, dir),
         graft.ops.EventOps.cents(col("l_extendedprice")),
-        lo = 0L, hi = 12000000L, buckets = 20))
+        lo = 0L, hi = 12000000L, buckets = 20)),
+
+    // Bucketed range join: view events falling inside 4-day campaign
+    // windows opened by sampled purchase events — the interval join
+    // decomposed onto a 2-day bucket equi-key so Catalyst plans a
+    // shuffled join instead of the nested loop a raw BETWEEN forces
+    // (plan-audited). Aggregated per window: event count + value cents.
+    "events_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val day = expr("ts_us div 86400000000")
+      val wins = ev
+        .filter(col("event_type") === "purchase" && col("event_id") % 97 === 0)
+        .select(col("event_id").as("win_id"), day.as("lo_day"),
+          (day + 3).as("hi_day"))
+      val probe = ev.filter(col("event_type") === "view")
+        .select(day.as("d"), graft.ops.EventOps.cents(col("value")).as("cents"))
+      graft.ops.RangeJoin.bucketed(probe, "d", wins, "lo_day", "hi_day",
+          bucketWidth = 2L)
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_value_cents"))
+    }),
+
+    // Exact ROC-AUC (Mann-Whitney with tie correction) of the engine's
+    // stopword language score against the corpus's ground-truth lang
+    // label — the single-number ranking audit behind the lang-ID
+    // threshold (the confusion gate shows the operating point; this
+    // grades the whole score). Near-500 on this synthetic corpus is the
+    // honest verdict: its lang labels are assigned independently of the
+    // text. The only corpus-sized pass is one partial agg by score.
+    "quality_auc_lang" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = TextAnalysis.languageId(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("_is_en")),
+          "doc_id")
+      TableProfile.rocAuc(scored, col("stop_per_mille"), col("_is_en"))
+    })
   )
 
   private val bpePatternDuck =
@@ -541,6 +576,40 @@ object AuditQueries {
          |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_rows
          |FROM s LEFT JOIN c ON s.bucket = c.bucket"""
         .stripMargin.replace("\n", " ")
-    }
+    },
+
+    "events_range_join" ->
+      """WITH wins AS (SELECT event_id AS win_id,
+        |    epoch_us(ts) // 86400000000 AS lo_day,
+        |    epoch_us(ts) // 86400000000 + 3 AS hi_day
+        |  FROM events WHERE event_type = 'purchase' AND event_id % 97 = 0),
+        |pr AS (SELECT epoch_us(ts) // 86400000000 AS d,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'view')
+        |SELECT win_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS sum_value_cents
+        |FROM wins JOIN pr ON pr.d BETWEEN wins.lo_day AND wins.hi_day
+        |GROUP BY win_id""".stripMargin.replace("\n", " "),
+
+    "quality_auc_lang" ->
+      s"""WITH f AS (SELECT lang = 'en' AS y,
+         |  len(list_filter(string_split(text, ' '), x -> x IN ($stopListDuck)))
+         |    * 1000 // len(string_split(text, ' ')) AS sc FROM documents),
+         |s AS (SELECT sc,
+         |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |  CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+         |  FROM f GROUP BY 1),
+         |c AS (SELECT np, nn, coalesce(sum(nn) OVER (ORDER BY sc
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+         |  FROM s),
+         |a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+         |  CAST(sum(nn) AS BIGINT) AS n_neg,
+         |  sum(CAST(np AS HUGEINT) * (2 * cnb + nn)) AS num FROM c)
+         |SELECT n_pos, n_neg,
+         |  CAST(1000 * num // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+         |    AS BIGINT) AS auc_permille,
+         |  CAST(1000000 * num // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+         |    AS BIGINT) AS auc_x1e6
+         |FROM a""".stripMargin.replace("\n", " ")
   )
 }

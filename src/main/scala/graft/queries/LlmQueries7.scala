@@ -29,6 +29,10 @@ object LlmQueries7 {
   private val IvfProbe = 3      // the recall audit grades exactly the
   private val IvfK = 5          // gated index configuration
 
+  private val IncPriorMax = 400L // ann_ivf_incremental: the prior
+  // corpus the centroids freeze on (400 prior + 100/1600 delta at the
+  // gate scales)
+
   private val V3MinSrc = 500L  // curateV3: reputation floor (splits the
   private val V3Budget = 3000L // fixture sources) and a budget that
   // binds at both gate scales (survivors carry 8.4k / 107k tokens)
@@ -161,7 +165,26 @@ object LlmQueries7 {
     // proven to COMPOSE against one assembled oracle.
     "corpus_curated_v3" -> ((s, dir) =>
       graft.llm.Curation.curateV3(Tables.documents(s, dir), "doc_id",
-        "text", "source", V3MinSrc, V3Budget, V3Stops))
+        "text", "source", V3MinSrc, V3Budget, V3Stops)),
+
+    // Incremental IVF maintenance: centroids frozen from the PRIOR
+    // corpus (vec_id < 400 — the index-build contract), the delta
+    // assigned against them in a second batch, and search over the
+    // batch-folded assignments. The oracle is the ONE-PASS search SQL
+    // with the same frozen centroids — incremental == full is the
+    // gated contract (assignment distributes over any batch split).
+    "ann_ivf_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = graft.util.Materialize.stable(
+        Similarity.sampledCentroids(
+          emb.filter(col("vec_id") < IncPriorMax), IvfCentroids))
+      val folded = Similarity.ivfAssign(
+          emb.filter(col("vec_id") < IncPriorMax), cents)
+        .unionByName(Similarity.ivfAssign(
+          emb.filter(col("vec_id") >= IncPriorMax), cents))
+      Similarity.ivfSearchAssigned(folded,
+        emb.filter(col("vec_id") < 50), cents, IvfProbe, IvfK)
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -469,6 +492,39 @@ object LlmQueries7 {
          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM s2)
          |SELECT doc_id, source, score, n_tokens, cum_tokens, text_hash
          |FROM c WHERE cum_tokens <= $V3Budget""".stripMargin.replace("\n", " ")
+    },
+
+    // the ann_ivf_topk SQL with centroids frozen on the PRIOR corpus
+    // (vec_id < IncPriorMax) — the one-pass answer the batch-folded
+    // incremental assignment must land on exactly
+    "ann_ivf_incremental" -> {
+      val quant = Similarity.quantizeSqlDuck
+      def cos(dot: String, n1: String, n2: String) =
+        s"CAST($dot AS DOUBLE) / (sqrt(CAST($n1 AS DOUBLE)) * sqrt(CAST($n2 AS DOUBLE)))"
+      s"""WITH v AS (SELECT vec_id, $quant AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv, ${Similarity.dotQSqlDuck("qv", "qv")} AS nrm FROM v),
+         |cents AS (SELECT vec_id AS cent_id, qv AS centv, nrm AS ncent FROM
+         |  (SELECT vec_id, qv, nrm FROM n WHERE vec_id < $IncPriorMax
+         |   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $IvfCentroids)),
+         |ca AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM (
+         |  SELECT n.vec_id, n.qv, n.nrm, c.cent_id,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ${cos(Similarity.dotQSqlDuck("n.qv", "c.centv"), "n.nrm", "c.ncent")} DESC,
+         |      c.cent_id) AS crn
+         |  FROM n, cents c) WHERE crn = 1),
+         |qa AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM (
+         |  SELECT nq.vec_id, nq.qv, nq.nrm, c.cent_id,
+         |    row_number() OVER (PARTITION BY nq.vec_id ORDER BY
+         |      ${cos(Similarity.dotQSqlDuck("nq.qv", "c.centv"), "nq.nrm", "c.ncent")} DESC,
+         |      c.cent_id) AS crn
+         |  FROM (SELECT * FROM n WHERE vec_id < 50) nq, cents c) WHERE crn <= $IvfProbe),
+         |p AS (SELECT qa.vec_id AS qid, ca.vec_id AS cid, ca.cell,
+         |    ${cos(Similarity.dotQSqlDuck("qa.qv", "ca.qv"), "qa.nrm", "ca.nrm")} AS cos_sim
+         |  FROM qa JOIN ca ON qa.cell = ca.cell AND ca.vec_id <> qa.vec_id),
+         |r AS (SELECT qid, cid, cell, cos_sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank FROM p)
+         |SELECT qid, cid, cell, rank, cos_sim FROM r WHERE rank <= $IvfK"""
+        .stripMargin.replace("\n", " ")
     }
   )
 }

@@ -809,4 +809,23 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("Exchange rangepartitioning"),
       "label re-expansion is equi-join work only — no global sort")
   }
+
+  test("bucketed range join gate: the BETWEEN decomposes to an " +
+      "equi-join — never a nested loop or cartesian") {
+    val p = plan("events_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "the bucket-key decomposition is the operator's whole point")
+    assert(p.contains("partial_count"),
+      "per-window aggregation must combine map-side")
+  }
+
+  test("rocAuc gate: one corpus-sized partial agg by score; the " +
+      "cumulative window runs on the score table only") {
+    val p = plan("quality_auc_lang")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-score counts must combine inside each task")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("ScalaUDF"))
+  }
 }

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{RangeJoin, TableProfile}
+
+class RangeJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // ---- RangeJoin.bucketed --------------------------------------------
+
+  test("bucketed range join: brute-force parity on random data incl. " +
+    "negative values and multi-bucket intervals") {
+    val rnd = new scala.util.Random(5)
+    val probe = (1 to 400).map(i => (i.toLong, rnd.nextLong() % 100L))
+    val ivs = (1 to 60).map { j =>
+      val lo = rnd.nextLong() % 100L
+      (1000L + j, lo, lo + rnd.nextInt(25))
+    }
+    for (width <- Seq(1L, 3L, 7L, 50L)) {
+      val got = RangeJoin.bucketed(
+        probe.toDF("p_id", "t"), "t",
+        ivs.toDF("win_id", "lo", "hi"), "lo", "hi", bucketWidth = width)
+        .select("p_id", "win_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val want = (for {
+        (pid, t) <- probe
+        (wid, lo, hi) <- ivs
+        if t >= lo && t <= hi
+      } yield (pid, wid)).sorted
+      assert(got === want, s"width $width")
+      assert(got.size === got.distinct.size, "each match emitted once")
+    }
+  }
+
+  test("bucketed range join: inverted interval and over-span intervals " +
+    "raise instead of silently descending or exploding") {
+    val probe = Seq((1L, 10L)).toDF("p_id", "t")
+    val bad = Seq((1L, 20L, 10L)).toDF("win_id", "lo", "hi")
+    val e1 = intercept[Exception] {
+      RangeJoin.bucketed(probe, "t", bad, "lo", "hi", 2L).collect()
+    }
+    assert(e1.getMessage.contains("hi < lo"))
+    val wide = Seq((1L, 0L, 1000000L)).toDF("win_id", "lo", "hi")
+    val e2 = intercept[Exception] {
+      RangeJoin.bucketed(probe, "t", wide, "lo", "hi", 2L,
+        maxBucketsPerInterval = 100).collect()
+    }
+    assert(e2.getMessage.contains("spans"))
+  }
+
+  test("bucketed range join: negative timestamps bucket with floor " +
+    "semantics (no fold-through at zero)") {
+    // t = -1 and t = 1 are in DIFFERENT width-5 buckets; an interval
+    // covering only [-3, -1] must not match t = 1 and vice versa
+    val probe = Seq((1L, -1L), (2L, 1L), (3L, -6L)).toDF("p_id", "t")
+    val ivs = Seq((10L, -3L, -1L), (20L, 0L, 2L)).toDF("win_id", "lo", "hi")
+    val got = RangeJoin.bucketed(probe, "t", ivs, "lo", "hi", 5L)
+      .select("p_id", "win_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (2L, 20L)))
+  }
+
+  test("bucketed range join plans an equi-join, not a nested loop") {
+    val probe = spark.range(100).select(col("id").as("t"))
+    val ivs = spark.range(10).select((col("id") * 10).as("lo"),
+      (col("id") * 10 + 5).as("hi"))
+    val p = RangeJoin.bucketed(probe, "t", ivs, "lo", "hi", 8L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"range join must decompose to an equi-join:\n$p")
+  }
+
+  // ---- TableProfile.rocAuc -------------------------------------------
+
+  test("rocAuc closed forms: perfect separation 1000, reversed 0, " +
+    "single tied score 500, empty class NULL") {
+    def auc(rows: Seq[(Long, Boolean)]): Option[Long] = {
+      val r = TableProfile.rocAuc(rows.toDF("s", "y"), col("s"), col("y"))
+        .collect().head
+      if (r.isNullAt(2)) None else Some(r.getAs[Long]("auc_permille"))
+    }
+    assert(auc(Seq((1L, false), (2L, false), (5L, true), (9L, true)))
+      === Some(1000L))
+    assert(auc(Seq((9L, false), (5L, false), (2L, true), (1L, true)))
+      === Some(0L))
+    assert(auc(Seq((7L, true), (7L, false), (7L, true), (7L, false)))
+      === Some(500L))
+    assert(auc(Seq((1L, true), (2L, true))) === None)
+    assert(auc(Seq((1L, false))) === None)
+  }
+
+  test("rocAuc == brute-force pair counting on random tied data") {
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 500).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(3) == 0))
+    val got = TableProfile.rocAuc(rows.toDF("s", "y"), col("s"), col("y"))
+      .collect().head
+    val pos = rows.collect { case (s, true) => s }
+    val neg = rows.collect { case (s, false) => s }
+    // 2·Σ_pairs [pos > neg] + Σ_pairs [pos == neg], over 2·P·N
+    val num2 = (for (p <- pos; n <- neg) yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val den2 = 2L * pos.size * neg.size
+    assert(got.getAs[Long]("n_pos") === pos.size.toLong)
+    assert(got.getAs[Long]("n_neg") === neg.size.toLong)
+    assert(got.getAs[Long]("auc_permille") === 1000L * num2 / den2)
+    assert(got.getAs[Long]("auc_x1e6") === 1000000L * num2 / den2)
+  }
+
+  test("rocAuc excludes NULL scores and labels (they have no rank)") {
+    val rows = Seq[(java.lang.Long, java.lang.Boolean)](
+      (1L, false), (5L, true), (null, true), (3L, null))
+      .toDF("s", "y")
+    val got = TableProfile.rocAuc(rows, col("s"), col("y")).collect().head
+    assert(got.getAs[Long]("n_pos") === 1L)
+    assert(got.getAs[Long]("n_neg") === 1L)
+    assert(got.getAs[Long]("auc_permille") === 1000L)
+  }
+}
