@@ -148,17 +148,27 @@ object TableProfile {
     * ~1e28) exceeds int64 a billion-fold. Rows with a NULL score or
     * label are excluded (they have no rank); auc_* are NULL when
     * either class is empty (AUC undefined).
-    * Output one row: (n_pos, n_neg, auc_permille, auc_x1e6).
+    * Output one row per group (one row total when `groups` is empty):
+    * (groups…, n_pos, n_neg, auc_permille, auc_x1e6).
+    *
+    * Grouped form: pass `groups` to audit the score per segment
+    * (per source, per language) — "which feeds does this score rank
+    * well on" next to the corpus-wide number. The window partitions by
+    * the group columns, so each partition is still score-bounded.
     */
-  def rocAuc(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+  def rocAuc(df: DataFrame, scoreCol: Column, labelCol: Column,
+      groups: Seq[String] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val g = groups.map(col)
     val byScore = df
-      .select(scoreCol.cast("long").as("_s"), labelCol.cast("boolean").as("_y"))
+      .select(g ++ Seq(scoreCol.cast("long").as("_s"),
+        labelCol.cast("boolean").as("_y")): _*)
       .filter(col("_s").isNotNull && col("_y").isNotNull)
-      .groupBy("_s").agg(
+      .groupBy(g :+ col("_s"): _*).agg(
         sum(when(col("_y"), 1L).otherwise(0L)).as("_np"),
         sum(when(col("_y"), 0L).otherwise(1L)).as("_nn"))
-    val w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    val w = Window.partitionBy(g: _*).orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, -1)
     def auc(scale: String, name: String) = expr(
       s"""CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
          |ELSE CAST($scale * _num div
@@ -166,10 +176,11 @@ object TableProfile {
          |END""".stripMargin.replace("\n", " ")).as(name)
     byScore
       .withColumn("_cnb", coalesce(sum("_nn").over(w), lit(0L)))
+      .groupBy(g: _*)
       .agg(sum("_np").as("n_pos"), sum("_nn").as("n_neg"),
         sum(expr("CAST(_np AS DECIMAL(38,0)) * (2 * _cnb + _nn)")).as("_num"))
-      .select(col("n_pos"), col("n_neg"),
-        auc("1000", "auc_permille"), auc("1000000", "auc_x1e6"))
+      .select(g ++ Seq(col("n_pos"), col("n_neg"),
+        auc("1000", "auc_permille"), auc("1000000", "auc_x1e6")): _*)
   }
 
   /** Equi-width histogram of an integer column over a CALLER-DECLARED

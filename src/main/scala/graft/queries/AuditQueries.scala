@@ -259,6 +259,45 @@ object AuditQueries {
         .join(docs.select(col("doc_id"), (col("lang") === "en").as("_is_en")),
           "doc_id")
       TableProfile.rocAuc(scored, col("stop_per_mille"), col("_is_en"))
+    }),
+
+    // The same ranking audit per SOURCE — "which feeds does the score
+    // rank well on" next to the corpus-wide number (a score can look
+    // adequate in aggregate while being noise on one feed). Same
+    // arithmetic, window partitioned by source.
+    "quality_auc_by_source" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = TextAnalysis.languageId(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source"),
+          (col("lang") === "en").as("_is_en")), "doc_id")
+      TableProfile.rocAuc(scored, col("stop_per_mille"), col("_is_en"),
+        groups = Seq("source"))
+    }),
+
+    // The range-join panel folded from two probe batches (event_id
+    // parity) — per-batch bucketed joins into interval-keyed partial
+    // aggs, SUM-merged: the StreamingRangeJoin read path expressed
+    // in-plan, gated against the ONE-PASS oracle (count/sum distribute
+    // over any batch decomposition of the probe stream).
+    "events_range_join_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val day = expr("ts_us div 86400000000")
+      val wins = ev
+        .filter(col("event_type") === "purchase" && col("event_id") % 97 === 0)
+        .select(col("event_id").as("win_id"), day.as("lo_day"),
+          (day + 3).as("hi_day"))
+      def leg(pred: org.apache.spark.sql.Column) = graft.ops.RangeJoin
+        .bucketed(
+          ev.filter(col("event_type") === "view" && pred)
+            .select(day.as("d"),
+              graft.ops.EventOps.cents(col("value")).as("cents")),
+          "d", wins, "lo_day", "hi_day", bucketWidth = 2L)
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_value_cents"))
+      leg(col("event_id") % 2 === 0).unionByName(leg(col("event_id") % 2 === 1))
+        .groupBy("win_id")
+        .agg(sum("n_events").as("n_events"),
+          sum("sum_value_cents").as("sum_value_cents"))
     })
   )
 
@@ -610,6 +649,44 @@ object AuditQueries {
          |    AS BIGINT) AS auc_permille,
          |  CAST(1000000 * num // (2 * CAST(n_pos AS HUGEINT) * n_neg)
          |    AS BIGINT) AS auc_x1e6
-         |FROM a""".stripMargin.replace("\n", " ")
+         |FROM a""".stripMargin.replace("\n", " "),
+
+    "quality_auc_by_source" ->
+      s"""WITH f AS (SELECT source, lang = 'en' AS y,
+         |  len(list_filter(string_split(text, ' '), x -> x IN ($stopListDuck)))
+         |    * 1000 // len(string_split(text, ' ')) AS sc FROM documents),
+         |s AS (SELECT source, sc,
+         |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |  CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+         |  FROM f GROUP BY 1, 2),
+         |c AS (SELECT source, np, nn, coalesce(sum(nn) OVER (
+         |    PARTITION BY source ORDER BY sc
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+         |  FROM s),
+         |a AS (SELECT source, CAST(sum(np) AS BIGINT) AS n_pos,
+         |  CAST(sum(nn) AS BIGINT) AS n_neg,
+         |  sum(CAST(np AS HUGEINT) * (2 * cnb + nn)) AS num
+         |  FROM c GROUP BY 1)
+         |SELECT source, n_pos, n_neg,
+         |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+         |    ELSE CAST(1000 * num // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+         |      AS BIGINT) END AS auc_permille,
+         |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+         |    ELSE CAST(1000000 * num // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+         |      AS BIGINT) END AS auc_x1e6
+         |FROM a""".stripMargin.replace("\n", " "),
+
+    "events_range_join_stream" ->
+      """WITH wins AS (SELECT event_id AS win_id,
+        |    epoch_us(ts) // 86400000000 AS lo_day,
+        |    epoch_us(ts) // 86400000000 + 3 AS hi_day
+        |  FROM events WHERE event_type = 'purchase' AND event_id % 97 = 0),
+        |pr AS (SELECT epoch_us(ts) // 86400000000 AS d,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'view')
+        |SELECT win_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS sum_value_cents
+        |FROM wins JOIN pr ON pr.d BETWEEN wins.lo_day AND wins.hi_day
+        |GROUP BY win_id""".stripMargin.replace("\n", " ")
   )
 }

@@ -117,4 +117,57 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(got.getAs[Long]("n_neg") === 1L)
     assert(got.getAs[Long]("auc_permille") === 1000L)
   }
+
+  test("grouped rocAuc == ungrouped rocAuc over each group's subset") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 600).map(_ => (s"g${rnd.nextInt(3)}",
+      rnd.nextInt(15).toLong, rnd.nextInt(2) == 0))
+    val df = rows.toDF("g", "s", "y")
+    val grouped = TableProfile.rocAuc(df, col("s"), col("y"), Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+         r.getAs[Long]("auc_permille"), r.getAs[Long]("auc_x1e6"))).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = TableProfile.rocAuc(df.filter(col("g") === g),
+        col("s"), col("y")).collect().head
+      assert(grouped(g) === ((solo.getAs[Long]("n_pos"),
+        solo.getAs[Long]("n_neg"), solo.getAs[Long]("auc_permille"),
+        solo.getAs[Long]("auc_x1e6"))), s"group $g")
+    }
+  }
+
+  // ---- StreamingRangeJoin ----------------------------------------------
+
+  test("StreamingRangeJoin: batch-folded panel == one-pass range-join " +
+    "aggregate; replayed batch is a no-op; late-matched interval appears") {
+    val rnd = new scala.util.Random(31)
+    val probe = (1 to 500).map(i =>
+      (i.toLong, rnd.nextInt(200).toLong, rnd.nextInt(1000).toLong))
+    val ivs = (1 to 30).map { j =>
+      val lo = rnd.nextInt(200).toLong
+      (1000L + j, lo, lo + rnd.nextInt(12))
+    }
+    val ivDf = ivs.toDF("win_id", "lo", "hi")
+    val panel = new graft.streaming.StreamingRangeJoin(
+      spark, tmpDir("rj_state"), bucketWidth = 5L, keyCols = Seq("win_id"))
+    def batch(pred: ((Long, Long, Long)) => Boolean) =
+      probe.filter(pred).toDF("eid", "t", "v")
+    panel.recordBatch(batch(_._1 % 2 == 0), "t", col("v"), ivDf,
+      "lo", "hi", batchId = 0L)
+    panel.recordBatch(batch(_._1 % 2 == 1), "t", col("v"), ivDf,
+      "lo", "hi", batchId = 1L)
+    def snap() = panel.merged().collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = snap()
+    val want = (for {
+      (wid, lo, hi) <- ivs
+      hits = probe.filter { case (_, t, _) => t >= lo && t <= hi }
+      if hits.nonEmpty
+    } yield wid -> ((hits.size.toLong, hits.map(_._3).sum))).toMap
+    assert(got === want)
+    // replay batch 1: identical partition rewrite, panel unchanged
+    panel.recordBatch(batch(_._1 % 2 == 1), "t", col("v"), ivDf,
+      "lo", "hi", batchId = 1L)
+    assert(snap() === want, "a replayed batch must not change the panel")
+  }
 }
