@@ -65,8 +65,8 @@ object RangeJoin {
       .withColumn("_rj_lo", expr(bk(loCol)))
       .withColumn("_rj_hi", expr(
         s"""CASE
-           |  WHEN ${bk(hiCol)} < ${bk(loCol)} THEN raise_error(
-           |    'bucketedRangeJoin: interval has hi < lo')
+           |  WHEN CAST($hiCol AS BIGINT) < CAST($loCol AS BIGINT)
+           |    THEN raise_error('bucketedRangeJoin: interval has hi < lo')
            |  WHEN ${bk(hiCol)} - ${bk(loCol)} >= $maxBucketsPerInterval
            |    THEN raise_error(concat('bucketedRangeJoin: interval spans > ',
            |      '$maxBucketsPerInterval buckets - widen bucketWidth or raise ',

@@ -40,6 +40,13 @@ class RangeJoinSpec extends SparkSpecBase {
       RangeJoin.bucketed(probe, "t", bad, "lo", "hi", 2L).collect()
     }
     assert(e1.getMessage.contains("hi < lo"))
+    // inversion INSIDE one bucket must also raise (the bucket-level
+    // comparison alone would let it silently match nothing)
+    val badSameBucket = Seq((1L, 5L, 3L)).toDF("win_id", "lo", "hi")
+    val e1b = intercept[Exception] {
+      RangeJoin.bucketed(probe, "t", badSameBucket, "lo", "hi", 10L).collect()
+    }
+    assert(e1b.getMessage.contains("hi < lo"))
     val wide = Seq((1L, 0L, 1000000L)).toDF("win_id", "lo", "hi")
     val e2 = intercept[Exception] {
       RangeJoin.bucketed(probe, "t", wide, "lo", "hi", 2L,
