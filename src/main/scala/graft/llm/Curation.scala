@@ -138,6 +138,63 @@ object Curation {
         "text_hash")
   }
 
+  /** Fourth-generation composed pipeline — the END-TO-END training-set
+    * assembly: domain reputation gate → eval-set DECONTAMINATION
+    * ([[Decontam.decontaminate]]: drop docs whose n-gram containment of
+    * the eval suite reaches the threshold) → Gopher quality rules →
+    * exact dedup (first occurrence by id) → greedy token-budget
+    * selection → next-fit-decreasing SEQUENCE PACKING
+    * ([[Packing.packGreedyDecreasing]]: the selected docs land in
+    * per-source bins of ≤ `binBudget` tokens, long docs first). The
+    * stages every release pipeline runs between "raw crawl" and
+    * "training shards", proven to compose against ONE assembled oracle
+    * — the budget order is computed over exactly the survivors of the
+    * three filters, and the bin assignment over exactly the budget's
+    * selections.
+    *
+    * Scale shape = the sum of its stages' audited shapes: broadcast
+    * per-source table, broadcast eval grams (the corpus never exchanges
+    * on the gram key), codegen'd rules, one md5-keyed exchange for the
+    * dedup, the decomposed cumulative sum, and packing's one group-keyed
+    * shuffle + partition-local fold.
+    * Output: (doc_id, source, n_tokens, bin_idx, text_hash).
+    */
+  def curateV4(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, srcCol: String, minSrcPermille: Long,
+      tokenBudget: Long, binBudget: Long, decontamN: Int,
+      minHitPermille: Int, maxGramEvalDf: Long,
+      stopWords: Seq[String] = QualityRules.GopherStopWords): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val reput = Sampling.sourceReputationFilter(corpus, idCol, textCol,
+      srcCol, minSrcPermille).select(col(idCol))
+    val qualified = corpus.join(reput, Seq(idCol))
+    val clean = Decontam.decontaminate(qualified, evalSet, idCol, textCol,
+      decontamN, minHitPermille, maxGramEvalDf)
+    val ok = QualityRules.gopherQuality(clean, idCol, textCol, stopWords)
+      .filter(col("passes_gopher")).select("doc_id")
+    val kept = clean
+      .select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        col(textCol).as("_txt"))
+      .join(ok, Seq("doc_id"))
+    val w = Window.partitionBy(md5(col("_txt"))).orderBy("doc_id")
+    val uniq = graft.util.Materialize.stable(
+      kept.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1))
+    val sel = Sampling.tokenBudgetSelect(uniq, "doc_id",
+      expr("size(array_distinct(split(_txt, ' '))) * 1000 div " +
+        "size(split(_txt, ' '))"),
+      TextAnalysis.tokenCount(col("_txt")), tokenBudget)
+    val chosen = graft.util.Materialize.stable(
+      sel.select("doc_id", "n_tokens")
+        .join(uniq.select(col("doc_id"), col("source"),
+          md5(col("_txt")).as("text_hash")), Seq("doc_id")))
+    Packing.packGreedyDecreasing(chosen, "doc_id", "source",
+        col("n_tokens"), binBudget)
+      .select(col("doc_id"), col("grp").as("source"), col("n_tokens"),
+        col("bin_idx"))
+      .join(chosen.select("doc_id", "text_hash"), Seq("doc_id"))
+  }
+
   /** Per-source corpus health: doc/token totals, docs passing the
     * quality filter, and exact-duplicate (non-canonical) copies.
     * Output: (source, n_docs, n_tokens, n_kept, n_dup).

@@ -167,6 +167,21 @@ object LlmQueries7 {
       graft.llm.Curation.curateV3(Tables.documents(s, dir), "doc_id",
         "text", "source", V3MinSrc, V3Budget, V3Stops)),
 
+    // Fourth composed pipeline — the END-TO-END training-set assembly:
+    // reputation gate → eval-set decontamination (src0 as the eval
+    // suite) → Gopher rules → exact dedup → token-budget selection →
+    // next-fit-decreasing packing into 128-token bins. One assembled
+    // oracle proves all six stages compose.
+    "corpus_curated_v4" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.llm.Curation.curateV4(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", "source", V3MinSrc, V3Budget, binBudget = 128L,
+        decontamN = 3, minHitPermille = 100, maxGramEvalDf = 20,
+        stopWords = V3Stops)
+    }),
+
     // Incremental IVF maintenance: centroids frozen from the PRIOR
     // corpus (vec_id < 400 — the index-build contract), the delta
     // assigned against them in a second batch, and search over the
@@ -492,6 +507,70 @@ object LlmQueries7 {
          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM s2)
          |SELECT doc_id, source, score, n_tokens, cum_tokens, text_hash
          |FROM c WHERE cum_tokens <= $V3Budget""".stripMargin.replace("\n", " ")
+    },
+
+    // the v3 CTE chain with the decontamination CTEs spliced in after
+    // the reputation gate and the NFD packing fold appended — one
+    // assembled oracle across all six stages
+    "corpus_curated_v4" -> {
+      val gopherPass = graft.llm.QualityRules.gopherPassSqlDuck("clean", V3Stops)
+      s"""WITH RECURSIVE sc AS (SELECT doc_id, source,
+         |    CAST(len(list_distinct(string_split(text, ' '))) * 1000
+         |      // len(string_split(text, ' ')) AS BIGINT) AS doc_score
+         |  FROM documents WHERE source <> 'src0'),
+         |bsrc AS (SELECT source FROM sc GROUP BY source
+         |  HAVING sum(doc_score) // count(*) >= $V3MinSrc),
+         |qual AS (SELECT d.doc_id, d.source, d.text FROM documents d
+         |  JOIN bsrc USING (source)),
+         |qtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM qual),
+         |shq AS (SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS sh
+         |  FROM qtoks, UNNEST(range(1, len(t)-1)) AS r(i) WHERE len(t) >= 3),
+         |corp AS (SELECT DISTINCT doc_id,
+         |  CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h FROM shq),
+         |etoks AS (SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents WHERE source = 'src0'),
+         |she AS (SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS sh
+         |  FROM etoks, UNNEST(range(1, len(t)-1)) AS r(i) WHERE len(t) >= 3),
+         |ev AS (SELECT DISTINCT doc_id AS eval_id,
+         |  CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h FROM she),
+         |evk AS (SELECT eval_id, h FROM ev WHERE h IN
+         |  (SELECT h FROM ev GROUP BY h HAVING count(*) <= 20)),
+         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY 1),
+         |hits AS (SELECT c.doc_id, count(DISTINCT c.h) AS n_hits
+         |  FROM corp c JOIN evk e ON c.h = e.h GROUP BY 1),
+         |flagged AS (SELECT h.doc_id FROM hits h JOIN sizes s USING (doc_id)
+         |  WHERE n_hits * 1000 // s.n_grams >= 100),
+         |clean AS (SELECT * FROM qual
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+         |gp AS ($gopherPass),
+         |keep AS (SELECT q.* FROM clean q JOIN gp USING (doc_id)),
+         |uq AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+         |    ORDER BY doc_id) AS rn FROM keep),
+         |u AS (SELECT doc_id, source, text FROM uq WHERE rn = 1),
+         |s2 AS (SELECT doc_id, source, md5(text) AS text_hash,
+         |    CAST(len(list_distinct(string_split(text, ' '))) * 1000
+         |      // len(string_split(text, ' ')) AS BIGINT) AS score,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM u),
+         |cum AS (SELECT *, CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM s2),
+         |seld AS (SELECT doc_id, source, n_tokens, text_hash FROM cum
+         |  WHERE cum_tokens <= $V3Budget),
+         |t2 AS (SELECT source, doc_id, n_tokens, row_number() OVER (
+         |    PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS rn FROM seld),
+         |p(source, rn, doc_id, n_tokens, bin_idx, fill) AS (
+         |  SELECT source, rn, doc_id, n_tokens, CAST(0 AS BIGINT),
+         |    CAST(n_tokens AS BIGINT) FROM t2 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t2.source, t2.rn, t2.doc_id, t2.n_tokens,
+         |    CASE WHEN p.fill + t2.n_tokens <= 128 THEN p.bin_idx ELSE p.bin_idx + 1 END,
+         |    CASE WHEN p.fill + t2.n_tokens <= 128 THEN p.fill + t2.n_tokens
+         |         ELSE CAST(t2.n_tokens AS BIGINT) END
+         |  FROM t2 JOIN p ON t2.source = p.source AND t2.rn = p.rn + 1)
+         |SELECT p.doc_id, p.source, CAST(p.n_tokens AS INTEGER) AS n_tokens,
+         |  p.bin_idx, s.text_hash
+         |FROM p JOIN seld s ON p.doc_id = s.doc_id"""
+        .stripMargin.replace("\n", " ")
     },
 
     // the ann_ivf_topk SQL with centroids frozen on the PRIOR corpus

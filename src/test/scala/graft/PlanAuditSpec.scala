@@ -810,6 +810,21 @@ class PlanAuditSpec extends SparkSpecBase {
       "label re-expansion is equi-join work only — no global sort")
   }
 
+  test("curateV4: six composed stages keep their audited shapes — " +
+      "no cartesian, no UDF, no corpus-sized global range sort") {
+    // the gate materializes its selection prefix (Materialize.stable),
+    // so this plan string is the post-selection TAIL (packing fold +
+    // hash re-attach); the broadcast shapes of the earlier stages are
+    // asserted by their own operators' audits (reputation/decontam/
+    // budget-select plan tests)
+    val p = plan("corpus_curated_v4")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("ScalaUDF"))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "nothing in the tail may globally range-sort")
+  }
+
   test("bucketed range join gate: the BETWEEN decomposes to an " +
       "equi-join — never a nested loop or cartesian") {
     val p = plan("events_range_join")
