@@ -171,14 +171,18 @@ object LlmQueries7 {
     // reputation gate → eval-set decontamination (src0 as the eval
     // suite) → Gopher rules → exact dedup → token-budget selection →
     // next-fit-decreasing packing into 128-token bins. One assembled
-    // oracle proves all six stages compose.
+    // oracle proves all six stages compose. Decontam runs on 5-grams
+    // here: the fixture's 31-word vocab makes 3-grams collide so hard
+    // at sf0.1 that a 100-permille containment gate flags 2989/3000
+    // docs — the n-gram order IS the false-positive dial, and 5-grams
+    // flag a meaningful 2/1/20 docs across the three scales.
     "corpus_curated_v4" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       graft.llm.Curation.curateV4(
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"),
         "doc_id", "text", "source", V3MinSrc, V3Budget, binBudget = 128L,
-        decontamN = 3, minHitPermille = 100, maxGramEvalDf = 20,
+        decontamN = 5, minHitPermille = 100, maxGramEvalDf = 20,
         stopWords = V3Stops)
     }),
 
@@ -523,14 +527,16 @@ object LlmQueries7 {
          |qual AS (SELECT d.doc_id, d.source, d.text FROM documents d
          |  JOIN bsrc USING (source)),
          |qtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM qual),
-         |shq AS (SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS sh
-         |  FROM qtoks, UNNEST(range(1, len(t)-1)) AS r(i) WHERE len(t) >= 3),
+         |shq AS (SELECT doc_id,
+         |    concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS sh
+         |  FROM qtoks, UNNEST(range(1, len(t)-3)) AS r(i) WHERE len(t) >= 5),
          |corp AS (SELECT DISTINCT doc_id,
          |  CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h FROM shq),
          |etoks AS (SELECT doc_id, string_split(text, ' ') AS t
          |  FROM documents WHERE source = 'src0'),
-         |she AS (SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS sh
-         |  FROM etoks, UNNEST(range(1, len(t)-1)) AS r(i) WHERE len(t) >= 3),
+         |she AS (SELECT doc_id,
+         |    concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS sh
+         |  FROM etoks, UNNEST(range(1, len(t)-3)) AS r(i) WHERE len(t) >= 5),
          |ev AS (SELECT DISTINCT doc_id AS eval_id,
          |  CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h FROM she),
          |evk AS (SELECT eval_id, h FROM ev WHERE h IN
