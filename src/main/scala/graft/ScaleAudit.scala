@@ -68,8 +68,11 @@ object ScaleAudit {
       "split_leakage_audit", "fd_audit", "events_value_trend",
       "table_profile_orders", "graph_item_similarity_topk",
       // round-12: the bucketed interval join (equi-key exchange both
-      // sides) and the score-keyed AUC partial agg
-      "events_range_join", "quality_auc_lang")
+      // sides), the score-keyed AUC partial agg, and the self-retrieval
+      // postings pass (corpus_curated_v4 is excluded by design: its
+      // packing tail repartitions by source, whose cardinality — not
+      // the data size — bounds the width)
+      "events_range_join", "quality_auc_lang", "text_self_retrieval_mrr")
     var collapsed = List.empty[String]
     val out = heavy.map { name =>
       stages = Nil
