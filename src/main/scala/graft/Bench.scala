@@ -40,6 +40,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // host-load breadcrumb for the bench notes: a high 1-min loadavg at
+    // start explains a slow pass-1 better than any per-query number
+    scala.util.Try(java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg"))).foreach(l =>
+      System.err.println(s"[bench] loadavg_at_start ${l.trim}"))
 
     var contentionRatio = 1.0
     def noteSpread(trials: Seq[Double]): Unit = {
@@ -146,7 +151,12 @@ object Bench {
       n -> timeOnce(n) { fn(spark, sfDir).count(): Unit }
     }.toMap
 
-    var rebudget = 240.0
+    // Retry budget scales with the suite: a fixed 240 s (tuned at ~180
+    // queries) exhausted before the expensive entries when a contended
+    // pass-1 pushed many queries over the 2 s retry threshold — the
+    // un-retried tail then reads as a 7 s "warm" ceiling that a fresh
+    // session measures at 2 s.
+    var rebudget = math.max(240.0, 1.5 * sorted.size)
     // Per-entry trial spreads for every multi-trial measurement, emitted
     // in the JSON so a contention-contaminated round is diagnosable per
     // query, not just via the global contention_ratio.
