@@ -185,4 +185,31 @@ class SkewAuditSpec extends SparkSpecBase {
       .as[(Long, Long)].collect().toMap
     assert(got === mass, "hot-src graph: distributed PageRank diverged")
   }
+
+  test("bucketed range join, one hot bucket: exact under 90% probe " +
+    "concentration; the bucket key is a JOIN key AQE can split") {
+    import spark.implicits._
+    // 90% of probe rows land in bucket 0 ([0, 10)); intervals overlap it
+    val probe = (1 to 1000).map { i =>
+      val t = if (i % 10 != 0) (i % 10).toLong else 100L + i
+      (i.toLong, t)
+    }
+    val ivs = Seq((1L, 0L, 9L), (2L, 5L, 14L), (3L, 500L, 700L))
+    val got = graft.ops.RangeJoin.bucketed(
+      probe.toDF("p_id", "t"), "t",
+      ivs.toDF("win_id", "lo", "hi"), "lo", "hi", bucketWidth = 10L)
+      .groupBy("win_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ivs.map { case (w, lo, hi) =>
+      w -> probe.count { case (_, t) => t >= lo && t <= hi }.toLong
+    }.filter(_._2 > 0).toMap
+    assert(got === want, "hot-bucket range join diverged from brute force")
+    // plan shape: the hot bucket rides a shuffled equi-join (AQE's skew
+    // splitting applies to join keys; a nested loop has no key to split)
+    val p = graft.ops.RangeJoin.bucketed(
+      probe.toDF("p_id", "t"), "t",
+      ivs.toDF("win_id", "lo", "hi"), "lo", "hi", bucketWidth = 10L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
 }
