@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST line of `sbt "runMain graft.Bench"` stdout
+// as JSON. Two sbt decorations break that: the logger prefixes every
+// forked-process line with `[info] `, and the `[success] Total time …`
+// epilogue displaces the headline from last place. StdoutOutput passes
+// the forked JVM's stdout through RAW (no logger, no prefix);
+// showSuccess drops the epilogue.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

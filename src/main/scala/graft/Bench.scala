@@ -54,7 +54,13 @@ object Bench {
     }
 
     def clearCaches(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // BLOCKING unpersist: clearCaches runs OUTSIDE the timed window, so
+      // a synchronous removal costs the measurement nothing — while the
+      // async form let a heavy query's thousands of localCheckpoint
+      // blocks still be draining when the next trial's t0 started
+      // (measured as the only RISING trial sequence in r12,
+      // dedup_clusters_incremental 3.51 -> 5.71 across retries).
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
       // One GC per timing too: across three controlled runs, the
       // per-timing GC produced the cleanest profile (contention 4.7 vs

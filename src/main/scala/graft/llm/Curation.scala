@@ -67,7 +67,6 @@ object Curation {
       groupCol: String, tokenBudget: Long,
       stopWords: Seq[String] = QualityRules.GopherStopWords,
       sep: String = "\n\n"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ok = QualityRules.gopherQuality(docs, idCol, textCol, stopWords)
       .filter(col("passes_gopher")).select("doc_id")
     // stratum key normalized to a non-null string (the curate() rule):
@@ -79,11 +78,10 @@ object Curation {
       .join(ok, Seq("doc_id"))
     val para = Dedup.paragraphDedup(
       kept.select(col("doc_id"), col("_txt")), "doc_id", "_txt", sep)
-    val w = Window.partitionBy(md5(col("text_kept"))).orderBy("doc_id")
     val uniq = graft.util.Materialize.stable(
-      para.join(kept.select(col("doc_id"), col("_grp")), Seq("doc_id"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn"))
+      Dedup.firstOccurrences(
+        para.join(kept.select(col("doc_id"), col("_grp")), Seq("doc_id")),
+        "doc_id", "text_kept"))
     val rates = Sampling.temperatureMixWeights(uniq, "_grp",
       TextAnalysis.tokenCount(col("text_kept")), tokenBudget)
       .select(col("_grp"), col("rate_permille"))
@@ -111,7 +109,6 @@ object Curation {
   def curateV3(docs: DataFrame, idCol: String, textCol: String,
       srcCol: String, minSrcPermille: Long, tokenBudget: Long,
       stopWords: Seq[String] = QualityRules.GopherStopWords): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val reput = Sampling.sourceReputationFilter(docs, idCol, textCol,
       srcCol, minSrcPermille).select(col(idCol))
     val qualified = docs.join(reput, Seq(idCol))
@@ -121,13 +118,11 @@ object Curation {
       .select(col(idCol).as("doc_id"), col(srcCol).as("source"),
         col(textCol).as("_txt"))
       .join(ok, Seq("doc_id"))
-    val w = Window.partitionBy(md5(col("_txt"))).orderBy("doc_id")
     // three plan branches read `uniq` (the budget selection's prefix
     // table, its main scan, and the final re-attach join) — materialize
     // once, the curateV2 multi-branch discipline
     val uniq = graft.util.Materialize.stable(
-      kept.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1))
+      Dedup.firstOccurrences(kept, "doc_id", "_txt"))
     val sel = Sampling.tokenBudgetSelect(uniq, "doc_id",
       expr("size(array_distinct(split(_txt, ' '))) * 1000 div " +
         "size(split(_txt, ' '))"),
@@ -164,7 +159,6 @@ object Curation {
       tokenBudget: Long, binBudget: Long, decontamN: Int,
       minHitPermille: Int, maxGramEvalDf: Long,
       stopWords: Seq[String] = QualityRules.GopherStopWords): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val reput = Sampling.sourceReputationFilter(corpus, idCol, textCol,
       srcCol, minSrcPermille).select(col(idCol))
     val qualified = corpus.join(reput, Seq(idCol))
@@ -176,10 +170,8 @@ object Curation {
       .select(col(idCol).as("doc_id"), col(srcCol).as("source"),
         col(textCol).as("_txt"))
       .join(ok, Seq("doc_id"))
-    val w = Window.partitionBy(md5(col("_txt"))).orderBy("doc_id")
     val uniq = graft.util.Materialize.stable(
-      kept.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1))
+      Dedup.firstOccurrences(kept, "doc_id", "_txt"))
     val sel = Sampling.tokenBudgetSelect(uniq, "doc_id",
       expr("size(array_distinct(split(_txt, ' '))) * 1000 div " +
         "size(split(_txt, ' '))"),

@@ -72,6 +72,27 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
 
+  /** First-occurrence selection for exact dedup: keep only the row whose
+    * `idCol` is the minimum within its md5(`textCol`) group, preserving
+    * every input column. This is the row-selecting twin of
+    * [[exactDuplicates]] and the ONLY sanctioned shape for it: a
+    * `Window.partitionBy(md5(text))` puts a boilerplate text's entire
+    * copy set (10⁶–10⁷ rows at 100 TB) on one unsplittable task, whereas
+    * this is a map-side-combined partial-min groupBy plus an equi-join on
+    * the COMPOSITE (hash, id) key — even a corpus-hot hash spreads across
+    * partitions because the id varies per copy. Assumes `idCol` is unique
+    * per row (a doc id); duplicate (hash, id) pairs would all survive.
+    */
+  def firstOccurrences(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    require(!docs.columns.contains("_fo_h"),
+      s"input already contains internal working column _fo_h")
+    val canon = docs.groupBy(md5(col(textCol)).as("_fo_h"))
+      .agg(min(col(idCol)).as(idCol))
+    docs.withColumn("_fo_h", md5(col(textCol)))
+      .join(canon, Seq("_fo_h", idCol))
+      .drop("_fo_h")
+  }
+
   /** Dedup-loss attribution: after exact dedup (canonical = minimum id
     * per text hash), how many docs does each SOURCE lose, and what
     * fraction of its corpus is that — the per-feed duplication report a

@@ -231,4 +231,57 @@ object QualityRules {
        |  FROM v GROUP BY doc_id)
        |SELECT doc_id, n_lines, n_kept, text_kept
        |FROM agg WHERE NOT bad AND n_kept >= 1""".stripMargin.replace("\n", " ")
+
+  final case class ClassifierScore(doc_id: Long, score_permille: Option[Long])
+
+  /** Model-scored quality classifier seam — the LEARNED tier above the
+    * closed-form rulesets: production pipelines (FineWeb-Edu's
+    * educational-value classifier, DCLM's fastText filter) score every
+    * document with a trained model and threshold/sample on the score.
+    * The model itself is external (no closed form); what the engine owns
+    * — the [[graft.llm.Retrieval.rerankBatched]] seam discipline — is
+    * the distributed plumbing: docs flow through `mapPartitions` so ONE
+    * model session per PARTITION amortizes across its documents (never
+    * per-row init), the scorer is a caller-supplied `String => Long`
+    * permille function, and a NULL text scores NULL rather than
+    * silently dropping the row. Pure map stage — embarrassingly
+    * parallel at any corpus size; calibrate the stub (or a real model)
+    * with [[graft.ops.TableProfile.rocAuc]] against ground truth.
+    */
+  def classifierScores(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, idCol: String, textCol: String,
+      scoreOne: String => Long = stubEduScore): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_txt"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        // per-partition model init amortizes here (the seam contract)
+        rows.map { case (id, t) =>
+          ClassifierScore(id, Option(t).map(scoreOne))
+        }
+      }
+      .toDF()
+  }
+
+  /** Deterministic stub classifier: mean of the lexical-diversity ratio
+    * (distinct/total tokens) and the long-word ratio (≥6 code points),
+    * integer per-mille — a monotone "informational density" proxy the
+    * specs and the DuckDB oracle ([[stubEduScoreSqlDuck]]) reproduce
+    * bit-for-bit. Code points (not UTF-16 units) so the length rule
+    * matches DuckDB's len() beyond the BMP.
+    */
+  def stubEduScore(text: String): Long = {
+    val toks = text.split(" ", -1) // keep trailing empties: string_split does
+    val n = toks.length.toLong
+    val uniq = toks.distinct.length.toLong
+    val long6 = toks.count(t => t.codePointCount(0, t.length) >= 6).toLong
+    (uniq * 1000 / n + long6 * 1000 / n) / 2
+  }
+
+  /** The stub scorer as a DuckDB expression over a `text` column. */
+  val stubEduScoreSqlDuck: String =
+    """(len(list_distinct(string_split(text, ' '))) * 1000
+      |  // len(string_split(text, ' '))
+      | + len(list_filter(string_split(text, ' '), x -> len(x) >= 6)) * 1000
+      |  // len(string_split(text, ' '))) // 2""".stripMargin.replace("\n", " ")
 }

@@ -232,8 +232,12 @@ object Retrieval {
   def selfRetrievalAudit(corpus: DataFrame, queries: DataFrame,
       idCol: String, textCol: String, queryTokens: Int, k: Int): DataFrame = {
     require(queryTokens >= 1, s"queryTokens must be >= 1, got $queryTokens")
+    // dropDuplicates mirrors the oracle's SELECT DISTINCT: a duplicated
+    // query id would otherwise inflate hits/_sum_rr (summed per result
+    // row) while n_queries stays countDistinct
     val trunc = queries.select(col(idCol), concat_ws(" ",
       slice(split(col(textCol), " "), 1, queryTokens)).as(textCol))
+      .dropDuplicates(idCol)
     val res = bm25iTopK(corpus, trunc, idCol, textCol, k)
     val nQ = trunc.agg(countDistinct(col(idCol)).as("n_queries"))
     val self = res.filter(col("doc_id") === col("query_id"))
@@ -243,7 +247,10 @@ object Retrieval {
     broadcast(nQ).crossJoin(self).select(col("n_queries"),
       coalesce(col("_h1"), lit(0L)).as("hits_at_1"),
       coalesce(col("_hk"), lit(0L)).as("hits_at_k"),
-      expr("coalesce(_sum_rr, 0) div n_queries").as("mrr_x1e6"))
+      // explicit zero-queries guard: `div 0` would yield NULL silently
+      when(col("n_queries") === 0, lit(0L))
+        .otherwise(expr("coalesce(_sum_rr, 0) div n_queries"))
+        .as("mrr_x1e6"))
   }
 
   /** Reciprocal-rank fusion (Cormack & Clarke, SIGIR 2009) — the hybrid

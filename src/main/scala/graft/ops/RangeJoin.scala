@@ -50,6 +50,13 @@ object RangeJoin {
     val shared = probe.columns.toSet.intersect(intervals.columns.toSet)
     require(shared.isEmpty,
       s"probe and interval column names must be disjoint, shared: $shared")
+    // inputs must also avoid the internal working names: withColumn would
+    // silently OVERWRITE a same-named input column and drop() would then
+    // remove it from the output — wrong results, not an error
+    val internal = Seq("_rj_bk", "_rj_lo", "_rj_hi")
+    val clash = (probe.columns ++ intervals.columns).toSet.intersect(internal.toSet)
+    require(clash.isEmpty,
+      s"inputs must not contain internal working columns $internal, found: $clash")
     require(Seq(tCol, loCol, hiCol).forall(c =>
       !c.contains("`") && !c.contains("'")), "no quotes in column names")
     // floor division via pmod: (x - pmod(x, w)) div w is exact int64

@@ -298,6 +298,66 @@ object AuditQueries {
         .groupBy("win_id")
         .agg(sum("n_events").as("n_events"),
           sum("sum_value_cents").as("sum_value_cents"))
+    }),
+
+    // The range-join panel with BOTH sides batch-decomposed — the
+    // StreamingRangeJoin register design expressed in-plan: probe
+    // batches fold into a per-t digest (sum-merged sufficient statistic
+    // for any interval aggregate), interval batches union, ONE bucketed
+    // join of digest x intervals replaces every history re-join. Gated
+    // against the same one-pass oracle: count/sum distribute over any
+    // batch decomposition of EITHER side.
+    "events_range_join_stream2" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val day = expr("ts_us div 86400000000")
+      val wins = ev
+        .filter(col("event_type") === "purchase" && col("event_id") % 97 === 0)
+        .select(col("event_id").as("win_id"), day.as("lo_day"),
+          (day + 3).as("hi_day"))
+      def digestLeg(pred: org.apache.spark.sql.Column) = ev
+        .filter(col("event_type") === "view" && pred)
+        .select(day.as("_t"), graft.ops.EventOps.cents(col("value")).as("_v"))
+        .groupBy("_t")
+        .agg(count(lit(1)).as("_n"), sum("_v").as("_sum"))
+      val digest = digestLeg(col("event_id") % 2 === 0)
+        .unionByName(digestLeg(col("event_id") % 2 === 1))
+        .groupBy("_t").agg(sum("_n").as("_n"), sum("_sum").as("_sum"))
+      val ivs = wins.filter(col("win_id") % 2 === 0)
+        .unionByName(wins.filter(col("win_id") % 2 === 1))
+      graft.ops.RangeJoin
+        .bucketed(digest, "_t", ivs, "lo_day", "hi_day", bucketWidth = 2L)
+        .groupBy("win_id")
+        .agg(sum("_n").as("n_events"), sum("_sum").as("sum_value_cents"))
+    }),
+
+    // Model-scored quality classifier seam, calibrated with ROC-AUC —
+    // the LEARNED tier above Gopher/C4 (the FineWeb-Edu / DCLM stage):
+    // the deterministic stub scorer flows through the mapPartitions
+    // seam (one model session per partition, never per-row init) and
+    // the gate grades its ranking against the corpus's ground-truth
+    // lang label with the same Mann-Whitney walk as quality_auc_lang.
+    // Swap the stub for a real model; the gate and the plan stay.
+    "quality_classifier_auc" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = graft.llm.QualityRules
+        .classifierScores(s, docs, "doc_id", "text")
+      TableProfile.rocAuc(
+        scored.join(docs.select(col("doc_id"),
+          (col("lang") === "en").as("_is_en")), "doc_id"),
+        col("score_permille"), col("_is_en"))
+    }),
+
+    // The classifier's per-source score-decile histogram — the
+    // distribution panel a score threshold is picked from (which feeds
+    // skew low, where the mass sits). Bounded output: sources × 10.
+    "quality_classifier_hist" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.llm.QualityRules.classifierScores(s, docs, "doc_id", "text")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy(col("source"),
+          expr("least(score_permille div 100, 9)").as("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("score_permille").as("sum_score"))
     })
   )
 
@@ -633,7 +693,8 @@ object AuditQueries {
     "quality_auc_lang" ->
       s"""WITH f AS (SELECT lang = 'en' AS y,
          |  len(list_filter(string_split(text, ' '), x -> x IN ($stopListDuck)))
-         |    * 1000 // len(string_split(text, ' ')) AS sc FROM documents),
+         |    * 1000 // len(string_split(text, ' ')) AS sc FROM documents
+         |  WHERE lang IS NOT NULL AND text IS NOT NULL),
          |s AS (SELECT sc,
          |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
          |  CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
@@ -654,7 +715,8 @@ object AuditQueries {
     "quality_auc_by_source" ->
       s"""WITH f AS (SELECT source, lang = 'en' AS y,
          |  len(list_filter(string_split(text, ' '), x -> x IN ($stopListDuck)))
-         |    * 1000 // len(string_split(text, ' ')) AS sc FROM documents),
+         |    * 1000 // len(string_split(text, ' ')) AS sc FROM documents
+         |  WHERE lang IS NOT NULL AND text IS NOT NULL),
          |s AS (SELECT source, sc,
          |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
          |  CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
@@ -675,6 +737,49 @@ object AuditQueries {
          |    ELSE CAST(1000000 * num // (2 * CAST(n_pos AS HUGEINT) * n_neg)
          |      AS BIGINT) END AS auc_x1e6
          |FROM a""".stripMargin.replace("\n", " "),
+
+    "events_range_join_stream2" ->
+      """WITH wins AS (SELECT event_id AS win_id,
+        |    epoch_us(ts) // 86400000000 AS lo_day,
+        |    epoch_us(ts) // 86400000000 + 3 AS hi_day
+        |  FROM events WHERE event_type = 'purchase' AND event_id % 97 = 0),
+        |pr AS (SELECT epoch_us(ts) // 86400000000 AS d,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'view')
+        |SELECT win_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS sum_value_cents
+        |FROM wins JOIN pr ON pr.d BETWEEN wins.lo_day AND wins.hi_day
+        |GROUP BY win_id""".stripMargin.replace("\n", " "),
+
+    "quality_classifier_auc" ->
+      s"""WITH f AS (SELECT lang = 'en' AS y,
+         |  ${graft.llm.QualityRules.stubEduScoreSqlDuck} AS sc FROM documents
+         |  WHERE lang IS NOT NULL AND text IS NOT NULL),
+         |s AS (SELECT sc,
+         |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |  CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+         |  FROM f GROUP BY 1),
+         |c AS (SELECT np, nn, coalesce(sum(nn) OVER (ORDER BY sc
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+         |  FROM s),
+         |a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+         |  CAST(sum(nn) AS BIGINT) AS n_neg,
+         |  sum(CAST(np AS HUGEINT) * (2 * cnb + nn)) AS num FROM c)
+         |SELECT n_pos, n_neg,
+         |  CAST(1000 * num // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+         |    AS BIGINT) AS auc_permille,
+         |  CAST(1000000 * num // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+         |    AS BIGINT) AS auc_x1e6
+         |FROM a""".stripMargin.replace("\n", " "),
+
+    "quality_classifier_hist" ->
+      s"""WITH sc AS (SELECT doc_id, source,
+         |  ${graft.llm.QualityRules.stubEduScoreSqlDuck} AS score_permille
+         |  FROM documents)
+         |SELECT source, least(score_permille // 100, 9) AS decile,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(score_permille) AS BIGINT) AS sum_score
+         |FROM sc GROUP BY 1, 2""".stripMargin.replace("\n", " "),
 
     "events_range_join_stream" ->
       """WITH wins AS (SELECT event_id AS win_id,

@@ -365,6 +365,22 @@ object Sketches {
       require(lo <= hi, s"need lo <= hi, got [$lo, $hi]")
       require(hi - lo < 100000L,
         s"day scaffold bounded at 100000 days, got ${hi - lo + 1}")
+      // the cast below must be lossless: a non-ANSI bigint→int cast WRAPS
+      // silently (scaffold days become wrong values) and bigint→date
+      // fails outright, so validate the day type can hold [lo, hi]
+      import org.apache.spark.sql.types._
+      val bound = regs.schema(dayCol).dataType match {
+        case LongType    => Long.MaxValue
+        case IntegerType => Int.MaxValue.toLong
+        case ShortType   => Short.MaxValue.toLong
+        case ByteType    => Byte.MaxValue.toLong
+        case dt => throw new IllegalArgumentException(
+          s"day column '$dayCol' must be an integral type for a declared " +
+            s"dayRange scaffold, got $dt")
+      }
+      require(lo >= -bound - 1 && hi <= bound,
+        s"dayRange [$lo, $hi] exceeds the range of $dayCol's " +
+          s"${regs.schema(dayCol).dataType} — the cast would wrap silently")
       regs.sparkSession.range(lo, hi + 1)
         .select(col("id").cast(regs.schema(dayCol).dataType).as(dayCol))
   }

@@ -51,9 +51,24 @@ final class StreamingIvf(spark: SparkSession, stateDir: String) {
   /** The merged assignment table over every recorded batch — identical
     * to one-pass [[Similarity.ivfAssign]] over the union of all
     * batches' vectors (union distributes over per-row assignment).
+    * Before any batch has been recorded the index's natural zero state
+    * is the EMPTY assignment table (searching it returns no rows), not
+    * an AnalysisException from reading an absent directory.
     */
   def mergedAssignments(): DataFrame =
-    spark.read.parquet(stateDir).select("cid", "cv", "nc", "cell")
+    if (StreamingState.hasData(spark, stateDir))
+      spark.read.parquet(stateDir).select("cid", "cv", "nc", "cell")
+    else {
+      // the ivfAssign output schema is fixed by construction: cid =
+      // vec_id (bigint), cv = quantize(embedding) (array<bigint>),
+      // nc = dotQ(cv, cv) (bigint), cell = cent_id (bigint)
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("cid", LongType),
+          StructField("cv", ArrayType(LongType)),
+          StructField("nc", LongType), StructField("cell", LongType))))
+    }
 
   /** Search the live index: top-k per query over the merged
     * assignments, same plan shape as the one-pass

@@ -823,6 +823,12 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("ScalaUDF"))
     assert(!p.contains("Exchange rangepartitioning"),
       "nothing in the tail may globally range-sort")
+    // the r12 regression: exact dedup as Window.partitionBy(md5(text))
+    // put a boilerplate page's whole copy set on one unsplittable task;
+    // v4 now reuses Dedup.firstOccurrences (partial-min + composite-key
+    // join), so no text-hash-keyed window may appear anywhere
+    assert(!p.linesIterator.exists(l => l.contains("Window") && l.contains("md5")),
+      "no text-hash-keyed window in the v4 plan")
   }
 
   test("bucketed range join gate: the BETWEEN decomposes to an " +
@@ -842,5 +848,26 @@ class PlanAuditSpec extends SparkSpecBase {
       "per-score counts must combine inside each task")
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("ScalaUDF"))
+  }
+
+  test("classifier seam gates: the mapPartitions stage feeds the same " +
+      "audited AUC/agg shapes — no cartesian, no global sort") {
+    for (g <- Seq("quality_classifier_auc", "quality_classifier_hist")) {
+      val p = plan(g)
+      assert(p.contains("MapPartitions"),
+        s"$g: the seam's per-partition model stage must be in the plan")
+      assert(!p.contains("CartesianProduct"), g)
+      assert(!p.contains("Exchange rangepartitioning"), g)
+    }
+  }
+
+  test("both-sides-incremental range join gate: digest x intervals " +
+      "stays a bucket-key equi-join with map-side combine") {
+    val p = plan("events_range_join_stream2")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "the digest join must decompose to the bucket equi-join")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "the per-t digest must combine map-side")
   }
 }

@@ -267,4 +267,61 @@ class QualityRulesSpec extends SparkSpecBase {
       .select("doc_id", "status").as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
   }
+
+  // ------------------------------------ model-scored classifier seam
+
+  test("classifier seam: stub scores match the in-plan SQL rendering of " +
+    "the same formula; a NULL text scores NULL, not a dropped row") {
+    val docs = Seq(
+      (1L, "the quick brown foxhound jumped over seventeen lazy dogs"),
+      (2L, "a a a a a"), // zero diversity beyond one token, no long words
+      (3L, "internationalization considerations"),
+      (4L, ""),          // empty text: one empty token, score 500
+      (5L, null: String))
+      .toDF("doc_id", "text")
+    val got = QualityRules.classifierScores(spark, docs, "doc_id", "text")
+      .select("doc_id", "score_permille")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // the same formula in-plan (codegen'd) over the non-null rows
+    val want = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), expr(
+        """(size(array_distinct(split(text, ' '))) * 1000
+          |    div size(split(text, ' '))
+          |  + size(filter(split(text, ' '), x -> length(x) >= 6)) * 1000
+          |    div size(split(text, ' '))) div 2"""
+          .stripMargin.replace("\n", " ")).as("s"))
+      .collect().map(r => r.getLong(0) -> Some(r.getLong(1))).toMap
+    assert(got == want + (5L -> None))
+    assert(got(4L) == Some(500L), "empty text: 1 empty token, 1000/2")
+    assert(got(2L) == Some(100L),
+      s"5 tokens, 1 distinct, 0 long: (200+0)/2 = 100, got ${got(2L)}")
+  }
+
+  test("classifier seam: one scorer init per PARTITION, not per row " +
+    "(the rerankBatched amortization contract)") {
+    val docs = spark.range(0, 64).toDF("doc_id")
+      .withColumn("text", concat(lit("doc number "), col("doc_id")))
+      .repartition(4)
+    val inits = spark.sparkContext.longAccumulator("scorer_inits")
+    val rows = spark.sparkContext.longAccumulator("scored_rows")
+    // a scoreOne closure can't observe partition boundaries, so drive the
+    // seam's mapPartitions shape through a scorer whose INIT is the first
+    // call on each partition: count both and compare
+    import spark.implicits._
+    val out = docs
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        inits.add(1) // the "model session" the seam promises per partition
+        it.map { case (id, t) =>
+          rows.add(1)
+          QualityRules.ClassifierScore(id, Some(QualityRules.stubEduScore(t)))
+        }
+      }.toDF()
+    assert(out.count() === 64L)
+    assert(rows.value === 64L)
+    assert(inits.value === 4L,
+      s"exactly one init per partition, got ${inits.value}")
+  }
 }

@@ -177,4 +177,57 @@ class RangeJoinSpec extends SparkSpecBase {
       "lo", "hi", batchId = 1L)
     assert(snap() === want, "a replayed batch must not change the panel")
   }
+
+  test("StreamingRangeJoin: BOTH sides incremental — late interval " +
+    "batches see all probe history; any batch decomposition of either " +
+    "side folds to the one-pass panel; replay on either side is a no-op") {
+    val rnd = new scala.util.Random(47)
+    val probe = (1 to 600).map(i =>
+      (i.toLong, rnd.nextInt(250).toLong, rnd.nextInt(1000).toLong))
+    val ivs = (1 to 40).map { j =>
+      val lo = rnd.nextInt(250).toLong
+      (2000L + j, lo, lo + rnd.nextInt(15))
+    }
+    val panel = new graft.streaming.StreamingRangeJoin(
+      spark, tmpDir("rj_state2"), bucketWidth = 4L, keyCols = Seq("win_id"))
+    def pBatch(pred: ((Long, Long, Long)) => Boolean) =
+      probe.filter(pred).toDF("eid", "t", "v")
+    def ivBatch(pred: ((Long, Long, Long)) => Boolean) =
+      ivs.filter(pred).toDF("win_id", "lo", "hi")
+    def snap() = panel.merged().collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = (for {
+      (wid, lo, hi) <- ivs
+      hits = probe.filter { case (_, t, _) => t >= lo && t <= hi }
+      if hits.nonEmpty
+    } yield wid -> ((hits.size.toLong, hits.map(_._3).sum))).toMap
+
+    // probes arrive FIRST, in three uneven batches — no intervals yet
+    panel.recordProbeBatch(pBatch(_._1 % 3 == 0), "t", col("v"), 0L)
+    panel.recordProbeBatch(pBatch(_._1 % 3 == 1), "t", col("v"), 1L)
+    panel.recordProbeBatch(pBatch(_._1 % 3 == 2), "t", col("v"), 2L)
+    assert(panel.merged().count() === 0L,
+      "no interval recorded yet -> empty panel, not an exception")
+
+    // intervals arrive LATE, in two batches: each must see ALL probe
+    // history through the digest, never a history re-scan
+    panel.recordIntervalBatch(ivBatch(_._1 % 2 == 0), "lo", "hi", 0L)
+    panel.recordIntervalBatch(ivBatch(_._1 % 2 == 1), "lo", "hi", 1L)
+    assert(snap() === want, "folded panel must equal the one-pass aggregate")
+
+    // replay each side: partition overwritten with identical rows
+    panel.recordProbeBatch(pBatch(_._1 % 3 == 1), "t", col("v"), 1L)
+    assert(snap() === want, "a replayed probe batch must not change the panel")
+    panel.recordIntervalBatch(ivBatch(_._1 % 2 == 1), "lo", "hi", 1L)
+    assert(snap() === want, "a replayed interval batch must not change the panel")
+  }
+
+  test("StreamingRangeJoin: zero state (no batches at all) reads as an " +
+    "empty panel with the declared schema") {
+    val panel = new graft.streaming.StreamingRangeJoin(
+      spark, tmpDir("rj_state0"), bucketWidth = 4L, keyCols = Seq("win_id"))
+    val m = panel.merged()
+    assert(m.columns.toSeq === Seq("win_id", "n_events", "sum_value"))
+    assert(m.count() === 0L)
+  }
 }

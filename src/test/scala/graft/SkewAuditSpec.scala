@@ -212,4 +212,36 @@ class SkewAuditSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("exact-dedup first occurrence, corpus-hot duplicate text: exact, " +
+    "partial-min combined, and NEVER a text-hash window") {
+    // one boilerplate page duplicated into 30% of the corpus — the 100 TB
+    // shape where a text-keyed Window.partitionBy(md5(text)) would land
+    // the whole copy set on ONE unsplittable task
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit(Boiler))
+          .otherwise(col("text")).as("text"))
+    val out = Dedup.firstOccurrences(docs, "doc_id", "text")
+    // exact: one survivor per distinct text, each the min doc_id
+    val boilersKept = out.filter(col("text") === Boiler)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val firstBoiler = docs.filter(col("text") === Boiler)
+      .agg(min("doc_id")).head().getLong(0)
+    assert(boilersKept == Seq(firstBoiler),
+      s"hot duplicate must survive once as doc $firstBoiler, got $boilersKept")
+    assert(out.count() ===
+      docs.select(md5(col("text"))).distinct().count(),
+      "one survivor per distinct text")
+    // plan shape: partial-min groupBy + composite-key equi-join; a hot
+    // hash spreads because the join key includes the per-copy doc_id
+    val p = Dedup.firstOccurrences(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      "the first-occurrence pick must never be a window over the text hash")
+    assert(p.contains("partial_min"),
+      "the canonical id must combine map-side inside each task")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
 }

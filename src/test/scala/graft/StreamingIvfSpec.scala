@@ -69,4 +69,15 @@ class StreamingIvfSpec extends SparkSpecBase {
       .collect().map(_.getString(0)).toSet
     assert(folded === onePass)
   }
+
+  test("zero state: an index with no recorded batch reads as empty and " +
+    "is searchable (no rows), not an AnalysisException") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = graft.util.Materialize.stable(
+      Similarity.sampledCentroids(emb.filter(col("vec_id") < 100), 8))
+    val idx = new StreamingIvf(spark, tmpDir("ivf_state0"))
+    assert(idx.mergedAssignments().count() === 0L)
+    assert(idx.search(emb.filter(col("vec_id") < 5), cents,
+      nprobe = 2, k = 3).count() === 0L)
+  }
 }
