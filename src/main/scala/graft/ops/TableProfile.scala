@@ -183,6 +183,58 @@ object TableProfile {
         auc("1000", "auc_permille"), auc("1000000", "auc_x1e6")): _*)
   }
 
+  /** Classifier operating-point table — the decision [[rocAuc]] ranks
+    * but cannot make: for EVERY candidate threshold s (each distinct
+    * score value; predict positive when score ≥ s), the confusion
+    * counts and integer per-mille precision / recall / F1. This is how
+    * a score becomes a filter (FineWeb-Edu ships "keep score ≥ 3" —
+    * that 3 comes from exactly this table), and emitting every
+    * operating point instead of one argmax keeps the precision/recall
+    * trade visible to the operator choosing it.
+    *
+    * Scale shape: the [[rocAuc]] discipline — the ONLY corpus-sized
+    * pass is one partial agg keyed by score; the cumulative
+    * descending-score walk runs over the score-bounded table. All
+    * integer: f1 uses the 2·tp div (2·tp + fp + fn) identity so no
+    * intermediate ratio rounds twice. Rows with a NULL score or label
+    * are excluded; precision is always defined (tp+fp=0 cannot happen
+    * since every threshold is an observed score); recall is NULL on an
+    * all-negative corpus (p = 0); f1 is 0 when tp = 0.
+    * Output one row per distinct score:
+    * (threshold, tp, fp, fn, tn, precision_permille, recall_permille,
+    * f1_permille).
+    */
+  def operatingPoints(df: DataFrame, scoreCol: Column,
+      labelCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = df
+      .select(scoreCol.cast("long").as("threshold"),
+        labelCol.cast("boolean").as("_y"))
+      .filter(col("threshold").isNotNull && col("_y").isNotNull)
+      .groupBy("threshold").agg(
+        sum(when(col("_y"), 1L).otherwise(0L)).as("_np"),
+        sum(when(col("_y"), 0L).otherwise(1L)).as("_nn"))
+    // tp/fp at threshold s = positives/negatives with score >= s: a
+    // cumulative sum over the DESCENDING score walk (current row incl.)
+    val w = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byScore
+      .withColumn("_tp", sum("_np").over(w))
+      .withColumn("_fp", sum("_nn").over(w))
+      .crossJoin(broadcast(byScore.agg(sum("_np").as("_p"), sum("_nn").as("_n"))))
+      .select(col("threshold"),
+        col("_tp").as("tp"), col("_fp").as("fp"),
+        (col("_p") - col("_tp")).as("fn"),
+        (col("_n") - col("_fp")).as("tn"),
+        expr("_tp * 1000 div (_tp + _fp)").as("precision_permille"),
+        // recall is undefined on an all-negative corpus (p = 0) — NULL,
+        // stated explicitly because ANSI `div 0` would throw mid-scan
+        expr("CASE WHEN _p = 0 THEN NULL ELSE _tp * 1000 div _p END")
+          .as("recall_permille"),
+        expr("2 * _tp * 1000 div (2 * _tp + (_fp) + (_p - _tp))")
+          .as("f1_permille"))
+  }
+
   /** Equi-width histogram of an integer column over a CALLER-DECLARED
     * [lo, hi) range: `bucket = (v−lo)·n div (hi−lo)`, clamped into
     * [0, n), with rows outside the range counted in the edge buckets

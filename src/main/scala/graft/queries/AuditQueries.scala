@@ -347,6 +347,21 @@ object AuditQueries {
         col("score_permille"), col("_is_en"))
     }),
 
+    // The classifier's operating-point table — the decision the AUC
+    // ranks but cannot make: per observed threshold (keep score >= s),
+    // exact confusion counts and integer per-mille precision/recall/F1.
+    // FineWeb-Edu's "keep score >= 3" comes from exactly this table;
+    // emitting every point keeps the precision/recall trade visible.
+    "quality_classifier_operating_points" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = graft.llm.QualityRules
+        .classifierScores(s, docs, "doc_id", "text")
+      TableProfile.operatingPoints(
+        scored.join(docs.select(col("doc_id"),
+          (col("lang") === "en").as("_is_en")), "doc_id"),
+        col("score_permille"), col("_is_en"))
+    }),
+
     // The classifier's per-source score-decile histogram — the
     // distribution panel a score threshold is picked from (which feeds
     // skew low, where the mass sits). Bounded output: sources × 10.
@@ -771,6 +786,28 @@ object AuditQueries {
          |  CAST(1000000 * num // (2 * CAST(n_pos AS HUGEINT) * n_neg)
          |    AS BIGINT) AS auc_x1e6
          |FROM a""".stripMargin.replace("\n", " "),
+
+    "quality_classifier_operating_points" ->
+      s"""WITH f AS (SELECT lang = 'en' AS y,
+         |  ${graft.llm.QualityRules.stubEduScoreSqlDuck} AS sc FROM documents
+         |  WHERE lang IS NOT NULL AND text IS NOT NULL),
+         |s AS (SELECT sc AS threshold,
+         |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |  CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+         |  FROM f GROUP BY 1),
+         |c AS (SELECT threshold,
+         |  CAST(sum(np) OVER (ORDER BY threshold DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+         |  CAST(sum(nn) OVER (ORDER BY threshold DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+         |  FROM s),
+         |t AS (SELECT CAST(sum(np) AS BIGINT) AS p,
+         |  CAST(sum(nn) AS BIGINT) AS n FROM s)
+         |SELECT threshold, tp, fp, p - tp AS fn, n - fp AS tn,
+         |  tp * 1000 // (tp + fp) AS precision_permille,
+         |  tp * 1000 // p AS recall_permille,
+         |  2 * tp * 1000 // (2 * tp + fp + (p - tp)) AS f1_permille
+         |FROM c, t""".stripMargin.replace("\n", " "),
 
     "quality_classifier_hist" ->
       s"""WITH sc AS (SELECT doc_id, source,

@@ -852,7 +852,8 @@ class PlanAuditSpec extends SparkSpecBase {
 
   test("classifier seam gates: the mapPartitions stage feeds the same " +
       "audited AUC/agg shapes — no cartesian, no global sort") {
-    for (g <- Seq("quality_classifier_auc", "quality_classifier_hist")) {
+    for (g <- Seq("quality_classifier_auc", "quality_classifier_hist",
+        "quality_classifier_operating_points")) {
       val p = plan(g)
       assert(p.contains("MapPartitions"),
         s"$g: the seam's per-partition model stage must be in the plan")

@@ -143,6 +143,47 @@ class RangeJoinSpec extends SparkSpecBase {
     }
   }
 
+  // ---- TableProfile.operatingPoints ------------------------------------
+
+  test("operatingPoints == brute-force confusion table at every " +
+    "observed threshold on random tied data") {
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 400).map(_ =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(3) == 0))
+    val got = TableProfile.operatingPoints(rows.toDF("s", "y"),
+      col("s"), col("y"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val p = rows.count(_._2).toLong
+    val n = rows.size - p
+    val thresholds = rows.map(_._1).distinct
+    assert(got.keySet === thresholds.toSet, "one row per observed score")
+    for (t <- thresholds) {
+      val tp = rows.count { case (s, y) => y && s >= t }.toLong
+      val fp = rows.count { case (s, y) => !y && s >= t }.toLong
+      val r = got(t)
+      assert(r.getAs[Long]("tp") === tp, s"tp@$t")
+      assert(r.getAs[Long]("fp") === fp, s"fp@$t")
+      assert(r.getAs[Long]("fn") === p - tp, s"fn@$t")
+      assert(r.getAs[Long]("tn") === n - fp, s"tn@$t")
+      assert(r.getAs[Long]("precision_permille") === tp * 1000 / (tp + fp))
+      assert(r.getAs[Long]("recall_permille") === tp * 1000 / p)
+      assert(r.getAs[Long]("f1_permille") ===
+        2 * tp * 1000 / (2 * tp + fp + (p - tp)), s"f1@$t")
+    }
+  }
+
+  test("operatingPoints: NULL scores/labels excluded; all-negative " +
+    "corpus yields f1 = 0 at every threshold") {
+    val rows = Seq[(java.lang.Long, java.lang.Boolean)](
+      (5L, false), (3L, false), (null, true), (4L, null))
+      .toDF("s", "y")
+    val got = TableProfile.operatingPoints(rows, col("s"), col("y"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === Set(5L, 3L))
+    assert(got.values.forall(_.getAs[Long]("f1_permille") == 0L))
+    assert(got(5L).getAs[Long]("tn") === 1L)
+  }
+
   // ---- StreamingRangeJoin ----------------------------------------------
 
   test("StreamingRangeJoin: batch-folded panel == one-pass range-join " +
