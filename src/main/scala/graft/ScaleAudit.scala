@@ -73,8 +73,11 @@ object ScaleAudit {
       // packing tail repartitions by source, whose cardinality — not
       // the data size — bounds the width)
       "events_range_join", "quality_auc_lang", "text_self_retrieval_mrr")
+    // optional argv: audit exactly these queries instead of the built-in
+    // list (the width-1024 stress runs name the 5 heaviest explicitly)
+    val targets = if (args.nonEmpty) args.toSeq else heavy
     var collapsed = List.empty[String]
-    val out = heavy.map { name =>
+    val out = targets.map { name =>
       stages = Nil
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune every

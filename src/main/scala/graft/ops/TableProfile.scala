@@ -265,6 +265,48 @@ object TableProfile {
         coalesce(col("n_rows"), lit(0L)).as("n_rows"))
   }
 
+  /** Classifier reliability curve — the third leg of the calibration
+    * story ([[rocAuc]] grades the RANKING, [[operatingPoints]] the
+    * DECISION, this the PROBABILITY): bucket the score on the
+    * [[histogram]]'s declared-bounds integer arithmetic and report each
+    * bucket's empirical positive rate. A well-calibrated score's
+    * pos_permille rises with the bucket; a flat curve means the score
+    * orders but its magnitude is meaningless (use rank-derived
+    * thresholds); a non-monotone segment localizes WHERE the score
+    * lies. Declared [lo, hi) bounds — not data-derived — so two
+    * snapshots' curves compare bar-for-bar; out-of-range scores clamp
+    * into the edge buckets (they are exactly the miscalibration to
+    * surface). Empty buckets emit n=0 with NULL rate (a gap IS
+    * information); NULL scores/labels are excluded.
+    *
+    * Scale shape: ONE partial-agg pass keyed by the ≤`buckets`-valued
+    * bucket id, plus the buckets-sized scaffold join — nothing
+    * corpus-sized crosses partitions. Output: (bucket, lo_v, hi_v, n,
+    * n_pos, pos_permille).
+    */
+  def reliabilityCurve(df: DataFrame, scoreCol: Column, labelCol: Column,
+      lo: Long, hi: Long, buckets: Int): DataFrame = {
+    require(buckets >= 1 && buckets <= 10000, s"1..10000 buckets, got $buckets")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val width = hi - lo
+    val counts = df
+      .select(scoreCol.cast("long").as("_v"), labelCol.cast("boolean").as("_y"))
+      .filter(col("_v").isNotNull && col("_y").isNotNull)
+      .withColumn("bucket", least(lit(buckets - 1L), greatest(lit(0L),
+        expr(s"(_v - $lo) * $buckets div $width"))))
+      .groupBy("bucket").agg(count(lit(1)).as("n"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("n_pos"))
+    val scaffold = df.sparkSession.range(buckets).select(col("id").as("bucket"))
+    scaffold.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        expr(s"$lo + bucket * $width div $buckets").as("lo_v"),
+        expr(s"$lo + (bucket + 1) * $width div $buckets").as("hi_v"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        expr("CASE WHEN n IS NULL THEN NULL ELSE n_pos * 1000 div n END")
+          .as("pos_permille"))
+  }
+
   /** Per-group time trend of an integer metric: OLS slope over the
     * DAILY means, reported as the exact integer (numerator,
     * denominator) pair `slope = num/den` — never a rounded division,

@@ -362,6 +362,22 @@ object AuditQueries {
         col("score_permille"), col("_is_en"))
     }),
 
+    // The classifier's reliability curve — per declared score decile,
+    // the EMPIRICAL positive rate: AUC grades the ranking, the
+    // operating points grade the decision, this grades the score's
+    // MAGNITUDE (a flat curve = the score orders but its value is
+    // meaningless; non-monotone segments localize where it lies).
+    "quality_classifier_reliability" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = graft.llm.QualityRules
+        .classifierScores(s, docs, "doc_id", "text")
+      TableProfile.reliabilityCurve(
+        scored.join(docs.select(col("doc_id"),
+          (col("lang") === "en").as("_is_en")), "doc_id"),
+        col("score_permille"), col("_is_en"), lo = 0L, hi = 1000L,
+        buckets = 10)
+    }),
+
     // The classifier's per-source score-decile histogram — the
     // distribution panel a score threshold is picked from (which feeds
     // skew low, where the mass sits). Bounded output: sources × 10.
@@ -808,6 +824,24 @@ object AuditQueries {
          |  tp * 1000 // p AS recall_permille,
          |  2 * tp * 1000 // (2 * tp + fp + (p - tp)) AS f1_permille
          |FROM c, t""".stripMargin.replace("\n", " "),
+
+    "quality_classifier_reliability" ->
+      s"""WITH f AS (SELECT lang = 'en' AS y,
+         |  ${graft.llm.QualityRules.stubEduScoreSqlDuck} AS sc FROM documents
+         |  WHERE lang IS NOT NULL AND text IS NOT NULL),
+         |b AS (SELECT least(9, greatest(0, sc * 10 // 1000)) AS bucket, y
+         |  FROM f),
+         |c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+         |  FROM b GROUP BY 1),
+         |g AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(10))
+         |SELECT g.bucket, g.bucket * 1000 // 10 AS lo_v,
+         |  (g.bucket + 1) * 1000 // 10 AS hi_v,
+         |  coalesce(c.n, 0) AS n, coalesce(c.n_pos, 0) AS n_pos,
+         |  CASE WHEN c.n IS NULL THEN NULL
+         |    ELSE c.n_pos * 1000 // c.n END AS pos_permille
+         |FROM g LEFT JOIN c ON g.bucket = c.bucket"""
+        .stripMargin.replace("\n", " "),
 
     "quality_classifier_hist" ->
       s"""WITH sc AS (SELECT doc_id, source,

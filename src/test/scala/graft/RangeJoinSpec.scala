@@ -184,6 +184,38 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(got(5L).getAs[Long]("tn") === 1L)
   }
 
+  // ---- TableProfile.reliabilityCurve -------------------------------------
+
+  test("reliabilityCurve == brute-force bucket rates; clamps out-of-range " +
+    "scores into edge buckets; empty buckets emit n=0 with NULL rate") {
+    val rnd = new scala.util.Random(41)
+    // scores deliberately escaping [0, 100) on both sides; bucket 3
+    // ([30,40)) left deliberately empty
+    val rows = (1 to 300).map { _ =>
+      val s = rnd.nextInt(140).toLong - 20L
+      (if (s >= 30 && s < 40) s + 15 else s, rnd.nextInt(4) == 0)
+    }
+    val got = TableProfile.reliabilityCurve(rows.toDF("s", "y"),
+      col("s"), col("y"), lo = 0L, hi = 100L, buckets = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === (0L to 9L).toSet, "every declared bucket emits")
+    def bucketOf(s: Long) = math.min(9L, math.max(0L, s * 10 / 100))
+    for (b <- 0L to 9L) {
+      val in = rows.filter { case (s, _) => bucketOf(s) == b }
+      val r = got(b)
+      assert(r.getAs[Long]("n") === in.size.toLong, s"n@$b")
+      assert(r.getAs[Long]("n_pos") === in.count(_._2).toLong, s"n_pos@$b")
+      if (in.isEmpty) assert(r.isNullAt(r.fieldIndex("pos_permille")),
+        s"empty bucket $b must have NULL rate")
+      else assert(r.getAs[Long]("pos_permille") ===
+        in.count(_._2).toLong * 1000 / in.size, s"rate@$b")
+      assert(r.getAs[Long]("lo_v") === b * 10 && r.getAs[Long]("hi_v") === (b + 1) * 10)
+    }
+    assert(got(3L).getAs[Long]("n") === 0L, "bucket 3 was built empty")
+    assert(got(0L).getAs[Long]("n") > 0L && got(9L).getAs[Long]("n") > 0L,
+      "out-of-range scores clamp into the edge buckets")
+  }
+
   // ---- StreamingRangeJoin ----------------------------------------------
 
   test("StreamingRangeJoin: batch-folded panel == one-pass range-join " +
