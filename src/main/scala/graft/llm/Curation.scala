@@ -187,6 +187,64 @@ object Curation {
       .join(chosen.select("doc_id", "text_hash"), Seq("doc_id"))
   }
 
+  /** Fifth-generation composed pipeline — [[curateV4]] with the LEARNED
+    * quality tier spliced in (the FineWeb-Edu / DCLM stage): domain
+    * reputation gate → eval-set decontamination → Gopher rules →
+    * CLASSIFIER threshold filter ([[QualityRules.classifierScores]]
+    * through the mapPartitions seam; docs scoring below
+    * `minScorePermille` die here) → exact dedup
+    * ([[Dedup.firstOccurrences]]) → greedy token-budget selection →
+    * next-fit-decreasing packing. Proves the model seam COMPOSES: the
+    * dedup/budget/packing stages run over exactly the classifier's
+    * survivors, against one assembled oracle.
+    *
+    * Scale shape = [[curateV4]]'s audited shapes plus one
+    * embarrassingly-parallel map stage for the scores (per-partition
+    * model init, no exchange of its own — the filter rides the scored
+    * rows). Output: (doc_id, source, n_tokens, bin_idx, text_hash).
+    */
+  def curateV5(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, srcCol: String, minSrcPermille: Long,
+      minScorePermille: Long, tokenBudget: Long, binBudget: Long,
+      decontamN: Int, minHitPermille: Int, maxGramEvalDf: Long,
+      stopWords: Seq[String] = QualityRules.GopherStopWords,
+      scoreOne: String => Long = QualityRules.stubEduScore): DataFrame = {
+    val reput = Sampling.sourceReputationFilter(corpus, idCol, textCol,
+      srcCol, minSrcPermille).select(col(idCol))
+    val qualified = corpus.join(reput, Seq(idCol))
+    val clean = Decontam.decontaminate(qualified, evalSet, idCol, textCol,
+      decontamN, minHitPermille, maxGramEvalDf)
+    val ok = QualityRules.gopherQuality(clean, idCol, textCol, stopWords)
+      .filter(col("passes_gopher")).select("doc_id")
+    val kept = clean
+      .select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        col(textCol).as("_txt"))
+      .join(ok, Seq("doc_id"))
+    // the learned tier: score through the per-partition model seam,
+    // keep only docs at or above the declared operating point (the
+    // threshold a real pipeline reads off operatingPoints)
+    val passing = QualityRules
+      .classifierScores(corpus.sparkSession, kept, "doc_id", "_txt", scoreOne)
+      .filter(col("score_permille") >= minScorePermille)
+      .select("doc_id")
+    val uniq = graft.util.Materialize.stable(
+      Dedup.firstOccurrences(kept.join(passing, Seq("doc_id")),
+        "doc_id", "_txt"))
+    val sel = Sampling.tokenBudgetSelect(uniq, "doc_id",
+      expr("size(array_distinct(split(_txt, ' '))) * 1000 div " +
+        "size(split(_txt, ' '))"),
+      TextAnalysis.tokenCount(col("_txt")), tokenBudget)
+    val chosen = graft.util.Materialize.stable(
+      sel.select("doc_id", "n_tokens")
+        .join(uniq.select(col("doc_id"), col("source"),
+          md5(col("_txt")).as("text_hash")), Seq("doc_id")))
+    Packing.packGreedyDecreasing(chosen, "doc_id", "source",
+        col("n_tokens"), binBudget)
+      .select(col("doc_id"), col("grp").as("source"), col("n_tokens"),
+        col("bin_idx"))
+      .join(chosen.select("doc_id", "text_hash"), Seq("doc_id"))
+  }
+
   /** Per-source corpus health: doc/token totals, docs passing the
     * quality filter, and exact-duplicate (non-canonical) copies.
     * Output: (source, n_docs, n_tokens, n_kept, n_dup).

@@ -38,6 +38,9 @@ object LlmQueries7 {
   // binds at both gate scales (survivors carry 8.4k / 107k tokens)
   private val V3Stops = Seq("the", "a") // fixture-tuned Gopher stoplist
   // (the corpus_curated_v2 constant)
+  private val V5MinScore = 350L // curateV5 classifier operating point:
+  // the fixture's stub-score median is ~330, so 350 keeps ~43% — the
+  // threshold genuinely bites without starving the budget/packing tail
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Greedy quality-ordered selection under a token budget: best docs
@@ -184,6 +187,22 @@ object LlmQueries7 {
         "doc_id", "text", "source", V3MinSrc, V3Budget, binBudget = 128L,
         decontamN = 5, minHitPermille = 100, maxGramEvalDf = 20,
         stopWords = V3Stops)
+    }),
+
+    // Fifth composed pipeline — v4 with the LEARNED quality tier
+    // spliced in: reputation → decontam → Gopher → classifier
+    // threshold (stub scores through the mapPartitions seam, keep
+    // >= 350 permille) → exact dedup → budget selection → packing.
+    // One assembled oracle proves the model seam COMPOSES with every
+    // closed-form stage around it.
+    "corpus_curated_v5" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.llm.Curation.curateV5(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", "source", V3MinSrc, V5MinScore, V3Budget,
+        binBudget = 128L, decontamN = 5, minHitPermille = 100,
+        maxGramEvalDf = 20, stopWords = V3Stops)
     }),
 
     // Incremental IVF maintenance: centroids frozen from the PRIOR
@@ -516,68 +535,9 @@ object LlmQueries7 {
     // the v3 CTE chain with the decontamination CTEs spliced in after
     // the reputation gate and the NFD packing fold appended — one
     // assembled oracle across all six stages
-    "corpus_curated_v4" -> {
-      val gopherPass = graft.llm.QualityRules.gopherPassSqlDuck("clean", V3Stops)
-      s"""WITH RECURSIVE sc AS (SELECT doc_id, source,
-         |    CAST(len(list_distinct(string_split(text, ' '))) * 1000
-         |      // len(string_split(text, ' ')) AS BIGINT) AS doc_score
-         |  FROM documents WHERE source <> 'src0'),
-         |bsrc AS (SELECT source FROM sc GROUP BY source
-         |  HAVING sum(doc_score) // count(*) >= $V3MinSrc),
-         |qual AS (SELECT d.doc_id, d.source, d.text FROM documents d
-         |  JOIN bsrc USING (source)),
-         |qtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM qual),
-         |shq AS (SELECT doc_id,
-         |    concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS sh
-         |  FROM qtoks, UNNEST(range(1, len(t)-3)) AS r(i) WHERE len(t) >= 5),
-         |corp AS (SELECT DISTINCT doc_id,
-         |  CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h FROM shq),
-         |etoks AS (SELECT doc_id, string_split(text, ' ') AS t
-         |  FROM documents WHERE source = 'src0'),
-         |she AS (SELECT doc_id,
-         |    concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS sh
-         |  FROM etoks, UNNEST(range(1, len(t)-3)) AS r(i) WHERE len(t) >= 5),
-         |ev AS (SELECT DISTINCT doc_id AS eval_id,
-         |  CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h FROM she),
-         |evk AS (SELECT eval_id, h FROM ev WHERE h IN
-         |  (SELECT h FROM ev GROUP BY h HAVING count(*) <= 20)),
-         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY 1),
-         |hits AS (SELECT c.doc_id, count(DISTINCT c.h) AS n_hits
-         |  FROM corp c JOIN evk e ON c.h = e.h GROUP BY 1),
-         |flagged AS (SELECT h.doc_id FROM hits h JOIN sizes s USING (doc_id)
-         |  WHERE n_hits * 1000 // s.n_grams >= 100),
-         |clean AS (SELECT * FROM qual
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
-         |gp AS ($gopherPass),
-         |keep AS (SELECT q.* FROM clean q JOIN gp USING (doc_id)),
-         |uq AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
-         |    ORDER BY doc_id) AS rn FROM keep),
-         |u AS (SELECT doc_id, source, text FROM uq WHERE rn = 1),
-         |s2 AS (SELECT doc_id, source, md5(text) AS text_hash,
-         |    CAST(len(list_distinct(string_split(text, ' '))) * 1000
-         |      // len(string_split(text, ' ')) AS BIGINT) AS score,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-         |  FROM u),
-         |cum AS (SELECT *, CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
-         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM s2),
-         |seld AS (SELECT doc_id, source, n_tokens, text_hash FROM cum
-         |  WHERE cum_tokens <= $V3Budget),
-         |t2 AS (SELECT source, doc_id, n_tokens, row_number() OVER (
-         |    PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS rn FROM seld),
-         |p(source, rn, doc_id, n_tokens, bin_idx, fill) AS (
-         |  SELECT source, rn, doc_id, n_tokens, CAST(0 AS BIGINT),
-         |    CAST(n_tokens AS BIGINT) FROM t2 WHERE rn = 1
-         |  UNION ALL
-         |  SELECT t2.source, t2.rn, t2.doc_id, t2.n_tokens,
-         |    CASE WHEN p.fill + t2.n_tokens <= 128 THEN p.bin_idx ELSE p.bin_idx + 1 END,
-         |    CASE WHEN p.fill + t2.n_tokens <= 128 THEN p.fill + t2.n_tokens
-         |         ELSE CAST(t2.n_tokens AS BIGINT) END
-         |  FROM t2 JOIN p ON t2.source = p.source AND t2.rn = p.rn + 1)
-         |SELECT p.doc_id, p.source, CAST(p.n_tokens AS INTEGER) AS n_tokens,
-         |  p.bin_idx, s.text_hash
-         |FROM p JOIN seld s ON p.doc_id = s.doc_id"""
-        .stripMargin.replace("\n", " ")
-    },
+    "corpus_curated_v4" -> curatedV4LikeSql(withClassifier = false),
+
+    "corpus_curated_v5" -> curatedV4LikeSql(withClassifier = true),
 
     // the ann_ivf_topk SQL with centroids frozen on the PRIOR corpus
     // (vec_id < IncPriorMax) — the one-pass answer the batch-folded
@@ -612,4 +572,78 @@ object LlmQueries7 {
         .stripMargin.replace("\n", " ")
     }
   )
+
+  /** The assembled curateV4 oracle, optionally with the v5 classifier
+    * threshold CTE spliced between the Gopher gate and the dedup — ONE
+    * builder so the two recipes' shared stages can never drift.
+    */
+  private def curatedV4LikeSql(withClassifier: Boolean): String = {
+      val gopherPass = graft.llm.QualityRules.gopherPassSqlDuck("clean", V3Stops)
+      val classifierCte =
+        if (withClassifier)
+          s"""kc AS (SELECT * FROM keep
+             |  WHERE ${graft.llm.QualityRules.stubEduScoreSqlDuck} >= $V5MinScore),
+             |""".stripMargin
+        else ""
+      val dedupSrc = if (withClassifier) "kc" else "keep"
+      s"""WITH RECURSIVE sc AS (SELECT doc_id, source,
+         |    CAST(len(list_distinct(string_split(text, ' '))) * 1000
+         |      // len(string_split(text, ' ')) AS BIGINT) AS doc_score
+         |  FROM documents WHERE source <> 'src0'),
+         |bsrc AS (SELECT source FROM sc GROUP BY source
+         |  HAVING sum(doc_score) // count(*) >= $V3MinSrc),
+         |qual AS (SELECT d.doc_id, d.source, d.text FROM documents d
+         |  JOIN bsrc USING (source)),
+         |qtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM qual),
+         |shq AS (SELECT doc_id,
+         |    concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS sh
+         |  FROM qtoks, UNNEST(range(1, len(t)-3)) AS r(i) WHERE len(t) >= 5),
+         |corp AS (SELECT DISTINCT doc_id,
+         |  CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h FROM shq),
+         |etoks AS (SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents WHERE source = 'src0'),
+         |she AS (SELECT doc_id,
+         |    concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS sh
+         |  FROM etoks, UNNEST(range(1, len(t)-3)) AS r(i) WHERE len(t) >= 5),
+         |ev AS (SELECT DISTINCT doc_id AS eval_id,
+         |  CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h FROM she),
+         |evk AS (SELECT eval_id, h FROM ev WHERE h IN
+         |  (SELECT h FROM ev GROUP BY h HAVING count(*) <= 20)),
+         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY 1),
+         |hits AS (SELECT c.doc_id, count(DISTINCT c.h) AS n_hits
+         |  FROM corp c JOIN evk e ON c.h = e.h GROUP BY 1),
+         |flagged AS (SELECT h.doc_id FROM hits h JOIN sizes s USING (doc_id)
+         |  WHERE n_hits * 1000 // s.n_grams >= 100),
+         |clean AS (SELECT * FROM qual
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+         |gp AS ($gopherPass),
+         |keep AS (SELECT q.* FROM clean q JOIN gp USING (doc_id)),
+         |${classifierCte}uq AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+         |    ORDER BY doc_id) AS rn FROM $dedupSrc),
+         |u AS (SELECT doc_id, source, text FROM uq WHERE rn = 1),
+         |s2 AS (SELECT doc_id, source, md5(text) AS text_hash,
+         |    CAST(len(list_distinct(string_split(text, ' '))) * 1000
+         |      // len(string_split(text, ' ')) AS BIGINT) AS score,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM u),
+         |cum AS (SELECT *, CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM s2),
+         |seld AS (SELECT doc_id, source, n_tokens, text_hash FROM cum
+         |  WHERE cum_tokens <= $V3Budget),
+         |t2 AS (SELECT source, doc_id, n_tokens, row_number() OVER (
+         |    PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS rn FROM seld),
+         |p(source, rn, doc_id, n_tokens, bin_idx, fill) AS (
+         |  SELECT source, rn, doc_id, n_tokens, CAST(0 AS BIGINT),
+         |    CAST(n_tokens AS BIGINT) FROM t2 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t2.source, t2.rn, t2.doc_id, t2.n_tokens,
+         |    CASE WHEN p.fill + t2.n_tokens <= 128 THEN p.bin_idx ELSE p.bin_idx + 1 END,
+         |    CASE WHEN p.fill + t2.n_tokens <= 128 THEN p.fill + t2.n_tokens
+         |         ELSE CAST(t2.n_tokens AS BIGINT) END
+         |  FROM t2 JOIN p ON t2.source = p.source AND t2.rn = p.rn + 1)
+         |SELECT p.doc_id, p.source, CAST(p.n_tokens AS INTEGER) AS n_tokens,
+         |  p.bin_idx, s.text_hash
+         |FROM p JOIN seld s ON p.doc_id = s.doc_id"""
+        .stripMargin.replace("\n", " ")
+  }
 }

@@ -831,6 +831,17 @@ class PlanAuditSpec extends SparkSpecBase {
       "no text-hash-keyed window in the v4 plan")
   }
 
+  test("curateV5: the classifier seam stage composes without breaking " +
+      "the v4 shapes — no cartesian, no UDF, no text-hash window") {
+    val p = plan("corpus_curated_v5")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("ScalaUDF"))
+    assert(!p.contains("Exchange rangepartitioning"))
+    assert(!p.linesIterator.exists(l => l.contains("Window") && l.contains("md5")),
+      "no text-hash-keyed window in the v5 plan")
+  }
+
   test("bucketed range join gate: the BETWEEN decomposes to an " +
       "equi-join — never a nested loop or cartesian") {
     val p = plan("events_range_join")
