@@ -78,19 +78,19 @@ object Dedup {
     * [[exactDuplicates]] and the ONLY sanctioned shape for it: a
     * `Window.partitionBy(md5(text))` puts a boilerplate text's entire
     * copy set (10⁶–10⁷ rows at 100 TB) on one unsplittable task, whereas
-    * this is a map-side-combined partial-min groupBy plus an equi-join on
-    * the COMPOSITE (hash, id) key — even a corpus-hot hash spreads across
-    * partitions because the id varies per copy. Assumes `idCol` is unique
-    * per row (a doc id); duplicate (hash, id) pairs would all survive.
+    * `min_by(struct(row), id)` is ONE hash-keyed exchange whose partial
+    * aggregate combines map-side — a corpus-hot hash reaches the reducer
+    * as at most one candidate row PER MAP TASK, never its copy set.
+    * Assumes `idCol` is unique per row (a doc id); under duplicate ids
+    * exactly one of the tied rows survives (which one is undefined).
     */
   def firstOccurrences(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    require(!docs.columns.contains("_fo_h"),
-      s"input already contains internal working column _fo_h")
-    val canon = docs.groupBy(md5(col(textCol)).as("_fo_h"))
-      .agg(min(col(idCol)).as(idCol))
-    docs.withColumn("_fo_h", md5(col(textCol)))
-      .join(canon, Seq("_fo_h", idCol))
-      .drop("_fo_h")
+    require(!docs.columns.contains("_fo_h") && !docs.columns.contains("_fo_row"),
+      "input already contains an internal working column (_fo_h/_fo_row)")
+    val cols = docs.columns
+    docs.groupBy(md5(col(textCol)).as("_fo_h"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_fo_row"))
+      .select(cols.map(c => col("_fo_row").getField(c).as(c)): _*)
   }
 
   /** Dedup-loss attribution: after exact dedup (canonical = minimum id
