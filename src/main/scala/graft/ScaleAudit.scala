@@ -69,10 +69,15 @@ object ScaleAudit {
       "table_profile_orders", "graph_item_similarity_topk",
       // round-12: the bucketed interval join (equi-key exchange both
       // sides), the score-keyed AUC partial agg, and the self-retrieval
-      // postings pass (corpus_curated_v4 is excluded by design: its
-      // packing tail repartitions by source, whose cardinality — not
-      // the data size — bounds the width)
-      "events_range_join", "quality_auc_lang", "text_self_retrieval_mrr")
+      // postings pass
+      "events_range_join", "quality_auc_lang", "text_self_retrieval_mrr",
+      // round-13: the full assembly recipes (max_tasks is the MAX over
+      // stages, so the source-bounded packing tail doesn't mask the
+      // corpus-keyed dedup/decontam exchanges — both proven to reach
+      // forced width 1024 in SCALE_AUDIT_r13_1024.json), the digest-
+      // merged range join, and the classifier-seam AUC
+      "corpus_curated_v4", "corpus_curated_v5",
+      "events_range_join_stream2", "quality_classifier_auc")
     // optional argv: audit exactly these queries instead of the built-in
     // list (the width-1024 stress runs name the 5 heaviest explicitly)
     val targets = if (args.nonEmpty) args.toSeq else heavy

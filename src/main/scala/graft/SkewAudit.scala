@@ -84,7 +84,16 @@ object SkewAudit {
           localThreshold = 0L)),
       "pack_greedy_hot_stratum" -> (() =>
         Packing.packGreedy(hotStratum, "doc_id", "source",
-          TextAnalysis.tokenCount(col("text")), tokenBudget = 512L)))
+          TextAnalysis.tokenCount(col("text")), tokenBudget = 512L)),
+      // the r13 fix's wall-clock twin: one boilerplate page duplicated
+      // into 30% of the corpus; min_by's partial agg must keep the
+      // heaviest stage flat (the replaced text-hash window serialized
+      // the whole copy set into one task)
+      "first_occurrence_hot_dup" -> (() =>
+        Dedup.firstOccurrences(docs.select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, lit(boiler))
+            .otherwise(col("text")).as("text")),
+          "doc_id", "text")))
 
     var violations = List.empty[String]
     val out = runs.map { case (name, mk) =>
