@@ -224,6 +224,63 @@ object Similarity {
     * scans; the only shuffle is the cell-keyed candidate join. Cell
     * assignment and rerank reuse the exact integer cosine.
     */
+  /** Integer-exact LINEAR PROBE over an embedding column — the actual
+    * FineWeb-Edu classifier mechanism (an embedding model + a tiny
+    * learned head), with the head's training collapsed to its closed
+    * form: the class-mean difference direction (Fisher's discriminant
+    * with identity covariance). Per dimension i, the weight is
+    * `floor(Σ_pos q_i / n_pos) − floor(Σ_neg q_i / n_neg)` over the
+    * quantized embeddings, and each vector's score is the exact int64
+    * dot with that weight vector, integer-divided by `scoreDiv` into
+    * the bounded-cardinality score [[graft.ops.TableProfile.rocAuc]] /
+    * `operatingPoints` consume. Probe sums GO NEGATIVE, so the
+    * division semantics on negatives are load-bearing: Spark's `div`
+    * and DuckDB's `//` BOTH truncate toward zero (verified — DuckDB's
+    * `//` is not a floor), so plain `div` is the cross-engine-exact
+    * form here; a floor-div formulation would diverge by one on
+    * every negative quotient.
+    *
+    * Scale shape: one posexplode pass collapses the corpus to a
+    * dim-sized weight table (partial-agg map-side combined, dim groups);
+    * the dim-row weights fold into ONE broadcast array row; scoring is
+    * a pure codegen'd map ([[dotQ]]'s LongArrayDot). Weight magnitude
+    * is bounded by the quantization scale (per-mean form), NOT by
+    * corpus size, so the dot stays in int64 at any N. Rows with a NULL
+    * label are excluded; a single-class input raises in-path rather
+    * than emitting a meaningless direction.
+    * Output: (vec_id, y, score_pm).
+    */
+  def linearProbeScores(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: Column, scoreDiv: Long = 100000L): DataFrame = {
+    require(scoreDiv >= 1, s"scoreDiv must be >= 1, got $scoreDiv")
+    val v = graft.util.Materialize.stable(
+      emb.select(col(idCol).as("vec_id"), labelCol.cast("boolean").as("_y"),
+          quantize(col(vecCol)).as("_q"))
+        .filter(col("_y").isNotNull))
+    val w0 = v
+      .select(col("_y"), posexplode(col("_q")).as(Seq("_i", "_qe")))
+      .groupBy("_i").agg(
+        sum(when(col("_y"), col("_qe")).otherwise(0L)).as("_sp"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("_np"),
+        sum(when(!col("_y"), col("_qe")).otherwise(0L)).as("_sn"),
+        sum(when(!col("_y"), 1L).otherwise(0L)).as("_nn"))
+    // truncating `div` matches DuckDB's `//` on negatives; the
+    // single-class guard rides the expression so pruning can never
+    // drop it
+    val w = w0.select(col("_i"), expr(
+      """CASE WHEN _np = 0 OR _nn = 0
+        |  THEN raise_error('linearProbeScores: both classes required')
+        |  ELSE _sp div _np - _sn div _nn END"""
+        .stripMargin.replace("\n", " ")).as("_wi"))
+    val wrow = w
+      .agg(array_sort(collect_list(struct(col("_i"), col("_wi")))).as("_ws"))
+      .select(expr("transform(_ws, s -> s._wi)").as("_wv"))
+    v.crossJoin(broadcast(wrow))
+      .withColumn("_d", dotQ("_q", "_wv"))
+      .select(col("vec_id"), col("_y").as("y"),
+        expr(s"_d div ${scoreDiv}L").as("score_pm"))
+  }
+
   /** Deterministic hash-sampled centroid seed set: (cent_id, centv,
     * ncent), `numCentroids` rows.
     */

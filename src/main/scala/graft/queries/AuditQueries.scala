@@ -362,6 +362,20 @@ object AuditQueries {
         col("score_permille"), col("_is_en"))
     }),
 
+    // The embedding-side classifier: an integer-exact LINEAR PROBE
+    // (class-mean-difference direction over the quantized embeddings —
+    // the FineWeb-Edu mechanism with the head's training in closed
+    // form), graded with the same exact AUC. Proves the engine scores
+    // by VECTOR, not only by text heuristics; floor-division parity
+    // with DuckDB is the load-bearing detail (probe sums go negative).
+    "embedding_probe_auc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      TableProfile.rocAuc(
+        graft.llm.Similarity.linearProbeScores(emb, "vec_id", "embedding",
+          col("label") < 5),
+        col("score_pm"), col("y"))
+    }),
+
     // The classifier's reliability curve — per declared score decile,
     // the EMPIRICAL positive rate: AUC grades the ranking, the
     // operating points grade the decision, this grades the score's
@@ -824,6 +838,40 @@ object AuditQueries {
          |  tp * 1000 // p AS recall_permille,
          |  2 * tp * 1000 // (2 * tp + fp + (p - tp)) AS f1_permille
          |FROM c, t""".stripMargin.replace("\n", " "),
+
+    "embedding_probe_auc" ->
+      s"""WITH v AS (SELECT vec_id, label < 5 AS y,
+         |  ${graft.llm.Similarity.quantizeSqlDuck} AS qv FROM embeddings
+         |  WHERE label IS NOT NULL),
+         |ex AS (SELECT y, generate_subscripts(qv, 1) AS i, unnest(qv) AS qe
+         |  FROM v),
+         |w0 AS (SELECT i,
+         |  CAST(sum(CASE WHEN y THEN qe ELSE 0 END) AS BIGINT) AS sp,
+         |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np0,
+         |  CAST(sum(CASE WHEN NOT y THEN qe ELSE 0 END) AS BIGINT) AS sn,
+         |  CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS nn0
+         |  FROM ex GROUP BY 1),
+         |w AS (SELECT i, sp // np0 - sn // nn0 AS wi FROM w0),
+         |wv AS (SELECT list(wi ORDER BY i) AS wl FROM w),
+         |f AS (SELECT v.y, CAST(list_sum(list_transform(
+         |    list_zip(v.qv, wv.wl), s -> s[1] * s[2])) AS BIGINT) // 100000
+         |    AS sc FROM v, wv),
+         |s AS (SELECT sc,
+         |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |  CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+         |  FROM f GROUP BY 1),
+         |c AS (SELECT np, nn, coalesce(sum(nn) OVER (ORDER BY sc
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+         |  FROM s),
+         |a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+         |  CAST(sum(nn) AS BIGINT) AS n_neg,
+         |  sum(CAST(np AS HUGEINT) * (2 * cnb + nn)) AS num FROM c)
+         |SELECT n_pos, n_neg,
+         |  CAST(1000 * num // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+         |    AS BIGINT) AS auc_permille,
+         |  CAST(1000000 * num // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+         |    AS BIGINT) AS auc_x1e6
+         |FROM a""".stripMargin.replace("\n", " "),
 
     "quality_classifier_reliability" ->
       s"""WITH f AS (SELECT lang = 'en' AS y,

@@ -184,6 +184,60 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(got(5L).getAs[Long]("tn") === 1L)
   }
 
+  // ---- Similarity.linearProbeScores --------------------------------------
+
+  test("linear probe: separable classes score AUC 1000; negative-sum " +
+    "divisions TRUNCATE toward zero (DuckDB's // semantics — not a " +
+    "floor); single class raises") {
+    import graft.llm.Similarity
+    import graft.ops.TableProfile
+    // class true sits at +e1, class false at -e1 (with a small e2 wobble):
+    // the mean-difference probe must separate them perfectly
+    val emb = Seq(
+      (1L, Array(0.4f, 0.1f), true), (2L, Array(0.5f, -0.1f), true),
+      (3L, Array(0.3f, 0.05f), true),
+      (4L, Array(-0.4f, 0.1f), false), (5L, Array(-0.5f, -0.05f), false),
+      (6L, Array(-0.3f, -0.1f), false))
+      .toDF("vec_id", "embedding", "lab")
+    val scored = Similarity.linearProbeScores(emb, "vec_id", "embedding",
+      col("lab"), scoreDiv = 1000L)
+    val auc = TableProfile.rocAuc(scored, col("score_pm"), col("y"))
+      .collect().head
+    assert(auc.getAs[Long]("auc_permille") === 1000L,
+      "separable classes must probe to a perfect ranking")
+    // division parity: recompute the expected scores in Scala with
+    // plain Long division (truncates toward zero — verified to be
+    // DuckDB's // semantics too); the negative class sums are exactly
+    // where a floor-div formulation would diverge by one
+    def q(v: Float) = Math.round(v.toDouble * Similarity.Scale)
+    val rows = Seq(
+      (1L, Array(0.4f, 0.1f), true), (2L, Array(0.5f, -0.1f), true),
+      (3L, Array(0.3f, 0.05f), true),
+      (4L, Array(-0.4f, 0.1f), false), (5L, Array(-0.5f, -0.05f), false),
+      (6L, Array(-0.3f, -0.1f), false))
+    val dims = 0 until 2
+    val w = dims.map { i =>
+      val sp = rows.filter(_._3).map(r => q(r._2(i))).sum
+      val np = rows.count(_._3).toLong
+      val sn = rows.filter(!_._3).map(r => q(r._2(i))).sum
+      val nn = rows.count(!_._3).toLong
+      sp / np - sn / nn
+    }
+    val want = rows.map { case (id, v, _) =>
+      id -> dims.map(i => q(v(i)) * w(i)).sum / 1000L
+    }.toMap
+    val got = scored.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === want, "scores must match the explicit floorDiv form")
+    // single class: the guard raises in-path, never a silent direction
+    val oneClass = emb.filter(col("lab"))
+    val e = intercept[Exception] {
+      Similarity.linearProbeScores(oneClass, "vec_id", "embedding",
+        col("lab")).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("both classes"),
+      s"got: ${e.getMessage}")
+  }
+
   // ---- TableProfile.reliabilityCurve -------------------------------------
 
   test("reliabilityCurve == brute-force bucket rates; clamps out-of-range " +
