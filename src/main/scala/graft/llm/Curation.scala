@@ -245,6 +245,68 @@ object Curation {
       .join(chosen.select("doc_id", "text_hash"), Seq("doc_id"))
   }
 
+  /** Stage-by-stage survivor FUNNEL of the [[curateV5]] assembly — the
+    * per-stage loss attribution a curation operator asks for first
+    * ("where did my corpus go"): one row per stage (raw → reputation →
+    * decontam → gopher → classifier → dedup → budget) with surviving
+    * doc and token counts. Runs the SAME stage operators as the recipe
+    * (and its oracle reads the same CTE chain as the recipe's), so the
+    * funnel can never drift from the pipeline it audits.
+    *
+    * Scale shape: each stage frame is materialized once (two
+    * consumers: its own count and the next stage) and each count is a
+    * single partial agg — the funnel adds seven 1-row aggregations to
+    * the recipe's own audited shapes, nothing corpus-sized beyond
+    * them. Output: (stage_idx, stage, n_docs, n_tokens).
+    */
+  def curationFunnel(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, srcCol: String, minSrcPermille: Long,
+      minScorePermille: Long, tokenBudget: Long,
+      decontamN: Int, minHitPermille: Int, maxGramEvalDf: Long,
+      stopWords: Seq[String] = QualityRules.GopherStopWords,
+      scoreOne: String => Long = QualityRules.stubEduScore): DataFrame = {
+    def stage(idx: Int, name: String, df: DataFrame, tok: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(tok), lit(0L)).as("n_tokens"))
+        .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    val tokTxt = TextAnalysis.tokenCount(col("_txt"))
+    val raw = corpus.select(col(textCol).as("_txt"))
+    val reput = Sampling.sourceReputationFilter(corpus, idCol, textCol,
+      srcCol, minSrcPermille).select(col(idCol))
+    val qualified = graft.util.Materialize.stable(
+      corpus.join(reput, Seq(idCol)))
+    val clean = graft.util.Materialize.stable(
+      Decontam.decontaminate(qualified, evalSet, idCol, textCol,
+        decontamN, minHitPermille, maxGramEvalDf))
+    val ok = QualityRules.gopherQuality(clean, idCol, textCol, stopWords)
+      .filter(col("passes_gopher")).select("doc_id")
+    val kept = graft.util.Materialize.stable(clean
+      .select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        col(textCol).as("_txt"))
+      .join(ok, Seq("doc_id")))
+    val passing = QualityRules
+      .classifierScores(corpus.sparkSession, kept, "doc_id", "_txt", scoreOne)
+      .filter(col("score_permille") >= minScorePermille)
+      .select("doc_id")
+    val keptC = graft.util.Materialize.stable(kept.join(passing, Seq("doc_id")))
+    val uniq = graft.util.Materialize.stable(
+      Dedup.firstOccurrences(keptC, "doc_id", "_txt"))
+    val sel = Sampling.tokenBudgetSelect(uniq, "doc_id",
+      expr("size(array_distinct(split(_txt, ' '))) * 1000 div " +
+        "size(split(_txt, ' '))"),
+      TextAnalysis.tokenCount(col("_txt")), tokenBudget)
+    stage(0, "raw", raw, tokTxt)
+      .unionByName(stage(1, "reputation",
+        qualified.select(col(textCol).as("_txt")), tokTxt))
+      .unionByName(stage(2, "decontam",
+        clean.select(col(textCol).as("_txt")), tokTxt))
+      .unionByName(stage(3, "gopher", kept, tokTxt))
+      .unionByName(stage(4, "classifier", keptC, tokTxt))
+      .unionByName(stage(5, "dedup", uniq, tokTxt))
+      .unionByName(stage(6, "budget", sel, col("n_tokens")))
+  }
+
   /** Per-source corpus health: doc/token totals, docs passing the
     * quality filter, and exact-duplicate (non-canonical) copies.
     * Output: (source, n_docs, n_tokens, n_kept, n_dup).

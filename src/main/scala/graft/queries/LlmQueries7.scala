@@ -205,6 +205,21 @@ object LlmQueries7 {
         maxGramEvalDf = 20, stopWords = V3Stops)
     }),
 
+    // The v5 assembly's per-stage survivor FUNNEL — doc/token counts
+    // after each of the seven stages, the loss-attribution panel a
+    // curation run is operated by. Shares the recipe's stage operators
+    // (Spark) and CTE chain (oracle), so it cannot drift from the
+    // pipeline it audits.
+    "corpus_curation_funnel" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.llm.Curation.curationFunnel(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", "source", V3MinSrc, V5MinScore, V3Budget,
+        decontamN = 5, minHitPermille = 100, maxGramEvalDf = 20,
+        stopWords = V3Stops)
+    }),
+
     // Incremental IVF maintenance: centroids frozen from the PRIOR
     // corpus (vec_id < 400 — the index-build contract), the delta
     // assigned against them in a second batch, and search over the
@@ -539,6 +554,8 @@ object LlmQueries7 {
 
     "corpus_curated_v5" -> curatedV4LikeSql(withClassifier = true),
 
+    "corpus_curation_funnel" -> curationFunnelSql,
+
     // the ann_ivf_topk SQL with centroids frozen on the PRIOR corpus
     // (vec_id < IncPriorMax) — the one-pass answer the batch-folded
     // incremental assignment must land on exactly
@@ -573,11 +590,13 @@ object LlmQueries7 {
     }
   )
 
-  /** The assembled curateV4 oracle, optionally with the v5 classifier
-    * threshold CTE spliced between the Gopher gate and the dedup — ONE
-    * builder so the two recipes' shared stages can never drift.
+  /** The shared CTE chain of the curateV4/V5 oracles — raw corpus
+    * through budget selection (`seld`), optionally with the v5
+    * classifier threshold CTE (`kc`) spliced between the Gopher gate
+    * and the dedup. ONE text so the recipes' gates AND the funnel
+    * audit can never drift from each other.
     */
-  private def curatedV4LikeSql(withClassifier: Boolean): String = {
+  private def curatedStageCtes(withClassifier: Boolean): String = {
       val gopherPass = graft.llm.QualityRules.gopherPassSqlDuck("clean", V3Stops)
       val classifierCte =
         if (withClassifier)
@@ -586,7 +605,7 @@ object LlmQueries7 {
              |""".stripMargin
         else ""
       val dedupSrc = if (withClassifier) "kc" else "keep"
-      s"""WITH RECURSIVE sc AS (SELECT doc_id, source,
+      s"""sc AS (SELECT doc_id, source,
          |    CAST(len(list_distinct(string_split(text, ' '))) * 1000
          |      // len(string_split(text, ' ')) AS BIGINT) AS doc_score
          |  FROM documents WHERE source <> 'src0'),
@@ -629,21 +648,51 @@ object LlmQueries7 {
          |cum AS (SELECT *, CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM s2),
          |seld AS (SELECT doc_id, source, n_tokens, text_hash FROM cum
-         |  WHERE cum_tokens <= $V3Budget),
-         |t2 AS (SELECT source, doc_id, n_tokens, row_number() OVER (
-         |    PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS rn FROM seld),
-         |p(source, rn, doc_id, n_tokens, bin_idx, fill) AS (
-         |  SELECT source, rn, doc_id, n_tokens, CAST(0 AS BIGINT),
-         |    CAST(n_tokens AS BIGINT) FROM t2 WHERE rn = 1
-         |  UNION ALL
-         |  SELECT t2.source, t2.rn, t2.doc_id, t2.n_tokens,
-         |    CASE WHEN p.fill + t2.n_tokens <= 128 THEN p.bin_idx ELSE p.bin_idx + 1 END,
-         |    CASE WHEN p.fill + t2.n_tokens <= 128 THEN p.fill + t2.n_tokens
-         |         ELSE CAST(t2.n_tokens AS BIGINT) END
-         |  FROM t2 JOIN p ON t2.source = p.source AND t2.rn = p.rn + 1)
-         |SELECT p.doc_id, p.source, CAST(p.n_tokens AS INTEGER) AS n_tokens,
-         |  p.bin_idx, s.text_hash
-         |FROM p JOIN seld s ON p.doc_id = s.doc_id"""
+         |  WHERE cum_tokens <= $V3Budget)"""
         .stripMargin.replace("\n", " ")
+  }
+
+  /** The assembled curateV4/V5 oracle: the shared stage chain plus the
+    * recursive next-fit-decreasing packing fold.
+    */
+  private def curatedV4LikeSql(withClassifier: Boolean): String =
+    s"""WITH RECURSIVE ${curatedStageCtes(withClassifier)},
+       |t2 AS (SELECT source, doc_id, n_tokens, row_number() OVER (
+       |    PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS rn FROM seld),
+       |p(source, rn, doc_id, n_tokens, bin_idx, fill) AS (
+       |  SELECT source, rn, doc_id, n_tokens, CAST(0 AS BIGINT),
+       |    CAST(n_tokens AS BIGINT) FROM t2 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t2.source, t2.rn, t2.doc_id, t2.n_tokens,
+       |    CASE WHEN p.fill + t2.n_tokens <= 128 THEN p.bin_idx ELSE p.bin_idx + 1 END,
+       |    CASE WHEN p.fill + t2.n_tokens <= 128 THEN p.fill + t2.n_tokens
+       |         ELSE CAST(t2.n_tokens AS BIGINT) END
+       |  FROM t2 JOIN p ON t2.source = p.source AND t2.rn = p.rn + 1)
+       |SELECT p.doc_id, p.source, CAST(p.n_tokens AS INTEGER) AS n_tokens,
+       |  p.bin_idx, s.text_hash
+       |FROM p JOIN seld s ON p.doc_id = s.doc_id"""
+      .stripMargin.replace("\n", " ")
+
+  /** The funnel oracle: stage-by-stage survivor counts read off the
+    * SAME chain the v5 gate runs — the per-stage loss attribution a
+    * curation operator asks for first ("where did my corpus go").
+    */
+  private def curationFunnelSql: String = {
+    def leg(idx: Int, name: String, src: String, tokExpr: String) =
+      s"""SELECT CAST($idx AS BIGINT) AS stage_idx, '$name' AS stage,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(sum($tokExpr), 0) AS BIGINT) AS n_tokens
+         |FROM $src""".stripMargin
+    val t = "len(string_split(text, ' '))"
+    s"""WITH ${curatedStageCtes(withClassifier = true)},
+       |raw AS (SELECT doc_id, text FROM documents WHERE source <> 'src0')
+       |${leg(0, "raw", "raw", t)}
+       |UNION ALL ${leg(1, "reputation", "qual", t)}
+       |UNION ALL ${leg(2, "decontam", "clean", t)}
+       |UNION ALL ${leg(3, "gopher", "keep", t)}
+       |UNION ALL ${leg(4, "classifier", "kc", t)}
+       |UNION ALL ${leg(5, "dedup", "u", t)}
+       |UNION ALL ${leg(6, "budget", "seld", "n_tokens")}"""
+      .stripMargin.replace("\n", " ")
   }
 }
