@@ -155,18 +155,52 @@ object TableProfile {
     * (per source, per language) — "which feeds does this score rank
     * well on" next to the corpus-wide number. The window partitions by
     * the group columns, so each partition is still score-bounded.
+    *
+    * The bounded-cardinality contract is ENFORCED, not assumed: the
+    * cumulative walk's window sorts the (groups × distinct-scores)
+    * table inside single tasks, which is safe only while that table is
+    * register-sized. A caller wiring a raw-logit scorer (distinct
+    * scores ≈ corpus size) would silently turn the walk into a
+    * one-task corpus-sized sort — so [[boundedScoreTable]] counts the
+    * score table EAGERLY and refuses loudly past `maxDistinctScores`
+    * BEFORE the window job is submitted. The check is one extra
+    * partial-agg pass over the input (the score table itself is never
+    * materialized, keeping the returned plan — and the seam's
+    * MapPartitions stage — intact); that pre-flight pass is the
+    * deliberate price of never launching an unbounded sort at 100 TB.
     */
+  /** Eagerly asserts the per-score partial-agg table is register-sized
+    * (≤ `maxDistinct` rows) before any caller windows over it. Returns
+    * the UNTOUCHED lazy frame — the check recomputes the upstream once
+    * rather than checkpointing it, so plan shape (and the classifier
+    * seam's MapPartitions stage) survives into the final job.
+    */
+  private def boundedScoreTable(byScore: DataFrame, maxDistinct: Long,
+      who: String): DataFrame = {
+    require(maxDistinct >= 1, s"$who: maxDistinctScores must be >= 1")
+    val n = byScore.count()
+    require(n <= maxDistinct,
+      s"$who: $n distinct (group, score) rows exceed the declared bound " +
+        s"of $maxDistinct — the cumulative walk would sort a " +
+        "non-register-sized table inside one task. Quantize the score " +
+        "(integer per-mille / fixed-point div) or raise maxDistinctScores " +
+        "only if the table provably stays bounded at full scale.")
+    byScore
+  }
+
   def rocAuc(df: DataFrame, scoreCol: Column, labelCol: Column,
-      groups: Seq[String] = Seq.empty): DataFrame = {
+      groups: Seq[String] = Seq.empty,
+      maxDistinctScores: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = groups.map(col)
-    val byScore = df
+    val byScore = boundedScoreTable(df
       .select(g ++ Seq(scoreCol.cast("long").as("_s"),
         labelCol.cast("boolean").as("_y")): _*)
       .filter(col("_s").isNotNull && col("_y").isNotNull)
       .groupBy(g :+ col("_s"): _*).agg(
         sum(when(col("_y"), 1L).otherwise(0L)).as("_np"),
-        sum(when(col("_y"), 0L).otherwise(1L)).as("_nn"))
+        sum(when(col("_y"), 0L).otherwise(1L)).as("_nn")),
+      maxDistinctScores, "rocAuc")
     val w = Window.partitionBy(g: _*).orderBy("_s")
       .rowsBetween(Window.unboundedPreceding, -1)
     def auc(scale: String, name: String) = expr(
@@ -203,17 +237,22 @@ object TableProfile {
     * Output one row per distinct score:
     * (threshold, tp, fp, fn, tn, precision_permille, recall_permille,
     * f1_permille).
+    *
+    * Bounded by construction, not convention: the same eager
+    * [[boundedScoreTable]] pre-flight as [[rocAuc]] — a raw-logit
+    * scorer fails loudly before the descending walk is submitted.
     */
   def operatingPoints(df: DataFrame, scoreCol: Column,
-      labelCol: Column): DataFrame = {
+      labelCol: Column, maxDistinctScores: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byScore = df
+    val byScore = boundedScoreTable(df
       .select(scoreCol.cast("long").as("threshold"),
         labelCol.cast("boolean").as("_y"))
       .filter(col("threshold").isNotNull && col("_y").isNotNull)
       .groupBy("threshold").agg(
         sum(when(col("_y"), 1L).otherwise(0L)).as("_np"),
-        sum(when(col("_y"), 0L).otherwise(1L)).as("_nn"))
+        sum(when(col("_y"), 0L).otherwise(1L)).as("_nn")),
+      maxDistinctScores, "operatingPoints")
     // tp/fp at threshold s = positives/negatives with score >= s: a
     // cumulative sum over the DESCENDING score walk (current row incl.)
     val w = Window.orderBy(col("threshold").desc)
@@ -250,20 +289,55 @@ object TableProfile {
   def histogram(df: DataFrame, valueCol: Column, lo: Long, hi: Long,
       buckets: Int): DataFrame = {
     require(buckets >= 1 && buckets <= 10000, s"1..10000 buckets, got $buckets")
-    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    require(lo < hi && hi - lo > 0,
+      s"need lo < hi with a range that fits int64, got [$lo, $hi)")
     val width = hi - lo
     val counts = df.select(valueCol.cast("long").as("_v"))
       .filter(col("_v").isNotNull)
-      .withColumn("bucket", least(lit(buckets - 1L), greatest(lit(0L),
-        expr(s"(_v - $lo) * $buckets div $width"))))
+      .withColumn("bucket", bucketExpr(lo, hi, buckets))
       .groupBy("bucket").agg(count(lit(1)).as("n_rows"))
     val scaffold = df.sparkSession.range(buckets).select(col("id").as("bucket"))
     scaffold.join(counts, Seq("bucket"), "left")
       .select(col("bucket"),
-        expr(s"$lo + bucket * $width div $buckets").as("lo_v"),
-        expr(s"$lo + (bucket + 1) * $width div $buckets").as("hi_v"),
+        bucketEdge(lo, width, buckets, "bucket").as("lo_v"),
+        bucketEdge(lo, width, buckets, "(bucket + 1)").as("hi_v"),
         coalesce(col("n_rows"), lit(0L)).as("n_rows"))
   }
+
+  /** The declared-bounds integer bucket id of `_v`, overflow-free for
+    * ANY int64 input: `_v` is clamped into [lo, hi−1] BEFORE the
+    * multiply (same final bucket as multiply-then-clamp — below-range
+    * lands in 0, at-or-above-range in buckets−1 — but the intermediate
+    * `(_v − lo) · buckets` can no longer wrap past int64 for extreme
+    * scores, which used to misplace exactly the out-of-range rows the
+    * audits exist to surface). The bounded product — ≤ (width−1)·10⁴ ≈
+    * 10²³ for a full-int64 width — runs in DECIMAL(38,0), the repo's
+    * exact-integer discipline; the final id < buckets casts back to
+    * BIGINT losslessly.
+    */
+  private def bucketExpr(lo: Long, hi: Long, buckets: Int): Column =
+    expr(s"""CAST((CAST(least(${longLit(hi - 1)}, greatest(${longLit(lo)},
+      | _v)) AS DECIMAL(38,0)) - ${longLit(lo)}) * $buckets
+      | div ${longLit(hi - lo)} AS BIGINT)"""
+      .stripMargin.replace("\n", " "))
+
+  /** Bucket-edge value `lo + idx·width div buckets` with the product in
+    * DECIMAL(38,0) (idx·width overflows int64 for near-full-range
+    * widths); the edge itself is within [lo, hi] so the BIGINT cast is
+    * exact.
+    */
+  private def bucketEdge(lo: Long, width: Long, buckets: Int,
+      idx: String): Column =
+    expr(s"CAST(${longLit(lo)} + CAST($idx AS DECIMAL(38,0)) * " +
+      s"${longLit(width)} div $buckets AS BIGINT)")
+
+  /** An int64 literal rendered so the SQL parser accepts ANY value:
+    * `Long.MinValue` written as `-9223372036854775808L` fails to parse
+    * (the positive literal overflows before unary minus applies), so
+    * extremes go through a constant-folded string cast.
+    */
+  private def longLit(x: Long): String =
+    if (x == Long.MinValue) s"CAST('$x' AS BIGINT)" else s"${x}L"
 
   /** Classifier reliability curve — the third leg of the calibration
     * story ([[rocAuc]] grades the RANKING, [[operatingPoints]] the
@@ -287,20 +361,20 @@ object TableProfile {
   def reliabilityCurve(df: DataFrame, scoreCol: Column, labelCol: Column,
       lo: Long, hi: Long, buckets: Int): DataFrame = {
     require(buckets >= 1 && buckets <= 10000, s"1..10000 buckets, got $buckets")
-    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    require(lo < hi && hi - lo > 0,
+      s"need lo < hi with a range that fits int64, got [$lo, $hi)")
     val width = hi - lo
     val counts = df
       .select(scoreCol.cast("long").as("_v"), labelCol.cast("boolean").as("_y"))
       .filter(col("_v").isNotNull && col("_y").isNotNull)
-      .withColumn("bucket", least(lit(buckets - 1L), greatest(lit(0L),
-        expr(s"(_v - $lo) * $buckets div $width"))))
+      .withColumn("bucket", bucketExpr(lo, hi, buckets))
       .groupBy("bucket").agg(count(lit(1)).as("n"),
         sum(when(col("_y"), 1L).otherwise(0L)).as("n_pos"))
     val scaffold = df.sparkSession.range(buckets).select(col("id").as("bucket"))
     scaffold.join(counts, Seq("bucket"), "left")
       .select(col("bucket"),
-        expr(s"$lo + bucket * $width div $buckets").as("lo_v"),
-        expr(s"$lo + (bucket + 1) * $width div $buckets").as("hi_v"),
+        bucketEdge(lo, width, buckets, "bucket").as("lo_v"),
+        bucketEdge(lo, width, buckets, "(bucket + 1)").as("hi_v"),
         coalesce(col("n"), lit(0L)).as("n"),
         coalesce(col("n_pos"), lit(0L)).as("n_pos"),
         expr("CASE WHEN n IS NULL THEN NULL ELSE n_pos * 1000 div n END")

@@ -395,12 +395,19 @@ object AuditQueries {
     // The classifier's per-source score-decile histogram — the
     // distribution panel a score threshold is picked from (which feeds
     // skew low, where the mass sits). Bounded output: sources × 10.
+    // Unscoreable docs (NULL text → NULL score) are EXCLUDED, not
+    // binned: both engines' least() skips NULLs, so an unfiltered NULL
+    // would silently land in decile 9 as a "best" doc. The decile is
+    // clamped at BOTH edges — the seam contract allows any Long scorer,
+    // and a negative permille must not mint a negative bucket.
     "quality_classifier_hist" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       graft.llm.QualityRules.classifierScores(s, docs, "doc_id", "text")
+        .filter(col("score_permille").isNotNull)
         .join(docs.select("doc_id", "source"), "doc_id")
         .groupBy(col("source"),
-          expr("least(score_permille div 100, 9)").as("decile"))
+          expr("greatest(0L, least(score_permille div 100, 9L))")
+            .as("decile"))
         .agg(count(lit(1)).as("n_docs"),
           sum("score_permille").as("sum_score"))
     })
@@ -894,8 +901,8 @@ object AuditQueries {
     "quality_classifier_hist" ->
       s"""WITH sc AS (SELECT doc_id, source,
          |  ${graft.llm.QualityRules.stubEduScoreSqlDuck} AS score_permille
-         |  FROM documents)
-         |SELECT source, least(score_permille // 100, 9) AS decile,
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT source, greatest(0, least(score_permille // 100, 9)) AS decile,
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(score_permille) AS BIGINT) AS sum_score
          |FROM sc GROUP BY 1, 2""".stripMargin.replace("\n", " "),

@@ -270,6 +270,66 @@ class RangeJoinSpec extends SparkSpecBase {
       "out-of-range scores clamp into the edge buckets")
   }
 
+  test("reliabilityCurve + histogram: int64-extreme scores land in the " +
+    "correct edge bucket (the multiply is overflow-free by clamping " +
+    "the value FIRST)") {
+    // Long.MaxValue * buckets wraps int64 in the naive formula,
+    // misplacing exactly the out-of-range rows the audits exist to
+    // surface; the clamp-before-multiply form must put them at the edges
+    val rows = Seq(
+      (Long.MaxValue, true), (Long.MinValue, false),
+      (500L, true), (999L, false))
+    val rel = TableProfile.reliabilityCurve(rows.toDF("s", "y"),
+      col("s"), col("y"), lo = 0L, hi = 1000L, buckets = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rel(9L).getAs[Long]("n") === 2L,
+      "Long.MaxValue and 999 clamp into the TOP bucket")
+    assert(rel(0L).getAs[Long]("n") === 1L,
+      "Long.MinValue clamps into the BOTTOM bucket")
+    assert(rel(5L).getAs[Long]("n") === 1L)
+    val hist = TableProfile.histogram(rows.toDF("s", "y"), col("s"),
+      lo = 0L, hi = 1000L, buckets = 10)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_rows")).toMap
+    assert(hist(9L) === 2L && hist(0L) === 1L && hist(5L) === 1L)
+    // a full-int64 declared range must also work (bucket edges ride
+    // DECIMAL arithmetic); hi - lo here overflows int64 and must raise
+    val e = intercept[IllegalArgumentException] {
+      TableProfile.histogram(rows.toDF("s", "y"), col("s"),
+        lo = Long.MinValue, hi = Long.MaxValue, buckets = 4)
+    }
+    assert(e.getMessage.contains("fits int64"))
+    // the widest SUPPORTED range: [MinValue, -1) — width = 2^63 - 1
+    val wide = TableProfile.histogram(rows.toDF("s", "y"), col("s"),
+      lo = Long.MinValue, hi = -1L, buckets = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(wide(0L).getAs[Long]("n_rows") === 1L,
+      "MinValue lands in bucket 0 of the widest range")
+    assert(wide(3L).getAs[Long]("n_rows") === 3L,
+      "everything >= -1 clamps into the top bucket")
+    assert(wide(0L).getAs[Long]("lo_v") === Long.MinValue)
+  }
+
+  test("rocAuc/operatingPoints refuse a non-register-sized score table " +
+    "LOUDLY before the cumulative walk is submitted") {
+    val df = spark.range(5000).select(col("id").as("s"),
+      (col("id") % 2 === 0).as("y"))
+    val e1 = intercept[IllegalArgumentException] {
+      TableProfile.rocAuc(df, col("s"), col("y"),
+        maxDistinctScores = 1000L)
+    }
+    assert(e1.getMessage.contains("exceed the declared bound"))
+    val e2 = intercept[IllegalArgumentException] {
+      TableProfile.operatingPoints(df, col("s"), col("y"),
+        maxDistinctScores = 1000L)
+    }
+    assert(e2.getMessage.contains("exceed the declared bound"))
+    // at-or-under the bound proceeds, and the result is the same table
+    // the unbounded convention produced
+    val ok = TableProfile.rocAuc(df, col("s"), col("y"),
+      maxDistinctScores = 5000L).collect().head
+    assert(ok.getAs[Long]("n_pos") === 2500L)
+  }
+
   // ---- StreamingRangeJoin ----------------------------------------------
 
   test("StreamingRangeJoin: batch-folded panel == one-pass range-join " +
