@@ -417,4 +417,83 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(m.columns.toSeq === Seq("win_id", "n_events", "sum_value"))
     assert(m.count() === 0L)
   }
+
+  test("StreamingRangeJoin: tQuantum bounds the digest BY CONSTRUCTION — " +
+    "second-grained probes fold to one digest row per day cell, the " +
+    "day-aligned panel stays exact, and a misaligned interval raises") {
+    val Q = 86400L // one day of SECONDS — raw-t cardinality 30·Q, cells 30
+    val rnd = new scala.util.Random(53)
+    val probe = (1 to 400).map(i =>
+      (i.toLong, rnd.nextInt(30 * Q.toInt).toLong, rnd.nextInt(100).toLong))
+    val ivs = (1 to 10).map { j =>
+      val d = rnd.nextInt(25).toLong
+      (3000L + j, d * Q, (d + 1 + rnd.nextInt(4)) * Q - 1)
+    }
+    val dir = tmpDir("rj_quantum")
+    val panel = new graft.streaming.StreamingRangeJoin(
+      spark, dir, bucketWidth = 2L, keyCols = Seq("win_id"), tQuantum = Q)
+    panel.recordProbeBatch(
+      probe.filter(_._1 % 2 == 0).toDF("eid", "t", "v"), "t", col("v"), 0L)
+    panel.recordProbeBatch(
+      probe.filter(_._1 % 2 == 1).toDF("eid", "t", "v"), "t", col("v"), 1L)
+    panel.recordIntervalBatch(ivs.toDF("win_id", "lo", "hi"), "lo", "hi", 0L)
+    val got = panel.merged().collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = (for {
+      (wid, lo, hi) <- ivs
+      hits = probe.filter { case (_, t, _) => t >= lo && t <= hi }
+      if hits.nonEmpty
+    } yield wid -> ((hits.size.toLong, hits.map(_._3).sum))).toMap
+    assert(got === want, "whole-cell intervals answer exactly off the digest")
+    // the boundedness claim itself: state holds CELL rows, not raw-t rows
+    val cells = spark.read.parquet(dir + "/probe").select("_t").distinct()
+    assert(cells.count() <= 30L,
+      "digest must be one row per day cell, never per raw timestamp")
+    // a misaligned interval is unanswerable-exactly: loud in-path error
+    val e = intercept[Exception] {
+      panel.recordIntervalBatch(
+        Seq((9000L, Q + 5L, 3 * Q - 1L)).toDF("win_id", "lo", "hi"),
+        "lo", "hi", 1L)
+    }
+    assert(e.getMessage != null && e.getMessage.contains("whole-cell"),
+      s"got: ${e.getMessage}")
+  }
+
+  test("StreamingRangeJoin: non-integral interval keys and reserved key " +
+    "names are refused loudly (the BIGINT zero-state contract)") {
+    val panel = new graft.streaming.StreamingRangeJoin(
+      spark, tmpDir("rj_keys"), bucketWidth = 4L, keyCols = Seq("campaign"))
+    val e = intercept[IllegalArgumentException] {
+      panel.recordIntervalBatch(
+        Seq(("cmp-a", 0L, 9L)).toDF("campaign", "lo", "hi"), "lo", "hi", 0L)
+    }
+    assert(e.getMessage.contains("integral"))
+    for (bad <- Seq("n_events", "sum_value", "_lo", "_rj_bk")) {
+      val e2 = intercept[IllegalArgumentException] {
+        new graft.streaming.StreamingRangeJoin(
+          spark, tmpDir("rj_bad"), 4L, keyCols = Seq(bad))
+      }
+      assert(e2.getMessage.contains("avoid"), s"keyCol $bad must be refused")
+    }
+  }
+
+  test("StreamingRangeJoin: recordBatch enforces the frozen-geometry " +
+    "contract — a DIFFERENT interval table on a later call raises, an " +
+    "identical one replays idempotently") {
+    val panel = new graft.streaming.StreamingRangeJoin(
+      spark, tmpDir("rj_frozen"), bucketWidth = 4L, keyCols = Seq("win_id"))
+    val ivA = Seq((1L, 0L, 9L), (2L, 10L, 19L)).toDF("win_id", "lo", "hi")
+    val probe = Seq((1L, 5L, 100L), (2L, 12L, 50L)).toDF("eid", "t", "v")
+    panel.recordBatch(probe, "t", col("v"), ivA, "lo", "hi", 0L)
+    // same geometry, different row order: fingerprint is order-insensitive
+    val ivASwapped = Seq((2L, 10L, 19L), (1L, 0L, 9L)).toDF("win_id", "lo", "hi")
+    panel.recordBatch(probe, "t", col("v"), ivASwapped, "lo", "hi", 0L)
+    assert(panel.merged().count() === 2L)
+    val ivB = Seq((1L, 0L, 9L), (3L, 20L, 29L)).toDF("win_id", "lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      panel.recordBatch(probe, "t", col("v"), ivB, "lo", "hi", 1L)
+    }
+    assert(e.getMessage.contains("recordIntervalBatch"),
+      "the error must route the caller to the per-batch API")
+  }
 }
