@@ -209,17 +209,62 @@ object Curation {
       decontamN: Int, minHitPermille: Int, maxGramEvalDf: Long,
       stopWords: Seq[String] = QualityRules.GopherStopWords,
       scoreOne: String => Long = QualityRules.stubEduScore): DataFrame = {
+    val st = v5Stages(corpus, evalSet, idCol, textCol, srcCol,
+      minSrcPermille, minScorePermille, tokenBudget, decontamN,
+      minHitPermille, maxGramEvalDf, stopWords, scoreOne,
+      materializeStages = false)
+    val chosen = graft.util.Materialize.stable(
+      st.sel.select("doc_id", "n_tokens")
+        .join(st.uniq.select(col("doc_id"), col("source"),
+          md5(col("_txt")).as("text_hash")), Seq("doc_id")))
+    Packing.packGreedyDecreasing(chosen, "doc_id", "source",
+        col("n_tokens"), binBudget)
+      .select(col("doc_id"), col("grp").as("source"), col("n_tokens"),
+        col("bin_idx"))
+      .join(chosen.select("doc_id", "text_hash"), Seq("doc_id"))
+  }
+
+  /** The v5 assembly's intermediate stage frames, in pipeline order.
+    * `_txt`-bearing frames carry (doc_id, source, _txt).
+    */
+  private[llm] final case class V5Stages(qualified: DataFrame,
+      clean: DataFrame, kept: DataFrame, keptClassified: DataFrame,
+      uniq: DataFrame, sel: DataFrame)
+
+  /** ONE recipe for the v5 stage chain — reputation gate → eval-set
+    * decontamination → Gopher rules → classifier threshold → exact
+    * dedup → token-budget selection — consumed by BOTH [[curateV5]]
+    * (which appends packing) and [[curationFunnel]] (which counts each
+    * frame), mirroring the oracle side's shared `curatedStageCtes`. The
+    * twin hazard this kills: an edit to one copy of the chain (say,
+    * reordering classifier vs dedup) that missed the other would keep
+    * both gates individually green while the funnel silently audited a
+    * DIFFERENT pipeline than the one shipping data.
+    *
+    * `materializeStages` is the funnel's knob: the funnel consumes
+    * every frame twice (its own count + the next stage), so it
+    * materializes each once; the recipe consumes each frame once and
+    * keeps the chain lazy (`uniq` is the exception — two consumers in
+    * both callers).
+    */
+  private def v5Stages(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, srcCol: String, minSrcPermille: Long,
+      minScorePermille: Long, tokenBudget: Long, decontamN: Int,
+      minHitPermille: Int, maxGramEvalDf: Long, stopWords: Seq[String],
+      scoreOne: String => Long, materializeStages: Boolean): V5Stages = {
+    def m(df: DataFrame): DataFrame =
+      if (materializeStages) graft.util.Materialize.stable(df) else df
     val reput = Sampling.sourceReputationFilter(corpus, idCol, textCol,
       srcCol, minSrcPermille).select(col(idCol))
-    val qualified = corpus.join(reput, Seq(idCol))
-    val clean = Decontam.decontaminate(qualified, evalSet, idCol, textCol,
-      decontamN, minHitPermille, maxGramEvalDf)
+    val qualified = m(corpus.join(reput, Seq(idCol)))
+    val clean = m(Decontam.decontaminate(qualified, evalSet, idCol, textCol,
+      decontamN, minHitPermille, maxGramEvalDf))
     val ok = QualityRules.gopherQuality(clean, idCol, textCol, stopWords)
       .filter(col("passes_gopher")).select("doc_id")
-    val kept = clean
+    val kept = m(clean
       .select(col(idCol).as("doc_id"), col(srcCol).as("source"),
         col(textCol).as("_txt"))
-      .join(ok, Seq("doc_id"))
+      .join(ok, Seq("doc_id")))
     // the learned tier: score through the per-partition model seam,
     // keep only docs at or above the declared operating point (the
     // threshold a real pipeline reads off operatingPoints)
@@ -227,22 +272,14 @@ object Curation {
       .classifierScores(corpus.sparkSession, kept, "doc_id", "_txt", scoreOne)
       .filter(col("score_permille") >= minScorePermille)
       .select("doc_id")
+    val keptClassified = m(kept.join(passing, Seq("doc_id")))
     val uniq = graft.util.Materialize.stable(
-      Dedup.firstOccurrences(kept.join(passing, Seq("doc_id")),
-        "doc_id", "_txt"))
+      Dedup.firstOccurrences(keptClassified, "doc_id", "_txt"))
     val sel = Sampling.tokenBudgetSelect(uniq, "doc_id",
       expr("size(array_distinct(split(_txt, ' '))) * 1000 div " +
         "size(split(_txt, ' '))"),
       TextAnalysis.tokenCount(col("_txt")), tokenBudget)
-    val chosen = graft.util.Materialize.stable(
-      sel.select("doc_id", "n_tokens")
-        .join(uniq.select(col("doc_id"), col("source"),
-          md5(col("_txt")).as("text_hash")), Seq("doc_id")))
-    Packing.packGreedyDecreasing(chosen, "doc_id", "source",
-        col("n_tokens"), binBudget)
-      .select(col("doc_id"), col("grp").as("source"), col("n_tokens"),
-        col("bin_idx"))
-      .join(chosen.select("doc_id", "text_hash"), Seq("doc_id"))
+    V5Stages(qualified, clean, kept, keptClassified, uniq, sel)
   }
 
   /** Stage-by-stage survivor FUNNEL of the [[curateV5]] assembly — the
@@ -272,39 +309,19 @@ object Curation {
           col("n_docs"), col("n_tokens"))
     val tokTxt = TextAnalysis.tokenCount(col("_txt"))
     val raw = corpus.select(col(textCol).as("_txt"))
-    val reput = Sampling.sourceReputationFilter(corpus, idCol, textCol,
-      srcCol, minSrcPermille).select(col(idCol))
-    val qualified = graft.util.Materialize.stable(
-      corpus.join(reput, Seq(idCol)))
-    val clean = graft.util.Materialize.stable(
-      Decontam.decontaminate(qualified, evalSet, idCol, textCol,
-        decontamN, minHitPermille, maxGramEvalDf))
-    val ok = QualityRules.gopherQuality(clean, idCol, textCol, stopWords)
-      .filter(col("passes_gopher")).select("doc_id")
-    val kept = graft.util.Materialize.stable(clean
-      .select(col(idCol).as("doc_id"), col(srcCol).as("source"),
-        col(textCol).as("_txt"))
-      .join(ok, Seq("doc_id")))
-    val passing = QualityRules
-      .classifierScores(corpus.sparkSession, kept, "doc_id", "_txt", scoreOne)
-      .filter(col("score_permille") >= minScorePermille)
-      .select("doc_id")
-    val keptC = graft.util.Materialize.stable(kept.join(passing, Seq("doc_id")))
-    val uniq = graft.util.Materialize.stable(
-      Dedup.firstOccurrences(keptC, "doc_id", "_txt"))
-    val sel = Sampling.tokenBudgetSelect(uniq, "doc_id",
-      expr("size(array_distinct(split(_txt, ' '))) * 1000 div " +
-        "size(split(_txt, ' '))"),
-      TextAnalysis.tokenCount(col("_txt")), tokenBudget)
+    val st = v5Stages(corpus, evalSet, idCol, textCol, srcCol,
+      minSrcPermille, minScorePermille, tokenBudget, decontamN,
+      minHitPermille, maxGramEvalDf, stopWords, scoreOne,
+      materializeStages = true)
     stage(0, "raw", raw, tokTxt)
       .unionByName(stage(1, "reputation",
-        qualified.select(col(textCol).as("_txt")), tokTxt))
+        st.qualified.select(col(textCol).as("_txt")), tokTxt))
       .unionByName(stage(2, "decontam",
-        clean.select(col(textCol).as("_txt")), tokTxt))
-      .unionByName(stage(3, "gopher", kept, tokTxt))
-      .unionByName(stage(4, "classifier", keptC, tokTxt))
-      .unionByName(stage(5, "dedup", uniq, tokTxt))
-      .unionByName(stage(6, "budget", sel, col("n_tokens")))
+        st.clean.select(col(textCol).as("_txt")), tokTxt))
+      .unionByName(stage(3, "gopher", st.kept, tokTxt))
+      .unionByName(stage(4, "classifier", st.keptClassified, tokTxt))
+      .unionByName(stage(5, "dedup", st.uniq, tokTxt))
+      .unionByName(stage(6, "budget", st.sel, col("n_tokens")))
   }
 
   /** Per-source corpus health: doc/token totals, docs passing the
