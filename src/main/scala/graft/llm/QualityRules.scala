@@ -250,12 +250,26 @@ object QualityRules {
     */
   def classifierScores(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, idCol: String, textCol: String,
-      scoreOne: String => Long = stubEduScore): DataFrame = {
+      scoreOne: String => Long = stubEduScore): DataFrame =
+    classifierScoresInit(spark, docs, idCol, textCol, () => scoreOne)
+
+  /** The seam's FACTORY form — for scorers with real per-partition
+    * state (a weight table fetched from a broadcast, a model session,
+    * a native handle): `mkScorer` runs EXACTLY ONCE per partition,
+    * inside the executor task, and the scorer it returns is applied to
+    * every document of that partition ([[graft.llm.NgramHead]] is the
+    * shipped example; the seam spec counts the inits). [[classifierScores]]
+    * is this with a stateless closure.
+    */
+  def classifierScoresInit(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, idCol: String, textCol: String,
+      mkScorer: () => String => Long): DataFrame = {
     import spark.implicits._
     docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_txt"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         // per-partition model init amortizes here (the seam contract)
+        val scoreOne = mkScorer()
         rows.map { case (id, t) =>
           ClassifierScore(id, Option(t).map(scoreOne))
         }

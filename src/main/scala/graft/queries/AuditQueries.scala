@@ -410,6 +410,37 @@ object AuditQueries {
             .as("decile"))
         .agg(count(lit(1)).as("n_docs"),
           sum("score_permille").as("sum_score"))
+    }),
+
+    // The REAL-model leg of the classifier seam: the frozen n-gram
+    // logistic head (hash-bucketed token weights shipped as ONE
+    // broadcast, per-partition init through the factory seam) scored
+    // over the corpus and graded with the same exact AUC — proves the
+    // broadcast-weights path a fastText-class model needs at 100 TB,
+    // not just the stateless-stub plumbing.
+    "quality_ngram_head_auc" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = graft.llm.QualityRules.classifierScoresInit(
+        s, docs, "doc_id", "text", graft.llm.NgramHead.scorerFactory(s))
+      TableProfile.rocAuc(
+        scored.join(docs.select(col("doc_id"),
+          (col("lang") === "en").as("_is_en")), "doc_id"),
+        col("score_permille"), col("_is_en"))
+    }),
+
+    // The head's per-source score-decile panel — same discipline as the
+    // stub hist: NULL scores excluded, decile clamped at both edges.
+    "quality_ngram_head_hist" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.llm.QualityRules.classifierScoresInit(
+          s, docs, "doc_id", "text", graft.llm.NgramHead.scorerFactory(s))
+        .filter(col("score_permille").isNotNull)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy(col("source"),
+          expr("greatest(0L, least(score_permille div 100, 9L))")
+            .as("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("score_permille").as("sum_score"))
     })
   )
 
@@ -906,6 +937,38 @@ object AuditQueries {
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(score_permille) AS BIGINT) AS sum_score
          |FROM sc GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+
+    "quality_ngram_head_auc" ->
+      s"""WITH hs AS ${graft.llm.NgramHead.scoresSqlDuck(
+           "(SELECT doc_id, text FROM documents WHERE text IS NOT NULL)")},
+         |f AS (SELECT d.lang = 'en' AS y, hs.score_permille AS sc
+         |  FROM hs JOIN documents d USING (doc_id) WHERE d.lang IS NOT NULL),
+         |s AS (SELECT sc,
+         |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |  CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+         |  FROM f GROUP BY 1),
+         |c AS (SELECT np, nn, coalesce(sum(nn) OVER (ORDER BY sc
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+         |  FROM s),
+         |a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+         |  CAST(sum(nn) AS BIGINT) AS n_neg,
+         |  sum(CAST(np AS HUGEINT) * (2 * cnb + nn)) AS num FROM c)
+         |SELECT n_pos, n_neg,
+         |  CAST(1000 * num // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+         |    AS BIGINT) AS auc_permille,
+         |  CAST(1000000 * num // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+         |    AS BIGINT) AS auc_x1e6
+         |FROM a""".stripMargin.replace("\n", " "),
+
+    "quality_ngram_head_hist" ->
+      s"""WITH hs AS ${graft.llm.NgramHead.scoresSqlDuck(
+           "(SELECT doc_id, text FROM documents WHERE text IS NOT NULL)")}
+         |SELECT d.source,
+         |  greatest(0, least(hs.score_permille // 100, 9)) AS decile,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(hs.score_permille) AS BIGINT) AS sum_score
+         |FROM hs JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
 
     "events_range_join_stream" ->
       """WITH wins AS (SELECT event_id AS win_id,

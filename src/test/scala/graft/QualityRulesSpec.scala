@@ -324,4 +324,64 @@ class QualityRulesSpec extends SparkSpecBase {
     assert(inits.value === 4L,
       s"exactly one init per partition, got ${inits.value}")
   }
+
+  test("classifierScoresInit: the FACTORY seam itself runs one init per " +
+    "partition — counted through the real code path, not an emulation") {
+    val docs = spark.range(0, 64).toDF("doc_id")
+      .withColumn("text", concat(lit("doc number "), col("doc_id")))
+      .repartition(4)
+    val inits = spark.sparkContext.longAccumulator("factory_inits")
+    val out = QualityRules.classifierScoresInit(spark, docs, "doc_id",
+      "text", () => { inits.add(1); QualityRules.stubEduScore _ })
+    assert(out.count() === 64L)
+    assert(inits.value === 4L,
+      s"mkScorer must run once per partition, got ${inits.value}")
+  }
+
+  test("NgramHead: broadcast-weights head scores match an independent " +
+    "from-scratch recompute (hex-parse md5 path), incl. negative sums, " +
+    "clamping and empty text; NULL text scores NULL") {
+    import graft.llm.NgramHead
+    // independent reimplementation: hex-string parse instead of byte
+    // arithmetic, plain Seq fold instead of the while loop
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    def bucket(tok: String): Int =
+      (java.lang.Long.parseLong(md5hex(tok).substring(0, 8), 16) %
+        NgramHead.Buckets).toInt
+    val baseW = (0 until NgramHead.Buckets)
+      .map(b => b * NgramHead.Mixer % 17 - 8).toArray
+    graft.llm.TextAnalysis.StopWords.map(bucket).distinct
+      .foreach(b => baseW(b) += NgramHead.StopBonus)
+    def wantScore(text: String): Long = {
+      val toks = text.split(" ", -1)
+      val raw = toks.map(t => baseW(bucket(t))).sum
+      math.max(0L, math.min(1000L, 500L + raw * 25L / toks.length))
+    }
+    val texts = Seq(
+      "the quick brown fox and the lazy dog of a to in is",
+      "zzgram qqgram wwgram vvgram", // no stopwords: base weights only
+      "", // one empty token
+      "a a a a a a a a the the the of of in is to and")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) } :+
+      ((99L, null: String))
+    val got = QualityRules.classifierScoresInit(spark,
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        NgramHead.scorerFactory(spark))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) === Some(wantScore(t)), s"doc $i: '$t'")
+    }
+    assert(got(99L) === None, "NULL text scores NULL through the factory")
+    // the weight table really carries the deduplicated stopword bonus
+    val nStopBuckets = graft.llm.TextAnalysis.StopWords
+      .map(bucket).distinct.size
+    assert(NgramHead.weights.sum ===
+      (0 until NgramHead.Buckets).map(b => b * NgramHead.Mixer % 17 - 8).sum
+        + NgramHead.StopBonus * nStopBuckets,
+      "stopword bonus must land once per DISTINCT bucket")
+  }
 }
