@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.Row
@@ -44,29 +44,96 @@ final class StreamingCuration(dedup: StreamingDedup, idCol: String,
     * and flip its verdict. Safe to call from foreachBatch; replays
     * re-emit the same rows.
     */
-  def processBatch(batch: DataFrame, batchId: Long): DataFrame = {
-    val once = batch.dropDuplicates(idCol :: textCol :: Nil)
+  def processBatch(batch: DataFrame, batchId: Long): DataFrame =
+    stages(batch, batchId, materializeStages = false).novel
+
+  /** The per-batch stage frames, in pipeline order: `raw` (the batch),
+    * `compact` (in-batch (id, text) compaction + scrub (+ normalize) —
+    * the text that flows onward), `quality`, `fluency` (== quality when
+    * no model is configured: a visible zero-loss stage, not a missing
+    * row), `novel` (the emitted rows).
+    */
+  private[llm] final case class BatchStages(raw: DataFrame,
+      compact: DataFrame, quality: DataFrame, fluency: DataFrame,
+      novel: DataFrame)
+
+  /** ONE recipe for the per-batch chain — consumed by [[processBatch]]
+    * (which emits `novel`) and [[writeFunnelBatch]] (which counts every
+    * frame), the [[Curation]] `v5Stages` discipline applied to the
+    * streaming tier so the funnel can never audit a different pipeline
+    * than the one shipping rows. `materializeStages` is the funnel's
+    * knob (each frame is double-consumed there: its own count + the
+    * next stage); the emit path keeps the chain lazy.
+    */
+  private def stages(batch: DataFrame, batchId: Long,
+      materializeStages: Boolean): BatchStages = {
+    def m(df: DataFrame): DataFrame =
+      if (materializeStages) graft.util.Materialize.stable(df) else df
+    val raw = m(batch)
+    val once = raw.dropDuplicates(idCol :: textCol :: Nil)
     // scrub before normalize — the batch pipeline's ordering rationale
     // (normalization strips the structure the PII patterns match on)
     val scrubbed0 = PiiScrub.scrubbed(once, textCol)
-    val scrubbed =
+    val scrubbed = m(
       if (normalizeText)
         scrubbed0.withColumn(textCol, TextAnalysis.normalize(col(textCol)))
-      else scrubbed0
+      else scrubbed0)
     val keptIds = TextAnalysis.qualityFilter(scrubbed, idCol, textCol,
       minTokens, maxTokens, minUniqPermille, maxTopTokPermille)
       .filter(col("keep")).select(col("doc_id").as(idCol))
-    val kept0 = scrubbed.join(keptIds, Seq(idCol))
+    val kept0 = m(scrubbed.join(keptIds, Seq(idCol)))
     val kept = fluencyModel match {
-      case Some(m) if minFluencyPermille > 0 =>
-        kept0.join(
-          TextAnalysis.scoreFluency(kept0, m, idCol, textCol)
+      case Some(mm) if minFluencyPermille > 0 =>
+        m(kept0.join(
+          TextAnalysis.scoreFluency(kept0, mm, idCol, textCol)
             .filter(col("score_permille") >= minFluencyPermille)
             .select(col("doc_id").as(idCol)),
-          Seq(idCol))
+          Seq(idCol)))
       case _ => kept0
     }
-    dedup.filterNew(kept, batchId)
+    // novel is already materialized (filterNew's overwrite-what-you-read
+    // barrier), so the funnel's second read never races the state write
+    BatchStages(raw, scrubbed, kept0, kept, dedup.filterNew(kept, batchId))
+  }
+
+  /** Process one micro-batch AND fold its per-stage survivor counts
+    * into the continuous loss-attribution panel: five 1-row aggregates
+    * — (stage_idx, stage, n_docs, n_tokens) for raw / compact_scrub /
+    * quality / fluency / novel — land under this batch's `_batch_id=`
+    * partition in `funnelDir` (dynamic overwrite: an at-least-once
+    * replay REPLACES its own counts, never double-counts). Counts
+    * SUM-MERGE across batches (the register discipline):
+    * [[StreamingCuration.funnel]] reads the panel as one groupBy-sum,
+    * and because the in-batch stages are batch-local and novelty
+    * decomposes over batches (first-seen per hash), the folded panel
+    * equals the one-pass funnel over the union — spec-pinned. Returns
+    * the novel rows so the caller lands them exactly as [[writeBatch]]
+    * does.
+    *
+    * Scale shape: the batch pipeline's own audited shapes + five 1-row
+    * aggs over materialized stage frames; funnel state grows 5 rows per
+    * batch.
+    */
+  def writeFunnelBatch(batch: DataFrame, batchId: Long,
+      funnelDir: String): DataFrame = {
+    val st = stages(batch, batchId, materializeStages = true)
+    val tok = TextAnalysis.tokenCount(col(textCol))
+    def leg(idx: Long, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(tok), lit(0L)).as("n_tokens"))
+        .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    leg(0L, "raw", st.raw)
+      .unionByName(leg(1L, "compact_scrub", st.compact))
+      .unionByName(leg(2L, "quality", st.quality))
+      .unionByName(leg(3L, "fluency", st.fluency))
+      .unionByName(leg(4L, "novel", st.novel))
+      .withColumn("_batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch_id")
+      .parquet(funnelDir)
+    st.novel
   }
 
   /** [[processBatch]] + the idempotent sink write: curated rows land in
@@ -100,4 +167,29 @@ final class StreamingCuration(dedup: StreamingDedup, idCol: String,
   def start(stream: DataFrame, outDir: String,
       checkpointDir: String): StreamingQuery =
     writer(stream, outDir, checkpointDir).start()
+}
+
+object StreamingCuration {
+
+  /** The continuous loss-attribution panel: per-batch stage counts
+    * recorded by [[StreamingCuration.writeFunnelBatch]] SUM-merged into
+    * one row per stage — (stage_idx, stage, n_docs, n_tokens). Zero
+    * state (no batch recorded yet) reads as the empty table with the
+    * declared schema, the register-store convention. Scale shape: the
+    * state is 5 rows per batch; the merge is one tiny partial agg.
+    */
+  def funnel(spark: SparkSession, funnelDir: String): DataFrame =
+    if (graft.streaming.StreamingState.hasData(spark, funnelDir))
+      spark.read.parquet(funnelDir)
+        .groupBy("stage_idx", "stage")
+        .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
+    else {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("stage_idx", LongType),
+          StructField("stage", StringType),
+          StructField("n_docs", LongType),
+          StructField("n_tokens", LongType))))
+    }
 }

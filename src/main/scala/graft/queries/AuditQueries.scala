@@ -441,6 +441,60 @@ object AuditQueries {
             .as("decile"))
         .agg(count(lit(1)).as("n_docs"),
           sum("score_permille").as("sum_score"))
+    }),
+
+    // The STREAMING curation funnel's register identity, expressed
+    // in-plan (the events_range_join_stream pattern): the corpus
+    // arrives in three batches (doc_id mod 3), each batch runs the
+    // StreamingCuration stage chain — compaction+scrub -> quality ->
+    // novelty (first-seen per content hash, judged in batch order) —
+    // and the per-batch 1-row stage counts SUM-merge into the
+    // continuous loss panel. Gated against the ONE-PASS funnel oracle:
+    // batch-local stages partition the corpus and novelty decomposes
+    // over batches, so the fold must land exactly on the one-pass
+    // counts. (The scrub is provably the identity on this fixture —
+    // every PII pattern needs digits/'@' and the corpus has none; the
+    // spliced-PII parity is pii_scrub's own gate. The stateful
+    // state-store path of the same fold is StreamingCurationSpec's.)
+    "corpus_curation_funnel_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val tok = graft.llm.TextAnalysis.tokenCount(col("text"))
+      def leg(idx: Long, name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(tok), lit(0L)).as("n_tokens"))
+          .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"))
+      val stages = (0 until 3).map { k =>
+        val raw = docs.filter(pmod(col("doc_id"), lit(3)) === k)
+        val cp = graft.llm.PiiScrub.scrubbed(
+          raw.dropDuplicates("doc_id" :: "text" :: Nil), "text")
+        val q = cp.join(graft.llm.TextAnalysis.qualityFilter(cp, "doc_id",
+          "text", minTokens = 20, maxTokens = 90, minUniqPermille = 350,
+          maxTopTokPermille = 150).filter(col("keep")).select("doc_id"),
+          Seq("doc_id"))
+        (k.toLong, raw, cp, q)
+      }
+      // novelty decomposed over batches: a hash's canonical copy lives
+      // in its FIRST batch (min doc id there) — the sequential
+      // filterNew fold as one window
+      val firstOcc = stages.map { case (k, _, _, q) =>
+          q.select(col("doc_id"), col("text"), lit(k).as("_b")) }
+        .reduce(_ unionByName _)
+        .withColumn("_h", md5(col("text")))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("_h").orderBy("_b", "doc_id")))
+        .filter(col("_rn") === 1)
+      val legs =
+        stages.map { case (_, raw, _, _) => leg(0L, "raw", raw) } ++
+          stages.map { case (_, _, cp, _) => leg(1L, "compact_scrub", cp) } ++
+          stages.map { case (_, _, _, q) => leg(2L, "quality", q) } ++
+          stages.map { case (_, _, _, q) => leg(3L, "fluency", q) } ++
+          stages.map { case (k, _, _, _) =>
+            leg(4L, "novel", firstOcc.filter(col("_b") === k)) }
+      legs.reduce(_ unionByName _)
+        .groupBy("stage_idx", "stage")
+        .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
     })
   )
 
@@ -969,6 +1023,42 @@ object AuditQueries {
          |  CAST(sum(hs.score_permille) AS BIGINT) AS sum_score
          |FROM hs JOIN documents d USING (doc_id)
          |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+
+    // the ONE-PASS funnel the batch-folded panel must land on exactly:
+    // compaction is DISTINCT (doc_id, text), scrub is the identity on
+    // this fixture (no digits/'@'), quality is the corpus_quality_filter
+    // ruleset, novel is one canonical copy per content hash (copies
+    // share the text, so any copy's token count represents the hash)
+    "corpus_curation_funnel_stream" ->
+      """WITH cp AS (SELECT DISTINCT doc_id, text FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM cp),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_tok_n
+        |  FROM tc GROUP BY 1),
+        |keepids AS (SELECT doc_id FROM ts
+        |  WHERE NOT (n_tokens < 20 OR n_tokens > 90
+        |    OR n_distinct * 1000 // n_tokens < 350
+        |    OR top_tok_n * 1000 // n_tokens > 150)),
+        |k AS (SELECT cp.doc_id, cp.text FROM cp JOIN keepids USING (doc_id)),
+        |nv AS (SELECT md5(text) AS h,
+        |  min(len(string_split(text, ' '))) AS t FROM k GROUP BY 1)
+        |SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT)
+        |    AS n_tokens FROM documents
+        |UNION ALL SELECT 1, 'compact_scrub', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT)
+        |  FROM cp
+        |UNION ALL SELECT 2, 'quality', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT)
+        |  FROM k
+        |UNION ALL SELECT 3, 'fluency', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT)
+        |  FROM k
+        |UNION ALL SELECT 4, 'novel', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(t), 0) AS BIGINT) FROM nv"""
+        .stripMargin.replace("\n", " "),
 
     "events_range_join_stream" ->
       """WITH wins AS (SELECT event_id AS win_id,

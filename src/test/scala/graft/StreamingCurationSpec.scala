@@ -43,6 +43,64 @@ class StreamingCurationSpec extends SparkSpecBase {
     assert(out1b.toSeq === Seq(11L))
   }
 
+  test("writeFunnelBatch: per-batch stage counts SUM-merge into the " +
+    "continuous loss panel == the one-pass funnel; replay overwrites, " +
+    "never double-counts; zero state reads empty with the schema") {
+    val stateDir = tmpDir("cur-funnel-state")
+    val funnelDir = tmpDir("cur-funnel")
+    val sc = pipeline(stateDir)
+    // token counts: "plain clean document body here"=5, "hi"=1 (quality
+    // reject at minTokens=3), "a genuinely new document arrives"=5,
+    // "third unique text sample words"=5, "x y z w"=4
+    val b0 = Seq((1L, "plain clean document body here"), (2L, "hi"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (10L, "plain clean document body here"), // cross-batch dup of 1
+      (11L, "a genuinely new document arrives")).toDF("doc_id", "text")
+    val b2 = Seq(
+      (20L, "a genuinely new document arrives"), // dup of 11
+      (21L, "hi"),                               // quality reject
+      (22L, "third unique text sample words"),
+      (23L, "third unique text sample words"),   // in-batch text dup of 22
+      (24L, "x y z w"), (24L, "x y z w")         // exact (id,text) repeat
+    ).toDF("doc_id", "text")
+    val n0 = sc.writeFunnelBatch(b0, 0L, funnelDir)
+    assert(n0.select("doc_id").as[Long].collect().toSeq === Seq(1L))
+    sc.writeFunnelBatch(b1, 1L, funnelDir)
+    val n2 = sc.writeFunnelBatch(b2, 2L, funnelDir)
+    assert(n2.select("doc_id").as[Long].collect().sorted === Seq(22L, 24L),
+      "min doc id wins within the batch; cross-batch dups suppressed")
+    def panel() = StreamingCuration.funnel(spark, funnelDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val want = Map(
+      (0L, "raw") -> ((10L, 40L)),
+      (1L, "compact_scrub") -> ((9L, 36L)),
+      (2L, "quality") -> ((7L, 34L)),
+      (3L, "fluency") -> ((7L, 34L)),
+      (4L, "novel") -> ((4L, 19L)))
+    assert(panel() === want)
+    // an at-least-once replay REPLACES batch 1's counts and re-emits the
+    // same novel set — the panel must not move
+    val n1b = sc.writeFunnelBatch(b1, 1L, funnelDir)
+    assert(n1b.select("doc_id").as[Long].collect().toSeq === Seq(11L))
+    assert(panel() === want, "replay must overwrite, never double-count")
+    // the one-pass funnel over the union lands on the same panel
+    // (batch-local stages partition the corpus; novelty decomposes)
+    val oneDir = tmpDir("cur-funnel-one")
+    val scOne = pipeline(tmpDir("cur-funnel-one-state"))
+    scOne.writeFunnelBatch(
+      b0.unionByName(b1).unionByName(b2), 0L, oneDir)
+    val onePass = StreamingCuration.funnel(spark, oneDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(onePass === want, "fold == one-pass is the register identity")
+    // zero state: empty panel with the declared schema
+    val z = StreamingCuration.funnel(spark, tmpDir("cur-funnel-zero"))
+    assert(z.columns.toSeq === Seq("stage_idx", "stage", "n_docs", "n_tokens"))
+    assert(z.count() === 0L)
+  }
+
   test("per-batch fluency gate: static reference model drops gibberish across batches") {
     import graft.llm.TextAnalysis
     val ref = Seq(
