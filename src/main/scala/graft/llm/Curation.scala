@@ -208,10 +208,11 @@ object Curation {
       minScorePermille: Long, tokenBudget: Long, binBudget: Long,
       decontamN: Int, minHitPermille: Int, maxGramEvalDf: Long,
       stopWords: Seq[String] = QualityRules.GopherStopWords,
-      scoreOne: String => Long = QualityRules.stubEduScore): DataFrame = {
+      mkScorer: () => String => Long =
+        () => QualityRules.stubEduScore): DataFrame = {
     val st = v5Stages(corpus, evalSet, idCol, textCol, srcCol,
       minSrcPermille, minScorePermille, tokenBudget, decontamN,
-      minHitPermille, maxGramEvalDf, stopWords, scoreOne,
+      minHitPermille, maxGramEvalDf, stopWords, mkScorer,
       materializeStages = false)
     val chosen = graft.util.Materialize.stable(
       st.sel.select("doc_id", "n_tokens")
@@ -251,7 +252,8 @@ object Curation {
       textCol: String, srcCol: String, minSrcPermille: Long,
       minScorePermille: Long, tokenBudget: Long, decontamN: Int,
       minHitPermille: Int, maxGramEvalDf: Long, stopWords: Seq[String],
-      scoreOne: String => Long, materializeStages: Boolean): V5Stages = {
+      mkScorer: () => String => Long,
+      materializeStages: Boolean): V5Stages = {
     def m(df: DataFrame): DataFrame =
       if (materializeStages) graft.util.Materialize.stable(df) else df
     val reput = Sampling.sourceReputationFilter(corpus, idCol, textCol,
@@ -269,7 +271,8 @@ object Curation {
     // keep only docs at or above the declared operating point (the
     // threshold a real pipeline reads off operatingPoints)
     val passing = QualityRules
-      .classifierScores(corpus.sparkSession, kept, "doc_id", "_txt", scoreOne)
+      .classifierScoresInit(corpus.sparkSession, kept, "doc_id", "_txt",
+        mkScorer)
       .filter(col("score_permille") >= minScorePermille)
       .select("doc_id")
     val keptClassified = m(kept.join(passing, Seq("doc_id")))
@@ -301,7 +304,8 @@ object Curation {
       minScorePermille: Long, tokenBudget: Long,
       decontamN: Int, minHitPermille: Int, maxGramEvalDf: Long,
       stopWords: Seq[String] = QualityRules.GopherStopWords,
-      scoreOne: String => Long = QualityRules.stubEduScore): DataFrame = {
+      mkScorer: () => String => Long =
+        () => QualityRules.stubEduScore): DataFrame = {
     def stage(idx: Int, name: String, df: DataFrame, tok: Column): DataFrame =
       df.agg(count(lit(1)).as("n_docs"),
           coalesce(sum(tok), lit(0L)).as("n_tokens"))
@@ -311,7 +315,7 @@ object Curation {
     val raw = corpus.select(col(textCol).as("_txt"))
     val st = v5Stages(corpus, evalSet, idCol, textCol, srcCol,
       minSrcPermille, minScorePermille, tokenBudget, decontamN,
-      minHitPermille, maxGramEvalDf, stopWords, scoreOne,
+      minHitPermille, maxGramEvalDf, stopWords, mkScorer,
       materializeStages = true)
     stage(0, "raw", raw, tokTxt)
       .unionByName(stage(1, "reputation",

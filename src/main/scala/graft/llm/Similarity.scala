@@ -141,6 +141,50 @@ object Similarity {
       .select("qid", "cid", "rank", "cos_sim")
   }
 
+  /** HARD-NEGATIVE MINING for contrastive training — for each anchor,
+    * the k most cosine-similar corpus vectors whose label DIFFERS: the
+    * near-misses a contrastive or metric-learning objective learns the
+    * most from (random negatives are trivially far; the hard ones sit
+    * just across the decision boundary). The embedding-side counterpart
+    * of the retrieval family's rerankers, and the standard mining step
+    * of every two-tower / sentence-embedding training pipeline.
+    *
+    * Same audited plan shape as [[bruteForceTopK]] (a BROADCAST of the
+    * bounded anchor set against one widened corpus scan — the corpus
+    * never shuffles; per-anchor top-k as a WindowGroupLimit), with the
+    * label-mismatch predicate fused into the join filter so excluded
+    * same-label pairs never reach the sort. NULL-label rows are excluded
+    * on BOTH sides ("differs from unknown" is unknowable, and a NULL
+    * label must not silently mine as a negative). Scale path: swap the
+    * broadcast scan for the IVF-bucketed candidate join
+    * ([[ivfSearchAssigned]]) exactly as for positives — the mining
+    * predicate stays a fused filter.
+    * Output: (qid, q_label, cid, c_label, rank, cos_sim).
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame,
+      labelCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = anchors
+      .filter(col(labelCol).isNotNull)
+      .select(col("vec_id").as("qid"), col(labelCol).cast("long").as("q_label"),
+        quantize(col("embedding")).as("qv"))
+      .withColumn("nq", dotQ("qv", "qv"))
+    val c = Dedup.widen(corpus)
+      .filter(col(labelCol).isNotNull)
+      .select(col("vec_id").as("cid"), col(labelCol).cast("long").as("c_label"),
+        quantize(col("embedding")).as("cv"))
+      .withColumn("nc", dotQ("cv", "cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid") && col("c_label") =!= col("q_label"))
+      .withColumn("dot", dotQ("qv", "cv"))
+      .withColumn("cos_sim", cosineFromInts(col("dot"), col("nq"), col("nc")))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "q_label", "cid", "c_label", "rank", "cos_sim")
+  }
+
   /** Matryoshka-truncated top-k (Kusupati et al. 2022, "Matryoshka
     * Representation Learning", arXiv:2205.13147): brute-force integer
     * cosine over only the FIRST `dim` dimensions of each vector — the

@@ -190,17 +190,32 @@ object TableProfile {
 
   def rocAuc(df: DataFrame, scoreCol: Column, labelCol: Column,
       groups: Seq[String] = Seq.empty,
+      maxDistinctScores: Long = 100000L): DataFrame =
+    rocAucFromCounts(df
+      .select(groups.map(col) ++ Seq(scoreCol.cast("long").as("_s"),
+        labelCol.cast("boolean").as("_y")): _*)
+      .filter(col("_s").isNotNull && col("_y").isNotNull)
+      .groupBy(groups.map(col) :+ col("_s"): _*).agg(
+        sum(when(col("_y"), 1L).otherwise(0L)).as("_np"),
+        sum(when(col("_y"), 0L).otherwise(1L)).as("_nn")),
+      groups, maxDistinctScores)
+
+  /** The [[rocAuc]] walk over an ALREADY-AGGREGATED per-score count
+    * table `(groups…, _s, _np, _nn)` — the seam that lets a streaming
+    * register store ([[graft.streaming.StreamingCalibration]]) sum-merge
+    * per-batch score counts and grade the folded table with EXACTLY the
+    * walk the batch audit runs (one code path, so the live panel cannot
+    * drift from the one-pass number). Same bounded pre-flight; input
+    * rows must be unique per (groups, _s) — a duplicate score row would
+    * double-count silently, so merge registers BEFORE calling.
+    */
+  def rocAucFromCounts(byScoreCounts: DataFrame,
+      groups: Seq[String] = Seq.empty,
       maxDistinctScores: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = groups.map(col)
-    val byScore = boundedScoreTable(df
-      .select(g ++ Seq(scoreCol.cast("long").as("_s"),
-        labelCol.cast("boolean").as("_y")): _*)
-      .filter(col("_s").isNotNull && col("_y").isNotNull)
-      .groupBy(g :+ col("_s"): _*).agg(
-        sum(when(col("_y"), 1L).otherwise(0L)).as("_np"),
-        sum(when(col("_y"), 0L).otherwise(1L)).as("_nn")),
-      maxDistinctScores, "rocAuc")
+    val byScore =
+      boundedScoreTable(byScoreCounts, maxDistinctScores, "rocAuc")
     val w = Window.partitionBy(g: _*).orderBy("_s")
       .rowsBetween(Window.unboundedPreceding, -1)
     def auc(scale: String, name: String) = expr(
@@ -243,16 +258,25 @@ object TableProfile {
     * scorer fails loudly before the descending walk is submitted.
     */
   def operatingPoints(df: DataFrame, scoreCol: Column,
-      labelCol: Column, maxDistinctScores: Long = 100000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byScore = boundedScoreTable(df
+      labelCol: Column, maxDistinctScores: Long = 100000L): DataFrame =
+    operatingPointsFromCounts(df
       .select(scoreCol.cast("long").as("threshold"),
         labelCol.cast("boolean").as("_y"))
       .filter(col("threshold").isNotNull && col("_y").isNotNull)
       .groupBy("threshold").agg(
         sum(when(col("_y"), 1L).otherwise(0L)).as("_np"),
         sum(when(col("_y"), 0L).otherwise(1L)).as("_nn")),
-      maxDistinctScores, "operatingPoints")
+      maxDistinctScores)
+
+  /** The [[operatingPoints]] walk over an already-aggregated
+    * `(threshold, _np, _nn)` count table — the [[rocAucFromCounts]]
+    * seam for the decision table; same uniqueness and bound contract.
+    */
+  def operatingPointsFromCounts(byScoreCounts: DataFrame,
+      maxDistinctScores: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore =
+      boundedScoreTable(byScoreCounts, maxDistinctScores, "operatingPoints")
     // tp/fp at threshold s = positives/negatives with score >= s: a
     // cumulative sum over the DESCENDING score walk (current row incl.)
     val w = Window.orderBy(col("threshold").desc)

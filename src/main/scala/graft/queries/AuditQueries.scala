@@ -495,8 +495,58 @@ object AuditQueries {
       legs.reduce(_ unionByName _)
         .groupBy("stage_idx", "stage")
         .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
+    }),
+
+    // INCREMENTAL calibration (StreamingCalibration's register identity
+    // in-plan): the per-score (n_pos, n_neg) count table is the
+    // sufficient statistic for the whole calibration story, and counts
+    // sum-merge — two batch legs fold their per-score registers, the
+    // merged table rides the SAME rocAucFromCounts walk the batch audit
+    // runs (one code path, the live panel cannot drift), and the gate
+    // pins the fold to the one-pass AUC oracle.
+    "quality_auc_stream" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def legCounts(pred: org.apache.spark.sql.Column) = graft.llm.QualityRules
+        .classifierScores(s, docs.filter(pred), "doc_id", "text")
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").as("_y")), "doc_id")
+        .filter(col("score_permille").isNotNull && col("_y").isNotNull)
+        .groupBy(col("score_permille").as("_s")).agg(
+          sum(when(col("_y"), 1L).otherwise(0L)).as("_np"),
+          sum(when(col("_y"), 0L).otherwise(1L)).as("_nn"))
+      val merged = legCounts(col("doc_id") % 2 === 0)
+        .unionByName(legCounts(col("doc_id") % 2 === 1))
+        .groupBy("_s")
+        .agg(sum("_np").as("_np"), sum("_nn").as("_nn"))
+      TableProfile.rocAucFromCounts(merged)
     })
   )
+
+  /** The one-pass stub-classifier AUC oracle — shared verbatim by the
+    * batch gate (`quality_classifier_auc`) and the streaming register
+    * fold (`quality_auc_stream`), because the fold's whole contract is
+    * landing on this exact number.
+    */
+  private val classifierAucSqlDuck: String =
+    s"""WITH f AS (SELECT lang = 'en' AS y,
+       |  ${graft.llm.QualityRules.stubEduScoreSqlDuck} AS sc FROM documents
+       |  WHERE lang IS NOT NULL AND text IS NOT NULL),
+       |s AS (SELECT sc,
+       |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |  CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+       |  FROM f GROUP BY 1),
+       |c AS (SELECT np, nn, coalesce(sum(nn) OVER (ORDER BY sc
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+       |  FROM s),
+       |a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       |  CAST(sum(nn) AS BIGINT) AS n_neg,
+       |  sum(CAST(np AS HUGEINT) * (2 * cnb + nn)) AS num FROM c)
+       |SELECT n_pos, n_neg,
+       |  CAST(1000 * num // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+       |    AS BIGINT) AS auc_permille,
+       |  CAST(1000000 * num // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+       |    AS BIGINT) AS auc_x1e6
+       |FROM a""".stripMargin.replace("\n", " ")
 
   private val bpePatternDuck =
     TextAnalysis.BpeishPattern.replace("'", "''")
@@ -888,26 +938,11 @@ object AuditQueries {
         |FROM wins JOIN pr ON pr.d BETWEEN wins.lo_day AND wins.hi_day
         |GROUP BY win_id""".stripMargin.replace("\n", " "),
 
-    "quality_classifier_auc" ->
-      s"""WITH f AS (SELECT lang = 'en' AS y,
-         |  ${graft.llm.QualityRules.stubEduScoreSqlDuck} AS sc FROM documents
-         |  WHERE lang IS NOT NULL AND text IS NOT NULL),
-         |s AS (SELECT sc,
-         |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
-         |  CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
-         |  FROM f GROUP BY 1),
-         |c AS (SELECT np, nn, coalesce(sum(nn) OVER (ORDER BY sc
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
-         |  FROM s),
-         |a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
-         |  CAST(sum(nn) AS BIGINT) AS n_neg,
-         |  sum(CAST(np AS HUGEINT) * (2 * cnb + nn)) AS num FROM c)
-         |SELECT n_pos, n_neg,
-         |  CAST(1000 * num // (2 * CAST(n_pos AS HUGEINT) * n_neg)
-         |    AS BIGINT) AS auc_permille,
-         |  CAST(1000000 * num // (2 * CAST(n_pos AS HUGEINT) * n_neg)
-         |    AS BIGINT) AS auc_x1e6
-         |FROM a""".stripMargin.replace("\n", " "),
+    "quality_classifier_auc" -> classifierAucSqlDuck,
+
+    // the register identity: the batch-folded count table must land on
+    // the ONE-PASS AUC — the oracle IS the one-pass audit's, verbatim
+    "quality_auc_stream" -> classifierAucSqlDuck,
 
     "quality_classifier_operating_points" ->
       s"""WITH f AS (SELECT lang = 'en' AS y,

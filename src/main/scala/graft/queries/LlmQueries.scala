@@ -178,6 +178,16 @@ object LlmQueries {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 50), k = 5)
     }),
 
+    // Hard-negative mining — per anchor, the k nearest DIFFERENT-label
+    // vectors (the contrastive-training near-misses). Same broadcast +
+    // WindowGroupLimit shape as ann_cosine_topk with the label-mismatch
+    // predicate fused into the join filter.
+    "ann_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 50),
+        "label", k = 5)
+    }),
+
     "ann_lsh_bucketed" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 50), k = 5)
@@ -395,6 +405,25 @@ object LlmQueries {
          |r AS (SELECT qid, cid, cos_sim,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank FROM s)
          |SELECT qid, cid, rank, cos_sim FROM r WHERE rank <= 5""".stripMargin.replace("\n", " "),
+
+    // the ann_cosine_topk CTEs with the label-mismatch predicate fused
+    // into the pair join — NULL labels excluded on both sides
+    "ann_hard_negatives" ->
+      s"""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |  $quantDuck AS qv FROM embeddings WHERE label IS NOT NULL),
+         |n AS (SELECT vec_id, label, qv,
+         |  ${Similarity.dotQSqlDuck("qv", "qv")} AS nrm FROM v),
+         |p AS (SELECT q.vec_id AS qid, q.label AS q_label,
+         |    c.vec_id AS cid, c.label AS c_label,
+         |    ${Similarity.dotQSqlDuck("q.qv", "c.qv")} AS dot, q.nrm AS nq, c.nrm AS nc
+         |  FROM n q, n c WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id
+         |    AND c.label <> q.label),
+         |s AS (SELECT qid, q_label, cid, c_label,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) AS cos_sim FROM p),
+         |r AS (SELECT qid, q_label, cid, c_label, cos_sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank FROM s)
+         |SELECT qid, q_label, cid, c_label, rank, cos_sim FROM r
+         |WHERE rank <= 5""".stripMargin.replace("\n", " "),
 
     "ann_lsh_bucketed" ->
       s"""WITH v AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),

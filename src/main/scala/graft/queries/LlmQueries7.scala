@@ -41,6 +41,9 @@ object LlmQueries7 {
   private val V5MinScore = 350L // curateV5 classifier operating point:
   // the fixture's stub-score median is ~330, so 350 keeps ~43% — the
   // threshold genuinely bites without starving the budget/packing tail
+  private val V6MinScore = 510L // curateV6: the n-gram HEAD's operating
+  // point — the head's fixture scores span 416..595 with median 510, so
+  // the real-model gate kills roughly half the post-Gopher survivors
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Greedy quality-ordered selection under a token budget: best docs
@@ -203,6 +206,23 @@ object LlmQueries7 {
         "doc_id", "text", "source", V3MinSrc, V5MinScore, V3Budget,
         binBudget = 128L, decontamN = 5, minHitPermille = 100,
         maxGramEvalDf = 20, stopWords = V3Stops)
+    }),
+
+    // Sixth composed pipeline — the v5 assembly with the REAL model in
+    // the classifier slot: the frozen n-gram head flows through the
+    // factory seam (broadcast weight table, one init per partition) and
+    // its operating point (510 permille — read off the head's own score
+    // distribution) gates the corpus. Proves the real-model leg COMPOSES
+    // with every closed-form stage, against the same shared CTE chain.
+    "corpus_curated_v6" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.llm.Curation.curateV5(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", "source", V3MinSrc, V6MinScore, V3Budget,
+        binBudget = 128L, decontamN = 5, minHitPermille = 100,
+        maxGramEvalDf = 20, stopWords = V3Stops,
+        mkScorer = graft.llm.NgramHead.scorerFactory(s))
     }),
 
     // The v5 assembly's per-stage survivor FUNNEL — doc/token counts
@@ -550,9 +570,13 @@ object LlmQueries7 {
     // the v3 CTE chain with the decontamination CTEs spliced in after
     // the reputation gate and the NFD packing fold appended — one
     // assembled oracle across all six stages
-    "corpus_curated_v4" -> curatedV4LikeSql(withClassifier = false),
+    "corpus_curated_v4" -> curatedV4LikeSql(None),
 
-    "corpus_curated_v5" -> curatedV4LikeSql(withClassifier = true),
+    "corpus_curated_v5" -> curatedV4LikeSql(Some(stubClassifierCte)),
+
+    // the v5 assembly with the REAL head spliced in — same shared chain,
+    // the head's grouped score CTE as the classifier stage
+    "corpus_curated_v6" -> curatedV4LikeSql(Some(headClassifierCte)),
 
     "corpus_curation_funnel" -> curationFunnelSql,
 
@@ -596,15 +620,28 @@ object LlmQueries7 {
     * and the dedup. ONE text so the recipes' gates AND the funnel
     * audit can never drift from each other.
     */
-  private def curatedStageCtes(withClassifier: Boolean): String = {
+  /** The v5 classifier CTE: the stub score as an inline expression over
+    * `keep`.
+    */
+  private def stubClassifierCte: String =
+    s"""kc AS (SELECT * FROM keep
+       |  WHERE ${graft.llm.QualityRules.stubEduScoreSqlDuck} >= $V5MinScore),
+       |""".stripMargin
+
+  /** The v6 classifier CTE: the REAL n-gram head — its grouped score
+    * chain over `keep`'s docs, joined back and thresholded at the head's
+    * own operating point.
+    */
+  private def headClassifierCte: String =
+    s"""hv6 AS ${graft.llm.NgramHead.scoresSqlDuck(
+         "(SELECT doc_id, text FROM keep)")},
+       |kc AS (SELECT keep.* FROM keep JOIN hv6 USING (doc_id)
+       |  WHERE hv6.score_permille >= $V6MinScore),
+       |""".stripMargin
+
+  private def curatedStageCtes(classifierCte: Option[String]): String = {
       val gopherPass = graft.llm.QualityRules.gopherPassSqlDuck("clean", V3Stops)
-      val classifierCte =
-        if (withClassifier)
-          s"""kc AS (SELECT * FROM keep
-             |  WHERE ${graft.llm.QualityRules.stubEduScoreSqlDuck} >= $V5MinScore),
-             |""".stripMargin
-        else ""
-      val dedupSrc = if (withClassifier) "kc" else "keep"
+      val dedupSrc = if (classifierCte.isDefined) "kc" else "keep"
       s"""sc AS (SELECT doc_id, source,
          |    CAST(len(list_distinct(string_split(text, ' '))) * 1000
          |      // len(string_split(text, ' ')) AS BIGINT) AS doc_score
@@ -637,7 +674,7 @@ object LlmQueries7 {
          |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
          |gp AS ($gopherPass),
          |keep AS (SELECT q.* FROM clean q JOIN gp USING (doc_id)),
-         |${classifierCte}uq AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+         |${classifierCte.getOrElse("")}uq AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
          |    ORDER BY doc_id) AS rn FROM $dedupSrc),
          |u AS (SELECT doc_id, source, text FROM uq WHERE rn = 1),
          |s2 AS (SELECT doc_id, source, md5(text) AS text_hash,
@@ -655,8 +692,8 @@ object LlmQueries7 {
   /** The assembled curateV4/V5 oracle: the shared stage chain plus the
     * recursive next-fit-decreasing packing fold.
     */
-  private def curatedV4LikeSql(withClassifier: Boolean): String =
-    s"""WITH RECURSIVE ${curatedStageCtes(withClassifier)},
+  private def curatedV4LikeSql(classifierCte: Option[String]): String =
+    s"""WITH RECURSIVE ${curatedStageCtes(classifierCte)},
        |t2 AS (SELECT source, doc_id, n_tokens, row_number() OVER (
        |    PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS rn FROM seld),
        |p(source, rn, doc_id, n_tokens, bin_idx, fill) AS (
@@ -684,7 +721,7 @@ object LlmQueries7 {
          |  CAST(coalesce(sum($tokExpr), 0) AS BIGINT) AS n_tokens
          |FROM $src""".stripMargin
     val t = "len(string_split(text, ' '))"
-    s"""WITH ${curatedStageCtes(withClassifier = true)},
+    s"""WITH ${curatedStageCtes(Some(stubClassifierCte))},
        |raw AS (SELECT doc_id, text FROM documents WHERE source <> 'src0')
        |${leg(0, "raw", "raw", t)}
        |UNION ALL ${leg(1, "reputation", "qual", t)}

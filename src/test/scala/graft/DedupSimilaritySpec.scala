@@ -297,6 +297,27 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(top.last._2 == 3L && math.abs(top.last._4) < 1e-9)
   }
 
+  test("hardNegatives: nearest DIFFERENT-label vectors only, in cosine " +
+    "order; same-label near-misses and NULL labels never mine") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), java.lang.Integer.valueOf(0)),
+      (1L, Array(0.99f, 0.05f, 0.0f), java.lang.Integer.valueOf(0)), // same label: excluded
+      (2L, Array(0.9f, 0.1f, 0.0f), java.lang.Integer.valueOf(1)),   // the hard negative
+      (3L, Array(0.0f, 1.0f, 0.0f), java.lang.Integer.valueOf(1)),
+      (4L, Array(0.95f, 0.0f, 0.1f), null: java.lang.Integer)        // NULL label: excluded
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(vecs,
+        vecs.filter(col("vec_id") === 0), "label", k = 2)
+      .orderBy("rank")
+      .select("cid", "c_label", "rank").as[(Long, Long, Int)].collect()
+    assert(got.toSeq === Seq((2L, 1L, 1), (3L, 1L, 2)),
+      "only label-1 vectors mine, ordered by cosine: the 0.9-cosine " +
+        "near-miss first, never the same-label 0.99 twin or the NULL row")
+    // a NULL-label ANCHOR mines nothing (not everything)
+    assert(Similarity.hardNegatives(vecs,
+      vecs.filter(col("vec_id") === 4), "label", k = 2).count() === 0L)
+  }
+
   test("multi-table LSH ANN recall vs brute force on fixture embeddings") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter(col("vec_id") % 50 === 0)

@@ -477,6 +477,50 @@ class RangeJoinSpec extends SparkSpecBase {
     }
   }
 
+  // ---- StreamingCalibration ---------------------------------------------
+
+  test("StreamingCalibration: batch-folded registers grade to EXACTLY " +
+    "the one-pass rocAuc/operatingPoints; replay is a no-op; zero state " +
+    "is the all-NULL panel; the walk's bound still enforces on read") {
+    val rnd = new scala.util.Random(61)
+    val rows = (1 to 900).map(i =>
+      (i.toLong, rnd.nextInt(25).toLong, rnd.nextInt(3) == 0))
+    val df = rows.toDF("id", "s", "y")
+    val cal = new graft.streaming.StreamingCalibration(
+      spark, tmpDir("cal_state"))
+    // zero state first: AUC undefined (one NULL row), no exception
+    val z = cal.auc().collect()
+    assert(z.length === 1 && z.head.isNullAt(2),
+      "zero state must read as the undefined-AUC panel")
+    for (k <- 0 until 3)
+      cal.recordBatch(df.filter(col("id") % 3 === k),
+        col("s"), col("y"), k.toLong)
+    val want = graft.ops.TableProfile.rocAuc(df, col("s"), col("y"))
+      .collect().head
+    val got = cal.auc().collect().head
+    assert(got.getAs[Long]("n_pos") === want.getAs[Long]("n_pos"))
+    assert(got.getAs[Long]("auc_x1e6") === want.getAs[Long]("auc_x1e6"),
+      "the live panel must land on the one-pass AUC exactly")
+    // operating points: same identity, every threshold row
+    val wantOp = graft.ops.TableProfile
+      .operatingPoints(df, col("s"), col("y"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val gotOp = cal.operatingPoints()
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(gotOp === wantOp)
+    // at-least-once replay overwrites its own registers: panel unchanged
+    cal.recordBatch(df.filter(col("id") % 3 === 1), col("s"), col("y"), 1L)
+    assert(cal.auc().collect().head.getAs[Long]("auc_x1e6") ===
+      want.getAs[Long]("auc_x1e6"))
+    // the walk's bound applies to the MERGED registers on read
+    val wide = new graft.streaming.StreamingCalibration(
+      spark, tmpDir("cal_wide"), maxDistinctScores = 10L)
+    wide.recordBatch(spark.range(100).select(col("id").as("s"),
+      (col("id") % 2 === 0).as("y")), col("s"), col("y"), 0L)
+    val e = intercept[IllegalArgumentException] { wide.auc() }
+    assert(e.getMessage.contains("exceed the declared bound"))
+  }
+
   test("StreamingRangeJoin: recordBatch enforces the frozen-geometry " +
     "contract — a DIFFERENT interval table on a later call raises, an " +
     "identical one replays idempotently") {
