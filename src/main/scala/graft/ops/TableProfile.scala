@@ -387,14 +387,52 @@ object TableProfile {
     require(buckets >= 1 && buckets <= 10000, s"1..10000 buckets, got $buckets")
     require(lo < hi && hi - lo > 0,
       s"need lo < hi with a range that fits int64, got [$lo, $hi)")
-    val width = hi - lo
     val counts = df
       .select(scoreCol.cast("long").as("_v"), labelCol.cast("boolean").as("_y"))
       .filter(col("_v").isNotNull && col("_y").isNotNull)
       .withColumn("bucket", bucketExpr(lo, hi, buckets))
       .groupBy("bucket").agg(count(lit(1)).as("n"),
         sum(when(col("_y"), 1L).otherwise(0L)).as("n_pos"))
-    val scaffold = df.sparkSession.range(buckets).select(col("id").as("bucket"))
+    reliabilityAssemble(counts, lo, hi, buckets)
+  }
+
+  /** The [[reliabilityCurve]] panel over an ALREADY-AGGREGATED per-score
+    * count table `(_s, _np, _nn)` — the third calibration leg's
+    * streaming seam (joining [[rocAucFromCounts]] and
+    * [[operatingPointsFromCounts]]): the per-score counts are the
+    * sufficient statistic for the bucket rates too, so a register store
+    * sum-merges batches and this re-buckets the merged table with the
+    * SAME declared-bounds arithmetic and assembly as the batch panel
+    * (shared [[reliabilityAssemble]] — the live curve cannot drift).
+    * One bucket-keyed partial agg over the score-bounded input; no
+    * cardinality pre-flight is needed because nothing here windows —
+    * the output is `buckets`-sized regardless of input cardinality.
+    * Duplicate `_s` rows would double-count: merge registers first.
+    */
+  def reliabilityCurveFromCounts(byScoreCounts: DataFrame,
+      lo: Long, hi: Long, buckets: Int): DataFrame = {
+    require(buckets >= 1 && buckets <= 10000, s"1..10000 buckets, got $buckets")
+    require(lo < hi && hi - lo > 0,
+      s"need lo < hi with a range that fits int64, got [$lo, $hi)")
+    val counts = byScoreCounts
+      .select(col("_s").as("_v"), col("_np"), col("_nn"))
+      .filter(col("_v").isNotNull)
+      .withColumn("bucket", bucketExpr(lo, hi, buckets))
+      .groupBy("bucket").agg(sum(expr("_np + _nn")).as("n"),
+        sum("_np").as("n_pos"))
+    reliabilityAssemble(counts, lo, hi, buckets)
+  }
+
+  /** Shared final assembly of the reliability panel from a
+    * (bucket, n, n_pos) count table: the buckets-sized scaffold join,
+    * edge values, and the empty-bucket NULL-rate contract — ONE code
+    * path for the batch and from-counts entries.
+    */
+  private def reliabilityAssemble(counts: DataFrame, lo: Long, hi: Long,
+      buckets: Int): DataFrame = {
+    val width = hi - lo
+    val scaffold =
+      counts.sparkSession.range(buckets).select(col("id").as("bucket"))
     scaffold.join(counts, Seq("bucket"), "left")
       .select(col("bucket"),
         bucketEdge(lo, width, buckets, "bucket").as("lo_v"),

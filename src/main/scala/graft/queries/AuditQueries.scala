@@ -519,6 +519,29 @@ object AuditQueries {
         .groupBy("_s")
         .agg(sum("_np").as("_np"), sum("_nn").as("_nn"))
       TableProfile.rocAucFromCounts(merged)
+    }),
+
+    // The calibration story's THIRD leg live (AUC ranks, operating
+    // points decide, reliability grades the MAGNITUDE): the same
+    // two-batch register fold re-bucketed by reliabilityCurveFromCounts
+    // — shared assembly with the batch panel, so the gate pins the live
+    // curve to the ONE-PASS reliability oracle verbatim.
+    "quality_reliability_stream" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def legCounts(pred: org.apache.spark.sql.Column) = graft.llm.QualityRules
+        .classifierScores(s, docs.filter(pred), "doc_id", "text")
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").as("_y")), "doc_id")
+        .filter(col("score_permille").isNotNull && col("_y").isNotNull)
+        .groupBy(col("score_permille").as("_s")).agg(
+          sum(when(col("_y"), 1L).otherwise(0L)).as("_np"),
+          sum(when(col("_y"), 0L).otherwise(1L)).as("_nn"))
+      val merged = legCounts(col("doc_id") % 2 === 0)
+        .unionByName(legCounts(col("doc_id") % 2 === 1))
+        .groupBy("_s")
+        .agg(sum("_np").as("_np"), sum("_nn").as("_nn"))
+      TableProfile.reliabilityCurveFromCounts(merged, lo = 0L, hi = 1000L,
+        buckets = 10)
     })
   )
 
@@ -547,6 +570,29 @@ object AuditQueries {
        |  CAST(1000000 * num // (2 * CAST(n_pos AS HUGEINT) * n_neg)
        |    AS BIGINT) AS auc_x1e6
        |FROM a""".stripMargin.replace("\n", " ")
+
+  /** The one-pass stub-classifier reliability oracle — shared verbatim
+    * by the batch gate (`quality_classifier_reliability`) and the
+    * streaming register fold (`quality_reliability_stream`): the fold's
+    * whole contract is landing on this exact curve.
+    */
+  private val classifierReliabilitySqlDuck: String =
+    s"""WITH f AS (SELECT lang = 'en' AS y,
+       |  ${graft.llm.QualityRules.stubEduScoreSqlDuck} AS sc FROM documents
+       |  WHERE lang IS NOT NULL AND text IS NOT NULL),
+       |b AS (SELECT least(9, greatest(0, sc * 10 // 1000)) AS bucket, y
+       |  FROM f),
+       |c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+       |  FROM b GROUP BY 1),
+       |g AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(10))
+       |SELECT g.bucket, g.bucket * 1000 // 10 AS lo_v,
+       |  (g.bucket + 1) * 1000 // 10 AS hi_v,
+       |  coalesce(c.n, 0) AS n, coalesce(c.n_pos, 0) AS n_pos,
+       |  CASE WHEN c.n IS NULL THEN NULL
+       |    ELSE c.n_pos * 1000 // c.n END AS pos_permille
+       |FROM g LEFT JOIN c ON g.bucket = c.bucket"""
+      .stripMargin.replace("\n", " ")
 
   private val bpePatternDuck =
     TextAnalysis.BpeishPattern.replace("'", "''")
@@ -1000,23 +1046,12 @@ object AuditQueries {
          |    AS BIGINT) AS auc_x1e6
          |FROM a""".stripMargin.replace("\n", " "),
 
-    "quality_classifier_reliability" ->
-      s"""WITH f AS (SELECT lang = 'en' AS y,
-         |  ${graft.llm.QualityRules.stubEduScoreSqlDuck} AS sc FROM documents
-         |  WHERE lang IS NOT NULL AND text IS NOT NULL),
-         |b AS (SELECT least(9, greatest(0, sc * 10 // 1000)) AS bucket, y
-         |  FROM f),
-         |c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
-         |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
-         |  FROM b GROUP BY 1),
-         |g AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(10))
-         |SELECT g.bucket, g.bucket * 1000 // 10 AS lo_v,
-         |  (g.bucket + 1) * 1000 // 10 AS hi_v,
-         |  coalesce(c.n, 0) AS n, coalesce(c.n_pos, 0) AS n_pos,
-         |  CASE WHEN c.n IS NULL THEN NULL
-         |    ELSE c.n_pos * 1000 // c.n END AS pos_permille
-         |FROM g LEFT JOIN c ON g.bucket = c.bucket"""
-        .stripMargin.replace("\n", " "),
+    "quality_classifier_reliability" -> classifierReliabilitySqlDuck,
+
+    // the register identity, third leg: the batch-folded count table
+    // re-bucketed must land on the ONE-PASS reliability curve — the
+    // oracle IS the batch panel's, verbatim
+    "quality_reliability_stream" -> classifierReliabilitySqlDuck,
 
     "quality_classifier_hist" ->
       s"""WITH sc AS (SELECT doc_id, source,

@@ -87,4 +87,15 @@ final class StreamingCalibration(spark: SparkSession, stateDir: String,
     TableProfile.operatingPointsFromCounts(
       mergedCounts().withColumnRenamed("_s", "threshold"),
       maxDistinctScores = maxDistinctScores)
+
+  /** The live reliability curve — identical to
+    * [[TableProfile.reliabilityCurve]] over the union of all batches
+    * (shared assembly, declared [lo, hi) bounds); the per-score
+    * registers are the sufficient statistic for the bucket rates
+    * exactly as for the other two walks. Zero state yields the
+    * all-empty-bucket scaffold (n=0, NULL rate per bucket), not an
+    * exception — completing the calibration story's third leg live.
+    */
+  def reliability(lo: Long, hi: Long, buckets: Int): DataFrame =
+    TableProfile.reliabilityCurveFromCounts(mergedCounts(), lo, hi, buckets)
 }

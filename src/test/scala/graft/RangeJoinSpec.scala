@@ -540,4 +540,32 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(e.getMessage.contains("recordIntervalBatch"),
       "the error must route the caller to the per-batch API")
   }
+
+  test("StreamingCalibration.reliability: the folded registers re-bucket " +
+    "to EXACTLY the one-pass reliabilityCurve (third leg of the register " +
+    "identity); zero state is the empty scaffold") {
+    val rnd = new scala.util.Random(71)
+    // scores escaping [0, 100) on both sides so the edge-clamp path is
+    // exercised through the from-counts entry too
+    val rows = (1 to 600).map(i =>
+      (i.toLong, rnd.nextInt(140).toLong - 20L, rnd.nextInt(3) == 0))
+    val df = rows.toDF("id", "s", "y")
+    val cal = new graft.streaming.StreamingCalibration(
+      spark, tmpDir("cal_rel"))
+    // zero state: every declared bucket emits n=0 with the NULL rate
+    val z = cal.reliability(0L, 100L, 10).collect()
+    assert(z.length === 10 && z.forall(_.getAs[Long]("n") === 0L) &&
+      z.forall(_.isNullAt(z.head.fieldIndex("pos_permille"))),
+      "zero state must read as the all-empty scaffold")
+    for (k <- 0 until 3)
+      cal.recordBatch(df.filter(col("id") % 3 === k),
+        col("s"), col("y"), k.toLong)
+    val want = graft.ops.TableProfile.reliabilityCurve(df,
+        col("s"), col("y"), lo = 0L, hi = 100L, buckets = 10)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val got = cal.reliability(0L, 100L, 10)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(got === want,
+      "the live curve must equal the batch panel bucket-for-bucket")
+  }
 }
