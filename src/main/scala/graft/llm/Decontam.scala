@@ -299,4 +299,64 @@ object Decontam {
       .select(col("doc_id").as(idCol))
     corpus.join(flagged, Seq(idCol), "left_anti")
   }
+
+  /** SEMANTIC decontamination — the embedding-space leg the n-gram
+    * overlap methods structurally miss: a paraphrased or translated
+    * benchmark item shares no 3-grams with its training-set twin but
+    * sits next to it in embedding space. Flag every corpus vector whose
+    * cosine against ANY eval vector reaches `threshold` (the method of
+    * the Phi / "rephrased samples ruin benchmarks" contamination
+    * studies — embedding-similarity contamination detection).
+    *
+    * Output: one row per FLAGGED corpus vector — (`vec_id`,
+    * `n_eval_hits` = how many eval vectors it clears the threshold
+    * against, `max_cos` = the strongest match). Unflagged vectors are
+    * absent (the clean side is the anti-join, [[decontaminateSemantic]]).
+    *
+    * Scale shape (the token-decontam contract transplanted to vectors):
+    * the eval side is small BY CONSTRUCTION (benchmarks are thousands
+    * of items, not billions), so it BROADCASTS — the corpus side is
+    * touched exactly once by a pure map stage (quantize → codegen'd
+    * int64 dot per eval vector → threshold filter), and the per-vector
+    * rollup's partial aggregate collapses map-side (all of a corpus
+    * row's candidates are born on its own partition), so the ONLY
+    * exchange carries one register-sized row per flagged id. Nothing
+    * corpus-sized crosses partitions; for an eval set too large to
+    * broadcast, block with [[Similarity.lshMultiTableTopK]]'s multi-table
+    * buckets first — same verify leg, candidate-bounded.
+    *
+    * Exactness: quantized int64 dot ([[Similarity.dotQ]], exact) and the
+    * cross-engine-identical `dot / (√na·√nb)` double sequence
+    * ([[Similarity.cosineFromInts]]), so the oracle reproduces every
+    * comparison bit-for-bit.
+    */
+  def embeddingOverlapReport(corpusEmb: DataFrame, evalEmb: DataFrame,
+      threshold: Double): DataFrame = {
+    val c = Dedup.widen(corpusEmb)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      .withColumn("nv", Similarity.dotQ("qv", "qv"))
+    val e = evalEmb
+      .select(col("vec_id").as("eval_id"),
+        Similarity.quantize(col("embedding")).as("ev"))
+      .withColumn("ne", Similarity.dotQ("ev", "ev"))
+    c.join(broadcast(e))
+      .withColumn("cos_sim",
+        Similarity.cosineFromInts(Similarity.dotQ("qv", "ev"),
+          col("nv"), col("ne")))
+      .filter(col("cos_sim") >= threshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_eval_hits"), max("cos_sim").as("max_cos"))
+  }
+
+  /** The semantically-clean corpus: drop every vector
+    * [[embeddingOverlapReport]] flags. One broadcast map pass + one
+    * id-keyed anti-join — the [[decontaminate]] shape on the embedding
+    * column.
+    */
+  def decontaminateSemantic(corpusEmb: DataFrame, evalEmb: DataFrame,
+      threshold: Double): DataFrame = {
+    val flagged = embeddingOverlapReport(corpusEmb, evalEmb, threshold)
+      .select("vec_id")
+    corpusEmb.join(flagged, Seq("vec_id"), "left_anti")
+  }
 }

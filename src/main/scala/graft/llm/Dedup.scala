@@ -93,6 +93,41 @@ object Dedup {
       .select(cols.map(c => col("_fo_row").getField(c).as(c)): _*)
   }
 
+  /** Best-occurrence selection for exact dedup: within each
+    * md5(`textCol`) group keep the row with the HIGHEST `scoreCol`
+    * (ties → lowest `idCol`) — the curation-aware twin of
+    * [[firstOccurrences]]. Duplicates usually differ in everything BUT
+    * the text (source reputation, crawl freshness, quality score), and
+    * "keep the first id" throws that signal away; a curation pipeline
+    * keeps the best-scored copy and drops the rest (the canonical-
+    * selection step of every large dedup run that follows a quality
+    * model). Same 100 TB shape as firstOccurrences — ONE hash-keyed
+    * exchange, `max_by` partial aggregate combines map-side, a
+    * corpus-hot boilerplate text reaches the reducer as ≤1 candidate
+    * row per map task. The tie-break rides inside the max_by ordering
+    * key `struct(score, -id)` (struct comparison is lexicographic), so
+    * the selection stays ONE aggregate, deterministic under duplicate
+    * scores. NULL scores sort below every non-NULL score's (score, -id)
+    * key only if the whole group is NULL-scored... which Spark's max_by
+    * does not define — so NULL `scoreCol` rows are REQUIRED OUT: score
+    * your corpus first (a NULL-quality doc has no business winning a
+    * dedup group silently).
+    */
+  def bestOccurrences(docs: DataFrame, idCol: String, textCol: String,
+      scoreCol: Column): DataFrame = {
+    require(!docs.columns.contains("_bo_h") && !docs.columns.contains("_bo_row")
+        && !docs.columns.contains("_bo_key"),
+      "input already contains an internal working column (_bo_h/_bo_row/_bo_key)")
+    val cols = docs.columns
+    docs
+      .withColumn("_bo_key", struct(scoreCol.cast("long").as("s"),
+        (-col(idCol)).as("negid")))
+      .filter(col("_bo_key").getField("s").isNotNull)
+      .groupBy(md5(col(textCol)).as("_bo_h"))
+      .agg(max_by(struct(cols.map(col): _*), col("_bo_key")).as("_bo_row"))
+      .select(cols.map(c => col("_bo_row").getField(c).as(c)): _*)
+  }
+
   /** Dedup-loss attribution: after exact dedup (canonical = minimum id
     * per text hash), how many docs does each SOURCE lose, and what
     * fraction of its corpus is that — the per-feed duplication report a

@@ -281,6 +281,45 @@ object Retrieval {
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** RAG CONTEXT ASSEMBLY — the step between retrieval and the prompt:
+    * per query, take the LONGEST RANK-ORDER PREFIX of the [[bm25iTopK]]
+    * ranking whose cumulative token count fits `tokenBudget` (context
+    * windows are budgeted in tokens, and relevance order is the packing
+    * order — the standard "fill the context until it overflows" rule;
+    * skip-and-continue bin packing belongs to [[Packing]], this is the
+    * prompt-assembly cut). A doc longer than the remaining budget ends
+    * the prefix even if a later, shorter doc would fit — that keeps the
+    * context a CONTIGUOUS relevance prefix, which is what generation
+    * quality wants and what makes the operation one windowed cumsum.
+    *
+    * Scale shape: the ranking is Q·k-bounded (the retriever's audited
+    * plan did the heavy lifting); the token-length attach joins the
+    * BROADCAST ranking against one corpus projection (`doc_id`,
+    * codegen'd [[TextAnalysis.tokenCount]]) so the corpus is touched
+    * once map-side and never shuffles; the per-query cumsum windows
+    * over ≤ k rows. Output: (query_id, doc_id, rnk, score, doc_tokens,
+    * cum_tokens) for the surviving prefix.
+    */
+  def contextPack(corpus: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, k: Int, tokenBudget: Long,
+      k1Permille: Int = 1200, bPermille: Int = 750): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    val topk = bm25iTopK(corpus, queries, idCol, textCol, k,
+      k1Permille, bPermille)
+    val lens = corpus.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokenCount(col(textCol)).as("doc_tokens"))
+    val w = Window.partitionBy("query_id").orderBy("rnk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // a NULL-text doc has no length to budget — excluded BEFORE the
+    // cumsum (a windowed sum skips NULLs, which would pack it "free")
+    lens.filter(col("doc_tokens").isNotNull)
+      .join(broadcast(topk), Seq("doc_id"))
+      .withColumn("cum_tokens", sum("doc_tokens").over(w))
+      .filter(col("cum_tokens") <= tokenBudget)
+      .select("query_id", "doc_id", "rnk", "score", "doc_tokens",
+        "cum_tokens")
+  }
+
   final case class Reranked(query_id: Long, doc_id: Long, score: Double)
 
   /** Cross-encoder reranking seam — the final RAG-stack stage after

@@ -260,6 +260,58 @@ object Sampling {
       .withColumn("epochs_permille",
         expr("target_tokens * 1000 div n_tokens"))
 
+  /** CURRICULUM schedule panel: partition the corpus into quality-score
+    * PHASES at the declared ascending `cuts` (phase 0 = below cuts(0),
+    * phase i = [cuts(i-1), cuts(i)), last phase = at-or-above the top
+    * cut) and report each phase's doc/token mass and observed score
+    * range — the provisioning table of quality-curriculum training
+    * (anneal from the broad low phases to the high-quality tail late in
+    * the run: the data-ordering recipe of the phase-annealed pretraining
+    * runs, e.g. MiniCPM's decay-phase quality upshift). The phase
+    * boundaries are DECLARED, not quantiles, so two snapshots' panels
+    * compare phase-for-phase; empty phases emit n=0 rows (a missing
+    * quality band is exactly what the panel exists to surface).
+    *
+    * Scale shape: ONE partial-agg pass keyed by the ≤|cuts|+1-valued
+    * phase id, plus a phases-sized scaffold left-join — nothing
+    * corpus-sized crosses partitions, no window anywhere. NULL scores
+    * are excluded (an unscored doc cannot be scheduled); feed a scored
+    * corpus. Output: (phase, cut_lo, cut_hi, n_docs, n_tokens,
+    * score_min, score_max) — cut_lo/cut_hi NULL at the open ends.
+    */
+  def curriculumPhases(docs: DataFrame, score: Column, tokens: Column,
+      cuts: Seq[Long]): DataFrame = {
+    require(cuts.nonEmpty, "need at least one phase cut")
+    require(cuts == cuts.sorted && cuts.distinct == cuts,
+      s"cuts must be strictly ascending, got $cuts")
+    val spark = docs.sparkSession
+    // fold ascending so the HIGHEST cut lands outermost: the built CASE
+    // checks s >= cuts.last first, then descends
+    val phaseExpr = cuts.zipWithIndex
+      .foldLeft(lit(0L)) { case (els, (c, i)) =>
+        when(col("_sc") >= c, lit((i + 1).toLong)).otherwise(els)
+      }
+    val counts = docs
+      .select(score.cast("long").as("_sc"), tokens.cast("long").as("_tk"))
+      .filter(col("_sc").isNotNull)
+      .withColumn("phase", phaseExpr)
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("_tk"), lit(0L)).as("n_tokens"),
+        min("_sc").as("score_min"), max("_sc").as("score_max"))
+    val bounds = (Seq(Option.empty[Long]) ++ cuts.map(Some(_))).zip(
+      cuts.map(Some(_)) ++ Seq(Option.empty[Long]))
+    val scaffold = spark.createDataFrame(
+      bounds.zipWithIndex.map { case ((lo, hi), i) =>
+        (i.toLong, lo.map(Long.box).orNull, hi.map(Long.box).orNull)
+      }).toDF("phase", "cut_lo", "cut_hi")
+    scaffold.join(counts, Seq("phase"), "left")
+      .select(col("phase"), col("cut_lo"), col("cut_hi"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("score_min"), col("score_max"))
+  }
+
   /** Source-reputation filter: a document survives iff its SOURCE's mean
     * lexical-diversity score clears `minSrcPermille` — the domain-level
     * quality gate (a page on a content-farm domain is dropped for the

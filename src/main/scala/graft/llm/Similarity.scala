@@ -185,6 +185,62 @@ object Similarity {
       .select("qid", "q_label", "cid", "c_label", "rank", "cos_sim")
   }
 
+  /** CONTRASTIVE TRIPLE assembly — the step after [[hardNegatives]] in
+    * a two-tower / sentence-embedding training pipeline: for each
+    * anchor, ONE (anchor, positive, negative) training triple where the
+    * positive is the most-similar SAME-label vector and the negative
+    * the most-similar DIFFERENT-label vector, plus the triplet margin
+    * `pos_cos − neg_cos`. A small or negative margin IS the signal
+    * (triplet-loss semi-hard mining: the anchor's nearest impostor sits
+    * closer than its nearest genuine match — exactly the triples the
+    * loss moves); downstream filters on `margin` pick the mining band.
+    *
+    * Plan shape: ONE scored frame ([[bruteForceTopK]]'s broadcast-anchor
+    * × widened-corpus map stage, materialized because two branches
+    * consume it) feeds two WindowGroupLimit branches (best same-label,
+    * best different-label; ties break on smallest cid) joined on the
+    * anchor id — the join is anchor-bounded, the corpus never shuffles.
+    * Anchors missing either side (a label with no second member, or a
+    * single-label corpus) drop out via the inner join — a triple needs
+    * both legs. NULL labels are excluded on both sides as in
+    * [[hardNegatives]]. Scale path: swap the broadcast scan for the
+    * IVF-bucketed candidate join, as for positives.
+    * Output: (qid, q_label, pos_id, pos_cos, neg_id, neg_cos, margin).
+    */
+  def contrastiveTriples(corpus: DataFrame, anchors: DataFrame,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = anchors
+      .filter(col(labelCol).isNotNull)
+      .select(col("vec_id").as("qid"), col(labelCol).cast("long").as("q_label"),
+        quantize(col("embedding")).as("qv"))
+      .withColumn("nq", dotQ("qv", "qv"))
+    val c = Dedup.widen(corpus)
+      .filter(col(labelCol).isNotNull)
+      .select(col("vec_id").as("cid"), col(labelCol).cast("long").as("c_label"),
+        quantize(col("embedding")).as("cv"))
+      .withColumn("nc", dotQ("cv", "cv"))
+    val scored = graft.util.Materialize.stable(
+      c.crossJoin(broadcast(q))
+        .filter(col("cid") =!= col("qid"))
+        .withColumn("cos_sim", cosineFromInts(dotQ("qv", "cv"), col("nq"), col("nc")))
+        .select("qid", "q_label", "cid", "c_label", "cos_sim"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))
+    def best(side: DataFrame, idOut: String, cosOut: String) =
+      side.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("qid"), col("q_label"),
+          col("cid").as(idOut), col("cos_sim").as(cosOut))
+    val pos = best(scored.filter(col("c_label") === col("q_label")),
+      "pos_id", "pos_cos")
+    val neg = best(scored.filter(col("c_label") =!= col("q_label")),
+      "neg_id", "neg_cos").drop("q_label")
+    pos.join(neg, Seq("qid"))
+      .withColumn("margin", col("pos_cos") - col("neg_cos"))
+      .select("qid", "q_label", "pos_id", "pos_cos", "neg_id", "neg_cos",
+        "margin")
+  }
+
   /** Matryoshka-truncated top-k (Kusupati et al. 2022, "Matryoshka
     * Representation Learning", arXiv:2205.13147): brute-force integer
     * cosine over only the FIRST `dim` dimensions of each vector — the

@@ -1,0 +1,320 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.llm.{Decontam, Dedup, Retrieval, Sampling, Similarity}
+
+/** Eighth tranche (round 14): the embedding-space decontamination leg,
+  * contrastive-triple mining, and RAG context assembly — the semantic
+  * twin of the n-gram decontam family plus the two operators that sit
+  * immediately downstream of the retrieval/ANN stack in a training
+  * pipeline (mine the triples a two-tower model trains on; cut the
+  * context a generator prompts with). Constants are shared fields
+  * referenced by both the Spark plan and the rendered oracle.
+  */
+object LlmQueries8 {
+
+  /** Cosine threshold for semantic contamination. The fixture
+    * embeddings are uniform random (cross-split max cosine ≈ 0.43—0.51
+    * across the SFs), so 0.30 is what yields a non-trivial flagged set;
+    * a production run on real embeddings would sit at ~0.9+.
+    */
+  private val SemThreshold = 0.30
+
+  /** Every 20th vector plays the eval set — register-sized by
+    * construction at any SF (5% of the table), the broadcast contract.
+    */
+  private val EvalMod = 20
+
+  private val AnchorMod = 25 // contrastive anchors: every 25th vector
+
+  private val PackK = 10        // retriever depth feeding the packer
+  private val PackBudget = 300L // context token budget (fixture docs run
+  // ~60—100 tokens, so the cut binds mid-ranking — 3—5 of the 10
+  // retrieved docs survive — at every SF)
+
+  private val BalanceCentroids = 16 // the ann_ivf_topk geometry
+  private val CapPerCell = 8        // diversity cap: ≤8 vectors per cell
+
+  private val PhaseCuts = Seq(250L, 500L, 750L) // declared quality-phase
+  // boundaries (integer per-mille score domain)
+
+  private val MirrorIdOffset = 10000000L // the minted syndicated copy's
+  // id offset (far above any fixture doc_id at every SF)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Semantic decontamination report: corpus vectors whose cosine
+    // against ANY eval vector reaches the threshold — the
+    // embedding-space contamination n-gram overlap cannot see
+    // (paraphrased/translated benchmark twins). Eval side broadcasts;
+    // the corpus is touched once map-side.
+    "decontam_embedding" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Decontam.embeddingOverlapReport(
+        emb.filter(col("vec_id") % EvalMod =!= 0),
+        emb.filter(col("vec_id") % EvalMod === 0),
+        threshold = SemThreshold)
+    }),
+
+    // The semantically-clean corpus: the anti-join composition over the
+    // same report (kept columns bounded: id + label).
+    "decontam_embedding_clean" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Decontam.decontaminateSemantic(
+        emb.filter(col("vec_id") % EvalMod =!= 0),
+        emb.filter(col("vec_id") % EvalMod === 0),
+        threshold = SemThreshold)
+        .select("vec_id", "label")
+    }),
+
+    // Contrastive triple assembly: per anchor, the most-similar
+    // same-label vector (positive), the most-similar different-label
+    // vector (negative), and the triplet margin — the mining table a
+    // two-tower/triplet-loss trainer consumes directly.
+    "ann_contrastive_triples" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.contrastiveTriples(emb,
+        emb.filter(col("vec_id") % AnchorMod === 0), "label")
+    }),
+
+    // RAG context assembly: per query, the longest rank-order prefix of
+    // the int-BM25 top-10 whose cumulative token count fits the budget
+    // — the retrieval-to-prompt cut.
+    "rag_context_pack" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Retrieval.contextPack(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0" && col("doc_id") % 100 === 0),
+        "doc_id", "text", k = PackK, tokenBudget = PackBudget)
+    }),
+
+    // Curation-aware exact dedup: within each duplicate group keep the
+    // copy from the BEST-scored source (ties → lowest id) instead of
+    // the first id — firstOccurrences' single-exchange max_by shape
+    // with the quality signal in the ordering key. The fixture corpus
+    // has no exact dups below sf0.1, so the gate unions a 'mirror0'
+    // syndicated copy of every doc (id-offset) — every text is then a
+    // real ≥2-copy group and the winner is decided by source score at
+    // EVERY scale, not just where the generator happened to collide.
+    "dedup_keep_best" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"), col("source"))
+      val mirrored = base.unionByName(base.select(
+        (col("doc_id") + MirrorIdOffset).as("doc_id"), col("text"),
+        lit("mirror0").as("source")))
+      val docs = mirrored.withColumn("src_score",
+        Sampling.hashPermille(col("source")))
+      Dedup.bestOccurrences(docs, "doc_id", "text", col("src_score"))
+        .select("doc_id", "source", "src_score")
+    }),
+
+    // Cluster-balanced (diversity) selection: assign every vector its
+    // IVF cell, then cap each cell at CapPerCell by the deterministic
+    // hash priority — the DataComp-style "no cluster dominates the
+    // training set" pruning, expressed as the composition of two
+    // audited operators (broadcast-centroid assignment + per-stratum
+    // WindowGroupLimit over cell-sized groups).
+    "cluster_balanced_select" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.sampledCentroids(emb, BalanceCentroids)
+      val assigned = Similarity.ivfAssign(emb, cents)
+        .select(col("cid").as("vec_id"), col("cell"))
+      Sampling.exactKPerStratum(assigned, "vec_id", "cell",
+          k = CapPerCell)
+        .select("cell", "vec_id", "rk")
+    }),
+
+    // Curriculum schedule panel: the classifier-scored corpus cut into
+    // declared quality phases with per-phase doc/token mass — the
+    // annealing-schedule provisioning table (broad phases early,
+    // high-quality tail late).
+    "curriculum_phases" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = graft.llm.QualityRules
+        .classifierScores(s, docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"),
+          graft.llm.TextAnalysis.tokenCount(col("text")).as("_tk")),
+          "doc_id")
+      Sampling.curriculumPhases(scored, col("score_permille"), col("_tk"),
+        cuts = PhaseCuts)
+    })
+  )
+
+  private val quantDuck = Similarity.quantizeSqlDuck
+
+  /** The shared quantize+norm CTE prefix over `embeddings`. */
+  private val vecCtes =
+    s"""v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |  $quantDuck AS qv FROM embeddings),
+       |n AS (SELECT vec_id, label, qv,
+       |  ${Similarity.dotQSqlDuck("qv", "qv")} AS nrm FROM v)"""
+      .stripMargin.replace("\n", " ")
+
+  /** md5-per-mille hash of an expression, rendered exactly as
+    * [[Sampling.hashPermille]] computes it (string input: md5 applies
+    * directly).
+    */
+  private def permilleDuck(x: String): String =
+    s"CAST(concat('0x', substr(md5($x), 1, 8)) AS BIGINT) % 1000"
+
+  def oracleSql: Map[String, String] = Map(
+
+    "decontam_embedding" ->
+      s"""WITH $vecCtes,
+         |c AS (SELECT * FROM n WHERE vec_id % $EvalMod <> 0),
+         |ev AS (SELECT vec_id AS eval_id, qv AS evv, nrm AS ne FROM n
+         |  WHERE vec_id % $EvalMod = 0),
+         |p AS (SELECT c.vec_id, eval_id,
+         |    ${Similarity.dotQSqlDuck("c.qv", "ev.evv")} AS dot,
+         |    c.nrm AS nv, ev.ne FROM c CROSS JOIN ev),
+         |s AS (SELECT vec_id, eval_id, CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(ne AS DOUBLE))) AS cos
+         |  FROM p)
+         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+         |  max(cos) AS max_cos
+         |FROM s WHERE cos >= $SemThreshold GROUP BY 1"""
+        .stripMargin.replace("\n", " "),
+
+    "decontam_embedding_clean" ->
+      s"""WITH $vecCtes,
+         |c AS (SELECT * FROM n WHERE vec_id % $EvalMod <> 0),
+         |ev AS (SELECT vec_id AS eval_id, qv AS evv, nrm AS ne FROM n
+         |  WHERE vec_id % $EvalMod = 0),
+         |p AS (SELECT c.vec_id,
+         |    ${Similarity.dotQSqlDuck("c.qv", "ev.evv")} AS dot,
+         |    c.nrm AS nv, ev.ne FROM c CROSS JOIN ev),
+         |flagged AS (SELECT DISTINCT vec_id FROM p
+         |  WHERE CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(ne AS DOUBLE)))
+         |    >= $SemThreshold)
+         |SELECT e.vec_id, e.label FROM embeddings e
+         |WHERE e.vec_id % $EvalMod <> 0
+         |  AND e.vec_id NOT IN (SELECT vec_id FROM flagged)"""
+        .stripMargin.replace("\n", " "),
+
+    "ann_contrastive_triples" ->
+      s"""WITH $vecCtes,
+         |p AS (SELECT q.vec_id AS qid, q.label AS q_label,
+         |    c.vec_id AS cid, c.label AS c_label,
+         |    ${Similarity.dotQSqlDuck("q.qv", "c.qv")} AS dot,
+         |    q.nrm AS nq, c.nrm AS nc
+         |  FROM n q, n c WHERE q.vec_id % $AnchorMod = 0
+         |    AND c.vec_id <> q.vec_id
+         |    AND q.label IS NOT NULL AND c.label IS NOT NULL),
+         |s AS (SELECT qid, q_label, cid, c_label, CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE)))
+         |    AS cos_sim FROM p),
+         |pos AS (SELECT qid, q_label, cid AS pos_id, cos_sim AS pos_cos,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos_sim DESC, cid) AS rn
+         |  FROM s WHERE c_label = q_label),
+         |neg AS (SELECT qid, cid AS neg_id, cos_sim AS neg_cos,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos_sim DESC, cid) AS rn
+         |  FROM s WHERE c_label <> q_label)
+         |SELECT pos.qid, pos.q_label, pos.pos_id, pos.pos_cos,
+         |  neg.neg_id, neg.neg_cos, pos.pos_cos - neg.neg_cos AS margin
+         |FROM pos JOIN neg ON pos.qid = neg.qid
+         |WHERE pos.rn = 1 AND neg.rn = 1"""
+        .stripMargin.replace("\n", " "),
+
+    "rag_context_pack" -> {
+      val k1p = 1200
+      val bp = 750
+      s"""WITH corp AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents WHERE source <> 'src0'),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM corp GROUP BY 1, 2),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents WHERE source = 'src0' AND doc_id % 100 = 0),
+         |qi AS (SELECT query_id, qt.term, st.n * 1000 // dft.df AS idf_permille
+         |  FROM qt JOIN dft ON qt.term = dft.term CROSS JOIN st),
+         |dlr AS (SELECT doc_id, dl * n * 1000 // t AS dlr FROM dl CROSS JOIN st),
+         |sc AS (SELECT query_id, tf.doc_id, CAST(sum(qi.idf_permille *
+         |    ((tf.tf * ${k1p + 1000} * 1000) // (tf.tf * 1000 +
+         |      ($k1p * (${1000 - bp} + $bp * dlr.dlr // 1000) // 1000)))) AS BIGINT) AS score
+         |  FROM tf JOIN qi ON tf.term = qi.term
+         |  JOIN dlr ON dlr.doc_id = tf.doc_id GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, score, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc),
+         |topk AS (SELECT * FROM r WHERE rnk <= $PackK),
+         |lens AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER)
+         |    AS doc_tokens
+         |  FROM documents WHERE source <> 'src0' AND text IS NOT NULL),
+         |cum AS (SELECT topk.query_id, topk.doc_id, topk.rnk, topk.score,
+         |    lens.doc_tokens,
+         |    CAST(sum(lens.doc_tokens) OVER (PARTITION BY topk.query_id
+         |      ORDER BY topk.rnk
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_tokens
+         |  FROM topk JOIN lens ON lens.doc_id = topk.doc_id)
+         |SELECT query_id, doc_id, rnk, score, doc_tokens, cum_tokens
+         |FROM cum WHERE cum_tokens <= $PackBudget"""
+        .stripMargin.replace("\n", " ")
+    },
+
+    "dedup_keep_best" ->
+      s"""WITH base AS (SELECT doc_id, text, source FROM documents
+         |  WHERE text IS NOT NULL),
+         |mirrored AS (SELECT * FROM base UNION ALL
+         |  SELECT doc_id + $MirrorIdOffset, text, 'mirror0' FROM base),
+         |sc AS (SELECT doc_id, text, source,
+         |  ${permilleDuck("source")} AS src_score FROM mirrored),
+         |r AS (SELECT doc_id, source, src_score, row_number() OVER (
+         |    PARTITION BY md5(text)
+         |    ORDER BY src_score DESC, doc_id) AS rn FROM sc)
+         |SELECT doc_id, source, src_score FROM r WHERE rn = 1"""
+        .stripMargin.replace("\n", " "),
+
+    "cluster_balanced_select" -> {
+      def cos(dot: String, n1: String, n2: String) =
+        s"CAST($dot AS DOUBLE) / (sqrt(CAST($n1 AS DOUBLE)) * sqrt(CAST($n2 AS DOUBLE)))"
+      s"""WITH v AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv, ${Similarity.dotQSqlDuck("qv", "qv")} AS nrm FROM v),
+         |cents AS (SELECT vec_id AS cent_id, qv AS centv, nrm AS ncent FROM
+         |  (SELECT vec_id, qv, nrm FROM n
+         |   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         |   LIMIT $BalanceCentroids)),
+         |ca AS (SELECT vec_id, cent_id AS cell FROM (
+         |  SELECT n.vec_id, c.cent_id,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ${cos(Similarity.dotQSqlDuck("n.qv", "c.centv"), "n.nrm", "c.ncent")} DESC,
+         |      c.cent_id) AS crn
+         |  FROM n, cents c) WHERE crn = 1),
+         |r AS (SELECT cell, vec_id, row_number() OVER (PARTITION BY cell
+         |    ORDER BY ${permilleDuck("CAST(vec_id AS VARCHAR)")}, vec_id)
+         |    AS rk FROM ca)
+         |SELECT cell, vec_id, rk FROM r WHERE rk <= $CapPerCell"""
+        .stripMargin.replace("\n", " ")
+    },
+
+    "curriculum_phases" -> {
+      val Seq(c1, c2, c3) = PhaseCuts
+      s"""WITH sc AS (SELECT
+         |  ${graft.llm.QualityRules.stubEduScoreSqlDuck} AS s,
+         |  len(string_split(text, ' ')) AS tk
+         |  FROM documents WHERE text IS NOT NULL),
+         |ph AS (SELECT CASE WHEN s >= $c3 THEN 3 WHEN s >= $c2 THEN 2
+         |    WHEN s >= $c1 THEN 1 ELSE 0 END AS phase, s, tk FROM sc),
+         |c AS (SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(tk) AS BIGINT) AS n_tokens,
+         |  CAST(min(s) AS BIGINT) AS score_min,
+         |  CAST(max(s) AS BIGINT) AS score_max FROM ph GROUP BY 1),
+         |g(phase, cut_lo, cut_hi) AS (VALUES
+         |  (CAST(0 AS BIGINT), CAST(NULL AS BIGINT), CAST($c1 AS BIGINT)),
+         |  (1, $c1, $c2), (2, $c2, $c3), (3, $c3, NULL))
+         |SELECT g.phase, g.cut_lo, g.cut_hi,
+         |  coalesce(c.n_docs, 0) AS n_docs,
+         |  coalesce(c.n_tokens, 0) AS n_tokens,
+         |  c.score_min, c.score_max
+         |FROM g LEFT JOIN c ON g.phase = c.phase"""
+        .stripMargin.replace("\n", " ")
+    }
+  )
+}

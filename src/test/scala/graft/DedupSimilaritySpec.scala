@@ -23,6 +23,34 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(d.count() == 4) // 4 distinct texts
   }
 
+  test("bestOccurrences: the HIGHEST-scored copy survives its dup group " +
+    "(ties break to the lowest id); NULL-scored rows never compete; the " +
+    "plan is the single-exchange partial max_by, never a window") {
+    val scored = Seq(
+      (10L, "same text", Option(300L)),
+      (11L, "same text", Option(900L)),  // the winner: best score
+      (12L, "same text", Option(500L)),
+      (20L, "tied text", Option(700L)),  // tie group: lowest id wins
+      (21L, "tied text", Option(700L)),
+      (30L, "lone text", Option(100L)),
+      (31L, "null text", Option.empty[Long]) // NULL score: required out
+    ).toDF("doc_id", "text", "score")
+    val out = graft.llm.Dedup.bestOccurrences(scored, "doc_id", "text",
+      col("score"))
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(11L, 20L, 30L),
+      "best score wins, ties go to the lowest id, NULL-scored rows drop")
+    // every input column survives selection
+    assert(out.columns.toSeq === Seq("doc_id", "text", "score"))
+    // the 100 TB shape: ONE hash aggregate with a partial (map-side)
+    // phase and NO window — the skew guarantee of the min_by twin
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "a window would put a corpus-hot " +
+      "text's whole copy set on one task")
+    assert(plan.contains("partial_max_by") || plan.contains("partial_"),
+      s"the aggregate must combine map-side:\n$plan")
+  }
+
   test("jaccard pairs find exact and near dups, not unrelated docs") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 5, 10) // ≥0.5
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
@@ -316,6 +344,58 @@ class DedupSimilaritySpec extends SparkSpecBase {
     // a NULL-label ANCHOR mines nothing (not everything)
     assert(Similarity.hardNegatives(vecs,
       vecs.filter(col("vec_id") === 4), "label", k = 2).count() === 0L)
+  }
+
+  test("contrastiveTriples: best same-label positive + best different-" +
+    "label negative per anchor, with the triplet margin; anchors missing " +
+    "either side drop") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), java.lang.Integer.valueOf(0)),  // anchor
+      (1L, Array(0.95f, 0.05f, 0.0f), java.lang.Integer.valueOf(0)), // pos
+      (2L, Array(0.99f, 0.01f, 0.0f), java.lang.Integer.valueOf(1)), // neg —
+      // CLOSER than the positive: the hard case, margin < 0
+      (3L, Array(0.0f, 1.0f, 0.0f), java.lang.Integer.valueOf(1)),
+      (4L, Array(0.0f, 0.0f, 1.0f), java.lang.Integer.valueOf(7))    // only
+      // member of label 7: as an anchor it has no positive → no triple
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.contrastiveTriples(vecs,
+        vecs.filter(col("vec_id") === 0 || col("vec_id") === 4), "label")
+      .select("qid", "pos_id", "neg_id", "margin")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length === 1, "the single-member-label anchor mints no triple")
+    val t = got.head
+    assert(t._1 === 0L && t._2 === 1L && t._3 === 2L)
+    assert(t._4 < 0.0,
+      "the impostor sits closer than the genuine match: negative margin " +
+        "is exactly the semi-hard mining signal")
+  }
+
+  test("embeddingOverlapReport: flags corpus vectors over the cosine " +
+    "threshold with exact hit counts; the clean side is the exact " +
+    "complement") {
+    import graft.llm.Decontam
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f), 0),   // hits e1 AND e2 (cos 1.0, ~0.995)
+      (11L, Array(0.7f, 0.7f, 0.0f), 0),   // hits e1 and e2 at ~0.71/0.77
+      (12L, Array(0.0f, 0.0f, 1.0f), 0)    // orthogonal to both: clean
+    ).toDF("vec_id", "embedding", "label")
+    val eval = Seq(
+      (90L, Array(1.0f, 0.0f, 0.0f), 0),
+      (91L, Array(0.99f, 0.1f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val rep = Decontam.embeddingOverlapReport(corpus, eval, threshold = 0.5)
+      .select("vec_id", "n_eval_hits", "max_cos")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(rep.keySet === Set(10L, 11L))
+    assert(rep(10L)._2 === 2L && math.abs(rep(10L)._3 - 1.0) < 1e-9)
+    assert(rep(11L)._2 === 2L)
+    val clean = Decontam.decontaminateSemantic(corpus, eval, threshold = 0.5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(clean === Set(12L), "clean = corpus minus flagged, exactly")
+    // threshold above every cosine: nothing flags, everything survives
+    assert(Decontam.embeddingOverlapReport(corpus, eval, 0.9999999).count()
+      === 1L, "only the exact-duplicate direction survives a ~1.0 bar")
+    assert(Decontam.decontaminateSemantic(corpus, eval, 1.1).count() === 3L)
   }
 
   test("multi-table LSH ANN recall vs brute force on fixture embeddings") {

@@ -488,4 +488,40 @@ class RetrievalShufflingSpec extends SparkSpecBase {
     assert(dropped.values.map(_._1).sum === 39L)
     assert(base !== dropped)
   }
+
+  test("contextPack: longest rank-order prefix under the token budget; " +
+    "an oversized top hit yields an empty context; NULL-text docs are " +
+    "skipped, never packed free") {
+    import spark.implicits._
+    // one query matching four docs at strictly decreasing BM25 score
+    // (term 'q' tf 4/3/2/1); doc lengths chosen so the budget cuts after
+    // the second hit: 5 + 4 = 9 ≤ 10, + next (3) = 12 > 10
+    val corpus = Seq(
+      (1L, Option("q q q q x")),        // 5 tokens, rank 1
+      (2L, Option("q q q x")),          // 4 tokens, rank 2 → cum 9
+      (3L, Option("q q x")),            // 3 tokens, rank 3 → cum 12: cut
+      (4L, Option("q x")),              // 2 tokens, rank 4 (would fit if
+                                        // skipping were allowed — prefix
+                                        // semantics says no)
+      (5L, Option.empty[String])        // NULL text: never packable
+    ).toDF("doc_id", "text")
+    val queries = Seq((100L, "q")).toDF("doc_id", "text")
+    val got = Retrieval.contextPack(corpus, queries, "doc_id", "text",
+      k = 10, tokenBudget = 10L)
+      .orderBy("rnk")
+      .select("doc_id", "rnk", "doc_tokens", "cum_tokens")
+      .as[(Long, Int, Int, Long)].collect()
+    assert(got.map(_._1).toSeq === Seq(1L, 2L),
+      "the context is the rank-1..2 prefix: rank 3 overflows and rank 4 " +
+        "must NOT be pulled past it")
+    assert(got.map(_._4).toSeq === Seq(5L, 9L))
+    // a budget smaller than the top hit → empty context for that query
+    assert(Retrieval.contextPack(corpus, queries, "doc_id", "text",
+      k = 10, tokenBudget = 4L).count() === 0L)
+    // NULL-text doc never appears even with unlimited budget (a windowed
+    // sum would otherwise pack it at zero cost)
+    val wide = Retrieval.contextPack(corpus, queries, "doc_id", "text",
+      k = 10, tokenBudget = 1000L)
+    assert(!wide.select("doc_id").as[Long].collect().contains(5L))
+  }
 }

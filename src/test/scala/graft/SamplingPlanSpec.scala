@@ -56,4 +56,44 @@ class SamplingPlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), "source table must broadcast")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("curriculumPhases: declared cuts bucket exactly; empty phases " +
+    "emit zero rows with NULL ranges; NULL scores are excluded; " +
+    "unsorted cuts refuse") {
+    val docs = Seq(
+      (1L, Option(100L), 10L),  // phase 0
+      (2L, Option(249L), 20L),  // phase 0 (boundary-1)
+      (3L, Option(250L), 30L),  // phase 1 (boundary is inclusive-low)
+      (4L, Option(750L), 40L),  // phase 3
+      (5L, Option(999L), 50L),  // phase 3
+      (6L, Option.empty[Long], 60L) // NULL score: unschedulable
+    ).toDF("id", "s", "tk")
+    val got = Sampling.curriculumPhases(docs, col("s"), col("tk"),
+        cuts = Seq(250L, 500L, 750L))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === Set(0L, 1L, 2L, 3L), "one row per declared phase")
+    assert(got(0L).getAs[Long]("n_docs") === 2L &&
+      got(0L).getAs[Long]("n_tokens") === 30L &&
+      got(0L).getAs[Long]("score_min") === 100L &&
+      got(0L).getAs[Long]("score_max") === 249L)
+    assert(got(1L).getAs[Long]("n_docs") === 1L &&
+      got(1L).getAs[Long]("score_min") === 250L,
+      "the cut value itself belongs to the phase ABOVE it")
+    assert(got(2L).getAs[Long]("n_docs") === 0L &&
+      got(2L).isNullAt(got(2L).fieldIndex("score_min")),
+      "an empty quality band emits n=0 with a NULL observed range")
+    assert(got(3L).getAs[Long]("n_docs") === 2L &&
+      got(3L).getAs[Long]("n_tokens") === 90L)
+    // declared bounds ride along; the open ends are NULL
+    assert(got(0L).isNullAt(got(0L).fieldIndex("cut_lo")) &&
+      got(0L).getAs[Long]("cut_hi") === 250L)
+    assert(got(3L).getAs[Long]("cut_lo") === 750L &&
+      got(3L).isNullAt(got(3L).fieldIndex("cut_hi")))
+    intercept[IllegalArgumentException] {
+      Sampling.curriculumPhases(docs, col("s"), col("tk"), Seq(500L, 250L))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.curriculumPhases(docs, col("s"), col("tk"), Seq.empty)
+    }
+  }
 }
