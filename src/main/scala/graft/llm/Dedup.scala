@@ -114,6 +114,19 @@ object Dedup {
     * dedup group silently).
     */
   def bestOccurrences(docs: DataFrame, idCol: String, textCol: String,
+      scoreCol: Column): DataFrame =
+    bestByKey(docs, idCol, md5(col(textCol)), scoreCol)
+
+  /** The generalized selection under [[bestOccurrences]]: keep the
+    * highest-`scoreCol` row (ties → lowest `idCol`) within each group of
+    * an ARBITRARY key expression — md5(text) gives exact dedup, a
+    * connected-component label gives near-dup cluster canonicalization,
+    * a (source, day) struct gives best-of-feed-per-day. Same shape
+    * everywhere: ONE key-hashed exchange, `max_by` combines map-side, a
+    * corpus-hot key reaches the reducer as ≤1 candidate row per map
+    * task. NULL-scored rows are required out (see [[bestOccurrences]]).
+    */
+  def bestByKey(docs: DataFrame, idCol: String, keyCol: Column,
       scoreCol: Column): DataFrame = {
     require(!docs.columns.contains("_bo_h") && !docs.columns.contains("_bo_row")
         && !docs.columns.contains("_bo_key"),
@@ -123,7 +136,7 @@ object Dedup {
       .withColumn("_bo_key", struct(scoreCol.cast("long").as("s"),
         (-col(idCol)).as("negid")))
       .filter(col("_bo_key").getField("s").isNotNull)
-      .groupBy(md5(col(textCol)).as("_bo_h"))
+      .groupBy(keyCol.as("_bo_h"))
       .agg(max_by(struct(cols.map(col): _*), col("_bo_key")).as("_bo_row"))
       .select(cols.map(c => col("_bo_row").getField(c).as(c)): _*)
   }

@@ -381,6 +381,42 @@ object Similarity {
         expr(s"_d div ${scoreDiv}L").as("score_pm"))
   }
 
+  /** EMBEDDING DRIFT panel between two corpus snapshots: per label, the
+    * L1 distance between the snapshots' per-dimension mean vectors —
+    * the embedding-pipeline drift monitor ("did the upstream encoder or
+    * the data distribution move?") that catches what per-document
+    * checks cannot: a uniform small shift across every vector. All
+    * exact integer arithmetic over the quantized embeddings: centroid
+    * component = `Σq div n` (truncating — DuckDB `//` parity), drift =
+    * `Σ_dims |meanA_i − meanB_i|`, so two engines land bit-identically
+    * and two runs of the panel compare exactly.
+    *
+    * Scale shape: each snapshot is touched ONCE by a posexplode
+    * partial-agg pass keyed by (label, dim) — the [[linearProbeScores]]
+    * discipline — collapsing to a labels×dim register table; the join
+    * and rollup run on registers only. Labels present in only one
+    * snapshot are reported with NULL drift (n on the missing side 0) —
+    * a vanished label IS drift. NULL labels are excluded both sides.
+    * Output: (label, n_a, n_b, drift_l1).
+    */
+  def centroidDrift(snapA: DataFrame, snapB: DataFrame,
+      labelCol: String): DataFrame = {
+    def sums(df: DataFrame, side: String) = df
+      .filter(col(labelCol).isNotNull)
+      .select(col(labelCol).cast("long").as("label"),
+        posexplode(quantize(col("embedding"))).as(Seq("_i", "_qe")))
+      .groupBy("label", "_i")
+      .agg(sum("_qe").as(s"_s$side"), count(lit(1)).as(s"_n$side"))
+    val a = sums(snapA, "a")
+    val b = sums(snapB, "b")
+    a.join(b, Seq("label", "_i"), "full_outer")
+      .groupBy("label")
+      .agg(
+        coalesce(max("_na"), lit(0L)).as("n_a"),
+        coalesce(max("_nb"), lit(0L)).as("n_b"),
+        sum(expr("abs(_sa div _na - _sb div _nb)")).as("drift_l1"))
+  }
+
   /** Deterministic hash-sampled centroid seed set: (cent_id, centv,
     * ncent), `numCentroids` rows.
     */

@@ -443,6 +443,41 @@ object TableProfile {
           .as("pos_permille"))
   }
 
+  /** SCORE ECDF normalization table: per distinct integer score, the
+    * per-mille empirical-CDF rank `(# rows with score ≤ s) · 1000 div
+    * total` — the rank-normalizer that makes heterogeneous quality
+    * scores mixable (a Gopher pass-rate and a classifier logit live on
+    * different scales; their ECDF ranks live on the same [0, 1000]).
+    * Join the output back on the score column to re-score a corpus, or
+    * read thresholds off it directly (the "keep the top 30 %" cut is
+    * the first score with ecdf_permille > 700).
+    *
+    * Scale shape: the [[rocAuc]] discipline verbatim — ONE corpus-sized
+    * partial agg keyed by score, then the cumulative walk over the
+    * score-bounded table, with the same eager cardinality pre-flight
+    * ([[boundedScoreTable]]) so a raw-logit scorer refuses loudly
+    * instead of sorting the corpus in one task. NULL scores are
+    * excluded (they have no rank). Output: (score, n, cum_n,
+    * ecdf_permille), ascending-complete over observed scores.
+    */
+  def scoreEcdf(df: DataFrame, scoreCol: Column,
+      maxDistinctScores: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = boundedScoreTable(
+      df.select(scoreCol.cast("long").as("score"))
+        .filter(col("score").isNotNull)
+        .groupBy("score").agg(count(lit(1)).as("n")),
+      maxDistinctScores, "scoreEcdf")
+    val w = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byScore
+      .withColumn("cum_n", sum("n").over(w))
+      .withColumn("_total", sum("n").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("score"), col("n"), col("cum_n"),
+        expr("cum_n * 1000 div _total").as("ecdf_permille"))
+  }
+
   /** Per-group time trend of an integer metric: OLS slope over the
     * DAILY means, reported as the exact integer (numerator,
     * denominator) pair `slope = num/den` — never a rounded division,

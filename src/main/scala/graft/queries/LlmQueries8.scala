@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.llm.{Decontam, Dedup, Retrieval, Sampling, Similarity}
+import graft.ops.TableProfile
 
 /** Eighth tranche (round 14): the embedding-space decontamination leg,
   * contrastive-triple mining, and RAG context assembly — the semantic
@@ -141,6 +142,65 @@ object LlmQueries8 {
           "doc_id")
       Sampling.curriculumPhases(scored, col("score_permille"), col("_tk"),
         cuts = PhaseCuts)
+    }),
+
+    // The curriculum panel's register identity in-plan: per-batch phase
+    // panels sum-merge (n_docs/n_tokens add, score ranges min/max, the
+    // declared bounds ride along) — two doc_id-parity legs fold to the
+    // ONE-PASS panel, oracle shared verbatim with curriculum_phases.
+    "curriculum_phases_stream" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def leg(pred: org.apache.spark.sql.Column) = {
+        val part = docs.filter(pred)
+        val scored = graft.llm.QualityRules
+          .classifierScores(s, part, "doc_id", "text")
+          .join(part.select(col("doc_id"),
+            graft.llm.TextAnalysis.tokenCount(col("text")).as("_tk")),
+            "doc_id")
+        Sampling.curriculumPhases(scored, col("score_permille"),
+          col("_tk"), cuts = PhaseCuts)
+      }
+      leg(col("doc_id") % 2 === 0).unionByName(leg(col("doc_id") % 2 === 1))
+        .groupBy("phase", "cut_lo", "cut_hi")
+        .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+          min("score_min").as("score_min"), max("score_max").as("score_max"))
+    }),
+
+    // Embedding drift between two snapshots: per label, the exact L1
+    // distance of the per-dimension integer centroids — the encoder/
+    // distribution drift monitor.
+    "embedding_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.centroidDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), "label")
+    }),
+
+    // ECDF rank-normalization table over the classifier scores: per
+    // distinct score, its per-mille empirical-CDF rank — the scale-free
+    // form heterogeneous quality scores are mixed/thresholded on.
+    "quality_score_ecdf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TableProfile.scoreEcdf(
+        graft.llm.QualityRules.classifierScores(s, docs, "doc_id", "text"),
+        col("score_permille"))
+    }),
+
+    // Near-dup cluster canonicalization with the quality signal: LSH
+    // candidate pairs → connected components → keep the BEST-scored doc
+    // per cluster (singletons are their own cluster) — the fuzzy-dedup
+    // twin of dedup_keep_best, composed from three audited operators.
+    "dedup_cluster_keep_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"), col("source"),
+          Sampling.hashPermille(col("source")).as("src_score"))
+      val cc = Dedup.connectedComponents(
+        Dedup.lshCandidatePairs(docs, "doc_id", "text"), "doc_a", "doc_b")
+      val labeled = docs.join(cc, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      Dedup.bestByKey(labeled, "doc_id", col("cluster_id"), col("src_score"))
+        .select("cluster_id", "doc_id", "source", "src_score")
     })
   )
 
@@ -294,7 +354,75 @@ object LlmQueries8 {
         .stripMargin.replace("\n", " ")
     },
 
-    "curriculum_phases" -> {
+    "curriculum_phases" -> curriculumSqlDuck,
+
+    // the register identity: the two-leg phase-panel fold must land on
+    // the ONE-PASS panel — oracle shared verbatim
+    "curriculum_phases_stream" -> curriculumSqlDuck,
+
+    "embedding_drift" ->
+      s"""WITH va AS (SELECT CAST(label AS BIGINT) AS label, $quantDuck AS qv
+         |  FROM embeddings WHERE vec_id % 2 = 0 AND label IS NOT NULL),
+         |vb AS (SELECT CAST(label AS BIGINT) AS label, $quantDuck AS qv
+         |  FROM embeddings WHERE vec_id % 2 = 1 AND label IS NOT NULL),
+         |ea AS (SELECT label, generate_subscripts(qv, 1) AS i,
+         |  unnest(qv) AS qe FROM va),
+         |eb AS (SELECT label, generate_subscripts(qv, 1) AS i,
+         |  unnest(qv) AS qe FROM vb),
+         |sa AS (SELECT label, i, CAST(sum(qe) AS BIGINT) AS s,
+         |  CAST(count(*) AS BIGINT) AS n FROM ea GROUP BY 1, 2),
+         |sb AS (SELECT label, i, CAST(sum(qe) AS BIGINT) AS s,
+         |  CAST(count(*) AS BIGINT) AS n FROM eb GROUP BY 1, 2),
+         |j AS (SELECT coalesce(sa.label, sb.label) AS label,
+         |    sa.s AS s_a, sa.n AS n_a0, sb.s AS s_b, sb.n AS n_b0
+         |  FROM sa FULL OUTER JOIN sb
+         |    ON sa.label = sb.label AND sa.i = sb.i)
+         |SELECT label, coalesce(max(n_a0), 0) AS n_a,
+         |  coalesce(max(n_b0), 0) AS n_b,
+         |  CAST(sum(abs(s_a // n_a0 - s_b // n_b0)) AS BIGINT) AS drift_l1
+         |FROM j GROUP BY 1""".stripMargin.replace("\n", " "),
+
+    "quality_score_ecdf" ->
+      s"""WITH sc AS (SELECT
+         |  ${graft.llm.QualityRules.stubEduScoreSqlDuck} AS s
+         |  FROM documents WHERE text IS NOT NULL),
+         |g AS (SELECT s AS score, CAST(count(*) AS BIGINT) AS n
+         |  FROM sc GROUP BY 1),
+         |c AS (SELECT score, n, CAST(sum(n) OVER (ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_n,
+         |  CAST(sum(n) OVER () AS BIGINT) AS total FROM g)
+         |SELECT score, n, cum_n, cum_n * 1000 // total AS ecdf_permille
+         |FROM c""".stripMargin.replace("\n", " "),
+
+    "dedup_cluster_keep_best" ->
+      s"""WITH RECURSIVE ${LlmQueries.lshCtes},
+         |prs AS (${LlmQueries.lshPairSelect}),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+         |  UNION ALL SELECT doc_b, doc_a FROM prs),
+         |reach(v, r) AS (SELECT src, src FROM edges
+         |  UNION SELECT e.src, rc.r FROM edges e JOIN reach rc ON rc.v = e.dst),
+         |cc AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+         |docs AS (SELECT doc_id, source,
+         |  ${permilleDuck("source")} AS src_score
+         |  FROM documents WHERE text IS NOT NULL),
+         |lab AS (SELECT d.doc_id,
+         |    coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+         |    d.source, d.src_score
+         |  FROM docs d LEFT JOIN cc ON cc.doc_id = d.doc_id),
+         |r2 AS (SELECT cluster_id, doc_id, source, src_score,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY src_score DESC, doc_id) AS rn FROM lab)
+         |SELECT cluster_id, doc_id, source, src_score FROM r2 WHERE rn = 1"""
+        .stripMargin.replace("\n", " ")
+  )
+
+  /** The one-pass curriculum-phase oracle — shared verbatim by the batch
+    * gate (`curriculum_phases`) and the two-leg register fold
+    * (`curriculum_phases_stream`): the fold's whole contract is landing
+    * on this exact panel.
+    */
+  private val curriculumSqlDuck: String = {
       val Seq(c1, c2, c3) = PhaseCuts
       s"""WITH sc AS (SELECT
          |  ${graft.llm.QualityRules.stubEduScoreSqlDuck} AS s,
@@ -315,6 +443,5 @@ object LlmQueries8 {
          |  c.score_min, c.score_max
          |FROM g LEFT JOIN c ON g.phase = c.phase"""
         .stripMargin.replace("\n", " ")
-    }
-  )
+  }
 }

@@ -51,6 +51,50 @@ class DedupSimilaritySpec extends SparkSpecBase {
       s"the aggregate must combine map-side:\n$plan")
   }
 
+  test("bestByKey: cluster-keyed canonicalization — best score wins per " +
+    "cluster; a singleton keeps itself") {
+    val labeled = Seq(
+      (1L, 100L, Option(300L)),  // cluster 100
+      (2L, 100L, Option(800L)),  // cluster 100: the winner
+      (3L, 100L, Option(500L)),
+      (9L, 9L, Option(50L))      // singleton cluster
+    ).toDF("doc_id", "cluster_id", "score")
+    val ids = graft.llm.Dedup.bestByKey(labeled, "doc_id",
+        col("cluster_id"), col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(2L, 9L))
+  }
+
+  test("centroidDrift: zero on identical snapshots; exact L1 on a " +
+    "hand-shifted one; a label on one side only reports NULL drift") {
+    val a = Seq(
+      (1L, Array(1.0f, 0.0f), java.lang.Integer.valueOf(0)),
+      (2L, Array(0.0f, 1.0f), java.lang.Integer.valueOf(0)),
+      (3L, Array(0.5f, 0.5f), java.lang.Integer.valueOf(1)),
+      (4L, Array(0.1f, 0.1f), null: java.lang.Integer) // NULL label: out
+    ).toDF("vec_id", "embedding", "label")
+    val same = Similarity.centroidDrift(a, a, "label")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(same.keySet === Set(0L, 1L), "NULL labels never report")
+    assert(same.values.forall(_.getAs[Long]("drift_l1") === 0L))
+    // shift label 0's centroid by exactly +0.1 in dim 0: quantized means
+    // move from (50000, 50000) to (60000, 50000) → L1 = 10000
+    val b = Seq(
+      (1L, Array(1.1f, 0.0f), java.lang.Integer.valueOf(0)),
+      (2L, Array(0.1f, 1.0f), java.lang.Integer.valueOf(0)),
+      (5L, Array(0.0f, 0.9f), java.lang.Integer.valueOf(2)) // only in B
+    ).toDF("vec_id", "embedding", "label")
+    val drift = Similarity.centroidDrift(a, b, "label")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(drift.keySet === Set(0L, 1L, 2L))
+    assert(drift(0L).getAs[Long]("drift_l1") === 10000L,
+      "exact integer L1 over the truncated centroid components")
+    assert(drift(1L).getAs[Long]("n_b") === 0L &&
+      drift(1L).isNullAt(drift(1L).fieldIndex("drift_l1")),
+      "a vanished label reports n_b=0 with NULL drift — that IS drift")
+    assert(drift(2L).getAs[Long]("n_a") === 0L)
+  }
+
   test("jaccard pairs find exact and near dups, not unrelated docs") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 5, 10) // ≥0.5
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

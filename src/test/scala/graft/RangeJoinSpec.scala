@@ -238,6 +238,27 @@ class RangeJoinSpec extends SparkSpecBase {
       s"got: ${e.getMessage}")
   }
 
+  test("scoreEcdf: exact per-mille CDF ranks; NULL scores excluded; the " +
+    "cardinality bound refuses a raw-logit score") {
+    val rows = Seq(Option(10L), Option(10L), Option(20L), Option(30L),
+      Option(30L), Option(30L), Option(40L), Option.empty[Long], Option(40L),
+      Option(40L))
+    val got = graft.ops.TableProfile.scoreEcdf(rows.toDF("s"), col("s"))
+      .orderBy("score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // 9 non-NULL rows: 10×2, 20×1, 30×3, 40×3
+    assert(got.toSeq === Seq(
+      (10L, 2L, 2L, 2L * 1000 / 9), (20L, 1L, 3L, 3L * 1000 / 9),
+      (30L, 3L, 6L, 6L * 1000 / 9), (40L, 3L, 9L, 1000L)))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.TableProfile.scoreEcdf(
+        spark.range(200).select(col("id").as("s")), col("s"),
+        maxDistinctScores = 100L)
+    }
+    assert(e.getMessage.contains("exceed the declared bound"))
+  }
+
   // ---- TableProfile.reliabilityCurve -------------------------------------
 
   test("reliabilityCurve == brute-force bucket rates; clamps out-of-range " +
