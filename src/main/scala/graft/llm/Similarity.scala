@@ -400,16 +400,37 @@ object Similarity {
     * Output: (label, n_a, n_b, drift_l1).
     */
   def centroidDrift(snapA: DataFrame, snapB: DataFrame,
-      labelCol: String): DataFrame = {
-    def sums(df: DataFrame, side: String) = df
-      .filter(col(labelCol).isNotNull)
-      .select(col(labelCol).cast("long").as("label"),
-        posexplode(quantize(col("embedding"))).as(Seq("_i", "_qe")))
-      .groupBy("label", "_i")
-      .agg(sum("_qe").as(s"_s$side"), count(lit(1)).as(s"_n$side"))
-    val a = sums(snapA, "a")
-    val b = sums(snapB, "b")
-    a.join(b, Seq("label", "_i"), "full_outer")
+      labelCol: String): DataFrame =
+    centroidDriftFromSums(centroidSums(snapA, labelCol),
+      centroidSums(snapB, labelCol))
+
+  /** One snapshot's drift registers: the per-(label, dim) `(_s, _n)`
+    * component-sum table — the SUFFICIENT STATISTIC for
+    * [[centroidDrift]], and it SUM-MERGES: per-batch tables fold by
+    * `groupBy(label, _i).agg(sum, sum)`, so an incremental store keeps
+    * the live drift panel current without rescanning embedded history
+    * (the [[graft.streaming.StreamingCalibration]] register discipline
+    * on the drift statistic). One posexplode partial-agg pass; output
+    * is labels×dim rows.
+    */
+  def centroidSums(snap: DataFrame, labelCol: String): DataFrame = snap
+    .filter(col(labelCol).isNotNull)
+    .select(col(labelCol).cast("long").as("label"),
+      posexplode(quantize(col("embedding"))).as(Seq("_i", "_qe")))
+    .groupBy("label", "_i")
+    .agg(sum("_qe").as("_s"), count(lit(1)).as("_n"))
+
+  /** The [[centroidDrift]] panel over two ALREADY-AGGREGATED register
+    * tables `(label, _i, _s, _n)` — one code path with the batch entry,
+    * so a folded store cannot drift from the one-pass panel. Rows must
+    * be unique per (label, _i): merge registers before calling.
+    */
+  def centroidDriftFromSums(a: DataFrame, b: DataFrame): DataFrame = {
+    val ra = a.select(col("label"), col("_i"),
+      col("_s").as("_sa"), col("_n").as("_na"))
+    val rb = b.select(col("label"), col("_i"),
+      col("_s").as("_sb"), col("_n").as("_nb"))
+    ra.join(rb, Seq("label", "_i"), "full_outer")
       .groupBy("label")
       .agg(
         coalesce(max("_na"), lit(0L)).as("n_a"),

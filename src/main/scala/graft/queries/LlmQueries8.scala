@@ -45,6 +45,9 @@ object LlmQueries8 {
   private val MirrorIdOffset = 10000000L // the minted syndicated copy's
   // id offset (far above any fixture doc_id at every SF)
 
+  private val EcdfCuts = Seq(334L, 667L) // rank-band curriculum cuts:
+  // bottom / middle / top thirds of the score distribution
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Semantic decontamination report: corpus vectors whose cosine
@@ -184,6 +187,45 @@ object LlmQueries8 {
       TableProfile.scoreEcdf(
         graft.llm.QualityRules.classifierScores(s, docs, "doc_id", "text"),
         col("score_permille"))
+    }),
+
+    // The drift panel's register identity in-plan: each snapshot's
+    // per-(label, dim) component sums fold across batches (sums and
+    // counts ADD), and the merged registers ride the SAME
+    // centroidDriftFromSums join the batch panel runs — two vec_id-mod
+    // batch legs per snapshot, oracle shared verbatim with
+    // embedding_drift.
+    "embedding_drift_stream" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      def folded(snapPred: org.apache.spark.sql.Column) = {
+        def leg(batchPred: org.apache.spark.sql.Column) =
+          Similarity.centroidSums(emb.filter(snapPred && batchPred), "label")
+        leg(col("vec_id") % 4 < 2).unionByName(leg(col("vec_id") % 4 >= 2))
+          .groupBy("label", "_i")
+          .agg(sum("_s").as("_s"), sum("_n").as("_n"))
+      }
+      Similarity.centroidDriftFromSums(
+        folded(col("vec_id") % 2 === 0), folded(col("vec_id") % 2 === 1))
+    }),
+
+    // ECDF-derived curriculum: phase cuts as RANK bands (bottom/middle/
+    // top thirds of the score distribution) instead of declared score
+    // values — the scale-free curriculum that survives a score-model
+    // swap. Fully in-plan: the ecdf table joins back on the score
+    // column (a score-bounded broadcast), and the phase panel runs on
+    // the rank.
+    "curriculum_ecdf_phases" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = graft.llm.QualityRules
+        .classifierScores(s, docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"),
+          graft.llm.TextAnalysis.tokenCount(col("text")).as("_tk")),
+          "doc_id")
+      val ecdf = TableProfile.scoreEcdf(scored, col("score_permille"))
+        .select(col("score").as("score_permille"), col("ecdf_permille"))
+      Sampling.curriculumPhases(
+        scored.join(broadcast(ecdf), Seq("score_permille")),
+        col("ecdf_permille"), col("_tk"), cuts = EcdfCuts)
     }),
 
     // Near-dup cluster canonicalization with the quality signal: LSH
@@ -360,27 +402,11 @@ object LlmQueries8 {
     // the ONE-PASS panel — oracle shared verbatim
     "curriculum_phases_stream" -> curriculumSqlDuck,
 
-    "embedding_drift" ->
-      s"""WITH va AS (SELECT CAST(label AS BIGINT) AS label, $quantDuck AS qv
-         |  FROM embeddings WHERE vec_id % 2 = 0 AND label IS NOT NULL),
-         |vb AS (SELECT CAST(label AS BIGINT) AS label, $quantDuck AS qv
-         |  FROM embeddings WHERE vec_id % 2 = 1 AND label IS NOT NULL),
-         |ea AS (SELECT label, generate_subscripts(qv, 1) AS i,
-         |  unnest(qv) AS qe FROM va),
-         |eb AS (SELECT label, generate_subscripts(qv, 1) AS i,
-         |  unnest(qv) AS qe FROM vb),
-         |sa AS (SELECT label, i, CAST(sum(qe) AS BIGINT) AS s,
-         |  CAST(count(*) AS BIGINT) AS n FROM ea GROUP BY 1, 2),
-         |sb AS (SELECT label, i, CAST(sum(qe) AS BIGINT) AS s,
-         |  CAST(count(*) AS BIGINT) AS n FROM eb GROUP BY 1, 2),
-         |j AS (SELECT coalesce(sa.label, sb.label) AS label,
-         |    sa.s AS s_a, sa.n AS n_a0, sb.s AS s_b, sb.n AS n_b0
-         |  FROM sa FULL OUTER JOIN sb
-         |    ON sa.label = sb.label AND sa.i = sb.i)
-         |SELECT label, coalesce(max(n_a0), 0) AS n_a,
-         |  coalesce(max(n_b0), 0) AS n_b,
-         |  CAST(sum(abs(s_a // n_a0 - s_b // n_b0)) AS BIGINT) AS drift_l1
-         |FROM j GROUP BY 1""".stripMargin.replace("\n", " "),
+    "embedding_drift" -> driftSqlDuck,
+
+    // the register identity: the batch-folded per-(label, dim) sums
+    // must land on the ONE-PASS drift panel — oracle shared verbatim
+    "embedding_drift_stream" -> driftSqlDuck,
 
     "quality_score_ecdf" ->
       s"""WITH sc AS (SELECT
@@ -414,8 +440,64 @@ object LlmQueries8 {
          |    row_number() OVER (PARTITION BY cluster_id
          |      ORDER BY src_score DESC, doc_id) AS rn FROM lab)
          |SELECT cluster_id, doc_id, source, src_score FROM r2 WHERE rn = 1"""
+        .stripMargin.replace("\n", " "),
+
+    "curriculum_ecdf_phases" -> {
+      val Seq(e1, e2) = EcdfCuts
+      s"""WITH sc AS (SELECT
+         |  ${graft.llm.QualityRules.stubEduScoreSqlDuck} AS s,
+         |  len(string_split(text, ' ')) AS tk
+         |  FROM documents WHERE text IS NOT NULL),
+         |gg AS (SELECT s AS score, CAST(count(*) AS BIGINT) AS n
+         |  FROM sc GROUP BY 1),
+         |cdf AS (SELECT score, CAST(sum(n) OVER (ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    * 1000 // CAST(sum(n) OVER () AS BIGINT) AS ep FROM gg),
+         |j AS (SELECT cdf.ep AS e, sc.tk FROM sc
+         |  JOIN cdf ON sc.s = cdf.score),
+         |ph AS (SELECT CASE WHEN e >= $e2 THEN 2 WHEN e >= $e1 THEN 1
+         |    ELSE 0 END AS phase, e, tk FROM j),
+         |c AS (SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(tk) AS BIGINT) AS n_tokens,
+         |  CAST(min(e) AS BIGINT) AS score_min,
+         |  CAST(max(e) AS BIGINT) AS score_max FROM ph GROUP BY 1),
+         |g(phase, cut_lo, cut_hi) AS (VALUES
+         |  (CAST(0 AS BIGINT), CAST(NULL AS BIGINT), CAST($e1 AS BIGINT)),
+         |  (1, $e1, $e2), (2, $e2, NULL))
+         |SELECT g.phase, g.cut_lo, g.cut_hi,
+         |  coalesce(c.n_docs, 0) AS n_docs,
+         |  coalesce(c.n_tokens, 0) AS n_tokens,
+         |  c.score_min, c.score_max
+         |FROM g LEFT JOIN c ON g.phase = c.phase"""
         .stripMargin.replace("\n", " ")
+    }
   )
+
+  /** The one-pass centroid-drift oracle — shared verbatim by the batch
+    * gate (`embedding_drift`) and the register fold
+    * (`embedding_drift_stream`).
+    */
+  private val driftSqlDuck: String =
+    s"""WITH va AS (SELECT CAST(label AS BIGINT) AS label, $quantDuck AS qv
+       |  FROM embeddings WHERE vec_id % 2 = 0 AND label IS NOT NULL),
+       |vb AS (SELECT CAST(label AS BIGINT) AS label, $quantDuck AS qv
+       |  FROM embeddings WHERE vec_id % 2 = 1 AND label IS NOT NULL),
+       |ea AS (SELECT label, generate_subscripts(qv, 1) AS i,
+       |  unnest(qv) AS qe FROM va),
+       |eb AS (SELECT label, generate_subscripts(qv, 1) AS i,
+       |  unnest(qv) AS qe FROM vb),
+       |sa AS (SELECT label, i, CAST(sum(qe) AS BIGINT) AS s,
+       |  CAST(count(*) AS BIGINT) AS n FROM ea GROUP BY 1, 2),
+       |sb AS (SELECT label, i, CAST(sum(qe) AS BIGINT) AS s,
+       |  CAST(count(*) AS BIGINT) AS n FROM eb GROUP BY 1, 2),
+       |j AS (SELECT coalesce(sa.label, sb.label) AS label,
+       |    sa.s AS s_a, sa.n AS n_a0, sb.s AS s_b, sb.n AS n_b0
+       |  FROM sa FULL OUTER JOIN sb
+       |    ON sa.label = sb.label AND sa.i = sb.i)
+       |SELECT label, coalesce(max(n_a0), 0) AS n_a,
+       |  coalesce(max(n_b0), 0) AS n_b,
+       |  CAST(sum(abs(s_a // n_a0 - s_b // n_b0)) AS BIGINT) AS drift_l1
+       |FROM j GROUP BY 1""".stripMargin.replace("\n", " ")
 
   /** The one-pass curriculum-phase oracle — shared verbatim by the batch
     * gate (`curriculum_phases`) and the two-leg register fold

@@ -93,6 +93,20 @@ class DedupSimilaritySpec extends SparkSpecBase {
       drift(1L).isNullAt(drift(1L).fieldIndex("drift_l1")),
       "a vanished label reports n_b=0 with NULL drift — that IS drift")
     assert(drift(2L).getAs[Long]("n_a") === 0L)
+    // the register identity: per-batch centroidSums SUM-MERGE, and the
+    // merged registers land on the one-pass panel through the shared
+    // centroidDriftFromSums join
+    def folded(df: org.apache.spark.sql.DataFrame) =
+      Similarity.centroidSums(df.filter(col("vec_id") % 2 === 0), "label")
+        .unionByName(
+          Similarity.centroidSums(df.filter(col("vec_id") % 2 =!= 0), "label"))
+        .groupBy("label", "_i")
+        .agg(sum("_s").as("_s"), sum("_n").as("_n"))
+    val foldedDrift = Similarity.centroidDriftFromSums(folded(a), folded(b))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val onePass = drift.map { case (k, r) => k -> r.toSeq.drop(1) }
+    assert(foldedDrift === onePass,
+      "batch-folded drift registers must equal the one-pass panel")
   }
 
   test("jaccard pairs find exact and near dups, not unrelated docs") {
