@@ -86,4 +86,79 @@ object Privacy {
         .select(lit(name).as("level"), col("*"))
     }.reduce(_ unionByName _)
   }
+
+  /** t-CLOSENESS audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    * third leg of the release-gate family after k-anonymity (class
+    * size) and l-diversity (value count): per equivalence class, the
+    * EARTH MOVER'S DISTANCE between the class's distribution of the
+    * ordered sensitive attribute and the GLOBAL distribution. A class
+    * can satisfy k and l and still leak ("every 30-something in zip
+    * 476** has a low salary" — skewness attack); t-closeness bounds how
+    * far any class's distribution may sit from the corpus's.
+    *
+    * The sensitive value is bucketed on DECLARED [lo, hi) integer
+    * bounds (the histogram discipline — clamp BEFORE the multiply, so
+    * the bucket id is overflow-free and two snapshots compare
+    * bar-for-bar), and the ordered-attribute EMD closed form is the
+    * mean absolute CDF difference: `emd_x1e6 = Σ_buckets
+    * |cum_class·10⁶ div class_size − cum_global·10⁶ div total| div
+    * (buckets − 1)` — all integer, oracle-exact.
+    *
+    * Scale shape: ONE corpus-sized partial agg keyed by (QI…, bucket);
+    * everything after runs on bounded tables — the class×bucket
+    * scaffold (classes are bounded by distinct QI tuples), class-keyed
+    * cumsum windows over `buckets`-sized partitions, and the global
+    * distribution as one buckets-sized broadcast. Output: (quasi…,
+    * class_size, emd_x1e6), one row per class; read the release gate
+    * off it as `emd_x1e6 > t·10⁶ → suppress or generalize`.
+    */
+  def tCloseness(df: DataFrame, quasi: Seq[(String, Column)],
+      sensitive: Column, lo: Long, hi: Long, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quasi.nonEmpty, "need at least one quasi-identifier")
+    require(buckets >= 2 && buckets <= 10000, s"2..10000 buckets, got $buckets")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val qn = quasi.map(_._1)
+    val spark = df.sparkSession
+    // clamp-first declared-bounds bucket id (TableProfile.histogram's
+    // overflow-free arithmetic)
+    val bucket = expr(
+      s"""CAST((CAST(least(${hi - 1}L, greatest(${lo}L, _sv))
+         | AS DECIMAL(38,0)) - ${lo}L) * $buckets
+         | div ${hi - lo}L AS BIGINT)""".stripMargin.replace("\n", " "))
+    val cb = df
+      .select(quasi.map { case (n, c) => c.as(n) } :+
+        sensitive.cast("long").as("_sv"): _*)
+      .filter(col("_sv").isNotNull)
+      .withColumn("_b", bucket)
+      .groupBy(qn.map(col) :+ col("_b"): _*)
+      .agg(count(lit(1)).as("_n"))
+    val cbS = graft.util.Materialize.stable(cb)
+    val classes = cbS.groupBy(qn.map(col): _*).agg(sum("_n").as("class_size"))
+    // global CDF: a buckets-sized table, cumsum'd and broadcast
+    val gw = Window.orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val globalCdf = spark.range(buckets).select(col("id").as("_b"))
+      .join(cbS.groupBy("_b").agg(sum("_n").as("_gn")), Seq("_b"), "left")
+      .withColumn("_gcum", sum(coalesce(col("_gn"), lit(0L))).over(gw))
+      .withColumn("_gtotal", sum(coalesce(col("_gn"), lit(0L))).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col("_b"), col("_gcum"), col("_gtotal"))
+    // class × bucket scaffold so empty buckets still contribute their
+    // CDF gap; class-keyed cumsum windows over buckets-sized partitions
+    val scaffold = classes
+      .crossJoin(spark.range(buckets).select(col("id").as("_b")))
+    val cw = Window.partitionBy(qn.map(col): _*).orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scaffold
+      .join(cbS, qn :+ "_b", "left")
+      .withColumn("_ccum", sum(coalesce(col("_n"), lit(0L))).over(cw))
+      .join(broadcast(globalCdf), Seq("_b"))
+      .groupBy(qn.map(col) :+ col("class_size"): _*)
+      .agg(sum(abs(expr("_ccum * 1000000 div class_size") -
+        expr("_gcum * 1000000 div _gtotal"))).as("_semd"))
+      .select(qn.map(col) :+ col("class_size") :+
+        expr(s"_semd div ${buckets - 1}L").as("emd_x1e6"): _*)
+  }
 }

@@ -18,6 +18,49 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
+  /** Per-user RECENT-HISTORY assembly: the last `n` events of each user
+    * in most-recent-first order, emitted as one row per user with the
+    * ordered event-id string and the recency span — the
+    * sequence-assembly step of building behavioral training windows
+    * ("the user's last 5 actions") from an event log, and the log-side
+    * twin of [[graft.llm.Retrieval.contextPack]]'s context cut.
+    *
+    * Ordering is total and deterministic: (ts desc, event_id desc) —
+    * two events at the same microsecond cannot flip the history string
+    * between runs. The joined-string form (ids pipe-joined in rank
+    * order) is the hash-oracle-stable representation; a consumer that
+    * wants the array splits it.
+    *
+    * Scale shape: ONE user-keyed exchange; the rank filter is a
+    * WindowGroupLimit (top-n per key pushes into the sort — no user's
+    * full history materializes past the limit), and the rollup runs on
+    * the ≤n-per-user survivor set. A pathological hyper-user still
+    * bounds its OUTPUT at n rows; cap its input upstream (the
+    * [[graft.graph.GraphOps]] degree-cap discipline) if its raw volume
+    * dominates a partition. Output: (user_id, n_recent, first_ts_us,
+    * last_ts_us, history).
+    */
+  def userHistories(events: DataFrame, userCol: String, idCol: String,
+      tsCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"history length must be >= 1, got $n")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    events
+      .select(col(userCol), col(idCol), col(tsCol))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_recent"),
+        min(col(tsCol)).as("first_ts_us"),
+        max(col(tsCol)).as("last_ts_us"),
+        array_sort(collect_list(struct(col("_rn"), col(idCol).as("_id"))))
+          .as("_h"))
+      .withColumn("history",
+        expr("concat_ws('|', transform(_h, s -> CAST(s._id AS STRING)))"))
+      .drop("_h")
+  }
+
   /** Per-user earliest time of each funnel stage, where stage k must
     * occur STRICTLY AFTER the user's stage-(k-1) time and within
     * `windowUs` of it — the ordered conversion funnel with a conversion

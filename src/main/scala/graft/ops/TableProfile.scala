@@ -461,13 +461,25 @@ object TableProfile {
     * ecdf_permille), ascending-complete over observed scores.
     */
   def scoreEcdf(df: DataFrame, scoreCol: Column,
-      maxDistinctScores: Long = 100000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byScore = boundedScoreTable(
+      maxDistinctScores: Long = 100000L): DataFrame =
+    scoreEcdfFromCounts(
       df.select(scoreCol.cast("long").as("score"))
         .filter(col("score").isNotNull)
         .groupBy("score").agg(count(lit(1)).as("n")),
-      maxDistinctScores, "scoreEcdf")
+      maxDistinctScores)
+
+  /** The [[scoreEcdf]] walk over an ALREADY-AGGREGATED per-score count
+    * table `(score, n)` — the fourth walk the streaming calibration
+    * registers feed (AUC, operating points, reliability, and now the
+    * rank normalizer, all from the ONE sufficient statistic). Same
+    * bounded pre-flight, same one-code-path contract: rows must be
+    * unique per score (merge registers first).
+    */
+  def scoreEcdfFromCounts(byScoreCounts: DataFrame,
+      maxDistinctScores: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore =
+      boundedScoreTable(byScoreCounts, maxDistinctScores, "scoreEcdf")
     val w = Window.orderBy("score")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     byScore

@@ -28,6 +28,8 @@ object EventQueries {
     */
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  private val HistoryN = 5 // recent-history window length
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Ordered conversion funnel: stage k strictly after stage k-1 and
     // within the 24 h conversion window of it; per-stage user counts.
@@ -96,7 +98,15 @@ object EventQueries {
     // when a re-cluster (Z-order) is needed.
     "zonemap_prune_audit" -> ((s, dir) =>
       graft.warehouse.ZoneMap.pruneAudit(Tables.events(s, dir),
-        expr("event_id div 1024"), ZonePreds))
+        expr("event_id div 1024"), ZonePreds)),
+
+    // Per-user recent-history assembly: the last 5 events most-recent-
+    // first as one deterministic pipe-joined id string — the sequence
+    // windows behavioral training data is cut into. One user-keyed
+    // exchange; the rank filter is a WindowGroupLimit.
+    "events_user_histories" -> ((s, dir) =>
+      EventAnalytics.userHistories(Tables.events(s, dir),
+        "user_id", "event_id", "ts_us", n = HistoryN))
   )
 
   /** Audited predicates: two time ranges (zone-correlated), a user and
@@ -241,6 +251,19 @@ object EventQueries {
          |  CAST(count(*) AS BIGINT) AS n_users
          |FROM p JOIN f ON p.user_id = f.user_id
          |GROUP BY f.cohort_day, p.period - f.cohort_day"""
-        .stripMargin.replace("\n", " ")
+        .stripMargin.replace("\n", " "),
+
+    "events_user_histories" ->
+      s"""WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+         |  FROM events),
+         |r AS (SELECT user_id, event_id, ts_us, row_number() OVER (
+         |    PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC)
+         |    AS rn FROM v),
+         |k AS (SELECT * FROM r WHERE rn <= $HistoryN)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_recent,
+         |  min(ts_us) AS first_ts_us, max(ts_us) AS last_ts_us,
+         |  string_agg(CAST(event_id AS VARCHAR), '|' ORDER BY rn)
+         |    AS history
+         |FROM k GROUP BY user_id""".stripMargin.replace("\n", " ")
   )
 }

@@ -19,6 +19,12 @@ object GovernanceQueries {
   private val K = 5L    // k-anonymity target
   private val LMin = 2L // l-diversity floor
 
+  // t-closeness: balance in CENTS over the TPC-H acctbal domain
+  // [-999.99, 9999.99], 10 declared buckets
+  private val TClo = -100000L
+  private val TChi = 1000000L
+  private val TCbuckets = 10
+
   /** Balance band = (floor(balance) + 1000) div 1000 — shifted
     * NON-NEGATIVE before the integer division (acctbal ≥ −1000), so
     * Spark's `div` and DuckDB's `//` (which disagree on negatives)
@@ -78,7 +84,20 @@ object GovernanceQueries {
     "dedup_loss_by_source" -> ((s, dir) =>
       Dedup.exactDupLossBySource(
         Tables.documents(s, dir).withColumn("text", splicedText),
-        "doc_id", "text", "source"))
+        "doc_id", "text", "source")),
+
+    // t-closeness: per (nation, segment) class, the integer EMD between
+    // the class's balance-cent distribution and the global one over 10
+    // declared buckets — the skewness-attack release gate k-anonymity
+    // and l-diversity cannot see. One corpus pass keyed by (QI, bucket);
+    // everything after runs on class×bucket scaffolds and the broadcast
+    // global CDF.
+    "privacy_t_closeness" -> ((s, dir) =>
+      Privacy.tCloseness(Tables.customer(s, dir),
+        Seq("nation" -> col("c_nationkey").cast("long"),
+          "segment" -> col("c_mktsegment")),
+        round(col("c_acctbal") * 100, 0),
+        lo = TClo, hi = TChi, buckets = TCbuckets))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -108,6 +127,42 @@ object GovernanceQueries {
         level("l2_segment", "c_mktsegment"))
         .mkString(" UNION ALL ").replace("\n", " ")
     },
+
+    "privacy_t_closeness" ->
+      s"""WITH sv AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         |  c_mktsegment AS segment,
+         |  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS v FROM customer),
+         |bk AS (SELECT nation, segment,
+         |  CAST((CAST(least(${TChi - 1}, greatest($TClo, v)) AS HUGEINT)
+         |    - ($TClo)) * $TCbuckets // ${TChi - TClo} AS BIGINT) AS b
+         |  FROM sv),
+         |cb AS (SELECT nation, segment, b, CAST(count(*) AS BIGINT) AS n
+         |  FROM bk GROUP BY 1, 2, 3),
+         |cls AS (SELECT nation, segment, CAST(sum(n) AS BIGINT)
+         |  AS class_size FROM cb GROUP BY 1, 2),
+         |gr AS (SELECT CAST(range AS BIGINT) AS b FROM range($TCbuckets)),
+         |gn AS (SELECT gr.b, coalesce(x.g, 0) AS g FROM gr LEFT JOIN
+         |  (SELECT b, CAST(sum(n) AS BIGINT) AS g FROM cb GROUP BY 1) x
+         |  ON gr.b = x.b),
+         |gc AS (SELECT b, CAST(sum(g) OVER (ORDER BY b
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS gcum,
+         |  CAST(sum(g) OVER () AS BIGINT) AS gtotal FROM gn),
+         |sc AS (SELECT cls.nation, cls.segment, cls.class_size, gr.b,
+         |    coalesce(cb.n, 0) AS n
+         |  FROM cls CROSS JOIN gr
+         |  LEFT JOIN cb ON cb.nation = cls.nation
+         |    AND cb.segment = cls.segment AND cb.b = gr.b),
+         |cc AS (SELECT nation, segment, class_size, b,
+         |  CAST(sum(n) OVER (PARTITION BY nation, segment ORDER BY b
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS ccum FROM sc)
+         |SELECT cc.nation, cc.segment, cc.class_size,
+         |  CAST(sum(abs(cc.ccum * 1000000 // cc.class_size
+         |    - gc.gcum * 1000000 // gc.gtotal)) // ${TCbuckets - 1}
+         |    AS BIGINT) AS emd_x1e6
+         |FROM cc JOIN gc ON cc.b = gc.b
+         |GROUP BY 1, 2, 3""".stripMargin.replace("\n", " "),
 
     "dedup_loss_by_source" ->
       s"""WITH d AS (SELECT doc_id, source,

@@ -189,6 +189,23 @@ object LlmQueries8 {
         col("score_permille"))
     }),
 
+    // The FOURTH walk off the calibration registers, in-plan: two
+    // doc_id-parity legs fold their per-score counts, the merged table
+    // rides scoreEcdfFromCounts — oracle shared verbatim with
+    // quality_score_ecdf (the register identity again).
+    "quality_ecdf_stream" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def legCounts(pred: org.apache.spark.sql.Column) = graft.llm
+        .QualityRules.classifierScores(s, docs.filter(pred), "doc_id", "text")
+        .select(col("score_permille").as("score"))
+        .filter(col("score").isNotNull)
+        .groupBy("score").agg(count(lit(1)).as("n"))
+      TableProfile.scoreEcdfFromCounts(
+        legCounts(col("doc_id") % 2 === 0)
+          .unionByName(legCounts(col("doc_id") % 2 === 1))
+          .groupBy("score").agg(sum("n").as("n")))
+    }),
+
     // The drift panel's register identity in-plan: each snapshot's
     // per-(label, dim) component sums fold across batches (sums and
     // counts ADD), and the merged registers ride the SAME
@@ -408,18 +425,11 @@ object LlmQueries8 {
     // must land on the ONE-PASS drift panel — oracle shared verbatim
     "embedding_drift_stream" -> driftSqlDuck,
 
-    "quality_score_ecdf" ->
-      s"""WITH sc AS (SELECT
-         |  ${graft.llm.QualityRules.stubEduScoreSqlDuck} AS s
-         |  FROM documents WHERE text IS NOT NULL),
-         |g AS (SELECT s AS score, CAST(count(*) AS BIGINT) AS n
-         |  FROM sc GROUP BY 1),
-         |c AS (SELECT score, n, CAST(sum(n) OVER (ORDER BY score
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-         |    AS cum_n,
-         |  CAST(sum(n) OVER () AS BIGINT) AS total FROM g)
-         |SELECT score, n, cum_n, cum_n * 1000 // total AS ecdf_permille
-         |FROM c""".stripMargin.replace("\n", " "),
+    "quality_score_ecdf" -> ecdfSqlDuck,
+
+    // the register identity, fourth walk: the folded count table must
+    // land on the ONE-PASS ECDF — oracle shared verbatim
+    "quality_ecdf_stream" -> ecdfSqlDuck,
 
     "dedup_cluster_keep_best" ->
       s"""WITH RECURSIVE ${LlmQueries.lshCtes},
@@ -498,6 +508,23 @@ object LlmQueries8 {
        |  coalesce(max(n_b0), 0) AS n_b,
        |  CAST(sum(abs(s_a // n_a0 - s_b // n_b0)) AS BIGINT) AS drift_l1
        |FROM j GROUP BY 1""".stripMargin.replace("\n", " ")
+
+  /** The one-pass ECDF oracle — shared verbatim by the batch gate
+    * (`quality_score_ecdf`) and the register fold
+    * (`quality_ecdf_stream`).
+    */
+  private val ecdfSqlDuck: String =
+    s"""WITH sc AS (SELECT
+       |  ${graft.llm.QualityRules.stubEduScoreSqlDuck} AS s
+       |  FROM documents WHERE text IS NOT NULL),
+       |g AS (SELECT s AS score, CAST(count(*) AS BIGINT) AS n
+       |  FROM sc GROUP BY 1),
+       |c AS (SELECT score, n, CAST(sum(n) OVER (ORDER BY score
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_n,
+       |  CAST(sum(n) OVER () AS BIGINT) AS total FROM g)
+       |SELECT score, n, cum_n, cum_n * 1000 // total AS ecdf_permille
+       |FROM c""".stripMargin.replace("\n", " ")
 
   /** The one-pass curriculum-phase oracle — shared verbatim by the batch
     * gate (`curriculum_phases`) and the two-leg register fold

@@ -98,4 +98,15 @@ final class StreamingCalibration(spark: SparkSession, stateDir: String,
     */
   def reliability(lo: Long, hi: Long, buckets: Int): DataFrame =
     TableProfile.reliabilityCurveFromCounts(mergedCounts(), lo, hi, buckets)
+
+  /** The live ECDF rank-normalization table — identical to
+    * [[TableProfile.scoreEcdf]] over the union of all batches; the
+    * FOURTH walk off the same registers (ranking, decision, magnitude,
+    * and now the scale-free rank itself). Empty on zero state.
+    */
+  def ecdf(): DataFrame =
+    TableProfile.scoreEcdfFromCounts(
+      mergedCounts().select(col("_s").as("score"),
+        expr("_np + _nn").as("n")),
+      maxDistinctScores = maxDistinctScores)
 }

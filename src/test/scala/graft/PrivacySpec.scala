@@ -94,4 +94,74 @@ class PrivacySpec extends SparkSpecBase {
       assert(dist(s) === ref.getOrElse(s, 0L), s"source $s")
     }
   }
+
+  test("tCloseness: a class mirroring the global distribution scores " +
+    "EMD 0; a fully-concentrated class scores the hand-computed maximum; " +
+    "NULL sensitive values are excluded") {
+    // EMD-0 case first: two classes with IDENTICAL bucket proportions —
+    // each equals the global, so both score exactly 0
+    val mirrored = Seq(
+      ("A", 5L), ("A", 15L), ("A", 25L), ("A", 35L),
+      ("B", 6L), ("B", 16L), ("B", 26L), ("B", 36L)
+    ).toDF("grp", "v")
+    assert(Privacy.tCloseness(mirrored, Seq("grp" -> col("grp")), col("v"),
+        lo = 0L, hi = 40L, buckets = 4)
+      .collect().forall(_.getAs[Long]("emd_x1e6") === 0L),
+      "a class distributed exactly like the corpus must score EMD 0")
+    // asymmetric case: 4 buckets over [0, 40); class A: 12 values,
+    // 3 per bucket (uniform); class B: 4 values all in bucket 0
+    // (concentrated) — B deviates from the global far more than A
+    val rows = Seq.tabulate(3)(i => Seq(
+        ("A", Option(5L + i)), ("A", Option(15L + i)),
+        ("A", Option(25L + i)), ("A", Option(35L + i)))).flatten ++ Seq(
+      ("B", Option(0L)), ("B", Option(1L)), ("B", Option(2L)),
+      ("B", Option(3L)),
+      ("B", Option.empty[Long]) // NULL sensitive: excluded
+    )
+    val got = Privacy.tCloseness(rows.toDF("grp", "v"),
+        Seq("grp" -> col("grp")), col("v"), lo = 0L, hi = 40L, buckets = 4)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("A").getAs[Long]("class_size") === 12L)
+    assert(got("B").getAs[Long]("class_size") === 4L,
+      "the NULL-sensitive row must not count")
+    // global counts (7,3,3,3), cum (7,10,13,16); EMD_x1e6 =
+    // Σ|cdf_class − cdf_global|·1e6 div 3 (integer div at each step)
+    def cdfx(c: Seq[Long], size: Long) =
+      c.map(x => x * 1000000L / size)
+    val gcdf = cdfx(Seq(7L, 10L, 13L, 16L), 16L)
+    def emd(ccdf: Seq[Long]) =
+      ccdf.zip(gcdf).map { case (a, b) => math.abs(a - b) }.sum / 3L
+    assert(got("A").getAs[Long]("emd_x1e6") ===
+      emd(cdfx(Seq(3L, 6L, 9L, 12L), 12L)))
+    assert(got("B").getAs[Long]("emd_x1e6") ===
+      emd(cdfx(Seq(4L, 4L, 4L, 4L), 4L)),
+      "the concentrated class must score the large EMD — the skewness " +
+        "leak k/l cannot see")
+    assert(got("B").getAs[Long]("emd_x1e6") >
+      got("A").getAs[Long]("emd_x1e6"))
+    intercept[IllegalArgumentException] {
+      Privacy.tCloseness(rows.toDF("grp", "v"), Seq.empty, col("v"),
+        0L, 40L, 4)
+    }
+  }
+
+  test("userHistories: most-recent-first, total deterministic order " +
+    "(ts desc then id desc), the n cut, and a short user kept whole") {
+    import graft.ops.EventAnalytics
+    val ev = Seq(
+      (1L, 101L, 1000L), (1L, 102L, 2000L), (1L, 103L, 3000L),
+      (1L, 104L, 3000L), // tie with 103 on ts: higher id ranks first
+      (2L, 201L, 500L)   // short user: history is just itself
+    ).toDF("user_id", "event_id", "ts_us")
+    val got = EventAnalytics.userHistories(ev, "user_id", "event_id",
+        "ts_us", n = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_recent") === 3L)
+    assert(got(1L).getAs[String]("history") === "104|103|102",
+      "ties break id-desc; the n cut drops the oldest event")
+    assert(got(1L).getAs[Long]("first_ts_us") === 2000L &&
+      got(1L).getAs[Long]("last_ts_us") === 3000L)
+    assert(got(2L).getAs[String]("history") === "201" &&
+      got(2L).getAs[Long]("n_recent") === 1L)
+  }
 }

@@ -529,6 +529,13 @@ class RangeJoinSpec extends SparkSpecBase {
     val gotOp = cal.operatingPoints()
       .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
     assert(gotOp === wantOp)
+    // the FOURTH walk off the same registers: the live ECDF table equals
+    // the one-pass scoreEcdf over the union
+    val wantEcdf = graft.ops.TableProfile.scoreEcdf(df, col("s"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val gotEcdf = cal.ecdf()
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(gotEcdf === wantEcdf)
     // at-least-once replay overwrites its own registers: panel unchanged
     cal.recordBatch(df.filter(col("id") % 3 === 1), col("s"), col("y"), 1L)
     assert(cal.auc().collect().head.getAs[Long]("auc_x1e6") ===
