@@ -882,4 +882,56 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       "the per-t digest must combine map-side")
   }
+
+  test("semantic decontam gate: the eval side BROADCASTS (the scoring " +
+      "stage is a broadcast nested loop by design — the bounded side is " +
+      "the whole contract) and the per-vector rollup combines map-side") {
+    val p = plan("decontam_embedding")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "eval vectors must reach the corpus as ONE broadcast, never a " +
+        "shuffled join of the corpus")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count") || p.contains("partial_max"),
+      "the flagged-id rollup must combine inside each task")
+    assert(!p.contains("ScalaUDF"))
+  }
+
+  test("context pack gate: the Q-k-bounded ranking broadcasts back onto " +
+      "one corpus token-count projection — the corpus never shuffles " +
+      "for the length attach") {
+    val p = plan("rag_context_pack")
+    assert(p.contains("BroadcastHashJoin"),
+      "the top-k table must broadcast for the length attach")
+    assert(!p.contains("CartesianProduct"))
+    // the per-query cumsum windows over <= k rows — a query_id-keyed
+    // window, never an unpartitioned global sort of corpus rows
+    assert(p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("query_id")),
+      "the budget cumsum must partition by query")
+  }
+
+  test("t-closeness gate: one corpus pass keyed by (QI, bucket); the " +
+      "global CDF re-attaches as a broadcast; class cumsums partition " +
+      "by the QI tuple") {
+    val p = plan("privacy_t_closeness")
+    assert(p.contains("BroadcastHashJoin"),
+      "the buckets-sized global CDF must broadcast")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "the (QI, bucket) counts must combine map-side")
+    assert(p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("nation")),
+      "the class CDF cumsum must partition by the QI columns")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      "the class x bucket scaffold may only cross a buckets-sized side")
+  }
+
+  test("keep-best dedup gate: the single-exchange partial max_by — no " +
+      "window anywhere in the selection") {
+    val p = plan("dedup_keep_best")
+    assert(!p.contains("Window"),
+      "a window would serialize a hot text's copy set into one task")
+    assert(p.contains("partial_max_by") || p.contains("partial_"),
+      "the group winner must combine map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
