@@ -113,27 +113,50 @@ object Privacy {
     * off it as `emd_x1e6 > t·10⁶ → suppress or generalize`.
     */
   def tCloseness(df: DataFrame, quasi: Seq[(String, Column)],
+      sensitive: Column, lo: Long, hi: Long, buckets: Int): DataFrame =
+    tClosenessFromCounts(
+      tClosenessCounts(df, quasi, sensitive, lo, hi, buckets),
+      quasi.map(_._1), buckets)
+
+  /** The t-closeness registers: the per-(QI…, bucket) count table `_b,
+    * _n` — the SUFFICIENT STATISTIC for the whole EMD panel, and it
+    * SUM-MERGES (counts add), so per-batch tables fold by
+    * `groupBy(QI…, _b).agg(sum)` and a continuously-ingested release
+    * audit stays current without rescanning rows (the calibration
+    * register discipline on the privacy panel). One corpus-sized
+    * partial-agg pass; declared clamp-first bucketing.
+    */
+  def tClosenessCounts(df: DataFrame, quasi: Seq[(String, Column)],
       sensitive: Column, lo: Long, hi: Long, buckets: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(quasi.nonEmpty, "need at least one quasi-identifier")
     require(buckets >= 2 && buckets <= 10000, s"2..10000 buckets, got $buckets")
     require(lo < hi, s"need lo < hi, got [$lo, $hi)")
     val qn = quasi.map(_._1)
-    val spark = df.sparkSession
     // clamp-first declared-bounds bucket id (TableProfile.histogram's
     // overflow-free arithmetic)
     val bucket = expr(
       s"""CAST((CAST(least(${hi - 1}L, greatest(${lo}L, _sv))
          | AS DECIMAL(38,0)) - ${lo}L) * $buckets
          | div ${hi - lo}L AS BIGINT)""".stripMargin.replace("\n", " "))
-    val cb = df
-      .select(quasi.map { case (n, c) => c.as(n) } :+
+    df.select(quasi.map { case (n, c) => c.as(n) } :+
         sensitive.cast("long").as("_sv"): _*)
       .filter(col("_sv").isNotNull)
       .withColumn("_b", bucket)
       .groupBy(qn.map(col) :+ col("_b"): _*)
       .agg(count(lit(1)).as("_n"))
-    val cbS = graft.util.Materialize.stable(cb)
+  }
+
+  /** The [[tCloseness]] EMD walk over ALREADY-AGGREGATED registers
+    * `(QI…, _b, _n)` — one code path with the batch entry (merge
+    * registers to one row per (QI…, _b) before calling).
+    */
+  def tClosenessFromCounts(counts: DataFrame, qn: Seq[String],
+      buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qn.nonEmpty, "need at least one quasi-identifier")
+    require(buckets >= 2 && buckets <= 10000, s"2..10000 buckets, got $buckets")
+    val spark = counts.sparkSession
+    val cbS = graft.util.Materialize.stable(counts)
     val classes = cbS.groupBy(qn.map(col): _*).agg(sum("_n").as("class_size"))
     // global CDF: a buckets-sized table, cumsum'd and broadcast
     val gw = Window.orderBy("_b")

@@ -97,38 +97,35 @@ object GovernanceQueries {
         Seq("nation" -> col("c_nationkey").cast("long"),
           "segment" -> col("c_mktsegment")),
         round(col("c_acctbal") * 100, 0),
-        lo = TClo, hi = TChi, buckets = TCbuckets))
+        lo = TClo, hi = TChi, buckets = TCbuckets)),
+
+    // The privacy panel's register identity in-plan: the per-(QI,
+    // bucket) counts are the EMD's sufficient statistic and SUM-MERGE —
+    // two customer-parity legs fold their registers, the merged table
+    // rides the SAME tClosenessFromCounts walk. Oracle shared verbatim
+    // with privacy_t_closeness.
+    "privacy_t_closeness_stream" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val quasi = Seq("nation" -> col("c_nationkey").cast("long"),
+        "segment" -> col("c_mktsegment"))
+      def leg(pred: org.apache.spark.sql.Column) =
+        Privacy.tClosenessCounts(cust.filter(pred), quasi,
+          round(col("c_acctbal") * 100, 0),
+          lo = TClo, hi = TChi, buckets = TCbuckets)
+      Privacy.tClosenessFromCounts(
+        leg(col("c_custkey") % 2 === 0)
+          .unionByName(leg(col("c_custkey") % 2 === 1))
+          .groupBy("nation", "segment", "_b")
+          .agg(sum("_n").as("_n")),
+        Seq("nation", "segment"), buckets = TCbuckets)
+    })
   )
 
-  val oracleSql: Map[String, String] = Map(
-    "privacy_k_anonymity" ->
-      s"""SELECT CAST(c_nationkey AS BIGINT) AS nation,
-         |  c_mktsegment AS segment, $bandSqlDuck AS band,
-         |  count(*) AS class_size,
-         |  count(DISTINCT c_acctbal) AS l_distinct,
-         |  CAST(CASE WHEN count(*) < $K THEN 1 ELSE 0 END AS BIGINT) AS at_risk
-         |FROM customer GROUP BY 1, 2, 3""".stripMargin.replace("\n", " "),
-
-    "privacy_generalization_ladder" -> {
-      def level(name: String, quasi: String) =
-        s"""SELECT '$name' AS level, CAST(sum(class_size) AS BIGINT) AS total_rows,
-           |  count(*) AS n_classes, min(class_size) AS min_class_size,
-           |  CAST(sum(CASE WHEN class_size < $K THEN class_size ELSE 0 END)
-           |    AS BIGINT) AS at_risk_rows,
-           |  CAST(sum(CASE WHEN class_size < $K THEN 1 ELSE 0 END)
-           |    AS BIGINT) AS at_risk_classes,
-           |  CAST(sum(CASE WHEN l_distinct < $LMin THEN 1 ELSE 0 END)
-           |    AS BIGINT) AS low_l_classes
-           |FROM (SELECT count(*) AS class_size,
-           |    count(DISTINCT c_acctbal) AS l_distinct
-           |  FROM customer GROUP BY $quasi) c""".stripMargin
-      Seq(level("l0_exact", s"c_nationkey, c_mktsegment, $dollarsSqlDuck"),
-        level("l1_band", s"c_nationkey, c_mktsegment, $bandSqlDuck"),
-        level("l2_segment", "c_mktsegment"))
-        .mkString(" UNION ALL ").replace("\n", " ")
-    },
-
-    "privacy_t_closeness" ->
+  /** The one-pass t-closeness oracle — shared verbatim by the batch
+    * gate (`privacy_t_closeness`) and the register fold
+    * (`privacy_t_closeness_stream`).
+    */
+  private val tClosenessSqlDuck: String =
       s"""WITH sv AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
          |  c_mktsegment AS segment,
          |  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS v FROM customer),
@@ -162,7 +159,42 @@ object GovernanceQueries {
          |    - gc.gcum * 1000000 // gc.gtotal)) // ${TCbuckets - 1}
          |    AS BIGINT) AS emd_x1e6
          |FROM cc JOIN gc ON cc.b = gc.b
-         |GROUP BY 1, 2, 3""".stripMargin.replace("\n", " "),
+         |GROUP BY 1, 2, 3""".stripMargin.replace("\n", " ")
+
+  val oracleSql: Map[String, String] = Map(
+    "privacy_k_anonymity" ->
+      s"""SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         |  c_mktsegment AS segment, $bandSqlDuck AS band,
+         |  count(*) AS class_size,
+         |  count(DISTINCT c_acctbal) AS l_distinct,
+         |  CAST(CASE WHEN count(*) < $K THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+         |FROM customer GROUP BY 1, 2, 3""".stripMargin.replace("\n", " "),
+
+    "privacy_generalization_ladder" -> {
+      def level(name: String, quasi: String) =
+        s"""SELECT '$name' AS level, CAST(sum(class_size) AS BIGINT) AS total_rows,
+           |  count(*) AS n_classes, min(class_size) AS min_class_size,
+           |  CAST(sum(CASE WHEN class_size < $K THEN class_size ELSE 0 END)
+           |    AS BIGINT) AS at_risk_rows,
+           |  CAST(sum(CASE WHEN class_size < $K THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS at_risk_classes,
+           |  CAST(sum(CASE WHEN l_distinct < $LMin THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS low_l_classes
+           |FROM (SELECT count(*) AS class_size,
+           |    count(DISTINCT c_acctbal) AS l_distinct
+           |  FROM customer GROUP BY $quasi) c""".stripMargin
+      Seq(level("l0_exact", s"c_nationkey, c_mktsegment, $dollarsSqlDuck"),
+        level("l1_band", s"c_nationkey, c_mktsegment, $bandSqlDuck"),
+        level("l2_segment", "c_mktsegment"))
+        .mkString(" UNION ALL ").replace("\n", " ")
+    },
+
+    "privacy_t_closeness" -> tClosenessSqlDuck,
+
+    // the register identity: the folded (QI, bucket) counts must land
+    // on the ONE-PASS EMD panel — oracle shared verbatim
+    "privacy_t_closeness_stream" -> tClosenessSqlDuck,
+
 
     "dedup_loss_by_source" ->
       s"""WITH d AS (SELECT doc_id, source,

@@ -143,6 +143,20 @@ class PrivacySpec extends SparkSpecBase {
       Privacy.tCloseness(rows.toDF("grp", "v"), Seq.empty, col("v"),
         0L, 40L, 4)
     }
+    // the register identity: per-batch (QI, bucket) counts SUM-MERGE,
+    // and the merged registers ride the one-code-path FromCounts walk
+    // to the one-pass panel
+    val df = rows.toDF("grp", "v")
+    def leg(pred: org.apache.spark.sql.Column) =
+      Privacy.tClosenessCounts(df.filter(pred),
+        Seq("grp" -> col("grp")), col("v"), 0L, 40L, 4)
+    val folded = Privacy.tClosenessFromCounts(
+      leg(col("v") % 2 === 0).unionByName(leg(col("v") % 2 =!= 0))
+        .groupBy("grp", "_b").agg(sum("_n").as("_n")),
+      Seq("grp"), buckets = 4)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(folded === got.map { case (k, r) => k -> r.toSeq.drop(1) },
+      "batch-folded privacy registers must equal the one-pass panel")
   }
 
   test("userHistories: most-recent-first, total deterministic order " +
