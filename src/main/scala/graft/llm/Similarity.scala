@@ -195,15 +195,17 @@ object Similarity {
     * closer than its nearest genuine match — exactly the triples the
     * loss moves); downstream filters on `margin` pick the mining band.
     *
-    * Plan shape: ONE scored frame ([[bruteForceTopK]]'s broadcast-anchor
-    * × widened-corpus map stage, materialized because two branches
-    * consume it) feeds two WindowGroupLimit branches (best same-label,
-    * best different-label; ties break on smallest cid) joined on the
-    * anchor id — the join is anchor-bounded, the corpus never shuffles.
+    * Plan shape: the corpus is touched ONCE — [[bruteForceTopK]]'s
+    * broadcast-anchor × widened-corpus map stage, then a SINGLE
+    * (qid, same-label?) WindowGroupLimit (rank-1 per side; ties break
+    * on smallest cid — the rank filter pushes into the sort, so no
+    * anchor's full candidate list materializes) and one anchor-bounded
+    * pivot agg that zips each anchor's two surviving rows into the
+    * triple. Nothing corpus-sized is cached or exchanged twice.
     * Anchors missing either side (a label with no second member, or a
-    * single-label corpus) drop out via the inner join — a triple needs
-    * both legs. NULL labels are excluded on both sides as in
-    * [[hardNegatives]]. Scale path: swap the broadcast scan for the
+    * single-label corpus) drop via the post-pivot both-legs filter — a
+    * triple needs both legs. NULL labels are excluded on both sides as
+    * in [[hardNegatives]]. Scale path: swap the broadcast scan for the
     * IVF-bucketed candidate join, as for positives.
     * Output: (qid, q_label, pos_id, pos_cos, neg_id, neg_cos, margin).
     */
@@ -220,22 +222,22 @@ object Similarity {
       .select(col("vec_id").as("cid"), col(labelCol).cast("long").as("c_label"),
         quantize(col("embedding")).as("cv"))
       .withColumn("nc", dotQ("cv", "cv"))
-    val scored = graft.util.Materialize.stable(
-      c.crossJoin(broadcast(q))
-        .filter(col("cid") =!= col("qid"))
-        .withColumn("cos_sim", cosineFromInts(dotQ("qv", "cv"), col("nq"), col("nc")))
-        .select("qid", "q_label", "cid", "c_label", "cos_sim"))
-    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))
-    def best(side: DataFrame, idOut: String, cosOut: String) =
-      side.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .select(col("qid"), col("q_label"),
-          col("cid").as(idOut), col("cos_sim").as(cosOut))
-    val pos = best(scored.filter(col("c_label") === col("q_label")),
-      "pos_id", "pos_cos")
-    val neg = best(scored.filter(col("c_label") =!= col("q_label")),
-      "neg_id", "neg_cos").drop("q_label")
-    pos.join(neg, Seq("qid"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos_sim", cosineFromInts(dotQ("qv", "cv"), col("nq"), col("nc")))
+      .withColumn("_same", col("c_label") === col("q_label"))
+      .select("qid", "q_label", "cid", "cos_sim", "_same")
+    val w = Window.partitionBy("qid", "_same")
+      .orderBy(col("cos_sim").desc, col("cid"))
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .groupBy("qid", "q_label")
+      .agg(
+        max(when(col("_same"), col("cid"))).as("pos_id"),
+        max(when(col("_same"), col("cos_sim"))).as("pos_cos"),
+        max(when(!col("_same"), col("cid"))).as("neg_id"),
+        max(when(!col("_same"), col("cos_sim"))).as("neg_cos"))
+      .filter(col("pos_id").isNotNull && col("neg_id").isNotNull)
       .withColumn("margin", col("pos_cos") - col("neg_cos"))
       .select("qid", "q_label", "pos_id", "pos_cos", "neg_id", "neg_cos",
         "margin")
