@@ -77,7 +77,15 @@ object ScaleAudit {
       // forced width 1024 in SCALE_AUDIT_r13_1024.json), the digest-
       // merged range join, and the classifier-seam AUC
       "corpus_curated_v4", "corpus_curated_v5",
-      "events_range_join_stream2", "quality_classifier_auc")
+      "events_range_join_stream2", "quality_classifier_auc",
+      // round-14: the real-head assembly, the streaming calibration and
+      // funnel folds, and the new ANN/decontam/dedup/retrieval tranche
+      "corpus_curated_v6", "quality_ngram_head_auc", "quality_auc_stream",
+      "corpus_curation_funnel_stream", "ann_hard_negatives",
+      "ann_contrastive_triples", "decontam_embedding",
+      "dedup_cluster_keep_best", "dedup_keep_best", "rag_context_pack",
+      "embedding_drift", "quality_score_ecdf", "cluster_balanced_select",
+      "curriculum_phases")
     // optional argv: audit exactly these queries instead of the built-in
     // list (the width-1024 stress runs name the 5 heaviest explicitly)
     val targets = if (args.nonEmpty) args.toSeq else heavy

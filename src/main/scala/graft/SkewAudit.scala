@@ -93,7 +93,16 @@ object SkewAudit {
         Dedup.firstOccurrences(docs.select(col("doc_id"),
           when(col("doc_id") % 3 === 0, lit(boiler))
             .otherwise(col("text")).as("text")),
-          "doc_id", "text")))
+          "doc_id", "text")),
+      // the keep-best twin: same 30%-hot duplicate through bestByKey's
+      // max_by — the score-carrying ordering key must not change the
+      // partial-agg combine behavior
+      "best_occurrence_hot_dup" -> (() =>
+        Dedup.bestOccurrences(docs.select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, lit(boiler))
+            .otherwise(col("text")).as("text"),
+          pmod(col("doc_id"), lit(1000L)).as("score")),
+          "doc_id", "text", col("score"))))
 
     var violations = List.empty[String]
     val out = runs.map { case (name, mk) =>
