@@ -456,4 +456,76 @@ object TextAnalysis {
       .withColumn("chi2_scaled", col("_chi2").cast("long"))
       .drop("_chi2")
   }
+
+  /** FILL-IN-THE-MIDDLE span extraction (Bavarian et al. 2022,
+    * "Efficient Training of Language Models to Fill in the Middle",
+    * arXiv:2207.14255): split each document into (prefix, middle,
+    * suffix) at token positions drawn DETERMINISTICALLY from the doc id
+    * (the engine-wide md5-prefix convention with per-draw salts), so
+    * the FIM transform is reproducible run-over-run and
+    * oracle-bit-exact — the training-data transform behind
+    * infilling-capable code models, as a corpus operator.
+    *
+    * Draws: span start `a = h(id, ":a") mod n`, span end
+    * `b = a + 1 + h(id, ":b") mod (n − a)` over the n whitespace
+    * tokens — every doc with ≥ `minTokens` tokens yields exactly one
+    * span with 1 ≤ b − a ≤ n − a; shorter docs are excluded (nothing
+    * to infill). Segments are emitted as md5 fingerprints plus token
+    * counts — hash-stable, and the downstream assembler reconstructs
+    * the text it needs from (doc, a, b) without this operator shipping
+    * corpus-sized triplicate strings.
+    *
+    * Scale shape: a PURE MAP — per-row hashing, token slicing and
+    * digesting, no exchange anywhere, embarrassingly parallel at any
+    * corpus size. Output: (doc_id, n_tokens, a, b, prefix_tokens,
+    * middle_tokens, suffix_tokens, prefix_md5, middle_md5, suffix_md5).
+    */
+  def fimSpans(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 2): DataFrame = {
+    require(minTokens >= 2,
+      s"a FIM doc needs >= 2 tokens (one to infill, one context), got $minTokens")
+    def draw(salt: String): Column =
+      pmod(conv(substring(md5(concat(col(idCol).cast("string"),
+        lit(salt))), 1, 8), 16, 10).cast("long"), col("n_tokens"))
+    def seg(from: Column, len: Column) =
+      concat_ws(" ", slice(split(col(textCol), " ", -1), from, len))
+    docs
+      .filter(col(textCol).isNotNull)
+      .withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
+      .filter(col("n_tokens") >= minTokens)
+      .withColumn("a", draw(":a"))
+      .withColumn("b", col("a") + 1 +
+        pmod(conv(substring(md5(concat(col(idCol).cast("string"),
+          lit(":b"))), 1, 8), 16, 10).cast("long"),
+          col("n_tokens") - col("a")))
+      .select(col(idCol), col("n_tokens"), col("a"), col("b"),
+        col("a").as("prefix_tokens"),
+        (col("b") - col("a")).as("middle_tokens"),
+        (col("n_tokens") - col("b")).as("suffix_tokens"),
+        md5(seg(lit(1), col("a"))).as("prefix_md5"),
+        md5(seg(col("a") + 1, col("b") - col("a"))).as("middle_md5"),
+        md5(seg(col("b") + 1, col("n_tokens") - col("b"))).as("suffix_md5"))
+  }
+
+  /** TOKENIZER FERTILITY panel: per source, words (whitespace tokens),
+    * BPE-ish pre-tokens ([[bpeishTokens]]), and the fertility ratio
+    * `pre-tokens · 1000 div words` — the standard tokenizer-efficiency
+    * metric (a feed whose fertility runs hot costs proportionally more
+    * training compute per word; multilingual pipelines read this panel
+    * per language/source before picking a tokenizer budget). One
+    * partial-agg pass keyed by source; NULL texts excluded. Output:
+    * (source, n_docs, n_words, n_pretokens, fertility_x1000).
+    */
+  def tokenFertilityBySource(docs: DataFrame, srcCol: String,
+      textCol: String): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(srcCol).as("source"),
+        tokenCount(col(textCol)).cast("long").as("_w"),
+        size(bpeishTokens(col(textCol))).cast("long").as("_p"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("_w").as("n_words"),
+        sum("_p").as("n_pretokens"))
+      .withColumn("fertility_x1000",
+        expr("n_pretokens * 1000 div n_words"))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Decontam, Dedup, Retrieval, Sampling, Similarity}
+import graft.llm.{Decontam, Dedup, Retrieval, Sampling, Similarity, TextAnalysis}
 import graft.ops.TableProfile
 
 /** Eighth tranche (round 14): the embedding-space decontamination leg,
@@ -245,6 +245,20 @@ object LlmQueries8 {
         col("ecdf_permille"), col("_tk"), cuts = EcdfCuts)
     }),
 
+    // Fill-in-the-middle span extraction: deterministic (prefix, middle,
+    // suffix) split per doc, segments as md5 fingerprints — the FIM
+    // training transform as a pure-map corpus operator.
+    "fim_spans" -> ((s, dir) =>
+      graft.llm.TextAnalysis.fimSpans(
+        Tables.documents(s, dir), "doc_id", "text", minTokens = 2)),
+
+    // Tokenizer fertility panel: per source, whitespace words vs BPE-ish
+    // pre-tokens and the x1000 fertility ratio — the tokenizer-budget
+    // metric a multilingual pipeline reads per feed.
+    "token_fertility_by_source" -> ((s, dir) =>
+      graft.llm.TextAnalysis.tokenFertilityBySource(
+        Tables.documents(s, dir), "source", "text")),
+
     // Near-dup cluster canonicalization with the quality signal: LSH
     // candidate pairs → connected components → keep the BEST-scored doc
     // per cluster (singletons are their own cluster) — the fuzzy-dedup
@@ -451,6 +465,40 @@ object LlmQueries8 {
          |      ORDER BY src_score DESC, doc_id) AS rn FROM lab)
          |SELECT cluster_id, doc_id, source, src_score FROM r2 WHERE rn = 1"""
         .stripMargin.replace("\n", " "),
+
+    "fim_spans" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |  FROM documents WHERE text IS NOT NULL),
+         |f AS (SELECT * FROM t WHERE n >= 2),
+         |d AS (SELECT doc_id, l, n,
+         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':a'),
+         |    1, 8)) AS BIGINT) % n AS a FROM f),
+         |e AS (SELECT doc_id, l, n, a,
+         |  a + 1 + CAST(concat('0x',
+         |    substr(md5(CAST(doc_id AS VARCHAR) || ':b'), 1, 8))
+         |    AS BIGINT) % (n - a) AS b FROM d)
+         |SELECT doc_id, n AS n_tokens, a, b,
+         |  a AS prefix_tokens, b - a AS middle_tokens,
+         |  n - b AS suffix_tokens,
+         |  md5(coalesce(array_to_string(l[1:a], ' '), '')) AS prefix_md5,
+         |  md5(coalesce(array_to_string(l[a+1:b], ' '), '')) AS middle_md5,
+         |  md5(coalesce(array_to_string(l[b+1:n], ' '), '')) AS suffix_md5
+         |FROM e""".stripMargin.replace("\n", " "),
+
+    "token_fertility_by_source" ->
+      s"""WITH f AS (SELECT source,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         |  CAST(len(regexp_extract_all(text,
+         |    '${TextAnalysis.BpeishPattern.replace("'", "''")}', 0))
+         |    AS BIGINT) AS p
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(w) AS BIGINT) AS n_words,
+         |  CAST(sum(p) AS BIGINT) AS n_pretokens,
+         |  CAST(sum(p) AS BIGINT) * 1000 // CAST(sum(w) AS BIGINT)
+         |    AS fertility_x1000
+         |FROM f GROUP BY 1""".stripMargin.replace("\n", " "),
 
     "curriculum_ecdf_phases" -> {
       val Seq(e1, e2) = EcdfCuts

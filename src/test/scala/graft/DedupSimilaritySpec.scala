@@ -205,6 +205,56 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(out.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet.size == 10)
   }
 
+  test("fimSpans: segments partition the token list exactly, the md5s " +
+    "match hand-joined segments, short docs drop, empty edges digest " +
+    "as the empty string") {
+    val d = Seq(
+      (1L, Option("w0 w1 w2 w3 w4 w5 w6 w7")),
+      (2L, Option("only")),                    // 1 token: no FIM possible
+      (3L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.fimSpans(d, "doc_id", "text", minTokens = 2)
+      .collect()
+    assert(rows.length === 1, "only the >=2-token doc yields a span")
+    val r = rows.head
+    val n = r.getAs[Long]("n_tokens"); val a = r.getAs[Long]("a")
+    val b = r.getAs[Long]("b")
+    assert(n === 8L && a >= 0 && a < n && b > a && b <= n)
+    assert(r.getAs[Long]("prefix_tokens") + r.getAs[Long]("middle_tokens") +
+      r.getAs[Long]("suffix_tokens") === n,
+      "the three segments must partition the document")
+    // reconstruct the digests by hand from the drawn (a, b)
+    val toks = "w0 w1 w2 w3 w4 w5 w6 w7".split(" ")
+    def m(xs: Array[String]) = org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(xs.mkString(" "))
+    assert(r.getAs[String]("prefix_md5") === m(toks.take(a.toInt)))
+    assert(r.getAs[String]("middle_md5") === m(toks.slice(a.toInt, b.toInt)))
+    assert(r.getAs[String]("suffix_md5") === m(toks.drop(b.toInt)))
+    // determinism: a second run draws the identical span
+    val again = TextAnalysis.fimSpans(d, "doc_id", "text").collect().head
+    assert(again.getAs[Long]("a") === a && again.getAs[Long]("b") === b)
+  }
+
+  test("tokenFertilityBySource: exact per-source word/pre-token sums " +
+    "and the x1000 ratio; NULL texts excluded") {
+    val d = Seq(
+      ("s1", Option("hello world")),           // 2 words; bpeish: 2
+      ("s1", Option("it's here")),             // 2 words; bpeish: it|'s| here = 3
+      ("s2", Option("a b c")),                 // 3 words, 3 pretoks
+      ("s2", Option.empty[String])
+    ).toDF("source", "text")
+    val got = TextAnalysis.tokenFertilityBySource(d, "source", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("s1").getAs[Long]("n_docs") === 2L)
+    assert(got("s1").getAs[Long]("n_words") === 4L)
+    assert(got("s1").getAs[Long]("n_pretokens") === 5L,
+      "the contraction splits: it|'s|  here")
+    assert(got("s1").getAs[Long]("fertility_x1000") === 5000L / 4L)
+    assert(got("s2").getAs[Long]("n_docs") === 1L,
+      "the NULL-text doc must not count")
+    assert(got("s2").getAs[Long]("fertility_x1000") === 1000L)
+  }
+
   test("deterministic sampling: stable across runs, exact k per stratum") {
     val d = (1L to 300L).map(i => (i, if (i % 3 == 0) "en" else "de", s"s${i % 4}"))
       .toDF("doc_id", "lang", "source")
