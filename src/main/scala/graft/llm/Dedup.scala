@@ -125,6 +125,8 @@ object Dedup {
     * everywhere: ONE key-hashed exchange, `max_by` combines map-side, a
     * corpus-hot key reaches the reducer as ≤1 candidate row per map
     * task. NULL-scored rows are required out (see [[bestOccurrences]]).
+    * The score competes at its NATIVE type (struct comparison is typed)
+    * — a fractional double score is never silently truncated to a tie.
     */
   def bestByKey(docs: DataFrame, idCol: String, keyCol: Column,
       scoreCol: Column): DataFrame = {
@@ -133,7 +135,7 @@ object Dedup {
       "input already contains an internal working column (_bo_h/_bo_row/_bo_key)")
     val cols = docs.columns
     docs
-      .withColumn("_bo_key", struct(scoreCol.cast("long").as("s"),
+      .withColumn("_bo_key", struct(scoreCol.as("s"),
         (-col(idCol)).as("negid")))
       .filter(col("_bo_key").getField("s").isNotNull)
       .groupBy(keyCol.as("_bo_h"))

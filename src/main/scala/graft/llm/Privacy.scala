@@ -131,13 +131,18 @@ object Privacy {
     require(quasi.nonEmpty, "need at least one quasi-identifier")
     require(buckets >= 2 && buckets <= 10000, s"2..10000 buckets, got $buckets")
     require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    require(hi - lo > 0,
+      s"[$lo, $hi) must span a width that fits int64 (hi - lo overflowed)")
     val qn = quasi.map(_._1)
     // clamp-first declared-bounds bucket id (TableProfile.histogram's
-    // overflow-free arithmetic)
+    // overflow-free arithmetic). Literals go through a constant-folded
+    // string cast: a raw `${Long.MinValue}L` token fails to parse (the
+    // positive literal overflows before unary minus applies).
+    def longLit(x: Long): String = s"CAST('$x' AS BIGINT)"
     val bucket = expr(
-      s"""CAST((CAST(least(${hi - 1}L, greatest(${lo}L, _sv))
-         | AS DECIMAL(38,0)) - ${lo}L) * $buckets
-         | div ${hi - lo}L AS BIGINT)""".stripMargin.replace("\n", " "))
+      s"""CAST((CAST(least(${longLit(hi - 1)}, greatest(${longLit(lo)}, _sv))
+         | AS DECIMAL(38,0)) - ${longLit(lo)}) * $buckets
+         | div ${longLit(hi - lo)} AS BIGINT)""".stripMargin.replace("\n", " "))
     df.select(quasi.map { case (n, c) => c.as(n) } :+
         sensitive.cast("long").as("_sv"): _*)
       .filter(col("_sv").isNotNull)

@@ -166,14 +166,16 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be >= 1, got $k")
     val q = anchors
-      .filter(col(labelCol).isNotNull)
       .select(col("vec_id").as("qid"), col(labelCol).cast("long").as("q_label"),
         quantize(col("embedding")).as("qv"))
+      // the guard runs on the CASTED label: a non-numeric label casts to
+      // NULL and must exclude the row, not silently corrupt the mining
+      .filter(col("q_label").isNotNull)
       .withColumn("nq", dotQ("qv", "qv"))
     val c = Dedup.widen(corpus)
-      .filter(col(labelCol).isNotNull)
       .select(col("vec_id").as("cid"), col(labelCol).cast("long").as("c_label"),
         quantize(col("embedding")).as("cv"))
+      .filter(col("c_label").isNotNull)
       .withColumn("nc", dotQ("cv", "cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("cid") =!= col("qid") && col("c_label") =!= col("q_label"))
@@ -213,14 +215,16 @@ object Similarity {
       labelCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = anchors
-      .filter(col(labelCol).isNotNull)
       .select(col("vec_id").as("qid"), col(labelCol).cast("long").as("q_label"),
         quantize(col("embedding")).as("qv"))
+      // the guard runs on the CASTED label: a non-numeric label casts to
+      // NULL and must exclude the row, not silently corrupt the mining
+      .filter(col("q_label").isNotNull)
       .withColumn("nq", dotQ("qv", "qv"))
     val c = Dedup.widen(corpus)
-      .filter(col(labelCol).isNotNull)
       .select(col("vec_id").as("cid"), col(labelCol).cast("long").as("c_label"),
         quantize(col("embedding")).as("cv"))
+      .filter(col("c_label").isNotNull)
       .withColumn("nc", dotQ("cv", "cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("cid") =!= col("qid"))
@@ -416,8 +420,12 @@ object Similarity {
     * is labels×dim rows.
     */
   def centroidSums(snap: DataFrame, labelCol: String): DataFrame = snap
-    .filter(col(labelCol).isNotNull)
-    .select(col(labelCol).cast("long").as("label"),
+    // guard on the CASTED label BEFORE the explode: a non-numeric label
+    // casts to NULL and must exclude the row, never mint a label=NULL
+    // register (and never pay the explode for a row that drops)
+    .select(col(labelCol).cast("long").as("label"), col("embedding"))
+    .filter(col("label").isNotNull)
+    .select(col("label"),
       posexplode(quantize(col("embedding"))).as(Seq("_i", "_qe")))
     .groupBy("label", "_i")
     .agg(sum("_qe").as("_s"), count(lit(1)).as("_n"))
@@ -432,12 +440,20 @@ object Similarity {
       col("_s").as("_sa"), col("_n").as("_na"))
     val rb = b.select(col("label"), col("_i"),
       col("_s").as("_sb"), col("_n").as("_nb"))
+    // ANY one-sided dimension row nulls the label's drift — both the
+    // label-vanished case (every row one-sided) and the PARTIAL dim
+    // mismatch (the encoder changed output width mid-stream): a sum
+    // that silently skipped the NULL per-dim terms would understate
+    // drift on exactly the structural change the panel exists to catch
     ra.join(rb, Seq("label", "_i"), "full_outer")
       .groupBy("label")
       .agg(
         coalesce(max("_na"), lit(0L)).as("n_a"),
         coalesce(max("_nb"), lit(0L)).as("n_b"),
-        sum(expr("abs(_sa div _na - _sb div _nb)")).as("drift_l1"))
+        when(max(expr("_sa IS NULL OR _sb IS NULL").cast("int")) === 1,
+          lit(null).cast("long"))
+          .otherwise(sum(expr("abs(_sa div _na - _sb div _nb)")))
+          .as("drift_l1"))
   }
 
   /** Deterministic hash-sampled centroid seed set: (cent_id, centv,

@@ -504,46 +504,42 @@ object AuditQueries {
     // merged table rides the SAME rocAucFromCounts walk the batch audit
     // runs (one code path, the live panel cannot drift), and the gate
     // pins the fold to the one-pass AUC oracle.
-    "quality_auc_stream" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      def legCounts(pred: org.apache.spark.sql.Column) = graft.llm.QualityRules
-        .classifierScores(s, docs.filter(pred), "doc_id", "text")
-        .join(docs.select(col("doc_id"),
-          (col("lang") === "en").as("_y")), "doc_id")
-        .filter(col("score_permille").isNotNull && col("_y").isNotNull)
-        .groupBy(col("score_permille").as("_s")).agg(
-          sum(when(col("_y"), 1L).otherwise(0L)).as("_np"),
-          sum(when(col("_y"), 0L).otherwise(1L)).as("_nn"))
-      val merged = legCounts(col("doc_id") % 2 === 0)
-        .unionByName(legCounts(col("doc_id") % 2 === 1))
-        .groupBy("_s")
-        .agg(sum("_np").as("_np"), sum("_nn").as("_nn"))
-      TableProfile.rocAucFromCounts(merged)
-    }),
+    "quality_auc_stream" -> ((s, dir) =>
+      TableProfile.rocAucFromCounts(foldedClassifierCounts(s, dir))),
 
     // The calibration story's THIRD leg live (AUC ranks, operating
     // points decide, reliability grades the MAGNITUDE): the same
     // two-batch register fold re-bucketed by reliabilityCurveFromCounts
     // — shared assembly with the batch panel, so the gate pins the live
     // curve to the ONE-PASS reliability oracle verbatim.
-    "quality_reliability_stream" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      def legCounts(pred: org.apache.spark.sql.Column) = graft.llm.QualityRules
-        .classifierScores(s, docs.filter(pred), "doc_id", "text")
-        .join(docs.select(col("doc_id"),
-          (col("lang") === "en").as("_y")), "doc_id")
-        .filter(col("score_permille").isNotNull && col("_y").isNotNull)
-        .groupBy(col("score_permille").as("_s")).agg(
-          sum(when(col("_y"), 1L).otherwise(0L)).as("_np"),
-          sum(when(col("_y"), 0L).otherwise(1L)).as("_nn"))
-      val merged = legCounts(col("doc_id") % 2 === 0)
-        .unionByName(legCounts(col("doc_id") % 2 === 1))
-        .groupBy("_s")
-        .agg(sum("_np").as("_np"), sum("_nn").as("_nn"))
-      TableProfile.reliabilityCurveFromCounts(merged, lo = 0L, hi = 1000L,
-        buckets = 10)
-    })
+    "quality_reliability_stream" -> ((s, dir) =>
+      TableProfile.reliabilityCurveFromCounts(
+        foldedClassifierCounts(s, dir), lo = 0L, hi = 1000L, buckets = 10))
   )
+
+  /** The shared two-leg register fold behind the quality_*_stream
+    * gates: per-score (n_pos, n_neg) counts per doc_id-parity leg,
+    * sum-merged — ONE definition, so an edit to the fold (NULL
+    * handling, the label derivation) cannot desynchronize the streaming
+    * gates while each stays individually green (the v5Stages twin
+    * discipline applied to the fold itself).
+    */
+  private def foldedClassifierCounts(s: SparkSession,
+      dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def legCounts(pred: org.apache.spark.sql.Column) = graft.llm.QualityRules
+      .classifierScores(s, docs.filter(pred), "doc_id", "text")
+      .join(docs.select(col("doc_id"),
+        (col("lang") === "en").as("_y")), "doc_id")
+      .filter(col("score_permille").isNotNull && col("_y").isNotNull)
+      .groupBy(col("score_permille").as("_s")).agg(
+        sum(when(col("_y"), 1L).otherwise(0L)).as("_np"),
+        sum(when(col("_y"), 0L).otherwise(1L)).as("_nn"))
+    legCounts(col("doc_id") % 2 === 0)
+      .unionByName(legCounts(col("doc_id") % 2 === 1))
+      .groupBy("_s")
+      .agg(sum("_np").as("_np"), sum("_nn").as("_nn"))
+  }
 
   /** The one-pass stub-classifier AUC oracle — shared verbatim by the
     * batch gate (`quality_classifier_auc`) and the streaming register

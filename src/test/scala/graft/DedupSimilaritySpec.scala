@@ -107,6 +107,16 @@ class DedupSimilaritySpec extends SparkSpecBase {
     val onePass = drift.map { case (k, r) => k -> r.toSeq.drop(1) }
     assert(foldedDrift === onePass,
       "batch-folded drift registers must equal the one-pass panel")
+    // a PARTIAL dimension mismatch (encoder width changed mid-stream)
+    // must NULL the label's drift, never silently sum only the shared
+    // dims — that understatement is exactly the structural change the
+    // panel exists to surface
+    val wide = Seq((9L, Array(1.0f, 0.0f, 0.5f),
+      java.lang.Integer.valueOf(0))).toDF("vec_id", "embedding", "label")
+    val mismatch = Similarity.centroidDrift(a, wide, "label")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(mismatch(0L).isNullAt(mismatch(0L).fieldIndex("drift_l1")),
+      "2-dim vs 3-dim snapshots for the same label must report NULL drift")
   }
 
   test("jaccard pairs find exact and near dups, not unrelated docs") {
