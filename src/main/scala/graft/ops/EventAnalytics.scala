@@ -41,6 +41,18 @@ object EventAnalytics {
     * last_ts_us, history).
     */
   def userHistories(events: DataFrame, userCol: String, idCol: String,
+      tsCol: String, n: Int): DataFrame =
+    historiesFromRecent(
+      recentEvents(events, userCol, idCol, tsCol, n),
+      userCol, idCol, tsCol, n)
+
+  /** The history's MERGEABLE state: each user's last-`n` event ROWS —
+    * last-n is a true register in the top-k sense (the last n of
+    * A ∪ B = the last n of (last n of A) ∪ (last n of B)), so
+    * per-batch survivor sets union-merge and re-rank over ≤ 2n rows
+    * per user, never the raw history. One user-keyed WindowGroupLimit.
+    */
+  def recentEvents(events: DataFrame, userCol: String, idCol: String,
       tsCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n >= 1, s"history length must be >= 1, got $n")
@@ -48,6 +60,23 @@ object EventAnalytics {
       .orderBy(col(tsCol).desc, col(idCol).desc)
     events
       .select(col(userCol), col(idCol), col(tsCol))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .drop("_rn")
+  }
+
+  /** The per-user rollup over a (possibly merged) survivor set — ranks
+    * are recomputed HERE, so the input may be any union of per-batch
+    * [[recentEvents]] outputs (≤ batches·n rows per user); one code
+    * path with the batch entry, the folded panel cannot drift.
+    */
+  def historiesFromRecent(recent: DataFrame, userCol: String,
+      idCol: String, tsCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"history length must be >= 1, got $n")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    recent
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= n)
       .groupBy(col(userCol))

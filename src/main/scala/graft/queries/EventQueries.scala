@@ -106,7 +106,22 @@ object EventQueries {
     // exchange; the rank filter is a WindowGroupLimit.
     "events_user_histories" -> ((s, dir) =>
       EventAnalytics.userHistories(Tables.events(s, dir),
-        "user_id", "event_id", "ts_us", n = HistoryN))
+        "user_id", "event_id", "ts_us", n = HistoryN)),
+
+    // The history's register identity in-plan: last-n survivor sets are
+    // TRUE registers (last-n of A ∪ B == last-n of the per-batch
+    // last-ns unioned), so two ts-parity batch legs keep ≤n rows each
+    // per user and the merged ≤2n rows re-rank to the ONE-PASS
+    // histories — oracle shared verbatim with events_user_histories.
+    "events_user_histories_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def leg(pred: org.apache.spark.sql.Column) =
+        EventAnalytics.recentEvents(ev.filter(pred),
+          "user_id", "event_id", "ts_us", n = HistoryN)
+      EventAnalytics.historiesFromRecent(
+        leg(col("ts_us") % 2 === 0).unionByName(leg(col("ts_us") % 2 === 1)),
+        "user_id", "event_id", "ts_us", n = HistoryN)
+    })
   )
 
   /** Audited predicates: two time ranges (zone-correlated), a user and
@@ -254,6 +269,21 @@ object EventQueries {
         .stripMargin.replace("\n", " "),
 
     "events_user_histories" ->
+      s"""WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+         |  FROM events),
+         |r AS (SELECT user_id, event_id, ts_us, row_number() OVER (
+         |    PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC)
+         |    AS rn FROM v),
+         |k AS (SELECT * FROM r WHERE rn <= $HistoryN)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_recent,
+         |  min(ts_us) AS first_ts_us, max(ts_us) AS last_ts_us,
+         |  string_agg(CAST(event_id AS VARCHAR), '|' ORDER BY rn)
+         |    AS history
+         |FROM k GROUP BY user_id""".stripMargin.replace("\n", " "),
+
+    // the register identity: the two-leg survivor fold must land on the
+    // ONE-PASS histories — oracle shared verbatim
+    "events_user_histories_stream" ->
       s"""WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
          |  FROM events),
          |r AS (SELECT user_id, event_id, ts_us, row_number() OVER (

@@ -178,4 +178,71 @@ class PrivacySpec extends SparkSpecBase {
     assert(got(2L).getAs[String]("history") === "201" &&
       got(2L).getAs[Long]("n_recent") === 1L)
   }
+
+  test("userHistories register identity property: per-batch last-n " +
+    "survivor sets union-merge to the one-pass histories on random " +
+    "event logs with adversarial ts ties") {
+    import graft.ops.EventAnalytics
+    val rnd = new scala.util.Random(83)
+    // heavy tie pressure: 40 users, ts drawn from only 25 values
+    val ev = (1L to 2000L).map(i =>
+      (rnd.nextInt(40).toLong, i, rnd.nextInt(25).toLong * 100L))
+      .toDF("user_id", "event_id", "ts_us")
+    val onePass = EventAnalytics.userHistories(ev, "user_id", "event_id",
+        "ts_us", n = 5)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    def leg(pred: org.apache.spark.sql.Column) =
+      EventAnalytics.recentEvents(ev.filter(pred), "user_id", "event_id",
+        "ts_us", n = 5)
+    val folded = EventAnalytics.historiesFromRecent(
+      leg(col("event_id") % 3 === 0)
+        .unionByName(leg(col("event_id") % 3 === 1))
+        .unionByName(leg(col("event_id") % 3 === 2)),
+      "user_id", "event_id", "ts_us", n = 5)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(folded === onePass,
+      "last-n of the unioned per-batch last-ns must equal last-n of all")
+  }
+
+  test("bestByKey property: equals the brute-force group argmax on " +
+    "random scored corpora with duplicate scores") {
+    val rnd = new scala.util.Random(89)
+    val rows = (1L to 1500L).map(i =>
+      (i, s"text${rnd.nextInt(120)}", rnd.nextInt(8).toLong))
+    val got = graft.llm.Dedup.bestByKey(rows.toDF("doc_id", "text", "score"),
+        "doc_id", col("text"), col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    val want = rows.groupBy(_._2).values.map(g =>
+      g.maxBy(r => (r._3, -r._1))._1).toSet
+    assert(got === want)
+  }
+
+  test("tCloseness property: equals the brute-force integer EMD on " +
+    "random classes") {
+    val rnd = new scala.util.Random(97)
+    val rows = (1 to 1200).map(_ =>
+      (s"c${rnd.nextInt(9)}", rnd.nextInt(140).toLong - 20L))
+    val buckets = 7; val lo = 0L; val hi = 70L
+    def bucketOf(v: Long) =
+      ((math.min(hi - 1, math.max(lo, v)) - lo) * buckets / (hi - lo)).toInt
+    val all = rows.map { case (_, v) => bucketOf(v) }
+    val gcounts = (0 until buckets).map(b => all.count(_ == b).toLong)
+    val gcum = gcounts.scanLeft(0L)(_ + _).tail
+    val total = all.size.toLong
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val cs = (0 until buckets).map(b =>
+        rs.count(r => bucketOf(r._2) == b).toLong)
+      val ccum = cs.scanLeft(0L)(_ + _).tail
+      val size = rs.size.toLong
+      val emd = ccum.zip(gcum).map { case (c, gl) =>
+        math.abs(c * 1000000L / size - gl * 1000000L / total) }.sum /
+        (buckets - 1)
+      g -> (size, emd)
+    }
+    val got = Privacy.tCloseness(rows.toDF("grp", "v"),
+        Seq("grp" -> col("grp")), col("v"), lo, hi, buckets)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("class_size"), r.getAs[Long]("emd_x1e6"))).toMap
+    assert(got === want)
+  }
 }
