@@ -507,6 +507,15 @@ object AuditQueries {
     "quality_auc_stream" -> ((s, dir) =>
       TableProfile.rocAucFromCounts(foldedClassifierCounts(s, dir))),
 
+    // The live operating-point table — the DECISION leg off the same
+    // registers: the folded counts ride operatingPointsFromCounts,
+    // pinned to the ONE-PASS operating-point oracle verbatim. With this
+    // the full calibration story (ranking, decision, magnitude, rank
+    // normalizer) reads live off ONE register store.
+    "quality_operating_points_stream" -> ((s, dir) =>
+      TableProfile.operatingPointsFromCounts(
+        foldedClassifierCounts(s, dir).withColumnRenamed("_s", "threshold"))),
+
     // The calibration story's THIRD leg live (AUC ranks, operating
     // points decide, reliability grades the MAGNITUDE): the same
     // two-batch register fold re-bucketed by reliabilityCurveFromCounts
@@ -566,6 +575,32 @@ object AuditQueries {
        |  CAST(1000000 * num // (2 * CAST(n_pos AS HUGEINT) * n_neg)
        |    AS BIGINT) AS auc_x1e6
        |FROM a""".stripMargin.replace("\n", " ")
+
+  /** The one-pass stub-classifier operating-point oracle — shared
+    * verbatim by the batch gate (`quality_classifier_operating_points`)
+    * and the streaming register fold (`quality_operating_points_stream`).
+    */
+  private val classifierOpsSqlDuck: String =
+      s"""WITH f AS (SELECT lang = 'en' AS y,
+         |  ${graft.llm.QualityRules.stubEduScoreSqlDuck} AS sc FROM documents
+         |  WHERE lang IS NOT NULL AND text IS NOT NULL),
+         |s AS (SELECT sc AS threshold,
+         |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |  CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+         |  FROM f GROUP BY 1),
+         |c AS (SELECT threshold,
+         |  CAST(sum(np) OVER (ORDER BY threshold DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+         |  CAST(sum(nn) OVER (ORDER BY threshold DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+         |  FROM s),
+         |t AS (SELECT CAST(sum(np) AS BIGINT) AS p,
+         |  CAST(sum(nn) AS BIGINT) AS n FROM s)
+         |SELECT threshold, tp, fp, p - tp AS fn, n - fp AS tn,
+         |  tp * 1000 // (tp + fp) AS precision_permille,
+         |  tp * 1000 // p AS recall_permille,
+         |  2 * tp * 1000 // (2 * tp + fp + (p - tp)) AS f1_permille
+         |FROM c, t""".stripMargin.replace("\n", " ")
 
   /** The one-pass stub-classifier reliability oracle — shared verbatim
     * by the batch gate (`quality_classifier_reliability`) and the
@@ -986,27 +1021,11 @@ object AuditQueries {
     // the ONE-PASS AUC — the oracle IS the one-pass audit's, verbatim
     "quality_auc_stream" -> classifierAucSqlDuck,
 
-    "quality_classifier_operating_points" ->
-      s"""WITH f AS (SELECT lang = 'en' AS y,
-         |  ${graft.llm.QualityRules.stubEduScoreSqlDuck} AS sc FROM documents
-         |  WHERE lang IS NOT NULL AND text IS NOT NULL),
-         |s AS (SELECT sc AS threshold,
-         |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
-         |  CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
-         |  FROM f GROUP BY 1),
-         |c AS (SELECT threshold,
-         |  CAST(sum(np) OVER (ORDER BY threshold DESC
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
-         |  CAST(sum(nn) OVER (ORDER BY threshold DESC
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
-         |  FROM s),
-         |t AS (SELECT CAST(sum(np) AS BIGINT) AS p,
-         |  CAST(sum(nn) AS BIGINT) AS n FROM s)
-         |SELECT threshold, tp, fp, p - tp AS fn, n - fp AS tn,
-         |  tp * 1000 // (tp + fp) AS precision_permille,
-         |  tp * 1000 // p AS recall_permille,
-         |  2 * tp * 1000 // (2 * tp + fp + (p - tp)) AS f1_permille
-         |FROM c, t""".stripMargin.replace("\n", " "),
+    "quality_classifier_operating_points" -> classifierOpsSqlDuck,
+
+    // the register identity, decision leg: the folded count table must
+    // land on the ONE-PASS operating-point table — oracle verbatim
+    "quality_operating_points_stream" -> classifierOpsSqlDuck,
 
     "embedding_probe_auc" ->
       s"""WITH v AS (SELECT vec_id, label < 5 AS y,

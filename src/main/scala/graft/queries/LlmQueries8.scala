@@ -48,6 +48,21 @@ object LlmQueries8 {
   private val EcdfCuts = Seq(334L, 667L) // rank-band curriculum cuts:
   // bottom / middle / top thirds of the score distribution
 
+  /** The keep-best gates' shared scored corpus: fixture docs plus a
+    * minted 'mirror0' syndicated copy of every doc (id-offset), so
+    * every text is a real >=2-copy group decided by source score at
+    * every SF.
+    */
+  private def keepBestCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), col("source"))
+    base.unionByName(base.select(
+        (col("doc_id") + MirrorIdOffset).as("doc_id"), col("text"),
+        lit("mirror0").as("source")))
+      .withColumn("src_score", Sampling.hashPermille(col("source")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Semantic decontamination report: corpus vectors whose cosine
@@ -103,16 +118,25 @@ object LlmQueries8 {
     // syndicated copy of every doc (id-offset) — every text is then a
     // real ≥2-copy group and the winner is decided by source score at
     // EVERY scale, not just where the generator happened to collide.
-    "dedup_keep_best" -> ((s, dir) => {
-      val base = Tables.documents(s, dir)
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), col("text"), col("source"))
-      val mirrored = base.unionByName(base.select(
-        (col("doc_id") + MirrorIdOffset).as("doc_id"), col("text"),
-        lit("mirror0").as("source")))
-      val docs = mirrored.withColumn("src_score",
-        Sampling.hashPermille(col("source")))
-      Dedup.bestOccurrences(docs, "doc_id", "text", col("src_score"))
+    "dedup_keep_best" -> ((s, dir) =>
+      Dedup.bestOccurrences(keepBestCorpus(s, dir), "doc_id", "text",
+        col("src_score"))
+        .select("doc_id", "source", "src_score")),
+
+    // Keep-best's register identity in-plan: per-group argmax survivors
+    // MERGE (best-of(A ∪ B) == best-of(best-of A ∪ best-of B) per text
+    // hash), so an ingest stream maintains the canonical set by
+    // re-reducing each batch's winners against state — two doc_id-parity
+    // legs of bestOccurrences re-reduced through the SAME operator,
+    // oracle shared verbatim with dedup_keep_best.
+    "dedup_keep_best_stream" -> ((s, dir) => {
+      val docs = keepBestCorpus(s, dir)
+      def leg(pred: org.apache.spark.sql.Column) =
+        Dedup.bestOccurrences(docs.filter(pred), "doc_id", "text",
+          col("src_score"))
+      Dedup.bestOccurrences(
+        leg(col("doc_id") % 2 === 0).unionByName(leg(col("doc_id") % 2 === 1)),
+        "doc_id", "text", col("src_score"))
         .select("doc_id", "source", "src_score")
     }),
 
@@ -392,18 +416,11 @@ object LlmQueries8 {
         .stripMargin.replace("\n", " ")
     },
 
-    "dedup_keep_best" ->
-      s"""WITH base AS (SELECT doc_id, text, source FROM documents
-         |  WHERE text IS NOT NULL),
-         |mirrored AS (SELECT * FROM base UNION ALL
-         |  SELECT doc_id + $MirrorIdOffset, text, 'mirror0' FROM base),
-         |sc AS (SELECT doc_id, text, source,
-         |  ${permilleDuck("source")} AS src_score FROM mirrored),
-         |r AS (SELECT doc_id, source, src_score, row_number() OVER (
-         |    PARTITION BY md5(text)
-         |    ORDER BY src_score DESC, doc_id) AS rn FROM sc)
-         |SELECT doc_id, source, src_score FROM r WHERE rn = 1"""
-        .stripMargin.replace("\n", " "),
+    "dedup_keep_best" -> keepBestSqlDuck,
+
+    // the register identity: per-batch winners re-reduced must land on
+    // the ONE-PASS canonical set — oracle shared verbatim
+    "dedup_keep_best_stream" -> keepBestSqlDuck,
 
     "cluster_balanced_select" -> {
       def cos(dot: String, n1: String, n2: String) =
@@ -556,6 +573,23 @@ object LlmQueries8 {
        |  coalesce(max(n_b0), 0) AS n_b,
        |  CAST(sum(abs(s_a // n_a0 - s_b // n_b0)) AS BIGINT) AS drift_l1
        |FROM j GROUP BY 1""".stripMargin.replace("\n", " ")
+
+  /** The one-pass keep-best oracle — shared verbatim by the batch gate
+    * (`dedup_keep_best`) and the per-batch-winners fold
+    * (`dedup_keep_best_stream`).
+    */
+  private val keepBestSqlDuck: String =
+      s"""WITH base AS (SELECT doc_id, text, source FROM documents
+         |  WHERE text IS NOT NULL),
+         |mirrored AS (SELECT * FROM base UNION ALL
+         |  SELECT doc_id + $MirrorIdOffset, text, 'mirror0' FROM base),
+         |sc AS (SELECT doc_id, text, source,
+         |  ${permilleDuck("source")} AS src_score FROM mirrored),
+         |r AS (SELECT doc_id, source, src_score, row_number() OVER (
+         |    PARTITION BY md5(text)
+         |    ORDER BY src_score DESC, doc_id) AS rn FROM sc)
+         |SELECT doc_id, source, src_score FROM r WHERE rn = 1"""
+        .stripMargin.replace("\n", " ")
 
   /** The one-pass ECDF oracle — shared verbatim by the batch gate
     * (`quality_score_ecdf`) and the register fold

@@ -209,12 +209,26 @@ class PrivacySpec extends SparkSpecBase {
     val rnd = new scala.util.Random(89)
     val rows = (1L to 1500L).map(i =>
       (i, s"text${rnd.nextInt(120)}", rnd.nextInt(8).toLong))
-    val got = graft.llm.Dedup.bestByKey(rows.toDF("doc_id", "text", "score"),
-        "doc_id", col("text"), col("score"))
+    val df = rows.toDF("doc_id", "text", "score")
+    val got = graft.llm.Dedup.bestByKey(df, "doc_id", col("text"),
+        col("score"))
       .select("doc_id").as[Long].collect().toSet
     val want = rows.groupBy(_._2).values.map(g =>
       g.maxBy(r => (r._3, -r._1))._1).toSet
     assert(got === want)
+    // the register identity: per-batch winners re-reduced through the
+    // SAME operator equal the one-pass canonical set
+    def leg(pred: org.apache.spark.sql.Column) =
+      graft.llm.Dedup.bestByKey(df.filter(pred), "doc_id", col("text"),
+        col("score"))
+    val folded = graft.llm.Dedup.bestByKey(
+        leg(col("doc_id") % 3 === 0)
+          .unionByName(leg(col("doc_id") % 3 === 1))
+          .unionByName(leg(col("doc_id") % 3 === 2)),
+        "doc_id", col("text"), col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(folded === want,
+      "best-of of the per-batch bests must equal best-of of everything")
   }
 
   test("tCloseness property: equals the brute-force integer EMD on " +
