@@ -24,9 +24,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val lintHits = scala.collection.mutable.ListBuffer.empty[PlanLint.Hit]
     SparkEntry.queries.filter { case (n, _) => only.isEmpty || only(n) }.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // static scale-envelope lint rides every dump (PlanLintSpec is
+        // the hard gate; here the artifact lands next to the parquet so
+        // the driver's round record carries it)
+        try lintHits ++= PlanLint.lintPlan(name, df.queryExecution.sparkPlan)
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name lint errored: ${e.getMessage}")
+        }
+        df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -52,6 +63,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/plan_lint.json"),
+      PlanLint.toJson(sfDir, SparkEntry.queries.size, lintHits.toList))
+    lintHits.filterNot(_.allowed).foreach(h =>
+      System.err.println(s"[verify] PLAN LINT unexplained ${h.rule} in ${h.query} (${h.node})"))
     spark.stop()
   }
 }

@@ -339,7 +339,7 @@ object Decontam {
       .select(col("vec_id").as("eval_id"),
         Similarity.quantize(col("embedding")).as("ev"))
       .withColumn("ne", Similarity.dotQ("ev", "ev"))
-    c.join(broadcast(e))
+    c.crossJoin(broadcast(e))
       .withColumn("cos_sim",
         Similarity.cosineFromInts(Similarity.dotQ("qv", "ev"),
           col("nv"), col("ne")))

@@ -133,10 +133,24 @@ object Dedup {
     require(!docs.columns.contains("_bo_h") && !docs.columns.contains("_bo_row")
         && !docs.columns.contains("_bo_key"),
       "input already contains an internal working column (_bo_h/_bo_row/_bo_key)")
+    // the tie-break rides an ORDER-REVERSED id inside the max_by key, so
+    // the id must be integral: a string id would implicitly cast to
+    // double (NULL on non-numeric — a silently nondeterministic
+    // tie-break), so refuse it loudly here
+    val idType = docs.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"bestByKey tie-breaks on the id and requires an integral id " +
+        s"column; got $idCol: ${idType.simpleString}")
     val cols = docs.columns
     docs
+      // bitwise NOT (~x = -x-1) is the overflow-free order reversal:
+      // arithmetic negation maps Long.MinValue to itself, flipping that
+      // one id from strongest to weakest tie-break
       .withColumn("_bo_key", struct(scoreCol.as("s"),
-        (-col(idCol)).as("negid")))
+        bitwise_not(col(idCol)).as("negid")))
       .filter(col("_bo_key").getField("s").isNotNull)
       .groupBy(keyCol.as("_bo_h"))
       .agg(max_by(struct(cols.map(col): _*), col("_bo_key")).as("_bo_row"))

@@ -189,4 +189,50 @@ object Privacy {
       .select(qn.map(col) :+ col("class_size") :+
         expr(s"_semd div ${buckets - 1}L").as("emd_x1e6"): _*)
   }
+
+  /** Integer EMD between TWO register tables `(groups…, _b, _n)` per
+    * group — the [[tClosenessFromCounts]] walk generalized from
+    * class-vs-global to side-vs-side: the distribution-drift distance
+    * between a baseline and a fresh window of the same registers (the
+    * [[graft.streaming.TableMonitors]] drift panel). Groups present on
+    * only ONE side get NULL emd — a vanished or newborn group IS drift
+    * (the [[Similarity.centroidDriftFromSums]] discipline); both-sided
+    * groups get the exact mean-|CDF gap| ×1e6. Registers need not be
+    * pre-merged — each side is summed to one row per (groups…, _b)
+    * here. All bounded: group×buckets scaffold, buckets-sized cumsum
+    * windows. Output: (groups…, n_a, n_b, emd_x1e6).
+    */
+  def emdBetweenCounts(a: DataFrame, b: DataFrame, groups: Seq[String],
+      buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groups.nonEmpty, "need at least one group column")
+    require(buckets >= 2 && buckets <= 10000, s"2..10000 buckets, got $buckets")
+    val spark = a.sparkSession
+    val gb = groups :+ "_b"
+    val ra = a.groupBy(gb.map(col): _*).agg(sum("_n").as("_na"))
+    val rb = b.groupBy(gb.map(col): _*).agg(sum("_n").as("_nb"))
+    val keys = graft.util.Materialize.stable(
+      ra.select(groups.map(col): _*)
+        .unionByName(rb.select(groups.map(col): _*)).distinct())
+    val ta = ra.groupBy(groups.map(col): _*).agg(sum("_na").as("n_a"))
+    val tb = rb.groupBy(groups.map(col): _*).agg(sum("_nb").as("n_b"))
+    val scaffold = keys
+      .crossJoin(spark.range(buckets).select(col("id").as("_b")))
+    val w = Window.partitionBy(groups.map(col): _*).orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scaffold
+      .join(ra, gb, "left").join(rb, gb, "left")
+      .withColumn("_ca", sum(coalesce(col("_na"), lit(0L))).over(w))
+      .withColumn("_cb", sum(coalesce(col("_nb"), lit(0L))).over(w))
+      .join(ta, groups, "left").join(tb, groups, "left")
+      .groupBy(groups.map(col): _*)
+      .agg(
+        coalesce(max("n_a"), lit(0L)).as("n_a"),
+        coalesce(max("n_b"), lit(0L)).as("n_b"),
+        when(max("n_a").isNull || max("n_b").isNull,
+          lit(null).cast("long"))
+          .otherwise(expr(s"sum(abs(_ca * 1000000 div n_a " +
+            s"- _cb * 1000000 div n_b)) div ${buckets - 1}L"))
+          .as("emd_x1e6"))
+  }
 }

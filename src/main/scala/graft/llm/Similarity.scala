@@ -162,27 +162,108 @@ object Similarity {
     * Output: (qid, q_label, cid, c_label, rank, cos_sim).
     */
   def hardNegatives(corpus: DataFrame, anchors: DataFrame,
-      labelCol: String, k: Int): DataFrame = {
+      labelCol: String, k: Int,
+      maxAnchors: Long = MaxBruteForceAnchors): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be >= 1, got $k")
+    val scored = labeledScored(corpus, anchors, labelCol, maxAnchors,
+        "hardNegatives")
+      .filter(col("c_label") =!= col("q_label"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "q_label", "cid", "c_label", "rank", "cos_sim")
+  }
+
+  /** Hard upper bound on the brute-force mining forms' anchor set: the
+    * anchors are BROADCAST and scanned against every corpus row, so the
+    * plan is sound only while the anchor count is register-sized. Past
+    * this, use [[hardNegativesIvf]] — candidates come from the IVF index
+    * and neither side is corpus-broadcast.
+    */
+  val MaxBruteForceAnchors = 100000L
+
+  /** Shared (anchors, corpus, scored) construction for the brute-force
+    * contrastive-mining legs ([[hardNegatives]], [[contrastiveTriples]]):
+    * label-cast + NULL-guard both sides (the guard runs on the CASTED
+    * label — a non-numeric label casts to NULL and must exclude the row,
+    * not silently corrupt the mining), quantize + norm, then the
+    * broadcast-anchor × widened-corpus scan with exact integer cosine.
+    * One definition, so a fix to the prep cannot drift between the legs.
+    *
+    * The anchor bound is ENFORCED, not assumed (the
+    * [[graft.ops.TableProfile]] `boundedScoreTable` idiom): the anchor
+    * side is counted EAGERLY and refused loudly past `maxAnchors` before
+    * the corpus-sized scan job is submitted — the production shape that
+    * mines for EVERY document (|Q| ≈ N) would otherwise silently turn
+    * this plan into an N² scan with a corpus-sized broadcast.
+    */
+  private def labeledScored(corpus: DataFrame, anchors: DataFrame,
+      labelCol: String, maxAnchors: Long, who: String): DataFrame = {
+    require(maxAnchors >= 1, s"$who: maxAnchors must be >= 1")
     val q = anchors
       .select(col("vec_id").as("qid"), col(labelCol).cast("long").as("q_label"),
         quantize(col("embedding")).as("qv"))
-      // the guard runs on the CASTED label: a non-numeric label casts to
-      // NULL and must exclude the row, not silently corrupt the mining
       .filter(col("q_label").isNotNull)
       .withColumn("nq", dotQ("qv", "qv"))
+    val nAnchors = anchors
+      .select(col(labelCol).cast("long").as("_l")).filter(col("_l").isNotNull)
+      .count()
+    require(nAnchors <= maxAnchors,
+      s"$who: $nAnchors anchors exceed the declared brute-force bound of " +
+        s"$maxAnchors — the broadcast anchor scan is O(|corpus|·|anchors|) " +
+        "and sound only for a register-sized anchor set. Mine through the " +
+        "IVF index (hardNegativesIvf) instead, or raise maxAnchors only " +
+        "if the anchor set provably stays bounded at full scale.")
     val c = Dedup.widen(corpus)
       .select(col("vec_id").as("cid"), col(labelCol).cast("long").as("c_label"),
         quantize(col("embedding")).as("cv"))
       .filter(col("c_label").isNotNull)
       .withColumn("nc", dotQ("cv", "cv"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("cid") =!= col("qid") && col("c_label") =!= col("q_label"))
-      .withColumn("dot", dotQ("qv", "cv"))
-      .withColumn("cos_sim", cosineFromInts(col("dot"), col("nq"), col("nc")))
+    c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos_sim", cosineFromInts(dotQ("qv", "cv"), col("nq"), col("nc")))
+  }
+
+  /** INDEX-BACKED hard-negative mining — the production form of
+    * [[hardNegatives]] for the |anchors| ≈ |corpus| regime (mining
+    * negatives for EVERY training document), where the brute-force
+    * broadcast scan is N² and the broadcast side no longer fits.
+    * Candidates come from the IVF coarse quantizer instead: both sides
+    * are cell-assigned against one broadcast centroid table (anchors
+    * probe their `nprobe` nearest cells), candidates = same cell, the
+    * label-mismatch predicate fused into the cell join's filter, exact
+    * integer-cosine rerank within candidates. The [[semanticDedup]]
+    * candidate-bounding argument applies verbatim: per-anchor work is
+    * bounded by its probed cells' occupancy (N·nprobe/C expected), the
+    * only shuffle is the cell-keyed equi-join, and NOTHING corpus-sized
+    * is ever broadcast — so the plan survives anchors == corpus.
+    *
+    * Same mining semantics as [[hardNegatives]] (NULL labels excluded
+    * both sides, ties break on smallest cid), approximate in exactly the
+    * IVF sense: a negative outside the probed cells is missed, graded by
+    * the same recall audit as the positive path ([[ivfRecall]]).
+    * Output: (qid, q_label, cid, c_label, rank, cos_sim).
+    */
+  def hardNegativesIvf(corpus: DataFrame, anchors: DataFrame,
+      labelCol: String, k: Int, numCentroids: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(numCentroids >= 1, s"numCentroids must be >= 1, got $numCentroids")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val lab = col(labelCol).cast("long")
+    val corpusL = corpus.filter(lab.isNotNull)
+    val cents = graft.util.Materialize.stable(
+      sampledCentroids(corpusL, numCentroids))
+    val c = assignCells(corpusL, cents, "cid", "cv", "nc", keep = 1,
+      carry = Seq("c_label" -> lab))
+    val q = assignCells(anchors.filter(lab.isNotNull), cents,
+      "qid", "qv", "nq", keep = nprobe, carry = Seq("q_label" -> lab))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w))
+    c.join(q, Seq("cell"))
+      .filter(col("cid") =!= col("qid") && col("c_label") =!= col("q_label"))
+      .withColumn("cos_sim", cosineFromInts(dotQ("qv", "cv"), col("nq"), col("nc")))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "q_label", "cid", "c_label", "rank", "cos_sim")
   }
@@ -212,23 +293,11 @@ object Similarity {
     * Output: (qid, q_label, pos_id, pos_cos, neg_id, neg_cos, margin).
     */
   def contrastiveTriples(corpus: DataFrame, anchors: DataFrame,
-      labelCol: String): DataFrame = {
+      labelCol: String,
+      maxAnchors: Long = MaxBruteForceAnchors): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = anchors
-      .select(col("vec_id").as("qid"), col(labelCol).cast("long").as("q_label"),
-        quantize(col("embedding")).as("qv"))
-      // the guard runs on the CASTED label: a non-numeric label casts to
-      // NULL and must exclude the row, not silently corrupt the mining
-      .filter(col("q_label").isNotNull)
-      .withColumn("nq", dotQ("qv", "qv"))
-    val c = Dedup.widen(corpus)
-      .select(col("vec_id").as("cid"), col(labelCol).cast("long").as("c_label"),
-        quantize(col("embedding")).as("cv"))
-      .filter(col("c_label").isNotNull)
-      .withColumn("nc", dotQ("cv", "cv"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("cid") =!= col("qid"))
-      .withColumn("cos_sim", cosineFromInts(dotQ("qv", "cv"), col("nq"), col("nc")))
+    val scored = labeledScored(corpus, anchors, labelCol, maxAnchors,
+        "contrastiveTriples")
       .withColumn("_same", col("c_label") === col("q_label"))
       .select("qid", "q_label", "cid", "cos_sim", "_same")
     val w = Window.partitionBy("qid", "_same")
@@ -468,12 +537,18 @@ object Similarity {
 
   /** Assign each vector its `keep` nearest centroids by exact integer
     * cosine (broadcast centroid table; per-vector top-keep via
-    * WindowGroupLimit).
+    * WindowGroupLimit). `carry` rides extra named columns (evaluated
+    * against the raw input) through the assignment — the labeled mining
+    * path ([[hardNegativesIvf]]) carries the label so the mismatch
+    * predicate can fuse into the downstream cell join.
     */
   private def assignCells(df: DataFrame, cents: DataFrame,
-      id: String, v: String, n: String, keep: Int): DataFrame = {
+      id: String, v: String, n: String, keep: Int,
+      carry: Seq[(String, Column)] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = Dedup.widen(df).select(col("vec_id").as(id), quantize(col("embedding")).as(v))
+    val base = Dedup.widen(df).select(
+        Seq(col("vec_id").as(id), quantize(col("embedding")).as(v)) ++
+          carry.map { case (nm, c) => c.as(nm) }: _*)
       .withColumn(n, dotQ(v, v))
     val w = Window.partitionBy(col(id))
       .orderBy(col("_cent_cos").desc, col("cent_id"))
@@ -482,7 +557,8 @@ object Similarity {
         cosineFromInts(dotQ(v, "centv"), col(n), col("ncent")))
       .withColumn("_crn", row_number().over(w))
       .filter(col("_crn") <= keep)
-      .select(col(id), col(v), col(n), col("cent_id").as("cell"))
+      .select(Seq(col(id), col(v), col(n), col("cent_id").as("cell")) ++
+        carry.map { case (nm, _) => col(nm) }: _*)
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame,

@@ -77,6 +77,11 @@ object EventAnalytics {
     val w = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol).desc, col(idCol).desc)
     recent
+      // at-least-once replay can deliver the same survivor row in two
+      // batches of the union; without this the duplicate gets two ranks
+      // and corrupts the history string (repeated ids, inflated
+      // n_recent). Idempotence here is the union-merge contract.
+      .dropDuplicates(Seq(userCol, idCol, tsCol))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= n)
       .groupBy(col(userCol))

@@ -188,6 +188,16 @@ object LlmQueries {
         "label", k = 5)
     }),
 
+    // Index-backed mining — the |anchors| ≈ |corpus| production form:
+    // candidates from the IVF cell join (ann_ivf_topk geometry), the
+    // label-mismatch predicate fused into the cell join, nothing
+    // corpus-sized broadcast.
+    "ann_hard_negatives_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegativesIvf(emb, emb.filter(col("vec_id") < 50),
+        "label", k = 5, numCentroids = 16, nprobe = 3)
+    }),
+
     "ann_lsh_bucketed" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 50), k = 5)
@@ -424,6 +434,40 @@ object LlmQueries {
          |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank FROM s)
          |SELECT qid, q_label, cid, c_label, rank, cos_sim FROM r
          |WHERE rank <= 5""".stripMargin.replace("\n", " "),
+
+    // the ann_ivf_topk CTEs over the label-guarded corpus, with the
+    // label-mismatch predicate fused into the cell-candidate join
+    "ann_hard_negatives_ivf" -> {
+      def cos(dot: String, n1: String, n2: String) =
+        s"CAST($dot AS DOUBLE) / (sqrt(CAST($n1 AS DOUBLE)) * sqrt(CAST($n2 AS DOUBLE)))"
+      s"""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |  $quantDuck AS qv FROM embeddings WHERE CAST(label AS BIGINT) IS NOT NULL),
+         |n AS (SELECT vec_id, label, qv,
+         |  ${Similarity.dotQSqlDuck("qv", "qv")} AS nrm FROM v),
+         |cents AS (SELECT vec_id AS cent_id, qv AS centv, nrm AS ncent FROM
+         |  (SELECT vec_id, qv, nrm FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+         |ca AS (SELECT vec_id, label, qv, nrm, cent_id AS cell FROM (
+         |  SELECT n.vec_id, n.label, n.qv, n.nrm, c.cent_id,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ${cos(Similarity.dotQSqlDuck("n.qv", "c.centv"), "n.nrm", "c.ncent")} DESC,
+         |      c.cent_id) AS crn
+         |  FROM n, cents c) WHERE crn = 1),
+         |qa AS (SELECT vec_id, label, qv, nrm, cent_id AS cell FROM (
+         |  SELECT nq.vec_id, nq.label, nq.qv, nq.nrm, c.cent_id,
+         |    row_number() OVER (PARTITION BY nq.vec_id ORDER BY
+         |      ${cos(Similarity.dotQSqlDuck("nq.qv", "c.centv"), "nq.nrm", "c.ncent")} DESC,
+         |      c.cent_id) AS crn
+         |  FROM (SELECT * FROM n WHERE vec_id < 50) nq, cents c) WHERE crn <= 3),
+         |p AS (SELECT qa.vec_id AS qid, qa.label AS q_label,
+         |    ca.vec_id AS cid, ca.label AS c_label,
+         |    ${cos(Similarity.dotQSqlDuck("qa.qv", "ca.qv"), "qa.nrm", "ca.nrm")} AS cos_sim
+         |  FROM qa JOIN ca ON qa.cell = ca.cell AND ca.vec_id <> qa.vec_id
+         |    AND ca.label <> qa.label),
+         |r AS (SELECT qid, q_label, cid, c_label, cos_sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank FROM p)
+         |SELECT qid, q_label, cid, c_label, rank, cos_sim FROM r
+         |WHERE rank <= 5""".stripMargin.replace("\n", " ")
+    },
 
     "ann_lsh_bucketed" ->
       s"""WITH v AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),

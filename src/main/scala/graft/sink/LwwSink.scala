@@ -251,14 +251,45 @@ final class BucketedParquetStateStore(
   // underscore prefix: Spark's file index treats it as metadata (like
   // _SUCCESS) and never reads it as data
   private val bucketMarker: Path = path.resolve("_graft_buckets")
+  private val rebucketTmp: Path = Paths.get(dir + ".rebucket.tmp")
+  private val rebucketOld: Path = Paths.get(dir + ".rebucket.old")
+
+  /** Crash recovery for [[rebucketTo]]'s two-move swap window (the
+    * [[ParquetStateStore.recoverIfInterrupted]] discipline): a death
+    * between `move(dir → old)` and `move(tmp → dir)` leaves only the
+    * backup — restore it (the interrupted rebucket simply re-runs);
+    * any other tmp/old residue next to an intact store is debris.
+    */
+  private def recoverIfInterrupted(): Unit = {
+    // a partitioned overwrite leaves no root _SUCCESS, so store
+    // presence is detected by the layout's own signature: _bucket= dirs
+    def looksLikeStore(p: Path): Boolean =
+      Files.exists(p) && {
+        val s = Files.list(p)
+        try s.anyMatch(q => q.getFileName.toString.startsWith("_bucket="))
+        finally s.close()
+      }
+    if (looksLikeStore(path)) {
+      StateLayout.deleteRec(rebucketTmp)
+      StateLayout.deleteRec(rebucketOld)
+    } else if (looksLikeStore(rebucketOld)) {
+      StateLayout.deleteRec(path) // marker-only / partial dir is debris
+      StateLayout.deleteRec(rebucketTmp)
+      Files.move(rebucketOld, path, StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      StateLayout.deleteRec(rebucketTmp)
+    }
+  }
 
   /** Fail fast on a bucket-count change over existing state: key routing
     * is pmod(hash(key), numBuckets), so a different count would prune the
     * state scan to the wrong bucket and silently write duplicate rows per
     * key. The count is persisted on first write; an empty store (fresh or
-    * fully truncated) may adopt a new count.
+    * fully truncated) may adopt a new count; a GROWN store re-buckets
+    * through [[rebucketTo]], never through this constructor.
     */
   private def ensureBucketCount(): Unit = {
+    recoverIfInterrupted()
     val hasState = exists
     if (hasState && Files.exists(bucketMarker)) {
       val persisted = Files.readString(bucketMarker).trim.toInt
@@ -273,14 +304,60 @@ final class BucketedParquetStateStore(
     }
   }
 
-  def exists: Boolean =
+  def exists: Boolean = {
+    recoverIfInterrupted()
     Files.exists(path) && {
       val s = Files.list(path) // close the directory stream's fd
       try s.anyMatch(p => p.getFileName.toString.startsWith("_bucket="))
       finally s.close()
     }
+  }
 
-  def read(): DataFrame = spark.read.parquet(dir).drop("_bucket")
+  def read(): DataFrame = {
+    recoverIfInterrupted()
+    spark.read.parquet(dir).drop("_bucket")
+  }
+
+  /** ONLINE BUCKET-COUNT EVOLUTION — the scale path for a state table
+    * that outgrows its bucket count (per-bucket files too large, upsert
+    * parallelism capped at numBuckets): split every old bucket into
+    * `newNumBuckets / numBuckets` sub-buckets. The multiple-of
+    * constraint is what makes this ONE local pass: `hash mod new`
+    * preserves `hash mod old`, so every row stays inside its old
+    * bucket's residue class — each scan task fans its rows into ≤k new
+    * partition dirs with NO exchange, and old buckets re-bucket
+    * independently. The rewrite lands in a `.rebucket.tmp` sibling and
+    * swaps in with the two-move + backup discipline
+    * ([[ParquetStateStore.swapIn]] / the Compaction crash-safe swap, at
+    * store scope); a crash at any point is healed by
+    * [[recoverIfInterrupted]] rolling back to the intact backup. Call
+    * between micro-batches (the upsert path is quiesced, as for any
+    * maintenance op). Returns the store handle at the new count; THIS
+    * handle's count is stale afterwards and its next use fails the
+    * marker check loudly.
+    */
+  def rebucketTo(newNumBuckets: Int): BucketedParquetStateStore = {
+    ensureBucketCount()
+    require(newNumBuckets > numBuckets && newNumBuckets % numBuckets == 0,
+      s"newNumBuckets must be a multiple of the current $numBuckets and " +
+        s"larger, got $newNumBuckets — a non-multiple would scatter keys " +
+        "across old-bucket boundaries and force a full shuffle")
+    if (exists) {
+      StateLayout.deleteRec(rebucketTmp)
+      spark.read.parquet(dir).drop("_bucket")
+        .withColumn("_bucket",
+          pmod(hash(keys.map(col): _*), lit(newNumBuckets)))
+        .write.mode(SaveMode.Overwrite).partitionBy("_bucket")
+        .parquet(rebucketTmp.toString)
+      Files.writeString(rebucketTmp.resolve("_graft_buckets"),
+        newNumBuckets.toString)
+      StateLayout.deleteRec(rebucketOld)
+      Files.move(path, rebucketOld, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(rebucketTmp, path, StandardCopyOption.ATOMIC_MOVE)
+      StateLayout.deleteRec(rebucketOld)
+    } else Files.writeString(bucketMarker, newNumBuckets.toString)
+    new BucketedParquetStateStore(spark, dir, keys, tsCol, tieCol, newNumBuckets)
+  }
 
   /** LWW-merge a (pre-compacted, one row per key) batch into state. */
   def upsert(batch: DataFrame): Unit = {

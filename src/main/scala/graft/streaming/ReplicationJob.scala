@@ -133,7 +133,15 @@ object ReplicationJob {
         * fails the stream loudly instead. Off by default — direct batch
         * tests use tiny synthetic positions.
         */
-      tsSanityBoundsUs: Option[(Long, Long)] = None)
+      tsSanityBoundsUs: Option[(Long, Long)] = None,
+      /** Opt-in per-table stream monitors ([[TableMonitors]]): each
+        * micro-batch folds its VALID rows into the monitor's
+        * replay-idempotent registers (privacy / drift panels riding the
+        * CDC stream — the path the reference's alerting rides). Off by
+        * default: each monitor adds one batch-sized partial agg + a
+        * register write per trigger.
+        */
+      monitors: Seq[TableMonitors.TableMonitor] = Nil)
 
   /** One micro-batch of the sink side: validation split → DLQ append →
     * LWW compaction → idempotent upsert. Exposed for batch tests and
@@ -290,6 +298,13 @@ object ReplicationJob {
         }
       }
     }
+    // Per-table monitors fold the batch's valid rows into their register
+    // stores — per-_batch_id dynamic overwrite inside, so a replayed
+    // micro-batch replaces its own counts (same idempotence as the DLQ
+    // write above). Alert evaluation is the CALLER's read (panel() /
+    // alerts()) — the fold itself must never fail the replication batch
+    // on a panel-side bound.
+    cfg.monitors.foreach(_.recordBatch(valid, batchId))
     cfg.metrics.foreach { r =>
       val byOp = valid.groupBy("event_type").count()
         .collect().map(x => x.getString(0) -> x.getLong(1)).toSeq

@@ -464,6 +464,47 @@ class DedupSimilaritySpec extends SparkSpecBase {
       vecs.filter(col("vec_id") === 4), "label", k = 2).count() === 0L)
   }
 
+  test("hardNegativesIvf: index-mined == brute-force on fully-covered " +
+    "anchors; overall recall floor; the brute-force anchor bound refuses " +
+    "an oversized anchor set loudly") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val anchors = emb.filter(col("vec_id") < 50)
+    val bf = Similarity.hardNegatives(emb, anchors, "label", k = 5)
+      .select("qid", "cid", "rank", "cos_sim")
+      .as[(Long, Long, Int, Double)].collect().groupBy(_._1)
+    val ivf = Similarity.hardNegativesIvf(emb, anchors, "label", k = 5,
+        numCentroids = 16, nprobe = 3)
+      .select("qid", "cid", "rank", "cos_sim")
+      .as[(Long, Long, Int, Double)].collect().groupBy(_._1)
+    assert(ivf.keySet.subsetOf(bf.keySet),
+      "the index can only miss candidates, never invent anchors")
+    // exact parity on covered anchors: where the probed cells contained
+    // every brute-force winner (id-set equality), the full rows — ranks
+    // AND cosines — must be identical: same rerank, same tie-break
+    val covered = bf.keys.filter(q =>
+      ivf.get(q).exists(_.map(_._2).toSet == bf(q).map(_._2).toSet)).toSeq
+    assert(covered.nonEmpty, "no anchor fully covered at nprobe=3/16 — " +
+      "the parity leg would be vacuous")
+    covered.foreach { q =>
+      assert(ivf(q).sortBy(_._3).toSeq == bf(q).sortBy(_._3).toSeq,
+        s"anchor $q covered but rows differ")
+    }
+    // honest overall floor on uniform-random fixtures (worst case for a
+    // coarse quantizer): nprobe 3 of 16 cells must still find a
+    // nontrivial share of the true negatives
+    val recall = ivf.map { case (q, rows) =>
+      rows.map(_._2).toSet.intersect(bf(q).map(_._2).toSet).size
+    }.sum.toDouble / bf.map(_._2.size).sum
+    assert(recall >= 0.2, s"IVF hard-negative recall@5 too low: $recall")
+    // the brute-force form REFUSES an anchor set past its declared bound
+    // before submitting the corpus-sized scan (verdict r14 #1)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(emb, anchors, "label", k = 5, maxAnchors = 10L)
+    }
+    assert(e.getMessage.contains("hardNegativesIvf"),
+      "the refusal must point at the index-backed escape hatch")
+  }
+
   test("contrastiveTriples: best same-label positive + best different-" +
     "label negative per anchor, with the triplet margin; anchors missing " +
     "either side drop") {

@@ -334,6 +334,82 @@ class MultiTableReplicationSpec extends SparkSpecBase {
     }
   }
 
+  test("per-table monitors ride the replication stream: the orders drift " +
+    "alert fires on a shifted batch (plus a newborn-group critical), the " +
+    "privacy panel stays within its bound, and the fold is replay-" +
+    "idempotent") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.TableMonitors
+    val base = tmpDir("mtrepl_mon")
+    val dirs = Dirs(base)
+    val reg = registryWithBoth(base)
+    val (usersCfg, ordersCfg0) = configs(reg, dirs)
+    val drift = new TableMonitors.ValueDrift(spark, s"$base/mon/drift",
+      Seq("op" -> col("event_type")), col("total"),
+      lo = 0L, hi = 512L, buckets = 16, driftX1e6Max = 200000L)
+    val tclose = new TableMonitors.TCloseness(spark, s"$base/mon/tclose",
+      Seq("status" -> col("status")), col("total"),
+      lo = 0L, hi = 512L, buckets = 16, tX1e6Max = 2000000L)
+    val ordersCfg = ordersCfg0.copy(monitors = Seq(drift, tclose))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dirs.source("users")))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dirs.source("orders")))
+
+    writeUsers(dirs.source("users"), "b0", Seq(
+      (1L, 1000L, "u1", "create", "alice", "a@x")))
+    // batch 0: totals clustered LOW (buckets 0-1 of [0, 512)/16)
+    val b0 = Seq[(Long, Long, String, String, java.lang.Double, String)](
+      (11L, 1000000L, "A", "create", 10.0, "pending"),
+      (12L, 2000000L, "B", "create", 20.0, "pending"),
+      (13L, 3000000L, "C", "create", 30.0, "pending"),
+      (14L, 4000000L, "D", "create", 40.0, "pending"))
+    // batch 1: totals shifted HIGH (buckets 12-14) + a NEWBORN op
+    val b1 = Seq[(Long, Long, String, String, java.lang.Double, String)](
+      (15L, 5000000L, "E", "create", 400.0, "shipped"),
+      (16L, 6000000L, "F", "create", 420.0, "shipped"),
+      (17L, 7000000L, "G", "create", 440.0, "shipped"),
+      (18L, 8000000L, "H", "delete", 450.0, "cancelled"))
+    writeOrders(dirs.source("orders"), "b0", b0)
+    writeOrders(dirs.source("orders"), "b1", b1)
+
+    MultiTableReplication.runAvailableNow(spark, Seq(usersCfg, ordersCfg))
+
+    // drift panel: latest batch vs prior history, per op
+    val panel = drift.panel()
+      .select("op", "n_a", "n_b", "emd_x1e6").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(panel.keySet == Set("create", "delete"), s"panel: $panel")
+    val (cA, cB, cEmd) = panel("create")
+    assert(cA == 4L && cB == 3L, s"create sides: $panel")
+    assert(cEmd.exists(_ > 200000L),
+      s"the low→high shift must exceed the drift bound: $panel")
+    assert(panel("delete")._3.isEmpty,
+      "a newborn op has no baseline: NULL emd IS drift")
+    val alerts = drift.alerts().select("op", "severity").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(alerts == Map("create" -> "warning", "delete" -> "critical"),
+      s"alerts: $alerts")
+
+    // privacy monitor rides the same stream; its bound is not violated
+    assert(tclose.panel().count() > 0)
+    assert(tclose.alerts().isEmpty,
+      "the loose t bound must not fire on this data")
+
+    // users replicated untouched by orders' monitors
+    assert(ReplicationJob.targetState(spark, usersCfg).count() == 1L)
+
+    // replay idempotence: re-folding batch 1's rows under the same
+    // batch id REPLACES its registers — the panel must not move
+    import spark.implicits._
+    val before = drift.panel().collect().toSet
+    drift.recordBatch(
+      b1.toDF("event_id", "ts", "order_id", "event_type", "total", "status"),
+      batchId = 1L)
+    assert(drift.panel().collect().toSet == before,
+      "an at-least-once replay must not double-count registers")
+  }
+
   test("composite-key state store: LWW per (pk1, pk2)") {
     import spark.implicits._
     val dir = tmpDir("composite") + "/state"

@@ -134,6 +134,20 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("WindowGroupLimit"), "window top-k must push the limit down")
   }
 
+  test("IVF hard-negative mining: the ONLY nested-loop joins are the two " +
+    "bounded centroid assignments; candidates come from an equi-join — " +
+    "nothing corpus-sized broadcasts (the anchors==corpus contract)") {
+    val p = plan("ann_hard_negatives_ivf")
+    assert(!p.contains("CartesianProduct"))
+    // two crossJoin(broadcast(cents)) sites — corpus assignment and
+    // anchor probing — each against the FIXED numCentroids-row table;
+    // a third nested-loop join would mean a corpus-sized scan crept in
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"only the centroid assignments may nested-loop:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      "per-anchor top-k must push the limit down")
+  }
+
   test("decontamination broadcasts the eval gram set; corpus never exchanges on the gram key") {
     val p = plan("decontam_overlap")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),

@@ -128,6 +128,61 @@ class StateStoreSpec extends SparkSpecBase {
     assert(store(dir, buckets = 8).read().count() == 1L)
   }
 
+  test("online rebucket 4→16: state preserved bit-exactly, continued " +
+    "LWW upserts route correctly, the stale handle refuses loudly, and " +
+    "a non-multiple target is rejected") {
+    val dir = tmpDir("bstate_grow")
+    val s4 = store(dir, buckets = 4)
+    val init = (1L to 500L).map(i => (i, 100L, i, s"v$i"))
+    s4.upsert(df(init: _*))
+    s4.upsert(df((42L, 500L, 9001L, "pre-grow"))) // LWW overlap pre-grow
+    val before = s4.read().as[(Long, Long, Long, String)].collect().toSet
+
+    val s16 = s4.rebucketTo(16)
+    assert(bucketFiles(dir).size == 16, "state must cover 16 buckets")
+    assert(Files.readString(Paths.get(dir, "_graft_buckets")).trim == "16")
+    assert(s16.read().as[(Long, Long, Long, String)].collect().toSet
+      == before, "rebucket must preserve LWW state bit-exactly")
+
+    // continued upserts find the existing key in its NEW bucket — an
+    // off-by-routing would mint a duplicate row for key 42
+    s16.upsert(df((42L, 900L, 9002L, "post-grow")))
+    assert(s16.read().filter(col("user_id") === 42L)
+      .as[(Long, Long, Long, String)].collect().toSeq
+      == Seq((42L, 900L, 9002L, "post-grow")))
+    assert(s16.read().count() == 500L, "no key may duplicate across buckets")
+
+    // the pre-grow handle's count is stale: refuses, never corrupts
+    val e = intercept[IllegalStateException] {
+      s4.upsert(df((7L, 999L, 9003L, "stale")))
+    }
+    assert(e.getMessage.contains("numBuckets=16"))
+    // shrink / non-multiple growth are rejected up front
+    intercept[IllegalArgumentException] { s16.rebucketTo(8) }
+    intercept[IllegalArgumentException] { s16.rebucketTo(24) }
+  }
+
+  test("rebucket crash between the two moves rolls back to the intact " +
+    "backup; stray tmp debris is cleaned") {
+    val dir = tmpDir("bstate_growcrash") + "/state"
+    val s4 = store(dir, buckets = 4)
+    s4.upsert(df((1L, 100L, 1L, "a"), (2L, 200L, 2L, "b")))
+    val before = s4.read().as[(Long, Long, Long, String)].collect().toSet
+    // simulate a death between move(dir → old) and move(tmp → dir):
+    // the backup holds the whole pre-rebucket state, tmp is half-written
+    Files.move(Paths.get(dir), Paths.get(dir + ".rebucket.old"))
+    Files.createDirectories(Paths.get(dir + ".rebucket.tmp"))
+    Files.writeString(Paths.get(dir + ".rebucket.tmp", "partial"), "x")
+    val s = store(dir, buckets = 4)
+    assert(s.exists, "backup must be restored")
+    assert(!Files.exists(Paths.get(dir + ".rebucket.tmp")),
+      "tmp debris must be cleaned")
+    assert(s.read().as[(Long, Long, Long, String)].collect().toSet == before)
+    // and the re-run rebucket completes normally
+    assert(s.rebucketTo(8).read()
+      .as[(Long, Long, Long, String)].collect().toSet == before)
+  }
+
   test("ReplicationJob streams into the bucketed store when configured") {
     import graft.streaming.ReplicationJob
     val srcDir = tmpDir("bsrc")

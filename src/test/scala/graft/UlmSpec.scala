@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Ulm
+
+class UlmSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "ababab ababab ababab cdcd"),
+    (2L, "ababab cdcd cdcd xyz"),
+    (3L, "q")
+  ).toDF("doc_id", "text")
+
+  test("train: vocabulary covers every single char; costs are nonneg " +
+    "fixed-point NLL; frequent pieces cost less than rare ones") {
+    val m = Ulm.train(docs, "text")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // all single chars of the dict words present
+    "abcdxyzq".foreach(c =>
+      assert(m.contains(c.toString), s"single char $c missing from vocab"))
+    assert(m.values.forall(_._3 >= 0L), "NLL costs are nonnegative")
+    // 'ab' occurs far more often than 'xy' → higher count, lower cost
+    assert(m("ab")._2 > m("xy")._2)
+    assert(m("ab")._3 < m("xy")._3)
+  }
+
+  test("segment: pieces concatenate back to the word, all pieces are " +
+    "vocab members within MaxPieceLen, cost = sum of piece costs, and " +
+    "the repeated bigram word segments into multi-char pieces") {
+    val vocab = Ulm.train(docs, "text")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val seg = Ulm.segment(docs, "text")
+      .as[(String, Long, String, Long, Long)].collect()
+    assert(seg.map(_._1).toSet ===
+      Set("ababab", "cdcd", "xyz", "q"), "every dict word segments")
+    seg.foreach { case (word, _, pieces, n, cost) =>
+      val ps = pieces.split("\\|")
+      assert(ps.mkString("") === word, s"pieces must respell $word")
+      assert(ps.length.toLong === n)
+      assert(ps.forall(p => p.nonEmpty && p.length <= Ulm.MaxPieceLen))
+      assert(ps.forall(vocab.contains), s"non-vocab piece in $pieces")
+      assert(cost === ps.map(vocab).sum,
+        s"$word: path cost must be the sum of its piece costs")
+    }
+    // the dominant repeated bigram: 'ababab' must NOT fall back to
+    // single chars (6 pieces) — the whole point of the unigram LM
+    val abab = seg.find(_._1 == "ababab").get
+    assert(abab._4 < 6, s"ababab segmented char-by-char: ${abab._3}")
+  }
+
+  test("determinism: two independent trainings produce identical " +
+    "segmentations (the DP tie-break is total)") {
+    val a = Ulm.segment(docs, "text").orderBy("word")
+      .as[(String, Long, String, Long, Long)].collect().toSeq
+    val b = Ulm.segment(docs, "text").orderBy("word")
+      .as[(String, Long, String, Long, Long)].collect().toSeq
+    assert(a === b)
+  }
+
+  test("words over MaxWordLen are excluded from dict and segmentation") {
+    val longWord = "a" * (Ulm.MaxWordLen + 1)
+    val d2 = Seq((1L, s"$longWord short")).toDF("doc_id", "text")
+    val words = Ulm.segment(d2, "text").select("word").as[String].collect()
+    assert(words.toSet === Set("short"))
+  }
+}

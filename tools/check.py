@@ -47,12 +47,14 @@ def main():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    results = {}
     for name in sorted(oracle):
         if only and name not in only:
             continue
         sql = oracle[name]
         pdir = f"{outdir}/{name}"
         if not glob.glob(f"{pdir}/*.parquet"):
+            results[name] = "fail: no spark output"
             print(f"FAIL {name}: no spark output at {pdir}")
             n_fail += 1
             continue
@@ -61,6 +63,7 @@ def main():
             s_cols = tbl.column_names
             s_rows = [tuple(r[c] for c in s_cols) for r in tbl.to_pylist()]
         except Exception as e:
+            results[name] = f"fail: cannot read spark output: {e}"
             print(f"FAIL {name}: cannot read spark output: {e}")
             n_fail += 1
             continue
@@ -69,27 +72,36 @@ def main():
             o_cols = list(res.columns)
             o_rows = res.fetchall()
         except Exception as e:
+            results[name] = f"fail: oracle SQL error: {e}"
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
         sc, sr = canon_table(s_cols, s_rows)
         oc, orows = canon_table(o_cols, o_rows)
         if sc != oc:
+            results[name] = "fail: schema mismatch"
             print(f"FAIL {name}: schema mismatch spark={sc} oracle={oc}")
             n_fail += 1
             continue
         if len(sr) != len(orows):
+            results[name] = f"fail: rowcount {len(sr)} vs {len(orows)}"
             print(f"FAIL {name}: rowcount spark={len(sr)} oracle={len(orows)}")
             n_fail += 1
             continue
         bad = [(a, b) for a, b in zip(sr, orows) if a != b]
         if bad:
+            results[name] = f"fail: {len(bad)}/{len(sr)} rows differ"
             print(f"FAIL {name}: {len(bad)}/{len(sr)} rows differ; first: spark={bad[0][0]} oracle={bad[0][1]}")
             n_fail += 1
             continue
+        results[name] = f"pass ({len(sr)} rows)"
         print(f"PASS {name} ({len(sr)} rows)")
         n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    jout = os.environ.get("CHECK_JSON_OUT")
+    if jout:
+        json.dump({"sf_dir": sfdir, "n_pass": n_pass, "n_fail": n_fail,
+                   "queries": results}, open(jout, "w"), indent=0)
     sys.exit(1 if n_fail else 0)
 
 main()
