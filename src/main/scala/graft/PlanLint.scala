@@ -91,6 +91,8 @@ object PlanLint {
       ("ann_hamming_recall", "bnl-join") -> seeds,
       ("ann_cell_balance", "bnl-join") -> seeds,
       ("ann_hard_negatives_ivf", "bnl-join") -> seeds,
+      ("ann_contrastive_triples_ivf", "bnl-join") -> seeds,
+      ("events_value_drift", "bnl-join") -> registers,
       ("privacy_t_closeness", "bnl-join") -> registers,
       ("privacy_t_closeness_stream", "bnl-join") -> registers,
       ("hybrid_rrf_topk", "bnl-join") -> registers,

@@ -85,7 +85,15 @@ object ScaleAudit {
       "ann_contrastive_triples", "decontam_embedding",
       "dedup_cluster_keep_best", "dedup_keep_best", "rag_context_pack",
       "embedding_drift", "quality_score_ecdf", "cluster_balanced_select",
-      "curriculum_phases")
+      "curriculum_phases",
+      // round-15: the index-backed mining legs (corpus-sized cell
+      // assignment + cell-keyed candidate exchange) and the drift walk's
+      // corpus-sized (group, bucket) partial agg. The ULM gates are
+      // dict-bounded by design (the BPE word-dict shortcut) — their
+      // corpus-touching stage is one scan-width pass, excluded like the
+      // other scan-bounded ops.
+      "ann_hard_negatives_ivf", "ann_contrastive_triples_ivf",
+      "events_value_drift")
     // optional argv: audit exactly these queries instead of the built-in
     // list (the width-1024 stress runs name the 5 heaviest explicitly)
     val targets = if (args.nonEmpty) args.toSeq else heavy

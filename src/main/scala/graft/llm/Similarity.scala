@@ -249,6 +249,24 @@ object Similarity {
       labelCol: String, k: Int, numCentroids: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))
+    ivfLabeledScored(corpus, anchors, labelCol, numCentroids, nprobe)
+      .filter(col("c_label") =!= col("q_label"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "q_label", "cid", "c_label", "rank", "cos_sim")
+  }
+
+  /** The IVF-candidate scored pair assembly shared by the index-backed
+    * mining legs ([[hardNegativesIvf]], [[contrastiveTriplesIvf]]):
+    * label-guard both sides, cell-assign against ONE broadcast centroid
+    * table (anchors probe `nprobe` cells, labels carried through the
+    * assignment), candidates = same cell, exact integer cosine. One
+    * definition — the [[labeledScored]] anti-drift argument on the
+    * index path.
+    */
+  private def ivfLabeledScored(corpus: DataFrame, anchors: DataFrame,
+      labelCol: String, numCentroids: Int, nprobe: Int): DataFrame = {
     require(numCentroids >= 1, s"numCentroids must be >= 1, got $numCentroids")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val lab = col(labelCol).cast("long")
@@ -259,14 +277,26 @@ object Similarity {
       carry = Seq("c_label" -> lab))
     val q = assignCells(anchors.filter(lab.isNotNull), cents,
       "qid", "qv", "nq", keep = nprobe, carry = Seq("q_label" -> lab))
-    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))
     c.join(q, Seq("cell"))
-      .filter(col("cid") =!= col("qid") && col("c_label") =!= col("q_label"))
+      .filter(col("cid") =!= col("qid"))
       .withColumn("cos_sim", cosineFromInts(dotQ("qv", "cv"), col("nq"), col("nc")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "q_label", "cid", "c_label", "rank", "cos_sim")
   }
+
+  /** INDEX-BACKED triple assembly — [[contrastiveTriples]] for the
+    * |anchors| ≈ |corpus| regime: both the best positive and the
+    * hardest negative are mined WITHIN the anchor's probed IVF cells
+    * (the [[hardNegativesIvf]] candidate-bounding argument; both legs
+    * share one candidate scan). Approximate in exactly the IVF sense on
+    * both legs; anchors whose probed cells lack either a same-label or
+    * different-label candidate drop — a triple needs both legs.
+    * Output: (qid, q_label, pos_id, pos_cos, neg_id, neg_cos, margin).
+    */
+  def contrastiveTriplesIvf(corpus: DataFrame, anchors: DataFrame,
+      labelCol: String, numCentroids: Int, nprobe: Int): DataFrame =
+    triplesFromScored(
+      ivfLabeledScored(corpus, anchors, labelCol, numCentroids, nprobe)
+        .withColumn("_same", col("c_label") === col("q_label"))
+        .select("qid", "q_label", "cid", "cos_sim", "_same"))
 
   /** CONTRASTIVE TRIPLE assembly — the step after [[hardNegatives]] in
     * a two-tower / sentence-embedding training pipeline: for each
@@ -294,12 +324,21 @@ object Similarity {
     */
   def contrastiveTriples(corpus: DataFrame, anchors: DataFrame,
       labelCol: String,
-      maxAnchors: Long = MaxBruteForceAnchors): DataFrame = {
+      maxAnchors: Long = MaxBruteForceAnchors): DataFrame =
+    triplesFromScored(
+      labeledScored(corpus, anchors, labelCol, maxAnchors,
+          "contrastiveTriples")
+        .withColumn("_same", col("c_label") === col("q_label"))
+        .select("qid", "q_label", "cid", "cos_sim", "_same"))
+
+  /** The triple pivot shared by both candidate generators: ONE
+    * (qid, same-label?) WindowGroupLimit (rank-1 per side, ties to the
+    * smallest cid) and one anchor-bounded pivot agg zipping each
+    * anchor's two surviving rows into the (pos, neg, margin) triple;
+    * anchors missing either side drop.
+    */
+  private def triplesFromScored(scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = labeledScored(corpus, anchors, labelCol, maxAnchors,
-        "contrastiveTriples")
-      .withColumn("_same", col("c_label") === col("q_label"))
-      .select("qid", "q_label", "cid", "cos_sim", "_same")
     val w = Window.partitionBy("qid", "_same")
       .orderBy(col("cos_sim").desc, col("cid"))
     scored.withColumn("_rn", row_number().over(w))

@@ -193,6 +193,25 @@ object Ulm {
     viterbiSegment(graft.util.Materialize.stable(dict(docs, textCol)),
       train(docs, textCol))
 
+  /** Encode the corpus under the trained model: per-doc ULM token
+    * accounting — the packing/budget number, under THIS tokenizer
+    * family (the [[Bpe.encodeCorpus]] twin). The (word → n_pieces)
+    * dict is vocabulary-sized and BROADCASTS onto the corpus word
+    * stream: one corpus scan + a map-side join. Only dictionary words
+    * count — the same `[a-z]+`/length-cap admission the model trained
+    * under. Output: (id, n_words, n_ulm_tokens).
+    */
+  def encodeCorpus(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val dict = segment(docs, textCol).select("word", "n_pieces")
+    docs
+      .select(col(idCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .join(broadcast(dict), Seq("word"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_ulm_tokens"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** wf + cand + vocab0 + cost0 + spans CTEs. */
@@ -274,13 +293,31 @@ object Ulm {
   def trainSqlDuck(table: String, textCol: String): String =
     s"${trainChainDuck(table, textCol)} SELECT piece, cnt, cost FROM cost$EmRounds"
 
-  /** Oracle for [[segment]]: one more Viterbi pass under the trained
-    * costs, read at each word's length.
+  /** The training chain + one more Viterbi pass under the trained
+    * costs (CTE `bestf`) — shared by the segment and encode oracles.
     */
+  private def segmentedChainDuck(table: String, textCol: String): String =
+    s"${trainChainDuck(table, textCol)}, ${viterbiCtesDuck("f", s"cost$EmRounds")}"
+
+  /** Oracle for [[segment]]: `bestf` read at each word's length. */
   def segmentSqlDuck(table: String, textCol: String): String =
-    s"""${trainChainDuck(table, textCol)},
-       |${viterbiCtesDuck("f", s"cost$EmRounds")}
+    s"""${segmentedChainDuck(table, textCol)}
        |SELECT word, freq, p AS pieces,
        |  CAST(len(string_split(p, '|')) AS BIGINT) AS n_pieces, c AS cost
        |FROM bestf""".stripMargin.replace("\n", " ")
+
+  /** Oracle for [[encodeCorpus]]: the trained dict joined back onto the
+    * corpus word stream (the [[Bpe.encodeCorpusSqlDuck]] shape).
+    */
+  def encodeCorpusSqlDuck(table: String, idCol: String,
+      textCol: String): String =
+    s"""${segmentedChainDuck(table, textCol)},
+       |dict AS MATERIALIZED (SELECT word,
+       |  CAST(len(string_split(p, '|')) AS BIGINT) AS n_pieces FROM bestf),
+       |ws AS (SELECT $idCol, unnest(string_split_regex(lower($textCol),
+       |  '\\s+')) AS word FROM $table)
+       |SELECT ws.$idCol, count(*) AS n_words,
+       |  CAST(sum(d.n_pieces) AS BIGINT) AS n_ulm_tokens
+       |FROM ws JOIN dict d ON ws.word = d.word GROUP BY ws.$idCol"""
+      .stripMargin.replace("\n", " ")
 }

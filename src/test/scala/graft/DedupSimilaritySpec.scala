@@ -505,6 +505,29 @@ class DedupSimilaritySpec extends SparkSpecBase {
       "the refusal must point at the index-backed escape hatch")
   }
 
+  test("contrastiveTriplesIvf: triples agree with the brute-force " +
+    "assembly wherever the probed cells covered both legs") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val anchors = emb.filter(col("vec_id") < 50)
+    val bf = Similarity.contrastiveTriples(emb, anchors, "label")
+      .as[(Long, Long, Long, Double, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val ivf = Similarity.contrastiveTriplesIvf(emb, anchors, "label",
+        numCentroids = 16, nprobe = 3)
+      .as[(Long, Long, Long, Double, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(ivf.nonEmpty, "the index must assemble some triples")
+    assert(ivf.keySet.subsetOf(bf.keySet),
+      "the index can only drop anchors (missing leg), never invent them")
+    // where BOTH ids match the brute-force triple, the full row —
+    // cosines and margin — must be identical (same rerank arithmetic)
+    val matching = ivf.keys.filter(q =>
+      ivf(q)._3 == bf(q)._3 && ivf(q)._5 == bf(q)._5).toSeq
+    assert(matching.nonEmpty, "no fully-covered triple at nprobe=3/16 — " +
+      "the parity leg would be vacuous")
+    matching.foreach(q => assert(ivf(q) == bf(q), s"anchor $q rows differ"))
+  }
+
   test("contrastiveTriples: best same-label positive + best different-" +
     "label negative per anchor, with the triplet margin; anchors missing " +
     "either side drop") {

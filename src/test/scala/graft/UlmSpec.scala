@@ -59,6 +59,20 @@ class UlmSpec extends SparkSpecBase {
     assert(a === b)
   }
 
+  test("encodeCorpus: per-doc token count = Σ dict n_pieces over the " +
+    "doc's dict words; non-dict words never count") {
+    val np = Ulm.segment(docs, "text")
+      .as[(String, Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    val enc = Ulm.encodeCorpus(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(enc(1L) === ((4L, 3 * np("ababab") + np("cdcd"))),
+      s"doc 1 = 3×ababab + cdcd: $enc vs $np")
+    assert(enc(2L) === ((4L, np("ababab") + 2 * np("cdcd") + np("xyz"))))
+    assert(enc(3L) === ((1L, np("q"))))
+  }
+
   test("words over MaxWordLen are excluded from dict and segmentation") {
     val longWord = "a" * (Ulm.MaxWordLen + 1)
     val d2 = Seq((1L, s"$longWord short")).toDF("doc_id", "text")
