@@ -186,6 +186,26 @@ object Ulm {
     costs
   }
 
+  /** The EM → PRUNE → EM refinement the real SentencePiece trainer
+    * loops (Kudo 2018 §3.2 step 3: "remove the top-level subwords that
+    * do not help the likelihood"): after the [[train]] rounds, drop
+    * every multi-char piece the best segmentations never used (its
+    * count is the +1 smoothing alone — keeping it only dilutes the
+    * probability mass), keep ALL single chars (the coverage guarantee),
+    * renormalize costs over the pruned vocabulary, and run one more
+    * hard-EM round. Same bounded plan shapes throughout; the pruned
+    * vocabulary is strictly smaller, so every later pass gets cheaper.
+    * Output: the refined (piece, cnt, cost) table.
+    */
+  def trainPruned(docs: DataFrame, textCol: String): DataFrame = {
+    val wf = graft.util.Materialize.stable(dict(docs, textCol))
+    val trained = graft.util.Materialize.stable(train(docs, textCol))
+    val vocabP = graft.util.Materialize.stable(
+      trained.filter(col("cnt") > 1 || length(col("piece")) === 1)
+        .select("piece", "cnt"))
+    emRound(wf, vocabP, graft.util.Materialize.stable(withCosts(vocabP)))
+  }
+
   /** Segment the dict under the trained model — the tokenizer's
     * segmentation table, and the dict a corpus encoder broadcasts.
     */
@@ -269,11 +289,15 @@ object Ulm {
     s"$edges, $b0, $bs, $best"
   }
 
-  /** EM-round count + cost CTEs from best$tag under the +1 smoothing. */
-  private def emCtesDuck(round: Int, tag: String): String =
+  /** EM-round count + cost CTEs from best$tag under the +1 smoothing
+    * over `vocabCte` (vocab0 for the main rounds; the pruned vocabulary
+    * for the refinement pass).
+    */
+  private def emCtesDuck(round: Int, tag: String,
+      vocabCte: String = "vocab0"): String =
     s"""cnt$round AS MATERIALIZED (SELECT v.piece,
        |    1 + COALESCE(CAST(sum(t.freq) AS BIGINT), 0) AS cnt
-       |  FROM vocab0 v LEFT JOIN (
+       |  FROM $vocabCte v LEFT JOIN (
        |    SELECT unnest(string_split(p, '|')) AS piece, freq FROM best$tag) t
        |  ON v.piece = t.piece GROUP BY v.piece),
        |cost$round AS MATERIALIZED (SELECT piece, cnt, CAST(floor($CostScale *
@@ -305,6 +329,23 @@ object Ulm {
        |SELECT word, freq, p AS pieces,
        |  CAST(len(string_split(p, '|')) AS BIGINT) AS n_pieces, c AS cost
        |FROM bestf""".stripMargin.replace("\n", " ")
+
+  /** Oracle for [[trainPruned]]: the training chain + the prune filter
+    * + renormalized costs + one more unrolled Viterbi/EM pass over the
+    * pruned vocabulary.
+    */
+  def trainPrunedSqlDuck(table: String, textCol: String): String = {
+    val r = EmRounds + 1
+    s"""${trainChainDuck(table, textCol)},
+       |vocabp AS MATERIALIZED (SELECT piece, cnt FROM cost$EmRounds
+       |  WHERE cnt > 1 OR length(piece) = 1),
+       |costp0 AS MATERIALIZED (SELECT piece, cnt, CAST(floor($CostScale *
+       |    ln(CAST((SELECT sum(cnt) FROM vocabp) AS DOUBLE)
+       |       / CAST(cnt AS DOUBLE))) AS BIGINT) AS cost FROM vocabp),
+       |${viterbiCtesDuck("p", "costp0")},
+       |${emCtesDuck(r, "p", "vocabp")}
+       |SELECT piece, cnt, cost FROM cost$r""".stripMargin.replace("\n", " ")
+  }
 
   /** Oracle for [[encodeCorpus]]: the trained dict joined back onto the
     * corpus word stream (the [[Bpe.encodeCorpusSqlDuck]] shape).

@@ -32,6 +32,11 @@ object LlmQueries9 {
     "ulm_encode_corpus" -> ((s, dir) =>
       Ulm.encodeCorpus(Tables.documents(s, dir), "doc_id", "text")),
 
+    // The SentencePiece EM → prune → EM refinement: drop never-used
+    // multi-char pieces, renormalize, one more hard-EM round.
+    "ulm_pruned_vocab" -> ((s, dir) =>
+      Ulm.trainPruned(Tables.documents(s, dir), "text")),
+
     // Index-backed triple mining: best positive AND hardest negative
     // both bounded to the anchor's probed IVF cells (one candidate
     // scan, two WindowGroupLimit branches — the production shape when
@@ -63,6 +68,7 @@ object LlmQueries9 {
     "ulm_segment" -> Ulm.segmentSqlDuck("documents", "text"),
     "ulm_encode_corpus" ->
       Ulm.encodeCorpusSqlDuck("documents", "doc_id", "text"),
+    "ulm_pruned_vocab" -> Ulm.trainPrunedSqlDuck("documents", "text"),
 
     // the ann_hard_negatives_ivf CTEs with BOTH labels kept in the
     // cell-candidate join, then the brute-force triples' pos/neg

@@ -118,6 +118,11 @@ object TableMonitors {
         state.filter(col("_batch_id") === hiB), gn, buckets)
     }
 
+    /** The pre-baseline empty panel. Group columns are typed STRING
+      * here (their native type is only known once data exists) — a
+      * consumer unioning panels across the baseline boundary should
+      * cast; alerts() is unaffected (empty either way).
+      */
     private def emptyPanel(): DataFrame = {
       import org.apache.spark.sql.types._
       spark.createDataFrame(

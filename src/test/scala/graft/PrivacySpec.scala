@@ -259,4 +259,49 @@ class PrivacySpec extends SparkSpecBase {
         (r.getAs[Long]("class_size"), r.getAs[Long]("emd_x1e6"))).toMap
     assert(got === want)
   }
+
+  test("emdBetweenCounts property: equals the brute-force side-vs-side " +
+    "integer EMD on random registers; one-sided groups get NULL") {
+    val rnd = new scala.util.Random(1513)
+    val buckets = 8
+    def randRegs(groups: Seq[String]) =
+      for {
+        g <- groups
+        b <- 0 until buckets
+        n = rnd.nextInt(5).toLong
+        if n > 0
+      } yield (g, b.toLong, n)
+    // gA only on side a, gD only on side b; gB/gC both-sided
+    val a = randRegs(Seq("gA", "gB", "gC"))
+    val b = randRegs(Seq("gB", "gC", "gD"))
+    def emdRef(ra: Seq[(String, Long, Long)], rb: Seq[(String, Long, Long)],
+        g: String): Option[Long] = {
+      val na = ra.filter(_._1 == g).map(_._3).sum
+      val nb = rb.filter(_._1 == g).map(_._3).sum
+      if (na == 0 || nb == 0) return None
+      def cum(rs: Seq[(String, Long, Long)]) =
+        (0 until buckets).map(i =>
+          rs.filter(r => r._1 == g && r._2 <= i).map(_._3).sum)
+      Some(cum(a).zip(cum(b)).map { case (ca, cb) =>
+        math.abs(ca * 1000000L / na - cb * 1000000L / nb) }.sum /
+        (buckets - 1))
+    }
+    val got = Privacy.emdBetweenCounts(
+        a.toDF("grp", "_b", "_n"), b.toDF("grp", "_b", "_n"),
+        Seq("grp"), buckets)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          if (r.isNullAt(r.fieldIndex("emd_x1e6"))) None
+          else Some(r.getAs[Long]("emd_x1e6"))))).toMap
+    val groups = (a.map(_._1) ++ b.map(_._1)).distinct
+    assert(got.keySet == groups.toSet)
+    groups.foreach { g =>
+      val (na, nb, emd) = got(g)
+      assert(na == a.filter(_._1 == g).map(_._3).sum)
+      assert(nb == b.filter(_._1 == g).map(_._3).sum)
+      assert(emd == emdRef(a, b, g), s"group $g: got $emd")
+    }
+    assert(got("gA")._3.isEmpty && got("gD")._3.isEmpty,
+      "one-sided groups must report NULL emd")
+  }
 }

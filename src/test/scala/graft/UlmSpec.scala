@@ -50,6 +50,55 @@ class UlmSpec extends SparkSpecBase {
     assert(abab._4 < 6, s"ababab segmented char-by-char: ${abab._3}")
   }
 
+  test("DP optimality property: on a random-words corpus, every " +
+    "segmentation's cost is minimal — never beaten by char-split or by " +
+    "greedy longest-match under the same costs") {
+    val rnd = new scala.util.Random(15)
+    val vocabChars = "abcde"
+    val words = (1 to 30).map(_ =>
+      (1 to (1 + rnd.nextInt(Ulm.MaxWordLen)))
+        .map(_ => vocabChars(rnd.nextInt(vocabChars.length))).mkString)
+    val d = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val costs = Ulm.train(d, "text")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val seg = Ulm.segment(d, "text")
+      .as[(String, Long, String, Long, Long)].collect()
+    seg.foreach { case (word, _, _, _, got) =>
+      val charCost = word.map(c => costs(c.toString)).sum
+      assert(got <= charCost, s"$word: DP $got beaten by chars $charCost")
+      // greedy longest-match under the same cost table
+      var i = 0; var greedy = 0L; var ok = true
+      while (i < word.length && ok) {
+        val l = (math.min(Ulm.MaxPieceLen, word.length - i) to 1 by -1)
+          .find(n => costs.contains(word.substring(i, i + n)))
+        l match {
+          case Some(n) => greedy += costs(word.substring(i, i + n)); i += n
+          case None => ok = false
+        }
+      }
+      if (ok) assert(got <= greedy,
+        s"$word: DP $got beaten by greedy $greedy")
+    }
+  }
+
+  test("trainPruned: never-used multi-char pieces drop, all single " +
+    "chars survive, and the refined counts re-estimate under the " +
+    "pruned vocabulary") {
+    val full = Ulm.train(docs, "text")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    val pruned = Ulm.trainPruned(docs, "text")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    val dropped = full.keySet -- pruned.keySet
+    assert(dropped.nonEmpty, "the random-salad vocab must have unused pieces")
+    assert(dropped.forall(p => p.length >= 2 && full(p) == 1L),
+      s"only smoothing-count multi-char pieces may drop: $dropped")
+    "abcdxyzq".foreach(c =>
+      assert(pruned.contains(c.toString), s"single char $c must survive"))
+    // the workhorse piece keeps a real (re-estimated) count
+    assert(pruned("ab") > 1L)
+  }
+
   test("determinism: two independent trainings produce identical " +
     "segmentations (the DP tie-break is total)") {
     val a = Ulm.segment(docs, "text").orderBy("word")
