@@ -1,11 +1,14 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-import org.apache.spark.sql.execution.{LocalTableScanExec, SparkPlan,
-  TakeOrderedAndProjectExec, BaseLimitExec}
+import org.apache.spark.sql.execution.{BaseSubqueryExec, LocalTableScanExec,
+  SparkPlan, TakeOrderedAndProjectExec, BaseLimitExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+  QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-import org.apache.spark.sql.execution.exchange.{Exchange, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec,
+  ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec,
   CartesianProductExec}
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
@@ -30,11 +33,17 @@ import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
   *                        — the `maxDistinctScores`-enforced calibration
   *                        walks) or with a documented per-query bound.
   *
-  * The walk runs on `queryExecution.sparkPlan` (the planned physical tree
-  * BEFORE adaptive wrapping and codegen collapse), so it is cheap — no
-  * execution — and deterministic. Wired into [[Verify]] (every dump also
-  * lints, `plan_lint.json` lands next to the parquet) and hard-gated by
-  * `PlanLintSpec`; the standalone main writes the round artifact.
+  * The STATIC walk runs on `queryExecution.sparkPlan` (the planned
+  * physical tree BEFORE adaptive wrapping and codegen collapse), so it is
+  * cheap — no execution — and deterministic, and covers all 264 gates.
+  * The EXECUTED walk ([[lintExecuted]], round-15 verdict #2) additionally
+  * runs the [[ScaleAudit.heavy]] list and re-applies the same rules to
+  * the FINAL post-AQE `executedPlan` (including subquery plans, which
+  * the static `collect` never descends into) — catching shapes adaptive
+  * re-planning materializes only at runtime. Wired into [[Verify]]
+  * (every dump also lints, `plan_lint.json` lands next to the parquet)
+  * and hard-gated by `PlanLintSpec`; the standalone main writes the
+  * round artifact with both sections.
   */
 object PlanLint {
 
@@ -56,6 +65,26 @@ object PlanLint {
       "(grouped to a declared-bounded key set before broadcasting)"
     val seeds = "broadcast side is a fixed-size seed/codebook sample " +
       "(orderBy md5 + LIMIT — constant rows at any corpus size)"
+    // grouped-agg-bounded shapes (round-15 advisor: a grouped aggregate
+    // no longer auto-allows — each family documents its KEY bound here)
+    val scoreGrid = "the global window / single-partition gather runs " +
+      "over the per-score register — integer per-mille scores, ≤1001 " +
+      "distinct keys (the maxDistinctScores-enforced boundedScoreTable " +
+      "contract), never the corpus"
+    val bucketGrid = "global window runs over the bounded bucket grid " +
+      "(2..10000 buckets by require) — the register-sized global-CDF " +
+      "cumsum of the t-closeness walk"
+    val budgetPfx = "the global window / single-partition gather is the " +
+      "exclusive prefix sum over the ≤1001-row per-score token table " +
+      "(tokenBudgetSelect's bucket-prefix decomposition); the " +
+      "corpus-sized cumsum stays PARTITION BY score"
+    val gapBuckets = "global window runs over per-bucket (min,max) " +
+      "summaries — |id-space| div bucketSize rows, a 4096× reduction at " +
+      "the gated bucketSize; size bucketSize to the id space at scale " +
+      "(gapRanges' boundary pass)"
+    val sketchRegs = "broadcast side is the sketch register table — " +
+      "fixed capacity by construction (CMS depth×width / HLL 2^p / " +
+      "KLL-digest compaction bound), grouped on the register index"
     Map(
       // --- bnl-join: bounded anchor/query sets (the ANN family) ---
       ("ann_cosine_topk", "bnl-join") -> anchors,
@@ -92,23 +121,64 @@ object PlanLint {
       ("ann_cell_balance", "bnl-join") -> seeds,
       ("ann_hard_negatives_ivf", "bnl-join") -> seeds,
       ("ann_contrastive_triples_ivf", "bnl-join") -> seeds,
+      ("ann_hard_negatives_recall", "bnl-join") -> (anchors +
+        "; the index leg additionally broadcasts the stable()'d " +
+        "fixed-size centroid sample (the seeds bound) and the 1-row " +
+        "anchor-count guard"),
       ("events_value_drift", "bnl-join") -> registers,
       ("privacy_t_closeness", "bnl-join") -> registers,
       ("privacy_t_closeness_stream", "bnl-join") -> registers,
       ("hybrid_rrf_topk", "bnl-join") -> registers,
-      ("rerank_cross_topk", "bnl-join") -> registers
+      ("rerank_cross_topk", "bnl-join") -> registers,
+      // --- bnl-join: sketch register tables (grouped on register index) ---
+      ("sketch_cms_rolling_heavy", "bnl-join") -> sketchRegs,
+      ("sketch_hll_rolling_users", "bnl-join") -> sketchRegs,
+      ("sketch_quantile_rolling", "bnl-join") -> sketchRegs,
+      // --- global-window: score-grid registers (≤1001 permille keys) ---
+      ("quality_auc_lang", "global-window") -> scoreGrid,
+      ("quality_auc_stream", "global-window") -> scoreGrid,
+      ("quality_classifier_auc", "global-window") -> scoreGrid,
+      ("quality_ngram_head_auc", "global-window") -> scoreGrid,
+      ("quality_head_auc", "global-window") -> scoreGrid,
+      ("quality_classifier_operating_points", "global-window") -> scoreGrid,
+      ("quality_operating_points_stream", "global-window") -> scoreGrid,
+      ("quality_score_ecdf", "global-window") -> scoreGrid,
+      ("quality_ecdf_stream", "global-window") -> scoreGrid,
+      ("curriculum_ecdf_phases", "global-window") -> scoreGrid,
+      // --- global-window: t-closeness bucket grids ---
+      ("privacy_t_closeness", "global-window") -> bucketGrid,
+      ("privacy_t_closeness_stream", "global-window") -> bucketGrid,
+      // --- single-exchange: the SAME score-grid / budget-prefix bounds,
+      // tripped by the post-AQE executed walk (the final plan's
+      // SinglePartition shuffle feeding the register window) ---
+      ("quality_auc_lang", "single-exchange") -> scoreGrid,
+      ("quality_auc_stream", "single-exchange") -> scoreGrid,
+      ("quality_classifier_auc", "single-exchange") -> scoreGrid,
+      ("quality_ngram_head_auc", "single-exchange") -> scoreGrid,
+      ("quality_score_ecdf", "single-exchange") -> scoreGrid,
+      ("select_token_budget", "single-exchange") -> budgetPfx,
+      // --- global-window: token-budget prefix decomposition ---
+      ("select_token_budget", "global-window") -> budgetPfx,
+      ("corpus_curated_v3", "global-window") -> budgetPfx,
+      ("corpus_curation_funnel", "global-window") -> budgetPfx,
+      // --- global-window: gap-range bucket boundary pass ---
+      ("cdc_gap_ranges", "global-window") -> gapBuckets
     )
   }
 
   /** True when `p`'s subtree contains a node that bounds its output to a
-    * register-sized row count regardless of input size: any aggregate
-    * (partial or final — grouped aggs feed lint-approved walks only via
-    * the declared-bounded-key contract), a per-partition or global
-    * limit, a TakeOrdered, a group-limit, or a literal local relation.
+    * register-sized row count regardless of input size: a GLOBAL
+    * (grouping-key-empty) aggregate, a per-partition or global limit, a
+    * TakeOrdered, a group-limit, or a literal local relation. A GROUPED
+    * aggregate does NOT auto-allow (round-15 advisor): its output is
+    * group-cardinality-sized, and a corpus-cardinality key (per-doc_id)
+    * feeding a global window or single-partition gather is exactly the
+    * scale-killer this lint exists to catch — grouped-agg-bounded
+    * shapes must document their key bound in [[allow]] instead.
     */
   private def boundedSubtree(p: SparkPlan): Boolean =
     p.collectFirst {
-      case _: BaseAggregateExec => true
+      case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
       case _: BaseLimitExec => true
       case _: TakeOrderedAndProjectExec => true
       case _: WindowGroupLimitExec => true
@@ -118,12 +188,15 @@ object PlanLint {
   /** Like [[boundedSubtree]] but stops at the first downstream exchange:
     * the bound must hold for the rows ENTERING this exchange, and a
     * bounding node on the far side of another shuffle says nothing about
-    * this one's input volume.
+    * this one's input volume. A grouped aggregate passes only if
+    * something BELOW it (before the next exchange) bounds its input —
+    * its own keyed output never auto-allows (see [[boundedSubtree]]).
     */
   private def boundedAboveExchange(p: SparkPlan): Boolean = p match {
-    case _: BaseAggregateExec | _: BaseLimitExec |
-         _: TakeOrderedAndProjectExec | _: WindowGroupLimitExec |
-         _: LocalTableScanExec => true
+    case a: BaseAggregateExec =>
+      a.groupingExpressions.isEmpty || a.children.exists(boundedAboveExchange)
+    case _: BaseLimitExec | _: TakeOrderedAndProjectExec |
+         _: WindowGroupLimitExec | _: LocalTableScanExec => true
     case _: Exchange => false
     case other => other.children.exists(boundedAboveExchange)
   }
@@ -155,6 +228,38 @@ object PlanLint {
     }
   }
 
+  /** Rewrites an EXECUTED (post-AQE) physical tree into a plain tree the
+    * static rules can walk: the adaptive wrapper is replaced by the plan
+    * it FINALLY ran, query stages by the plans they materialized, reused
+    * exchanges/subqueries by their originals. Without this, the rules
+    * would see only wrapper nodes and miss anything AQE re-planned.
+    */
+  private def unwrapExecuted(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => unwrapExecuted(a.executedPlan)
+    case s: QueryStageExec => unwrapExecuted(s.plan)
+    case r: ReusedExchangeExec => unwrapExecuted(r.child)
+    case s: BaseSubqueryExec => unwrapExecuted(s.child)
+    case other => other.withNewChildren(other.children.map(unwrapExecuted))
+  }
+
+  /** POST-AQE lint (round-15 verdict #2): execute the frame (noop sink —
+    * count() would let Catalyst prune the real projections), then walk
+    * the FINAL `executedPlan` with the same four rules. Two things the
+    * static `sparkPlan` walk structurally cannot see are covered here:
+    * shapes AQE materialized only at runtime (a re-planned join, a
+    * runtime-injected exchange), and SUBQUERY plans — `collect` never
+    * descends into subquery expressions, so a cartesian inside a scalar
+    * subquery is invisible to the static walk (PlanLintSpec proves the
+    * executed walk catches exactly that shape). Hits are de-duplicated:
+    * `subqueriesAll` re-lists nested subqueries at every level.
+    */
+  def lintExecuted(query: String, df: DataFrame): Seq[Hit] = {
+    df.write.format("noop").mode("overwrite").save()
+    val plain = unwrapExecuted(df.queryExecution.executedPlan)
+    val subs = plain.subqueriesAll.map(unwrapExecuted)
+    (plain +: subs).flatMap(lintPlan(query, _)).distinct
+  }
+
   /** Lint every (or the named) gate plans; returns hits. Builds each
     * frame exactly as Verify does but never executes it.
     */
@@ -169,14 +274,19 @@ object PlanLint {
     hits
   }
 
-  def toJson(sfDir: String, nQueries: Int, hits: Seq[Hit]): String = {
+  def toJson(sfDir: String, nQueries: Int, hits: Seq[Hit],
+      executed: Option[(Int, Seq[Hit])] = None): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val hs = hits.map(h =>
+    def hitsJson(hs: Seq[Hit]): String = hs.map(h =>
       s"""{"query":${q(h.query)},"rule":${q(h.rule)},"node":${q(h.node)},""" +
         s""""allowed":${h.allowed},"reason":${q(h.reason)}}""").mkString("[", ",", "]")
+    val execSection = executed.map { case (n, ehs) =>
+      s""","executed":{"n_queries":$n,"n_hits":${ehs.size},""" +
+        s""""n_unexplained":${ehs.count(!_.allowed)},"hits":${hitsJson(ehs)}}"""
+    }.getOrElse("")
     s"""{"sf":${q(sfDir)},"n_queries":$nQueries,""" +
       s""""n_hits":${hits.size},"n_unexplained":${hits.count(!_.allowed)},""" +
-      s""""hits":$hs}"""
+      s""""hits":${hitsJson(hits)}$execSection}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -195,10 +305,18 @@ object PlanLint {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val hits = run(spark, sfDir)
-    val bad = hits.filterNot(_.allowed)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
-      toJson(sfDir, SparkEntry.queries.size, hits))
-    println(toJson(sfDir, SparkEntry.queries.size, hits))
+    // post-AQE re-walk of the ScaleAudit heavy list: the static section
+    // covers every gate cheaply; the executed section EXECUTES the
+    // queries AQE actually re-plans the hardest and lints what ran
+    val execHits = ScaleAudit.heavy.sorted.flatMap { name =>
+      try lintExecuted(name, SparkEntry.queries(name)(spark, sfDir))
+      finally { graft.util.Materialize.releaseTracked(spark); () }
+    }
+    val bad = hits.filterNot(_.allowed) ++ execHits.filterNot(_.allowed)
+    val json = toJson(sfDir, SparkEntry.queries.size, hits,
+      Some((ScaleAudit.heavy.size, execHits)))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
+    println(json)
     spark.stop()
     if (bad.nonEmpty) {
       bad.foreach(h => System.err.println(s"UNEXPLAINED ${h.rule} in ${h.query} (${h.node})"))

@@ -24,6 +24,54 @@ import org.apache.spark.sql.SparkSession
   * `{"shuffle":N,"collapsed":[...],"queries":{name:{"stages":n,"max_tasks":m,"wall_s":t}}}`.
   */
 object ScaleAudit {
+
+  /** The audited heavy list — the gate queries with corpus-keyed
+    * exchanges (shared with [[PlanLint]]'s post-AQE executed walk, which
+    * re-checks the same plans after adaptive re-planning).
+    */
+  val heavy: Seq[String] = Seq(
+    "semantic_dedup", "dedup_ngram_jaccard", "decontam_clean",
+    "ann_ivfpq_topk", "corpus_curated", "dedup_clusters_chain",
+    "dedup_paragraph", "ann_hamming_topk", "dedup_minhash_est",
+    "rerank_cross_topk", "q21_waiting_suppliers",
+    "q9_product_profit", "window_running_balance",
+    "events_click_attribution", "decontam_multi_eval",
+    "novelty_score", "select_token_budget", "split_proportions",
+    "graph_pagerank_covisit", "sketch_kmv_distinct", "cdc_scd2_history",
+    // round-11 additions (ops with keyed exchanges; pure single-row
+    // global aggs like profile_corr are excluded by design — their
+    // width IS the scan width, data-proportional by construction)
+    "sketch_cms_rolling_heavy", "sketch_quantile_rolling",
+    "split_leakage_audit", "fd_audit", "events_value_trend",
+    "table_profile_orders", "graph_item_similarity_topk",
+    // round-12: the bucketed interval join (equi-key exchange both
+    // sides), the score-keyed AUC partial agg, and the self-retrieval
+    // postings pass
+    "events_range_join", "quality_auc_lang", "text_self_retrieval_mrr",
+    // round-13: the full assembly recipes (max_tasks is the MAX over
+    // stages, so the source-bounded packing tail doesn't mask the
+    // corpus-keyed dedup/decontam exchanges — both proven to reach
+    // forced width 1024 in SCALE_AUDIT_r13_1024.json), the digest-
+    // merged range join, and the classifier-seam AUC
+    "corpus_curated_v4", "corpus_curated_v5",
+    "events_range_join_stream2", "quality_classifier_auc",
+    // round-14: the real-head assembly, the streaming calibration and
+    // funnel folds, and the new ANN/decontam/dedup/retrieval tranche
+    "corpus_curated_v6", "quality_ngram_head_auc", "quality_auc_stream",
+    "corpus_curation_funnel_stream", "ann_hard_negatives",
+    "ann_contrastive_triples", "decontam_embedding",
+    "dedup_cluster_keep_best", "dedup_keep_best", "rag_context_pack",
+    "embedding_drift", "quality_score_ecdf", "cluster_balanced_select",
+    "curriculum_phases",
+    // round-15: the index-backed mining legs (corpus-sized cell
+    // assignment + cell-keyed candidate exchange) and the drift walk's
+    // corpus-sized (group, bucket) partial agg. The ULM gates are
+    // dict-bounded by design (the BPE word-dict shortcut) — their
+    // corpus-touching stage is one scan-width pass, excluded like the
+    // other scan-bounded ops.
+    "ann_hard_negatives_ivf", "ann_contrastive_triples_ivf",
+    "events_value_drift")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val width = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "256").toInt
@@ -52,48 +100,6 @@ object ScaleAudit {
     }
     spark.sparkContext.addSparkListener(listener)
 
-    val heavy = Seq(
-      "semantic_dedup", "dedup_ngram_jaccard", "decontam_clean",
-      "ann_ivfpq_topk", "corpus_curated", "dedup_clusters_chain",
-      "dedup_paragraph", "ann_hamming_topk", "dedup_minhash_est",
-      "rerank_cross_topk", "q21_waiting_suppliers",
-      "q9_product_profit", "window_running_balance",
-      "events_click_attribution", "decontam_multi_eval",
-      "novelty_score", "select_token_budget", "split_proportions",
-      "graph_pagerank_covisit", "sketch_kmv_distinct", "cdc_scd2_history",
-      // round-11 additions (ops with keyed exchanges; pure single-row
-      // global aggs like profile_corr are excluded by design — their
-      // width IS the scan width, data-proportional by construction)
-      "sketch_cms_rolling_heavy", "sketch_quantile_rolling",
-      "split_leakage_audit", "fd_audit", "events_value_trend",
-      "table_profile_orders", "graph_item_similarity_topk",
-      // round-12: the bucketed interval join (equi-key exchange both
-      // sides), the score-keyed AUC partial agg, and the self-retrieval
-      // postings pass
-      "events_range_join", "quality_auc_lang", "text_self_retrieval_mrr",
-      // round-13: the full assembly recipes (max_tasks is the MAX over
-      // stages, so the source-bounded packing tail doesn't mask the
-      // corpus-keyed dedup/decontam exchanges — both proven to reach
-      // forced width 1024 in SCALE_AUDIT_r13_1024.json), the digest-
-      // merged range join, and the classifier-seam AUC
-      "corpus_curated_v4", "corpus_curated_v5",
-      "events_range_join_stream2", "quality_classifier_auc",
-      // round-14: the real-head assembly, the streaming calibration and
-      // funnel folds, and the new ANN/decontam/dedup/retrieval tranche
-      "corpus_curated_v6", "quality_ngram_head_auc", "quality_auc_stream",
-      "corpus_curation_funnel_stream", "ann_hard_negatives",
-      "ann_contrastive_triples", "decontam_embedding",
-      "dedup_cluster_keep_best", "dedup_keep_best", "rag_context_pack",
-      "embedding_drift", "quality_score_ecdf", "cluster_balanced_select",
-      "curriculum_phases",
-      // round-15: the index-backed mining legs (corpus-sized cell
-      // assignment + cell-keyed candidate exchange) and the drift walk's
-      // corpus-sized (group, bucket) partial agg. The ULM gates are
-      // dict-bounded by design (the BPE word-dict shortcut) — their
-      // corpus-touching stage is one scan-width pass, excluded like the
-      // other scan-bounded ops.
-      "ann_hard_negatives_ivf", "ann_contrastive_triples_ivf",
-      "events_value_drift")
     // optional argv: audit exactly these queries instead of the built-in
     // list (the width-1024 stress runs name the 5 heaviest explicitly)
     val targets = if (args.nonEmpty) args.toSeq else heavy

@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Lww
-import graft.queries.{AuditQueries, Cdc2Queries, CdcQueries, GovernanceQueries, GraphSketchQueries, IngestQueries, LlmQueries, LlmQueries2, LlmQueries3, LlmQueries4, LlmQueries5, LlmQueries6, LlmQueries7, LlmQueries8, LlmQueries9, EventQueries, MaintenanceQueries, TpchQueries, TpchQueries2, TpchQueries3, WindowQueries}
+import graft.queries.{AuditQueries, Cdc2Queries, CdcQueries, GovernanceQueries, GraphSketchQueries, IngestQueries, LlmQueries, LlmQueries2, LlmQueries3, LlmQueries4, LlmQueries5, LlmQueries6, LlmQueries7, LlmQueries8, LlmQueries9, LlmQueries10, EventQueries, MaintenanceQueries, TpchQueries, TpchQueries2, TpchQueries3, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,7 +31,7 @@ object SparkEntry {
       LlmQueries.queries ++ LlmQueries2.queries ++
       LlmQueries3.queries ++ LlmQueries4.queries ++ LlmQueries5.queries ++
       LlmQueries6.queries ++ LlmQueries7.queries ++ LlmQueries8.queries ++
-      LlmQueries9.queries ++
+      LlmQueries9.queries ++ LlmQueries10.queries ++
       EventQueries.queries ++ WindowQueries.queries ++
       GraphSketchQueries.queries ++ IngestQueries.queries ++
       GovernanceQueries.queries ++ MaintenanceQueries.queries ++
@@ -43,7 +43,7 @@ object SparkEntry {
       LlmQueries.oracleSql ++ LlmQueries2.oracleSql ++
       LlmQueries3.oracleSql ++ LlmQueries4.oracleSql ++ LlmQueries5.oracleSql ++
       LlmQueries6.oracleSql ++ LlmQueries7.oracleSql ++ LlmQueries8.oracleSql ++
-      LlmQueries9.oracleSql ++
+      LlmQueries9.oracleSql ++ LlmQueries10.oracleSql ++
       EventQueries.oracleSql ++ WindowQueries.oracleSql ++
       GraphSketchQueries.oracleSql ++ IngestQueries.oracleSql ++
       GovernanceQueries.oracleSql ++ MaintenanceQueries.oracleSql ++

@@ -209,8 +209,21 @@ object Privacy {
     require(buckets >= 2 && buckets <= 10000, s"2..10000 buckets, got $buckets")
     val spark = a.sparkSession
     val gb = groups :+ "_b"
-    val ra = a.groupBy(gb.map(col): _*).agg(sum("_n").as("_na"))
-    val rb = b.groupBy(gb.map(col): _*).agg(sum("_n").as("_nb"))
+    // Enforce the register contract IN-PLAN (round-15 advisor): an
+    // out-of-range _b would silently deflate the [0,buckets) CDF while
+    // still counting toward the totals, inflating emd — and would also
+    // diverge from the DuckDB oracle, which derives totals from the
+    // grid-joined rows. Callers are contractually clamp-first
+    // (tClosenessCounts), so this raise_error is a loud tripwire, not a
+    // filter that could mask a broken register upstream.
+    def checkedB(df: DataFrame, side: String): DataFrame =
+      df.withColumn("_b",
+        when(col("_b") >= 0 && col("_b") < buckets, col("_b"))
+          .otherwise(raise_error(concat(
+            lit(s"emdBetweenCounts($side): _b outside [0, $buckets): "),
+            col("_b").cast("string")))))
+    val ra = checkedB(a, "a").groupBy(gb.map(col): _*).agg(sum("_n").as("_na"))
+    val rb = checkedB(b, "b").groupBy(gb.map(col): _*).agg(sum("_n").as("_nb"))
     val keys = graft.util.Materialize.stable(
       ra.select(groups.map(col): _*)
         .unionByName(rb.select(groups.map(col): _*)).distinct())

@@ -192,11 +192,17 @@ object Similarity {
     * One definition, so a fix to the prep cannot drift between the legs.
     *
     * The anchor bound is ENFORCED, not assumed (the
-    * [[graft.ops.TableProfile]] `boundedScoreTable` idiom): the anchor
-    * side is counted EAGERLY and refused loudly past `maxAnchors` before
-    * the corpus-sized scan job is submitted — the production shape that
-    * mines for EVERY document (|Q| ≈ N) would otherwise silently turn
-    * this plan into an N² scan with a corpus-sized broadcast.
+    * [[graft.ops.TableProfile]] `boundedScoreTable` idiom) — and
+    * enforced IN-PLAN, not by an eager driver job: a one-row broadcast
+    * guard aggregate counts the labeled anchors and `raise_error`s past
+    * `maxAnchors`. Merely BUILDING the frame (Verify's dump loop,
+    * [[graft.PlanLint]]'s static walk) therefore runs zero Spark jobs
+    * (the round-15 advisor's finding); at EXECUTION the guard still
+    * fires before any corpus task runs, because the consuming stage
+    * cannot launch until its broadcast relations — the guard included —
+    * have materialized. The production shape that mines for EVERY
+    * document (|Q| ≈ N) is thus still refused loudly before the N²
+    * scan, it just pays nothing at plan-construction time.
     */
   private def labeledScored(corpus: DataFrame, anchors: DataFrame,
       labelCol: String, maxAnchors: Long, who: String): DataFrame = {
@@ -206,23 +212,29 @@ object Similarity {
         quantize(col("embedding")).as("qv"))
       .filter(col("q_label").isNotNull)
       .withColumn("nq", dotQ("qv", "qv"))
-    val nAnchors = anchors
-      .select(col(labelCol).cast("long").as("_l")).filter(col("_l").isNotNull)
-      .count()
-    require(nAnchors <= maxAnchors,
-      s"$who: $nAnchors anchors exceed the declared brute-force bound of " +
-        s"$maxAnchors — the broadcast anchor scan is O(|corpus|·|anchors|) " +
-        "and sound only for a register-sized anchor set. Mine through the " +
-        "IVF index (hardNegativesIvf) instead, or raise maxAnchors only " +
-        "if the anchor set provably stays bounded at full scale.")
+    val guard = broadcast(anchors
+      .select(col(labelCol).cast("long").as("_l"))
+      .filter(col("_l").isNotNull)
+      .agg(count(lit(1)).as("_n_anchors"))
+      .select(when(col("_n_anchors") <= maxAnchors, lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"$who: "), col("_n_anchors").cast("string"),
+          lit(s" anchors exceed the declared brute-force bound of " +
+            s"$maxAnchors — the broadcast anchor scan is " +
+            "O(|corpus|·|anchors|) and sound only for a register-sized " +
+            "anchor set. Mine through the IVF index (hardNegativesIvf) " +
+            "instead, or raise maxAnchors only if the anchor set " +
+            "provably stays bounded at full scale."))))
+        .as("_anchors_ok")))
     val c = Dedup.widen(corpus)
       .select(col("vec_id").as("cid"), col(labelCol).cast("long").as("c_label"),
         quantize(col("embedding")).as("cv"))
       .filter(col("c_label").isNotNull)
       .withColumn("nc", dotQ("cv", "cv"))
-    c.crossJoin(broadcast(q))
-      .filter(col("cid") =!= col("qid"))
+    c.crossJoin(broadcast(q)).crossJoin(guard)
+      .filter(col("cid") =!= col("qid") && col("_anchors_ok"))
       .withColumn("cos_sim", cosineFromInts(dotQ("qv", "cv"), col("nq"), col("nc")))
+      .drop("_anchors_ok")
   }
 
   /** INDEX-BACKED hard-negative mining — the production form of
@@ -739,6 +751,25 @@ object Similarity {
       numCentroids: Int, nprobe: Int, k: Int): DataFrame =
     recallOverlap(bruteForceTopK(corpus, queries, k),
       ivfTopK(corpus, queries, numCentroids, nprobe, k), queries, k)
+
+  /** Per-anchor recall@k of the INDEX-MINED hard negatives against the
+    * brute-force mining (round-15 verdict #5): [[hardNegativesIvf]] is
+    * approximate in exactly the IVF sense, but until this audit only the
+    * POSITIVE search path had a gated recall number ([[ivfRecall]]) —
+    * a training pipeline trusting index-mined negatives needs the same
+    * overlap evidence, because a systematically missed hard negative
+    * band silently softens the contrastive objective. Same Q·k-bounded
+    * [[recallOverlap]] shape; the query list is the LABELED anchor set
+    * (NULL-label anchors never mine on either path), so zero-recall
+    * anchors are kept rather than dropped.
+    */
+  def hardNegativesRecall(corpus: DataFrame, anchors: DataFrame,
+      labelCol: String, k: Int, numCentroids: Int, nprobe: Int,
+      maxAnchors: Long = MaxBruteForceAnchors): DataFrame =
+    recallOverlap(
+      hardNegatives(corpus, anchors, labelCol, k, maxAnchors),
+      hardNegativesIvf(corpus, anchors, labelCol, k, numCentroids, nprobe),
+      anchors.filter(col(labelCol).cast("long").isNotNull), k)
 
   /** Per-query recall@k of the PQ (asymmetric-distance) search against
     * the EXACT-L2 brute-force ranking — the quantization-loss audit for

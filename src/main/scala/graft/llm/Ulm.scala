@@ -232,6 +232,188 @@ object Ulm {
       .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_ulm_tokens"))
   }
 
+  // ---------------------------------------------------------------- soft EM
+
+  /** Probability fixed-point scale for the soft-EM lattice: 2^30. */
+  val PScale = 1073741824L
+  /** Soft-count fixed point: expected counts in millionths. */
+  val GammaScale = 1000000L
+
+  /** (piece, p) fixed-point probability table from a count table:
+    * `p = max(1, (cnt·2^30) div total)` — the max keeps a rare piece's
+    * lattice edge alive instead of quantizing it to an impossible path.
+    * `shift` pre-divides counts AND total by 2^shift so the product
+    * stays in int64 when counts are themselves fixed-point (the
+    * micro-count tables); the distortion is deterministic and identical
+    * in both engines. Callers must keep `total div 2^shift < 2^33`.
+    */
+  def probsFromCounts(counts: DataFrame, cntCol: String,
+      shift: Int = 0): DataFrame = {
+    require(shift >= 0 && shift <= 32, s"shift 0..32, got $shift")
+    val den = 1L << shift
+    val sc = counts.select(col("piece"),
+      expr(s"CAST($cntCol AS BIGINT) div ${den}L").as("_c"))
+    val total = sc.agg(sum("_c").as("_t"))
+    sc.crossJoin(broadcast(total))
+      .select(col("piece"),
+        greatest(lit(1L), expr(s"(_c * ${PScale}L) div _t")).as("p"))
+  }
+
+  /** Per-word lattice edges with fixed-point probabilities attached —
+    * the soft-EM twin of [[edgeTable]] (same broadcast join, same
+    * bounded array: ≤ MaxWordLen·MaxPieceLen structs of (i, j, piece, p)).
+    */
+  private def softEdgeTable(wf: DataFrame, probs: DataFrame): DataFrame =
+    pieceSpans(wf)
+      .join(broadcast(probs.select(col("piece"), col("p"))), Seq("piece"))
+      .groupBy("word", "freq")
+      .agg(collect_list(struct(col("i"), col("j"), col("piece"), col("p")))
+        .as("edges"))
+
+  /** The mantissa/exponent renormalized lattice sum at one position —
+    * shared text between the forward and backward DPs. `incoming`
+    * selects this position's edges; `prevPos` indexes the predecessor
+    * state. Values are `m · 2^e` with m held in [2^20, 2^32) (sum of ≤
+    * MaxPieceLen contributions < 2^34, renormalized by power-of-two
+    * shifts only — every op exact int64, reproduced verbatim by the
+    * DuckDB CTEs). The single-element `transform(array(…), v -> …)`
+    * wrappers are let-bindings: emax and the raw sum evaluate once.
+    */
+  private def latticeStep(incoming: String, prevPos: String): String =
+    s"""element_at(transform(array(
+       |  aggregate(edges, -999999, (mx, x) ->
+       |    IF($incoming AND acc[$prevPos].m > 0
+       |         AND (acc[$prevPos].m * x.p) div ${PScale}L > 0,
+       |       greatest(mx, acc[$prevPos].e), mx))),
+       |  mxv -> element_at(transform(array(
+       |    aggregate(edges, CAST(0 AS BIGINT), (sm, x) ->
+       |      IF($incoming AND acc[$prevPos].m > 0,
+       |         sm + IF((acc[$prevPos].m * x.p) div ${PScale}L = 0
+       |                   OR mxv - acc[$prevPos].e >= 40,
+       |                 CAST(0 AS BIGINT),
+       |                 ((acc[$prevPos].m * x.p) div ${PScale}L)
+       |                   div CAST(pow(2, greatest(0, mxv - acc[$prevPos].e)) AS BIGINT)),
+       |         sm))),
+       |    rm -> CASE
+       |      WHEN rm >= 4294967296L THEN named_struct('m', rm div 4096L, 'e', mxv + 12)
+       |      WHEN rm >= 1048576L THEN named_struct('m', rm, 'e', mxv)
+       |      WHEN rm >= 256L THEN named_struct('m', rm * 4096L, 'e', mxv - 12)
+       |      WHEN rm >= 1L THEN named_struct('m', rm * 16777216L, 'e', mxv - 24)
+       |      ELSE named_struct('m', CAST(0 AS BIGINT), 'e', 0) END), 1)), 1)"""
+      .stripMargin.replace("\n", " ")
+
+  /** Forward pass: alpha[0] = 1 (m = 2^30, e = −30); alpha[j] =
+    * Σ_{edges (i,j)} alpha[i] · p. One bounded per-row DP.
+    */
+  private val forwardExpr: String =
+    s"""aggregate(
+       |  sequence(1, length(word)),
+       |  transform(sequence(0, length(word)), p ->
+       |    IF(p = 0, named_struct('m', CAST(${PScale} AS BIGINT), 'e', -30),
+       |              named_struct('m', CAST(0 AS BIGINT), 'e', 0))),
+       |  (acc, jj) -> transform(acc, (s, idx) -> IF(idx <> jj, s,
+       |    ${latticeStep("x.j = jj", "x.i")})))"""
+      .stripMargin.replace("\n", " ")
+
+  /** Backward pass: beta[len] = 1; beta[i] = Σ_{edges (i,j)} p · beta[j],
+    * positions visited end-to-start (idx = len − kk).
+    */
+  private val backwardExpr: String =
+    s"""aggregate(
+       |  sequence(1, length(word)),
+       |  transform(sequence(0, length(word)), p ->
+       |    IF(p = length(word),
+       |       named_struct('m', CAST(${PScale} AS BIGINT), 'e', -30),
+       |       named_struct('m', CAST(0 AS BIGINT), 'e', 0))),
+       |  (acc, kk) -> transform(acc, (s, idx) ->
+       |    IF(idx <> length(word) - kk, s,
+       |    ${latticeStep("x.i = idx", "x.j")})))"""
+      .stripMargin.replace("\n", " ")
+
+  /** Edge-posterior micro-gamma: γ = α_i·p·β_j / Z in millionths, via
+    * the bounded-product ladder (A = α_i·p/2^30; g1 = (A/2^10)·1e6 /
+    * (Z.m/2^10) = A·1e6/Z.m up to truncation; times β_j.m/2^10 leaves
+    * the 2^10 to the exponent term d = e_α + e_β − e_Z + 10). Every
+    * intermediate < 2^54; the d-branches clamp shift magnitudes so no
+    * multiplication can overflow int64 — DuckDB THROWS on bigint
+    * overflow, so structural safety here is oracle-liveness, not
+    * pedantry. Output per row: array of (piece, gam).
+    */
+  private val gammaExpr: String =
+    s"""transform(edges, x -> named_struct('piece', x.piece, 'gam',
+       |  IF(_z.m <= 0 OR _alpha[x.i].m <= 0 OR _beta[x.j].m <= 0,
+       |     CAST(0 AS BIGINT),
+       |     element_at(transform(array(named_struct(
+       |         'g2', ((((_alpha[x.i].m * x.p) div ${PScale}L) div 1024L)
+       |                  * ${GammaScale}L div (_z.m div 1024L))
+       |                * (_beta[x.j].m div 1024L),
+       |         'd', _alpha[x.i].e + _beta[x.j].e - _z.e + 10)),
+       |       v -> CASE
+       |         WHEN v.d >= 0 THEN least(CAST(${GammaScale} AS BIGINT),
+       |           least(v.g2, CAST(${GammaScale} AS BIGINT))
+       |             * CAST(pow(2, least(v.d, 20)) AS BIGINT))
+       |         ELSE least(CAST(${GammaScale} AS BIGINT),
+       |           v.g2 div CAST(pow(2, least(-v.d, 62)) AS BIGINT)) END), 1))))"""
+      .stripMargin.replace("\n", " ")
+
+  /** Forward/backward over every dict word under `probs`: one row per
+    * lattice edge with its expected-count mass. Output:
+    * (word, freq, piece, gam) — gam in millionths.
+    */
+  def softGammas(wf: DataFrame, probs: DataFrame): DataFrame =
+    softEdgeTable(wf, probs)
+      .withColumn("_alpha", expr(forwardExpr))
+      .withColumn("_beta", expr(backwardExpr))
+      .withColumn("_z", expr("_alpha[CAST(length(word) AS INT)]"))
+      .select(col("word"), col("freq"),
+        explode(expr(gammaExpr)).as("_pg"))
+      .select(col("word"), col("freq"),
+        col("_pg.piece").as("piece"), col("_pg.gam").as("gam"))
+
+  /** Marginal Z per word (m · 2^e) under `probs` — the forward pass
+    * alone; the spec's likelihood comparison reads −ln Z off this.
+    */
+  def marginalZ(wf: DataFrame, probs: DataFrame): DataFrame =
+    softEdgeTable(wf, probs)
+      .withColumn("_z", expr(s"($forwardExpr)[CAST(length(word) AS INT)]"))
+      .select(col("word"), col("freq"),
+        col("_z.m").as("m"), col("_z.e").as("e"))
+
+  /** One SOFT-EM round (Kudo 2018 §3.2's actual E-step — the full
+    * forward-backward expectation the hard-EM [[train]] approximates
+    * with the one-best path): expected piece counts in millionths,
+    * +1-smoothed over the full vocabulary (1e6 micro-units = the hard
+    * round's +1), costs re-derived against the micro total with the
+    * same floor(1e6·ln) quantization. Same bounded shapes as
+    * [[emRound]]: the corpus was already collapsed to the dict, the DP
+    * is per-row, probs/costs broadcast, aggregates vocab-sized.
+    * Output: (piece, cnt_micro, cost).
+    */
+  def softEmRound(wf: DataFrame, vocab: DataFrame,
+      probs: DataFrame): DataFrame = {
+    val mass = softGammas(wf, probs)
+      .groupBy("piece").agg(sum(col("freq") * col("gam")).as("_mass"))
+    val cnts = vocab.select("piece").join(mass, Seq("piece"), "left")
+      .select(col("piece"),
+        (lit(GammaScale) + coalesce(col("_mass"), lit(0L))).as("cnt"))
+    withCosts(cnts)
+      .select(col("piece"), col("cnt").as("cnt_micro"), col("cost"))
+  }
+
+  /** Soft-EM training gate: the fixed vocabulary's candidate counts
+    * seed the probability table, then ONE forward-backward round
+    * (unrolling more soft rounds squares the oracle's CTE volume; the
+    * one-round gate pins the whole lattice arithmetic, and further
+    * rounds reuse it unchanged). Output: (piece, cnt_micro, cost).
+    */
+  def trainSoft(docs: DataFrame, textCol: String): DataFrame = {
+    val wf = graft.util.Materialize.stable(dict(docs, textCol))
+    val vocab = graft.util.Materialize.stable(
+      selectVocab(candidateCounts(wf)))
+    softEmRound(wf, vocab,
+      graft.util.Materialize.stable(probsFromCounts(vocab, "cnt")))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** wf + cand + vocab0 + cost0 + spans CTEs. */
@@ -345,6 +527,107 @@ object Ulm {
        |${viterbiCtesDuck("p", "costp0")},
        |${emCtesDuck(r, "p", "vocabp")}
        |SELECT piece, cnt, cost FROM cost$r""".stripMargin.replace("\n", " ")
+  }
+
+  /** The mantissa/exponent lattice position as a DuckDB CTE body —
+    * verbatim twin of [[latticeStep]]: contributions mc = (m·p)//2^30
+    * at exponent ec, aligned to the word's max live exponent, summed,
+    * renormalized by the same power-of-two CASE. `joinCond` pins the
+    * edge/predecessor geometry (forward: e.i = pr.i AND e.j = pos;
+    * backward: e.i = len−k AND len−e.j = pr.kk).
+    */
+  private def latticeCteDuck(name: String, prevs: String,
+      joinCond: String): String =
+    s"""$name AS MATERIALIZED (SELECT word, freq,
+       |  CASE WHEN rm >= 4294967296 THEN rm // 4096
+       |       WHEN rm >= 1048576 THEN rm
+       |       WHEN rm >= 256 THEN rm * 4096
+       |       WHEN rm >= 1 THEN rm * 16777216
+       |       ELSE CAST(0 AS BIGINT) END AS m,
+       |  CASE WHEN rm >= 4294967296 THEN mx + 12
+       |       WHEN rm >= 1048576 THEN mx
+       |       WHEN rm >= 256 THEN mx - 12
+       |       WHEN rm >= 1 THEN mx - 24
+       |       ELSE 0 END AS e
+       |FROM (
+       |  SELECT word, freq, CAST(sum(CASE WHEN mc = 0 OR mx - ec >= 40 THEN 0
+       |      ELSE mc // CAST(2**greatest(0, mx - ec) AS BIGINT) END) AS BIGINT)
+       |    AS rm, mx
+       |  FROM (
+       |    SELECT e.word, pr.freq, (pr.m * e.p) // $PScale AS mc, pr.e AS ec,
+       |      max(CASE WHEN (pr.m * e.p) // $PScale > 0 THEN pr.e END)
+       |        OVER (PARTITION BY e.word) AS mx
+       |    FROM se e JOIN ($prevs) pr ON pr.word = e.word AND $joinCond
+       |    WHERE pr.m > 0)
+       |  GROUP BY word, freq, mx))""".stripMargin.replace("\n", " ")
+
+  /** Oracle for [[trainSoft]]: base CTEs + probability table + the
+    * unrolled forward (by position) and backward (by distance-from-end)
+    * lattice CTEs + edge posteriors + smoothed micro counts + costs —
+    * every integer op the engine's per-row DP performs, rendered from
+    * the same constants.
+    */
+  def trainSoftSqlDuck(table: String, textCol: String): String = {
+    val p0 =
+      s"""p0 AS MATERIALIZED (SELECT piece, greatest(1, (cnt * $PScale)
+         |  // (SELECT CAST(sum(cnt) AS BIGINT) FROM vocab0)) AS p
+         |  FROM vocab0)""".stripMargin.replace("\n", " ")
+    val se = "se AS MATERIALIZED (SELECT s.word, s.freq, s.i, s.j, " +
+      "s.piece, c.p FROM spans s JOIN p0 c ON s.piece = c.piece)"
+    val fs0 = s"fs_0 AS MATERIALIZED (SELECT word, freq, " +
+      s"CAST($PScale AS BIGINT) AS m, -30 AS e FROM wf)"
+    val fss = (1 to MaxWordLen).map { j =>
+      val prevs = (math.max(0, j - MaxPieceLen) until j).map(i =>
+        s"SELECT word, freq, $i AS i, m, e FROM fs_$i").mkString(" UNION ALL ")
+      latticeCteDuck(s"fs_$j", prevs, s"e.i = pr.i AND e.j = $j")
+    }.mkString(", ")
+    val gs0 = s"gs_0 AS MATERIALIZED (SELECT word, freq, " +
+      s"CAST($PScale AS BIGINT) AS m, -30 AS e FROM wf)"
+    val gss = (1 to MaxWordLen).map { k =>
+      val prevs = (math.max(0, k - MaxPieceLen) until k).map(kk =>
+        s"SELECT word, freq, $kk AS kk, m, e FROM gs_$kk").mkString(" UNION ALL ")
+      latticeCteDuck(s"gs_$k", prevs,
+        s"e.i = length(e.word) - $k AND length(e.word) - e.j = pr.kk")
+    }.mkString(", ")
+    val fa = (0 to MaxWordLen).map(j =>
+      s"SELECT word, $j AS pos, m, e FROM fs_$j")
+      .mkString("fa AS MATERIALIZED (", " UNION ALL ", ")")
+    val gb = (0 to MaxWordLen).map(k =>
+      s"SELECT word, $k AS k, m, e FROM gs_$k")
+      .mkString("gb AS MATERIALIZED (", " UNION ALL ", ")")
+    val zf = (1 to MaxWordLen).map(j =>
+      s"SELECT word, freq, m, e FROM fs_$j WHERE length(word) = $j")
+      .mkString("zf AS MATERIALIZED (", " UNION ALL ", ")")
+    val gm =
+      s"""gm AS MATERIALIZED (SELECT e.piece, e.freq,
+         |  CASE WHEN d >= 0 THEN least($GammaScale,
+         |      least(g2, $GammaScale) * CAST(2**least(d, 20) AS BIGINT))
+         |    ELSE least($GammaScale, g2 // CAST(2**least(-d, 62) AS BIGINT)) END
+         |    AS gam
+         |  FROM (
+         |    SELECT e.piece, e.freq,
+         |      ((((fa.m * e.p) // $PScale) // 1024) * $GammaScale
+         |        // (z.m // 1024)) * (gb.m // 1024) AS g2,
+         |      fa.e + gb.e - z.e + 10 AS d
+         |    FROM se e
+         |    JOIN fa ON fa.word = e.word AND fa.pos = e.i AND fa.m > 0
+         |    JOIN gb ON gb.word = e.word AND gb.k = length(e.word) - e.j
+         |      AND gb.m > 0
+         |    JOIN zf z ON z.word = e.word AND z.m > 0) e)"""
+        .stripMargin.replace("\n", " ")
+    val cnts =
+      s"""cntS AS MATERIALIZED (SELECT v.piece,
+         |  $GammaScale + COALESCE(CAST(sum(t.freq * t.gam) AS BIGINT), 0)
+         |    AS cnt_micro
+         |  FROM vocab0 v LEFT JOIN gm t ON v.piece = t.piece
+         |  GROUP BY v.piece),
+         |costS AS MATERIALIZED (SELECT piece, cnt_micro, CAST(floor($CostScale *
+         |    ln(CAST((SELECT sum(cnt_micro) FROM cntS) AS DOUBLE)
+         |       / CAST(cnt_micro AS DOUBLE))) AS BIGINT) AS cost FROM cntS)"""
+        .stripMargin.replace("\n", " ")
+    s"WITH ${baseCtesDuck(table, textCol)}, $p0, $se, $fs0, $fss, " +
+      s"$gs0, $gss, $fa, $gb, $zf, $gm, $cnts " +
+      "SELECT piece, cnt_micro, cost FROM costS"
   }
 
   /** Oracle for [[encodeCorpus]]: the trained dict joined back onto the

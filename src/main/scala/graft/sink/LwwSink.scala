@@ -253,6 +253,9 @@ final class BucketedParquetStateStore(
   private val bucketMarker: Path = path.resolve("_graft_buckets")
   private val rebucketTmp: Path = Paths.get(dir + ".rebucket.tmp")
   private val rebucketOld: Path = Paths.get(dir + ".rebucket.old")
+  // incremental-rebucket cursor: "newN oldN nextBucket", atomically
+  // replaced after every migrated bucket (round-15 verdict #6)
+  private val progressFile: Path = path.resolve("_graft_rebucket")
 
   /** Crash recovery for [[rebucketTo]]'s two-move swap window (the
     * [[ParquetStateStore.recoverIfInterrupted]] discipline): a death
@@ -269,6 +272,50 @@ final class BucketedParquetStateStore(
         try s.anyMatch(q => q.getFileName.toString.startsWith("_bucket="))
         finally s.close()
       }
+    // --- incremental-rebucket residue first (file moves only, no Spark
+    // jobs): roll the in-flight bucket back to its intact .old snapshot
+    // — everything the interrupted step wrote under the store for that
+    // bucket's residue class {b, b+oldN, …} is partial new content and
+    // only ever derives from the .old files, so deleting it loses
+    // nothing. A crash between the last cursor bump and the finalize
+    // (marker rewrite + progress delete) is completed here too.
+    if (Files.exists(progressFile)) {
+      val parts = Files.readString(progressFile).trim.split(" ")
+      val (newN, oldN, cursor) = (parts(0).toInt, parts(1).toInt, parts(2).toInt)
+      val parent = path.getParent
+      val base = path.getFileName.toString
+      if (parent != null && Files.exists(parent)) {
+        val s = Files.list(parent)
+        val residue =
+          try {
+            val it = s.iterator()
+            var acc = List.empty[Path]
+            while (it.hasNext) {
+              val p = it.next()
+              if (p.getFileName.toString.startsWith(s"$base.rebucket.b"))
+                acc ::= p
+            }
+            acc
+          } finally s.close()
+        residue.filter(_.getFileName.toString.endsWith(".old")).foreach { oldB =>
+          val b = oldB.getFileName.toString
+            .stripPrefix(s"$base.rebucket.b").stripSuffix(".old").toInt
+          var nb = b
+          while (nb < newN) {
+            StateLayout.deleteRec(path.resolve(s"_bucket=$nb")); nb += oldN
+          }
+          Files.move(oldB, path.resolve(s"_bucket=$b"),
+            StandardCopyOption.ATOMIC_MOVE)
+        }
+        residue.filter(_.getFileName.toString.endsWith(".tmp"))
+          .foreach(StateLayout.deleteRec)
+      }
+      if (cursor >= oldN) {
+        Files.writeString(bucketMarker, newN.toString)
+        Files.deleteIfExists(progressFile)
+        ()
+      }
+    }
     if (looksLikeStore(path)) {
       StateLayout.deleteRec(rebucketTmp)
       StateLayout.deleteRec(rebucketOld)
@@ -290,6 +337,13 @@ final class BucketedParquetStateStore(
     */
   private def ensureBucketCount(): Unit = {
     recoverIfInterrupted()
+    if (Files.exists(progressFile))
+      throw new IllegalStateException(
+        s"state at $dir has an in-flight incremental rebucket " +
+          s"(${Files.readString(progressFile).trim}); already-migrated " +
+          "buckets route by the NEW count, so bucket-pruned access under " +
+          "either count would miss rows — call resumeRebucket() to drive " +
+          "the migration to completion first")
     val hasState = exists
     if (hasState && Files.exists(bucketMarker)) {
       val persisted = Files.readString(bucketMarker).trim.toInt
@@ -357,6 +411,121 @@ final class BucketedParquetStateStore(
       StateLayout.deleteRec(rebucketOld)
     } else Files.writeString(bucketMarker, newNumBuckets.toString)
     new BucketedParquetStateStore(spark, dir, keys, tsCol, tieCol, newNumBuckets)
+  }
+
+  /** INCREMENTAL bucket-count evolution (round-15 verdict #6) — the
+    * [[rebucketTo]] semantics executed ONE OLD BUCKET AT A TIME: since
+    * `newN` is a multiple of `numBuckets`, old bucket `b`'s rows land
+    * only in the residue class `{b, b+oldN, b+2·oldN, …}`, so each
+    * bucket re-splits independently under its own bucket-scoped
+    * two-move swap (write the split to a `.b<b>.tmp` sibling → move the
+    * live dir to `.b<b>.old` → move the split dirs in → drop the
+    * backup → atomically bump the `_graft_rebucket` cursor). The crash
+    * window and the peak temp space are therefore ONE BUCKET, not the
+    * table — at 100 TB of state the one-shot rewrite needs a full-table
+    * scratch copy and re-runs from zero on any failure, while this
+    * resumes at the interrupted bucket and [[recoverIfInterrupted]]
+    * heals the in-flight bucket with pure file moves (its partial new
+    * dirs only ever derive from the intact `.old` snapshot).
+    *
+    * A FULL-TABLE read stays correct at every point of the migration
+    * (every row exists exactly once — migrated buckets under the new
+    * ids, unmigrated under the old), but bucket-PRUNED access does not:
+    * `ensureBucketCount` refuses loudly while the cursor file exists,
+    * and [[resumeRebucket]] drives an interrupted migration home. Call
+    * between micro-batches, as for any maintenance op.
+    */
+  def rebucketToIncremental(newNumBuckets: Int): BucketedParquetStateStore = {
+    recoverIfInterrupted()
+    require(newNumBuckets > numBuckets && newNumBuckets % numBuckets == 0,
+      s"newNumBuckets must be a multiple of the current $numBuckets and " +
+        s"larger, got $newNumBuckets — a non-multiple would scatter keys " +
+        "across old-bucket boundaries and force a full shuffle")
+    if (!exists) {
+      Files.createDirectories(path)
+      Files.writeString(bucketMarker, newNumBuckets.toString)
+      return new BucketedParquetStateStore(spark, dir, keys, tsCol, tieCol,
+        newNumBuckets)
+    }
+    // stale-handle guard (this entry point bypasses ensureBucketCount,
+    // which refuses whenever the cursor file exists): outside a
+    // migration the persisted marker must match this handle's count
+    if (!Files.exists(progressFile) && Files.exists(bucketMarker)) {
+      val persisted = Files.readString(bucketMarker).trim.toInt
+      require(persisted == numBuckets,
+        s"state at $dir was written with numBuckets=$persisted but this " +
+          s"handle says $numBuckets — rebucketing on the wrong modulus " +
+          "would scatter keys")
+    }
+    val start =
+      if (Files.exists(progressFile)) {
+        val parts = Files.readString(progressFile).trim.split(" ")
+        require(parts(0).toInt == newNumBuckets && parts(1).toInt == numBuckets,
+          s"in-flight rebucket is ${parts.mkString(" ")}, asked for " +
+            s"$numBuckets -> $newNumBuckets — finish the in-flight one first")
+        parts(2).toInt
+      } else { writeProgress(newNumBuckets, 0); 0 }
+    for (b <- start until numBuckets) {
+      migrateBucket(b, newNumBuckets)
+      writeProgress(newNumBuckets, b + 1)
+    }
+    Files.writeString(bucketMarker, newNumBuckets.toString)
+    Files.deleteIfExists(progressFile)
+    new BucketedParquetStateStore(spark, dir, keys, tsCol, tieCol, newNumBuckets)
+  }
+
+  /** Drive an interrupted incremental rebucket to completion (the
+    * target count comes from the persisted cursor file). Returns the
+    * store handle at the new count.
+    */
+  def resumeRebucket(): BucketedParquetStateStore = {
+    recoverIfInterrupted()
+    require(Files.exists(progressFile),
+      s"no in-flight incremental rebucket at $dir")
+    rebucketToIncremental(
+      Files.readString(progressFile).trim.split(" ")(0).toInt)
+  }
+
+  /** Re-split ONE old bucket under the bucket-scoped two-move swap. The
+    * split job reads only this bucket's files and writes only to the
+    * sibling tmp, so no barrier is needed — the live dir is untouched
+    * until the atomic move, and every destination id in the residue
+    * class is clear by construction (k = 0 was just moved away; k ≥ 1
+    * ids are created only by this bucket's own migration, and recovery
+    * removed any partial ones).
+    */
+  private def migrateBucket(b: Int, newN: Int): Unit = {
+    val bucketDir = path.resolve(s"_bucket=$b")
+    if (!Files.exists(bucketDir)) return
+    val tmpB = Paths.get(dir + s".rebucket.b$b.tmp")
+    val oldB = Paths.get(dir + s".rebucket.b$b.old")
+    StateLayout.deleteRec(tmpB)
+    spark.read.parquet(bucketDir.toString)
+      .withColumn("_bucket", pmod(hash(keys.map(col): _*), lit(newN)))
+      .write.mode(SaveMode.Overwrite).partitionBy("_bucket")
+      .parquet(tmpB.toString)
+    Files.move(bucketDir, oldB, StandardCopyOption.ATOMIC_MOVE)
+    val s = Files.list(tmpB)
+    try {
+      val it = s.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.startsWith("_bucket="))
+          Files.move(p, path.resolve(p.getFileName.toString),
+            StandardCopyOption.ATOMIC_MOVE)
+      }
+    } finally s.close()
+    StateLayout.deleteRec(oldB)
+    StateLayout.deleteRec(tmpB)
+  }
+
+  /** Atomically replace the migration cursor (tmp write + rename). */
+  private def writeProgress(newN: Int, cursor: Int): Unit = {
+    val tmp = path.resolve("_graft_rebucket.next")
+    Files.writeString(tmp, s"$newN $numBuckets $cursor")
+    Files.move(tmp, progressFile, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    ()
   }
 
   /** LWW-merge a (pre-compacted, one row per key) batch into state. */

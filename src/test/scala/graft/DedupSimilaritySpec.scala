@@ -496,13 +496,28 @@ class DedupSimilaritySpec extends SparkSpecBase {
       rows.map(_._2).toSet.intersect(bf(q).map(_._2).toSet).size
     }.sum.toDouble / bf.map(_._2.size).sum
     assert(recall >= 0.2, s"IVF hard-negative recall@5 too low: $recall")
+    // the GATED audit (hardNegativesRecall, round-15 verdict #5) must
+    // report the same floor through its own Q·k-bounded overlap plan —
+    // zero-recall anchors kept, so its mean is the honest number
+    val audit = Similarity.hardNegativesRecall(emb, anchors, "label",
+        k = 5, numCentroids = 16, nprobe = 3)
+      .agg(avg("recall_permille")).as[Double].collect().head
+    assert(audit >= 200.0,
+      s"gated negative-mining recall audit below the 0.2 floor: $audit")
     // the brute-force form REFUSES an anchor set past its declared bound
-    // before submitting the corpus-sized scan (verdict r14 #1)
-    val e = intercept[IllegalArgumentException] {
-      Similarity.hardNegatives(emb, anchors, "label", k = 5, maxAnchors = 10L)
-    }
-    assert(e.getMessage.contains("hardNegativesIvf"),
-      "the refusal must point at the index-backed escape hatch")
+    // (verdict r14 #1) — via the IN-PLAN broadcast guard (advisor r15):
+    // construction and physical planning run zero jobs, and the refusal
+    // fires at first action, before any corpus task (the guard is a
+    // broadcast relation of the consuming stage)
+    val big = Similarity.hardNegatives(emb, anchors, "label", k = 5,
+      maxAnchors = 10L)
+    big.queryExecution.sparkPlan // plans without running a job or throwing
+    val e = intercept[Exception] { big.count() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("hardNegativesIvf")),
+      s"the refusal must point at the index-backed escape hatch, got: ${msgs(e)}")
   }
 
   test("contrastiveTriplesIvf: triples agree with the brute-force " +

@@ -304,4 +304,25 @@ class PrivacySpec extends SparkSpecBase {
     assert(got("gA")._3.isEmpty && got("gD")._3.isEmpty,
       "one-sided groups must report NULL emd")
   }
+
+  test("emdBetweenCounts enforces the register contract: an out-of-range " +
+    "_b raises instead of silently deflating the CDF (advisor r15)") {
+    import spark.implicits._
+    val ok = Seq(("g", 0L, 5L), ("g", 3L, 2L)).toDF("grp", "_b", "_n")
+    val bad = Seq(("g", 0L, 5L), ("g", 4L, 1L)).toDF("grp", "_b", "_n")
+    // in-range sides: fine (4 buckets cover _b 0..3)
+    Privacy.emdBetweenCounts(ok, ok, Seq("grp"), buckets = 4).collect()
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // _b = 4 is outside [0, 4) — both the a-side and b-side trip
+    val ea = intercept[Exception] {
+      Privacy.emdBetweenCounts(bad, ok, Seq("grp"), buckets = 4).collect()
+    }
+    assert(msgs(ea).exists(_.contains("emdBetweenCounts(a)")), msgs(ea).toString)
+    val eb = intercept[Exception] {
+      Privacy.emdBetweenCounts(ok, bad, Seq("grp"), buckets = 4).collect()
+    }
+    assert(msgs(eb).exists(_.contains("emdBetweenCounts(b)")), msgs(eb).toString)
+  }
 }

@@ -183,6 +183,78 @@ class StateStoreSpec extends SparkSpecBase {
       .as[(Long, Long, Long, String)].collect().toSet == before)
   }
 
+  test("incremental rebucket 4→16 lands on the one-shot result: state " +
+    "bit-exact, 16 bucket dirs, cursor file gone, continued LWW routes " +
+    "correctly") {
+    val dirInc = tmpDir("bstate_inc_grow")
+    val dirOne = tmpDir("bstate_one_grow")
+    val init = (1L to 500L).map(i => (i, 100L, i, s"v$i"))
+    val sI = store(dirInc, buckets = 4); sI.upsert(df(init: _*))
+    val sO = store(dirOne, buckets = 4); sO.upsert(df(init: _*))
+    val before = sI.read().as[(Long, Long, Long, String)].collect().toSet
+
+    val s16 = sI.rebucketToIncremental(16)
+    val oneShot = sO.rebucketTo(16)
+    assert(s16.read().as[(Long, Long, Long, String)].collect().toSet == before)
+    assert(bucketFiles(dirInc).keySet == bucketFiles(dirOne).keySet,
+      "per-old-bucket splitting must mint exactly the one-shot layout")
+    assert(oneShot.read().as[(Long, Long, Long, String)].collect().toSet == before)
+    assert(!Files.exists(Paths.get(dirInc, "_graft_rebucket")),
+      "the cursor file must not outlive the migration")
+    assert(Files.readString(Paths.get(dirInc, "_graft_buckets")).trim == "16")
+    // continued upserts find keys in their NEW buckets
+    s16.upsert(df((42L, 900L, 9002L, "post-grow")))
+    assert(s16.read().count() == 500L, "no key may duplicate across buckets")
+    // shrink / non-multiple still rejected up front
+    intercept[IllegalArgumentException] { s16.rebucketToIncremental(8) }
+    intercept[IllegalArgumentException] { s16.rebucketToIncremental(24) }
+  }
+
+  test("incremental rebucket crash MID-BUCKET: pruned access refuses " +
+    "loudly, reads stay consistent via the bucket-scoped rollback, and " +
+    "resumeRebucket drives the migration home (verdict r15 #6)") {
+    val dir = tmpDir("bstate_inc_crash") + "/state"
+    val s4 = store(dir, buckets = 4)
+    val init = (1L to 400L).map(i => (i, 100L, i, s"v$i"))
+    s4.upsert(df(init: _*))
+    val before = s4.read().as[(Long, Long, Long, String)].collect().toSet
+
+    // simulate a death inside migrateBucket(0) AFTER move(bucket → .old)
+    // with the split half-moved in: the intact snapshot sits in
+    // .rebucket.b0.old, a partial new dir _bucket=4 (4 ≡ 0 mod 4) and
+    // tmp debris are live, and the cursor file says bucket 0 in flight
+    Files.writeString(Paths.get(dir, "_graft_rebucket"), "16 4 0")
+    Files.move(Paths.get(dir, "_bucket=0"), Paths.get(dir + ".rebucket.b0.old"))
+    Files.createDirectories(Paths.get(dir, "_bucket=4"))
+    Files.writeString(Paths.get(dir, "_bucket=4", "part-junk.parquet"), "x")
+    Files.createDirectories(Paths.get(dir + ".rebucket.b0.tmp"))
+    Files.writeString(Paths.get(dir + ".rebucket.b0.tmp", "partial"), "x")
+
+    // bucket-PRUNED access under either count would miss rows: refuse
+    val s = store(dir, buckets = 4)
+    val e = intercept[IllegalStateException] {
+      s.upsert(df((7L, 999L, 9003L, "mid-flight")))
+    }
+    assert(e.getMessage.contains("resumeRebucket"),
+      s"the refusal must name the escape hatch, got: ${e.getMessage}")
+
+    // full-table read heals the in-flight bucket by file moves alone
+    assert(s.read().as[(Long, Long, Long, String)].collect().toSet == before,
+      "rollback must restore the intact pre-split bucket")
+    assert(!Files.exists(Paths.get(dir, "_bucket=4")),
+      "partial new content must not survive the rollback")
+    assert(!Files.exists(Paths.get(dir + ".rebucket.b0.tmp")),
+      "tmp debris must be cleaned")
+
+    // and the migration completes from the persisted cursor
+    val s16 = s.resumeRebucket()
+    assert(s16.read().as[(Long, Long, Long, String)].collect().toSet == before)
+    assert(!Files.exists(Paths.get(dir, "_graft_rebucket")))
+    assert(Files.readString(Paths.get(dir, "_graft_buckets")).trim == "16")
+    s16.upsert(df((42L, 900L, 9002L, "post-resume")))
+    assert(s16.read().count() == 400L, "no key may duplicate across buckets")
+  }
+
   test("ReplicationJob streams into the bucketed store when configured") {
     import graft.streaming.ReplicationJob
     val srcDir = tmpDir("bsrc")

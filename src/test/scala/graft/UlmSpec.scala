@@ -128,4 +128,83 @@ class UlmSpec extends SparkSpecBase {
     val words = Ulm.segment(d2, "text").select("word").as[String].collect()
     assert(words.toSet === Set("short"))
   }
+
+  test("soft-EM lattice: edge posteriors cover each character once in " +
+    "expectation, and one soft round from the init holds the EM " +
+    "monotonicity guarantee on marginal likelihood (verdict r15 #7)") {
+    import graft.util.Materialize
+    val fixture = Tables.documents(spark, sfDir)
+    val wf = Materialize.stable(Ulm.dict(fixture, "text"))
+    val vocab = Materialize.stable(Ulm.selectVocab(Ulm.candidateCounts(wf)))
+    val probs0 = Materialize.stable(Ulm.probsFromCounts(vocab, "cnt"))
+
+    // (a) the forward-backward identity Σ_edges γ·len(piece) = len(word):
+    // every character is covered by exactly one piece in every
+    // segmentation, so the expected covered length equals the word
+    // length. The fixed-point ladder quantizes α, β and Z independently
+    // (truncating >>10 prescales, per-position renorm), so the identity
+    // holds to a small band on EITHER side — a Z truncated harder than
+    // the numerators lands the sum slightly above certainty (measured
+    // +5e-5 relative on the fixture), never structurally
+    val cov = Ulm.softGammas(wf, probs0)
+      .groupBy("word")
+      .agg(sum(col("gam") * length(col("piece"))).as("mass"))
+      .as[(String, Long)].collect().toMap
+    val words = wf.select("word").as[String].collect()
+    assert(words.nonEmpty)
+    words.foreach { w =>
+      val expect = w.length * Ulm.GammaScale
+      val got = cov.getOrElse(w, 0L)
+      assert(got <= expect + expect / 1000, s"'$w': coverage $got above " +
+        s"$expect by more than 0.1% — a posterior summed past certainty")
+      assert(got >= expect - expect / 20, s"'$w': coverage $got vs $expect " +
+        "— more than 5% of the expected mass lost to quantization")
+    }
+
+    // (b) likelihood: the EM MONOTONICITY guarantee — one soft
+    // (forward-backward expectation) round re-estimated from θ0 must
+    // not lose marginal likelihood vs θ0 itself. That is the theorem
+    // soft-EM actually carries (L(θ_soft) ≥ L(θ0)); there is NO
+    // soft-vs-hard ordering theorem, and on this fixture the Viterbi
+    // one-best round in fact fits the dict BETTER (hard-EM concentrates
+    // all mass on winner pieces, which maximizes single-path-dominated
+    // lattices — measured hard ≈ 155k vs soft ≈ 169k vs init ≈ 175k
+    // nats), exactly Kudo §3.2's motivation for shipping the cheaper
+    // approximation. The 0.5% headroom covers the fixed-point
+    // quantization of both the update and the evaluation
+    val softCnts = Ulm.softEmRound(wf, vocab, probs0)
+      .select(col("piece"), col("cnt_micro").as("cnt"))
+
+    def corpusNll(probs: org.apache.spark.sql.DataFrame): Double =
+      Ulm.marginalZ(wf, Materialize.stable(probs))
+        .as[(String, Long, Long, Int)].collect().map { case (w, freq, m, e) =>
+          assert(m > 0, s"dead lattice for '$w'")
+          -freq.toDouble * (math.log(m.toDouble) + e * math.log(2.0))
+        }.sum
+    val nll0 = corpusNll(probs0)
+    val nllSoft = corpusNll(Ulm.probsFromCounts(softCnts, "cnt", shift = 6))
+    assert(nllSoft <= nll0 * 1.005,
+      f"EM monotonicity: one soft round from θ0 must not lose marginal " +
+        f"likelihood: soft $nllSoft%.1f vs init $nll0%.1f nats")
+  }
+
+  test("soft-EM on a closed two-path lattice: posteriors match the " +
+    "hand-computed path weights") {
+    // one word 'ab' with pieces {a, b, ab}: two segmentations,
+    // a|b (weight p_a·p_b) and ab (weight p_ab). With counts
+    // (a: 1, b: 1, ab: 2) of total 4: p_a = p_b = 2^28, p_ab = 2^29 →
+    // weight(a|b) = 2^-4, weight(ab) = 2^-1, Z = 9/16 →
+    // γ(ab) = 8/9 ≈ 0.888889, γ(a) = γ(b) = 1/9 ≈ 0.111111
+    import graft.util.Materialize
+    val d2 = Seq((1L, "ab")).toDF("doc_id", "text")
+    val wf = Materialize.stable(Ulm.dict(d2, "text"))
+    val counts = Seq(("a", 1L), ("b", 1L), ("ab", 2L)).toDF("piece", "cnt")
+    val g = Ulm.softGammas(wf, Ulm.probsFromCounts(counts, "cnt"))
+      .select("piece", "gam").as[(String, Long)].collect().toMap
+    def approx(got: Long, want: Double): Boolean =
+      math.abs(got - want * Ulm.GammaScale) <= 2000 // ladder truncation
+    assert(approx(g("ab"), 8.0 / 9), s"γ(ab) = ${g("ab")}, want ~888889")
+    assert(approx(g("a"), 1.0 / 9), s"γ(a) = ${g("a")}, want ~111111")
+    assert(approx(g("b"), 1.0 / 9), s"γ(b) = ${g("b")}, want ~111111")
+  }
 }
