@@ -70,7 +70,12 @@ object ScaleAudit {
     // corpus-touching stage is one scan-width pass, excluded like the
     // other scan-bounded ops.
     "ann_hard_negatives_ivf", "ann_contrastive_triples_ivf",
-    "events_value_drift")
+    "events_value_drift",
+    // round-16: the in-engine head training (two corpus-keyed
+    // map-side-combined aggregates per gradient round) and the
+    // distillation-closed curation recipe. ulm_train_soft is
+    // dict-bounded like the other ULM gates — excluded by design.
+    "quality_head_train", "corpus_curated_v7")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -163,6 +163,44 @@ object HeadTrain {
       .select("_id", "_y", "_z")
   }
 
+  /** The TRAINED head as a per-partition scorer factory — the
+    * [[NgramHead.scorerFactory]] seam with learned weights: collect the
+    * ≤(Buckets+1)-row weight table (register-sized MODEL PUBLICATION —
+    * the fastText "train, save, ship" step, not a data collect),
+    * broadcast it once, score text to the hard-sigmoid per-mille grid
+    * `(clamp(Σ x·w, ±ZClamp) + ZClamp) div 4000` ∈ [0, 1000]. Plugs
+    * straight into the curation recipes' classifier slot
+    * ([[Curation.curateV5]] `mkScorer`), closing the distillation loop:
+    * train in-engine, then filter the corpus with what was learned.
+    */
+  def scorerFactory(spark: org.apache.spark.sql.SparkSession,
+      weights: DataFrame): () => String => Long = {
+    val arr = new Array[Long](Buckets + 1) // index bucket+1; bias at 0
+    weights.collect().foreach { r =>
+      arr(r.getLong(0).toInt + 1) = r.getLong(1)
+    }
+    val bc = spark.sparkContext.broadcast(arr)
+    () => {
+      val w = bc.value
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (text: String) => {
+        val toks = text.split(" ", -1) // keep trailing empties
+        var z = w(0) // bias, x = 1
+        var i = 0
+        while (i < toks.length) {
+          md.reset()
+          val d = md.digest(toks(i).getBytes("UTF-8"))
+          val u32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          z += w((u32 % Buckets).toInt + 1)
+          i += 1
+        }
+        val zc = math.max(-ZClamp, math.min(ZClamp, z))
+        (zc + ZClamp) / 4000
+      }
+    }
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** The full unrolled training chain as DuckDB CTEs — identical
@@ -215,6 +253,12 @@ object HeadTrain {
        |  CAST(1000000 * num // (2 * CAST(n_pos AS HUGEINT) * n_neg)
        |    AS BIGINT) AS auc_x1e6
        |FROM ha""".stripMargin.replace("\n", " ")
+
+  /** The training chain's CTE LIST (no WITH keyword) — for splicing
+    * into a larger oracle's WITH clause (the curated-v7 recipe).
+    */
+  def trainCtesDuck(table: String, idCol: String): String =
+    trainChainDuck(table, idCol).stripPrefix("WITH ")
 
   private def trainChainDuck(table: String, idCol: String): String = {
     val base =

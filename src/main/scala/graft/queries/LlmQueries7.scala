@@ -41,6 +41,15 @@ object LlmQueries7 {
   private val V5MinScore = 350L // curateV5 classifier operating point:
   // the fixture's stub-score median is ~330, so 350 keeps ~43% — the
   // threshold genuinely bites without starving the budget/packing tail
+  private val V7MinScore = 300L // curateV7: the TRAINED head's operating
+  // point, read off the score distribution of the population it
+  // actually gates (the post-Gopher keep set — medians 274–308, p75
+  // 311–338 across all four fixture realizations), exactly how
+  // V6MinScore was chosen for the frozen head. The gentle
+  // size-normalized step leaves margins uncalibrated (AUC 0.96 but all
+  // mass below the nominal 500 midpoint), so the nominal margin-0
+  // threshold would keep nothing — a real curation run reads its cut
+  // off operatingPoints, and 300 drops roughly the bottom half here.
   private val V6MinScore = 510L // curateV6: the n-gram HEAD's operating
   // point — the head's fixture scores span 416..595 with median 510, so
   // the real-model gate kills roughly half the post-Gopher survivors
@@ -223,6 +232,26 @@ object LlmQueries7 {
         binBudget = 128L, decontamN = 5, minHitPermille = 100,
         maxGramEvalDf = 20, stopWords = V3Stops,
         mkScorer = graft.llm.NgramHead.scorerFactory(s))
+    }),
+
+    // Seventh composed pipeline — the DISTILLATION LOOP CLOSED: the
+    // classifier slot runs the head TRAINED IN-ENGINE this round
+    // (HeadTrain's 8 integer gradient rounds against the stub-teacher
+    // label), published through the same factory seam (register-sized
+    // weight collect → one broadcast → per-partition init) and gating
+    // at its natural margin-0 operating point. One assembled oracle —
+    // the full training chain spliced into the curation CTEs — proves
+    // train-then-filter composes end to end.
+    "corpus_curated_v7" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w = graft.llm.HeadTrain.train(docs, "doc_id", "text")
+      graft.llm.Curation.curateV5(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", "source", V3MinSrc, V7MinScore, V3Budget,
+        binBudget = 128L, decontamN = 5, minHitPermille = 100,
+        maxGramEvalDf = 20, stopWords = V3Stops,
+        mkScorer = graft.llm.HeadTrain.scorerFactory(s, w))
     }),
 
     // The v5 assembly's per-stage survivor FUNNEL — doc/token counts
@@ -578,6 +607,8 @@ object LlmQueries7 {
     // the head's grouped score CTE as the classifier stage
     "corpus_curated_v6" -> curatedV4LikeSql(Some(headClassifierCte)),
 
+    "corpus_curated_v7" -> curatedV4LikeSql(Some(trainedHeadClassifierCte)),
+
     "corpus_curation_funnel" -> curationFunnelSql,
 
     // the ann_ivf_topk SQL with centroids frozen on the PRIOR corpus
@@ -638,6 +669,31 @@ object LlmQueries7 {
        |kc AS (SELECT keep.* FROM keep JOIN hv6 USING (doc_id)
        |  WHERE hv6.score_permille >= $V6MinScore),
        |""".stripMargin
+
+  /** The v7 classifier CTE: the FULL in-engine training chain (the
+    * quality_head_train oracle's CTE list, trained over the whole
+    * documents table exactly as the gate does) + `keep`'s docs scored
+    * under the final weights on the hard-sigmoid per-mille grid +
+    * the margin-0 threshold.
+    */
+  private def trainedHeadClassifierCte: String = {
+    val ht = graft.llm.HeadTrain
+    s"""${ht.trainCtesDuck("documents", "doc_id")},
+       |hk7 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM keep),
+       |hx7 AS (
+       |  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+       |      % ${ht.Buckets} AS b, CAST(count(*) AS BIGINT) AS x
+       |    FROM hk7 GROUP BY 1, 2
+       |  UNION ALL SELECT doc_id, -1 AS b, 1 AS x FROM keep),
+       |hz7 AS (SELECT hx7.doc_id, CAST(sum(hx7.x * w.w) AS BIGINT) AS z
+       |  FROM hx7 JOIN w${ht.Rounds} w ON hx7.b = w.b GROUP BY 1),
+       |hs7 AS (SELECT doc_id, (least(${ht.ZClamp}, greatest(${-ht.ZClamp}, z))
+       |    + ${ht.ZClamp}) // 4000 AS score FROM hz7),
+       |kc AS (SELECT keep.* FROM keep JOIN hs7 USING (doc_id)
+       |  WHERE hs7.score >= $V7MinScore),
+       |""".stripMargin
+  }
 
   private def curatedStageCtes(classifierCte: Option[String]): String = {
       val gopherPass = graft.llm.QualityRules.gopherPassSqlDuck("clean", V3Stops)

@@ -89,6 +89,32 @@ class HeadTrainSpec extends SparkSpecBase {
       s"count-4 bucket must outpace count-1 buckets, got $w")
   }
 
+  test("scorerFactory parity: the published-model scorer (collected " +
+    "weights through the per-partition seam) lands on exactly the " +
+    "DataFrame margin path's per-mille grid for every doc") {
+    val docs = Tables.documents(spark, sfDir)
+    val w = graft.util.Materialize.stable(
+      HeadTrain.train(docs, "doc_id", "text"))
+    // DataFrame path: margins under w, quantized to the per-mille grid
+    val lab = HeadTrain.labeled(docs, "doc_id", "text")
+    val viaDf = HeadTrain.margins(HeadTrain.features(lab), w)
+      .select(col("_id"), expr(
+        s"(least(${HeadTrain.ZClamp}L, greatest(${-HeadTrain.ZClamp}L, _z))" +
+          s" + ${HeadTrain.ZClamp}L) div 4000").as("_s"))
+      .as[(Long, Long)].collect().toMap
+    // seam path: the curation recipes' classifier slot
+    val viaSeam = QualityRules.classifierScoresInit(
+        spark, docs.filter(col("text").isNotNull), "doc_id", "text",
+        HeadTrain.scorerFactory(spark, w))
+      .select("doc_id", "score_permille")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(viaDf.nonEmpty && viaDf.keySet == viaSeam.keySet)
+    viaDf.foreach { case (id, s) =>
+      assert(viaSeam(id).contains(s),
+        s"doc $id: seam ${viaSeam(id)} != DataFrame grid $s")
+    }
+  }
+
   private def bucketOf(tok: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val d = md.digest(tok.getBytes("UTF-8"))
