@@ -115,30 +115,33 @@ object Bench {
     // ---- 1. Headline replication throughput, measured before anything else.
     val ev = Tables.events(spark, sfDir)
     val nEvents = ev.count()
-    // JIT warm-up on a small slice: trial 1 otherwise pays one-time codegen
-    // + C2 compilation of the whole batch pipeline (measured ~10 s cold vs
-    // ~1.8 s warm at sf0.1) and best-of-3 under-reports steady-state
-    // throughput whenever trials 2-3 land in a host contention window.
-    locally {
-      val base = java.nio.file.Files.createTempDirectory("bench_repl_warm").toString
-      val cfg = graft.streaming.ReplicationJob.Config(
-        sourceDir = sfDir, targetDir = s"$base/target",
-        dlqDir = s"$base/dlq", checkpointDir = s"$base/ckpt")
-      timeOnce("replication_warmup") {
-        graft.streaming.ReplicationJob.processBatch(spark, ev.limit(5000), cfg)
+    /** One declared FULL-WORK warm-up trial, then 5 measured trials
+      * (round-16 verdict "what's wrong" #1): the r16 artifact's trial
+      * vectors consistently opened with the cold trial (JIT + C2 + page
+      * cache — the earlier 5,000-row warm-up slice compiled the pipeline
+      * but never touched the full fixture's file pages), so the intra-leg
+      * spread statistic charged a warm-up to host noise. The warm-up's
+      * throughput still lands in the JSON (`*_warmup_eps`) for
+      * diagnosability; the 5-trial vector it precedes measures ONLY
+      * steady-state noise.
+      */
+    def replLeg(label: String, events: org.apache.spark.sql.DataFrame)
+        : (Double, Seq[Double]) = {
+      def oneTrial(tag: String, tmpTag: String): Double = {
+        val base = java.nio.file.Files.createTempDirectory(tmpTag).toString
+        val cfg = graft.streaming.ReplicationJob.Config(
+          sourceDir = sfDir, targetDir = s"$base/target",
+          dlqDir = s"$base/dlq", checkpointDir = s"$base/ckpt")
+        timeOnce(tag) {
+          graft.streaming.ReplicationJob.processBatch(spark, events, cfg)
+        }.fold(_ => -1.0, dt => nEvents / dt)
       }
-      ()
+      val warm = oneTrial(s"${label}_warmup", s"bench_${label}_warm")
+      val trials = (1 to 5).map(i => oneTrial(s"${label}_trial_$i", s"bench_$label"))
+      noteSpread(trials.map(eps => if (eps > 0) 1.0 / eps else -1.0))
+      (warm, trials)
     }
-    val replTrials: Seq[Double] = (1 to 5).map { i =>
-      val base = java.nio.file.Files.createTempDirectory("bench_repl").toString
-      val cfg = graft.streaming.ReplicationJob.Config(
-        sourceDir = sfDir, targetDir = s"$base/target",
-        dlqDir = s"$base/dlq", checkpointDir = s"$base/ckpt")
-      timeOnce(s"replication_trial_$i") {
-        graft.streaming.ReplicationJob.processBatch(spark, ev, cfg)
-      }.fold(_ => -1.0, dt => nEvents / dt)
-    }
-    noteSpread(replTrials.map(eps => if (eps > 0) 1.0 / eps else -1.0))
+    val (replWarmup, replTrials) = replLeg("replication", ev)
     val eventsPerSec = medianPos(replTrials)
 
     // ---- 1b. Reference workload-mix leg. The reference bench drives a
@@ -156,16 +159,7 @@ object Bench {
       .withColumn("user_id",
         org.apache.spark.sql.functions.expr(
           "CASE WHEN event_id % 10 <= 6 THEN event_id + 10000000 ELSE user_id END"))
-    val mixTrials: Seq[Double] = (1 to 5).map { i =>
-      val base = java.nio.file.Files.createTempDirectory("bench_repl_mix").toString
-      val cfg = graft.streaming.ReplicationJob.Config(
-        sourceDir = sfDir, targetDir = s"$base/target",
-        dlqDir = s"$base/dlq", checkpointDir = s"$base/ckpt")
-      timeOnce(s"replication_mix_trial_$i") {
-        graft.streaming.ReplicationJob.processBatch(spark, mixed, cfg)
-      }.fold(_ => -1.0, dt => nEvents / dt)
-    }
-    noteSpread(mixTrials.map(eps => if (eps > 0) 1.0 / eps else -1.0))
+    val (mixWarmup, mixTrials) = replLeg("replication_mix", mixed)
     val eventsPerSecMix = medianPos(mixTrials)
     settle() // replication leaves six micro-batch runs of state behind
 
@@ -240,6 +234,15 @@ object Bench {
         // driver-kept line alone (round-15 verdict #1)
         s""""repl_trials_eps":${vec(replTrials)},""" +
         s""""mix_trials_eps":${vec(mixTrials)},""" +
+        // warm-up throughput (excluded from the vectors and the median)
+        // + explicit failed-trial counts, so a headline computed from a
+        // degraded basis (4 of 5 trials errored) is flaggable by
+        // bench_compare without re-deriving it from the vectors
+        // (round-16 advice, Bench.scala medianPos finding)
+        s""""repl_warmup_eps":${fmt(replWarmup)},""" +
+        s""""mix_warmup_eps":${fmt(mixWarmup)},""" +
+        s""""n_failed_repl_trials":${replTrials.count(_ <= 0)},""" +
+        s""""n_failed_mix_trials":${mixTrials.count(_ <= 0)},""" +
         s""""loadavg_at_start":${vec(loadAtStart)},""" +
         s""""loadavg_at_end":${vec(loadAtEnd)},""" +
         s""""failed":$failed,""" +

@@ -388,6 +388,15 @@ object Ulm {
     * [[emRound]]: the corpus was already collapsed to the dict, the DP
     * is per-row, probs/costs broadcast, aggregates vocab-sized.
     * Output: (piece, cnt_micro, cost).
+    *
+    * INT64 BOUND: the expected-count mass is `sum(freq * gam)` with
+    * `gam <= GammaScale = 10^6`, so the per-piece sum needs
+    * `sum(freq) < 2^63 / 10^6 ~ 9.2e12` over the dict — a corpus of
+    * under ~9 trillion occurrences of any one piece. Spark wraps
+    * silently past that while the DuckDB oracle throws; at larger
+    * corpora pre-scale `freq` (divide by a power of two and carry the
+    * shift, exactly as [[probsFromCounts]]'s shift parameter does)
+    * before this round.
     */
   def softEmRound(wf: DataFrame, vocab: DataFrame,
       probs: DataFrame): DataFrame = {

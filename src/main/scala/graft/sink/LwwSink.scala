@@ -238,6 +238,29 @@ final class ParquetStateStore(
   * idempotent LWW fold (same argument as ST5); a production target would
   * be JDBC ([[JdbcLwwExecutor]]) or a transactional table format.
   */
+object BucketedParquetStateStore {
+  // Canonical paths of stores with a LIVE migration in this JVM:
+  // recoverIfInterrupted is a no-op for members, so a concurrent
+  // read()/exists() cannot mistake the swap-window residue for a crash
+  // and roll the in-flight bucket back under the migrator. Guarding is
+  // per-JVM only — cross-process access during a migration must be
+  // quiesced by the caller.
+  private val migrating =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def canon(p: Path): String = p.toAbsolutePath.normalize.toString
+  private[sink] def isMigrating(p: Path): Boolean = migrating.contains(canon(p))
+  /** Run `body` with `p` marked as migrating; re-entrant (the outermost
+    * frame owns the mark, so resumeRebucket → rebucketToIncremental
+    * nesting unmarks exactly once).
+    */
+  private[sink] def withMigrationGuard[A](p: Path)(body: => A): A = {
+    val key = canon(p)
+    val added = migrating.add(key)
+    try body
+    finally if (added) { migrating.remove(key); () }
+  }
+}
+
 final class BucketedParquetStateStore(
     spark: SparkSession, dir: String, keys: Seq[String], tsCol: String, tieCol: String,
     numBuckets: Int) {
@@ -262,8 +285,16 @@ final class BucketedParquetStateStore(
     * between `move(dir → old)` and `move(tmp → dir)` leaves only the
     * backup — restore it (the interrupted rebucket simply re-runs);
     * any other tmp/old residue next to an intact store is debris.
+    *
+    * NO-OP while a migration is live in this JVM: recovery here is for
+    * CRASH-RESTART paths only. A concurrent read()/exists() during an
+    * in-flight rebucket would otherwise see the swap-window residue and
+    * actively roll the live bucket back, moving dirs out from under the
+    * migrator. (Cross-process access during a migration must be
+    * quiesced by the caller — see [[rebucketToIncremental]].)
     */
   private def recoverIfInterrupted(): Unit = {
+    if (BucketedParquetStateStore.isMigrating(path)) return
     // a partitioned overwrite leaves no root _SUCCESS, so store
     // presence is detected by the layout's own signature: _bucket= dirs
     def looksLikeStore(p: Path): Boolean =
@@ -297,6 +328,15 @@ final class BucketedParquetStateStore(
             }
             acc
           } finally s.close()
+        // `.deleting` = COMMITTED bucket (the atomic `.old → .deleting`
+        // rename in migrateBucket happened, so the migrated _bucket=
+        // dirs are complete): finish the interrupted deletion, keep the
+        // store. Must run BEFORE the `.old` pass conceptually, but the
+        // two residue classes are disjoint per bucket — a bucket has
+        // either an `.old` (pre-commit, intact snapshot) or a
+        // `.deleting` (post-commit debris), never both.
+        residue.filter(_.getFileName.toString.endsWith(".deleting"))
+          .foreach(StateLayout.deleteRec)
         residue.filter(_.getFileName.toString.endsWith(".old")).foreach { oldB =>
           val b = oldB.getFileName.toString
             .stripPrefix(s"$base.rebucket.b").stripSuffix(".old").toInt
@@ -396,7 +436,7 @@ final class BucketedParquetStateStore(
       s"newNumBuckets must be a multiple of the current $numBuckets and " +
         s"larger, got $newNumBuckets — a non-multiple would scatter keys " +
         "across old-bucket boundaries and force a full shuffle")
-    if (exists) {
+    if (exists) BucketedParquetStateStore.withMigrationGuard(path) {
       StateLayout.deleteRec(rebucketTmp)
       spark.read.parquet(dir).drop("_bucket")
         .withColumn("_bucket",
@@ -409,6 +449,7 @@ final class BucketedParquetStateStore(
       Files.move(path, rebucketOld, StandardCopyOption.ATOMIC_MOVE)
       Files.move(rebucketTmp, path, StandardCopyOption.ATOMIC_MOVE)
       StateLayout.deleteRec(rebucketOld)
+      ()
     } else Files.writeString(bucketMarker, newNumBuckets.toString)
     new BucketedParquetStateStore(spark, dir, keys, tsCol, tieCol, newNumBuckets)
   }
@@ -428,12 +469,19 @@ final class BucketedParquetStateStore(
     * heals the in-flight bucket with pure file moves (its partial new
     * dirs only ever derive from the intact `.old` snapshot).
     *
-    * A FULL-TABLE read stays correct at every point of the migration
-    * (every row exists exactly once — migrated buckets under the new
-    * ids, unmigrated under the old), but bucket-PRUNED access does not:
-    * `ensureBucketCount` refuses loudly while the cursor file exists,
-    * and [[resumeRebucket]] drives an interrupted migration home. Call
-    * between micro-batches, as for any maintenance op.
+    * ACCESS DURING MIGRATION: quiesce ALL access — reads included — for
+    * the duration, exactly as for the upsert path. A full-table read is
+    * correct at every CURSOR boundary (every row exists exactly once —
+    * migrated buckets under the new ids, unmigrated under the old), but
+    * NOT inside one bucket's two-move window, where bucket b is absent
+    * between its move-out and move-in; bucket-PRUNED access is wrong
+    * for the whole migration (`ensureBucketCount` refuses loudly while
+    * the cursor file exists, and [[resumeRebucket]] drives an
+    * interrupted migration home). In-JVM, [[recoverIfInterrupted]] is
+    * guarded against the live migration so a concurrent read cannot
+    * roll the in-flight bucket back; cross-process quiescence is the
+    * caller's contract. Call between micro-batches, as for any
+    * maintenance op.
     */
   def rebucketToIncremental(newNumBuckets: Int): BucketedParquetStateStore = {
     recoverIfInterrupted()
@@ -465,12 +513,15 @@ final class BucketedParquetStateStore(
             s"$numBuckets -> $newNumBuckets — finish the in-flight one first")
         parts(2).toInt
       } else { writeProgress(newNumBuckets, 0); 0 }
-    for (b <- start until numBuckets) {
-      migrateBucket(b, newNumBuckets)
-      writeProgress(newNumBuckets, b + 1)
+    BucketedParquetStateStore.withMigrationGuard(path) {
+      for (b <- start until numBuckets) {
+        migrateBucket(b, newNumBuckets)
+        writeProgress(newNumBuckets, b + 1)
+      }
+      Files.writeString(bucketMarker, newNumBuckets.toString)
+      Files.deleteIfExists(progressFile)
+      ()
     }
-    Files.writeString(bucketMarker, newNumBuckets.toString)
-    Files.deleteIfExists(progressFile)
     new BucketedParquetStateStore(spark, dir, keys, tsCol, tieCol, newNumBuckets)
   }
 
@@ -493,12 +544,24 @@ final class BucketedParquetStateStore(
     * class is clear by construction (k = 0 was just moved away; k ≥ 1
     * ids are created only by this bucket's own migration, and recovery
     * removed any partial ones).
+    *
+    * COMMIT DISCIPLINE: the backup is atomically renamed `.old` →
+    * `.deleting` after the move-in loop and only THEN deleted. The
+    * rename is the commit point — recursive deletion is not atomic, so
+    * a crash mid-delete must leave residue recovery can classify:
+    * `.old` is always an INTACT pre-split snapshot (roll back),
+    * `.deleting` is always a COMMITTED bucket's debris (finish
+    * deleting, keep the migrated dirs). Deleting the `.old` name
+    * directly would let a crash leave a PARTIAL `.old`, and rollback
+    * would then destroy the complete migrated copy while restoring a
+    * snapshot missing rows — permanent loss.
     */
   private def migrateBucket(b: Int, newN: Int): Unit = {
     val bucketDir = path.resolve(s"_bucket=$b")
     if (!Files.exists(bucketDir)) return
     val tmpB = Paths.get(dir + s".rebucket.b$b.tmp")
     val oldB = Paths.get(dir + s".rebucket.b$b.old")
+    val delB = Paths.get(dir + s".rebucket.b$b.deleting")
     StateLayout.deleteRec(tmpB)
     spark.read.parquet(bucketDir.toString)
       .withColumn("_bucket", pmod(hash(keys.map(col): _*), lit(newN)))
@@ -515,7 +578,8 @@ final class BucketedParquetStateStore(
             StandardCopyOption.ATOMIC_MOVE)
       }
     } finally s.close()
-    StateLayout.deleteRec(oldB)
+    Files.move(oldB, delB, StandardCopyOption.ATOMIC_MOVE) // commit point
+    StateLayout.deleteRec(delB)
     StateLayout.deleteRec(tmpB)
   }
 

@@ -255,6 +255,55 @@ class StateStoreSpec extends SparkSpecBase {
     assert(s16.read().count() == 400L, "no key may duplicate across buckets")
   }
 
+  test("incremental rebucket crash MID-DELETE (post-commit): recovery " +
+    "keeps the complete migrated bucket, finishes deleting the partial " +
+    ".deleting debris, and no row is lost (advice r16 high)") {
+    val dir = tmpDir("bstate_inc_crash_del") + "/state"
+    val s4 = store(dir, buckets = 4)
+    val init = (1L to 400L).map(i => (i, 100L, i, s"v$i"))
+    s4.upsert(df(init: _*))
+    val before = s4.read().as[(Long, Long, Long, String)].collect().toSet
+
+    // Build the exact post-commit crash state of migrateBucket(0): the
+    // split of bucket 0 is complete and moved in, the backup was
+    // atomically renamed .old → .deleting (the commit point), and the
+    // JVM died MID-recursive-delete of the .deleting dir — leaving it
+    // PARTIAL — before the cursor bumped to 1. Pre-fix, this residue
+    // carried the .old name: recovery destroyed the complete migrated
+    // dirs and restored the partial snapshot → permanent row loss.
+    val b0 = Paths.get(dir, "_bucket=0")
+    val tmpB = Paths.get(dir + ".rebucket.b0.tmp")
+    spark.read.parquet(b0.toString)
+      .withColumn("_bucket", pmod(hash(col("user_id")), lit(16)))
+      .write.partitionBy("_bucket").parquet(tmpB.toString)
+    val delB = Paths.get(dir + ".rebucket.b0.deleting")
+    Files.move(b0, delB)
+    Files.list(tmpB).iterator().asScala.toList
+      .filter(_.getFileName.toString.startsWith("_bucket="))
+      .foreach(p => Files.move(p, Paths.get(dir, p.getFileName.toString)))
+    // make the .deleting snapshot PARTIAL: drop one data file
+    val victim = Files.list(delB).iterator().asScala.toList
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.delete(victim)
+    Files.writeString(Paths.get(dir, "_graft_rebucket"), "16 4 0")
+
+    // recovery must classify .deleting as committed debris: finish the
+    // delete, keep every migrated dir, lose nothing
+    val s = store(dir, buckets = 4)
+    assert(s.read().as[(Long, Long, Long, String)].collect().toSet == before,
+      "post-commit recovery must keep the COMPLETE migrated bucket")
+    assert(!Files.exists(delB), ".deleting debris must be finished off")
+
+    // and the migration completes from the persisted cursor (bucket 0
+    // re-runs idempotently: its residue class already routes by mod 16)
+    val s16 = s.resumeRebucket()
+    assert(s16.read().as[(Long, Long, Long, String)].collect().toSet == before)
+    assert(!Files.exists(Paths.get(dir, "_graft_rebucket")))
+    assert(Files.readString(Paths.get(dir, "_graft_buckets")).trim == "16")
+    s16.upsert(df((42L, 900L, 9002L, "post-resume")))
+    assert(s16.read().count() == 400L, "no key may duplicate across buckets")
+  }
+
   test("ReplicationJob streams into the bucketed store when configured") {
     import graft.streaming.ReplicationJob
     val srcDir = tmpDir("bsrc")
