@@ -250,6 +250,47 @@ object Dedup {
         "last_dup", "dup_permille")
   }
 
+  /** MAXIMAL duplicated spans (the full Lee et al. 2022 operator,
+    * completing [[windowDupProfile]]'s fixed-window signal): coalesce
+    * each doc's CONSECUTIVE duplicated window starts into maximal
+    * islands — a duplicated block of L tokens reports as ONE span with
+    * its true boundaries `[start, start + L − 1]`, where the fixed
+    * window profile under-reports it as L − n + 1 overlapping hits with
+    * no boundary. Gaps-and-islands: duplicated starts are consecutive
+    * iff `start − row_number()` is constant, so one per-doc window pass
+    * + one (doc, island) aggregate yields the spans. Output:
+    * (doc_id, span_start_tok, span_end_tok, n_copies) — token indices
+    * 1-based inclusive; `n_copies` is the span's window support, the
+    * MINIMUM cross-corpus doc count over its windows (an upper bound on
+    * whole-span copies, exact when the duplicate is a genuine block
+    * copy — the common boilerplate case).
+    *
+    * Scale shape: one distinct-window aggregate (map-side combined) +
+    * one postings equi-join — identical to the profile — plus a window
+    * function partitioned BY DOC (per-partition state is doc-length
+    * bounded, never corpus-shaped). No all-pairs anywhere.
+    */
+  def maxDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val postings = positionalWindowHashes(docs, idCol, textCol, n)
+      .select(col("doc_id"), (col("pos") + 1).as("start"), col("h"))
+    val pm = graft.util.Materialize.stable(postings)
+    // carry the duplicate doc count (not just membership): the span's
+    // support is the min over its windows
+    val dupH = pm.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+    pm.join(dupH, Seq("h"))
+      .withColumn("_island",
+        col("start") - row_number().over(
+          Window.partitionBy("doc_id").orderBy("start")))
+      .groupBy(col("doc_id"), col("_island"))
+      .agg(min("start").as("span_start_tok"),
+        (max("start") + lit(n - 1)).as("span_end_tok"),
+        min("nd").as("n_copies"))
+      .select("doc_id", "span_start_tok", "span_end_tok", "n_copies")
+  }
+
   /** Trim cross-document duplicated spans out of each doc: tokens
     * covered by [[windowDupProfile]]'s [first_dup, last_dup + n − 1]
     * window range are removed, keeping the clean prefix and suffix —

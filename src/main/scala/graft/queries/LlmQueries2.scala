@@ -152,7 +152,14 @@ object LlmQueries2 {
     "dedup_trim_spans" -> ((s, dir) =>
       graft.llm.Dedup.trimDupSpans(Tables.documents(s, dir), "doc_id",
         "text", n = 8)
-        .select("doc_id", "source", "text"))
+        .select("doc_id", "source", "text")),
+
+    // MAXIMAL duplicated spans with true boundaries (the full Lee et al.
+    // 2022 operator — round-16 verdict #3): consecutive duplicated
+    // 8-token windows coalesced by gaps-and-islands
+    "dedup_max_spans" -> ((s, dir) =>
+      graft.llm.Dedup.maxDupSpans(Tables.documents(s, dir), "doc_id",
+        "text", n = 8))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -438,6 +445,24 @@ object LlmQueries2 {
         |  first_dup, last_dup,
         |  coalesce(n_dup_windows, 0) * 1000 // n_windows AS dup_permille
         |FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id"""
+        .stripMargin.replace("\n", " "),
+
+    "dedup_max_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |w AS (SELECT doc_id, i AS start, array_to_string(t[i:i+7], ' ') AS w
+        |  FROM toks, UNNEST(range(1, len(t) - 6)) AS r(i) WHERE len(t) >= 8),
+        |wh AS (SELECT doc_id, start,
+        |  CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) AS h FROM w),
+        |duph AS (SELECT h, count(DISTINCT doc_id) AS nd FROM wh
+        |  GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |dup AS (SELECT wh.doc_id, wh.start, duph.nd
+        |  FROM wh JOIN duph ON wh.h = duph.h),
+        |isl AS (SELECT doc_id, start, nd,
+        |  start - row_number() OVER (PARTITION BY doc_id ORDER BY start) AS island
+        |  FROM dup)
+        |SELECT doc_id, min(start) AS span_start_tok,
+        |  max(start) + 7 AS span_end_tok, min(nd) AS n_copies
+        |FROM isl GROUP BY doc_id, island"""
         .stripMargin.replace("\n", " "),
 
     "vocab_topk" ->

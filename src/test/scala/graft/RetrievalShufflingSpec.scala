@@ -162,6 +162,38 @@ class RetrievalShufflingSpec extends SparkSpecBase {
       (7L, "y z"), (8L, "")))
   }
 
+  test("maxDupSpans: one long duplicate yields ONE span with exact " +
+    "boundaries, not n overlapping window hits (Lee et al. 2022)") {
+    // a 6-token block "c1 c2 c3 c4 c5 c6" shared between docs 1 and 2,
+    // embedded at different offsets inside otherwise-unique text
+    val docs = Seq(
+      (1L, "u1 u2 c1 c2 c3 c4 c5 c6 u3 u4"), // block at tokens 3..8
+      (2L, "c1 c2 c3 c4 c5 c6 v1 v2 v3"),    // block at tokens 1..6
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8")        // clean → no span row
+    ).toDF("doc_id", "text")
+    // n=3: doc 1's duplicated window starts are 3,4,5,6 (consecutive) —
+    // the profile reports 4 hits; the span operator must report ONE
+    // span covering exactly the block: [3, 8]
+    val r = graft.llm.Dedup.maxDupSpans(docs, "doc_id", "text", n = 3)
+      .as[(Long, Int, Int, Long)].collect().sortBy(_._1)
+    assert(r.toSeq === Seq((1L, 3, 8, 2L), (2L, 1, 6, 2L)))
+  }
+
+  test("maxDupSpans: two separated duplicated blocks in one doc yield " +
+    "two spans; within-doc repetition alone yields none") {
+    val docs = Seq(
+      (1L, "a1 a2 a3 u1 u2 u3 u4 b1 b2 b3"), // two blocks, gap between
+      (2L, "a1 a2 a3 z1 z2"),
+      (3L, "z8 z9 b1 b2 b3"),
+      (4L, "r r r r r r")                    // self-repetition only
+    ).toDF("doc_id", "text")
+    val r = graft.llm.Dedup.maxDupSpans(docs, "doc_id", "text", n = 3)
+      .as[(Long, Int, Int, Long)].collect().sortBy(x => (x._1, x._2))
+    assert(r.filter(_._1 == 1L).toSeq === Seq((1L, 1, 3, 2L), (1L, 8, 10, 2L)),
+      s"doc 1 must carry two exact-boundary spans: ${r.toSeq}")
+    assert(!r.exists(_._1 == 4L), "within-doc repetition is not cross-doc dup")
+  }
+
   test("vocabulary: global counts, doc frequencies, tiebreak, k cut") {
     val docs = Seq((1L, "b b a"), (2L, "a c")).toDF("doc_id", "text")
     val r = Retrieval.vocabulary(docs, "doc_id", "text", k = 2)
