@@ -65,11 +65,71 @@ case class TokenCount(child: Expression)
     copy(child = newChild)
 }
 
+/** Static seam for [[NfcNormalize]]'s codegen (a Scala object method gets
+  * a static forwarder Janino can call). Two allocation-free fast paths
+  * cover the 100 TB-dominant cases: pure-ASCII bytes are NFC by
+  * definition (one byte scan, no String round-trip), and already-NFC
+  * text (JDK `isNormalized`) returns the input UTF8String untouched.
+  * Only text that actually changes pays the String → normalize →
+  * UTF8String conversion.
+  */
+object NfcUtil {
+  def nfc(u: UTF8String): UTF8String = {
+    val n = u.numBytes()
+    var i = 0
+    while (i < n) {
+      if ((u.getByte(i) & 0x80) != 0) {
+        val s = u.toString
+        return if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+        else UTF8String.fromString(
+          java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+      }
+      i += 1
+    }
+    u
+  }
+}
+
+/** Unicode NFC normalization as a native codegen'd expression:
+  * `nfc_normalize(s)` — canonical composition (é == e +​ U+0301, jamo →
+  * Hangul syllables, U+212B Å → U+00C5), the precondition every
+  * multilingual text operator needs before hashing or segmenting (two
+  * byte-distinct spellings of the same text must dedup/tokenize
+  * identically). Matches DuckDB's `nfc_normalize` — both sides implement
+  * the same Unicode canonical composition, which is what makes the
+  * unicode gates oracle-exact. No UDF: a unary Expression whose codegen
+  * is one static call, so the text pipelines stay inside whole-stage
+  * codegen.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(s: Any): Any =
+    NfcUtil.nfc(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.NfcUtil.nfc($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 object TextFns {
-  /** Idempotent per-session registration; exposes `token_count(s)` to
-    * SQL, `expr(...)`, and `call_function`.
+  /** Idempotent per-session registration; exposes `token_count(s)` and
+    * `nfc_normalize(s)` to SQL, `expr(...)`, and `call_function`.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "token_count", exprs => TokenCount(exprs.head), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs.head), "internal")
+  }
 }
