@@ -386,6 +386,75 @@ object Multimodal {
       }
   }
 
+  // ------------------------------------------------ cross-modal towers
+
+  /** Cross-modal two-tower stub (round-16 verdict #4) — the CLIP-shaped
+    * seam: an IMAGE tower over the binary payload and a TEXT tower over
+    * the text, emitting vectors in ONE shared space with the
+    * `(vec_id, embedding)` contract the [[Similarity]] ANN family
+    * consumes. Both towers are pure codegen'd expressions (the
+    * [[aHashSql]] sampled-pixel discipline: dim `d` sums the
+    * [[EmbedSamples]] sampled char codes at positions
+    * `1 + (d·16 + k·7) % n`), so the DuckDB oracle computes the
+    * identical vectors; the TEXT tower adds a small deterministic
+    * modality perturbation (`(doc_id + d) % 7`), making the two views
+    * of one document near-parallel but not equal — text→image top-1 is
+    * the counterpart image without being an identity lookup. A real
+    * CLIP encoder replaces both towers through the [[extractFeatures]]
+    * mapPartitions seam (same output contract — spec-pinned); these
+    * closed forms are what make the gate ORACLE-checkable.
+    *
+    * Image-side vec_ids are offset by [[ImgIdOffset]] so the shared id
+    * space stays collision-free and the counterpart image survives the
+    * ANN family's self-match exclusion (`cid <> qid`).
+    */
+  val EmbedDim = 8
+  val EmbedSamples = 16
+  val ImgIdOffset = 1000000L
+
+  private def towerDim(text: org.apache.spark.sql.Column, d: Int,
+      perturb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val n = length(text)
+    (0 until EmbedSamples).map { k =>
+      ascii(text.substr(lit(d * EmbedSamples + k * 7) % n + 1, lit(1)))
+    }.reduce(_ + _) + perturb
+  }
+
+  /** IMAGE tower: (vec_id = doc_id + offset, embedding: array<long>)
+    * over the payload bytes (== char codes on the ASCII fixture — the
+    * [[aHashSql]] equivalence).
+    */
+  def imageTower(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(length(col(textCol)) > 0).select(
+      (col(idCol) + ImgIdOffset).as("vec_id"),
+      array((0 until EmbedDim).map(d =>
+        towerDim(col(textCol), d, lit(0)).cast("long")): _*).as("embedding"))
+
+  /** TEXT tower: same content features + the per-(doc, dim) modality
+    * perturbation; ids stay in doc_id space.
+    */
+  def textTower(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(length(col(textCol)) > 0).select(
+      col(idCol).as("vec_id"),
+      array((0 until EmbedDim).map(d =>
+        towerDim(col(textCol), d,
+          pmod(col(idCol) + lit(d), lit(7))).cast("long")): _*).as("embedding"))
+
+  /** DuckDB twins: the tower expression as a list literal over `text`,
+    * for injection into the cross-modal oracle CTEs.
+    */
+  private def towerDimSqlDuck(d: Int, perturbSql: String): String = {
+    val terms = (0 until EmbedSamples).map { k =>
+      s"ascii(substr(text, 1 + ((${d * EmbedSamples + k * 7}) % length(text)), 1))"
+    }
+    s"CAST(${terms.mkString("(", " + ", ")")} + $perturbSql AS BIGINT)"
+  }
+  def imageTowerSqlDuck: String =
+    (0 until EmbedDim).map(towerDimSqlDuck(_, "0")).mkString("[", ", ", "]")
+  def textTowerSqlDuck: String =
+    (0 until EmbedDim).map(d => towerDimSqlDuck(d, s"((doc_id + $d) % 7)"))
+      .mkString("[", ", ", "]")
+
   /** Deterministic fake encoder (rolling hash per dimension, unit-free). */
   def stubEmbed(bytes: Array[Byte], dim: Int): Array[Float] = {
     val acc = new Array[Long](dim)
