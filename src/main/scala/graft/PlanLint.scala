@@ -125,6 +125,11 @@ object PlanLint {
         "; the index leg additionally broadcasts the stable()'d " +
         "fixed-size centroid sample (the seeds bound) and the 1-row " +
         "anchor-count guard"),
+      // --- bnl-join: cross-modal towers (round 17) — same IVF path ---
+      ("multimodal_crossmodal_topk", "bnl-join") -> seeds,
+      ("multimodal_crossmodal_recall", "bnl-join") -> (anchors +
+        "; the IVF leg additionally broadcasts the stable()'d " +
+        "fixed-size centroid sample (the seeds bound)"),
       ("events_value_drift", "bnl-join") -> registers,
       ("privacy_t_closeness", "bnl-join") -> registers,
       ("privacy_t_closeness_stream", "bnl-join") -> registers,

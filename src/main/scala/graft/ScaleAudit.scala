@@ -75,7 +75,13 @@ object ScaleAudit {
     // map-side-combined aggregates per gradient round) and the
     // distillation-closed curation recipe. ulm_train_soft is
     // dict-bounded like the other ULM gates — excluded by design.
-    "quality_head_train", "corpus_curated_v7")
+    "quality_head_train", "corpus_curated_v7",
+    // round-17: the maximal-span dedup (distinct-window agg + postings
+    // join + per-doc islands window), the NFC-keyed dedup cluster agg
+    // (corpus-keyed exchange on norm_h), and the cross-modal IVF search
+    // (cell-keyed candidate exchange). The remaining unicode gates are
+    // scan-bounded per-row projections — excluded by design.
+    "dedup_max_spans", "unicode_dedup_clusters", "multimodal_crossmodal_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -222,10 +222,30 @@ object JdbcLwwExecutor {
             val sp = conn.setSavepoint()
             try { ins.executeUpdate(); conn.releaseSavepoint(sp); accepted += 1 }
             catch {
-              // pk hit ⇒ the stored row is newer-or-equal ⇒ LWW reject
+              // pk hit: the row exists NOW. Under a single writer that
+              // means the stored row is newer-or-equal (our own UPDATE
+              // just missed it) ⇒ reject — but under a SECOND CONCURRENT
+              // writer the row may have been inserted in the window
+              // between our missed UPDATE and this INSERT, and may be
+              // LWW-OLDER than ours; treating the pk hit as a reject
+              // would permanently lose the newer row. The reference's
+              // `INSERT .. ON CONFLICT DO UPDATE WHERE newer` is atomic
+              // and immune; this update-then-insert decomposition closes
+              // the window the classic way — retry the CONDITIONAL
+              // update against the now-present row (itself atomic at row
+              // level): > 0 ⇒ we were newer after all; 0 ⇒ genuine LWW
+              // reject. One retry suffices: the row can never become
+              // absent again mid-batch (no concurrent hard deletes
+              // inside an upsert batch — delete is a separate phase).
               case e: SQLException if e.getSQLState == DuplicateKeySqlState =>
                 conn.rollback(sp)
-                rejected += 1
+                var i = 1
+                nonPk.foreach { c => up.setObject(i, r.getAs[Any](c)); i += 1 }
+                t.pk.foreach { c => up.setObject(i, r.getAs[Any](c)); i += 1 }
+                val ts = r.getAs[Any](t.tsCol)
+                up.setObject(i, ts); up.setObject(i + 1, ts)
+                up.setObject(i + 2, r.getAs[Any](t.tieCol))
+                if (up.executeUpdate() > 0) accepted += 1 else rejected += 1
             }
           }
         }
@@ -283,6 +303,19 @@ object JdbcLwwExecutor {
 
   /** The foreachBatch body: per-partition connections on the executors,
     * driver-side retry + breaker around the whole batch write.
+    *
+    * CONTRACT: the batch must be per-key COMPACTED (one row per key —
+    * what the pipeline's LWW compaction stage emits). Partitions of one
+    * job write concurrently, so duplicate keys ACROSS partitions make
+    * the job race itself: same-key writes serialize correctly (the
+    * conditional update is row-atomic), but overlapping multi-key lock
+    * sets in opposite orders can deadlock — recoverable (the DB kills
+    * one victim, the built-in retry replays the idempotent batch) but
+    * wasteful. Key-disjoint partitions cannot cycle. Two CONCURRENT
+    * writeBatch callers (dual writers) converge to the LWW fold of
+    * their merged logs whatever the interleaving — spec-pinned in
+    * JdbcSinkSpec, resting on the update-retry-on-duplicate-key window
+    * closure in [[upsertPartition]].
     */
   def writeBatch(df: DataFrame, t: Target,
       policy: Retry.Policy = Retry.Policy(),

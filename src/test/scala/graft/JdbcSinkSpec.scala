@@ -130,6 +130,57 @@ class JdbcSinkSpec extends SparkSpecBase {
     assert(rows(t).keySet == Set(1L))
   }
 
+  test("TWO CONCURRENT writers converge to the LWW fold of the merged " +
+    "log, whatever the interleaving (round-16 verdict #7)") {
+    // The reference's idempotence argument (timestamp_conflict_resolver
+    // .py:247-285 — accept iff strictly newer) also guarantees
+    // convergence under concurrent writers racing on one target; this
+    // executes it: two interleaved writeBatch streams over one Derby
+    // table, three rounds with different event splits, each round
+    // asserting final state == the in-memory LWW fold of the merged log.
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 3) {
+      val t = freshTarget(s"lww_dual$round")
+      // merged log: 40 keys x ~8 events, colliding timestamps, unique ids
+      val log = (1 to 320).map { i =>
+        val k = rnd.nextInt(40).toLong
+        (k, s"e$i", rnd.nextInt(1000).toLong,
+          (rnd.nextInt(50) * 100).toLong, i.toLong + round * 10000L)
+      }
+      val expected = log.groupBy(_._1).map { case (k, evs) =>
+        val w = evs.maxBy(e => (e._4, e._5)) // LWW: (ts, event_id)
+        k -> ((w._2, w._3, w._4, w._5))
+      }
+      // split round-robin into two writers x 4 batches each; batches are
+      // key-sorted single partitions so intra-transaction lock order is
+      // aligned (production discipline; deadlock-retry is the backstop)
+      def batches(sel: Int): Seq[org.apache.spark.sql.DataFrame] =
+        log.zipWithIndex.collect { case (e, i) if i % 2 == sel => e }
+          .grouped(40).map(g => df(g.sortBy(_._1): _*).repartition(1)
+            .sortWithinPartitions("user_id")).toSeq
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val fs = Seq(0, 1).map { w =>
+          pool.submit(new Runnable {
+            def run(): Unit = batches(w).foreach(b =>
+              JdbcLwwExecutor.writeBatch(b, t, sleep = _ => ()))
+          })
+        }
+        fs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      } finally pool.shutdown()
+      assert(rows(t) == expected,
+        s"round $round: concurrent writers must converge to the LWW fold")
+      // and a replay of EVERYTHING by one writer changes nothing (one
+      // sorted partition: a multi-partition replay of a NON-compacted
+      // log would race itself on duplicate keys — the pipeline's
+      // one-row-per-key compaction contract, see writeBatch scaladoc)
+      JdbcLwwExecutor.writeBatch(
+        df(log.sortBy(_._1): _*).repartition(1)
+          .sortWithinPartitions("user_id"), t, sleep = _ => ())
+      assert(rows(t) == expected, s"round $round: replay must be a no-op")
+    }
+  }
+
   test("retry recovers a transiently failing write; breaker opens on persistent failure") {
     val t = freshTarget("lww_retry")
     // Transient failure: first attempt targets a missing table, then heals.
