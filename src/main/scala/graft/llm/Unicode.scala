@@ -172,6 +172,40 @@ object Unicode {
         countDistinct(col(textCol)).as("n_raw_variants"))
   }
 
+  /** The STREAM register behind [[nfcDedupClusters]]: one row per
+    * (norm_h, raw_h) variant with its doc count and min-id keeper.
+    * This is the merge identity an ingest stream maintains —
+    * `clusters(A ∪ B) == clusters(mergeRegisters(reg(A), reg(B)))`:
+    * keeper min-merges, n_copies sum-merges, and n_raw_variants is the
+    * register's own row count per norm_h, so per-batch registers fold
+    * into state without re-reading the corpus (state size = distinct
+    * raw texts, exactly what exact dedup already keeps).
+    */
+  def nfcDedupRegisters(docs: DataFrame, textCol: String): DataFrame = {
+    graft.functions.TextFns.register(docs.sparkSession)
+    docs
+      .withColumn("norm_h", md5(expr(s"nfc_normalize($textCol)")))
+      .withColumn("raw_h", md5(col(textCol)))
+      .groupBy("norm_h", "raw_h")
+      .agg(min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"))
+  }
+
+  /** Fold two register tables (sum-merge counts, min-merge keepers). */
+  def mergeNfcRegisters(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("norm_h", "raw_h")
+      .agg(min(col("keeper_doc_id")).as("keeper_doc_id"),
+        sum(col("n_copies")).as("n_copies"))
+
+  /** Final cluster table off the register — bit-identical output
+    * contract to [[nfcDedupClusters]].
+    */
+  def clustersFromRegisters(regs: DataFrame): DataFrame =
+    regs.groupBy("norm_h")
+      .agg(min(col("keeper_doc_id")).as("keeper_doc_id"),
+        sum(col("n_copies")).as("n_copies"),
+        count(lit(1)).as("n_raw_variants"))
+
   /** Codepoint vs byte width stats: chars (codepoints), UTF-8 bytes,
     * printable-ASCII codepoints — pins the char/byte parity contract
     * between the engines on multi-byte and astral-plane input.

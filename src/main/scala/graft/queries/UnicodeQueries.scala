@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.Tables
 import graft.llm.Unicode
@@ -42,7 +43,17 @@ object UnicodeQueries {
 
     // codepoint vs UTF-8 byte vs printable-ASCII width parity
     "unicode_width_stats" -> ((s, dir) =>
-      Unicode.widthStats(ud(s, dir), "utext"))
+      Unicode.widthStats(ud(s, dir), "utext")),
+
+    // the stream twin: two doc_id-parity batch registers folded through
+    // the merge identity must land on the batch clusters exactly —
+    // oracle shared verbatim with unicode_dedup_clusters
+    "unicode_dedup_stream" -> ((s, dir) => {
+      val docs = ud(s, dir)
+      Unicode.clustersFromRegisters(Unicode.mergeNfcRegisters(
+        Unicode.nfcDedupRegisters(docs.filter(col("doc_id") % 2 === 0), "utext"),
+        Unicode.nfcDedupRegisters(docs.filter(col("doc_id") % 2 === 1), "utext")))
+    })
   )
 
   private val UD = Unicode.utextCteDuck
@@ -91,6 +102,14 @@ object UnicodeQueries {
       s"""WITH $UD
          |SELECT doc_id, length(utext) AS n_chars, strlen(utext) AS n_bytes,
          |  len(regexp_extract_all(utext, '${Unicode.AsciiPrintPat}')) AS n_ascii
-         |FROM ud""".stripMargin.replace("\n", " ")
+         |FROM ud""".stripMargin.replace("\n", " "),
+
+    // the stream fold must land on the BATCH clusters — one oracle
+    "unicode_dedup_stream" ->
+      s"""WITH $UD
+         |SELECT md5(nfc_normalize(utext)) AS norm_h,
+         |  min(doc_id) AS keeper_doc_id, count(*) AS n_copies,
+         |  count(DISTINCT utext) AS n_raw_variants
+         |FROM ud GROUP BY 1""".stripMargin.replace("\n", " ")
   )
 }

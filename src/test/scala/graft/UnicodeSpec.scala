@@ -84,6 +84,30 @@ class UnicodeSpec extends SparkSpecBase {
     assert(ws.getAs[Int]("n_ascii") == 2)
   }
 
+  test("NFC dedup register identity: per-batch registers folded through " +
+    "the merge land on the batch clusters — raw variants split across " +
+    "batches included") {
+    // doc 10 (precomposed) lands in leg-even, doc 11 (decomposed, same
+    // NFC class) in leg-odd — the cross-batch case the fold must get right
+    val docs = Seq(
+      (10L, "caf\u00e9 bar"), (11L, "cafe\u0301 bar"),
+      (12L, "caf\u00e9 bar"), (13L, "other"), (15L, "other")
+    ).toDF("doc_id", "utext")
+    val batch = Unicode.nfcDedupClusters(docs, "utext")
+      .orderBy("keeper_doc_id").collect().toSeq
+    val folded = Unicode.clustersFromRegisters(Unicode.mergeNfcRegisters(
+        Unicode.nfcDedupRegisters(docs.filter($"doc_id" % 2 === 0), "utext"),
+        Unicode.nfcDedupRegisters(docs.filter($"doc_id" % 2 === 1), "utext")))
+      .orderBy("keeper_doc_id").collect().toSeq
+    assert(folded == batch, s"fold=$folded batch=$batch")
+    val c = Unicode.clustersFromRegisters(Unicode.mergeNfcRegisters(
+        Unicode.nfcDedupRegisters(docs.filter($"doc_id" % 2 === 0), "utext"),
+        Unicode.nfcDedupRegisters(docs.filter($"doc_id" % 2 === 1), "utext")))
+      .filter($"keeper_doc_id" === 10L)
+      .select("n_copies", "n_raw_variants").as[(Long, Long)].head()
+    assert(c == ((3L, 2L)), "the café class: 3 docs, 2 raw spellings")
+  }
+
   test("utext derivation is pure doc_id arithmetic (SF/seed independent)") {
     val a = Unicode.withUtext(Seq((17L, "x"), (33L, "y")).toDF("doc_id", "text"))
       .select("doc_id", "utext").as[(Long, String)].collect().toMap
