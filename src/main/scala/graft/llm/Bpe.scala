@@ -83,16 +83,33 @@ object Bpe {
     (merges, rounds.last)
   }
 
+  /** [[learnMerges]] over a caller-supplied (word, freq) table. */
+  def learnMergesFromWf(wf: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    val (merges, rounds) = learnMergesWithRoundsFromWf(wf, k)
+    (merges, rounds.last)
+  }
+
   /** [[learnMerges]] plus every intermediate: the forms table AFTER each
     * round 0..k (index 0 = character-split initial forms). The per-round
     * tables back the compression-curve audit ([[mergeCurve]]) without a
     * second training run; each is already materialized by the loop.
     */
   def learnMergesWithRounds(docs: DataFrame, textCol: String, k: Int)
+      : (DataFrame, Vector[DataFrame]) =
+    learnMergesWithRoundsFromWf(wordFreqs(docs, textCol), k)
+
+  /** [[learnMergesWithRounds]] over a CALLER-SUPPLIED (word, freq)
+    * table — the seam that lets an alternate tokenization feed the same
+    * training loop (the unicode tier's `\p{L}`-run + CJK-per-char word
+    * stream, [[Unicode.wordFreqs]]). Tie-breaks stay engine-portable on
+    * any vocabulary: Spark compares strings in binary UTF-8 order and
+    * DuckDB's default collation is binary UTF-8, so (cnt DESC, lhs,
+    * rhs) ranks identically for non-ASCII merges too.
+    */
+  def learnMergesWithRoundsFromWf(wf: DataFrame, k: Int)
       : (DataFrame, Vector[DataFrame]) = {
     require(k >= 1, s"k must be >= 1, got $k")
-    var forms = graft.util.Materialize.stable(
-      initialForms(wordFreqs(docs, textCol)))
+    var forms = graft.util.Materialize.stable(initialForms(wf))
     var rounds = Vector(forms)
     var merges: DataFrame = null
     for (r <- 1 to k) {
@@ -183,7 +200,13 @@ object Bpe {
     * m1..mk, f1..fk — shared by both oracle renderings.
     */
   private def roundChainDuck(table: String, textCol: String, k: Int)
-      : String = {
+      : String = roundChainDuckFrom(initCtesDuck(table, textCol), k)
+
+  /** The round chain over a CALLER-SUPPLIED init prefix (must define
+    * `wf(word, freq)` and `f0(word, freq, form)`) — the oracle twin of
+    * [[learnMergesWithRoundsFromWf]].
+    */
+  def roundChainDuckFrom(initCtes: String, k: Int): String = {
     val rounds = (1 to k).map { r =>
       val prev = s"f${r - 1}"
       s"""p$r AS (${pairsDuck(prev)}),
@@ -196,8 +219,20 @@ object Bpe {
          |  FROM $prev w LEFT JOIN m$r m ON true)"""
         .stripMargin.replace("\n", " ")
     }.mkString(", ")
-    s"WITH ${initCtesDuck(table, textCol)}, $rounds"
+    s"WITH $initCtes, $rounds"
   }
+
+  /** [[mergesSqlDuck]] / [[segmentedSqlDuck]] over a caller init. */
+  def mergesSqlDuckFrom(initCtes: String, k: Int): String = {
+    val sel = (1 to k).map(r =>
+      s"SELECT round, lhs, rhs, cnt FROM m$r").mkString(" UNION ALL ")
+    s"${roundChainDuckFrom(initCtes, k)} $sel"
+  }
+  def segmentedSqlDuckFrom(initCtes: String, k: Int): String =
+    s"""${roundChainDuckFrom(initCtes, k)}
+       |SELECT word, freq, form,
+       |  len(string_split(form[2:length(form)-1], ')(')) AS n_tokens
+       |  FROM f$k""".stripMargin.replace("\n", " ")
 
   /** The oracle for [[pairCounts]] over the initial forms, ranked
     * (cnt DESC, lhs, rhs) and capped at `topN`.

@@ -172,6 +172,41 @@ object Unicode {
         countDistinct(col(textCol)).as("n_raw_variants"))
   }
 
+  /** Unicode (word, freq) table — the [[graft.llm.Bpe.wordFreqs]]
+    * admission rule lifted off ASCII: NFC-normalize, isolate no-space
+    * CJK chars, then every `[\p{L}\p{M}\p{N}]+` run is a word (isolated
+    * CJK chars match as 1-char runs). CASE-SENSITIVE on purpose: JVM
+    * and ICU `lower()` diverge on locale-sensitive mappings (dotless I,
+    * final sigma), so the unicode vocabulary never lowercases — the
+    * engines' binary UTF-8 string order then ranks merges identically.
+    * Feeds [[graft.llm.Bpe.learnMergesFromWf]] unchanged.
+    */
+  def wordFreqs(docs: DataFrame, textCol: String): DataFrame = {
+    graft.functions.TextFns.register(docs.sparkSession)
+    docs
+      .withColumn("_nfc", expr(s"nfc_normalize($textCol)"))
+      .withColumn("_pre", regexp_replace(col("_nfc"), CjkCharPat, " $0 "))
+      .select(explode(
+        regexp_extract_all(col("_pre"), lit(RunTokenPat), lit(0))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+  }
+
+  /** Oracle twin of [[wordFreqs]] + BPE initial forms, as the
+    * `wf`/`f0` init prefix [[graft.llm.Bpe.roundChainDuckFrom]] expects;
+    * prepend [[utextCteDuck]] (the word source is `ud.utext`).
+    */
+  def bpeInitCtesDuck: String =
+    s"""${utextCteDuck},
+       |wf AS (SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(regexp_extract_all(
+       |      regexp_replace(nfc_normalize(utext), '$CjkCharPat', ' \\0 ', 'g'),
+       |      '$RunTokenPat')) AS word
+       |    FROM ud) GROUP BY word),
+       |f0 AS (SELECT word, freq,
+       |  regexp_replace(word, '(.)', '(\\1)', 'g') AS form FROM wf)"""
+      .stripMargin.replace("\n", " ")
+
   /** The STREAM register behind [[nfcDedupClusters]]: one row per
     * (norm_h, raw_h) variant with its doc count and min-id keeper.
     * This is the merge identity an ingest stream maintains —

@@ -53,8 +53,24 @@ object UnicodeQueries {
       Unicode.clustersFromRegisters(Unicode.mergeNfcRegisters(
         Unicode.nfcDedupRegisters(docs.filter(col("doc_id") % 2 === 0), "utext"),
         Unicode.nfcDedupRegisters(docs.filter(col("doc_id") % 2 === 1), "utext")))
-    })
+    }),
+
+    // BPE trained on the MULTILINGUAL word stream through the unchanged
+    // training loop (the wf seam): merges and the final segmentation —
+    // the tokenizer-on-real-corpora leg of the unicode tier
+    "unicode_bpe_merges" -> ((s, dir) =>
+      graft.llm.Bpe.learnMergesFromWf(
+        Unicode.wordFreqs(ud(s, dir), "utext"), UMergeRounds)._1),
+
+    "unicode_bpe_segment" -> ((s, dir) =>
+      graft.llm.Bpe.segmented(
+        graft.llm.Bpe.learnMergesFromWf(
+          Unicode.wordFreqs(ud(s, dir), "utext"), UMergeRounds)._2)
+        .select("word", "freq", "form", "n_tokens"))
   )
+
+  /** Unicode BPE merge rounds — matches the ASCII gates' k. */
+  private val UMergeRounds = 6
 
   private val UD = Unicode.utextCteDuck
 
@@ -110,6 +126,12 @@ object UnicodeQueries {
          |SELECT md5(nfc_normalize(utext)) AS norm_h,
          |  min(doc_id) AS keeper_doc_id, count(*) AS n_copies,
          |  count(DISTINCT utext) AS n_raw_variants
-         |FROM ud GROUP BY 1""".stripMargin.replace("\n", " ")
+         |FROM ud GROUP BY 1""".stripMargin.replace("\n", " "),
+
+    "unicode_bpe_merges" ->
+      graft.llm.Bpe.mergesSqlDuckFrom(Unicode.bpeInitCtesDuck, UMergeRounds),
+
+    "unicode_bpe_segment" ->
+      graft.llm.Bpe.segmentedSqlDuckFrom(Unicode.bpeInitCtesDuck, UMergeRounds)
   )
 }

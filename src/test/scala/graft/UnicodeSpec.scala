@@ -108,6 +108,30 @@ class UnicodeSpec extends SparkSpecBase {
     assert(c == ((3L, 2L)), "the café class: 3 docs, 2 raw spellings")
   }
 
+  test("unicode wordFreqs: CJK chars are 1-char words, case preserved, " +
+    "NFC applied before counting; BPE learns a non-ASCII merge") {
+    val docs = Seq(
+      (1L, "Wort Wort 中文"),
+      (2L, "wort cafe\u0301"), // decomposed — must count with precomposed café
+      (3L, "caf\u00e9 \u4e2d Wort")
+    ).toDF("doc_id", "utext")
+    val wf = Unicode.wordFreqs(docs, "utext")
+      .as[(String, Long)].collect().toMap
+    assert(wf("Wort") == 3L && wf("wort") == 1L, "case must be preserved")
+    assert(wf("中") == 2L && wf("文") == 1L, "CJK: one word per char")
+    assert(wf("caf\u00e9") == 2L && !wf.contains("cafe\u0301"),
+      "NFC must merge the spellings before counting")
+    // k=2 on a Wort-heavy vocab: the first merges glue Wort's chars —
+    // and the machinery round-trips non-ASCII forms losslessly
+    val (merges, forms) = graft.llm.Bpe.learnMergesFromWf(
+      Unicode.wordFreqs(docs, "utext"), 2)
+    assert(merges.count() == 2L)
+    val seg = graft.llm.Bpe.segmented(forms)
+      .filter($"word" === "café").select("n_tokens")
+      .as[Long].head()
+    assert(seg >= 1L && seg <= 4L, s"café segments into 1..4 pieces: $seg")
+  }
+
   test("utext derivation is pure doc_id arithmetic (SF/seed independent)") {
     val a = Unicode.withUtext(Seq((17L, "x"), (33L, "y")).toDF("doc_id", "text"))
       .select("doc_id", "utext").as[(Long, String)].collect().toMap
