@@ -329,6 +329,42 @@ object Dedup {
       .drop("_toks", "first_dup", "last_dup")
   }
 
+  /** PRECISE multi-span trimmer — the [[trimDupSpans]] cut discipline
+    * upgraded from the conservative contiguous-range rule to exact
+    * surgery on EVERY maximal span ([[maxDupSpans]]): tokens covered by
+    * any duplicated span are removed, clean text between spans
+    * SURVIVES (the contiguous rule deletes it). Shape: the span table
+    * is doc-keyed and dup-bounded; the doc side explodes to (doc, pos,
+    * token) — one row per corpus token, linear — and the coverage test
+    * is a doc-keyed equi-join with a range predicate against that doc's
+    * spans (per-doc span list is doc-length bounded); reassembly is a
+    * per-doc `collect_list(struct(pos, tok))` + `array_sort` +
+    * transform/join — ONE aggregate partitioned by doc, never
+    * corpus-wide state. Docs trimmed to zero tokens drop (the
+    * [[trimDupSpans]] rule); docs with no spans pass through unchanged
+    * byte-for-byte.
+    */
+  def trimMaxSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val spans = maxDupSpans(docs, idCol, textCol, n)
+      .groupBy(col("doc_id").as(idCol))
+      .agg(collect_list(struct(col("span_start_tok").as("s"),
+        col("span_end_tok").as("e"))).as("_spans"))
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn("_toks", split(col(textCol), " "))
+      .withColumn(textCol,
+        when(col("_spans").isNull, col(textCol)).otherwise(
+          // keep token i (1-based) iff NO span covers it; exists() is
+          // per-row bounded by the doc's own span count
+          expr("""concat_ws(' ', filter(
+                 |  transform(sequence(1, size(_toks)),
+                 |    i -> IF(exists(_spans, sp -> i >= sp.s AND i <= sp.e),
+                 |            NULL, _toks[i - 1])),
+                 |  t -> t IS NOT NULL))""".stripMargin.replace("\n", " "))))
+      .filter(col("_spans").isNull || length(col(textCol)) > 0)
+      .drop("_toks", "_spans")
+  }
+
   /** Distinct (doc_id, shingle-HASH) postings — the shared head of the
     * Jaccard and MinHash pipelines. The distinct runs on the 8-byte hash,
     * not the shingle string: hashing before the exchange shrinks every

@@ -159,7 +159,14 @@ object LlmQueries2 {
     // 8-token windows coalesced by gaps-and-islands
     "dedup_max_spans" -> ((s, dir) =>
       graft.llm.Dedup.maxDupSpans(Tables.documents(s, dir), "doc_id",
-        "text", n = 8))
+        "text", n = 8)),
+
+    // the PRECISE remove half: every maximal span cut exactly, clean
+    // text between spans preserved (the contiguous-range rule deletes it)
+    "dedup_trim_max_spans" -> ((s, dir) =>
+      graft.llm.Dedup.trimMaxSpans(Tables.documents(s, dir), "doc_id",
+        "text", n = 8)
+        .select("doc_id", "source", "text"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -463,6 +470,35 @@ object LlmQueries2 {
         |SELECT doc_id, min(start) AS span_start_tok,
         |  max(start) + 7 AS span_end_tok, min(nd) AS n_copies
         |FROM isl GROUP BY doc_id, island"""
+        .stripMargin.replace("\n", " "),
+
+    "dedup_trim_max_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |w AS (SELECT doc_id, i AS start, array_to_string(t[i:i+7], ' ') AS w
+        |  FROM toks, UNNEST(range(1, len(t) - 6)) AS r(i) WHERE len(t) >= 8),
+        |wh AS (SELECT doc_id, start,
+        |  CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) AS h FROM w),
+        |duph AS (SELECT h FROM wh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |isl AS (SELECT doc_id, start,
+        |  start - row_number() OVER (PARTITION BY doc_id ORDER BY start) AS island
+        |  FROM wh WHERE h IN (SELECT h FROM duph)),
+        |spans AS (SELECT doc_id, min(start) AS s, max(start) + 7 AS e
+        |  FROM isl GROUP BY doc_id, island),
+        |sd AS (SELECT DISTINCT doc_id FROM spans),
+        |tk AS (SELECT toks.doc_id, i AS pos, t[i] AS tok
+        |  FROM toks JOIN sd ON toks.doc_id = sd.doc_id,
+        |  UNNEST(range(1, len(t) + 1)) u(i)),
+        |kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tk
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |    WHERE sp.doc_id = tk.doc_id AND tk.pos BETWEEN sp.s AND sp.e)),
+        |trimmed AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, d.source,
+        |  CASE WHEN sd.doc_id IS NULL THEN d.text ELSE tr.text END AS text
+        |FROM documents d
+        |LEFT JOIN sd ON d.doc_id = sd.doc_id
+        |LEFT JOIN trimmed tr ON d.doc_id = tr.doc_id
+        |WHERE sd.doc_id IS NULL OR (tr.text IS NOT NULL AND length(tr.text) > 0)"""
         .stripMargin.replace("\n", " "),
 
     "vocab_topk" ->

@@ -194,6 +194,28 @@ class RetrievalShufflingSpec extends SparkSpecBase {
     assert(!r.exists(_._1 == 4L), "within-doc repetition is not cross-doc dup")
   }
 
+  test("trimMaxSpans: every maximal span cut exactly, clean text BETWEEN " +
+    "spans survives (the contiguous rule deletes it); passthrough and " +
+    "drop edges match trimDupSpans") {
+    val docs = Seq(
+      (1L, "a1 a2 a3 u1 u2 u3 b1 b2 b3"), // two blocks, clean middle
+      (2L, "a1 a2 a3 z1 z2"),
+      (3L, "z8 z9 b1 b2 b3"),
+      (4L, "p q r s"),                    // clean → byte-identical passthrough
+      (5L, "c1 c2 c3"), (6L, "c1 c2 c3"), // fully duplicated → dropped
+      (7L, "x y")                         // shorter than n → passthrough
+    ).toDF("doc_id", "text")
+    val r = graft.llm.Dedup.trimMaxSpans(docs, "doc_id", "text", n = 3)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(r.toSeq === Seq(
+      (1L, "u1 u2 u3"),   // precise surgery keeps the clean middle
+      (2L, "z1 z2"), (3L, "z8 z9"), (4L, "p q r s"), (7L, "x y")))
+    // the contiguous-range trimmer on doc 1 cuts 1..9 — middle lost
+    assert(graft.llm.Dedup.trimDupSpans(docs, "doc_id", "text", n = 3)
+      .filter($"doc_id" === 1L).isEmpty,
+      "contrast: the conservative rule drops doc 1 entirely")
+  }
+
   test("vocabulary: global counts, doc frequencies, tiebreak, k cut") {
     val docs = Seq((1L, "b b a"), (2L, "a c")).toDF("doc_id", "text")
     val r = Retrieval.vocabulary(docs, "doc_id", "text", k = 2)
