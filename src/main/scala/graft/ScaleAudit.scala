@@ -81,7 +81,8 @@ object ScaleAudit {
     // (corpus-keyed exchange on norm_h), and the cross-modal IVF search
     // (cell-keyed candidate exchange). The remaining unicode gates are
     // scan-bounded per-row projections — excluded by design.
-    "dedup_max_spans", "unicode_dedup_clusters", "multimodal_crossmodal_topk")
+    "dedup_max_spans", "unicode_dedup_clusters", "multimodal_crossmodal_topk",
+    "dedup_trim_max_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
