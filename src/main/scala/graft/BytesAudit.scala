@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerStageSubmitted}
 import org.apache.spark.sql.SparkSession
 
 /** Cross-SF shuffle-BYTES scaling audit (round-16 verdict #1) — the scale
@@ -66,22 +66,58 @@ object BytesAudit {
 
   /** Run `body` with a stage-metrics listener attached and return the
     * shuffle/spill bytes its stages accumulated. The listener bus is
-    * asynchronous, so completion events are given `settleMs` to drain
-    * before the snapshot (the [[ScaleAudit]] discipline).
+    * asynchronous, so the snapshot must not race late completion events:
+    * rather than a fixed sleep (which silently under-counts on a loaded
+    * host — exactly the false PASS this audit exists to prevent), the
+    * listener also counts `onStageSubmitted`, and the drain polls until
+    * every submitted stage's completion event has arrived (skipped stages
+    * never emit a submit, so the counts reconcile exactly). `settleMs`
+    * remains only as the hard timeout fallback for a stage whose
+    * completion event the bus genuinely dropped.
     */
-  def measure(spark: SparkSession, settleMs: Long = 800)(body: => Unit): Bytes = {
+  def measure(spark: SparkSession, settleMs: Long = 15000)(body: => Unit): Bytes = {
     @volatile var acc = Bytes(0, 0, 0, 0)
+    val submitted = new java.util.concurrent.atomic.AtomicLong(0)
+    val completed = new java.util.concurrent.atomic.AtomicLong(0)
     val listener = new SparkListener {
+      override def onStageSubmitted(ss: SparkListenerStageSubmitted): Unit =
+        submitted.incrementAndGet()
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val m = sc.stageInfo.taskMetrics
         if (m != null) acc = acc.plus(Bytes(
           m.shuffleReadMetrics.totalBytesRead,
           m.shuffleWriteMetrics.bytesWritten,
           m.memoryBytesSpilled, m.diskBytesSpilled))
+        completed.incrementAndGet()
       }
     }
     spark.sparkContext.addSparkListener(listener)
-    try { body; Thread.sleep(settleMs) }
+    try {
+      body
+      // Primary drain: LiveListenerBus.waitUntilEmpty — deterministic, blocks
+      // until every queued event (submits AND completions) has been delivered.
+      // It is `private[spark]` in Scala but public in bytecode, so reflection;
+      // if the API ever moves, fall through to the counter reconciliation.
+      val busDrained =
+        try {
+          val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+            .invoke(spark.sparkContext)
+          bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+            .invoke(bus, java.lang.Long.valueOf(settleMs))
+          true
+        } catch { case scala.util.control.NonFatal(_) => false }
+      // Cross-check (and fallback when reflection is unavailable): body's
+      // actions have returned, so all events are already posted in order;
+      // poll until every observed submit has its completion.
+      val deadline = System.nanoTime() + settleMs * 1000000L
+      while (completed.get() < submitted.get() && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      if (completed.get() < submitted.get())
+        System.err.println(s"[bytes] WARN listener drain " +
+          s"${if (busDrained) "reconciliation failed after waitUntilEmpty"
+              else "timed out (waitUntilEmpty unavailable)"}: " +
+          s"${completed.get()}/${submitted.get()} stage completions seen")
+    }
     finally spark.sparkContext.removeSparkListener(listener)
     acc
   }

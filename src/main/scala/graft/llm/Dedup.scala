@@ -259,11 +259,14 @@ object Dedup {
     * no boundary. Gaps-and-islands: duplicated starts are consecutive
     * iff `start − row_number()` is constant, so one per-doc window pass
     * + one (doc, island) aggregate yields the spans. Output:
-    * (doc_id, span_start_tok, span_end_tok, n_copies) — token indices
-    * 1-based inclusive; `n_copies` is the span's window support, the
-    * MINIMUM cross-corpus doc count over its windows (an upper bound on
-    * whole-span copies, exact when the duplicate is a genuine block
-    * copy — the common boilerplate case).
+    * (doc_id, span_start_tok, span_end_tok, n_copies_ub) — token indices
+    * 1-based inclusive; `n_copies_ub` is the span's window support, the
+    * MINIMUM cross-corpus doc count over its windows — an UPPER BOUND on
+    * whole-span copies (exact when the duplicate is a genuine block
+    * copy, the common boilerplate case), and the `_ub` suffix says so
+    * (advice r17: an island coalescing windows from two distinct 2-doc
+    * duplicates reports one span with support 2 even though no doc
+    * carries the whole span — consumers must not read it as exact).
     *
     * Scale shape: one distinct-window aggregate (map-side combined) +
     * one postings equi-join — identical to the profile — plus a window
@@ -287,8 +290,8 @@ object Dedup {
       .groupBy(col("doc_id"), col("_island"))
       .agg(min("start").as("span_start_tok"),
         (max("start") + lit(n - 1)).as("span_end_tok"),
-        min("nd").as("n_copies"))
-      .select("doc_id", "span_start_tok", "span_end_tok", "n_copies")
+        min("nd").as("n_copies_ub"))
+      .select("doc_id", "span_start_tok", "span_end_tok", "n_copies_ub")
   }
 
   /** Trim cross-document duplicated spans out of each doc: tokens

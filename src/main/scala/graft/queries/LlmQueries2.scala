@@ -468,7 +468,7 @@ object LlmQueries2 {
         |  start - row_number() OVER (PARTITION BY doc_id ORDER BY start) AS island
         |  FROM dup)
         |SELECT doc_id, min(start) AS span_start_tok,
-        |  max(start) + 7 AS span_end_tok, min(nd) AS n_copies
+        |  max(start) + 7 AS span_end_tok, min(nd) AS n_copies_ub
         |FROM isl GROUP BY doc_id, island"""
         .stripMargin.replace("\n", " "),
 

@@ -51,6 +51,10 @@ object JdbcLwwExecutor {
       batchSize: Int = 1000)
 
   private val DuplicateKeySqlState = "23505"
+  /** Bounded row-level re-attempts of the post-duplicate-key conditional
+    * UPDATE before escalating to the driver-level full-batch retry.
+    */
+  private val RetryUpdateAttempts = 3
 
   /** Open a connection with credential-safe failure text: driver errors
     * ("No suitable driver found for jdbc:...") echo the full URL,
@@ -245,7 +249,38 @@ object JdbcLwwExecutor {
                 val ts = r.getAs[Any](t.tsCol)
                 up.setObject(i, ts); up.setObject(i + 1, ts)
                 up.setObject(i + 2, r.getAs[Any](t.tieCol))
-                if (up.executeUpdate() > 0) accepted += 1 else rejected += 1
+                // The retry UPDATE is savepoint-guarded like the INSERT
+                // probe (advice r17): a transient row-level failure (lock
+                // timeout / deadlock against the very concurrent writer
+                // this path exists for) must not poison the transaction
+                // and discard the group's accepted-but-uncommitted work.
+                // Bounded re-attempts; only exhaustion escalates to the
+                // driver-level full-batch retry. The UPDATE matching 0
+                // after a re-attempt is still a genuine LWW reject: the
+                // row cannot become absent mid-batch (hard delete is a
+                // separate phase).
+                var attempt = 0
+                var done = false
+                while (!done) {
+                  val sp2 = conn.setSavepoint()
+                  try {
+                    val n = up.executeUpdate()
+                    conn.releaseSavepoint(sp2)
+                    if (n > 0) accepted += 1 else rejected += 1
+                    done = true
+                  } catch {
+                    case e2: SQLException
+                        if attempt < RetryUpdateAttempts - 1 =>
+                      conn.rollback(sp2)
+                      attempt += 1
+                      Thread.sleep(25L << attempt)
+                    case e2: SQLException =>
+                      // keep the tx usable for the caller's cleanup path,
+                      // then escalate: driver-level retry replays the batch
+                      conn.rollback(sp2)
+                      throw e2
+                  }
+                }
             }
           }
         }

@@ -246,18 +246,23 @@ object BucketedParquetStateStore {
   // per-JVM only — cross-process access during a migration must be
   // quiesced by the caller.
   private val migrating =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private def canon(p: Path): String = p.toAbsolutePath.normalize.toString
-  private[sink] def isMigrating(p: Path): Boolean = migrating.contains(canon(p))
-  /** Run `body` with `p` marked as migrating; re-entrant (the outermost
-    * frame owns the mark, so resumeRebucket → rebucketToIncremental
-    * nesting unmarks exactly once).
+  private[sink] def isMigrating(p: Path): Boolean = migrating.containsKey(canon(p))
+  /** Run `body` with `p` marked as migrating. The mark is a per-path
+    * REFERENCE COUNT, not a boolean: re-entrant nesting (resumeRebucket →
+    * rebucketToIncremental) increments and decrements symmetrically, and —
+    * the case a boolean gets wrong — a second thread entering a migration
+    * on the same store while one is live holds its own count, so the first
+    * migrator's exit cannot release the mark under the second's swap
+    * window and expose its residue to recoverIfInterrupted.
     */
   private[sink] def withMigrationGuard[A](p: Path)(body: => A): A = {
     val key = canon(p)
-    val added = migrating.add(key)
+    migrating.merge(key, 1, (a, b) => a + b)
     try body
-    finally if (added) { migrating.remove(key); () }
+    finally migrating.computeIfPresent(key,
+      (_, n) => if (n <= 1) null else Integer.valueOf(n - 1))
   }
 }
 

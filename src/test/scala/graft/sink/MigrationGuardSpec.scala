@@ -61,6 +61,33 @@ class MigrationGuardSpec extends SparkSpecBase {
     assert(s16.read().as[(Long, Long, Long, String)].collect().toSet == before)
   }
 
+  test("overlapping migrations from two threads: the first migrator's " +
+    "exit must not release the mark while the second is still live " +
+    "(advice r17: per-path refcount, not a boolean)") {
+    val path = Paths.get(tmpDir("bstate_guard_overlap"))
+    val bEntered = new java.util.concurrent.CountDownLatch(1)
+    val aMayExit = new java.util.concurrent.CountDownLatch(1)
+    val bMayExit = new java.util.concurrent.CountDownLatch(1)
+    @volatile var markAfterAExit = false
+    val a = new Thread(() =>
+      BucketedParquetStateStore.withMigrationGuard(path) {
+        bEntered.await(); aMayExit.await()
+      })
+    val b = new Thread(() =>
+      BucketedParquetStateStore.withMigrationGuard(path) {
+        bEntered.countDown(); bMayExit.await()
+      })
+    a.start(); b.start()
+    bEntered.await()          // both frames live
+    aMayExit.countDown(); a.join(10000)
+    markAfterAExit = BucketedParquetStateStore.isMigrating(path)
+    bMayExit.countDown(); b.join(10000)
+    assert(markAfterAExit,
+      "A's exit released the mark while B's migration was still live")
+    assert(!BucketedParquetStateStore.isMigrating(path),
+      "the last live frame's exit must release the mark")
+  }
+
   test("withMigrationGuard is re-entrant: the outer frame owns the mark") {
     val path = Paths.get(tmpDir("bstate_guard_reent"))
     BucketedParquetStateStore.withMigrationGuard(path) {
