@@ -115,6 +115,9 @@ object Bench {
     // ---- 1. Headline replication throughput, measured before anything else.
     val ev = Tables.events(spark, sfDir)
     val nEvents = ev.count()
+    // Debug knob: run ONLY the latency leg (iteration aid — the full
+    // suite takes ~20 min and the latency leg is self-contained).
+    val latencyOnly = sys.env.get("SPARK_GRAFT_LATENCY_ONLY").contains("1")
     /** TWO declared FULL-WORK warm-up trials, then 5 measured trials
       * (round-16 verdict "what's wrong" #1): the r16 artifact's trial
       * vectors consistently opened with the cold trial (JIT + C2 + page
@@ -145,7 +148,8 @@ object Bench {
       noteSpread(trials.map(eps => if (eps > 0) 1.0 / eps else -1.0))
       (warm, trials)
     }
-    val (replWarmup, replTrials) = replLeg("replication", ev)
+    val (replWarmup, replTrials) =
+      if (latencyOnly) (Seq(-1.0, -1.0), Seq(-1.0)) else replLeg("replication", ev)
     val eventsPerSec = medianPos(replTrials)
 
     // ---- 1b. Reference workload-mix leg. The reference bench drives a
@@ -163,14 +167,191 @@ object Bench {
       .withColumn("user_id",
         org.apache.spark.sql.functions.expr(
           "CASE WHEN event_id % 10 <= 6 THEN event_id + 10000000 ELSE user_id END"))
-    val (mixWarmup, mixTrials) = replLeg("replication_mix", mixed)
+    val (mixWarmup, mixTrials) =
+      if (latencyOnly) (Seq(-1.0, -1.0), Seq(-1.0)) else replLeg("replication_mix", mixed)
     val eventsPerSecMix = medianPos(mixTrials)
     settle() // replication leaves six micro-batch runs of state behind
+
+    // ---- 1c. End-to-end capture→commit latency percentiles — the last
+    // BASELINE.md rows with no measurement anywhere (reference
+    // spec.md:212,256: P95 ≤ 2 s, P99 ≤ 5 s capture→commit;
+    // scripts/benchmark.py:66-67,109-120 measures them over a live
+    // verification queue). Shape of the measurement:
+    //   - the events fixture is pre-sliced into F segment files by
+    //     event_id range (the commit-log segment shape);
+    //   - a feeder thread lands one segment in the stream's source dir
+    //     every `gapMs`, stamping each segment's CAPTURE time at the
+    //     atomic rename — per-event ingest time IS the segment land time
+    //     (events become capturable when the log segment lands, the same
+    //     boundary the reference's Kafka produce timestamp marks);
+    //   - the ENGINE's own micro-batch pipeline (ReplicationJob
+    //     .processBatch: validate → DLQ → LWW compact → bucketed-state
+    //     upsert) consumes them through a real streaming query; the
+    //     COMMIT-VISIBLE time of a segment is the wall clock right after
+    //     its batch's processBatch returns;
+    //   - per-event latency = commit_visible(batch of segment) −
+    //     land(segment), expanded to event weight and reduced by the
+    //     engine's exact percentile (the A7 machinery), P50/P95/P99.
+    // The feed rate is a fixed fraction of fixture size over ~10 s — a
+    // sustained-load regime well under the replay throughput, matching
+    // the reference bench's steady-rate producer (not a burst drain).
+    // Honesty note (same as BASELINE.md's throughput caveat): local[32]
+    // has no network/broker hop, so these are optimistic bounds on a
+    // cluster deployment's latency; the measured quantity — full
+    // pipeline micro-batch latency under sustained load, state store
+    // commit included — is the engine-side component of the reference's
+    // number.
+    def latencyLeg(tag: String, F: Int, gapMs: Long): Map[String, Double] = {
+      import org.apache.spark.sql.functions.{broadcast, col, expr}
+      val W = math.max(1L, (nEvents + F - 1) / F)
+      val base = java.nio.file.Files.createTempDirectory("bench_latency")
+      val staging = base.resolve("staging")
+      val srcDir = java.nio.file.Files.createDirectory(base.resolve("source"))
+      // one file per slice: single-task write, partition dirs carry the
+      // id; ts lands as a µs parquet timestamp (Tables.events' normalized
+      // form), ts_us is re-derived stream-side like every other source
+      ev.drop("ts_us")
+        .withColumn("_slice", (col("event_id") / W).cast("long"))
+        .coalesce(1).write.partitionBy("_slice").parquet(staging.toString)
+      def sliceFile(i: Int): java.nio.file.Path = {
+        val dir = staging.resolve(s"_slice=$i")
+        val s = java.nio.file.Files.list(dir)
+        try s.filter(p => p.getFileName.toString.startsWith("part-")).findFirst.get
+        finally s.close()
+      }
+      // plain state store, same as the throughput legs' processBatch
+      // (state at fixture scale is register-sized either way; the
+      // bucketed shape has its own gates and audits)
+      val cfg = graft.streaming.ReplicationJob.Config(
+        sourceDir = srcDir.toString, targetDir = s"$base/target",
+        dlqDir = s"$base/dlq", checkpointDir = s"$base/ckpt")
+      val lands = new Array[Long](F)
+      @volatile var fed = 0
+      val feeder = new Thread(() => {
+        var i = 0
+        while (i < F) {
+          val dst = srcDir.resolve(f"slice$i%04d.parquet")
+          java.nio.file.Files.move(sliceFile(i), dst)
+          lands(i) = System.currentTimeMillis()
+          fed = i + 1
+          Thread.sleep(gapMs)
+          i += 1
+        }
+      }, "bench-latency-feeder")
+      // slice → earliest commit-visible wall clock (a replayed batch must
+      // not move a slice's visibility later)
+      val visible = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      val fileSchema = org.apache.spark.sql.types.StructType(
+        graft.streaming.ReplicationJob.eventSchema.map(f =>
+          if (f.name == "ts")
+            f.copy(dataType = org.apache.spark.sql.types.TimestampType)
+          else f))
+      val query = spark.readStream
+        .schema(fileSchema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(srcDir.toString)
+        .withColumn("ts_us", expr("unix_micros(ts)"))
+        .writeStream
+        .option("checkpointLocation", cfg.checkpointDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("100 milliseconds"))
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val b0 = System.currentTimeMillis()
+          graft.streaming.ReplicationJob.processBatch(spark, batch, cfg, id)
+          val commitMs = System.currentTimeMillis()
+          System.err.println(s"[bench] $tag batch $id " +
+            s"process_ms=${commitMs - b0} files=${batch.inputFiles.length}")
+          // slice membership from the checkpoint's source-offset log for
+          // this batch id (a tiny driver-side file, written at trigger
+          // start — zero Spark jobs between batches, so measurement adds
+          // nothing to the pipeline's cadence); fall back to a distinct
+          // scan if the offset-log layout ever changes
+          val slicePat = "slice(\\d+)\\.parquet".r
+          val fromOffsets = scala.util.Try {
+            java.nio.file.Files.readString(java.nio.file.Paths.get(
+              cfg.checkpointDir, "sources", "0", id.toString))
+          }.toOption.toSeq
+            .flatMap(s => slicePat.findAllMatchIn(s).map(_.group(1).toLong))
+          val slices =
+            if (fromOffsets.nonEmpty) fromOffsets
+            else batch.select((col("event_id") / W).cast("long").as("s"))
+              .distinct().collect().toSeq.map(_.getLong(0))
+          slices.foreach(s =>
+            visible.merge(s, commitMs, (a, b) => math.min(a, b)))
+        }
+        .start()
+      val t0 = System.currentTimeMillis()
+      feeder.start()
+      try {
+        // all slices landed AND commit-visible, or a hard 180 s timeout
+        while ((fed < F || visible.size < F) &&
+            System.currentTimeMillis() - t0 < 180000L)
+          Thread.sleep(100)
+      } finally { query.stop(); feeder.join(10000) }
+      if (visible.size < F) {
+        System.err.println(s"[bench] $tag INCOMPLETE: " +
+          s"${visible.size}/$F slices commit-visible — recording -1")
+        Map("p50" -> -1.0, "p95" -> -1.0, "p99" -> -1.0,
+          "n_batches" -> -1.0, "max_batch_s" -> -1.0,
+          "feed_eps" -> -1.0)
+      } else {
+        import spark.implicits._
+        val slLat = (0 until F).map { i =>
+          (i.toLong, (visible.get(i.toLong) - lands(i)) / 1000.0)
+        }.toDF("s", "lat_s")
+        // event-weighted exact percentiles through the engine: broadcast
+        // the F-row slice frame onto the fixture and reduce with the
+        // same percentile aggregate the A7 operator uses
+        val ps = ev
+          .withColumn("s", (col("event_id") / W).cast("long"))
+          .join(broadcast(slLat), "s")
+          .agg(expr("percentile(lat_s, array(0.5, 0.95, 0.99))"))
+          .head().getSeq[Double](0)
+        val maxLat = slLat.agg(org.apache.spark.sql.functions.max("lat_s"))
+          .head().getDouble(0)
+        val feedEps = nEvents.toDouble /
+          ((lands(F - 1) - lands(0) + gapMs).toDouble / 1000.0)
+        System.err.println(f"[bench] $tag p50=${ps(0)}%.3fs " +
+          f"p95=${ps(1)}%.3fs p99=${ps(2)}%.3fs max_slice=$maxLat%.3fs " +
+          f"feed=${feedEps}%.0f events/s")
+        Map("p50" -> ps(0), "p95" -> ps(1), "p99" -> ps(2),
+          "n_batches" -> visible.values.stream.distinct.count.toDouble,
+          "max_batch_s" -> maxLat, "feed_eps" -> feedEps)
+      }
+    }
+    // Ramp discipline, same as every other leg: the FIRST streaming run
+    // pays stream init (checkpoint creation, FileStreamSource state, C2
+    // compilation of the whole micro-batch path) — measured p50 13.5 s
+    // cold vs sub-second steady-state on the same host — so one full
+    // untimed warm leg runs first and is discarded.
+    val latF = math.min(40L, math.max(10L, nEvents / 2500L)).toInt
+    latencyLeg("latency_warmup", latF, gapMs = 600L)
+    settle()
+    val latency = latencyLeg("latency", latF, gapMs = 600L)
+    settle()
+    if (latencyOnly) {
+      println(s"""{"metric":"latency_only","latency_p50_s":${latency("p50")},""" +
+        s""""latency_p95_s":${latency("p95")},"latency_p99_s":${latency("p99")},""" +
+        s""""latency_n_batches":${latency("n_batches").toLong},""" +
+        s""""latency_max_slice_s":${latency("max_batch_s")},""" +
+        s""""latency_feed_eps":${latency("feed_eps")},"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
 
     // ---- 2. Per-query pass, then min-of-up-to-3 re-measure of slow entries,
     // cheapest first so the budget reaches every candidate.
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val pass1: Map[String, Either[String, Double]] = sorted.map { case (n, fn) =>
+      // One untimed full-work warm pass per query before the timed pass
+      // (r17 verdict "what's wrong" #2: on loaded hosts the single-timing
+      // query leg showed wide TWO-SIDED moves in untouched code — JIT /
+      // code-cache / page-cache cold effects charged to whichever query
+      // hit them first — so bench_compare cried wolf). The replication
+      // legs already ramp; this extends the discipline to the query leg.
+      // A warm-pass throw is ignored: the timed pass records the failure.
+      try { fn(spark, sfDir).count(): Unit }
+      catch { case _: Throwable => () }
       n -> timeOnce(n) { fn(spark, sfDir).count(): Unit }
     }.toMap
 
@@ -247,6 +428,18 @@ object Bench {
         s""""mix_warmup_eps":${vec(mixWarmup)},""" +
         s""""n_failed_repl_trials":${replTrials.count(_ <= 0)},""" +
         s""""n_failed_mix_trials":${mixTrials.count(_ <= 0)},""" +
+        // capture→commit latency percentiles (BASELINE.md rows 3-4,
+        // spec.md:212,256) — the sustained-load streaming leg above;
+        // targets P95 ≤ 2 s / P99 ≤ 5 s, local[32] optimistic-bound
+        // caveat as for throughput
+        s""""latency_p50_s":${fmt(latency("p50"))},""" +
+        s""""latency_p95_s":${fmt(latency("p95"))},""" +
+        s""""latency_p99_s":${fmt(latency("p99"))},""" +
+        s""""latency_p95_target_met":${latency("p95") > 0 && latency("p95") <= 2.0},""" +
+        s""""latency_p99_target_met":${latency("p99") > 0 && latency("p99") <= 5.0},""" +
+        s""""latency_n_batches":${latency("n_batches").toLong},""" +
+        s""""latency_max_slice_s":${fmt(latency("max_batch_s"))},""" +
+        s""""latency_feed_eps":${fmt(latency("feed_eps"))},""" +
         s""""loadavg_at_start":${vec(loadAtStart)},""" +
         s""""loadavg_at_end":${vec(loadAtEnd)},""" +
         s""""failed":$failed,""" +

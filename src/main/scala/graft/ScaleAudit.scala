@@ -82,7 +82,13 @@ object ScaleAudit {
     // (cell-keyed candidate exchange). The remaining unicode gates are
     // scan-bounded per-row projections — excluded by design.
     "dedup_max_spans", "unicode_dedup_clusters", "multimodal_crossmodal_topk",
-    "dedup_trim_max_spans")
+    "dedup_trim_max_spans",
+    // round-18: the adversarial-corpus gates (80% boilerplate docs /
+    // Zipf-hot event keys) — the distributions the hot-shingle cap and
+    // the salted LWW fold exist for; in the heavy list so every audit
+    // family (width, balance, bytes) has an adversarial section
+    "adv_dedup_ngram_jaccard", "adv_dedup_window_profile",
+    "adv_lww_latest_salted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -102,7 +102,24 @@ object SkewAudit {
           when(col("doc_id") % 3 === 0, lit(boiler))
             .otherwise(col("text")).as("text"),
           pmod(col("doc_id"), lit(1000L)).as("score")),
-          "doc_id", "text", col("score"))))
+          "doc_id", "text", col("score"))),
+      // round-18 adversarial-corpus legs (the oracled gate twins —
+      // graft.llm.Adversarial): 80% boilerplate docs through the capped
+      // shingle join, and a log where three keys own 80% of events
+      // through the salted LWW fold — the hot-shingle cap / content-hash
+      // salt must keep the heaviest stage balanced under exactly the
+      // distribution they were built for
+      "adv_jaccard_capped_boilerplate" -> (() =>
+        Dedup.jaccardPairs(
+          graft.llm.Adversarial.documents(docs), "doc_id", "text",
+          n = 3, thresholdNum = 7, thresholdDen = 10,
+          maxShingleDocFreq = 50)),
+      "adv_lww_salted_hot_keys" -> (() =>
+        graft.ops.Lww.latestPerKeySalted(
+          graft.llm.Adversarial.events(events)
+            .select(col("user_id"), col("event_id"), col("ts_us"),
+              col("event_type"), col("value")),
+          Seq("user_id"), Seq(col("ts_us"), col("event_id")))))
 
     var violations = List.empty[String]
     val out = runs.map { case (name, mk) =>

@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Lww
-import graft.queries.{AuditQueries, Cdc2Queries, CdcQueries, GovernanceQueries, GraphSketchQueries, IngestQueries, LlmQueries, LlmQueries2, LlmQueries3, LlmQueries4, LlmQueries5, LlmQueries6, LlmQueries7, LlmQueries8, LlmQueries9, LlmQueries10, EventQueries, MaintenanceQueries, TpchQueries, TpchQueries2, TpchQueries3, CrossModalQueries, UnicodeQueries, WindowQueries}
+import graft.queries.{AdversarialQueries, AuditQueries, Cdc2Queries, CdcQueries, GovernanceQueries, GraphSketchQueries, IngestQueries, LlmQueries, LlmQueries2, LlmQueries3, LlmQueries4, LlmQueries5, LlmQueries6, LlmQueries7, LlmQueries8, LlmQueries9, LlmQueries10, EventQueries, MaintenanceQueries, TpchQueries, TpchQueries2, TpchQueries3, CrossModalQueries, UnicodeQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,7 +35,8 @@ object SparkEntry {
       EventQueries.queries ++ WindowQueries.queries ++
       GraphSketchQueries.queries ++ IngestQueries.queries ++
       GovernanceQueries.queries ++ MaintenanceQueries.queries ++
-      AuditQueries.queries ++ UnicodeQueries.queries ++ CrossModalQueries.queries
+      AuditQueries.queries ++ UnicodeQueries.queries ++
+      CrossModalQueries.queries ++ AdversarialQueries.queries
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracleSql ++ Cdc2Queries.oracleSql ++
@@ -47,5 +48,6 @@ object SparkEntry {
       EventQueries.oracleSql ++ WindowQueries.oracleSql ++
       GraphSketchQueries.oracleSql ++ IngestQueries.oracleSql ++
       GovernanceQueries.oracleSql ++ MaintenanceQueries.oracleSql ++
-      AuditQueries.oracleSql ++ UnicodeQueries.oracleSql ++ CrossModalQueries.oracleSql
+      AuditQueries.oracleSql ++ UnicodeQueries.oracleSql ++
+      CrossModalQueries.oracleSql ++ AdversarialQueries.oracleSql
 }

@@ -191,8 +191,15 @@ class ReplicationSpec extends SparkSpecBase {
       "stream never committed a batch")
     q.stop()
 
-    // resume from the same checkpoint: drain whatever remains
+    // resume from the same checkpoint: drain whatever remains — CLOCKED
+    // (r17 verdict #2: SC-007's "≤30 s" half was proven for zero-loss
+    // but never timed; graft.RecoveryBench measures it at sf0.1, this
+    // spec pins the same bound at fixture scale)
+    val tResume0 = System.nanoTime()
     ReplicationJob.start(spark, cfg).awaitTermination(120000)
+    val recoverySec = (System.nanoTime() - tResume0) / 1e9
+    assert(recoverySec <= 30.0,
+      f"SC-007 recovery took $recoverySec%.1f s (bound 30 s)")
     val state = ReplicationJob.targetState(spark, cfg)
       .select("user_id", "_last_event_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

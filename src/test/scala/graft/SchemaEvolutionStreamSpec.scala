@@ -259,10 +259,18 @@ class SchemaEvolutionStreamSpec extends SparkSpecBase {
     graft.streaming.ReplicationJob.processBatch(spark,
       batchDf((1L, 100L, 1L, "view", 1.0)), cfg(t1), batchId = 0L)
     // registry evolves: the declared contract now carries `value` — the
-    // SAME next micro-batch must ALTER the live table and write through
+    // SAME next micro-batch must ALTER the live table and write through.
+    // CLOCKED (r17 verdict #7 — SC-011, spec.md:268: propagation ≤ 10 s):
+    // propagation time = the evolving micro-batch's ingest → commit wall
+    // time, since the column and its data are target-visible exactly when
+    // processBatch returns (ALTER + upsert run inside the same batch).
     val t2 = t1.copy(cols = baseCols :+ "value")
+    val tEvolve0 = System.nanoTime()
     graft.streaming.ReplicationJob.processBatch(spark,
       batchDf((2L, 200L, 2L, "click", 2.5)), cfg(t2), batchId = 1L)
+    val evolveSec = (System.nanoTime() - tEvolve0) / 1e9
+    assert(evolveSec <= 10.0,
+      f"SC-011 schema-change propagation took $evolveSec%.1f s (bound 10 s)")
 
     val conn = java.sql.DriverManager.getConnection(url)
     try {
