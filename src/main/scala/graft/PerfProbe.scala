@@ -24,7 +24,7 @@ object PerfProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    @volatile var stages = List.empty[(Int, String, Long, Long, Long, Int)]
+    @volatile var stages = List.empty[(Int, String, Long, Long, Long, Int, Long)]
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -32,20 +32,39 @@ object PerfProbe {
         val run = si.taskMetrics.executorRunTime
         val gc = si.taskMetrics.jvmGCTime
         val wall = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
-        stages ::= ((si.stageId, si.name.takeWhile(_ != '\n').take(60), wall, run, gc, si.numTasks))
+        // first graft frame in the callsite stack — far more readable
+        // than the lambda-mangled short name
+        val where = si.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("PerfProbe"))
+          .map(_.trim.take(70)).getOrElse(si.name.takeWhile(_ != '\n').take(70))
+        stages ::= ((si.stageId, where, wall, run, gc, si.numTasks,
+          si.taskMetrics.shuffleWriteMetrics.bytesWritten))
       }
     })
+    // the bench's inter-timing discipline: without it, dead
+    // localCheckpoint blocks from the previous run stall the next one
+    // (measured: corpus_curated_v7 9.5 s benched vs 104 s back-to-back)
+    def clearCaches(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      System.gc()
+    }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       if (explain) fn(spark, sfDir).explain("formatted")
-      stages = Nil
+      clearCaches()
       val t0 = System.nanoTime(); val c1 = fn(spark, sfDir).count()
-      val t1 = System.nanoTime(); val c2 = fn(spark, sfDir).count()
-      val t2 = System.nanoTime()
-      println(f"PERF $n%-28s cold=${(t1 - t0) / 1e9}%8.2fs warm=${(t2 - t1) / 1e9}%8.2fs rows=$c1%d")
-      Thread.sleep(300) // let listener drain
-      stages.sortBy(-_._3).take(8).foreach { case (id, nm, wall, run, gc, nt) =>
-        println(f"  STAGE $id%4d wall=${wall / 1e3}%7.1fs run=${run / 1e3}%8.1fs gc=${gc / 1e3}%6.1fs tasks=$nt%4d  $nm")
+      val t1 = System.nanoTime()
+      clearCaches()
+      stages = Nil
+      val t2 = System.nanoTime(); val c2 = fn(spark, sfDir).count()
+      val t3 = System.nanoTime()
+      println(f"PERF $n%-28s cold=${(t1 - t0) / 1e9}%8.2fs warm=${(t3 - t2) / 1e9}%8.2fs rows=$c1%d jobs_warm=${stages.map(_._1).distinct.size}%d")
+      Thread.sleep(500) // let the async listener bus drain
+      val top = stages.sortBy(-_._3)
+      println(f"  stages_warm=${stages.size}%d wall_sum=${stages.map(_._3).sum / 1e3}%.1fs")
+      top.take(10).foreach { case (id, nm, wall, run, gc, nt, sw) =>
+        println(f"  STAGE $id%4d wall=${wall / 1e3}%7.1fs run=${run / 1e3}%8.1fs gc=${gc / 1e3}%6.1fs tasks=$nt%4d shw=${sw / 1024}%6dKB $nm")
       }
     }
     spark.stop()

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** IN-ENGINE training of the n-gram quality head (round-15 verdict #4):
@@ -35,13 +35,17 @@ import org.apache.spark.sql.functions._
   * compares exact weight tables.
   *
   * Why this shape at 100 TB: the corpus is tokenized ONCE into the
-  * (doc, bucket, count) feature table — materialized, then each round
-  * runs exactly two map-side-combined aggregates over it (the per-doc
-  * margin, the per-bucket gradient) plus register-sized joins against
-  * the ≤(Buckets+1)-row broadcast weight table and the 1-row broadcast
-  * train count (the Q11 idiom — no driver-side count action). Rounds
-  * are a fixed hyperparameter, so the whole run is `2·Rounds` bounded
-  * passes — no per-round growth, nothing corpus-sized broadcast.
+  * (doc, bucket, count) feature table, folded once more into per-doc
+  * feature ARRAYS (doc-length bounded) — materialized, then each round
+  * is ONE distributed pass over it: margin + residual as doc-local
+  * array expressions against the (Buckets+1)-long weight literal, then
+  * a per-bucket partial aggregate whose exchange carries ≤ Buckets+1
+  * rows per map partition. The weight state between rounds is
+  * HYPERPARAMETER-sized (4,097 longs), held on the driver and
+  * re-published per round — the same register-sized publication
+  * [[scorerFactory]] performs once at the end; nothing corpus-sized is
+  * ever collected or broadcast. Rounds are a fixed hyperparameter, so
+  * the whole run is `Rounds` bounded passes — no per-round growth.
   *
   * Training hygiene: docs with `doc_id % HoldoutMod == 0` are HELD
   * OUT — HeadTrainSpec grades trained-vs-frozen AUC on exactly that
@@ -109,46 +113,100 @@ object HeadTrain {
         Seq("_b"))
       .groupBy("_id").agg(sum(col("_x") * col("w")).as("_z"))
 
-  /** One gradient round: margins under the current weights, hard-sigmoid
-    * residuals against the labels, per-bucket integer gradient, the
-    * size-normalized update over the FULL bucket table (unseen buckets
-    * keep their weight — gradient 0). `nTrain` is the 1-row train-count
-    * aggregate, broadcast — never a driver-side count.
-    */
-  private def round(feats: DataFrame, lab: DataFrame, nTrain: DataFrame,
-      weights: DataFrame): DataFrame = {
-    val resid = margins(feats, weights)
-      .join(lab.select("_id", "_y"), Seq("_id"))
-      .select(col("_id"),
-        (expr(s"(least(${ZClamp}L, greatest(${-ZClamp}L, _z)) + ${ZClamp}L) div 4")
-          - col("_y") * lit(1000000L)).as("_resid"))
-    val grad = feats.join(resid, Seq("_id"))
-      .groupBy("_b").agg(sum(col("_x") * col("_resid")).as("_g"))
-    weights
-      .join(grad.select(col("_b").as("bucket"), col("_g")), Seq("bucket"), "left")
-      .crossJoin(broadcast(nTrain))
-      .select(col("bucket"),
-        (col("w") - expr(s"coalesce(_g, 0L) div (${PerDocGradDiv}L * _n_train)"))
-          .as("w"))
-  }
-
-  /** Train on the non-held-out fold: zero-initialized (Buckets+1)-row
-    * weight table (bucket -1 = bias), `Rounds` unrolled gradient rounds
-    * with per-round materialization. Output: (bucket, w) — exact int64
-    * micro-unit weights, the gate's compared table.
+  /** Train on the non-held-out fold: zero-initialized (Buckets+1)-slot
+    * weight register (bucket -1 = bias), `Rounds` gradient rounds.
+    * Output: (bucket, w) — exact int64 micro-unit weights, the gate's
+    * compared table; identical values to the unrolled-DataFrame form
+    * this replaces (same integer ops in the same order — Java long `/`
+    * == Spark `div` == DuckDB `//`, truncation toward zero).
+    *
+    * Round-18 optimization (guide §1.2 step 1 / §2.4): the previous
+    * shape kept the weight TABLE distributed — per round that cost a
+    * broadcast build of the weights, a margins exchange, a label join, a
+    * residual broadcast, a gradient exchange, a left-join + crossJoin
+    * update, and an eager localCheckpoint: ~12 stages × 8 rounds, 103
+    * jobs / 4.5 s warm at sf0.1 with no stage over 0.3 s — pure
+    * scheduling and materialization overhead. The weights are
+    * HYPERPARAMETER-sized (Buckets+1 = 4,097 longs — register data, the
+    * same table [[scorerFactory]] already collects to publish), so they
+    * now live in a driver array between rounds: each round is ONE
+    * distributed aggregate pass over the materialized per-doc feature
+    * arrays (margin + residual as doc-local array expressions, then
+    * explode → per-bucket partial agg whose exchange carries ≤ Buckets+1
+    * rows per map partition), collected register-sized like every other
+    * publication step. The corpus-sized work — tokenize, bucket counts,
+    * per-round gradient pass — stays fully distributed; per-partition
+    * state stays doc-length bounded.
+    *
+    * The weight register rides into the round as a BROADCAST 1-row
+    * array-column relation (33 KB), NOT as a per-round `typedlit`
+    * literal: a 4,097-element literal embedded in the expression tree
+    * makes every round's generated code unique — 8 rounds × fresh
+    * whole-stage-codegen compilation + plan analysis was measured at
+    * 10.7 s warm (WORSE than the shape it replaced); with the register
+    * as a column the per-round plan and generated code are byte-
+    * identical, so codegen-cache hits make rounds cheap. The residual
+    * is projected BELOW the explode so the doc-local margin fold runs
+    * once per doc, never once per exploded feature.
     */
   def train(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     val lab = graft.util.Materialize.stable(
       labeled(docs, idCol, textCol)
         .filter(pmod(col("_id"), lit(HoldoutMod)) =!= 0))
-    val feats = graft.util.Materialize.stable(features(lab))
-    val nTrain = lab.agg(count(lit(1)).as("_n_train"))
-    var w: DataFrame = spark.range(-1L, Buckets.toLong)
-      .select(col("id").as("bucket"), lit(0L).as("w"))
-    for (_ <- 1 to Rounds)
-      w = graft.util.Materialize.stable(round(feats, lab, nTrain, w))
-    w
+    // per-doc feature arrays (doc-length bounded): the (doc, bucket,
+    // count) table folded to one row per doc so each gradient round is a
+    // single pass with no per-doc exchange. Array order is whatever
+    // collect_list produced — every consumer below is an order-free
+    // integer sum.
+    val docFeats = graft.util.Materialize.stable(
+      features(lab)
+        .groupBy("_id")
+        .agg(collect_list(struct(col("_b"), col("_x"))).as("_f"))
+        .join(lab.select("_id", "_y"), Seq("_id")))
+    // register-sized control reads: the train count (one 1-row
+    // aggregate) and, per round, the ≤(Buckets+1)-row gradient — the
+    // same bounded-collect discipline as scorerFactory's publication.
+    val nTrain = lab.agg(count(lit(1))).head().getLong(0)
+    val w = new Array[Long](Buckets + 1) // slot b+1 = bucket b; 0 = bias
+    import spark.implicits._
+    for (_ <- 1 to Rounds) {
+      // the register as DATA (1-row array column, broadcast), not a
+      // literal — identical plan + generated code every round
+      val wDf = Seq(Tuple1(w.toSeq)).toDF("_wa")
+      val z = aggregate(col("_f"), lit(0L), (acc, s) =>
+        acc + s.getField("_x") *
+          element_at(col("_wa"), (s.getField("_b") + lit(2L)).cast("int")))
+      val resid =
+        ((least(lit(ZClamp), greatest(lit(-ZClamp), z)) + lit(ZClamp))
+          .divInt(lit(4L)) - col("_y") * lit(1000000L)).as("_resid")
+      val grad = docFeats
+        .crossJoin(broadcast(wDf))
+        .select(col("_f"), resid) // one margin fold per DOC, below the explode
+        .select(explode(col("_f")).as("_s"), col("_resid"))
+        .groupBy(col("_s._b").as("_b"))
+        .agg(sum(col("_s._x") * col("_resid")).as("_g"))
+        .collect()
+      grad.foreach { r =>
+        val slot = r.getLong(0).toInt + 1
+        w(slot) = w(slot) - r.getLong(1) / (PerDocGradDiv * nTrain)
+      }
+    }
+    w.zipWithIndex.map { case (wv, i) => (i.toLong - 1L, wv) }.toSeq
+      .toDF("bucket", "w")
+  }
+
+  /** Integer division with Spark `div` semantics (truncation toward
+    * zero) as a Column op — `expr("a div b")` without the string round
+    * trip. Used by the training round so the register math matches the
+    * oracle's `//` bit-for-bit.
+    */
+  private implicit class DivCol(private val c: Column) {
+    def divInt(d: Column): Column = {
+      import org.apache.spark.sql.GraftExpressionBridge._
+      column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        expression(c), expression(d)))
+    }
   }
 
   /** Held-out margins under a trained weight table — the spec's
