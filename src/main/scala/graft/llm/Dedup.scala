@@ -24,6 +24,25 @@ object Dedup {
   def tokenHash(tok: Column): Column =
     conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
 
+  /** [[tokenHash]] for inputs that are non-null BY CONSTRUCTION (explode
+    * of split()/concat_ws() output — neither ever yields a null
+    * element): identical values, but declared non-nullable via a
+    * coalesce whose fallback is unreachable. Why it exists: when the
+    * hash is a join key, constraint inference pushes an
+    * `isnotnull(<hash expr>)` Filter BELOW the projection that computes
+    * it, so the full md5→conv chain — the CPU-dominant expression of
+    * every explode-head pipeline here — is evaluated TWICE per exploded
+    * row (measured in the dsir_weights plan: the same 4-function chain
+    * in both Filter(5) and Project(6); the optimization-guide §4.4
+    * duplicated-evaluation shape, with built-ins instead of a UDF).
+    * Non-nullable output ⇒ the constraint is never inferred ⇒ one
+    * evaluation. MUST NOT be used where the input can be null — a null
+    * would hash to 0 instead of propagating, silently joining with real
+    * 0-hashes.
+    */
+  private[graft] def tokenHashNN(tok: Column): Column =
+    coalesce(tokenHash(tok), lit(0L))
+
   /** MinHash parameters: h_i(x) = (a_i * x + b_i) mod p over the token
     * hash. 8 hashes, 4 bands of 2 → Jaccard ~0.7+ pairs collide w.h.p.
     */
@@ -218,7 +237,7 @@ object Dedup {
           expr(s"transform(sequence(1, size(_toks) - ${n - 1}), " +
                s"i -> concat_ws(' ', slice(_toks, i, $n)))"))
           .otherwise(array())))
-      .select(col("doc_id"), col("maxpos"), col("pos"), tokenHash(col("col")).as("h"))
+      .select(col("doc_id"), col("maxpos"), col("pos"), tokenHashNN(col("col")).as("h"))
   }
 
   /** The postings rows whose window hash occurs in ≥2 distinct docs —
@@ -390,7 +409,7 @@ object Dedup {
     // lambda — O(len²) per doc (measured: jaccard 2.6 s → 10-18 s).
     widen(docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks")))
       .select(col("doc_id"), explode(sh).as("sh"))
-      .select(col("doc_id"), tokenHash(col("sh")).as("h"))
+      .select(col("doc_id"), tokenHashNN(col("sh")).as("h"))
       .distinct()
   }
 
@@ -453,7 +472,7 @@ object Dedup {
   private def tokenHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
       .distinct()
-      .select(col("doc_id"), tokenHash(col("tok")).as("h"))
+      .select(col("doc_id"), tokenHashNN(col("tok")).as("h"))
 
   /** MinHash feature set: distinct word-3-gram SHINGLE hashes, not bare
     * tokens. On small vocabularies token sets are near-identical across

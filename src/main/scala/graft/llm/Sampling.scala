@@ -403,7 +403,15 @@ object Sampling {
              "i -> concat_ws(' ', slice(_toks, i, 2)))"))
         .otherwise(array()))).as("f"))
     grams.select(col("doc_id"),
-      pmod(graft.llm.Dedup.tokenHash(col("f")), lit(numBuckets.toLong)).as("b"))
+      // coalesce OUTSIDE the pmod (f is explode() of split/concat_ws
+      // output — never null, so the fallback is unreachable): Pmod is
+      // unconditionally nullable, so only an outermost coalesce makes
+      // the bucket non-nullable and stops the inner-join-on-b constraint
+      // from double-evaluating the md5 chain per feature occurrence
+      // (the r18 plan showed the full md5→conv→pmod chain in BOTH a
+      // pushed-down isnotnull Filter and the Project, guide §4.4 shape)
+      coalesce(pmod(graft.llm.Dedup.tokenHash(col("f")),
+        lit(numBuckets.toLong)), lit(0L)).as("b"))
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for

@@ -259,8 +259,12 @@ object TextAnalysis {
              "concat_ws(' ', slice(_toks, i, 2)) AS w12))"))
         .otherwise(array())).as("g"))
       .select(col("doc_id"),
-        graft.llm.Dedup.tokenHash(col("g.w1")).as("h1"),
-        graft.llm.Dedup.tokenHash(col("g.w12")).as("h12"))
+        // tokenHashNN: w1/w12 come from element_at/concat_ws over split()
+        // output — never null; both hashes are equi-join keys downstream,
+        // so nullable output would double-evaluate both md5 chains per
+        // bigram under the inferred isnotnull filters
+        graft.llm.Dedup.tokenHashNN(col("g.w1")).as("h1"),
+        graft.llm.Dedup.tokenHashNN(col("g.w12")).as("h12"))
 
   /** Bigram language-model fluency score — the KenLM-perplexity-filter
     * shape (CCNet, Wenzek et al. 2020): train bigram statistics on a
@@ -427,7 +431,7 @@ object TextAnalysis {
     driftChi2FromCounts(graft.util.Materialize.stable(
       docs.select(col(srcCol).as("source"),
           explode(tokens(col(textCol))).as("_t"))
-        .select(col("source"), Dedup.tokenHash(col("_t")).as("h"))
+        .select(col("source"), Dedup.tokenHashNN(col("_t")).as("h"))
         .groupBy("source", "h").agg(count(lit(1)).as("o"))))
 
   /** The χ² core over a pre-aggregated (source, h, o) count table —

@@ -31,21 +31,6 @@ object AuditQueries {
   private val RollW = 64  // panel: 256 ints per DAY
   private val RollQuantilesPm = Seq(500, 900, 990)
 
-  /** Corpus doc → component label over the LSH candidate graph,
-    * singletons labeled themselves (the split_cluster_assign label
-    * derivation, reused so the leakage audit grades the SAME labels the
-    * gated split ships).
-    */
-  private def ccLabels(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    docs.select("doc_id")
-      .join(Dedup.connectedComponents(
-        Dedup.lshCandidatePairs(docs, "doc_id", "text"), "doc_a", "doc_b"),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-  }
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Train/test leakage through near-duplicates: the same LSH pair
@@ -54,12 +39,24 @@ object AuditQueries {
     // label (the shipped scheme). The cluster row's cross_pairs = 0 is
     // COMPUTED (both endpoints independently join the label table); the
     // doc_hash row's nonzero count is the leak the cluster split closes.
-    "split_leakage_audit" -> ((s, dir) =>
-      Sampling.splitLeakageAudit(
-        Dedup.lshCandidatePairs(Tables.documents(s, dir), "doc_id", "text"),
-        "doc_a", "doc_b",
-        ccLabels(s, dir), "doc_id", "cluster_id",
-        TrainPermille, ValPermille)),
+    // The pair graph is banded ONCE and feeds both the audited pair
+    // list and the component labels (r18, guide §1.2 step 1: the
+    // previous shape ran the whole minhash+banding pipeline twice —
+    // same function over the same input, so the shared frame is
+    // row-identical; labels still reuse the split_cluster_assign
+    // derivation, singletons labeled themselves).
+    "split_leakage_audit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = graft.util.Materialize.stable(
+        Dedup.lshCandidatePairs(docs, "doc_id", "text"))
+      val labels = docs.select("doc_id")
+        .join(Dedup.connectedComponents(pairs, "doc_a", "doc_b"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      Sampling.splitLeakageAudit(pairs, "doc_a", "doc_b",
+        labels, "doc_id", "cluster_id", TrainPermille, ValPermille)
+    }),
 
     // Equi-join cardinality estimate: |view events ⋈ purchase events|
     // on user_id from two 4×64 CMS cell tables (inner-product rowsums,
@@ -465,26 +462,36 @@ object AuditQueries {
             coalesce(sum(tok), lit(0L)).as("n_tokens"))
           .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
             col("n_docs"), col("n_tokens"))
+      // Each batch's cp/q frame feeds SEVERAL legs below (cp: its own
+      // count + q; q: quality leg + fluency leg + the 3×-consumed
+      // firstOcc union), so without materialization the scrub-regex +
+      // dedup-exchange chain re-executes up to 15× — the funnel's own
+      // materializeStages discipline applied to the stream twin
+      // (measured r18: 7.9 s → the chain runs once per batch).
       val stages = (0 until 3).map { k =>
         val raw = docs.filter(pmod(col("doc_id"), lit(3)) === k)
-        val cp = graft.llm.PiiScrub.scrubbed(
-          raw.dropDuplicates("doc_id" :: "text" :: Nil), "text")
-        val q = cp.join(graft.llm.TextAnalysis.qualityFilter(cp, "doc_id",
-          "text", minTokens = 20, maxTokens = 90, minUniqPermille = 350,
-          maxTopTokPermille = 150).filter(col("keep")).select("doc_id"),
-          Seq("doc_id"))
+        val cp = graft.util.Materialize.stable(graft.llm.PiiScrub.scrubbed(
+          raw.dropDuplicates("doc_id" :: "text" :: Nil), "text"))
+        val q = graft.util.Materialize.stable(
+          cp.join(graft.llm.TextAnalysis.qualityFilter(cp, "doc_id",
+            "text", minTokens = 20, maxTokens = 90, minUniqPermille = 350,
+            maxTopTokPermille = 150).filter(col("keep")).select("doc_id"),
+            Seq("doc_id")))
         (k.toLong, raw, cp, q)
       }
       // novelty decomposed over batches: a hash's canonical copy lives
       // in its FIRST batch (min doc id there) — the sequential
       // filterNew fold as one window
-      val firstOcc = stages.map { case (k, _, _, q) =>
-          q.select(col("doc_id"), col("text"), lit(k).as("_b")) }
-        .reduce(_ unionByName _)
-        .withColumn("_h", md5(col("text")))
-        .withColumn("_rn", row_number().over(
-          Window.partitionBy("_h").orderBy("_b", "doc_id")))
-        .filter(col("_rn") === 1)
+      // materialized: the novelty union is consumed once per batch by
+      // the "novel" legs below (3 filtered reads)
+      val firstOcc = graft.util.Materialize.stable(
+        stages.map { case (k, _, _, q) =>
+            q.select(col("doc_id"), col("text"), lit(k).as("_b")) }
+          .reduce(_ unionByName _)
+          .withColumn("_h", md5(col("text")))
+          .withColumn("_rn", row_number().over(
+            Window.partitionBy("_h").orderBy("_b", "doc_id")))
+          .filter(col("_rn") === 1))
       val legs =
         stages.map { case (_, raw, _, _) => leg(0L, "raw", raw) } ++
           stages.map { case (_, _, cp, _) => leg(1L, "compact_scrub", cp) } ++

@@ -54,7 +54,7 @@ object GraphSketchQueries {
       .select(col("source"), explode(expr(
         "transform(sequence(1, size(_toks) - 2), " +
           "i -> concat_ws(' ', slice(_toks, i, 3)))")).as("sh"))
-      .select(col("source"), Dedup.tokenHash(col("sh")).as("h"))
+      .select(col("source"), Dedup.tokenHashNN(col("sh")).as("h"))
 
   /** The matching DuckDB CTE chain: (source, h) distinct shingle hashes. */
   private val shingleHashCteDuck =

@@ -28,15 +28,23 @@ object MaintenanceQueries {
     // incremental fold lands bit-exactly on the full recompute.
     "dedup_clusters_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val newPred = col("doc_id") % 3 === 0
+      // ONE banding pass over the full corpus, split into prior/delta
+      // pair sets (r18, guide §1.2 step 1: the previous shape ran the
+      // whole tokenize→minhash→band-join pipeline twice — once over the
+      // prior 2/3, once over the full corpus). Row-identical: a MinHash
+      // signature is doc-local, so banding the prior subset alone yields
+      // exactly the full corpus's band pairs restricted to both-prior
+      // endpoints — the filter below.
+      val pairs = graft.util.Materialize.stable(
+        Dedup.lshCandidatePairs(docs, "doc_id", "text"))
       val priorLabels = Dedup.connectedComponents(
-        Dedup.lshCandidatePairs(docs.filter(!newPred), "doc_id", "text"),
+        pairs.filter(col("doc_a") % 3 =!= 0 && col("doc_b") % 3 =!= 0),
         "doc_a", "doc_b")
       // the delta a real ingest derives from banding the new docs
       // against the full band table: every candidate pair touching a
       // new doc (prior↔prior pairs are unchanged by new arrivals, so
       // prior labels already summarize them)
-      val delta = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+      val delta = pairs
         .filter(col("doc_a") % 3 === 0 || col("doc_b") % 3 === 0)
       Dedup.incrementalComponents(priorLabels, delta, "doc_a", "doc_b")
     }),
