@@ -122,6 +122,75 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/** Static seam for [[Md5Slice64]]: md5 the input bytes and return the
+  * unsigned integer value of hex chars [start, start+len) of the
+  * 32-char lowercase hex rendering — exactly
+  * `CAST(conv(substring(md5(x), start, len), 16, 10) AS BIGINT)` for
+  * len ≤ 15 (≤ 60 bits, always a positive int64) — WITHOUT materializing
+  * the hex string, the substring slice, or conv's string→BigInteger
+  * parse: hex char i (0-based) is nibble i of the digest, read directly.
+  * A thread-local MessageDigest amortizes instance construction across
+  * every row of a task.
+  */
+object Md5Util {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def slice64(bytes: Array[Byte], start: Int, len: Int): Long = {
+    val m = md.get()
+    m.reset()
+    val d = m.digest(bytes)
+    var v = 0L
+    var i = start - 1 // 0-based first nibble
+    val end = start - 1 + len
+    while (i < end) {
+      val b = d(i >> 1) & 0xff
+      v = (v << 4) | (if ((i & 1) == 0) b >>> 4 else b & 0xf)
+      i += 1
+    }
+    v
+  }
+}
+
+/** Native md5-hex-slice hash: `Md5Slice64(x, start, len)` ==
+  * `CAST(conv(substring(md5(x), start, len), 16, 10) AS BIGINT)` — the
+  * engine-wide [[graft.llm.Dedup.tokenHash]] idiom (start=1, len=8), the
+  * simhash64 second word (9, 8), and the Bloom probe hash (1, 15),
+  * without the per-row detour the composed form pays: a 32-char hex
+  * STRING materialization (commons-codec encode), a substring slice, and
+  * conv's string→number parse. The digest math is unchanged, so values
+  * (and therefore every oracle-shared signature) are bit-identical; the
+  * input contract mirrors `md5(x)` exactly via the same implicit
+  * cast-to-binary. Sits under every shingle/minhash/bucket hash — the
+  * CPU-dominant expression of the explode-head pipelines.
+  */
+case class Md5Slice64(child: Expression, start: Int, len: Int)
+    extends UnaryExpression {
+  require(start >= 1 && len >= 1 && len <= 15 && start - 1 + len <= 32,
+    s"md5_slice64 needs 1-based hex range within the digest and len <= 15 " +
+      s"(int64-positive), got start=$start len=$len")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"md5_slice64 expects binary (cast at the call site, mirroring " +
+        s"md5()'s implicit cast), got ${child.dataType.simpleString}")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "md5_slice64"
+
+  override def nullSafeEval(b: Any): Any =
+    Md5Util.slice64(b.asInstanceOf[Array[Byte]], start, len)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.functions.Md5Util.slice64($b, $start, $len);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Slice64 =
+    copy(child = newChild)
+}
+
 object TextFns {
   /** Idempotent per-session registration; exposes `token_count(s)` and
     * `nfc_normalize(s)` to SQL, `expr(...)`, and `call_function`.

@@ -19,10 +19,15 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Deterministic 32-bit token hash shared with the DuckDB oracle:
-    * first 8 hex chars of md5, as a long in [0, 2^32).
+    * first 8 hex chars of md5, as a long in [0, 2^32). Computed by the
+    * native [[graft.functions.Md5Prefix64]] — bit-identical to the
+    * composed `conv(substring(md5(tok), 1, 8), 16, 10)` form (same
+    * digest, first 4 bytes as unsigned), without materializing the
+    * 32-char hex string, the substring slice, and conv's string parse
+    * per row (r18, guide §1.2 step 2 — this expression sits under every
+    * shingle/minhash/bucket pipeline's explode head).
     */
-  def tokenHash(tok: Column): Column =
-    conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
+  def tokenHash(tok: Column): Column = md5Slice(tok, 1, 8)
 
   /** [[tokenHash]] for inputs that are non-null BY CONSTRUCTION (explode
     * of split()/concat_ws() output — neither ever yields a null
@@ -42,6 +47,18 @@ object Dedup {
     */
   private[graft] def tokenHashNN(tok: Column): Column =
     coalesce(tokenHash(tok), lit(0L))
+
+  /** General md5-hex-slice hash (the [[tokenHash]] family's other
+    * widths): `md5Slice(c, start, len)` ==
+    * `conv(substring(md5(c), start, len), 16, 10).cast("long")`, via the
+    * native [[graft.functions.Md5Slice64]]. The cast-to-binary here is
+    * the SAME implicit cast `md5()` applies to its input, so any input
+    * type hashes the identical bytes.
+    */
+  private[graft] def md5Slice(c: Column, start: Int, len: Int): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge._
+    column(graft.functions.Md5Slice64(expression(c.cast("binary")), start, len))
+  }
 
   /** MinHash parameters: h_i(x) = (a_i * x + b_i) mod p over the token
     * hash. 8 hashes, 4 bands of 2 → Jaccard ~0.7+ pairs collide w.h.p.
@@ -600,8 +617,8 @@ object Dedup {
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
       .distinct()
       .select(col("doc_id"),
-        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h1"),
-        conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long").as("h2"))
+        md5Slice(col("tok"), 1, 8).as("h1"),
+        md5Slice(col("tok"), 9, 8).as("h2"))
     val bitSums = (0 until 64).map { g =>
       val (src, j) = if (g < 32) (col("h1"), g) else (col("h2"), g - 32)
       sum(when(shiftright(src, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s_$g")

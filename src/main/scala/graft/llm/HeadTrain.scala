@@ -96,7 +96,7 @@ object HeadTrain {
       .select(col("_id"), explode(split(col("_text"), " ", -1)).as("_tok"))
     toks
       .select(col("_id"),
-        pmod(conv(substring(md5(col("_tok")), 1, 8), 16, 10).cast("long"),
+        pmod(graft.llm.Dedup.tokenHash(col("_tok")),
           lit(Buckets.toLong)).as("_b"))
       .groupBy("_id", "_b").agg(count(lit(1)).as("_x"))
       .unionByName(lab.select(col("_id"), lit(-1L).as("_b"), lit(1L).as("_x")))

@@ -90,8 +90,7 @@ object Multimodal {
       .select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
       .withColumn("frame_id",
-        conv(substring(md5(concat_ws(":", col("doc_id"), col("frame_idx"))), 1, 8), 16, 10)
-          .cast("long"))
+        Dedup.tokenHash(concat_ws(":", col("doc_id"), col("frame_idx"))))
 
   /** aHash geometry: 16 sampled "pixels" per frame, one hash bit each.
     * Pixel k of frame f is the char code at 1-based position

@@ -23,7 +23,7 @@ object Sampling {
     * mod 1000. Uniform to ~2⁻³² for any key set.
     */
   def hashPermille(key: Column): Column =
-    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"), lit(1000L))
+    pmod(graft.llm.Dedup.tokenHash(key.cast("string")), lit(1000L))
 
   /** Rate-based stratified sample: keep a row iff its key's per-mille
     * bucket falls under its stratum's rate (`rates`, defaulting to

@@ -32,7 +32,7 @@ object Shuffling {
     * in [0, 2³²).
     */
   def hash64(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    graft.llm.Dedup.tokenHash(key.cast("string"))
 
   /** `idCol` as int64, failing LOUDLY on any value the cast nulls out
     * (non-numeric string, overflow, NULL id). Without the guard such a

@@ -45,6 +45,15 @@ object Similarity {
     column(graft.functions.LongArrayDot(expression(expr(a)), expression(expr(b))))
   }
 
+  /** [[dotQ]] over Column operands — usable inside higher-order-function
+    * lambdas (the map-side centroid assignment), where the operands are
+    * lambda-variable fields, not named columns.
+    */
+  def dotQC(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge._
+    column(graft.functions.LongArrayDot(expression(a), expression(b)))
+  }
+
   def dotQSqlDuck(a: String, b: String): String =
     s"CAST(list_sum(list_transform(list_zip($a, $b), s -> s[1] * s[2])) AS BIGINT)"
 
@@ -587,28 +596,55 @@ object Similarity {
       .withColumn("ncent", dotQ("centv", "centv"))
 
   /** Assign each vector its `keep` nearest centroids by exact integer
-    * cosine (broadcast centroid table; per-vector top-keep via
-    * WindowGroupLimit). `carry` rides extra named columns (evaluated
-    * against the raw input) through the assignment — the labeled mining
-    * path ([[hardNegativesIvf]]) carries the label so the mismatch
-    * predicate can fuse into the downstream cell join.
+    * cosine. `carry` rides extra named columns (evaluated against the
+    * raw input) through the assignment — the labeled mining path
+    * ([[hardNegativesIvf]]) carries the label so the mismatch predicate
+    * can fuse into the downstream cell join.
+    *
+    * Round-18 shape (guide §2.4 — remove shuffles outright): the
+    * previous form exploded the corpus × centroids with a broadcast
+    * crossJoin and ranked per vector through a WindowExec — a FULL
+    * corpus-sized exchange of the quantized vectors (≤ keep rows ×
+    * ~1 KB qv array per vector after WindowGroupLimit) plus a sort,
+    * per assignment pass. The centroid table is codebook-sized BY
+    * CONSTRUCTION (a `limit numCentroids` sample or a Lloyd round's
+    * ≤numCentroids-row aggregate), so it now folds into ONE array row
+    * (a one-row collect_list aggregate — the PlanLint bnl-join bounded
+    * class), broadcast-attached to every vector row, and the top-keep
+    * selection is a doc-local `array_sort` + `slice` — the assignment
+    * stage is now map-only: ZERO exchange at any corpus size.
+    *
+    * Ordering parity with the replaced window (`cos DESC, cent_id ASC`
+    * via row_number): the sort key is ascending
+    * `struct(-cos — with NaN mapped to -Infinity, since Spark's
+    * descending double order places NaN FIRST — , cent_id)`; Spark
+    * normalizes ±0.0 equal on both paths, and cent_id is unique so the
+    * selection is deterministic and bit-identical.
     */
   private def assignCells(df: DataFrame, cents: DataFrame,
       id: String, v: String, n: String, keep: Int,
       carry: Seq[(String, Column)] = Nil): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = Dedup.widen(df).select(
         Seq(col("vec_id").as(id), quantize(col("embedding")).as(v)) ++
           carry.map { case (nm, c) => c.as(nm) }: _*)
       .withColumn(n, dotQ(v, v))
-    val w = Window.partitionBy(col(id))
-      .orderBy(col("_cent_cos").desc, col("cent_id"))
-    base.crossJoin(broadcast(cents))
-      .withColumn("_cent_cos",
-        cosineFromInts(dotQ(v, "centv"), col(n), col("ncent")))
-      .withColumn("_crn", row_number().over(w))
-      .filter(col("_crn") <= keep)
-      .select(Seq(col(id), col(v), col(n), col("cent_id").as("cell")) ++
+    val ca = cents.agg(
+      collect_list(struct(col("cent_id"), col("centv"), col("ncent")))
+        .as("_ca"))
+    val keys = transform(col("_ca"), c => {
+      val cos = cosineFromInts(dotQC(col(v), c.getField("centv")),
+        col(n), c.getField("ncent"))
+      struct(
+        when(isnan(cos), lit(Double.NegativeInfinity)).otherwise(-cos)
+          .as("_negcos"),
+        c.getField("cent_id").as("cent_id"))
+    })
+    base.crossJoin(broadcast(ca))
+      .select(Seq(col(id), col(v), col(n),
+        explode(slice(array_sort(keys), 1, keep)).as("_top")) ++
+        carry.map { case (nm, _) => col(nm) }: _*)
+      .select(Seq(col(id), col(v), col(n),
+        col("_top.cent_id").as("cell")) ++
         carry.map { case (nm, _) => col(nm) }: _*)
   }
 

@@ -489,8 +489,8 @@ object TextAnalysis {
     require(minTokens >= 2,
       s"a FIM doc needs >= 2 tokens (one to infill, one context), got $minTokens")
     def draw(salt: String): Column =
-      pmod(conv(substring(md5(concat(col(idCol).cast("string"),
-        lit(salt))), 1, 8), 16, 10).cast("long"), col("n_tokens"))
+      pmod(Dedup.tokenHash(concat(col(idCol).cast("string"), lit(salt))),
+        col("n_tokens"))
     def seg(from: Column, len: Column) =
       concat_ws(" ", slice(split(col(textCol), " ", -1), from, len))
     docs
@@ -499,8 +499,7 @@ object TextAnalysis {
       .filter(col("n_tokens") >= minTokens)
       .withColumn("a", draw(":a"))
       .withColumn("b", col("a") + 1 +
-        pmod(conv(substring(md5(concat(col(idCol).cast("string"),
-          lit(":b"))), 1, 8), 16, 10).cast("long"),
+        pmod(Dedup.tokenHash(concat(col(idCol).cast("string"), lit(":b"))),
           col("n_tokens") - col("a")))
       .select(col(idCol), col("n_tokens"), col("a"), col("b"),
         col("a").as("prefix_tokens"),

@@ -49,8 +49,8 @@ object Bloom {
     * value positive int64 at any allowed m).
     */
   def position(key: Column, i: Int, mBits: Int): Column =
-    pmod(conv(substring(md5(concat(key.cast("string"), lit(s":$i"))), 1, 15),
-      16, 10).cast("long"), lit(mBits.toLong))
+    pmod(graft.llm.Dedup.md5Slice(
+      concat(key.cast("string"), lit(s":$i")), 1, 15), lit(mBits.toLong))
 
   /** The DuckDB rendering of [[position]] over a key SQL expression. */
   def positionSqlDuck(keySql: String, i: Int, mBits: Int): String =
